@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central query registry. Every operator the engine claims (SURVEY.md §2B)
+  * registers one named query plus (where SQL-expressible) an equivalent ANSI
+  * SQL string the driver runs in DuckDB over the same parquet tables.
+  *
+  * Determinism contract (FIXTURES.md): explicit ORDER BY with full tiebreak
+  * keys, round(·,4) on double outputs, explicit casts at Spark/DuckDB type
+  * divergence points, UTC session timezone.
+  */
+object Registry {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** One declared engine capability. `oracle=None` → driver records the
+    * weaker rows-only check (used for approx/streaming-only/binary ops). */
+  final case class Q(name: String, doc: String, fn: QueryFn, oracle: Option[String])
+
+  def q(name: String, doc: String)(sql: String)(fn: QueryFn): Q =
+    Q(name, doc, fn, Some(sql))
+
+  def rowsOnly(name: String, doc: String)(fn: QueryFn): Q =
+    Q(name, doc, fn, None)
+}
+
+/** Fixture-table loaders (TESTDATA.md). One parquet file per table. */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is nanosecond-precision parquet (TESTDATA.md); Spark reads it
+    // as LongType nanos under spark.sql.legacy.parquet.nanosAsLong. Truncate
+    // to µs TimestampType — the same truncation DuckDB's ts::TIMESTAMP does
+    // (SURVEY.md §7.3#1).
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}

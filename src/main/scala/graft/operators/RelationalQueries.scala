@@ -1,0 +1,556 @@
+package graft.operators
+
+import graft.Registry.{Q, q, rowsOnly}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Batch relational surface (SURVEY.md §2B B1–B25), expressed Spark-first:
+  * declarative DataFrame plans that Catalyst plans (pushdown, pruning,
+  * broadcast-vs-SMJ, partial aggregation, TakeOrderedAndProject) — no
+  * hand-scheduling. Each query carries an equivalent DuckDB SQL oracle.
+  *
+  * Determinism: explicit ORDER BY w/ tiebreak keys, round(·,4) on doubles,
+  * BIGINT casts where Spark/DuckDB integer widths diverge (count/rank/ceil).
+  */
+object RelationalQueries {
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  val all: Seq[Q] = Seq(
+
+    // B1: parquet scan — row counts of every fixture table.
+    q("q01_table_counts", "B1 parquet scan: row counts of all fixture tables")(
+      Tables.names.map(n => s"SELECT '$n' AS tbl, count(*) AS n FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY tbl")
+    ) { (s, dir) =>
+      Tables.names.map { n =>
+        Tables(s, dir, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n"))
+      }.reduce(_.unionAll(_)).orderBy("tbl")
+    },
+
+    // B2: projection with derived arithmetic column.
+    q("q02_projection", "B2 projection: derived revenue column")(
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // B3: filter — BETWEEN, IN, LIKE, conjunction (pushed to parquet scan).
+    q("q03_filter", "B3 filters: BETWEEN + IN + LIKE conjunction")(
+      """SELECT l_orderkey, l_linenumber, round(l_quantity,4) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-12-31 23:59:59'
+        |  AND l_returnflag IN ('N','R') AND l_linestatus LIKE 'O%' AND l_discount > 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(lit("1997-01-01 00:00:00").cast("timestamp"),
+          lit("1997-12-31 23:59:59").cast("timestamp"))
+          && col("l_returnflag").isin("N", "R")
+          && col("l_linestatus").like("O%")
+          && col("l_discount") > 0.02)
+        .select(col("l_orderkey"), col("l_linenumber"), r4(col("l_quantity")).as("qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // B4: inner equi-join; dim side broadcast (customer is small vs orders).
+    q("q04_join_inner", "B4 broadcast inner equi-join orders⋈customer")(
+      """SELECT o_orderkey, c_name, round(o_totalprice,4) AS price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), r4(col("o_totalprice")).as("price"))
+        .orderBy("o_orderkey")
+    },
+
+    // B5: left outer join + aggregation over the nullable side.
+    q("q05_join_left", "B5 left outer join customer⟕orders, null-aware agg")(
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0.0), 4) AS total
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          r4(coalesce(sum(col("o_totalprice")), lit(0.0))).as("total"))
+        .orderBy("c_custkey")
+    },
+
+    // B5: full outer join between two filtered/aggregated sides.
+    q("q05b_join_full", "B5 full outer join of high-balance customers vs big-order custkeys")(
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |       (c_custkey IS NOT NULL) AS has_cust,
+        |       coalesce(n_big, 0) AS n_big
+        |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 4000) c
+        |FULL JOIN (SELECT o_custkey, count(*) AS n_big FROM orders
+        |           WHERE o_totalprice > 150000 GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin
+    ) { (s, dir) =>
+      val c = Tables(s, dir, "customer").filter(col("c_acctbal") > 4000).select("c_custkey")
+      val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 150000)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.as("has_cust"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"))
+        .orderBy("custkey")
+    },
+
+    // B6: left-semi join ≙ EXISTS.
+    q("q06_join_semi", "B6 left-semi join: customers having orders")(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // B6: left-anti join ≙ NOT EXISTS (against a filtered right side so the
+    // result is non-empty at every sf).
+    q("q06b_join_anti", "B6 left-anti join: customers without any 250k+ order")(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders").filter(col("o_totalprice") > 250000),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // B7: multi-way join chain (TPC-H Q5 shape); small dims broadcast.
+    q("q07_join_multiway", "B7 region→nation→customer→orders→lineitem revenue by nation")(
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM region
+        |JOIN nation   ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders   ON o_custkey   = c_custkey
+        |JOIN lineitem ON l_orderkey  = o_orderkey
+        |WHERE r_name IN ('ASIA','EUROPE')
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+    ) { (s, dir) =>
+      val region = Tables(s, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+      val nation = Tables(s, dir, "nation")
+      val customer = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val lineitem = Tables(s, dir, "lineitem")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // B8: non-equi range join. Spark side uses the scalable range-bin rewrite:
+    // equi-join on (user_id, 5-min bin) with the follower exploded into the two
+    // candidate bins, then the exact theta predicate — avoids the O(n·m)
+    // BroadcastNestedLoopJoin a naive theta join plans at 100 TB.
+    q("q08_range_join", "B8 range self-join: follow-up events within 5 minutes, binned rewrite")(
+      """SELECT e1.user_id AS user_id, count(*) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts::TIMESTAMP >  e1.ts::TIMESTAMP
+        | AND e2.ts::TIMESTAMP <= e1.ts::TIMESTAMP + INTERVAL 5 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val binSec = 300L
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), (unix_timestamp(col("ts")) / binSec).cast("long").as("bin"))
+      val lead = e.select(col("user_id").as("u2"), col("ts").as("ts2"), col("bin").as("bin2"))
+        .withColumn("jbin", explode(array(col("bin2"), col("bin2") - 1)))
+      e.join(lead,
+          col("user_id") === col("u2") && col("bin") === col("jbin")
+            && col("ts2") > col("ts")
+            && col("ts2") <= col("ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+
+    // B9: grouped hash aggregation (TPC-H Q1): partial+final HashAggregate.
+    q("q09_agg_q1", "B9 TPC-H Q1 grouped aggregation over lineitem")(
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4)                              AS sum_qty,
+        |       round(sum(l_extendedprice), 4)                         AS sum_base,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |       round(avg(l_quantity), 4)                              AS avg_qty,
+        |       round(avg(l_extendedprice), 4)                         AS avg_price,
+        |       count(*)                                               AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r4(sum(col("l_quantity"))).as("sum_qty"),
+          r4(sum(col("l_extendedprice"))).as("sum_base"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          r4(avg(col("l_quantity"))).as("avg_qty"),
+          r4(avg(col("l_extendedprice"))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // B10: global (no-group) aggregation incl. exact count-distinct.
+    q("q10_agg_global", "B10 global aggregation over orders")(
+      """SELECT count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+        |       round(sum(o_totalprice), 4) AS total,
+        |       round(avg(o_totalprice), 4) AS avg_price,
+        |       round(min(o_totalprice), 4) AS min_price,
+        |       round(max(o_totalprice), 4) AS max_price
+        |FROM orders""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "orders").agg(
+        count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"),
+        r4(sum(col("o_totalprice"))).as("total"),
+        r4(avg(col("o_totalprice"))).as("avg_price"),
+        r4(min(col("o_totalprice"))).as("min_price"),
+        r4(max(col("o_totalprice"))).as("max_price"))
+    },
+
+    // B11: distinct projection.
+    q("q11_distinct", "B11 distinct flag/status combinations")(
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // B11: approximate count-distinct (HLL++). Engine-specific sketch → no
+    // byte-level oracle; correctness bound asserted in the unit suite.
+    rowsOnly("q11b_approx_distinct", "B11 approx_count_distinct (HLL++) per returnflag") { (s, dir) =>
+      Tables(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .orderBy("l_returnflag")
+    },
+
+    // B12: rollup w/ GROUPING() markers (orders ⋈ customer ⋈ nation).
+    q("q12_rollup", "B12 rollup(n_name, o_orderpriority) with grouping markers")(
+      """SELECT n_name, o_orderpriority,
+        |       CAST(grouping(n_name) AS BIGINT) AS g1,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g2,
+        |       count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderpriority)
+        |ORDER BY g1, g2, n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderpriority"))
+        .agg(grouping(col("n_name")).cast("long").as("g1"),
+          grouping(col("o_orderpriority")).cast("long").as("g2"),
+          count(lit(1)).as("n"), r4(sum(col("o_totalprice"))).as("total"))
+        .select(col("n_name"), col("o_orderpriority"), col("g1"), col("g2"), col("n"), col("total"))
+        .orderBy(col("g1"), col("g2"), col("n_name").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // B13: ranking window functions, deterministic total order per partition.
+    q("q13_window_rank", "B13 row_number/rank/dense_rank/ntile: top-3 orders per customer")(
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
+        |       CAST(rn AS BIGINT) AS rn, CAST(rk AS BIGINT) AS rk,
+        |       CAST(drk AS BIGINT) AS drk, CAST(nt AS BIGINT) AS nt
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER w AS rn, rank() OVER w AS rk,
+        |             dense_rank() OVER w AS drk, ntile(4) OVER w AS nt
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"), rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"), ntile(4).over(w).cast("long").as("nt"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), r4(col("o_totalprice")).as("price"),
+          col("rn").cast("long").as("rn"), col("rk"), col("drk"), col("nt"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    // B14: analytic window functions lag/lead/first/last per user.
+    q("q14_window_lag", "B14 lag/lead/first/last value deltas per user over events")(
+      """SELECT event_id, user_id, round(value, 4) AS v,
+        |       round(value - lag(value)  OVER w, 4) AS delta_prev,
+        |       round(lead(value) OVER w - value, 4) AS delta_next,
+        |       first_value(event_type) OVER w AS first_et,
+        |       last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_et
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), r4(col("value")).as("v"),
+          r4(col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+          r4(lead(col("value"), 1).over(w) - col("value")).as("delta_next"),
+          first(col("event_type")).over(w).as("first_et"),
+          last(col("event_type")).over(wFull).as("last_et"))
+        .orderBy("event_id")
+    },
+
+    // B15: frame-spec window aggregates (ROWS and RANGE frames).
+    q("q15_window_frame", "B15 7-row moving average + 10-minute range frame per user")(
+      """SELECT event_id, user_id,
+        |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mv7,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT)
+        |                              RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS sum10m
+        |FROM events ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val wRows = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      val wRange = Window.partitionBy(col("user_id")).orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-600, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          r4(avg(col("value")).over(wRows)).as("mv7"),
+          r4(sum(col("value")).over(wRange)).as("sum10m"))
+        .orderBy("event_id")
+    },
+
+    // B16: multi-key sort with explicit null ordering (null injected via nullif).
+    q("q16_sort_multi", "B16 multi-key sort, DESC NULLS LAST")(
+      """SELECT c_custkey, nullif(c_mktsegment, 'FURNITURE') AS seg, round(c_acctbal, 4) AS bal
+        |FROM customer
+        |ORDER BY seg DESC NULLS LAST, bal DESC, c_custkey""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("FURNITURE")).as("seg"),
+          r4(col("c_acctbal")).as("bal"))
+        .orderBy(col("seg").desc_nulls_last, col("bal").desc, col("c_custkey"))
+    },
+
+    // B17: top-k → Spark plans TakeOrderedAndProject (no full sort at scale).
+    q("q17_topk", "B17 top-10 lineitems by extendedprice with tiebreak")(
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+        .select(col("l_orderkey"), col("l_linenumber"), r4(col("l_extendedprice")).as("price"))
+    },
+
+    // B18: set operations with DISTINCT semantics, tagged and unioned.
+    q("q18_setops", "B18 union/intersect/except of buyer vs high-balance custkeys")(
+      """WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |     rich   AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT 'union' AS op, custkey FROM (SELECT custkey FROM buyers UNION SELECT custkey FROM rich)
+        |UNION ALL
+        |SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM rich)
+        |UNION ALL
+        |SELECT 'except' AS op, custkey FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM rich)
+        |ORDER BY op, custkey""".stripMargin
+    ) { (s, dir) =>
+      val buyers = Tables(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val rich = Tables(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      val u = buyers.union(rich).distinct().select(lit("union").as("op"), col("custkey"))
+      val i = buyers.intersect(rich).select(lit("intersect").as("op"), col("custkey"))
+      val e = buyers.except(rich).select(lit("except").as("op"), col("custkey"))
+      u.unionAll(i).unionAll(e).orderBy("op", "custkey")
+    },
+
+    // B19: scalar string functions.
+    q("q19_string_fns", "B19 string functions over part")(
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        |       substring(p_name, 1, 5) AS sub, CAST(length(p_name) AS BIGINT) AS len,
+        |       trim(concat(' ', p_name, ' ')) AS tr,
+        |       str_split(p_name, ' ')[1] AS tok1,
+        |       regexp_extract(p_name, '([a-z]+)', 1) AS rex,
+        |       regexp_replace(p_name, 'widget', 'gadget') AS rrep,
+        |       concat_ws('|', p_brand, p_type) AS cw,
+        |       lpad(p_brand, 12, '.') AS pad, reverse(p_brand) AS rev
+        |FROM part ORDER BY p_partkey""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "part").select(
+        col("p_partkey"), upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 5).as("sub"), length(col("p_name")).cast("long").as("len"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("tr"),
+        element_at(split(col("p_name"), " "), 1).as("tok1"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("rex"),
+        regexp_replace(col("p_name"), "widget", "gadget").as("rrep"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+        lpad(col("p_brand"), 12, ".").as("pad"), reverse(col("p_brand")).as("rev"))
+        .orderBy("p_partkey")
+    },
+
+    // B20: date/time functions (replicating P9/P10 bucket semantics in batch).
+    q("q20_date_fns", "B20 date/time functions over events")(
+      """SELECT event_id,
+        |       date_trunc('hour', ts::TIMESTAMP) AS h,
+        |       CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS mo,
+        |       CAST(day(ts) AS BIGINT) AS d,
+        |       strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M') AS fmt,
+        |       CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS unix_s,
+        |       CAST(date_diff('day', DATE '2024-01-01', ts::DATE) AS BIGINT) AS dd
+        |FROM events ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events").select(
+        col("event_id"),
+        date_trunc("hour", col("ts")).as("h"),
+        year(col("ts")).cast("long").as("y"), month(col("ts")).cast("long").as("mo"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm").as("fmt"),
+        unix_timestamp(col("ts")).as("unix_s"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("dd"))
+        .orderBy("event_id")
+    },
+
+    // B21: math functions.
+    q("q21_math_fns", "B21 math functions over lineitem")(
+      """SELECT l_orderkey, l_linenumber,
+        |       round(abs(l_quantity - 25), 4) AS a,
+        |       CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ce,
+        |       CAST(floor(l_quantity / 7.0) AS BIGINT) AS fl,
+        |       round(pow(l_quantity, 1.5), 4) AS pw,
+        |       round(ln(l_extendedprice), 4) AS lg,
+        |       round(sqrt(l_extendedprice), 4) AS sq,
+        |       CAST(sign(l_discount - 0.05) AS BIGINT) AS sg
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        r4(abs(col("l_quantity") - 25)).as("a"),
+        ceil(col("l_quantity") / 7.0).cast("long").as("ce"),
+        floor(col("l_quantity") / 7.0).cast("long").as("fl"),
+        r4(pow(col("l_quantity"), 1.5)).as("pw"),
+        r4(log(col("l_extendedprice"))).as("lg"),
+        r4(sqrt(col("l_extendedprice"))).as("sq"),
+        signum(col("l_discount") - 0.05).cast("long").as("sg"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // B22: conditional/null functions, incl. the reference's P8 semantics:
+    // a failed numeric parse coerces to 0.0, NOT null (main.rs:70-71).
+    q("q22_conditional_fns", "B22 when/coalesce/nullif/try_cast incl. P8 0.0-coercion")(
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity > 40 THEN 'high'
+        |            WHEN l_quantity > 20 THEN 'mid' ELSE 'low' END AS band,
+        |       coalesce(try_cast(l_returnflag AS DOUBLE), 0.0) AS coerced,
+        |       round(coalesce(nullif(l_discount, 0.0), -1.0), 4) AS disc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") > 40, "high")
+          .when(col("l_quantity") > 20, "mid").otherwise("low").as("band"),
+        coalesce(expr("try_cast(l_returnflag AS DOUBLE)"), lit(0.0)).as("coerced"),
+        r4(coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0))).as("disc"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // B23: array/higher-order functions over the embedding column.
+    q("q23_array_fns", "B23 array fns: size/slice/aggregate/sort/element over embeddings")(
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |       round(list_sum(list_transform(embedding[1:4], x -> x::DOUBLE)), 4) AS first4,
+        |       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS mx,
+        |       round(list_sort(list_transform(embedding, x -> x::DOUBLE))[1], 4) AS mn,
+        |       list_contains(range(1, 6), label) AS lab15
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+        r4(aggregate(slice(col("embedding"), 1, 4), lit(0.0),
+          (acc, x) => acc + x.cast("double"))).as("first4"),
+        r4(array_max(col("embedding")).cast("double")).as("mx"),
+        r4(element_at(sort_array(col("embedding")), 1).cast("double")).as("mn"),
+        array_contains(sequence(lit(1), lit(5)), col("label")).as("lab15"))
+        .orderBy("vec_id")
+    },
+
+    // B23: posexplode (lateral array expansion), 1-based position for parity.
+    q("q23b_explode", "B23 posexplode embedding elements (vec_id < 10)")(
+      """SELECT vec_id, CAST(i AS BIGINT) AS pos, round(e::DOUBLE, 4) AS val
+        |FROM (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings WHERE vec_id < 10)
+        |ORDER BY vec_id, pos""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          r4(col("col").cast("double")).as("val"))
+        .orderBy("vec_id", "pos")
+    },
+
+    // B24: JSON extraction from the events.props string column (≙ P4/P6).
+    q("q24_json_fns", "B24 JSON field extraction from events.props")(
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       (json_extract_string(props, '$.missing') IS NULL) AS no_miss
+        |FROM events ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(col("props"), "$.missing").isNull.as("no_miss"))
+        .orderBy("event_id")
+    },
+
+    // B25: CSV line parse round-trip (replays the reference's line-oriented
+    // ingest in batch: serialize → parse → project, oracle = identity).
+    q("q25_csv_parse", "B25 from_csv round-trip of serialized lineitem columns")(
+      """SELECT l_orderkey AS o, l_linenumber AS n, round(l_quantity, 4) AS q
+        |FROM lineitem ORDER BY o, n""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("o", LongType), StructField("n", IntegerType), StructField("q", DoubleType)))
+      Tables(s, dir, "lineitem")
+        .select(concat_ws(",", col("l_orderkey"), col("l_linenumber"), col("l_quantity")).as("line"))
+        .select(from_csv(col("line"), schema, Map.empty[String, String]).as("p"))
+        .select(col("p.o").as("o"), col("p.n").as("n"), r4(col("p.q")).as("q"))
+        .orderBy("o", "n")
+    },
+
+    // B25: JSON line parse round-trip via to_json/from_json (≙ P4/P6 batch).
+    q("q25b_json_parse", "B25 from_json round-trip of serialized event rows")(
+      """SELECT event_id AS id, event_type AS et, round(value, 4) AS v
+        |FROM events ORDER BY id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("et", StringType), StructField("v", DoubleType)))
+      Tables(s, dir, "events")
+        .select(to_json(struct(col("event_id").as("id"), col("event_type").as("et"),
+          col("value").as("v"))).as("line"))
+        .select(from_json(col("line"), schema).as("p"))
+        .select(col("p.id").as("id"), col("p.et").as("et"), r4(col("p.v")).as("v"))
+        .orderBy("id")
+    }
+  )
+}
