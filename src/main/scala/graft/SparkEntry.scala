@@ -13,7 +13,11 @@ object SparkEntry {
 
   /** All registered capability queries, in declaration order. */
   def registry: Seq[Registry.Q] =
-    operators.RelationalQueries.all
+    operators.RelationalQueries.all ++
+      operators.TimeWindowQueries.all ++
+      operators.DedupQueries.all ++
+      operators.TextQueries.all ++
+      operators.VectorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape over lineitem — grouped aggregation end-to-end. */

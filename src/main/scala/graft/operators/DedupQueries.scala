@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.Registry.{Q, q}
+import graft.Tables
+import graft.functions.PortableHash._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY.md §2B
+  * B30/B33/B34 + the SimHash / embedding-cosine near-dup ops the north star
+  * adds). All hashing is the portable md5-arithmetic of [[PortableHash]] so
+  * MinHash/SimHash signatures are verified value-for-value by the DuckDB
+  * oracle — not just "some pairs came out".
+  *
+  * Scale notes (100 TB): every op here is a shuffle-planned groupBy/join on
+  * a derived key (hash, shingle, band signature) — no driver-side state. The
+  * LSH band join is the scale path for pair generation: candidates per band
+  * bucket instead of the all-pairs O(n²) join.
+  */
+object DedupQueries {
+
+  /** Shared SQL prelude: distinct 3-token shingles per document. */
+  private val shingleCte =
+    s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(${shinglesSql("t", 3)}) AS s FROM toks)""".stripMargin
+
+  /** Shared SQL: MinHash signatures (doc_id, j, mh) from the shingle CTE. */
+  private val sigCte =
+    s"""$shingleCte,
+       |hs AS (SELECT doc_id, ${h1Sql("s")} AS h1 FROM sh),
+       |sig AS (SELECT doc_id, j, min((a * h1 + b) % $P) AS mh
+       |        FROM hs CROSS JOIN (VALUES ${minhashPermsSql}) AS perm(j, a, b)
+       |        GROUP BY doc_id, j)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // B30: deterministic exact dedup — keep lowest doc_id per (lang, source)
+    // group (the batch twin of streaming dropDuplicates; the streaming variant
+    // with watermark state lives in graft.streaming tests).
+    q("q30_dedup_first", "B30 keep-first row per (lang, source) group")(
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    },
+
+    // B33: exact near-dup dedup via normalization + content hash. Keeper is
+    // min(doc_id) per normalized-text hash; group size counts duplicates.
+    q("q33_dedup_exact_hash", "B33 normalize→md5 content-hash dedup groups")(
+      """SELECT md5(norm) AS h, min(doc_id) AS keeper, count(*) AS n
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |      FROM documents)
+        |GROUP BY h ORDER BY keeper""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+        .groupBy(md5(col("norm")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .orderBy("keeper")
+    },
+
+    // B34: exact n-gram Jaccard near-dup pairs (the ground truth MinHash
+    // approximates). Shingle-key equi-join → pair counts → |A∩B|/|A∪B|.
+    q("q34a_jaccard_pairs", "B34 exact 3-shingle Jaccard near-dup pairs (≥0.5)")(
+      s"""$shingleCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2, round(c * 1.0 / (ca.n + cb.n - c), 4) AS jac
+         |FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+         |WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+         |ORDER BY d1, d2""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("c"))
+      pairs
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+        .withColumn("jac_raw", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+        .filter(col("jac_raw") >= 0.5)
+        .select(col("d1"), col("d2"), round(col("jac_raw"), 4).as("jac"))
+        .orderBy("d1", "d2")
+    },
+
+    // B34: MinHash signatures — 16 portable arithmetic permutations over
+    // shingle hashes, value-checked against the oracle (not just candidates).
+    q("q34b_minhash_signatures", "B34 16-permutation MinHash signatures per doc")(
+      s"""$sigCte
+         |SELECT doc_id, CAST(j AS BIGINT) AS j, mh FROM sig ORDER BY doc_id, j""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
+      sh.withColumn("h1", h1(col("s")))
+        .select(col("doc_id"), posexplode(array(
+          minhashPerms.map { case (a, b) => (lit(a) * col("h1") + lit(b)) % P }: _*)))
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(min(col("col")).as("mh"))
+        .select(col("doc_id"), col("pos").cast("long").as("j"), col("mh"))
+        .orderBy("doc_id", "j")
+    },
+
+    // B34: MinHash-LSH banding — 4 bands × 4 rows; candidate pairs share a
+    // band signature; each candidate carries estimated (signature-agreement)
+    // and exact Jaccard. This is the O(n·b) scale path for near-dup mining.
+    q("q34c_minhash_lsh_pairs", "B34 LSH band candidates w/ estimated + exact Jaccard")(
+      s"""$sigCte,
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |                 string_agg(mh, ',' ORDER BY j) AS bsig
+         |          FROM sig GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |est AS (SELECT cand.d1, cand.d2,
+         |               sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1.0 / 16 AS est
+         |        FROM cand JOIN sig sa ON sa.doc_id = cand.d1
+         |                  JOIN sig sb ON sb.doc_id = cand.d2 AND sb.j = sa.j
+         |        GROUP BY cand.d1, cand.d2),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT e.d1, e.d2, count(*) AS c
+         |           FROM est e JOIN sh a ON a.doc_id = e.d1
+         |                      JOIN sh b ON b.doc_id = e.d2 AND b.s = a.s
+         |           GROUP BY e.d1, e.d2)
+         |SELECT est.d1 AS d1, est.d2 AS d2, round(est.est, 4) AS est,
+         |       round(common.c * 1.0 / (ca.n + cb.n - common.c), 4) AS jac
+         |FROM est JOIN common ON common.d1 = est.d1 AND common.d2 = est.d2
+         |         JOIN cnt ca ON ca.doc_id = est.d1
+         |         JOIN cnt cb ON cb.doc_id = est.d2
+         |ORDER BY est.d1, est.d2""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
+      val sig = sh.withColumn("h1", h1(col("s")))
+        .select(col("doc_id"), posexplode(array(
+          minhashPerms.map { case (a, b) => (lit(a) * col("h1") + lit(b)) % P }: _*)))
+        .groupBy(col("doc_id"), col("pos")).agg(min(col("col")).as("mh"))
+        .select(col("doc_id"), col("pos").cast("long").as("j"), col("mh"))
+      val bands = sig
+        .groupBy(col("doc_id"), (col("j") / 4).cast("long").as("band"))
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+            x => x.getField("mh").cast("string"))).as("bsig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      val est = cand
+        .join(sig.select(col("doc_id").as("d1"), col("j"), col("mh").as("mha")), "d1")
+        .join(sig.select(col("doc_id").as("d2"), col("j"), col("mh").as("mhb")), Seq("d2", "j"))
+        .groupBy("d1", "d2")
+        .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)) * lit(1.0) / 16).as("est_raw"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = est.select("d1", "d2")
+        .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      est.join(common, Seq("d1", "d2"))
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+        .select(col("d1"), col("d2"), round(col("est_raw"), 4).as("est"),
+          round(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")), 4).as("jac"))
+        .orderBy("d1", "d2")
+    },
+
+    // SimHash (north-star dedup family): 16-bit portable simhash over distinct
+    // tokens — bit i set iff the signed sum of token-hash bit i is positive.
+    q("q34d_simhash", "SimHash-16 document signatures (portable arithmetic)")(
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, ${md5LongSql("w")} AS hv FROM tok),
+         |bits AS (SELECT doc_id, i, sum(((hv >> i) & 1) * 2 - 1) AS sgn
+         |         FROM h CROSS JOIN range(16) AS r(i) GROUP BY doc_id, i)
+         |SELECT doc_id,
+         |       sum(CASE WHEN sgn > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w")).distinct()
+      tok.withColumn("hv", md5Long(col("w")))
+        .select(col("doc_id"), posexplode(array(
+          (0 until 16).map(i => (shiftright(col("hv"), i).bitwiseAND(1) * 2 - 1)): _*)))
+        .groupBy(col("doc_id"), col("pos")).agg(sum(col("col")).as("sgn"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("sgn") > 0, expr("shiftleft(1L, pos)")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // Embedding-cosine near-dup pairs (north-star dedup family). Double-cast
+    // dot products are bit-identical across engines (verified empirically),
+    // so the 0.9 threshold is stable.
+    q("q34e_embedding_neardup", "embedding-cosine near-dup pairs (cos ≥ 0.9)")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |       round(list_dot_product(a.e, b.e) / (na.nrm * nb.nrm), 4) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |         JOIN n na ON na.vec_id = a.vec_id
+        |         JOIN n nb ON nb.vec_id = b.vec_id
+        |WHERE list_dot_product(a.e, b.e) / (na.nrm * nb.nrm) >= 0.9
+        |ORDER BY v1, v2""".stripMargin
+    ) { (s, dir) =>
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+        .withColumn("nrm", sqrt(aggregate(zip_with(col("e"), col("e"), _ * _),
+          lit(0.0), _ + _)))
+      val a = v.select(col("vec_id").as("v1"), col("e").as("ea"), col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("v2"), col("e").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("v1") < col("v2"))
+        .withColumn("cos_raw",
+          aggregate(zip_with(col("ea"), col("eb"), _ * _), lit(0.0), _ + _)
+            / (col("na") * col("nb")))
+        .filter(col("cos_raw") >= 0.9)
+        .select(col("v1"), col("v2"), round(col("cos_raw"), 4).as("cos"))
+        .orderBy("v1", "v2")
+    }
+  )
+}

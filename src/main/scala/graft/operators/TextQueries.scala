@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Registry.{Q, q}
+import graft.Tables
+import graft.functions.PortableHash._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md §2B
+  * B36 + the north-star additions): token analytics, heuristic language ID,
+  * quality scoring, token counting, and rolling-hash fingerprinting. All
+  * deterministic arithmetic/regex — every query oracle-checked in DuckDB.
+  */
+object TextQueries {
+
+  /** Marker stopwords per language for the heuristic language scorer. The
+    * rule (max marker-hit count, priority order en>fr>es>de>zh on ties) is
+    * the deterministic n-gram-style heuristic; quality is not the point —
+    * identical classification in both engines is. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  private def inListSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    // B36: token frequency analytics — top-20 tokens per language.
+    q("q36_top_tokens", "B36 top-20 tokens per language (count desc, token asc)")(
+      """SELECT lang, w, n, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT lang, w, count(*) AS n,
+        |             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, w) AS rn
+        |      FROM (SELECT lang, unnest(str_split(text, ' ')) AS w FROM documents)
+        |      GROUP BY lang, w)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+    ) { (s, dir) =>
+      val tok = Tables(s, dir, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      val counted = tok.groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("w"))
+      counted.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+        .select(col("lang"), col("w"), col("n"), col("rn").cast("long").as("rn"))
+        .orderBy("lang", "rn")
+    },
+
+    // Heuristic language ID: count marker-stopword hits per language, pick
+    // the max with a fixed priority order. Deterministic rule, not ML.
+    q("q36b_language_id", "heuristic marker-stopword language ID per doc")(
+      s"""WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS w FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |${markers.map { case (l, ws) =>
+             s"  len(list_filter(w, x -> x IN (${inListSql(ws)}))) AS n_$l"
+           }.mkString(",\n")}
+         |FROM t)
+         |SELECT doc_id, lang AS labeled,
+         |       CASE WHEN n_en >= n_fr AND n_en >= n_es AND n_en >= n_de AND n_en >= n_zh THEN 'en'
+         |            WHEN n_fr >= n_es AND n_fr >= n_de AND n_fr >= n_zh THEN 'fr'
+         |            WHEN n_es >= n_de AND n_es >= n_zh THEN 'es'
+         |            WHEN n_de >= n_zh THEN 'de' ELSE 'zh' END AS pred,
+         |       CAST(n_en AS BIGINT) AS n_en, CAST(n_fr AS BIGINT) AS n_fr
+         |FROM sc ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+      val withScores = markers.foldLeft(t) { case (df, (l, ws)) =>
+        df.withColumn(s"n_$l",
+          size(filter(col("w"), x => x.isin(ws.map(_.asInstanceOf[Any]): _*))))
+      }
+      withScores.select(col("doc_id"), col("lang").as("labeled"),
+        when(col("n_en") >= col("n_fr") && col("n_en") >= col("n_es")
+          && col("n_en") >= col("n_de") && col("n_en") >= col("n_zh"), "en")
+          .when(col("n_fr") >= col("n_es") && col("n_fr") >= col("n_de")
+            && col("n_fr") >= col("n_zh"), "fr")
+          .when(col("n_es") >= col("n_de") && col("n_es") >= col("n_zh"), "es")
+          .when(col("n_de") >= col("n_zh"), "de").otherwise("zh").as("pred"),
+        col("n_en").cast("long").as("n_en"), col("n_fr").cast("long").as("n_fr"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length/punctuation/stopword-ratio heuristics.
+    q("q36c_quality_score", "doc quality metrics: tokens, punct ratio, stopword ratio, score")(
+      s"""WITH t AS (SELECT doc_id, text, n_chars, str_split(text, ' ') AS w FROM documents),
+         |m AS (SELECT doc_id, n_chars,
+         |             len(w) AS n_tok,
+         |             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         |             len(list_filter(w, x -> x IN (${inListSql(markers.flatMap(_._2))}))) AS n_stop
+         |      FROM t)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |       round(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+         |       round(n_stop * 1.0 / n_tok, 4) AS stop_ratio,
+         |       round(least(n_tok / 100.0, 1.0) * (1.0 - n_punct * 1.0 / n_chars), 4) AS score
+         |FROM m ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val allMarkers = markers.flatMap(_._2)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"), tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tok"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+            .as("n_punct"),
+          size(filter(col("w"), x => x.isin(allMarkers.map(_.asInstanceOf[Any]): _*)))
+            .as("n_stop"),
+          col("n_chars"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("n_punct") * lit(1.0) / col("n_chars"), 4).as("punct_ratio"),
+          round(col("n_stop") * lit(1.0) / col("n_tok"), 4).as("stop_ratio"),
+          round(least(col("n_tok") / 100.0, lit(1.0))
+            * (lit(1.0) - col("n_punct") * lit(1.0) / col("n_chars")), 4).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (letter runs / digit runs / single other chars).
+    q("q36d_token_count", "whitespace + BPE-ish regex token counts per doc")(
+      """SELECT doc_id,
+        |       CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: polynomial rolling hash over token hashes
+    // (Karp–Rabin style), identical left-fold in both engines.
+    q("q36e_fingerprint", "rolling-hash document fingerprint")(
+      s"""SELECT doc_id,
+         |       list_reduce(list_transform(str_split(text, ' '), t -> ${h1Sql("t")}),
+         |                   (a, b) -> (a * 31 + b) % $P) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        aggregate(transform(tokens(col("text")), t => h1(t)),
+          lit(0L), (acc, h) => (acc * 31 + h) % P).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Registry.{Q, q, rowsOnly}
+import graft.Tables
+import graft.functions.PortableHash.md5LongScala
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector similarity search over the embedding column (SURVEY.md §2B B35 +
+  * north-star ANN variants). Cosine is computed as a sequential double fold
+  * (`aggregate(zip_with(...))`), which is bit-identical to DuckDB's
+  * `list_dot_product` over double-cast lists (verified empirically) — so
+  * thresholds and rank orders are stable across engines.
+  *
+  * Scale path: brute-force top-k is the correctness baseline; the LSH
+  * bucketing (random-hyperplane signs) and IVF (centroid partitions) queries
+  * are the 100 TB designs — candidate generation becomes an equi-join on
+  * bucket/centroid id instead of an all-pairs product.
+  */
+object VectorQueries {
+
+  /** Double-cast embedding + its L2 norm (sequential fold). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(zip_with(col("e"), col("e"), _ * _), lit(0.0), _ + _)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Random-hyperplane LSH: nPlanes deterministic pseudo-random planes with
+    * component w(i,d) = ((md5("p{i}:{d}") % 2001) - 1000) / 1000 — the same
+    * arithmetic the oracle SQL evaluates via DuckDB's md5. */
+  val NumPlanes = 8
+  val Dim = 64
+  def planeWeight(i: Int, d: Int): Double =
+    ((md5LongScala(s"p$i:$d") % 2001) - 1000) / 1000.0
+
+  private def planeLit(i: Int): Column =
+    array((0 until Dim).map(d => lit(planeWeight(i, d))): _*)
+
+  private val planeWeightSql =
+    "(((('0x' || substr(md5('p' || i || ':' || d), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)"
+
+  /** Oracle CTE computing the LSH bucket per vector with a sequential
+    * per-plane list dot product (lambda captures outer i). */
+  private val bucketCte =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |pd AS (SELECT vec_id, i,
+       |              list_dot_product(e, list_transform(generate_series(0, ${Dim - 1}),
+       |                                                 d -> $planeWeightSql)) AS s
+       |       FROM v CROSS JOIN range(${NumPlanes}) AS r(i)),
+       |bk AS (SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS bucket
+       |       FROM pd GROUP BY vec_id)""".stripMargin
+
+  /** Spark twin: add a `bucket` column to a [[withNorm]]-shaped frame. */
+  private def withBucket(df: DataFrame): DataFrame = {
+    val dots = (0 until NumPlanes).foldLeft(df) { (d, i) =>
+      d.withColumn(s"s_$i", dot(col("e"), planeLit(i)))
+    }
+    val bucket = (0 until NumPlanes)
+      .map(i => when(col(s"s_$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    dots.withColumn("bucket", bucket).drop((0 until NumPlanes).map(i => s"s_$i"): _*)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // B35: brute-force cosine top-5 neighbors for the first 10 query vectors.
+    q("q35_cosine_topk", "B35 brute-force cosine top-5 neighbors (queries vec_id<10)")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |             list_dot_product(q.e, c.e) / (nq.nrm * nc.nrm) AS cs
+        |      FROM v q JOIN n nq ON nq.vec_id = q.vec_id,
+        |           v c JOIN n nc ON nc.vec_id = c.vec_id
+        |      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |SELECT qid, cid, round(cs, 4) AS cos, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM s)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    ) { (s, dir) =>
+      val v = withNorm(Tables(s, dir, "embeddings"))
+      val qs = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      val cs = v.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+      cs.join(broadcast(qs), col("cid") =!= col("qid"))
+        .withColumn("cs", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("cid"), round(col("cs"), 4).as("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")
+    },
+
+    // ANN path 1: random-hyperplane LSH bucket assignment (oracle-checked
+    // value-for-value; the join key that replaces all-pairs at scale).
+    q("q35b_lsh_buckets", "ANN: 8-plane random-hyperplane LSH bucket per vector")(
+      s"""$bucketCte
+         |SELECT vec_id, bucket FROM bk ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      withBucket(withNorm(Tables(s, dir, "embeddings")))
+        .select(col("vec_id"), col("bucket")).orderBy("vec_id")
+    },
+
+    // ANN path 1 search: top-3 cosine among same-bucket candidates.
+    q("q35c_lsh_search", "ANN: LSH same-bucket top-3 neighbors (queries vec_id<10)")(
+      s"""$bucketCte,
+         |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |             list_dot_product(qv.e, cv.e) / (nq.nrm * nc.nrm) AS cs
+         |      FROM bk q JOIN bk c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |           JOIN v qv ON qv.vec_id = q.vec_id
+         |           JOIN v cv ON cv.vec_id = c.vec_id
+         |           JOIN n nq ON nq.vec_id = q.vec_id
+         |           JOIN n nc ON nc.vec_id = c.vec_id
+         |      WHERE q.vec_id < 10)
+         |SELECT qid, cid, round(cs, 4) AS cos, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM s)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    ) { (s, dir) =>
+      val v = withBucket(withNorm(Tables(s, dir, "embeddings")))
+      val qs = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+          col("bucket").as("qb"))
+      val cands = v.select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("nrm").as("cn"), col("bucket").as("cb"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+      cands.join(broadcast(qs), col("cb") === col("qb") && col("cid") =!= col("qid"))
+        .withColumn("cs", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), round(col("cs"), 4).as("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")
+    },
+
+    // ANN path 2: IVF — partition vectors by nearest of 8 fixed seed
+    // centroids (vec_id < 8), deterministic tiebreak on centroid id.
+    q("q35d_ivf_assign", "ANN: IVF centroid assignment (8 seed centroids)")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |s AS (SELECT x.vec_id, c.vec_id AS cent,
+        |             list_dot_product(x.e, c.e) / (nx.nrm * nc.nrm) AS cs
+        |      FROM v x JOIN n nx ON nx.vec_id = x.vec_id,
+        |           v c JOIN n nc ON nc.vec_id = c.vec_id
+        |      WHERE c.vec_id < 8)
+        |SELECT vec_id, cent, round(cs, 4) AS cos
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent) AS rn FROM s)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      val v = withNorm(Tables(s, dir, "embeddings"))
+      val cents = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent"), col("e").as("ce"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent"))
+      v.join(broadcast(cents))
+        .withColumn("cs", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent"), round(col("cs"), 4).as("cos"))
+        .orderBy("vec_id")
+    },
+
+    // ANN path 2 search: probe the 2 nearest centroids, search only vectors
+    // assigned to them. Rows-only (the composition is exercised above; the
+    // unit suite asserts recall vs brute force).
+    rowsOnly("q35e_ivf_search", "ANN: IVF 2-probe top-3 neighbors (queries vec_id<10)") { (s, dir) =>
+      val v = withNorm(Tables(s, dir, "embeddings"))
+      val cents = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent"), col("e").as("ce"), col("nrm").as("cn"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent"))
+      val assign = v.join(broadcast(cents))
+        .withColumn("cs", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("rn", row_number().over(wAssign))
+      val members = assign.filter(col("rn") === 1)
+        .select(col("vec_id").as("cid"), col("cent"), col("e").as("ce2"), col("nrm").as("cn2"))
+      val probes = assign.filter(col("rn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"), col("cent"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("qcs").desc, col("cid"))
+      members.join(broadcast(probes), Seq("cent"))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("qcs", dot(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), round(col("qcs"), 4).as("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")
+    }
+  )
+}
