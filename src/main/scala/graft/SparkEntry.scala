@@ -17,7 +17,8 @@ object SparkEntry {
       operators.TimeWindowQueries.all ++
       operators.DedupQueries.all ++
       operators.TextQueries.all ++
-      operators.VectorQueries.all
+      operators.VectorQueries.all ++
+      streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape over lineitem — grouped aggregation end-to-end. */

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.Registry.{Q, q}
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming operators (SURVEY.md §2B B26/B29/B31/B32) executed as REAL
+  * Structured Streaming queries inside the verify harness: the events table
+  * is replayed through a file streaming source, results land in a memory
+  * sink, and the returned DataFrame is the sink table — so the correctness
+  * gate exercises the streaming engine itself, not a batch stand-in. The
+  * oracle states the batch-equivalent SQL (single-batch replay ⇒ watermark
+  * drops are deterministic).
+  */
+object StreamingQueries {
+
+  private val nameCounter = new AtomicInteger()
+
+  /** events replayed as a stream; ts arrives as nanos (TESTDATA.md) and is
+    * truncated to µs exactly like the batch Tables loader. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the streaming file source requires a directory; pathGlobFilter pins it
+    // to the events table inside the fixture dir
+    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming frame to completion into a memory sink; return the
+    * materialized table. */
+  private def runToMemory(s: SparkSession, df: DataFrame,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory(s"graft-ckpt-$name").toString
+    val query = df.writeStream.outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try { query.processAllAvailable() } finally { query.stop() }
+    s.table(name)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // B29: watermark + append-mode event-time aggregation. With a single-file
+    // replay the watermark after the data batch is max(ts) - 10min, and the
+    // no-data flush batch finalizes exactly the windows whose end ≤ watermark
+    // — the oracle's HAVING clause.
+    q("q29_stream_watermark", "B29 streaming tumbling 1h agg with 10-minute watermark")(
+      """SELECT make_timestamp((CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) * 3600 * 1000000) AS ws,
+        |       count(*) AS n, round(sum(value), 4) AS sv
+        |FROM events
+        |GROUP BY ws
+        |HAVING ws + INTERVAL 1 HOUR <= (SELECT max(ts::TIMESTAMP) - INTERVAL 10 MINUTE FROM events)
+        |ORDER BY ws""".stripMargin
+    ) { (s, dir) =>
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+        .select(col("window.start").as("ws"), col("n"), col("sv"))
+      runToMemory(s, agg).orderBy("ws")
+    },
+
+    // B31: stream-static join — the streaming side joins a broadcast static
+    // dimension per micro-batch (the 100 TB pattern for enriching streams).
+    q("q31_stream_static_join", "B31 stream events ⋈ static customer dim")(
+      """SELECT event_id, user_id, c_mktsegment AS seg FROM events
+        |JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val dim = broadcast(graft.Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val joined = eventsStream(s, dir)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_mktsegment").as("seg"))
+      runToMemory(s, joined).orderBy("event_id")
+    },
+
+    // B32: arbitrary stateful processing — per-user running (count, max)
+    // via flatMapGroupsWithState (≙ the reference's per-instrument derived
+    // state the north star generalizes; RocksDB state store at scale).
+    q("q32_stream_stateful", "B32 flatMapGroupsWithState per-user count/max")(
+      """SELECT user_id, count(*) AS n, round(max(value), 4) AS mx
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val updates = eventsStream(s, dir)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+            var (n, mx) = state.getOption.getOrElse((0L, Double.NegativeInfinity))
+            rows.foreach { r => n += 1; mx = math.max(mx, r._2) }
+            state.update((n, mx))
+            Iterator((uid, n, mx))
+        }
+        .toDF("user_id", "n", "mx_raw")
+        .select(col("user_id"), col("n"), round(col("mx_raw"), 4).as("mx"))
+      runToMemory(s, updates).orderBy("user_id")
+    }
+  )
+}

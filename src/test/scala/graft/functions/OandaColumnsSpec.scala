@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style tests (seeded generators) freezing the reference's
+  * semantics-critical derivations against a behavioral model
+  * (SURVEY.md §5.2#3).
+  */
+class OandaColumnsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Model of main.rs:70-72: rust `str::parse::<f64>().unwrap_or(0.0)`. */
+  private def rustParseOr0(s: String): Double =
+    try { val t = s.trim; if (t.isEmpty) 0.0 else t.toDouble }
+    catch { case _: Exception => 0.0 }
+
+  test("P8 spread ≡ reference unwrap_or(0.0) model over numeric and garbage strings") {
+    val rnd = new scala.util.Random(42)
+    val garbage = Seq("", "garbage", "1.2.3", "  1.5  ", "1e3", "-0.0", "007")
+    val cases = (1 to 40).map(_ => (rnd.nextDouble() * 2e6 - 1e6).toString) ++ garbage
+    val pairs = for (a <- cases; b <- garbage) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), OandaColumns.spread(col("a"), col("b")).as("s"))
+      .collect()
+    got.foreach { r =>
+      val want = rustParseOr0(r.getString(0)) - rustParseOr0(r.getString(1))
+      assert(r.getDouble(2) == want, s"ask=${r.getString(0)} bid=${r.getString(1)}")
+    }
+  }
+
+  test("P9 parse is total over both reference formats (rfc3339 offset + literal-Z fractional)") {
+    val rnd = new scala.util.Random(7)
+    val cases = for {
+      _ <- 1 to 30
+      n = rnd.nextInt(1000000000)
+      off <- Seq("Z", "+00:00", "+02:00")
+    } yield (f"2024-01-15T09:30:00.$n%09d$off", n)
+    val rows = cases.map(_._1).toDF("t")
+      .select(col("t"), OandaColumns.parseEventTime(col("t")).as("ts"),
+        OandaColumns.timeNanos(col("t")).as("n"))
+      .collect()
+    val expect = cases.toMap
+    rows.foreach { r =>
+      assert(r.get(1) != null, s"failed to parse ${r.getString(0)}")
+      assert(r.getInt(2) == expect(r.getString(0)))
+    }
+    // non-fractional forms parse too, nanos default 0
+    val bare = Seq("2024-01-15T09:30:00Z").toDF("t")
+      .select(OandaColumns.parseEventTime(col("t")), OandaColumns.timeNanos(col("t")))
+      .collect().head
+    assert(bare.get(0) != null && bare.getInt(1) == 0)
+  }
+
+  test("P9 unparseable time → null (routed to dead letter, not crash)") {
+    val r = Seq("not-a-time").toDF("t")
+      .select(OandaColumns.parseEventTime(col("t"))).collect().head
+    assert(r.get(0) == null)
+  }
+
+  test("P10 display honors configured zone, not machine-local") {
+    val r = Seq("2024-01-15T09:30:00Z").toDF("t")
+      .select(
+        OandaColumns.displayTime(OandaColumns.parseEventTime(col("t"))),
+        OandaColumns.displayTime(OandaColumns.parseEventTime(col("t")), "America/New_York"))
+      .collect().head
+    assert(r.getString(0) == "2024-01-15 09:30:00")
+    assert(r.getString(1) == "2024-01-15 04:30:00")
+  }
+}

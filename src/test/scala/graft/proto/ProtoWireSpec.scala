@@ -1,0 +1,94 @@
+package graft.proto
+
+import graft.SparkTestSession
+import graft.streaming.OandaPipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the wire contract (oanda_stream.proto:7-32): golden bytes for the
+  * FIXTURES.md happy-path lines, structural decode, and proto3
+  * default-skipping semantics (prost parity).
+  */
+class ProtoWireSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("varint encoding") {
+    def enc(v: Long) = { val w = new ProtoWire.Writer; w.writeVarint(v); w.toBytes }
+    assert(hex(enc(0)) == "00")
+    assert(hex(enc(1)) == "01")
+    assert(hex(enc(127)) == "7f")
+    assert(hex(enc(128)) == "8001")
+    assert(hex(enc(300)) == "ac02")
+    assert(hex(enc(1000000)) == "c0843d")
+  }
+
+  test("proto3 default skipping: empty string and zero scalar omitted; empty message emitted") {
+    assert(ProtoWire.priceLevel("", 0L).isEmpty)
+    assert(hex(ProtoWire.timestamp(0L, 0)) == "")
+    // an embedded message field is emitted even when its body is empty
+    assert(hex(ProtoWire.envelope(2, Array.empty)) == "1200")
+  }
+
+  test("golden StreamMessageProto bytes for the fixture tick line") {
+    // PriceLevelProto "1.08425"/1000000: 0a(price tag) 07 "1.08425" 10(liq tag) c0843d
+    val lvl = ProtoWire.priceLevel("1.08425", 1000000L)
+    assert(hex(lvl) == "0a07" + hex("1.08425".getBytes) + "10c0843d")
+
+    val secs = java.time.Instant.parse("2024-01-15T09:30:00Z").getEpochSecond
+    val tick = ProtoWire.priceTick(
+      asks = Seq(("1.08425", 1000000L), ("1.08427", 2000000L)),
+      bids = Seq(("1.08412", 1000000L)),
+      closeoutAsk = "1.08430", closeoutBid = "1.08410",
+      instrument = "EUR_USD", status = "tradeable",
+      seconds = secs, nanos = 123456789)
+    val env = ProtoWire.envelope(1, tick)
+    // decode structurally and assert every field round-trips
+    val top = ProtoWire.readFields(env)
+    assert(top.map(_.number) == Seq(1)) // oneof price_tick
+    val fields = ProtoWire.readFields(top.head.bytes)
+    assert(fields.map(_.number) == Seq(1, 1, 2, 3, 4, 5, 6, 7))
+    assert(new String(fields(4).bytes) == "1.08410")
+    assert(new String(fields(5).bytes) == "EUR_USD")
+    val ts = ProtoWire.readFields(fields(7).bytes)
+    assert(ts.find(_.number == 1).get.varint == secs)
+    assert(ts.find(_.number == 2).get.varint == 123456789L)
+    // full golden lock (regression pin; cross-derived from an independent
+    // encoder implementation of the proto3 wire format)
+    assert(hex(env) ==
+      "0a60" +                                     // envelope: field 1, len 96
+        "0a0d0a07312e303834323510c0843d" +         // asks[0]
+        "0a0d0a07312e30383432371080897a" +         // asks[1]
+        "120d0a07312e303834313210c0843d" +         // bids[0]
+        "1a07312e3038343330" +                     // closeout_ask
+        "2207312e3038343130" +                     // closeout_bid
+        "2a074555525f555344" +                     // instrument EUR_USD
+        "3209747261646561626c65" +                 // status tradeable
+        "3a0b" + "0898f693ad06" + "10959aef3a")    // time{seconds=1705311000,nanos}
+  }
+
+  test("pipeline end-to-end encode matches direct ProtoWire construction") {
+    val line =
+      """{"asks":[{"price":"1.08425","liquidity":1000000}],"bids":[],""" +
+        """"closeoutAsk":"1.08430","closeoutBid":"1.08410","instrument":"EUR_USD",""" +
+        """"status":"tradeable","time":"2024-01-15T09:30:00.123456789Z"}"""
+    val proto = OandaPipeline.pipeline(Seq(line).toDF("value"))
+      .select("proto").collect().head.getAs[Array[Byte]](0)
+    val expected = ProtoWire.envelope(1, ProtoWire.priceTick(
+      Seq(("1.08425", 1000000L)), Seq.empty,
+      "1.08430", "1.08410", "EUR_USD", "tradeable",
+      java.time.Instant.parse("2024-01-15T09:30:00Z").getEpochSecond, 123456789))
+    assert(hex(proto) == hex(expected))
+  }
+
+  test("heartbeat envelope encodes oneof field 2 with type string") {
+    val line = """{"type":"HEARTBEAT","time":"2024-01-15T09:30:05Z"}"""
+    val proto = OandaPipeline.pipeline(Seq(line).toDF("value"))
+      .select("proto").collect().head.getAs[Array[Byte]](0)
+    val top = ProtoWire.readFields(proto)
+    assert(top.head.number == 2)
+    val hb = ProtoWire.readFields(top.head.bytes)
+    assert(new String(hb.find(_.number == 2).get.bytes) == "HEARTBEAT")
+  }
+}

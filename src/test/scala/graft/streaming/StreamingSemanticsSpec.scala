@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming-only semantics that the DuckDB oracle can't check
+  * (SURVEY.md §5.2#4): watermark late-data drop across micro-batches,
+  * streaming dedup, and checkpointed restart recovery.
+  */
+class StreamingSemanticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("B29 watermark drops late rows across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Double)]
+    val agg = ms.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val name = s"wm_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("wm").toString)
+      .format("memory").queryName(name).start()
+    try {
+      // batch 1: two rows in hour 10 → watermark after batch = 10:30 - 10m
+      ms.addData((ts("2024-01-01 10:00:00"), 1.0), (ts("2024-01-01 10:30:00"), 1.0))
+      q.processAllAvailable()
+      // batch 2: row in hour 12 pushes watermark past hour-10's end;
+      // a LATE row back in hour 9 (< watermark) must be dropped
+      ms.addData((ts("2024-01-01 12:30:00"), 1.0), (ts("2024-01-01 09:00:01"), 1.0))
+      q.processAllAvailable()
+      ms.addData((ts("2024-01-01 14:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(rows("2024-01-01 10:00:00.0") == 2L) // late 09:00 row NOT counted anywhere
+    assert(!rows.contains("2024-01-01 09:00:00.0"))
+  }
+
+  test("B30 streaming dropDuplicates within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val dedup = ms.toDF().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+    val name = s"dd_${System.nanoTime()}"
+    val q = dedup.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("dd").toString)
+      .format("memory").queryName(name).start()
+    try {
+      ms.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      ms.addData((1L, ts("2024-01-01 10:05:00")), (3L, ts("2024-01-01 10:06:00"))) // 1 is dup
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table(name).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("P16/recovery: restart from checkpoint does not re-publish processed data") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("rec").toString
+    val pubName = s"rec_${System.nanoTime()}"
+    val ms = MemoryStream[String]
+    val wire = OandaPipeline.pipeline(ms.toDF())
+    val q1 = Sinks.publishStream(wire, () => new InMemoryPublisher(pubName), ckpt)
+    try {
+      ms.addData("""{"type":"HEARTBEAT","time":"2024-01-15T09:30:05Z"}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(InMemoryPublisher.drain(pubName).size == 1)
+    // restart same checkpoint + source; add one more record
+    val q2 = Sinks.publishStream(wire, () => new InMemoryPublisher(pubName), ckpt)
+    try {
+      ms.addData("""{"type":"HEARTBEAT","time":"2024-01-15T09:31:05Z"}""")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = InMemoryPublisher.drain(pubName).size
+    assert(after >= 1 && after <= 2) // at-least-once: no silent loss; replay ≤ 1 batch
+  }
+}
