@@ -18,6 +18,7 @@ object SparkEntry {
       operators.DedupQueries.all ++
       operators.TextQueries.all ++
       operators.VectorQueries.all ++
+      operators.ExtrasQueries.all ++
       streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

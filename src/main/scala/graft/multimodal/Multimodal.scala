@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing for a training-data pipeline (north-star
+  * requirement): image/audio/video payloads are opaque `binary` columns with
+  * typed metadata; decode / feature-extract / resize / frame-sample run as
+  * `mapPartitions` over typed rows — the Scala analogue of PySpark's
+  * `mapInPandas` batch iteration (one partition = one batch, codecs opened
+  * once per partition, never per row).
+  *
+  * ---- STUB BOUNDARY -------------------------------------------------------
+  * Real codecs (JPEG/PNG decode, PCM resample, H.264 frame extraction) need
+  * native libraries that are NOT present in this container. `FakeCodec`
+  * below is a clearly-marked deterministic stand-in: it derives plausible
+  * metadata and features purely from the payload bytes, so the Spark-side
+  * contract — schema, partitioning, batch shape, null handling — is real and
+  * tested, and swapping in a true codec changes only the function bodies.
+  * --------------------------------------------------------------------------
+  */
+object Multimodal {
+
+  final case class Media(media_id: Long, kind: String, content: Array[Byte])
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int,          // image kinds (0 otherwise)
+      sample_rate: Int, n_samples: Long, // audio kinds (0 otherwise)
+      n_frames: Int,                    // video kinds (0 otherwise)
+      content_hash: Long,
+      histogram: Seq[Double])           // 16-bin byte histogram, normalized
+
+  /** STUB decode: deterministic pseudo-metadata from the payload header.
+    * A real implementation parses the container format here. */
+  object FakeCodec {
+    def imageDims(b: Array[Byte]): (Int, Int) =
+      (1 + (if (b.length > 0) b(0) & 0xff else 0),
+        1 + (if (b.length > 1) b(1) & 0xff else 0))
+    def audio(b: Array[Byte]): (Int, Long) = (16000, b.length.toLong * 2)
+    /** frame-sample: one frame per 256-byte chunk, max 32. */
+    def videoFrames(b: Array[Byte]): Int = math.min(32, 1 + b.length / 256)
+    def hash(b: Array[Byte]): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < b.length) { h = 31 * h + (b(i) & 0xff); i += 1 }
+      h
+    }
+    def histogram(b: Array[Byte]): Seq[Double] = {
+      val bins = new Array[Double](16)
+      var i = 0
+      while (i < b.length) { bins((b(i) & 0xff) >> 4) += 1; i += 1 }
+      if (b.length > 0) bins.map(_ / b.length).toSeq else bins.toSeq
+    }
+  }
+
+  /** Synthesize a media table from the documents fixture (no binary fixture
+    * table exists): payload = UTF-8 text bytes, kind round-robins. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[Media]
+  }
+
+  /** decode + feature-extract, batch-shaped per partition. */
+  def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      // per-partition codec setup happens HERE (once per batch, not per row)
+      batch.map { m =>
+        val b = m.content
+        val (w, h) = if (m.kind == "image") FakeCodec.imageDims(b) else (0, 0)
+        val (sr, ns) = if (m.kind == "audio") FakeCodec.audio(b) else (0, 0L)
+        val nf = if (m.kind == "video") FakeCodec.videoFrames(b) else 0
+        MediaFeatures(m.media_id, m.kind, b.length.toLong, w, h, sr, ns, nf,
+          FakeCodec.hash(b), FakeCodec.histogram(b))
+      }
+    }
+  }
+
+  /** resize: metadata-level transform (halved dims), payload untouched —
+    * shape of the op is what matters; a real impl re-encodes pixels. */
+  def resizeHalf(features: Dataset[MediaFeatures]): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map(f =>
+      if (f.kind == "image") f.copy(width = math.max(1, f.width / 2),
+        height = math.max(1, f.height / 2))
+      else f)
+  }
+
+  /** The registered rows-only query: full decode→features→resize chain. */
+  def featuresQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resizeHalf(extractFeatures(mediaFromDocuments(spark, dir)))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
+        col("height"), col("sample_rate"), col("n_samples"), col("n_frames"),
+        col("content_hash"),
+        round(element_at(col("histogram"), 1), 4).as("hist0"))
+      .orderBy("media_id")
+  }
+}

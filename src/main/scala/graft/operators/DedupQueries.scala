@@ -213,15 +213,10 @@ object DedupQueries {
         |ORDER BY v1, v2""".stripMargin
     ) { (s, dir) =>
       val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
-        .withColumn("nrm", sqrt(aggregate(zip_with(col("e"), col("e"), _ * _),
-          lit(0.0), _ + _)))
-      val a = v.select(col("vec_id").as("v1"), col("e").as("ea"), col("nrm").as("na"))
-      val b = v.select(col("vec_id").as("v2"), col("e").as("eb"), col("nrm").as("nb"))
+      val a = v.select(col("vec_id").as("v1"), col("embedding").as("ea"))
+      val b = v.select(col("vec_id").as("v2"), col("embedding").as("eb"))
       a.join(b, col("v1") < col("v2"))
-        .withColumn("cos_raw",
-          aggregate(zip_with(col("ea"), col("eb"), _ * _), lit(0.0), _ + _)
-            / (col("na") * col("nb")))
+        .withColumn("cos_raw", graft.expressions.VectorFunctions.cosine(col("ea"), col("eb")))
         .filter(col("cos_raw") >= 0.9)
         .select(col("v1"), col("v2"), round(col("cos_raw"), 4).as("cos"))
         .orderBy("v1", "v2")

@@ -79,13 +79,16 @@ object VectorQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM s)
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     ) { (s, dir) =>
-      val v = withNorm(Tables(s, dir, "embeddings"))
-      val qs = v.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
-      val cs = v.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+      // the hot path runs the codegen'd CosineSimilarity expression over the
+      // raw float arrays — bit-identical to the HOF double fold (and the
+      // oracle), but inside whole-stage codegen
+      val emb = Tables(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cs = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
       cs.join(broadcast(qs), col("cid") =!= col("qid"))
-        .withColumn("cs", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("cs", graft.expressions.VectorFunctions.cosine(col("qe"), col("ce")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
         .select(col("qid"), col("cid"), round(col("cs"), 4).as("cos"),
           col("rn").cast("long").as("rn"))
