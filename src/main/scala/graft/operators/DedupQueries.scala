@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.Registry.{Q, q}
 import graft.Tables
+import graft.functions.MinHashAggregator
 import graft.functions.PortableHash._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -23,6 +25,19 @@ object DedupQueries {
   private val shingleCte =
     s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id, unnest(${shinglesSql("t", 3)}) AS s FROM toks)""".stripMargin
+
+  /** Spark-side MinHash signatures (doc_id, j, mh) via the one-pass typed
+    * aggregator: state = 16 longs per doc, merge = element-wise min → Spark
+    * plans partial+final HashAggregate with map-side combine, shuffling one
+    * row per doc instead of 16 rows per shingle (the 100 TB shape; proven
+    * bit-identical to the SQL formulation in MinHashAggregatorSpec). */
+  private def sigDf(sh: DataFrame): DataFrame = {
+    val agg = udaf(new MinHashAggregator)
+    sh.withColumn("h1", h1(col("s")))
+      .groupBy("doc_id").agg(agg(col("h1")).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")))
+      .select(col("doc_id"), col("pos").cast("long").as("j"), col("col").as("mh"))
+  }
 
   /** Shared SQL: MinHash signatures (doc_id, j, mh) from the shingle CTE. */
   private val sigCte =
@@ -103,13 +118,7 @@ object DedupQueries {
       val toks = Tables(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("t"))
       val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
-      sh.withColumn("h1", h1(col("s")))
-        .select(col("doc_id"), posexplode(array(
-          minhashPerms.map { case (a, b) => (lit(a) * col("h1") + lit(b)) % P }: _*)))
-        .groupBy(col("doc_id"), col("pos"))
-        .agg(min(col("col")).as("mh"))
-        .select(col("doc_id"), col("pos").cast("long").as("j"), col("mh"))
-        .orderBy("doc_id", "j")
+      sigDf(sh).orderBy("doc_id", "j")
     },
 
     // B34: MinHash-LSH banding — 4 bands × 4 rows; candidate pairs share a
@@ -143,11 +152,8 @@ object DedupQueries {
       val toks = Tables(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("t"))
       val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
-      val sig = sh.withColumn("h1", h1(col("s")))
-        .select(col("doc_id"), posexplode(array(
-          minhashPerms.map { case (a, b) => (lit(a) * col("h1") + lit(b)) % P }: _*)))
-        .groupBy(col("doc_id"), col("pos")).agg(min(col("col")).as("mh"))
-        .select(col("doc_id"), col("pos").cast("long").as("j"), col("mh"))
+        .cache() // reused by banding, signature-agreement, and exact-Jaccard stages
+      val sig = sigDf(sh)
       val bands = sig
         .groupBy(col("doc_id"), (col("j") / 4).cast("long").as("band"))
         .agg(concat_ws(",",
