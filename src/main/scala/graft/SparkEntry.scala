@@ -22,9 +22,30 @@ object SparkEntry {
       streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * TPC-H Q1 shape over lineitem — grouped aggregation end-to-end. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q09_agg_q1")(spark, "/root/testdata/sf0.001")
+    * The SURVEY §7.1 M1 slice: tick-shaped wire lines through the full
+    * reference pipeline (parse → dispatch → spread/timestamp derive → proto
+    * encode), answering "current spread per instrument from raw feed lines"
+    * entirely through the engine. */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val lines = Tables(spark, dir, "events").select(
+      to_json(struct(
+        array(struct(col("value").cast("string").as("price"), lit(1000000L).as("liquidity"))).as("asks"),
+        array(struct((col("value") - lit(0.01)).cast("string").as("price"), lit(1000000L).as("liquidity"))).as("bids"),
+        col("value").cast("string").as("closeoutAsk"),
+        (col("value") - lit(0.01)).cast("string").as("closeoutBid"),
+        col("event_type").as("instrument"),
+        lit("tradeable").as("status"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"))).as("value"))
+    streaming.OandaPipeline.pipeline(lines)
+      .filter(col("message_type") === "price_tick")
+      .groupBy(col("tick.instrument").as("instrument"))
+      .agg(count(lit(1)).as("n_ticks"),
+        round(avg(col("spread")), 5).as("avg_spread"),
+        max(col("event_ts")).as("latest_tick"))
+      .orderBy("instrument")
+  }
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

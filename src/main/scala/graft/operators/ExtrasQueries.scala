@@ -3,6 +3,7 @@ package graft.operators
 import graft.Registry.{Q, q, rowsOnly}
 import graft.Tables
 import graft.functions.OandaColumns
+import graft.proto.ProtoWire
 import org.apache.spark.sql.functions._
 
 /** Remaining declared-surface entries: the UDF/expression surface (B38,
@@ -28,6 +29,43 @@ object ExtrasQueries {
         round(OandaColumns.spread(
           col("l_extendedprice").cast("string"), col("l_returnflag")), 4).as("spread"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // B37: protobuf wire round-trip over fixture data — events are projected
+    // into tick-shaped wire lines, run through the FULL ingest pipeline
+    // (parse → derive → proto encode), decoded back from the wire bytes, and
+    // the decoded fields must equal the originals (oracle = identity SQL).
+    q("q37_proto_roundtrip", "B37 encode→decode round-trip of events through the wire contract")(
+      """SELECT event_id, event_type AS instrument,
+        |       CAST(value AS VARCHAR) AS closeout_ask,
+        |       CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS seconds,
+        |       CAST((microsecond(ts::TIMESTAMP) % 1000000) * 1000 AS BIGINT) AS nanos
+        |FROM events ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val lines = Tables(s, dir, "events").select(
+        col("event_id"),
+        to_json(struct(
+          array().cast("array<struct<price:string,liquidity:bigint>>").as("asks"),
+          array().cast("array<struct<price:string,liquidity:bigint>>").as("bids"),
+          col("value").cast("string").as("closeoutAsk"),
+          lit("0").as("closeoutBid"),
+          col("event_type").as("instrument"),
+          lit("tradeable").as("status"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"))).as("value"))
+      val wire = graft.streaming.OandaPipeline.pipeline(lines)
+        .select(col("event_id"), col("proto"))
+      wire.as[(Long, Array[Byte])].map { case (id, bytes) =>
+        // decode StreamMessageProto{price_tick{...}} back off the wire
+        val tick = ProtoWire.readFields(ProtoWire.readFields(bytes).head.bytes)
+        val ask = tick.find(_.number == 3).map(f => new String(f.bytes, "UTF-8")).getOrElse("")
+        val ts = tick.find(_.number == 7).map(f => ProtoWire.readFields(f.bytes)).getOrElse(Seq())
+        val instr = tick.find(_.number == 5).map(f => new String(f.bytes, "UTF-8")).getOrElse("")
+        (id, instr, ask,
+          ts.find(_.number == 1).map(_.varint).getOrElse(0L),
+          ts.find(_.number == 2).map(_.varint).getOrElse(0L))
+      }.toDF("event_id", "instrument", "closeout_ask", "seconds", "nanos")
+        .orderBy("event_id")
     },
 
     // Multimodal: binary columns + typed metadata + mapPartitions codec

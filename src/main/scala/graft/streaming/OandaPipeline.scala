@@ -73,7 +73,9 @@ object OandaPipeline {
       .withColumn("heartbeat",
         when(col("message_type") === "heartbeat",
           struct(col("j.time").as("time"), col("j.type").as("message_type"))))
-      .select(col("message_type"), col("tick"), col("heartbeat"), col("value").as("raw"))
+      // keep any caller-supplied passthrough columns (ids, source offsets)
+      .withColumn("raw", col("value"))
+      .drop("value", "j", "is_hb", "has_instr", "is_json")
   }
 
   /** P8-P10: derived columns — spread (0.0-coercion), event timestamp
