@@ -18,6 +18,13 @@ object RelationalQueries {
 
   private def r4(c: Column): Column = round(c, 4)
 
+  /** Order-independent big sum: round each double to the 4-decimal grid,
+    * sum exactly in DECIMAL (associative), return double. Large double sums
+    * otherwise diverge from the oracle in the 4th decimal at sf≥0.1 because
+    * summation order differs between engines. */
+  private def dsum(c: Column): Column =
+    sum(round(c, 4).cast("decimal(28,4)")).cast("double")
+
   val all: Seq[Q] = Seq(
 
     // B1: parquet scan — row counts of every fixture table.
@@ -75,7 +82,7 @@ object RelationalQueries {
     // B5: left outer join + aggregation over the nullable side.
     q("q05_join_left", "B5 left outer join customer⟕orders, null-aware agg")(
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |       round(coalesce(sum(o_totalprice), 0.0), 4) AS total
+        |       round(CAST(coalesce(sum(CAST(round(o_totalprice, 4) AS DECIMAL(28,4))), 0) AS DOUBLE), 4) AS total
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
     ) { (s, dir) =>
@@ -83,7 +90,7 @@ object RelationalQueries {
         .join(Tables(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-          r4(coalesce(sum(col("o_totalprice")), lit(0.0))).as("total"))
+          r4(coalesce(dsum(col("o_totalprice")), lit(0.0))).as("total"))
         .orderBy("c_custkey")
     },
 
@@ -135,7 +142,8 @@ object RelationalQueries {
 
     // B7: multi-way join chain (TPC-H Q5 shape); small dims broadcast.
     q("q07_join_multiway", "B7 region→nation→customer→orders→lineitem revenue by nation")(
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      """SELECT n_name,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
         |FROM region
         |JOIN nation   ON n_regionkey = r_regionkey
         |JOIN customer ON c_nationkey = n_nationkey
@@ -159,7 +167,7 @@ object RelationalQueries {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -191,10 +199,10 @@ object RelationalQueries {
     // B9: grouped hash aggregation (TPC-H Q1): partial+final HashAggregate.
     q("q09_agg_q1", "B9 TPC-H Q1 grouped aggregation over lineitem")(
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 4)                              AS sum_qty,
-        |       round(sum(l_extendedprice), 4)                         AS sum_base,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |       round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_qty,
+        |       round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_base,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_disc,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_charge,
         |       round(avg(l_quantity), 4)                              AS avg_qty,
         |       round(avg(l_extendedprice), 4)                         AS avg_price,
         |       count(*)                                               AS count_order
@@ -207,10 +215,16 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          r4(sum(col("l_quantity"))).as("sum_qty"),
-          r4(sum(col("l_extendedprice"))).as("sum_base"),
-          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc"),
-          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          r4(dsum(col("l_quantity"))).as("sum_qty"),
+          r4(dsum(col("l_extendedprice"))).as("sum_base"),
+          r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc"),
+          // charge is an exact 6-decimal value per row (three 2-decimal
+          // factors); rounding per-row at 4 would sit exactly on .XX50 ties
+          // that the engines break differently — so sum the exact decimals
+          // and round once at the end
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).cast("decimal(28,6)")), 4)
+            .cast("double").as("sum_charge"),
           r4(avg(col("l_quantity"))).as("avg_qty"),
           r4(avg(col("l_extendedprice"))).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -220,7 +234,7 @@ object RelationalQueries {
     // B10: global (no-group) aggregation incl. exact count-distinct.
     q("q10_agg_global", "B10 global aggregation over orders")(
       """SELECT count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
-        |       round(sum(o_totalprice), 4) AS total,
+        |       round(CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS total,
         |       round(avg(o_totalprice), 4) AS avg_price,
         |       round(min(o_totalprice), 4) AS min_price,
         |       round(max(o_totalprice), 4) AS max_price
@@ -228,7 +242,7 @@ object RelationalQueries {
     ) { (s, dir) =>
       Tables(s, dir, "orders").agg(
         count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"),
-        r4(sum(col("o_totalprice"))).as("total"),
+        r4(dsum(col("o_totalprice"))).as("total"),
         r4(avg(col("o_totalprice"))).as("avg_price"),
         r4(min(col("o_totalprice"))).as("min_price"),
         r4(max(col("o_totalprice"))).as("max_price"))
@@ -256,7 +270,8 @@ object RelationalQueries {
       """SELECT n_name, o_orderpriority,
         |       CAST(grouping(n_name) AS BIGINT) AS g1,
         |       CAST(grouping(o_orderpriority) AS BIGINT) AS g2,
-        |       count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS total
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
@@ -269,7 +284,7 @@ object RelationalQueries {
         .rollup(col("n_name"), col("o_orderpriority"))
         .agg(grouping(col("n_name")).cast("long").as("g1"),
           grouping(col("o_orderpriority")).cast("long").as("g2"),
-          count(lit(1)).as("n"), r4(sum(col("o_totalprice"))).as("total"))
+          count(lit(1)).as("n"), r4(dsum(col("o_totalprice"))).as("total"))
         .select(col("n_name"), col("o_orderpriority"), col("g1"), col("g2"), col("n"), col("total"))
         .orderBy(col("g1"), col("g2"), col("n_name").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)

@@ -105,30 +105,41 @@ object VectorQueries {
         .select(col("vec_id"), col("bucket")).orderBy("vec_id")
     },
 
-    // ANN path 1 search: top-3 cosine among same-bucket candidates.
-    q("q35c_lsh_search", "ANN: LSH same-bucket top-3 neighbors (queries vec_id<10)")(
+    // ANN path 1 search: multi-probe LSH — probe every bucket within
+    // Hamming distance ≤ 2 of the query's bucket (37 of 256 buckets), then
+    // exact top-3 cosine among the candidates. Still an equi-join on bucket
+    // id (the scale shape); the probe ball is the standard recall fix for
+    // sign-LSH's coarse buckets.
+    q("q35c_lsh_search", "ANN: multi-probe LSH (Hamming≤2) top-3 neighbors (queries vec_id<10)")(
       s"""$bucketCte,
          |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-         |s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |probe AS (SELECT q.vec_id AS qid, xor(q.bucket, r.m) AS pb
+         |          FROM bk q CROSS JOIN range(${1 << NumPlanes}) AS r(m)
+         |          WHERE q.vec_id < 10 AND bit_count(r.m) <= 2),
+         |s AS (SELECT DISTINCT probe.qid, c.vec_id AS cid,
          |             list_dot_product(qv.e, cv.e) / (nq.nrm * nc.nrm) AS cs
-         |      FROM bk q JOIN bk c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-         |           JOIN v qv ON qv.vec_id = q.vec_id
+         |      FROM probe JOIN bk c ON c.bucket = probe.pb AND c.vec_id <> probe.qid
+         |           JOIN v qv ON qv.vec_id = probe.qid
          |           JOIN v cv ON cv.vec_id = c.vec_id
-         |           JOIN n nq ON nq.vec_id = q.vec_id
-         |           JOIN n nc ON nc.vec_id = c.vec_id
-         |      WHERE q.vec_id < 10)
+         |           JOIN n nq ON nq.vec_id = probe.qid
+         |           JOIN n nc ON nc.vec_id = c.vec_id)
          |SELECT qid, cid, round(cs, 4) AS cos, CAST(rn AS BIGINT) AS rn
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM s)
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
     ) { (s, dir) =>
+      val masks = (0 until (1 << NumPlanes))
+        .filter(m => java.lang.Integer.bitCount(m) <= 2).map(_.toLong)
       val v = withBucket(withNorm(Tables(s, dir, "embeddings")))
       val qs = v.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-          col("bucket").as("qb"))
+          col("bucket"), explode(array(masks.map(lit): _*)).as("m"))
+        .withColumn("pb", col("m").bitwiseXOR(col("bucket")))
       val cands = v.select(col("vec_id").as("cid"), col("e").as("ce"),
         col("nrm").as("cn"), col("bucket").as("cb"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
-      cands.join(broadcast(qs), col("cb") === col("qb") && col("cid") =!= col("qid"))
+      cands.join(broadcast(qs), col("cb") === col("pb") && col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), col("qe"), col("ce"), col("qn"), col("cn"))
+        .dropDuplicates(Seq("qid", "cid"))
         .withColumn("cs", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("qid"), col("cid"), round(col("cs"), 4).as("cos"),

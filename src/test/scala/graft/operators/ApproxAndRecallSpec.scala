@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bounds checks for the operators the oracle can only rows-check:
+  * approx_count_distinct accuracy (B11) and ANN recall vs the brute-force
+  * baseline (q35c LSH, q35e IVF). */
+class ApproxAndRecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("B11 approx_count_distinct within declared 2% rsd (allow 4 sigma)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables(spark, dir, "lineitem")
+    val rows = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+      .collect()
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.08,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  /** recall@k of an ANN result against the brute-force top-k. */
+  private def recallAt(ann: Map[Long, Seq[Long]], exact: Map[Long, Seq[Long]], k: Int): Double = {
+    val scores = exact.keys.toSeq.map { q =>
+      val e = exact(q).take(k).toSet
+      val a = ann.getOrElse(q, Seq.empty).take(k).toSet
+      if (e.isEmpty) 1.0 else (e & a).size.toDouble / e.size
+    }
+    scores.sum / scores.size
+  }
+
+  private def neighbors(name: String): Map[Long, Seq[Long]] =
+    SparkEntry.queries(name)(spark, dir)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq }
+
+  test("ANN recall vs brute force is meaningfully better than chance") {
+    val exact = neighbors("q35_cosine_topk")
+    val lsh = neighbors("q35c_lsh_search")
+    val ivf = neighbors("q35e_ivf_search")
+    val rLsh = recallAt(lsh, exact, 3)
+    val rIvf = recallAt(ivf, exact, 3)
+    // 500 candidates, top-3: chance recall ≈ 3/500. The ANN paths must do
+    // far better while scanning a fraction of the corpus.
+    assert(rLsh > 0.2 && rIvf > 0.2, s"LSH recall@3 = $rLsh, IVF recall@3 = $rIvf")
+  }
+}
