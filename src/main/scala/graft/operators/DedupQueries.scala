@@ -153,7 +153,7 @@ object DedupQueries {
         .select(col("doc_id"), tokens(col("text")).as("t"))
       val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
         .cache() // reused by banding, signature-agreement, and exact-Jaccard stages
-      val sig = sigDf(sh)
+      val sig = sigDf(sh).cache() // reused by bands and the agreement join
       val bands = sig
         .groupBy(col("doc_id"), (col("j") / 4).cast("long").as("band"))
         .agg(concat_ws(",",

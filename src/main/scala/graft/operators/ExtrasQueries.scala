@@ -72,6 +72,32 @@ object ExtrasQueries {
     // plumbing (stubbed decode — see Multimodal.FakeCodec).
     rowsOnly("q39_multimodal_features", "multimodal decode/feature/resize over binary payloads") {
       (s, dir) => graft.multimodal.Multimodal.featuresQuery(s, dir)
+    },
+
+    // Ingest throughput proxy: the full reference pipeline (parse → dispatch
+    // → derive → proto encode) over wire lines synthesized from every event
+    // row ×3 — Bench times this as the single-node throughput headline
+    // (the reference's own loop is bounded by its HTTP feed; this measures
+    // the engine's processing ceiling).
+    rowsOnly("q40_pipeline_throughput", "full ingest pipeline over synthesized wire lines (events ×3)") {
+      (s, dir) =>
+        val lines = Tables(s, dir, "events")
+          .crossJoin(s.range(3).select(col("id").as("rep")))
+          .select(
+            to_json(struct(
+              array(struct(col("value").cast("string").as("price"),
+                (col("rep") + 1).as("liquidity"))).as("asks"),
+              array(struct((col("value") - lit(0.01)).cast("string").as("price"),
+                lit(1L).as("liquidity"))).as("bids"),
+              col("value").cast("string").as("closeoutAsk"),
+              (col("value") - lit(0.01)).cast("string").as("closeoutBid"),
+              col("event_type").as("instrument"),
+              lit("tradeable").as("status"),
+              date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"))).as("value"))
+        graft.streaming.OandaPipeline.pipeline(lines)
+          .groupBy("message_type")
+          .agg(count(lit(1)).as("n"), count(col("proto")).as("n_encoded"))
+          .orderBy("message_type")
     }
   )
 }

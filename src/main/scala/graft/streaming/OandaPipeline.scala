@@ -37,14 +37,20 @@ object OandaPipeline {
       .filter(length(trim(col("value"))) > 0) // P3: oanda_client.rs:50-53
       .withColumn("j", from_json(col("value"), OandaSchemas.wireSchema,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
-      // discriminator probes on the raw JSON (≙ raw_json.get, pre-deserialize)
-      .withColumn("is_hb", get_json_object(col("value"), "$.type") === "HEARTBEAT")
-      .withColumn("has_instr", get_json_object(col("value"), "$.instrument").isNotNull)
-      // JSON-level validity probe: serde's parse-to-Value succeeds for any
-      // well-formed JSON (oanda_client.rs:55-61); Spark's _corrupt_record
-      // also fires on mere type mismatches, which the reference sends to
-      // Unknown instead — so malformedness is probed on the raw text.
-      .withColumn("is_json", get_json_object(col("value"), "$").isNotNull)
+      // discriminator probes (≙ raw_json.get pre-deserialize) — evaluated on
+      // the single from_json pass; a present-but-mistyped discriminator nulls
+      // under partial results, landing in the same Unknown branch the
+      // reference's failed from_value takes (oanda_client.rs:68,76)
+      .withColumn("is_hb", col("j.type") === "HEARTBEAT")
+      .withColumn("has_instr", col("j.instrument").isNotNull)
+      // JSON-level validity (serde's parse-to-Value, oanda_client.rs:55-61):
+      // an unparseable line yields _corrupt_record set with EVERY schema
+      // field null; a well-formed line with type mismatches keeps its good
+      // fields (partial results) and goes to Unknown instead.
+      .withColumn("is_json",
+        col("j._corrupt_record").isNull ||
+          Seq("asks", "bids", "closeoutAsk", "closeoutBid", "instrument",
+            "status", "time", "type").map(f => col(s"j.$f").isNotNull).reduce(_ || _))
 
     val levelOk: Column => Column = arr =>
       arr.isNotNull && !exists(arr, x => x.getField("price").isNull || x.getField("liquidity").isNull)

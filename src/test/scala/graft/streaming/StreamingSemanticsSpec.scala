@@ -65,6 +65,34 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(spark.table(name).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("B28 streaming session window merges within gap, splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val sessions = ms.toDF().toDF("uid", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("uid"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("uid"), col("session_window.start").as("s"), col("n"))
+    val name = s"sess_${System.nanoTime()}"
+    val q = sessions.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("sess").toString)
+      .format("memory").queryName(name).start()
+    try {
+      // user 1: two events 20min apart (one session), then one 40min later
+      // (new session); a later event advances the watermark to flush all
+      ms.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:20:00")),
+        (1L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      ms.addData((2L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      ms.addData((2L, ts("2024-01-01 18:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table(name).filter(col("uid") === 1)
+      .collect().map(r => r.getTimestamp(1).toString -> r.getLong(2)).toMap
+    assert(u1 == Map("2024-01-01 10:00:00.0" -> 2L, "2024-01-01 11:00:00.0" -> 1L))
+  }
+
   test("P16/recovery: restart from checkpoint does not re-publish processed data") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("rec").toString
