@@ -18,8 +18,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `GraftExtensions.register(spark)` on an existing session (tests, REPL).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    // bounded time-range joins → equi-join on (key, time-bin) instead of
+    // BroadcastNestedLoopJoin (see RangeBinJoinRewrite)
+    e.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
+  }
 }
 
 object GraftExtensions {
