@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB streaming-state claim (SCALE.md): stateful operators must run
+  * on the RocksDB state store provider, not just the default HDFS-backed
+  * in-memory one. Exercises windowed aggregation state end-to-end on
+  * RocksDB and checks the provider actually engaged. */
+class RocksDBStateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("windowed aggregation runs on RocksDBStateStoreProvider") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[(Timestamp, Double)]
+      val agg = ms.toDF().toDF("ts", "v")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("sv"))
+        .select(col("window.start").as("ws"), col("n"), col("sv"))
+      val ckpt = Files.createTempDirectory("rocks").toString
+      val name = s"rocks_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(name).start()
+      try {
+        ms.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1.5),
+          (Timestamp.valueOf("2024-01-01 10:30:00"), 2.5))
+        q.processAllAvailable()
+        ms.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 9.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("2024-01-01 10:00:00.0", 2L, 4.0)))
+      // RocksDB leaves its working dirs under the checkpoint's state path
+      val stateDir = new java.io.File(s"$ckpt/state")
+      def hasRocksArtifacts(f: java.io.File): Boolean =
+        f.isDirectory && (f.listFiles().exists(c => c.getName.endsWith(".zip")
+          || c.getName.contains("rocksdb") || hasRocksArtifacts(c)))
+      assert(stateDir.exists() && hasRocksArtifacts(stateDir),
+        s"no RocksDB artifacts under $stateDir")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+}
