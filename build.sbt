@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 55+ sequential queries incl. cached shingle/signature frames need more
+  // headroom than 8g to avoid GC-dominated timings (machine has 128 GiB);
+  // SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Whole-stage codegen emits one janino class per stage; across the full
   // query registry the default 240m code cache fills, the JIT disables
   // itself, and late queries run interpreted (observed 6x slowdowns).

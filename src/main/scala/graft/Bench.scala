@@ -36,7 +36,11 @@ object Bench {
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop caches a query may have pinned so later queries aren't
+        // charged its memory pressure
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        name -> dt
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -68,6 +68,40 @@ object ExtrasQueries {
         .orderBy("event_id")
     },
 
+    // Exact interpolated percentiles, grouped (Spark `percentile` ≙ DuckDB
+    // `quantile_cont`: both linear interpolation over the sorted set).
+    q("q41_percentiles", "exact p25/p50/p75 of quantity and price per returnflag")(
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+        |       round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+        |       round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+        |       round(quantile_cont(l_extendedprice, 0.50), 4) AS price_med
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"),
+          round(expr("percentile(l_quantity, 0.50)"), 4).as("q50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("q75"),
+          round(expr("percentile(l_extendedprice, 0.50)"), 4).as("price_med"))
+        .orderBy("l_returnflag")
+    },
+
+    // Statistical aggregates: correlation, covariance, stddev/variance —
+    // scale-free or ratio quantities, stable at round-4 across engines.
+    q("q42_stats", "corr/covar/stddev/variance over lineitem")(
+      """SELECT round(corr(l_quantity, l_extendedprice), 4) AS c,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS cv,
+        |       round(stddev_samp(l_extendedprice), 4) AS sd,
+        |       round(var_samp(l_quantity), 4) AS vr
+        |FROM lineitem""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("c"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cv"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd"),
+        round(var_samp(col("l_quantity")), 4).as("vr"))
+    },
+
     // Multimodal: binary columns + typed metadata + mapPartitions codec
     // plumbing (stubbed decode — see Multimodal.FakeCodec).
     rowsOnly("q39_multimodal_features", "multimodal decode/feature/resize over binary payloads") {
