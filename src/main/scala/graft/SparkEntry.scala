@@ -38,6 +38,7 @@ object SparkEntry {
         col("event_type").as("instrument"),
         lit("tradeable").as("status"),
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"))).as("value"))
+      .repartition(spark.sparkContext.defaultParallelism) // single-file fixture → fan out
     streaming.OandaPipeline.pipeline(lines)
       .filter(col("message_type") === "price_tick")
       .groupBy(col("tick.instrument").as("instrument"))

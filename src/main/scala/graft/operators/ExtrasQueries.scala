@@ -53,6 +53,10 @@ object ExtrasQueries {
           col("event_type").as("instrument"),
           lit("tradeable").as("status"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"))).as("value"))
+        // the fixture is one small parquet file = one input partition; at a
+        // real deployment parallelism comes from many source partitions —
+        // emulate it here so the pipeline uses every core
+        .repartition(s.sparkContext.defaultParallelism)
       val wire = graft.streaming.OandaPipeline.pipeline(lines)
         .select(col("event_id"), col("proto"))
       wire.as[(Long, Array[Byte])].map { case (id, bytes) =>
@@ -128,6 +132,7 @@ object ExtrasQueries {
               col("event_type").as("instrument"),
               lit("tradeable").as("status"),
               date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"))).as("value"))
+          .repartition(s.sparkContext.defaultParallelism) // single-file fixture → fan out
         graft.streaming.OandaPipeline.pipeline(lines)
           .groupBy("message_type")
           .agg(count(lit(1)).as("n"), count(col("proto")).as("n_encoded"))
