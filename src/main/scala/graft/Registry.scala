@@ -41,4 +41,13 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
+
+  /** Table scan fanned out across all cores. The fixture tables are one
+    * parquet file with ONE row group — unsplittable, so any per-row-heavy
+    * derivation (shingling, hashing, vector math) would otherwise run in a
+    * single task. At a real deployment the source has many
+    * files/partitions; this shuffle emulates that. Use for compute-heavy
+    * bases only — plain scans/filters don't need it. */
+  def fanout(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 }

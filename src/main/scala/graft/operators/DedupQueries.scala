@@ -71,7 +71,7 @@ object DedupQueries {
         |      FROM documents)
         |GROUP BY h ORDER BY keeper""".stripMargin
     ) { (s, dir) =>
-      Tables(s, dir, "documents")
+      Tables.fanout(s, dir, "documents")
         .select(col("doc_id"),
           trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
         .groupBy(md5(col("norm")).as("h"))
@@ -92,7 +92,7 @@ object DedupQueries {
          |WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
          |ORDER BY d1, d2""".stripMargin
     ) { (s, dir) =>
-      val toks = Tables(s, dir, "documents")
+      val toks = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("t"))
       val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -115,7 +115,7 @@ object DedupQueries {
       s"""$sigCte
          |SELECT doc_id, CAST(j AS BIGINT) AS j, mh FROM sig ORDER BY doc_id, j""".stripMargin
     ) { (s, dir) =>
-      val toks = Tables(s, dir, "documents")
+      val toks = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("t"))
       val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
       sigDf(sh).orderBy("doc_id", "j")
@@ -149,7 +149,7 @@ object DedupQueries {
          |         JOIN cnt cb ON cb.doc_id = est.d2
          |ORDER BY est.d1, est.d2""".stripMargin
     ) { (s, dir) =>
-      val toks = Tables(s, dir, "documents")
+      val toks = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("t"))
       val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
         .cache() // reused by banding, signature-agreement, and exact-Jaccard stages
@@ -193,7 +193,7 @@ object DedupQueries {
          |       sum(CASE WHEN sgn > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      val tok = Tables(s, dir, "documents")
+      val tok = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("w")).distinct()
       tok.withColumn("hv", md5Long(col("w")))
         .select(col("doc_id"), posexplode(array(
@@ -218,7 +218,7 @@ object DedupQueries {
         |WHERE list_dot_product(a.e, b.e) / (na.nrm * nb.nrm) >= 0.9
         |ORDER BY v1, v2""".stripMargin
     ) { (s, dir) =>
-      val v = Tables(s, dir, "embeddings")
+      val v = Tables.fanout(s, dir, "embeddings")
       val a = v.select(col("vec_id").as("v1"), col("embedding").as("ea"))
       val b = v.select(col("vec_id").as("v2"), col("embedding").as("eb"))
       a.join(b, col("v1") < col("v2"))

@@ -37,7 +37,7 @@ object TextQueries {
         |      GROUP BY lang, w)
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
     ) { (s, dir) =>
-      val tok = Tables(s, dir, "documents")
+      val tok = Tables.fanout(s, dir, "documents")
         .select(col("lang"), explode(tokens(col("text"))).as("w"))
       val counted = tok.groupBy("lang", "w").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("w"))
@@ -63,7 +63,7 @@ object TextQueries {
          |       CAST(n_en AS BIGINT) AS n_en, CAST(n_fr AS BIGINT) AS n_fr
          |FROM sc ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      val t = Tables(s, dir, "documents")
+      val t = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
       val withScores = markers.foldLeft(t) { case (df, (l, ws)) =>
         df.withColumn(s"n_$l",
@@ -95,7 +95,7 @@ object TextQueries {
          |FROM m ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       val allMarkers = markers.flatMap(_._2)
-      Tables(s, dir, "documents")
+      Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("n_chars"), tokens(col("text")).as("w"))
         .select(col("doc_id"),
           size(col("w")).cast("long").as("n_tok"),
@@ -136,7 +136,7 @@ object TextQueries {
          |                   (a, b) -> (a * 31 + b) % $P) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      Tables(s, dir, "documents").select(
+      Tables.fanout(s, dir, "documents").select(
         col("doc_id"),
         aggregate(transform(tokens(col("text")), t => h1(t)),
           lit(0L), (acc, h) => (acc * 31 + h) % P).as("fp"))

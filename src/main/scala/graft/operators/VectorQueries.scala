@@ -82,7 +82,7 @@ object VectorQueries {
       // the hot path runs the codegen'd CosineSimilarity expression over the
       // raw float arrays — bit-identical to the HOF double fold (and the
       // oracle), but inside whole-stage codegen
-      val emb = Tables(s, dir, "embeddings")
+      val emb = Tables.fanout(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val cs = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -101,7 +101,7 @@ object VectorQueries {
       s"""$bucketCte
          |SELECT vec_id, bucket FROM bk ORDER BY vec_id""".stripMargin
     ) { (s, dir) =>
-      withBucket(withNorm(Tables(s, dir, "embeddings")))
+      withBucket(withNorm(Tables.fanout(s, dir, "embeddings")))
         .select(col("vec_id"), col("bucket")).orderBy("vec_id")
     },
 
@@ -129,7 +129,7 @@ object VectorQueries {
     ) { (s, dir) =>
       val masks = (0 until (1 << NumPlanes))
         .filter(m => java.lang.Integer.bitCount(m) <= 2).map(_.toLong)
-      val v = withBucket(withNorm(Tables(s, dir, "embeddings")))
+      val v = withBucket(withNorm(Tables.fanout(s, dir, "embeddings")))
       val qs = v.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
           col("bucket"), explode(array(masks.map(lit): _*)).as("m"))
@@ -161,7 +161,7 @@ object VectorQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent) AS rn FROM s)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
     ) { (s, dir) =>
-      val v = withNorm(Tables(s, dir, "embeddings"))
+      val v = withNorm(Tables.fanout(s, dir, "embeddings"))
       val cents = v.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent"), col("e").as("ce"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent"))
@@ -176,7 +176,7 @@ object VectorQueries {
     // assigned to them. Rows-only (the composition is exercised above; the
     // unit suite asserts recall vs brute force).
     rowsOnly("q35e_ivf_search", "ANN: IVF 2-probe top-3 neighbors (queries vec_id<10)") { (s, dir) =>
-      val v = withNorm(Tables(s, dir, "embeddings"))
+      val v = withNorm(Tables.fanout(s, dir, "embeddings"))
       val cents = v.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent"), col("e").as("ce"), col("nrm").as("cn"))
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent"))
