@@ -4,6 +4,7 @@ import graft.Registry.{Q, q, rowsOnly}
 import graft.Tables
 import graft.functions.OandaColumns
 import graft.proto.ProtoWire
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Remaining declared-surface entries: the UDF/expression surface (B38,
@@ -69,6 +70,81 @@ object ExtrasQueries {
           ts.find(_.number == 1).map(_.varint).getOrElse(0L),
           ts.find(_.number == 2).map(_.varint).getOrElse(0L))
       }.toDF("event_id", "instrument", "closeout_ask", "seconds", "nanos")
+        .orderBy("event_id")
+    },
+
+    // B12 variant: CUBE with grouping markers (all 4 grouping-set combos).
+    q("q12b_cube", "B12 cube(l_returnflag, l_linestatus) with grouping markers")(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS BIGINT) AS g1,
+        |       CAST(grouping(l_linestatus) AS BIGINT) AS g2,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g1"),
+          grouping(col("l_linestatus")).cast("long").as("g2"),
+          count(lit(1)).as("n"),
+          sum(round(col("l_quantity"), 4).cast("decimal(28,4)")).cast("double").as("qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g1"), col("g2"),
+          col("n"), round(col("qty"), 4).as("qty"))
+        .orderBy(col("g1"), col("g2"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // Correlated scalar subquery + uncorrelated IN subquery (Catalyst
+    // decorrelates both into joins — SURVEY §4.2 'built-in' list).
+    q("q43_subqueries", "correlated scalar + IN subqueries over orders/customer")(
+      """SELECT o_orderkey, round(o_totalprice, 4) AS price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      Tables(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 4) AS price
+          |FROM graft_orders o
+          |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice) FROM graft_orders o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |  AND o_custkey IN (SELECT c_custkey FROM graft_customer WHERE c_acctbal > 1000)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // As-of join: each event picks the user's most recent prior order.
+    // Spark side is the scalable union+window formulation (sort-merge within
+    // key partitions, no join explosion); oracle is DuckDB's native ASOF
+    // JOIN. Orders are pre-deduped to one row per (custkey, date) so the
+    // as-of pick is deterministic under date ties.
+    q("q44_asof_join", "as-of join: latest order at or before each event")(
+      """WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey
+        |            FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, od.okey AS last_order, od.o_orderdate AS od
+        |FROM events e ASOF JOIN od
+        |  ON e.user_id = od.o_custkey AND od.o_orderdate <= e.ts::TIMESTAMP
+        |ORDER BY e.event_id""".stripMargin
+    ) { (s, dir) =>
+      val od = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("okey"))
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+          col("okey"), lit(null).cast("long").as("event_id"), lit(0).as("tag"))
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id").as("k"), col("ts").as("t"),
+          lit(null).cast("long").as("okey"), col("event_id"), lit(1).as("tag"))
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      od.unionAll(ev)
+        .withColumn("last_order", last(col("okey"), ignoreNulls = true).over(w))
+        .withColumn("od", last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1 && col("last_order").isNotNull)
+        .select(col("event_id"), col("last_order"), col("od"))
         .orderBy("event_id")
     },
 
