@@ -182,6 +182,24 @@ object ExtrasQueries {
         round(var_samp(col("l_quantity")), 4).as("vr"))
     },
 
+    // Pivot: wide-format aggregation (Spark's pivot operator; oracle states
+    // the equivalent conditional aggregation — identical output columns).
+    q("q46_pivot", "pivot lineitem quantities to returnflag columns per linestatus")(
+      """SELECT l_linestatus,
+        |       round(CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(round(l_quantity,4) AS DECIMAL(28,4)) END) AS DOUBLE), 4) AS A,
+        |       round(CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(round(l_quantity,4) AS DECIMAL(28,4)) END) AS DOUBLE), 4) AS N,
+        |       round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(round(l_quantity,4) AS DECIMAL(28,4)) END) AS DOUBLE), 4) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(round(col("l_quantity"), 4).cast("decimal(28,4)")).cast("double"))
+        .select(col("l_linestatus"), round(col("A"), 4).as("A"),
+          round(col("N"), 4).as("N"), round(col("R"), 4).as("R"))
+        .orderBy("l_linestatus")
+    },
+
     // Multimodal: binary columns + typed metadata + mapPartitions codec
     // plumbing (stubbed decode — see Multimodal.FakeCodec).
     rowsOnly("q39_multimodal_features", "multimodal decode/feature/resize over binary payloads") {

@@ -84,6 +84,34 @@ object StreamingQueries {
       runToMemory(s, joined).orderBy("event_id")
     },
 
+    // Stream-stream join: purchases join clicks of the same user within the
+    // preceding 30 minutes — both sides streaming, watermarked, with the
+    // event-time range constraint bounding join state (the scale requirement
+    // for stream-stream joins). Single-file replay ⇒ deterministic; oracle
+    // is the batch-equivalent theta join.
+    q("q45_stream_stream_join", "stream-stream interval join: purchase ⋈ prior click ≤30m")(
+      """SELECT p.event_id AS pid, c.event_id AS cid
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts::TIMESTAMP <= p.ts::TIMESTAMP
+        | AND c.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL 30 MINUTE
+        |ORDER BY pid, cid""".stripMargin
+    ) { (s, dir) =>
+      val p = eventsStream(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val c = eventsStream(s, dir).filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val joined = p.join(c,
+        col("pu") === col("cu")
+          && col("cts") <= col("pts")
+          && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"))
+        .select(col("pid"), col("cid"))
+      runToMemory(s, joined).orderBy("pid", "cid")
+    },
+
     // B32: arbitrary stateful processing — per-user running (count, max)
     // via flatMapGroupsWithState (≙ the reference's per-instrument derived
     // state the north star generalizes; RocksDB state store at scale).
