@@ -200,6 +200,42 @@ object ExtrasQueries {
         .orderBy("l_linestatus")
     },
 
+    // P15 dead-letter routing, oracle-checked end-to-end: wire lines are
+    // synthesized with deterministic fault injection (every 23rd line
+    // malformed JSON, every 29th a schema-mismatched tick, every 31st an
+    // unknown shape), the FULL pipeline classifies them, and the oracle
+    // recomputes the expected routing arithmetic directly.
+    q("q47_dead_letter_routing", "pipeline classification counts under injected faults")(
+      """SELECT CASE WHEN event_id % 23 = 0 THEN 'malformed'
+        |            WHEN event_id % 29 = 0 THEN 'unknown'
+        |            WHEN event_id % 31 = 0 THEN 'unknown'
+        |            ELSE 'price_tick' END AS message_type,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val good = to_json(struct(
+        array().cast("array<struct<price:string,liquidity:bigint>>").as("asks"),
+        array().cast("array<struct<price:string,liquidity:bigint>>").as("bids"),
+        col("value").cast("string").as("closeoutAsk"), lit("0").as("closeoutBid"),
+        col("event_type").as("instrument"), lit("tradeable").as("status"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time")))
+      val badSchema = to_json(struct( // liquidity as string → typed-validation fallback
+        array(struct(lit("1.1").as("price"), lit("notanumber").as("liquidity"))).as("asks"),
+        array().cast("array<struct<price:string,liquidity:string>>").as("bids"),
+        lit("1.1").as("closeoutAsk"), lit("1.0").as("closeoutBid"),
+        col("event_type").as("instrument"), lit("tradeable").as("status"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time")))
+      val lines = Tables(s, dir, "events").select(
+        when(pmod(col("event_id"), lit(23)) === 0, lit("{not json"))
+          .when(pmod(col("event_id"), lit(29)) === 0, badSchema)
+          .when(pmod(col("event_id"), lit(31)) === 0, lit("""{"foo": 1}"""))
+          .otherwise(good).as("value"))
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.streaming.OandaPipeline.parse(lines)
+        .groupBy("message_type").agg(count(lit(1)).as("n"))
+        .orderBy("message_type")
+    },
+
     // Multimodal: binary columns + typed metadata + mapPartitions codec
     // plumbing (stubbed decode — see Multimodal.FakeCodec).
     rowsOnly("q39_multimodal_features", "multimodal decode/feature/resize over binary payloads") {

@@ -93,6 +93,42 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(u1 == Map("2024-01-01 10:00:00.0" -> 2L, "2024-01-01 11:00:00.0" -> 1L))
   }
 
+  test("stream-stream interval join drops late rows on either side past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("cid", "cts").withWatermark("cts", "10 minutes")
+    val b = buys.toDF().toDF("bid", "bts").withWatermark("bts", "10 minutes")
+    val joined = b.join(c,
+      col("bid") === col("cid")
+        && col("cts") <= col("bts")
+        && col("cts") >= col("bts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("bid"), col("bts"), col("cts"))
+    val name = s"ssj_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ssj").toString)
+      .format("memory").queryName(name).start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")))
+      buys.addData((1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // advance both watermarks far past 10:10
+      clicks.addData((9L, ts("2024-01-01 15:00:00")))
+      buys.addData((9L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      // late rows on both sides, hours behind the watermark: must not join
+      clicks.addData((2L, ts("2024-01-01 10:01:00")))
+      buys.addData((2L, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      clicks.addData((9L, ts("2024-01-01 19:00:00"))) // flush
+      buys.addData((9L, ts("2024-01-01 19:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table(name).select("bid").as[Long].collect().toSet
+    assert(ids.contains(1L))
+    assert(!ids.contains(2L), "late rows on both sides must be dropped from join state")
+  }
+
   test("P16/recovery: restart from checkpoint does not re-publish processed data") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("rec").toString
