@@ -193,14 +193,14 @@ object DedupQueries {
          |       sum(CASE WHEN sgn > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      val tok = Tables.fanout(s, dir, "documents")
+      // one-pass 64-bit aggregator; the oracle states the 16-bit slice and
+      // the low 16 bits are proven identical in SimHashAggregatorSpec
+      val simAgg = udaf(new graft.functions.SimHashAggregator)
+      Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("w")).distinct()
-      tok.withColumn("hv", md5Long(col("w")))
-        .select(col("doc_id"), posexplode(array(
-          (0 until 16).map(i => (shiftright(col("hv"), i).bitwiseAND(1) * 2 - 1)): _*)))
-        .groupBy(col("doc_id"), col("pos")).agg(sum(col("col")).as("sgn"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("sgn") > 0, expr("shiftleft(1L, pos)")).otherwise(0L)).as("simhash"))
+        .withColumn("hv", md5Long(col("w")))
+        .groupBy("doc_id").agg(simAgg(col("hv")).as("sh64"))
+        .select(col("doc_id"), col("sh64").bitwiseAND(0xffffL).as("simhash"))
         .orderBy("doc_id")
     },
 
