@@ -24,6 +24,20 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(hex(enc(1000000)) == "c0843d")
   }
 
+  test("varint round-trips over random 64-bit values (property)") {
+    val rnd = new scala.util.Random(1234)
+    val values = Seq(0L, 1L, 127L, 128L, Long.MaxValue, -1L, Long.MinValue) ++
+      (1 to 200).map(_ => rnd.nextLong())
+    values.foreach { v =>
+      val w = new ProtoWire.Writer; w.uintField(1, v)
+      if (v == 0L) assert(w.toBytes.isEmpty) // default skipping
+      else {
+        val f = ProtoWire.readFields(w.toBytes)
+        assert(f.head.varint == v, s"varint round-trip failed for $v")
+      }
+    }
+  }
+
   test("proto3 default skipping: empty string and zero scalar omitted; empty message emitted") {
     assert(ProtoWire.priceLevel("", 0L).isEmpty)
     assert(hex(ProtoWire.timestamp(0L, 0)) == "")
