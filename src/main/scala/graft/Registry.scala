@@ -31,6 +31,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // defensive: events.parquet is ns-precision, which Spark 4 refuses
+    // outright unless nanosAsLong is set — callers with their own sessions
+    // (the driver's entry smoke) must not crash on it (runtime-settable conf)
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is nanosecond-precision parquet (TESTDATA.md); Spark reads it
     // as LongType nanos under spark.sql.legacy.parquet.nanosAsLong. Truncate
