@@ -182,6 +182,25 @@ object ExtrasQueries {
         round(var_samp(col("l_quantity")), 4).as("vr"))
     },
 
+    // Collection aggregates: collect_set/list made deterministic by sorting
+    // before joining to a string.
+    q("q48_collect_agg", "sorted collect_set of statuses + priorities per customer segment")(
+      """SELECT c_mktsegment,
+        |       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+        |       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios,
+        |       count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
+          concat_ws(",", sort_array(collect_set(col("o_orderpriority")))).as("prios"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
     // Pivot: wide-format aggregation (Spark's pivot operator; oracle states
     // the equivalent conditional aggregation — identical output columns).
     q("q46_pivot", "pivot lineitem quantities to returnflag columns per linestatus")(
