@@ -10,13 +10,30 @@ import org.apache.spark.sql.functions._
   */
 object OandaColumns {
 
+  /** Rust `str::parse::<f64>()` grammar: optional sign, then inf/infinity/
+    * nan (any case) or a decimal/exponent number — NO surrounding
+    * whitespace (Spark's cast would trim, silently widening the accepted
+    * set). */
+  private val rustF64 =
+    "^[+-]?((?i)inf(inity)?|(?i)nan|(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?)$"
+
+  /** One side of P8: parse exactly like rust `parse::<f64>().unwrap_or(0.0)`
+    * (`/root/reference/src/main.rs:70-72`) — padded strings and garbage
+    * coerce to 0.0 (not null), `inf`/`nan` spellings parse like rust. */
+  def parseF64Or0(c: Column): Column =
+    when(!c.rlike(rustF64), lit(0.0))
+      .when(lower(c).rlike("inf"), // ±inf/infinity
+        when(c.startsWith("-"), lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.PositiveInfinity)))
+      .when(lower(c).rlike("nan"), lit(Double.NaN))
+      .otherwise(coalesce(c.try_cast("double"), lit(0.0)))
+
   /** P8 — bid/ask spread with the reference's 0.0-coercion: each side that
     * fails to parse as f64 coerces to 0.0, NOT null
     * (`/root/reference/src/main.rs:70-72`, `unwrap_or(0.0)`). A plain
     * `cast - cast` would null-propagate instead. */
   def spread(closeoutAsk: Column, closeoutBid: Column): Column =
-    coalesce(closeoutAsk.try_cast("double"), lit(0.0)) -
-      coalesce(closeoutBid.try_cast("double"), lit(0.0))
+    parseF64Or0(closeoutAsk) - parseF64Or0(closeoutBid)
 
   /** P9 — two-format timestamp parse: RFC3339 (offset form) first, then the
     * literal-Z fractional pattern (`/root/reference/src/main.rs:140-151`).

@@ -408,7 +408,7 @@ object RelationalQueries {
         |       trim(concat(' ', p_name, ' ')) AS tr,
         |       str_split(p_name, ' ')[1] AS tok1,
         |       regexp_extract(p_name, '([a-z]+)', 1) AS rex,
-        |       regexp_replace(p_name, 'widget', 'gadget') AS rrep,
+        |       regexp_replace(p_name, 'widget', 'gadget', 'g') AS rrep,
         |       concat_ws('|', p_brand, p_type) AS cw,
         |       lpad(p_brand, 12, '.') AS pad, reverse(p_brand) AS rev
         |FROM part ORDER BY p_partkey""".stripMargin

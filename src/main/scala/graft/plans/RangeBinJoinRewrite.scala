@@ -97,14 +97,6 @@ object RangeBinJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  private def hasEquiConjunct(conjuncts: Seq[Expression], left: LogicalPlan,
-      right: LogicalPlan): Boolean = conjuncts.exists {
-    case EqualTo(l, r) =>
-      (l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
-        (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet))
-    case _ => false
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if j.resolved && !j.getTagValue(rewritten).contains(true)
@@ -124,13 +116,9 @@ object RangeBinJoinRewrite extends Rule[LogicalPlan] {
           val newRight = Generate(Explode(binArr), unrequiredChildIndex = Nil,
             outer = false, qualifier = None, generatorOutput = Seq(binROut), right)
           val newCond = And(EqualTo(binL.toAttribute, binROut), cond)
-          val out = Project(j.output,
-            Join(newLeft, newRight, Inner, Some(newCond), hint))
-          out.foreach {
-            case jj: Join => jj.setTagValue(rewritten, true)
-            case _ =>
-          }
-          out
+          val newJoin = Join(newLeft, newRight, Inner, Some(newCond), hint)
+          newJoin.setTagValue(rewritten, true) // only the join we created
+          Project(j.output, newJoin)
         case None => j
       }
   }

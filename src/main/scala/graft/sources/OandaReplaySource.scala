@@ -83,13 +83,14 @@ object LineReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LineRangePartition]
     new PartitionReader[InternalRow] {
-      private val it = Files.lines(Paths.get(p.path), StandardCharsets.UTF_8)
-        .skip(p.start).limit(math.max(0L, p.end - p.start)).iterator()
+      private val stream = Files.lines(Paths.get(p.path), StandardCharsets.UTF_8)
+      private val it = stream.skip(p.start)
+        .limit(math.max(0L, p.end - p.start)).iterator()
       private var current: String = _
       override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
       override def get(): InternalRow =
         InternalRow(UTF8String.fromString(current))
-      override def close(): Unit = ()
+      override def close(): Unit = stream.close() // one FD per partition otherwise
     }
   }
 }

@@ -19,12 +19,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Delivery semantics note (SURVEY.md §7.3#4): ZMQ PUB is at-most-once;
   * Spark foreachBatch replays batches on recovery (at-least-once), so
-  * subscribers that need exactly-once must dedup on (batch_id, row index) —
-  * both are carried in the frame header of the TCP publisher.
+  * subscribers that need exactly-once dedup on (batch_id, payload) — the
+  * batch id is carried in the TCP frame header; a replayed batch re-sends
+  * the same (batch_id, payload) pairs.
   */
 trait MessagePublisher extends Serializable with AutoCloseable {
   /** Fire-and-forget publish of one encoded message; must not throw. */
   def publish(message: Array[Byte]): Unit
+  /** Publish with the originating micro-batch id — the dedup key subscribers
+    * use to get exactly-once on top of Spark's at-least-once batch replay
+    * (SURVEY.md §7.3#4). Default ignores the id. */
+  def publishBatch(batchId: Long, message: Array[Byte]): Unit = publish(message)
   override def close(): Unit = ()
 }
 
@@ -44,22 +49,33 @@ object InMemoryPublisher {
   }
 }
 
-/** Plain-TCP stand-in for the ZMQ PUB socket: 4-byte big-endian length
-  * prefix, then the protobuf frame. Errors are logged and swallowed
-  * (at-most-once, mirroring publisher.rs:19-24). */
+/** Plain-TCP stand-in for the ZMQ PUB socket. Frame layout: 4-byte
+  * big-endian payload length, 8-byte big-endian micro-batch id, then the
+  * protobuf payload — the batch id is the subscriber-side dedup key for
+  * exactly-once over batch replay. Errors are logged and swallowed
+  * (at-most-once per send, mirroring publisher.rs:19-24). */
 final class TcpPublisher(host: String, port: Int) extends MessagePublisher {
-  @transient private lazy val socket =
-    try new Socket(host, port) catch { case _: Exception => null }
-  override def publish(message: Array[Byte]): Unit =
+  @transient private var opened = false
+  @transient private lazy val socket = {
+    opened = true
+    try new Socket(host, port) catch {
+      case e: Exception =>
+        System.err.println(s"[publisher] connect to $host:$port failed — " +
+          s"ALL messages from this partition will be dropped: ${e.getMessage}")
+        null
+    }
+  }
+  override def publish(message: Array[Byte]): Unit = publishBatch(-1L, message)
+  override def publishBatch(batchId: Long, message: Array[Byte]): Unit =
     if (socket != null) try {
       val out = socket.getOutputStream
-      out.write(ByteBuffer.allocate(4).putInt(message.length).array())
+      out.write(ByteBuffer.allocate(12).putInt(message.length).putLong(batchId).array())
       out.write(message); out.flush()
     } catch {
       case e: Exception =>
         System.err.println(s"[publisher] send failed (message skipped): ${e.getMessage}")
     }
-  override def close(): Unit = if (socket != null) socket.close()
+  override def close(): Unit = if (opened && socket != null) socket.close()
 }
 
 object Sinks {
@@ -75,7 +91,7 @@ object Sinks {
         batch.select("proto").where("proto IS NOT NULL")
           .foreachPartition { (it: Iterator[Row]) =>
             val p = factory()
-            try it.foreach(r => p.publish(r.getAs[Array[Byte]](0)))
+            try it.foreach(r => p.publishBatch(batchId, r.getAs[Array[Byte]](0)))
             finally p.close()
           }
       }

@@ -30,9 +30,22 @@ class VectorExpressionSpec extends AnyFunSuite {
   }
 
   test("codegen path actually engages (no CodegenFallback in plan) and eval path agrees") {
-    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f)))
-      .toDF("a", "b")
-      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    // non-literal source: literals would constant-fold into a LocalTableScan
+    // and no codegen stage would exist at all
+    // plain expressions only: a higher-order fn here would itself be
+    // CodegenFallback and break WSCG for the whole projection
+    val base = spark.range(1).selectExpr(
+      "array(CAST(id+1 AS FLOAT), CAST(id+2 AS FLOAT), CAST(id+3 AS FLOAT)) AS a",
+      "array(CAST(id+3 AS FLOAT), CAST(id+2 AS FLOAT), CAST(id+1 AS FLOAT)) AS b")
+    val df = base.select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    // the projection containing the expression must sit inside WSCG — a
+    // doGenCode regression falling back to interpreted eval would erase the
+    // performance property the expression exists for
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"), plan)
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(codegen.contains("numElements"), codegen.take(800))
     val got = df.collect().head.getDouble(0)
     val want = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
     assert(got == want)
@@ -43,6 +56,12 @@ class VectorExpressionSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(3.0f, 2.0f, 1.0f),
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
     assert(expr.eval(null).asInstanceOf[Double] == want)
+  }
+
+  test("dimension mismatch → null (zip_with parity)") {
+    val r = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b"))).collect().head
+    assert(r.isNullAt(0))
   }
 
   test("type check rejects non-float arrays") {

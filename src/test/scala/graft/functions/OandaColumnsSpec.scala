@@ -12,14 +12,22 @@ class OandaColumnsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  /** Model of main.rs:70-72: rust `str::parse::<f64>().unwrap_or(0.0)`. */
-  private def rustParseOr0(s: String): Double =
-    try { val t = s.trim; if (t.isEmpty) 0.0 else t.toDouble }
-    catch { case _: Exception => 0.0 }
+  /** Model of main.rs:70-72: rust `str::parse::<f64>().unwrap_or(0.0)`.
+    * Rust's grammar: optional sign + (inf|infinity|nan any-case | decimal/
+    * exponent form); surrounding whitespace is REJECTED (unlike a SQL cast,
+    * which trims — so '  1.5  ' coerces to 0.0 here). */
+  private def rustParseOr0(s: String): Double = {
+    val ok = s.matches("^[+-]?((?i)inf(inity)?|(?i)nan|(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?)$")
+    if (!ok) 0.0
+    else java.lang.Double.parseDouble(
+      s.replaceAll("(?i)^([+-]?)inf(inity)?$", "$1Infinity")
+        .replaceAll("(?i)^([+-]?)nan$", "NaN"))
+  }
 
   test("P8 spread ≡ reference unwrap_or(0.0) model over numeric and garbage strings") {
     val rnd = new scala.util.Random(42)
-    val garbage = Seq("", "garbage", "1.2.3", "  1.5  ", "1e3", "-0.0", "007")
+    val garbage = Seq("", "garbage", "1.2.3", "  1.5  ", "1e3", "-0.0", "007",
+      " 2.5", "3.5 ", "inf", "-inf", "Infinity", "+infinity", "NaN", "nan", "0x12", ".5", "3.")
     val cases = (1 to 40).map(_ => (rnd.nextDouble() * 2e6 - 1e6).toString) ++ garbage
     val pairs = for (a <- cases; b <- garbage) yield (a, b)
     val got = pairs.toDF("a", "b")
@@ -27,7 +35,9 @@ class OandaColumnsSpec extends AnyFunSuite {
       .collect()
     got.foreach { r =>
       val want = rustParseOr0(r.getString(0)) - rustParseOr0(r.getString(1))
-      assert(r.getDouble(2) == want, s"ask=${r.getString(0)} bid=${r.getString(1)}")
+      val g = r.getDouble(2)
+      assert(g == want || (g.isNaN && want.isNaN),
+        s"ask=${r.getString(0)} bid=${r.getString(1)} got=$g want=$want")
     }
   }
 

@@ -15,13 +15,14 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
 def canon(rows):
+    # every cell becomes a string so mixed float/None columns stay sortable
     out = []
     for r in rows:
         rr = []
         for v in r:
             if isinstance(v, float):
                 if math.isnan(v): rr.append("NaN")
-                else: rr.append(round(v, 6))
+                else: rr.append(repr(round(v, 6)))
             elif v is None: rr.append("\x00NULL")
             else: rr.append(str(v))
         out.append(tuple(rr))
