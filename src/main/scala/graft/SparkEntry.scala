@@ -29,15 +29,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
+    import streaming.WireLines._
     val lines = Tables(spark, dir, "events").select(
-      to_json(struct(
-        array(struct(col("value").cast("string").as("price"), lit(1000000L).as("liquidity"))).as("asks"),
-        array(struct((col("value") - lit(0.01)).cast("string").as("price"), lit(1000000L).as("liquidity"))).as("bids"),
-        col("value").cast("string").as("closeoutAsk"),
-        (col("value") - lit(0.01)).cast("string").as("closeoutBid"),
-        col("event_type").as("instrument"),
-        lit("tradeable").as("status"),
-        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"))).as("value"))
+      tickLine(
+        asks = array(level(col("value"), lit(1000000L))),
+        bids = array(level(col("value") - 0.01, lit(1000000L))),
+        closeoutAsk = col("value"), closeoutBid = col("value") - 0.01,
+        instrument = col("event_type"), time = isoMicros(col("ts"))).as("value"))
       .repartition(spark.sparkContext.defaultParallelism) // single-file fixture → fan out
     streaming.OandaPipeline.pipeline(lines)
       .filter(col("message_type") === "price_tick")

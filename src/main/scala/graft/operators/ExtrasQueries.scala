@@ -44,16 +44,11 @@ object ExtrasQueries {
         |FROM events ORDER BY event_id""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
+      import graft.streaming.WireLines._
       val lines = Tables(s, dir, "events").select(
         col("event_id"),
-        to_json(struct(
-          array().cast("array<struct<price:string,liquidity:bigint>>").as("asks"),
-          array().cast("array<struct<price:string,liquidity:bigint>>").as("bids"),
-          col("value").cast("string").as("closeoutAsk"),
-          lit("0").as("closeoutBid"),
-          col("event_type").as("instrument"),
-          lit("tradeable").as("status"),
-          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"))).as("value"))
+        tickLine(emptyLevels, emptyLevels, col("value"), lit("0"),
+          col("event_type"), isoMicros(col("ts"))).as("value"))
         // the fixture is one small parquet file = one input partition; at a
         // real deployment parallelism comes from many source partitions —
         // emulate it here so the pipeline uses every core
@@ -232,18 +227,15 @@ object ExtrasQueries {
         |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, dir) =>
-      val good = to_json(struct(
-        array().cast("array<struct<price:string,liquidity:bigint>>").as("asks"),
-        array().cast("array<struct<price:string,liquidity:bigint>>").as("bids"),
-        col("value").cast("string").as("closeoutAsk"), lit("0").as("closeoutBid"),
-        col("event_type").as("instrument"), lit("tradeable").as("status"),
-        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time")))
+      import graft.streaming.WireLines._
+      val good = tickLine(emptyLevels, emptyLevels, col("value"), lit("0"),
+        col("event_type"), isoMicros(col("ts")))
       val badSchema = to_json(struct( // liquidity as string → typed-validation fallback
         array(struct(lit("1.1").as("price"), lit("notanumber").as("liquidity"))).as("asks"),
         array().cast("array<struct<price:string,liquidity:string>>").as("bids"),
         lit("1.1").as("closeoutAsk"), lit("1.0").as("closeoutBid"),
         col("event_type").as("instrument"), lit("tradeable").as("status"),
-        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time")))
+        isoMicros(col("ts")).as("time")))
       val lines = Tables(s, dir, "events").select(
         when(pmod(col("event_id"), lit(23)) === 0, lit("{not json"))
           .when(pmod(col("event_id"), lit(29)) === 0, badSchema)
@@ -270,17 +262,14 @@ object ExtrasQueries {
       (s, dir) =>
         val lines = Tables(s, dir, "events")
           .crossJoin(s.range(3).select(col("id").as("rep")))
-          .select(
-            to_json(struct(
-              array(struct(col("value").cast("string").as("price"),
-                (col("rep") + 1).as("liquidity"))).as("asks"),
-              array(struct((col("value") - lit(0.01)).cast("string").as("price"),
-                lit(1L).as("liquidity"))).as("bids"),
-              col("value").cast("string").as("closeoutAsk"),
-              (col("value") - lit(0.01)).cast("string").as("closeoutBid"),
-              col("event_type").as("instrument"),
-              lit("tradeable").as("status"),
-              date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"))).as("value"))
+          .select {
+            import graft.streaming.WireLines._
+            tickLine(
+              asks = array(level(col("value"), col("rep") + 1)),
+              bids = array(level(col("value") - 0.01, lit(1L))),
+              closeoutAsk = col("value"), closeoutBid = col("value") - 0.01,
+              instrument = col("event_type"), time = isoMicros(col("ts"))).as("value")
+          }
           .repartition(s.sparkContext.defaultParallelism) // single-file fixture → fan out
         graft.streaming.OandaPipeline.pipeline(lines)
           .groupBy("message_type")
