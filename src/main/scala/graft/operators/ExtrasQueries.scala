@@ -164,8 +164,8 @@ object ExtrasQueries {
     // Statistical aggregates: correlation, covariance, stddev/variance —
     // scale-free or ratio quantities, stable at round-4 across engines.
     q("q42_stats", "corr/covar/stddev/variance over lineitem")(
-      """SELECT round(corr(l_quantity, l_extendedprice), 4) AS c,
-        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS cv,
+      """SELECT round(corr(l_quantity, l_extendedprice), 4) + 0 AS c,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) + 0 AS cv,
         |       round(stddev_samp(l_extendedprice), 4) AS sd,
         |       round(var_samp(l_quantity), 4) AS vr
         |FROM lineitem""".stripMargin

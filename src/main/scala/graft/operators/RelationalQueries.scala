@@ -317,8 +317,8 @@ object RelationalQueries {
     // B14: analytic window functions lag/lead/first/last per user.
     q("q14_window_lag", "B14 lag/lead/first/last value deltas per user over events")(
       """SELECT event_id, user_id, round(value, 4) AS v,
-        |       round(value - lag(value)  OVER w, 4) AS delta_prev,
-        |       round(lead(value) OVER w - value, 4) AS delta_next,
+        |       round(value - lag(value)  OVER w, 4) + 0 AS delta_prev,
+        |       round(lead(value) OVER w - value, 4) + 0 AS delta_next,
         |       first_value(event_type) OVER w AS first_et,
         |       last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_et
@@ -493,7 +493,7 @@ object RelationalQueries {
     // B23: array/higher-order functions over the embedding column.
     q("q23_array_fns", "B23 array fns: size/slice/aggregate/sort/element over embeddings")(
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
-        |       round(list_sum(list_transform(embedding[1:4], x -> x::DOUBLE)), 4) AS first4,
+        |       round(list_sum(list_transform(embedding[1:4], x -> x::DOUBLE)), 4) + 0 AS first4,
         |       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS mx,
         |       round(list_sort(list_transform(embedding, x -> x::DOUBLE))[1], 4) AS mn,
         |       list_contains(range(1, 6), label) AS lab15
@@ -511,7 +511,7 @@ object RelationalQueries {
 
     // B23: posexplode (lateral array expansion), 1-based position for parity.
     q("q23b_explode", "B23 posexplode embedding elements (vec_id < 10)")(
-      """SELECT vec_id, CAST(i AS BIGINT) AS pos, round(e::DOUBLE, 4) AS val
+      """SELECT vec_id, CAST(i AS BIGINT) AS pos, round(e::DOUBLE, 4) + 0 AS val
         |FROM (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
         |      FROM embeddings WHERE vec_id < 10)
         |ORDER BY vec_id, pos""".stripMargin

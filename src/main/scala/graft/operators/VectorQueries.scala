@@ -75,7 +75,7 @@ object VectorQueries {
         |      FROM v q JOIN n nq ON nq.vec_id = q.vec_id,
         |           v c JOIN n nc ON nc.vec_id = c.vec_id
         |      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-        |SELECT qid, cid, round(cs, 4) AS cos, CAST(rn AS BIGINT) AS rn
+        |SELECT qid, cid, round(cs, 4) + 0 AS cos, CAST(rn AS BIGINT) AS rn
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM s)
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     ) { (s, dir) =>
@@ -123,7 +123,7 @@ object VectorQueries {
          |           JOIN v cv ON cv.vec_id = c.vec_id
          |           JOIN n nq ON nq.vec_id = probe.qid
          |           JOIN n nc ON nc.vec_id = c.vec_id)
-         |SELECT qid, cid, round(cs, 4) AS cos, CAST(rn AS BIGINT) AS rn
+         |SELECT qid, cid, round(cs, 4) + 0 AS cos, CAST(rn AS BIGINT) AS rn
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM s)
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
     ) { (s, dir) =>
@@ -157,7 +157,7 @@ object VectorQueries {
         |      FROM v x JOIN n nx ON nx.vec_id = x.vec_id,
         |           v c JOIN n nc ON nc.vec_id = c.vec_id
         |      WHERE c.vec_id < 8)
-        |SELECT vec_id, cent, round(cs, 4) AS cos
+        |SELECT vec_id, cent, round(cs, 4) + 0 AS cos
         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent) AS rn FROM s)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
     ) { (s, dir) =>

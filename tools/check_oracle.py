@@ -22,7 +22,7 @@ def canon(rows):
         for v in r:
             if isinstance(v, float):
                 if math.isnan(v): rr.append("NaN")
-                else: rr.append(repr(round(v, 6)))
+                else: rr.append(repr(round(v, 6) + 0.0))
             elif v is None: rr.append("\x00NULL")
             else: rr.append(str(v))
         out.append(tuple(rr))
