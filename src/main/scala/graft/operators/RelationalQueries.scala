@@ -494,8 +494,8 @@ object RelationalQueries {
     q("q23_array_fns", "B23 array fns: size/slice/aggregate/sort/element over embeddings")(
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |       round(list_sum(list_transform(embedding[1:4], x -> x::DOUBLE)), 4) + 0 AS first4,
-        |       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS mx,
-        |       round(list_sort(list_transform(embedding, x -> x::DOUBLE))[1], 4) AS mn,
+        |       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) + 0 AS mx,
+        |       round(list_sort(list_transform(embedding, x -> x::DOUBLE))[1], 4) + 0 AS mn,
         |       list_contains(range(1, 6), label) AS lab15
         |FROM embeddings ORDER BY vec_id""".stripMargin
     ) { (s, dir) =>
