@@ -56,6 +56,31 @@ class OandaReplaySourceSpec extends AnyFunSuite {
     assert(byType == Map("price_tick" -> 10L, "heartbeat" -> 1L, "malformed" -> 1L))
   }
 
+  test("checkpoint restart resumes at the committed offset without duplicates") {
+    val path = captureFile(ticks)
+    val ckpt = Files.createTempDirectory("replay-restart").toString
+    val pub = s"replay_restart_${System.nanoTime()}"
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    def run(): Unit = {
+      val q = spark.readStream.format("oanda-replay")
+        .option("path", path).option("linesPerTrigger", "4").load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r =>
+            graft.streaming.InMemoryPublisher.queue(pub).add(r.getString(0).getBytes))
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(graft.streaming.InMemoryPublisher.drain(pub).size == 10)
+    // restart against the same checkpoint: offsets resume at the end, the
+    // (already fully consumed) capture must not be re-emitted
+    run()
+    assert(graft.streaming.InMemoryPublisher.drain(pub).isEmpty)
+  }
+
   test("batch read of the same capture works through the same table") {
     val path = captureFile(ticks)
     val n = spark.read.format("oanda-replay").option("path", path).load().count()
