@@ -42,10 +42,19 @@ object Bench {
         try spark.catalog.clearCache() catch { case _: Throwable => () }
         name -> dt
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // timings rounded to ms: the round-1 full-precision line was ~4 KB and
+    // overflowed the driver's captured-output tail, so no complete JSON line
+    // survived to parse ("parsed": null). ~2 KB fits with room to spare.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // also drop the artifact as a file, free of any sbt log framing
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

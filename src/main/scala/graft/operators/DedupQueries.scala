@@ -149,35 +149,42 @@ object DedupQueries {
          |         JOIN cnt cb ON cb.doc_id = est.d2
          |ORDER BY est.d1, est.d2""".stripMargin
     ) { (s, dir) =>
+      // One aggregation per doc carries everything verification needs — the
+      // 16-minima signature, the distinct-shingle set, and its size — so the
+      // estimated- and exact-Jaccard stages become array ops (zip_with /
+      // array_intersect) over the few band-join candidates instead of fresh
+      // shingle self-joins: 1 wide shuffle + 1 band join + 2 candidate
+      // equi-joins total (was 6 joins + 3 aggs).
+      val agg = udaf(new MinHashAggregator)
       val toks = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("t"))
       val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
-        .cache() // reused by banding, signature-agreement, and exact-Jaccard stages
-      val sig = sigDf(sh).cache() // reused by bands and the agreement join
-      val bands = sig
-        .groupBy(col("doc_id"), (col("j") / 4).cast("long").as("band"))
-        .agg(concat_ws(",",
-          transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-            x => x.getField("mh").cast("string"))).as("bsig"))
+      val docs = sh.withColumn("h1v", h1(col("s")))
+        .groupBy("doc_id")
+        .agg(agg(col("h1v")).as("sig"), collect_set(col("s")).as("shs"),
+          count(lit(1)).as("n"))
+        .cache() // reused by banding and both candidate-side lookups
+      val bands = docs.select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b.toLong).as("band"),
+          concat_ws(",", (0 until 4).map(k =>
+            element_at(col("sig"), b * 4 + k + 1).cast("string")): _*).as("bsig"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      val est = cand
-        .join(sig.select(col("doc_id").as("d1"), col("j"), col("mh").as("mha")), "d1")
-        .join(sig.select(col("doc_id").as("d2"), col("j"), col("mh").as("mhb")), Seq("d2", "j"))
-        .groupBy("d1", "d2")
-        .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)) * lit(1.0) / 16).as("est_raw"))
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val common = est.select("d1", "d2")
-        .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
-        .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-      est.join(common, Seq("d1", "d2"))
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
-        .select(col("d1"), col("d2"), round(col("est_raw"), 4).as("est"),
+      cand
+        .join(docs.select(col("doc_id").as("d1"), col("sig").as("siga"),
+          col("shs").as("sha"), col("n").as("na")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("sig").as("sigb"),
+          col("shs").as("shb"), col("n").as("nb")), "d2")
+        .withColumn("agree", aggregate(
+          zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), _ + _))
+        .withColumn("c", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .select(col("d1"), col("d2"),
+          round(col("agree") * lit(1.0) / 16, 4).as("est"),
           round(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")), 4).as("jac"))
         .orderBy("d1", "d2")
     },
@@ -190,7 +197,7 @@ object DedupQueries {
          |bits AS (SELECT doc_id, i, sum(((hv >> i) & 1) * 2 - 1) AS sgn
          |         FROM h CROSS JOIN range(16) AS r(i) GROUP BY doc_id, i)
          |SELECT doc_id,
-         |       sum(CASE WHEN sgn > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+         |       CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       // one-pass 64-bit aggregator; the oracle states the 16-bit slice and
@@ -207,7 +214,15 @@ object DedupQueries {
     // Embedding-cosine near-dup pairs (north-star dedup family). Double-cast
     // dot products are bit-identical across engines (verified empirically),
     // so the 0.9 threshold is stable.
-    q("q34e_embedding_neardup", "embedding-cosine near-dup pairs (cos ≥ 0.9)")(
+    //
+    // Scale shape: candidates come from the same random-hyperplane LSH
+    // buckets q35b assigns, probed to Hamming ≤ 2 (multi-probe), then exact
+    // cosine only on bucket-colliding pairs — an equi-join on bucket id, not
+    // the all-pairs product (the oracle stays all-pairs: it is the small-sf
+    // ground truth, like q34a is for MinHash). Recall of the probe ball for
+    // genuinely near-identical pairs (cos ≥ 0.97) is ≥ 0.97; documented in
+    // SCALE.md, recall asserted in ApproxAndRecallSpec.
+    q("q34e_embedding_neardup", "embedding-cosine near-dup pairs (cos ≥ 0.9) via LSH candidates")(
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
         |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v)
         |SELECT a.vec_id AS v1, b.vec_id AS v2,
@@ -218,11 +233,20 @@ object DedupQueries {
         |WHERE list_dot_product(a.e, b.e) / (na.nrm * nb.nrm) >= 0.9
         |ORDER BY v1, v2""".stripMargin
     ) { (s, dir) =>
-      val v = Tables.fanout(s, dir, "embeddings")
-      val a = v.select(col("vec_id").as("v1"), col("embedding").as("ea"))
-      val b = v.select(col("vec_id").as("v2"), col("embedding").as("eb"))
-      a.join(b, col("v1") < col("v2"))
-        .withColumn("cos_raw", graft.expressions.VectorFunctions.cosine(col("ea"), col("eb")))
+      val masks = VectorQueries.probeMasks(2)
+      val v = VectorQueries.withBucket(
+        VectorQueries.withNorm(Tables.fanout(s, dir, "embeddings")))
+      // each probe bucket is distinct per v1 and each v2 has one bucket, so a
+      // pair matches at most once — no dedup step needed
+      val a = v.select(col("vec_id").as("v1"), col("e").as("ea"),
+          col("nrm").as("nrma"), col("bucket"))
+        .withColumn("pb", explode(array(
+          masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+      val b = v.select(col("vec_id").as("v2"), col("e").as("eb"),
+        col("nrm").as("nrmb"), col("bucket").as("cb"))
+      a.join(b, col("pb") === col("cb") && col("v1") < col("v2"))
+        .withColumn("cos_raw",
+          VectorQueries.dot(col("ea"), col("eb")) / (col("nrma") * col("nrmb")))
         .filter(col("cos_raw") >= 0.9)
         .select(col("v1"), col("v2"), round(col("cos_raw"), 4).as("cos"))
         .orderBy("v1", "v2")

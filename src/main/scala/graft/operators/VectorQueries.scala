@@ -21,12 +21,19 @@ import org.apache.spark.sql.expressions.Window
 object VectorQueries {
 
   /** Double-cast embedding + its L2 norm (sequential fold). */
-  private def withNorm(df: DataFrame): DataFrame =
+  private[operators] def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
       .withColumn("nrm", sqrt(aggregate(zip_with(col("e"), col("e"), _ * _), lit(0.0), _ + _)))
 
-  private def dot(a: Column, b: Column): Column =
+  private[operators] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** XOR masks of the Hamming ball of the given radius over the plane bits —
+    * the multi-probe set: probing `bucket ^ mask` for every mask reaches all
+    * buckets within `radius` sign-bit flips. */
+  private[operators] def probeMasks(radius: Int): Seq[Long] =
+    (0 until (1 << NumPlanes))
+      .filter(m => java.lang.Integer.bitCount(m) <= radius).map(_.toLong)
 
   /** Random-hyperplane LSH: nPlanes deterministic pseudo-random planes with
     * component w(i,d) = ((md5("p{i}:{d}") % 2001) - 1000) / 1000 — the same
@@ -50,11 +57,11 @@ object VectorQueries {
        |              list_dot_product(e, list_transform(generate_series(0, ${Dim - 1}),
        |                                                 d -> $planeWeightSql)) AS s
        |       FROM v CROSS JOIN range(${NumPlanes}) AS r(i)),
-       |bk AS (SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS bucket
+       |bk AS (SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS bucket
        |       FROM pd GROUP BY vec_id)""".stripMargin
 
   /** Spark twin: add a `bucket` column to a [[withNorm]]-shaped frame. */
-  private def withBucket(df: DataFrame): DataFrame = {
+  private[operators] def withBucket(df: DataFrame): DataFrame = {
     val dots = (0 until NumPlanes).foldLeft(df) { (d, i) =>
       d.withColumn(s"s_$i", dot(col("e"), planeLit(i)))
     }
@@ -127,8 +134,7 @@ object VectorQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM s)
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
     ) { (s, dir) =>
-      val masks = (0 until (1 << NumPlanes))
-        .filter(m => java.lang.Integer.bitCount(m) <= 2).map(_.toLong)
+      val masks = probeMasks(2)
       val v = withBucket(withNorm(Tables.fanout(s, dir, "embeddings")))
       val qs = v.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),

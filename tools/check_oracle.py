@@ -5,9 +5,11 @@ Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [query ...]
 
 Reads each <out_dir>/<name>/ parquet (written by graft.Verify), runs the
 matching oracle SQL from <out_dir>/oracle_sql.json in DuckDB with the fixture
-tables registered as views, and diffs: column names (sorted), row counts, and
-values (rows sorted by all columns, doubles compared exactly after the
-queries' own round(·,4))."""
+tables registered as views, and diffs: column names (sorted), column TYPES
+(DuckDB type of the spark parquet column vs the oracle result column — the
+driver hashes typed values, so an int64/HUGEINT divergence is a real failure
+even when the printed values agree), row counts, and values (rows sorted by
+all columns, doubles compared exactly after the queries' own round(·,4))."""
 import sys, json, math, glob, os
 import duckdb
 
@@ -45,9 +47,11 @@ def main():
         try:
             spark_rel = con.sql(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
             spark_cols = [c.lower() for c in spark_rel.columns]
+            spark_types = [str(t) for t in spark_rel.types]
             spark_rows = spark_rel.fetchall()
             duck_rel = con.sql(oracle[name])
             duck_cols = [c.lower() for c in duck_rel.columns]
+            duck_types = [str(t) for t in duck_rel.types]
             duck_rows = duck_rel.fetchall()
         except Exception as e:
             print(f"ERROR    {name}: {str(e)[:200]}"); n_fail += 1; continue
@@ -57,6 +61,22 @@ def main():
         # reorder spark rows into duck column order
         idx = [spark_cols.index(c) for c in duck_cols]
         spark_rows = [tuple(r[i] for i in idx) for r in spark_rows]
+        # typed compare, same fidelity as the driver's typed value-hash:
+        # both sides are DuckDB relations, so compare DuckDB types per column.
+        # Catches e.g. sum(BIGINT)->HUGEINT in an oracle (hash-diverges in the
+        # driver even though stringified values agree).
+        type_diffs = [
+            (duck_cols[k], spark_types[idx[k]], duck_types[k])
+            for k in range(len(duck_cols)) if spark_types[idx[k]] != duck_types[k]
+        ]
+        if type_diffs:
+            print(f"TYPES    {name}: (col, spark, duck) {type_diffs}")
+            n_fail += 1; continue
+        bad_duck = [(duck_cols[k], duck_types[k]) for k in range(len(duck_cols))
+                    if "HUGEINT" in duck_types[k] or duck_types[k].startswith("DECIMAL")]
+        if bad_duck:
+            print(f"ORATYPE  {name}: oracle emits non-parquet-native types {bad_duck}")
+            n_fail += 1; continue
         cs, cd = canon(spark_rows), canon(duck_rows)
         if len(cs) != len(cd):
             print(f"ROWS     {name}: spark={len(cs)} duck={len(cd)}"); n_fail += 1; continue
