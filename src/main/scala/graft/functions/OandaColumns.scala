@@ -35,16 +35,27 @@ object OandaColumns {
   def spread(closeoutAsk: Column, closeoutBid: Column): Column =
     parseF64Or0(closeoutAsk) - parseF64Or0(closeoutBid)
 
-  /** P9 — two-format timestamp parse: RFC3339 (offset form) first, then the
-    * literal-Z fractional pattern (`/root/reference/src/main.rs:140-151`).
-    * Spark's ISO-8601 timestamp cast accepts both shapes (offset `+HH:MM`
-    * and literal `Z`, 0-9 fractional digits, truncating to µs), so a single
-    * try_cast covers the union; unparseable → null (the reference errors the
-    * record out — callers route those to the dead-letter side). */
+  /** Union grammar of the reference's two accepted shapes
+    * (`/root/reference/src/main.rs:140-151`): RFC3339
+    * (`chrono::DateTime::parse_from_rfc3339` — `T` separator, optional
+    * 1-9-digit fraction, offset `Z`/`z`/`±HH:MM`) and the literal-Z
+    * fractional pattern `%Y-%m-%dT%H:%M:%S%.fZ` (a subset of the former).
+    * Date-only, space-separated, and zone-less strings — which a bare
+    * timestamp cast would accept — are NOT in either grammar. */
+  private val wireTimeGrammar =
+    "^\\d{4}-\\d{2}-\\d{2}[Tt]\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,9})?([Zz]|[+-]\\d{2}:\\d{2})$"
+
+  /** P9 — two-format timestamp parse anchored to exactly the reference's
+    * grammars (`main.rs:140-151`): shape-gated by [[wireTimeGrammar]], then
+    * parsed by Spark's ISO-8601 cast (which covers the union, truncating the
+    * fraction to µs). Anything outside the two grammars → null — the
+    * reference errors those records out; callers route them to the
+    * dead-letter side. */
   def parseEventTime(time: Column): Column =
-    coalesce(
-      time.try_cast("timestamp"),
-      try_to_timestamp(time, lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]'Z'")))
+    // RFC3339 allows lowercase t/z (chrono accepts them); Spark's cast wants
+    // uppercase — translate the two marker letters, digits are unaffected
+    when(time.rlike(wireTimeGrammar),
+      translate(time, "tz", "TZ").try_cast("timestamp"))
 
   /** P9 fidelity sidecar — nanosecond component of the wire timestamp.
     * Spark TimestampType is µs; the proto carries nanos

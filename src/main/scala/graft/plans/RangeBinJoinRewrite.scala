@@ -19,11 +19,20 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * Because `b.t ∈ (a.t, a.t + w]`, binning both sides at width w means b's
   * bin is a's bin or a's bin + 1. The rewrite:
   *
-  *   - adds `bin = floor(unix_micros(t) / w)` to the left side,
+  *   - adds `bin = unix_micros(t) div w` to the left side (integral
+  *     division truncates toward zero, NOT floor — for pre-1970 timestamps
+  *     the cell around zero is up to 2w−1 wide; bin boundaries are still
+  *     ≥ w apart, so an interval of width w crosses at most one boundary
+  *     and the two-bin adjacency argument below holds unchanged),
   *   - explodes the right side to `{bin, bin − 1}` (expansion factor exactly
   *     2, independent of data volume),
   *   - joins on `(k, bin)` equality, keeping the original range predicates
   *     as exact post-filters.
+  *
+  * The rewrite only fires when NO cross-side equality conjunct exists: with
+  * an equi key present the planner already hash-joins on it and evaluates
+  * the range as a post-filter, and doubling the probe side via the bin
+  * explode would cost more than it saves.
   *
   * Catalyst then plans a hash join partitioned by (k, bin): shuffle load
   * spreads with key × time cardinality — the 100 TB shape. Enable with
@@ -103,9 +112,19 @@ object RangeBinJoinRewrite extends Rule[LogicalPlan] {
           && !left.output.exists(_.name == "__graft_bin_l")
           && !right.output.exists(_.name == "__graft_bin_r") =>
       val conjuncts = splitConjunctivePredicates(cond)
-      // only fire when the join would otherwise be non-equi-only is too
-      // strict (an equi key may coexist); fire whenever a range pair exists
-      findRange(conjuncts, left, right) match {
+      // an existing cross-side equality means the planner hash-joins on it
+      // already — the bin explode would only double that join's probe side
+      def crossSides(l: Expression, r: Expression): Boolean =
+        l.references.nonEmpty && r.references.nonEmpty &&
+          ((l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
+            (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet)))
+      val hasEquiKey = conjuncts.exists {
+        case EqualTo(l, r) => crossSides(l, r)
+        case EqualNullSafe(l, r) => crossSides(l, r)
+        case _ => false
+      }
+      if (hasEquiKey) j
+      else findRange(conjuncts, left, right) match {
         case Some(RangePair(aT, bT, w)) =>
           val binL = Alias(IntegralDivide(UnixMicros(aT), Literal(w)), "__graft_bin_l")()
           val binRBase = IntegralDivide(UnixMicros(bT), Literal(w))

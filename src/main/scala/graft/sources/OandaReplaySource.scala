@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -22,12 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * The reference's source is an HTTP chunked stream
   * (`/root/reference/src/oanda_client.rs:10-39`) framed into lines
   * (`:34-48`) with a bounded channel as backpressure (`main.rs:52`, cap
-  * 100). This connector reproduces that contract against a capture file —
-  * the only transport available in a zero-egress environment; a live HTTP
-  * transport is the same class with the line iterator reading a chunked
-  * response body instead of a file (the offset/commit/planInputPartitions
-  * machinery is transport-independent). `linesPerTrigger` (default 100,
-  * the reference's channel capacity) is the backpressure knob ≙ P7.
+  * 100). The offset/commit/planInputPartitions machinery here is
+  * transport-independent over the [[LineTransport]] seam: `transport=file`
+  * (default) replays a capture file — the only transport exercisable in a
+  * zero-egress environment — and `transport=http` runs [[HttpLineTransport]],
+  * the live-wire twin (bearer auth, fail-fast non-2xx, chunk-safe framing,
+  * bounded buffer, reconnect), unit-tested against a fake connector in
+  * HttpLineTransportSpec. `linesPerTrigger` (default 100, the reference's
+  * channel capacity) is the backpressure knob ≙ P7; the passed ReadLimit is
+  * honored (maxOffsetsPerTrigger etc.), and Trigger.AvailableNow drains the
+  * whole capture in rate-limited batches.
   *
   * Usage:
   * {{{
@@ -44,26 +48,40 @@ class OandaReplayProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new OandaReplayTable(properties.get("path"),
-      Option(properties.get("linesPerTrigger")).map(_.toInt).getOrElse(100))
+      Option(properties.get("linesPerTrigger")).map(_.toInt).getOrElse(100),
+      Option(properties.get("transport")).getOrElse("file"))
 }
 
 object OandaReplaySource {
   val schema: StructType = StructType(Seq(StructField("value", StringType)))
 }
 
-class OandaReplayTable(path: String, linesPerTrigger: Int)
+class OandaReplayTable(path: String, linesPerTrigger: Int, transport: String = "file")
     extends Table with SupportsRead {
-  require(path != null, "oanda-replay requires option 'path'")
-  override def name(): String = s"oanda-replay($path)"
+  require(transport == "http" || path != null, "oanda-replay requires option 'path'")
+  override def name(): String = s"oanda-replay(${if (transport == "http") "http" else path})"
   override def schema(): StructType = OandaReplaySource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+
+  private def newTransport(): LineTransport = transport match {
+    case "file" => new FileLineTransport(path)
+    case "http" =>
+      // live wire: config from env exactly like the reference's main
+      // (config.rs:14-36); errors carry the reference's usage text
+      val cfg = graft.Config.fromEnv().fold(
+        err => throw new IllegalArgumentException(s"$err\n\n${graft.Config.usage}"),
+        identity)
+      new HttpLineTransport(cfg, HttpConnector.Jdk, maxBuffered = linesPerTrigger)
+    case other => throw new IllegalArgumentException(
+      s"unknown transport '$other' (expected file|http)")
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = OandaReplaySource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new OandaReplayMicroBatchStream(path, linesPerTrigger)
+        new OandaReplayMicroBatchStream(newTransport(), linesPerTrigger)
       override def toBatch: Batch = new Batch {
         override def planInputPartitions(): Array[InputPartition] =
           Array(LineRangePartition(path, 0L, Long.MaxValue))
@@ -95,16 +113,22 @@ object LineReaderFactory extends PartitionReaderFactory {
   }
 }
 
-class OandaReplayMicroBatchStream(path: String, linesPerTrigger: Int)
-    extends MicroBatchStream with SupportsAdmissionControl {
+class OandaReplayMicroBatchStream(transport: LineTransport, linesPerTrigger: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
-  /** Total lines in the capture — the "stream head" this replay can reach.
-    * Counted lazily once; a live transport would instead track the bytes
-    * received so far. */
-  private lazy val totalLines: Long = {
-    val s = Files.lines(Paths.get(path), StandardCharsets.UTF_8)
-    try s.count() finally s.close()
-  }
+  /** Replay-path convenience constructor (the round-1 signature). */
+  def this(path: String, linesPerTrigger: Int) =
+    this(new FileLineTransport(path), linesPerTrigger)
+
+  /** Head frozen at prepare time so Trigger.AvailableNow drains exactly the
+    * lines that existed when the run started, in rate-limited batches, then
+    * stops — instead of truncating at one batch (round-1 bug: latestOffset
+    * ignored run-to-completion triggers). */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(transport.head())
 
   override def initialOffset(): Offset = LineOffset(0L)
 
@@ -112,9 +136,23 @@ class OandaReplayMicroBatchStream(path: String, linesPerTrigger: Int)
     * micro-batch admits at most linesPerTrigger lines past `start`. */
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(linesPerTrigger.toLong)
 
+  /** Upper bound implied by a ReadLimit for a batch starting at `start`
+    * with stream head `head` (ReadMinRows and other non-capping limits put
+    * no upper bound). */
+  private def applyLimit(start: Long, head: Long, limit: ReadLimit): Long = limit match {
+    case r: ReadMaxRows => math.min(head, start + r.maxRows())
+    case _: ReadAllAvailable => head
+    case c: CompositeReadLimit => c.getReadLimits.map(applyLimit(start, head, _)).min
+    case _ => head
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LineOffset].line
-    LineOffset(math.min(totalLines, s + linesPerTrigger))
+    val head = availableNowCap.getOrElse(transport.head())
+    // a dead transport with nothing left to deliver must fail the query,
+    // not hang it (the reference's silent-idle liveness gap, SURVEY §3.2)
+    transport.failure.filter(_ => head <= s).foreach(e => throw e)
+    LineOffset(math.max(s, applyLimit(s, head, limit)))
   }
 
   override def latestOffset(): Offset =
@@ -124,17 +162,12 @@ class OandaReplayMicroBatchStream(path: String, linesPerTrigger: Int)
   override def deserializeOffset(json: String): Offset =
     LineOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[LineOffset].line
-    val e = end.asInstanceOf[LineOffset].line
-    // chunk the admitted range so partitions parallelize across threads
-    val chunk = math.max(1L, (e - s) / 4)
-    (s until e by chunk)
-      .map(lo => LineRangePartition(path, lo, math.min(e, lo + chunk)))
-      .toArray[InputPartition]
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    transport.planPartitions(
+      start.asInstanceOf[LineOffset].line, end.asInstanceOf[LineOffset].line)
 
-  override def createReaderFactory(): PartitionReaderFactory = LineReaderFactory
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def createReaderFactory(): PartitionReaderFactory = transport.readerFactory
+  override def commit(end: Offset): Unit =
+    transport.commit(end.asInstanceOf[LineOffset].line)
+  override def stop(): Unit = transport.close()
 }

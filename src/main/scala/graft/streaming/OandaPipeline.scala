@@ -46,11 +46,16 @@ object OandaPipeline {
       // JSON-level validity (serde's parse-to-Value, oanda_client.rs:55-61):
       // an unparseable line yields _corrupt_record set with EVERY schema
       // field null; a well-formed line with type mismatches keeps its good
-      // fields (partial results) and goes to Unknown instead.
+      // fields (partial results) and goes to Unknown instead. Valid scalar/
+      // array JSON ("hello", 42, []) also parses under serde's Value and
+      // routes to Unknown (oanda_client.rs:79-82), so a corrupt struct parse
+      // falls through to a variant probe — only a line no JSON parser
+      // accepts is 'malformed'.
       .withColumn("is_json",
         col("j._corrupt_record").isNull ||
           Seq("asks", "bids", "closeoutAsk", "closeoutBid", "instrument",
-            "status", "time", "type").map(f => col(s"j.$f").isNotNull).reduce(_ || _))
+            "status", "time", "type").map(f => col(s"j.$f").isNotNull).reduce(_ || _) ||
+          try_parse_json(col("value")).isNotNull)
 
     val levelOk: Column => Column = arr =>
       arr.isNotNull && !exists(arr, x => x.getField("price").isNull || x.getField("liquidity").isNull)

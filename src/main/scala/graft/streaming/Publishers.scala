@@ -52,30 +52,74 @@ object InMemoryPublisher {
 /** Plain-TCP stand-in for the ZMQ PUB socket. Frame layout: 4-byte
   * big-endian payload length, 8-byte big-endian micro-batch id, then the
   * protobuf payload — the batch id is the subscriber-side dedup key for
-  * exactly-once over batch replay. Errors are logged and swallowed
-  * (at-most-once per send, mirroring publisher.rs:19-24). */
-final class TcpPublisher(host: String, port: Int) extends MessagePublisher {
+  * exactly-once over batch replay. NOT the ZMQ wire framing — a reference
+  * subscriber cannot attach unchanged (see README "wire deviations").
+  *
+  * Delivery mirrors ZMQ PUB's slow-subscriber behavior (drop at the
+  * high-water mark, `publisher.rs:19-24` fire-and-forget): `publishBatch`
+  * never blocks — frames go through a bounded queue drained by a writer
+  * thread, and when a stalled subscriber fills the queue, new frames are
+  * dropped with a log instead of wedging the whole micro-batch on a socket
+  * write (at-most-once, like PUB). Errors are logged and swallowed. */
+final class TcpPublisher(host: String, port: Int, highWaterMark: Int = 1000)
+    extends MessagePublisher {
   @transient private var opened = false
-  @transient private lazy val socket = {
-    opened = true
-    try new Socket(host, port) catch {
-      case e: Exception =>
-        System.err.println(s"[publisher] connect to $host:$port failed — " +
-          s"ALL messages from this partition will be dropped: ${e.getMessage}")
-        null
-    }
-  }
+  @transient private lazy val writer = { opened = true; new TcpFrameWriter(host, port, highWaterMark) }
   override def publish(message: Array[Byte]): Unit = publishBatch(-1L, message)
-  override def publishBatch(batchId: Long, message: Array[Byte]): Unit =
-    if (socket != null) try {
-      val out = socket.getOutputStream
-      out.write(ByteBuffer.allocate(12).putInt(message.length).putLong(batchId).array())
-      out.write(message); out.flush()
-    } catch {
-      case e: Exception =>
-        System.err.println(s"[publisher] send failed (message skipped): ${e.getMessage}")
+  override def publishBatch(batchId: Long, message: Array[Byte]): Unit = {
+    val frame = ByteBuffer.allocate(12 + message.length)
+      .putInt(message.length).putLong(batchId).put(message).array()
+    writer.offer(frame)
+  }
+  override def close(): Unit = if (opened) writer.close()
+}
+
+/** Bounded-queue socket writer backing [[TcpPublisher]] (≙ ZMQ's HWM). */
+private[streaming] final class TcpFrameWriter(host: String, port: Int, hwm: Int) {
+  private val queue = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]](hwm)
+  @volatile private var closed = false
+  private val dropped = new java.util.concurrent.atomic.AtomicLong
+
+  private val thread = new Thread(() => {
+    val socket =
+      try new Socket(host, port)
+      catch {
+        case e: Exception =>
+          System.err.println(s"[publisher] connect to $host:$port failed — " +
+            s"ALL messages from this partition will be dropped: ${e.getMessage}")
+          null
+      }
+    try {
+      while (!closed || !queue.isEmpty) {
+        val frame = queue.poll(50, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (frame != null && socket != null) {
+          try { socket.getOutputStream.write(frame); socket.getOutputStream.flush() }
+          catch { case e: Exception =>
+            System.err.println(s"[publisher] send failed (message skipped): ${e.getMessage}")
+          }
+        }
+      }
+    } catch { case _: InterruptedException => () }
+    finally if (socket != null) try socket.close() catch { case _: Exception => () }
+  }, s"tcp-publisher-$host:$port")
+  thread.setDaemon(true)
+  thread.start()
+
+  /** Non-blocking enqueue: a full queue (stalled subscriber) drops the frame
+    * with a log — degrade to at-most-once instead of stalling the batch. */
+  def offer(frame: Array[Byte]): Unit =
+    if (!queue.offer(frame)) {
+      val n = dropped.incrementAndGet()
+      if (n == 1 || n % 1000 == 0)
+        System.err.println(s"[publisher] slow subscriber: $n frames dropped at high-water mark $hwm")
     }
-  override def close(): Unit = if (opened && socket != null) socket.close()
+
+  /** Flush what is queued (bounded wait), then stop the writer. */
+  def close(): Unit = {
+    closed = true
+    thread.join(2000)
+    if (thread.isAlive) thread.interrupt()
+  }
 }
 
 object Sinks {

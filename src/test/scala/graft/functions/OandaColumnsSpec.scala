@@ -70,6 +70,25 @@ class OandaColumnsSpec extends AnyFunSuite {
     assert(r.get(0) == null)
   }
 
+  test("P9 accepts ONLY the reference's two grammars (main.rs:140-151)") {
+    // the reference would error these out; a bare Spark timestamp cast
+    // would accept them all — they must NOT acquire an event_ts
+    val outside = Seq(
+      "2024-01-15",                     // date-only
+      "2024-01-15 09:30:00",            // space separator
+      "2024-01-15T09:30:00",            // zone-less
+      "2024-01-15T09:30:00+0200",       // offset without colon (not RFC3339)
+      "2024-01-15T09:30:00.1234567890Z" // 10-digit fraction (chrono caps at 9)
+    )
+    outside.toDF("t").select(OandaColumns.parseEventTime(col("t")).as("ts"))
+      .collect().foreach(r => assert(r.get(0) == null, r))
+    // both reference grammars still parse
+    val inside = Seq("2024-01-15T09:30:00Z", "2024-01-15t09:30:00z",
+      "2024-01-15T09:30:00.5Z", "2024-01-15T09:30:00-05:00")
+    inside.toDF("t").select(col("t"), OandaColumns.parseEventTime(col("t")).as("ts"))
+      .collect().foreach(r => assert(r.get(1) != null, r.getString(0)))
+  }
+
   test("P10 display honors configured zone, not machine-local") {
     val r = Seq("2024-01-15T09:30:00Z").toDF("t")
       .select(

@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The optimizer rule must (a) eliminate the BroadcastNestedLoopJoin a pure
-  * bounded time-range join plans as, (b) add the bin key to keyed range
-  * joins (shrinking per-key comparison sets), and (c) preserve results
-  * exactly while leaving non-range joins untouched. */
+  * bounded time-range join plans as, (b) leave keyed range joins to the
+  * planner's existing hash join (an equi conjunct is present), and
+  * (c) preserve results exactly while leaving non-range joins untouched. */
 class RangeBinJoinRewriteSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
@@ -53,10 +53,13 @@ class RangeBinJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("keyed range join: bin joins alongside the user key") {
+  test("keyed range join: rewrite skipped — the existing equi key hash-joins") {
     withRule {
+      // an equi conjunct is already present, so the planner hash-joins on it
+      // with the range as post-filter; the bin explode would double the
+      // probe side for nothing — the rule must leave the join alone
       val planned = keyedRangeJoin().queryExecution.executedPlan.toString
-      assert(planned.contains("__graft_bin"), planned)
+      assert(!planned.contains("__graft_bin"), planned)
       assert(!planned.contains("BroadcastNestedLoopJoin"), planned)
     }
   }

@@ -38,6 +38,62 @@ class ProtoWireSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent varint decoder: folds the varint's bytes from the LAST
+    * continuation byte backwards — a deliberately different algorithm from
+    * the reader's streaming shift-accumulate, so a shared bug can't hide. */
+  private def varintBackwards(b: Array[Byte], start: Int): (Long, Int) = {
+    var end = start
+    while ((b(end) & 0x80) != 0) end += 1
+    var v = 0L
+    var j = end
+    while (j >= start) { v = (v << 7) | (b(j) & 0x7fL); j -= 1 }
+    (v, end + 1 - start)
+  }
+
+  test("10-byte varints: negative longs, byte-exact + independent-decoder parity") {
+    def enc(v: Long) = { val w = new ProtoWire.Writer; w.writeVarint(v); w.toBytes }
+    // -1 as uint64 = 2^64-1 → ten bytes, nine 0xff continuations then 0x01
+    assert(hex(enc(-1L)) == "ffffffffffffffffff01")
+    assert(hex(enc(Long.MinValue)) == "80808080808080808001")
+    val rnd = new scala.util.Random(99)
+    val edges = Seq(-1L, Long.MinValue, Long.MinValue + 1, -127L, -128L,
+      Long.MaxValue, Long.MaxValue - 1) ++ (1 to 200).map(_ => rnd.nextLong())
+    edges.foreach { v =>
+      val bytes = enc(v)
+      assert(bytes.length == (if (v < 0) 10 else (64 - java.lang.Long.numberOfLeadingZeros(v max 1) + 6) / 7),
+        s"wrong length for $v")
+      val (decA, lenA) = varintBackwards(bytes, 0)
+      assert(decA == v && lenA == bytes.length, s"independent decode failed for $v")
+      val w = new ProtoWire.Writer; w.uintField(1, v)
+      if (v != 0) assert(ProtoWire.readFields(w.toBytes).head.varint == v)
+    }
+  }
+
+  test("reader skips unknown fields of every wire type to reach known ones") {
+    // a newer producer may add fields; a subscriber must skip what it does
+    // not know (varint, fixed64, length-delimited, fixed32) without losing
+    // frame alignment
+    val w = new ProtoWire.Writer
+    w.uintField(99, 12345L)                       // unknown varint
+    w.bytesField(98, Array[Byte](1, 2, 3, 4, 5))  // unknown length-delimited
+    w.strField(5, "EUR_USD")                      // known field
+    w.uintField(97, 7L)                           // unknown varint after known
+    w.msgField(7, ProtoWire.timestamp(1705311000L, 42)) // known message field
+    val raw = w.toBytes ++
+      // hand-rolled fixed64 (field 90, wire 1) and fixed32 (field 91, wire 5)
+      ({ val x = new ProtoWire.Writer; x.writeVarint((90L << 3) | 1); x.toBytes } ++
+        Array.fill[Byte](8)(0x11) ++
+        { val x = new ProtoWire.Writer; x.writeVarint((91L << 3) | 5); x.toBytes } ++
+        Array.fill[Byte](4)(0x22))
+    val fields = ProtoWire.readFields(raw)
+    assert(fields.map(_.number) == Seq(99, 98, 5, 97, 7, 90, 91))
+    assert(new String(fields.find(_.number == 5).get.bytes) == "EUR_USD")
+    val ts = ProtoWire.readFields(fields.find(_.number == 7).get.bytes)
+    assert(ts.find(_.number == 1).get.varint == 1705311000L)
+    assert(fields.find(_.number == 90).get.bytes.length == 8)
+    assert(fields.find(_.number == 91).get.bytes.length == 4)
+  }
+
   test("proto3 default skipping: empty string and zero scalar omitted; empty message emitted") {
     assert(ProtoWire.priceLevel("", 0L).isEmpty)
     assert(hex(ProtoWire.timestamp(0L, 0)) == "")

@@ -81,6 +81,22 @@ class OandaReplaySourceSpec extends AnyFunSuite {
     assert(graft.streaming.InMemoryPublisher.drain(pub).isEmpty)
   }
 
+  test("Trigger.AvailableNow drains the whole capture in rate-limited batches") {
+    // round-1 bug: latestOffset ignored the passed ReadLimit and only ever
+    // advanced one linesPerTrigger chunk, so run-to-completion triggers
+    // silently truncated a capture longer than one batch
+    val path = captureFile(ticks)
+    val name = s"replay_an_${System.nanoTime()}"
+    val q = spark.readStream.format("oanda-replay")
+      .option("path", path).option("linesPerTrigger", "3").load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("replay-an").toString)
+      .format("memory").queryName(name).start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(spark.table(name).count() == 10, "AvailableNow must drain all 10 lines")
+  }
+
   test("batch read of the same capture works through the same table") {
     val path = captureFile(ticks)
     val n = spark.read.format("oanda-replay").option("path", path).load().count()

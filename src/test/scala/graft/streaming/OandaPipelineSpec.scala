@@ -28,6 +28,9 @@ class OandaPipelineSpec extends AnyFunSuite {
     "   ",                                   // blank → dropped (oanda_client.rs:50-53)
     "{not json",                             // malformed (oanda_client.rs:55-61)
     """{"foo": 1}""",                        // no discriminator → unknown (oanda_client.rs:79-82)
+    "\"hello\"",                             // valid scalar JSON → unknown (serde Value parses it)
+    "42",                                    // valid scalar JSON → unknown
+    "[1, 2]",                                // valid array JSON → unknown
     """{"instrument":"EUR_USD","asks":[{"price":"1.1","liquidity":"notanumber"}],"bids":[],"closeoutAsk":"1.1","closeoutBid":"1.0","status":"tradeable","time":"2024-01-15T09:30:00Z"}""", // type mismatch → unknown (oanda_client.rs:72-78)
     """{"asks":[{"price":"1.2","liquidity":5}],"bids":[{"price":"1.1","liquidity":6}],"closeoutAsk":"garbage","closeoutBid":"1.08","instrument":"USD_JPY","status":"tradeable","time":"2024-01-15T09:30:01+00:00"}""" // bad ask → spread term 0.0 (main.rs:70-71)
   )
@@ -37,11 +40,11 @@ class OandaPipelineSpec extends AnyFunSuite {
 
   test("dispatch: P3 blank drop, P4 malformed, P5/P6 discriminators and fallbacks") {
     val out = run(edgeLines)
-    assert(out.count() == 6) // blank line dropped
+    assert(out.count() == 9) // blank line dropped
     val byType = out.groupBy("message_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byType == Map("price_tick" -> 2L, "heartbeat" -> 1L,
-      "unknown" -> 2L, "malformed" -> 1L))
+      "unknown" -> 5L, "malformed" -> 1L))
   }
 
   test("P8 spread: 0.0-coercion, not null-propagation (main.rs:70-72)") {
