@@ -71,6 +71,96 @@ object VectorQueries {
     dots.withColumn("bucket", bucket).drop((0 until NumPlanes).map(i => s"s_$i"): _*)
   }
 
+  // ---- deterministic k-means (ANN path 3) machinery ----
+
+  /** Lloyd iteration count (unrolled identically in the oracle SQL). */
+  val KmeansIters = 2
+  val K = 8
+
+  /** Oracle CTE chain: c0 = seed centroids (vec_id < K), then per iteration
+    * sN (all vector×centroid cosines), aN (argmax assignment, tie → lowest
+    * cent), and cN+1 (per-cluster elementwise mean as a vec_id-ordered
+    * `list_reduce` — a sequential fold, bit-identical to the Spark side's
+    * `aggregate`; an emptied cluster keeps its previous centroid). */
+  private def kmAssignSql(cents: String, label: Int): String =
+    s"""s$label AS (SELECT x.vec_id, c.cent,
+       |             list_dot_product(x.e, c.ce) / (nx.nrm * sqrt(list_dot_product(c.ce, c.ce))) AS cs
+       |      FROM v x JOIN n nx ON nx.vec_id = x.vec_id CROSS JOIN $cents c),
+       |a$label AS (SELECT vec_id, cent, cs FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent) AS rn FROM s$label)
+       |        WHERE rn = 1)""".stripMargin
+
+  private def kmUpdateSql(prevAssign: String, prevCents: String, label: String): String =
+    s"""m$label AS (SELECT cent, list(e ORDER BY vec_id) AS ms, count(*) AS n
+       |      FROM $prevAssign JOIN v USING (vec_id) GROUP BY cent),
+       |$label AS (SELECT p.cent,
+       |            coalesce(list_transform(generate_series(1, $Dim),
+       |              d -> list_reduce(list_transform(m.ms, e -> e[d]), (acc, x) -> acc + x) / m.n), p.ce) AS ce
+       |     FROM $prevCents p LEFT JOIN m$label m ON m.cent = p.cent)""".stripMargin
+
+  private val kmeansCte: String = {
+    val steps = (0 until KmeansIters).flatMap(i => Seq(
+      kmAssignSql(s"c$i", i), kmUpdateSql(s"a$i", s"c$i", s"c${i + 1}"))) :+
+      kmAssignSql(s"c$KmeansIters", KmeansIters)
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |c0 AS (SELECT vec_id AS cent, e AS ce FROM v WHERE vec_id < $K),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  /** One Lloyd scoring pass: every (vector, centroid) cosine. */
+  private def kmScores(v: DataFrame, cents: DataFrame): DataFrame =
+    v.join(broadcast(cents))
+      .withColumn("cs", dot(col("e"), col("ce")) /
+        (col("nrm") * sqrt(dot(col("ce"), col("ce")))))
+
+  /** Argmax assignment from a scoring pass (tie → lowest centroid id). */
+  private def kmArgmax(scores: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent"))
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent"), col("cs"))
+  }
+
+  /** Lloyd centroid update: elementwise mean over members in vec_id order as
+    * a sequential fold (bit-identical to the oracle's list_reduce); a
+    * cluster with no members keeps its previous centroid.
+    *
+    * 100 TB note: the vec_id-ordered `collect_list` exists ONLY for
+    * bit-exact oracle determinism at verification scale. At production
+    * scale the update is `posexplode(e)` → `avg` grouped by (cent, dim) —
+    * partial+final aggregation, no per-cluster materialization — which is
+    * statistically identical (float addition reorders) but not
+    * bit-reproducible; assignment (the scale-heavy half: n·K cosines) is
+    * already a broadcast join + window, which survives any scale. */
+  private def kmUpdate(assign: DataFrame, prevCents: DataFrame): DataFrame = {
+    val means = assign
+      .groupBy("cent")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("e")))).as("ms"),
+        count(lit(1)).as("n"))
+      .select(col("cent"),
+        transform(sequence(lit(1), lit(Dim)), d =>
+          aggregate(col("ms"), lit(0.0),
+            (acc, m) => acc + get(m.getField("e"), d - 1)) / col("n")).as("mce"))
+    prevCents.join(means, Seq("cent"), "left")
+      .select(col("cent"), coalesce(col("mce"), col("ce")).as("ce"))
+  }
+
+  /** Final-iteration (scores, assignment) after KmeansIters Lloyd rounds.
+    * Each iteration's centroid frame (K rows) is cached: it feeds both the
+    * next assignment and the empty-cluster fallback, and without the cache
+    * every reference re-executes the whole preceding Lloyd chain. */
+  private def kmeansScoresAndAssign(v: DataFrame): (DataFrame, DataFrame) = {
+    val c0 = v.filter(col("vec_id") < K).select(col("vec_id").as("cent"), col("e").as("ce"))
+    val cFinal = (0 until KmeansIters).foldLeft(c0) { (c, _) =>
+      kmUpdate(kmArgmax(kmScores(v, c)), c).cache()
+    }
+    val scores = kmScores(v, cFinal).cache() // consumed by probes AND assignment
+    (scores, kmArgmax(scores))
+  }
+
+  private def kmeansFinalAssign(emb: DataFrame): DataFrame =
+    kmeansScoresAndAssign(withNorm(emb))._2
+
   val all: Seq[Q] = Seq(
 
     // B35: brute-force cosine top-5 neighbors for the first 10 query vectors.
@@ -197,6 +287,68 @@ object VectorQueries {
       members.join(broadcast(probes), Seq("cent"))
         .filter(col("cid") =!= col("qid"))
         .withColumn("qcs", dot(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), round(col("qcs"), 4).as("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")
+    },
+
+    // ANN path 3: k-means IVF — the seed centroids refined by KmeansIters
+    // deterministic Lloyd iterations (assignment tie-break on centroid id;
+    // per-cluster mean as a sequential vec_id-ordered fold so both engines
+    // produce bit-identical centroids; empty cluster keeps its previous
+    // centroid). Tighter centroids → higher probe recall than q35d/e's
+    // fixed seeds, still fully oracle-checked.
+    q("q35f_kmeans_ivf_assign",
+      s"ANN: k-means IVF final assignment ($KmeansIters seeded Lloyd iterations)")(
+      s"""$kmeansCte
+         |SELECT vec_id, cent, round(cs, 4) + 0 AS cos FROM a$KmeansIters
+         |ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      kmeansFinalAssign(Tables.fanout(s, dir, "embeddings"))
+        .select(col("vec_id"), col("cent"), round(col("cs"), 4).as("cos"))
+        .orderBy("vec_id")
+    },
+
+    // ANN path 3 search: probe the 2 nearest refined centroids per query,
+    // exact top-3 among their members — oracle-checked end-to-end (unlike
+    // q35e, whose probe path is rows-only); recall bound in
+    // ApproxAndRecallSpec.
+    q("q35g_kmeans_ivf_search",
+      "ANN: k-means IVF 2-probe top-3 neighbors (queries vec_id<10)")(
+      s"""$kmeansCte,
+         |p AS (SELECT vec_id AS qid, cent FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent) AS rn
+         |         FROM s$KmeansIters)
+         |      WHERE rn <= 2 AND vec_id < 10),
+         |cand AS (SELECT DISTINCT p.qid, m.vec_id AS cid
+         |         FROM p JOIN a$KmeansIters m ON m.cent = p.cent AND m.vec_id <> p.qid),
+         |sc AS (SELECT cand.qid, cand.cid,
+         |              list_dot_product(q.e, c.e) / (nq.nrm * nc.nrm) AS cs
+         |       FROM cand JOIN v q ON q.vec_id = cand.qid
+         |            JOIN v c ON c.vec_id = cand.cid
+         |            JOIN n nq ON nq.vec_id = cand.qid
+         |            JOIN n nc ON nc.vec_id = cand.cid)
+         |SELECT qid, cid, round(cs, 4) + 0 AS cos, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM sc)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    ) { (s, dir) =>
+      val v = withNorm(Tables.fanout(s, dir, "embeddings"))
+      val (scores, assign) = kmeansScoresAndAssign(v)
+      val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent"))
+      val probes = scores
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cent"))
+      val members = assign
+        .select(col("vec_id").as("cid"), col("cent"), col("e").as("me"), col("nrm").as("mn"))
+      val queries = v.select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("qcs").desc, col("cid"))
+      probes.join(members, Seq("cent"))
+        .filter(col("cid") =!= col("qid"))
+        .select("qid", "cid", "me", "mn").dropDuplicates(Seq("qid", "cid"))
+        .join(broadcast(queries), Seq("qid"))
+        .withColumn("qcs", dot(col("qe"), col("me")) / (col("qn") * col("mn")))
         .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
         .select(col("qid"), col("cid"), round(col("qcs"), 4).as("cos"),
           col("rn").cast("long").as("rn"))
