@@ -39,6 +39,40 @@ object DedupQueries {
       .select(col("doc_id"), col("pos").cast("long").as("j"), col("col").as("mh"))
   }
 
+  /** Shared SQL: 16-bit SimHash per doc (bit i set iff the signed sum of
+    * distinct-token-hash bit i is positive) — ends with `sig(doc_id, simhash)`. */
+  private val simhashCte =
+    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT doc_id, ${md5LongSql("w")} AS hv FROM tok),
+       |bits AS (SELECT doc_id, i, sum(((hv >> i) & 1) * 2 - 1) AS sgn
+       |         FROM h CROSS JOIN range(16) AS r(i) GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id,
+       |        CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+       |        FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Shared SQL: same construction widened to the low 32 bits (for the
+    * near-dup pair mining, where 16 bits is far too coarse). */
+  private val simhash32Cte = simhashCte
+    .replace("range(16)", "range(32)")
+
+  /** Spark twin of [[simhashCte]]: one-pass 64-bit aggregator; the oracle
+    * states the low-bits slice, proven identical in SimHashAggregatorSpec. */
+  private def simhashSliced(s: org.apache.spark.sql.SparkSession, dir: String,
+      mask: Long): DataFrame = {
+    val simAgg = udaf(new graft.functions.SimHashAggregator)
+    Tables.fanout(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w")).distinct()
+      .withColumn("hv", md5Long(col("w")))
+      .groupBy("doc_id").agg(simAgg(col("hv")).as("sh64"))
+      .select(col("doc_id"), col("sh64").bitwiseAND(mask).as("simhash"))
+  }
+
+  private def simhashDf(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    simhashSliced(s, dir, 0xffffL)
+
+  private def simhashDf32(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    simhashSliced(s, dir, 0xffffffffL)
+
   /** Shared SQL: MinHash signatures (doc_id, j, mh) from the shingle CTE. */
   private val sigCte =
     s"""$shingleCte,
@@ -192,23 +226,56 @@ object DedupQueries {
     // SimHash (north-star dedup family): 16-bit portable simhash over distinct
     // tokens — bit i set iff the signed sum of token-hash bit i is positive.
     q("q34d_simhash", "SimHash-16 document signatures (portable arithmetic)")(
-      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
-         |h AS (SELECT doc_id, ${md5LongSql("w")} AS hv FROM tok),
-         |bits AS (SELECT doc_id, i, sum(((hv >> i) & 1) * 2 - 1) AS sgn
-         |         FROM h CROSS JOIN range(16) AS r(i) GROUP BY doc_id, i)
-         |SELECT doc_id,
-         |       CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
+    )((s, dir) => simhashDf(s, dir).orderBy("doc_id")),
+
+    // SimHash near-dup mining (the operator the signatures exist for),
+    // group-level: docs are first collapsed to exact-signature GROUPS
+    // (linear in corpus size — the duplicate-heavy fixture collapses 500
+    // docs to 347 groups), then groups within Hamming ≤ 1 pair up via a
+    // 4×8-bit band equi-join (pigeonhole: distance ≤ 3 guarantees a shared
+    // band, so radius 1 is fully covered). Doc-level pairs would be
+    // quadratic in duplicate-group size — THE output-volume trap of
+    // simhash dedup at 100 TB; group-level keeps both candidates and
+    // output linear. 32-bit slice of the 64-bit aggregator (16 bits is too
+    // coarse on a shared-vocabulary corpus: 37% of random pairs collide).
+    q("q34f_simhash_pairs",
+      "SimHash near-dup signature-group pairs (banded, Hamming ≤ 1, 32-bit)")(
+      s"""$simhash32Cte,
+         |grp AS (SELECT simhash, min(doc_id) AS keeper, count(*) AS n
+         |        FROM sig GROUP BY simhash),
+         |bands AS (SELECT simhash, b, (simhash >> (b * 8)) & 255 AS bv
+         |          FROM grp CROSS JOIN range(4) AS r(b)),
+         |cand AS (SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
+         |         FROM bands a JOIN bands b
+         |           ON a.b = b.b AND a.bv = b.bv AND a.simhash < b.simhash)
+         |SELECT ga.keeper AS d1, gb.keeper AS d2, ga.n AS n1, gb.n AS n2,
+         |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist
+         |FROM cand JOIN grp ga ON ga.simhash = sa
+         |          JOIN grp gb ON gb.simhash = sb
+         |WHERE bit_count(xor(sa, sb)) <= 1
+         |ORDER BY d1, d2""".stripMargin
     ) { (s, dir) =>
-      // one-pass 64-bit aggregator; the oracle states the 16-bit slice and
-      // the low 16 bits are proven identical in SimHashAggregatorSpec
-      val simAgg = udaf(new graft.functions.SimHashAggregator)
-      Tables.fanout(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w")).distinct()
-        .withColumn("hv", md5Long(col("w")))
-        .groupBy("doc_id").agg(simAgg(col("hv")).as("sh64"))
-        .select(col("doc_id"), col("sh64").bitwiseAND(0xffffL).as("simhash"))
-        .orderBy("doc_id")
+      val grp = simhashDf32(s, dir)
+        .groupBy("simhash").agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .cache() // one signature row per group; consumed by bands + both lookups
+      val bands = grp.select(col("simhash"), explode(array((0 until 4).map(b =>
+        struct(lit(b.toLong).as("b"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(255L).as("bv"))): _*)).as("bb"))
+        .select(col("simhash"), col("bb.b").as("b"), col("bb.bv").as("bv"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.b") === col("b.b") && col("a.bv") === col("b.bv")
+            && col("a.simhash") < col("b.simhash"))
+        .select(col("a.simhash").as("sa"), col("b.simhash").as("sb")).distinct()
+      cand
+        .join(grp.select(col("simhash").as("sa"), col("keeper").as("d1"), col("n").as("n1")), "sa")
+        .join(grp.select(col("simhash").as("sb"), col("keeper").as("d2"), col("n").as("n2")), "sb")
+        .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+        .filter(col("dist") <= 1)
+        .select(col("d1"), col("d2"), col("n1"), col("n2"), col("dist"))
+        .orderBy("d1", "d2")
     },
 
     // Embedding-cosine near-dup pairs (north-star dedup family). Double-cast

@@ -141,6 +141,38 @@ object TextQueries {
         aggregate(transform(tokens(col("text")), t => h1(t)),
           lit(0L), (acc, h) => (acc * 31 + h) % P).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // TF-IDF: top-3 distinctive terms per doc. Ranking happens on the
+    // ALREADY-ROUNDED score (round first, then row_number ordered by it),
+    // so a sub-round-4 ulp divergence in ln() can never flip a rank; ties
+    // break on the term. ln() itself is bit-compatible across the engines
+    // (q21 proves it over 60k values).
+    q("q36f_tfidf", "top-3 TF-IDF terms per doc (tf · ln(N/df), rank on rounded score)")(
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+        |              round(tf.tf * ln(nd.n * 1.0 / df.df), 4) AS tfidf
+        |       FROM tf JOIN df USING (w) CROSS JOIN nd)
+        |SELECT doc_id, w, tf, df, tfidf, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn FROM sc)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+    ) { (s, dir) =>
+      val tok = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tok.select("w", "doc_id").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val nd = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w"))
+      tf.join(df, "w").crossJoin(broadcast(nd))
+        .withColumn("tfidf", round(col("tf") * log(col("n") * lit(1.0) / col("df")), 4))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("doc_id"), col("w"), col("tf"), col("df"), col("tfidf"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("doc_id", "rn")
     }
   )
 }

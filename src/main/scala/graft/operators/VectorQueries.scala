@@ -269,9 +269,32 @@ object VectorQueries {
     },
 
     // ANN path 2 search: probe the 2 nearest centroids, search only vectors
-    // assigned to them. Rows-only (the composition is exercised above; the
-    // unit suite asserts recall vs brute force).
-    rowsOnly("q35e_ivf_search", "ANN: IVF 2-probe top-3 neighbors (queries vec_id<10)") { (s, dir) =>
+    // assigned to them. Oracle-checked end-to-end (upgraded from the
+    // round-1 rows-only entry); recall bound in ApproxAndRecallSpec.
+    q("q35e_ivf_search", "ANN: IVF 2-probe top-3 neighbors (queries vec_id<10)")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |s AS (SELECT x.vec_id, c.vec_id AS cent,
+        |             list_dot_product(x.e, c.e) / (nx.nrm * nc.nrm) AS cs,
+        |             row_number() OVER (PARTITION BY x.vec_id
+        |               ORDER BY list_dot_product(x.e, c.e) / (nx.nrm * nc.nrm) DESC, c.vec_id) AS rn
+        |      FROM v x JOIN n nx ON nx.vec_id = x.vec_id,
+        |           v c JOIN n nc ON nc.vec_id = c.vec_id
+        |      WHERE c.vec_id < 8),
+        |members AS (SELECT vec_id AS cid, cent FROM s WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, cent FROM s WHERE rn <= 2 AND vec_id < 10),
+        |cand AS (SELECT DISTINCT p.qid, m.cid
+        |         FROM probes p JOIN members m ON m.cent = p.cent AND m.cid <> p.qid),
+        |sc AS (SELECT cand.qid, cand.cid,
+        |              list_dot_product(q.e, c.e) / (nq.nrm * nc.nrm) AS cs
+        |       FROM cand JOIN v q ON q.vec_id = cand.qid
+        |            JOIN v c ON c.vec_id = cand.cid
+        |            JOIN n nq ON nq.vec_id = cand.qid
+        |            JOIN n nc ON nc.vec_id = cand.cid)
+        |SELECT qid, cid, round(cs, 4) + 0 AS cos, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM sc)
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    ) { (s, dir) =>
       val v = withNorm(Tables.fanout(s, dir, "embeddings"))
       val cents = v.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent"), col("e").as("ce"), col("nrm").as("cn"))
