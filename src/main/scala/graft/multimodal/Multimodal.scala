@@ -41,11 +41,14 @@ object Multimodal {
     def audio(b: Array[Byte]): (Int, Long) = (16000, b.length.toLong * 2)
     /** frame-sample: one frame per 256-byte chunk, max 32. */
     def videoFrames(b: Array[Byte]): Int = math.min(32, 1 + b.length / 256)
+    /** 60-bit md5 prefix of the payload — the same portable construction as
+      * [[graft.functions.PortableHash.md5Long]], so the content hash is
+      * DuckDB-expressible (a wrapping polynomial hash would overflow-error
+      * there) and q39 can be value-checked by the oracle. */
     def hash(b: Array[Byte]): Long = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < b.length) { h = 31 * h + (b(i) & 0xff); i += 1 }
-      h
+      val d = java.security.MessageDigest.getInstance("MD5").digest(b)
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
     }
     def histogram(b: Array[Byte]): Seq[Double] = {
       val bins = new Array[Double](16)
@@ -101,7 +104,10 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
         col("height"), col("sample_rate"), col("n_samples"), col("n_frames"),
         col("content_hash"),
-        round(element_at(col("histogram"), 1), 4).as("hist0"))
+        round(element_at(col("histogram"), 1), 4).as("hist0"),
+        // bin 6 (0x60-0x6f: mostly lowercase letters) is the discriminative
+        // bin for text payloads; bin 0 is ~always 0 on ASCII
+        round(element_at(col("histogram"), 7), 4).as("hist6"))
       .orderBy("media_id")
   }
 }

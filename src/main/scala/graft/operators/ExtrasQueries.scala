@@ -248,10 +248,32 @@ object ExtrasQueries {
     },
 
     // Multimodal: binary columns + typed metadata + mapPartitions codec
-    // plumbing (stubbed decode — see Multimodal.FakeCodec).
-    rowsOnly("q39_multimodal_features", "multimodal decode/feature/resize over binary payloads") {
-      (s, dir) => graft.multimodal.Multimodal.featuresQuery(s, dir)
-    },
+    // plumbing (stubbed decode — see Multimodal.FakeCodec). Oracle-checked
+    // (upgraded from rows-only): the stub codec is deterministic byte
+    // arithmetic, so the whole decode→features→resize chain has an exact
+    // SQL model — the payloads are ASCII text bytes, making DuckDB's
+    // per-character unicode() equal to Spark's per-byte view.
+    q("q39_multimodal_features", "multimodal decode/feature/resize over binary payloads")(
+      """WITH m AS (SELECT doc_id AS media_id,
+        |        ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |        text, length(text) AS nb,
+        |        list_transform(regexp_split_to_array(text, ''), c -> unicode(c)) AS codes
+        |        FROM documents)
+        |SELECT media_id, kind, CAST(nb AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN kind = 'image'
+        |       THEN greatest(1, (1 + CASE WHEN nb > 0 THEN codes[1] ELSE 0 END) // 2)
+        |       ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN kind = 'image'
+        |       THEN greatest(1, (1 + CASE WHEN nb > 1 THEN codes[2] ELSE 0 END) // 2)
+        |       ELSE 0 END AS INT) AS height,
+        |  CAST(CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN kind = 'audio' THEN nb * 2 ELSE 0 END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN kind = 'video' THEN least(32, 1 + nb // 256) ELSE 0 END AS INT) AS n_frames,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash,
+        |  round(len(list_filter(codes, c -> c // 16 = 0)) * 1.0 / greatest(nb, 1), 4) AS hist0,
+        |  round(len(list_filter(codes, c -> c // 16 = 6)) * 1.0 / greatest(nb, 1), 4) AS hist6
+        |FROM m ORDER BY media_id""".stripMargin
+    ) { (s, dir) => graft.multimodal.Multimodal.featuresQuery(s, dir) },
 
     // Ingest throughput proxy: the full reference pipeline (parse → dispatch
     // → derive → proto encode) over wire lines synthesized from every event

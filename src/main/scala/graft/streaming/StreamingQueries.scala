@@ -112,6 +112,43 @@ object StreamingQueries {
       runToMemory(s, joined).orderBy("pid", "cid")
     },
 
+    // Stream-stream LEFT OUTER interval join: same pairing as q45, but
+    // unmatched purchases must ALSO emit (with null cid) — and in streaming
+    // that emission is watermark-gated. With the single-file replay the
+    // post-batch watermark is max(ts) - 1h, and Spark evicts (and
+    // null-emits) a left row only once the watermark clears its whole match
+    // window — pts plus the 30-minute interval span — so the cutoff is
+    // max(ts) - 1h - 30m (verified empirically: the two purchases between
+    // the naive and span-adjusted cutoffs stay in state, unemitted, at
+    // query stop). The oracle keeps matches plus null rows older than that
+    // cutoff — exactly the streaming semantics, NOT a batch left join.
+    q("q45b_stream_stream_left_join",
+      "stream-stream LEFT OUTER interval join w/ watermark-gated null emission")(
+      """SELECT p.event_id AS pid, c.event_id AS cid
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts::TIMESTAMP <= p.ts::TIMESTAMP
+        | AND c.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL 30 MINUTE
+        |WHERE c.event_id IS NOT NULL
+        |   OR p.ts::TIMESTAMP < (SELECT max(ts::TIMESTAMP) - INTERVAL 90 MINUTE FROM events)
+        |ORDER BY pid, cid""".stripMargin
+    ) { (s, dir) =>
+      val p = eventsStream(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val c = eventsStream(s, dir).filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val joined = p.join(c,
+        col("pu") === col("cu")
+          && col("cts") <= col("pts")
+          && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+        .select(col("pid"), col("cid"))
+      runToMemory(s, joined).orderBy(col("pid"), col("cid").asc_nulls_last)
+    },
+
     // B32: arbitrary stateful processing — per-user running (count, max)
     // via flatMapGroupsWithState (≙ the reference's per-instrument derived
     // state the north star generalizes; RocksDB state store at scale).
