@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object ExtrasQueries {
 
+  /** Shared dialect-neutral SQL for q49 (verbatim in Spark and DuckDB).
+    * Declared before `all` — object vals initialize in order. */
+  val tpchQ3Sql: String =
+    """SELECT l_orderkey,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |       o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // B38: the engine's spread column function (P8 0.0-coercion) applied to
@@ -297,6 +313,19 @@ object ExtrasQueries {
           .groupBy("message_type")
           .agg(count(lit(1)).as("n"), count(col("proto")).as("n_encoded"))
           .orderBy("message_type")
+    },
+
+    // SQL front end: ONE SQL string, parsed and executed by BOTH engines
+    // (Spark over temp views, DuckDB over the fixture views) — proves the
+    // spark.sql path end-to-end, not just the DataFrame API. TPC-H Q3
+    // shape adapted to the fixture schema (o_orderpriority for the missing
+    // o_shippriority; explicit tiebreaks for determinism).
+    q("q49_sql_tpch_q3", "TPC-H Q3 shape via spark.sql — same string runs in DuckDB")(
+      ExtrasQueries.tpchQ3Sql
+    ) { (s, dir) =>
+      Seq("customer", "orders", "lineitem").foreach(t =>
+        Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ3Sql)
     }
   )
 }

@@ -149,6 +149,37 @@ object StreamingQueries {
       runToMemory(s, joined).orderBy(col("pid"), col("cid").asc_nulls_last)
     },
 
+    // B28 as a REAL streaming execution (q28 checks the batch operator):
+    // session windows finalize in append mode only when the watermark
+    // passes the session end (last event + gap); with the single-file
+    // replay the post-batch watermark is max(ts) - 10min, giving the
+    // oracle's HAVING cutoff over the standard gap-break island SQL.
+    q("q28b_stream_session_window",
+      "B28 streaming 30m-gap session windows, watermark-finalized")(
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |             CASE WHEN lag(t) OVER w IS NULL
+        |                    OR t - lag(t) OVER w > INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |g AS (SELECT user_id, t,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m)
+        |SELECT user_id, min(t) AS s, max(t) + INTERVAL 30 MINUTE AS e, count(*) AS n
+        |FROM g GROUP BY user_id, sid
+        |HAVING max(t) + INTERVAL 30 MINUTE <= (SELECT max(ts::TIMESTAMP) - INTERVAL 10 MINUTE FROM events)
+        |ORDER BY user_id, s""".stripMargin
+    ) { (s, dir) =>
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("s"),
+          col("session_window.end").as("e"), col("n"))
+      runToMemory(s, agg).orderBy("user_id", "s")
+    },
+
     // B32: arbitrary stateful processing — per-user running (count, max)
     // via flatMapGroupsWithState (≙ the reference's per-instrument derived
     // state the north star generalizes; RocksDB state store at scale).
