@@ -278,6 +278,85 @@ object DedupQueries {
         .orderBy("d1", "d2")
     },
 
+    // Dedup CLUSTERING — the step every near-dup pipeline ends with: fold
+    // pairwise matches into connected components so each cluster keeps one
+    // canonical doc. Spark side is iterative min-label propagation (the
+    // canonical distributed CC pattern: each iteration is ONE shuffle join
+    // + aggregate, iterations ≈ cluster diameter, convergence checked with
+    // an isEmpty probe — the GraphFrames approach; at extreme diameters the
+    // upgrade is the alternating large-star/small-star algorithm, same join
+    // shape). Oracle is the transitive closure via a recursive CTE. Edges =
+    // the exact-Jaccard ≥ 0.5 pairs of q34a.
+    q("q34g_dedup_components", "near-dup clusters: connected components over Jaccard ≥ 0.5 edges")(
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest(${shinglesSql("t", 3)}) AS s FROM toks),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |edges AS (SELECT d1, d2 FROM pairs
+         |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+         |          WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5),
+         |bidir AS (SELECT d1 AS u, d2 AS v FROM edges UNION SELECT d2, d1 FROM edges),
+         |verts AS (SELECT DISTINCT u FROM bidir),
+         |reach AS (SELECT u, u AS r FROM verts
+         |          UNION
+         |          SELECT reach.u, bidir.v AS r FROM reach JOIN bidir ON bidir.u = reach.r)
+         |SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("c"))
+      val edges = pairs
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+        .filter(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")) >= 0.5)
+        .select("d1", "d2")
+      val bidir = edges
+        .union(edges.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
+      var labels = bidir.select(col("d1").as("u")).distinct()
+        .withColumn("comp", col("u")).cache()
+      var converged = false
+      while (!converged) {
+        // each vertex takes the min of its own and its neighbors' labels
+        val prop = bidir.as("e").join(labels.as("l"), col("e.d2") === col("l.u"))
+          .select(col("e.d1").as("u"), col("l.comp").as("comp2"))
+          .union(labels.select(col("u"), col("comp").as("comp2")))
+          .groupBy("u").agg(min(col("comp2")).as("comp2"))
+          .cache()
+        converged = prop.join(labels, "u")
+          .filter(col("comp2") =!= col("comp")).isEmpty
+        val old = labels
+        labels = prop.select(col("u"), col("comp2").as("comp")).cache()
+        old.unpersist()
+      }
+      labels.select(col("u").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic train/val/test split — the assignment every training
+    // pipeline needs: bucket = portable content hash mod 100, split on
+    // fixed thresholds (80/10/10). Hash-based (not random) so membership
+    // is stable under reruns, repartitions, and incremental appends.
+    q("q50_train_split", "deterministic 80/10/10 train/val/test split by content hash")(
+      s"""SELECT doc_id,
+         |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${md5LongSql("text")} % 100 AS b FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), (md5Long(col("text")) % 100).as("b"))
+        .select(col("doc_id"),
+          when(col("b") < 80, "train").when(col("b") < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
     // Embedding-cosine near-dup pairs (north-star dedup family). Double-cast
     // dot products are bit-identical across engines (verified empirically),
     // so the 0.9 threshold is stable.
