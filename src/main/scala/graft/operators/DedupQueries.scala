@@ -357,6 +357,28 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Domain mixing / balancing — cap documents per (lang, source) domain,
+    // selecting by deterministic hash order (not arrival order): the
+    // standard way a training pipeline bounds any one domain's share while
+    // keeping the selection stable under reruns and repartitions. One
+    // window over the domain key — partial sort within partitions, no
+    // driver state.
+    q("q51_domain_cap", "cap 3 docs per (lang, source) domain by content-hash order")(
+      s"""SELECT doc_id, lang, source FROM (
+         |  SELECT doc_id, lang, source,
+         |         row_number() OVER (PARTITION BY lang, source
+         |                            ORDER BY ${md5LongSql("text")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 3 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(md5Long(col("text")), col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // Embedding-cosine near-dup pairs (north-star dedup family). Double-cast
     // dot products are bit-identical across engines (verified empirically),
     // so the 0.9 threshold is stable.

@@ -133,6 +133,37 @@ class HttpLineTransportSpec extends AnyFunSuite {
     } finally t.close()
   }
 
+  test("drives the MicroBatchStream protocol end-to-end (offsets→partitions→read→commit)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val http = new FakeHttp(Seq(() =>
+      ok(new ChunkedBody(Seq("a\nb\nc\nd\ne\nf\ng\n"), thenDisconnect = false))))
+    val t = new HttpLineTransport(cfg, http, maxBuffered = 4, maxReconnects = 0)
+    val stream = new OandaReplayMicroBatchStream(t, linesPerTrigger = 3)
+    try {
+      awaitHead(t, 4) // producer fills to the buffer cap and parks
+      var start = stream.initialOffset().asInstanceOf[LineOffset]
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      var idle = 0
+      while (got.size < 7 && idle < 100) {
+        val end = stream.latestOffset(start, stream.getDefaultReadLimit)
+          .asInstanceOf[LineOffset]
+        if (end.line == start.line) { idle += 1; Thread.sleep(10) }
+        else {
+          assert(end.line - start.line <= 3, "ReadLimit(maxRows=3) not honored")
+          val parts = stream.planInputPartitions(start, end)
+          parts.foreach { p =>
+            val r = stream.createReaderFactory().createReader(p)
+            while (r.next()) got += r.get().getString(0)
+          }
+          stream.commit(end) // releases transport backpressure
+          start = end
+        }
+      }
+      assert(got.toSeq == Seq("a", "b", "c", "d", "e", "f", "g"),
+        s"micro-batch protocol lost/duplicated lines: $got")
+    } finally stream.stop()
+  }
+
   test("uncommitted ranges stay replayable (micro-batch retry contract)") {
     val http = new FakeHttp(Seq(() =>
       ok(new ChunkedBody(Seq("a\nb\nc\n"), thenDisconnect = false))))
