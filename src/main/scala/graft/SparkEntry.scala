@@ -17,6 +17,7 @@ object SparkEntry {
       operators.TimeWindowQueries.all ++
       operators.DedupQueries.all ++
       operators.TextQueries.all ++
+      operators.PipelineQueries.all ++
       operators.VectorQueries.all ++
       operators.ExtrasQueries.all ++
       streaming.StreamingQueries.all

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.Registry.{Q, q}
+import graft.Tables
+import graft.functions.PortableHash._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators beyond dedup/ANN (north-star additions):
+  * benchmark decontamination, Gopher-style repetition filtering, regex
+  * entity/PII scrubbing, and sequence packing. All deterministic — every
+  * query oracle-checked in DuckDB.
+  *
+  * Scale notes (100 TB): decontamination joins on a 60-bit shingle hash
+  * (8-byte shuffle keys, benchmark side broadcast — the benchmark set is
+  * small by construction); repetition metrics are per-doc explode +
+  * partial-aggregated counts; packing is a per-shard (per-lang) running
+  * sum — no global ordering anywhere.
+  */
+object PipelineQueries {
+
+  /** Entity-mask regex: the corpus' "named entities". Word-boundary anchored
+    * so substrings of other tokens survive. Same RE2/Java-compatible syntax
+    * in both engines. */
+  private val entPat = "\\b(customer|supplier|nation|region)\\b"
+  /** PII patterns (emails, long digit runs). The synthetic corpus contains
+    * neither — the oracle proves the zero-count on every row, which pins the
+    * pattern semantics cross-engine without relying on fixture content. */
+  private val emailPat = "[a-z0-9._]+@[a-z0-9.]+"
+  private val numPat = "[0-9]{3,}"
+
+  val all: Seq[Q] = Seq(
+
+    // Benchmark decontamination: flag training docs sharing >= 5 distinct
+    // 3-gram shingles with any doc in the held-out test split (q50's
+    // content-hash split: b >= 90 is test, b < 80 is train). Join key is the
+    // 60-bit shingle hash, not the shingle text — 8-byte shuffle rows; the
+    // test side is distinct-reduced and broadcast (benchmark sets are tiny
+    // relative to the corpus at any scale).
+    q("q52_decontaminate", "flag train docs sharing >=5 distinct 3-grams with the test split")(
+      s"""WITH b AS (SELECT doc_id, ${md5LongSql("text")} % 100 AS b,
+         |                  str_split(text, ' ') AS w FROM documents),
+         |tr AS (SELECT doc_id, ${md5LongSql("s")} AS h
+         |       FROM (SELECT doc_id, unnest(list_distinct(${shinglesSql("w", 3)})) AS s
+         |             FROM b WHERE b < 80)),
+         |te AS (SELECT DISTINCT ${md5LongSql("s")} AS h
+         |       FROM (SELECT unnest(list_distinct(${shinglesSql("w", 3)})) AS s
+         |             FROM b WHERE b >= 90)),
+         |ov AS (SELECT tr.doc_id, count(DISTINCT tr.h) AS n_shared
+         |       FROM tr JOIN te USING (h) GROUP BY tr.doc_id)
+         |SELECT d.doc_id, COALESCE(ov.n_shared, 0) AS n_shared,
+         |       COALESCE(ov.n_shared, 0) >= 5 AS contaminated
+         |FROM (SELECT doc_id FROM b WHERE b < 80) d
+         |LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val b = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), (md5Long(col("text")) % 100).as("b"),
+          tokens(col("text")).as("w"))
+      val tr = b.filter(col("b") < 80)
+        .select(col("doc_id"), explode(array_distinct(shingles(col("w"), 3))).as("s"))
+        .select(col("doc_id"), md5Long(col("s")).as("h"))
+      val te = b.filter(col("b") >= 90)
+        .select(explode(array_distinct(shingles(col("w"), 3))).as("s"))
+        .select(md5Long(col("s")).as("h")).distinct()
+      val ov = tr.join(broadcast(te), "h")
+        .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
+      b.filter(col("b") < 80).select("doc_id")
+        .join(ov, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) >= 5).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style repetition filtering: distinct-token ratio, fraction of
+    // tokens covered by the single most frequent bigram, and the fraction of
+    // 3-gram positions that are duplicates. Two explode→count aggregations
+    // joined back per doc — partial aggregation map-side, 8-byte-hash group
+    // keys nowhere (group key is (doc_id, gram) but counts reduce before the
+    // join). `keep` applies fixed thresholds the way a real pipeline gates.
+    q("q53_repetition", "Gopher repetition metrics per doc + keep gate")(
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+         |bi AS (SELECT doc_id, max(c) AS top_bi, sum(c) AS n_bi
+         |       FROM (SELECT doc_id, s, count(*) AS c
+         |             FROM (SELECT doc_id, unnest(${shinglesSql("w", 2)}) AS s FROM t)
+         |             GROUP BY doc_id, s)
+         |       GROUP BY doc_id),
+         |tri AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri,
+         |               sum(c) AS n_tri
+         |        FROM (SELECT doc_id, s, count(*) AS c
+         |              FROM (SELECT doc_id, unnest(${shinglesSql("w", 3)}) AS s FROM t)
+         |              GROUP BY doc_id, s)
+         |        GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |       CAST(len(w) AS BIGINT) AS n_tok,
+         |       round(len(list_distinct(w)) * 1.0 / len(w), 4) AS distinct_ratio,
+         |       round(2.0 * top_bi / len(w), 4) AS top_bigram_frac,
+         |       round(dup_tri * 1.0 / n_tri, 4) AS dup_trigram_frac,
+         |       (len(list_distinct(w)) * 1.0 / len(w) >= 0.2
+         |        AND 2.0 * top_bi / len(w) <= 0.2) AS keep
+         |FROM t JOIN bi USING (doc_id) JOIN tri USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+      val bi = t.select(col("doc_id"), explode(shingles(col("w"), 2)).as("s"))
+        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_bi"), sum(col("c")).as("n_bi"))
+      val tri = t.select(col("doc_id"), explode(shingles(col("w"), 3)).as("s"))
+        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"),
+          sum(col("c")).as("n_tri"))
+      t.join(bi, "doc_id").join(tri, "doc_id")
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tok"),
+          round(size(array_distinct(col("w"))) * lit(1.0) / size(col("w")), 4)
+            .as("distinct_ratio"),
+          round(lit(2.0) * col("top_bi") / size(col("w")), 4).as("top_bigram_frac"),
+          round(col("dup_tri") * lit(1.0) / col("n_tri"), 4).as("dup_trigram_frac"),
+          (size(array_distinct(col("w"))) * lit(1.0) / size(col("w")) >= 0.2
+            && lit(2.0) * col("top_bi") / size(col("w")) <= 0.2).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Regex entity/PII scrubbing: mask entity terms, emails, and digit runs;
+    // emit per-pattern hit counts and the scrubbed text's fingerprint (the
+    // scrubbed text itself round-trips but would bloat the diff). Pure
+    // regexp_replace/extract_all — codegen'd, embarrassingly parallel.
+    q("q54_text_scrub", "regex entity/PII masking: hit counts + scrubbed fingerprint")(
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$entPat')) AS BIGINT) AS n_ent,
+         |       CAST(len(regexp_extract_all(text, '$emailPat')) AS BIGINT) AS n_email,
+         |       CAST(len(regexp_extract_all(text, '$numPat')) AS BIGINT) AS n_num,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |            '$entPat', '<ENT>', 'g'), '$emailPat', '<EMAIL>', 'g'),
+         |            '$numPat', '<NUM>', 'g')) AS scrubbed_fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(entPat), lit(0))).cast("long").as("n_ent"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(numPat), lit(0))).cast("long").as("n_num"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          entPat, "<ENT>"), emailPat, "<EMAIL>"), numPat, "<NUM>")).as("scrubbed_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing: assign docs to fixed-budget (512-token) training
+    // sequences by running token count, packed per-lang shard in doc_id
+    // order. A per-shard window cumsum — partitions sort locally; no global
+    // ordering, which is what makes packing feasible at 100 TB (each shard
+    // packs independently, exactly how real pipelines shard by
+    // source/lang/date).
+    q("q55_seq_packing", "pack docs into 512-token sequences per lang shard")(
+      """SELECT doc_id, lang, n_tok,
+        |       CAST((cum - n_tok) // 512 AS BIGINT) AS seq_no,
+        |       CAST((cum - n_tok) % 512 AS BIGINT) AS seq_offset
+        |FROM (SELECT doc_id, lang, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                              ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM (SELECT doc_id, lang,
+        |                   CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("(cum - n_tok) div 512").as("seq_no"),
+          ((col("cum") - col("n_tok")) % 512).as("seq_offset"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape and semantics checks for the pipeline-operator family
+  * (decontamination, repetition gate, scrubbing, packing). */
+class PipelineQueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q52 decontamination joins hash keys with a broadcast benchmark side") {
+    val df = SparkEntry.queries("q52_decontaminate")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q52 flags a doc sharing all its 3-grams with the test split") {
+    val out = SparkEntry.queries("q52_decontaminate")(spark, dir)
+    // every train doc appears exactly once, n_shared >= 0, gate consistent
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.forall(r => r.getBoolean(2) == (r.getLong(1) >= 5)))
+    // the corpus shares a tiny vocabulary: contamination must actually fire
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
+  }
+
+  test("q53 repetition metrics bound correctly") {
+    val rows = SparkEntry.queries("q53_repetition")(spark, dir).collect()
+    rows.foreach { r =>
+      val distinctRatio = r.getDouble(2)
+      val topBi = r.getDouble(3)
+      val dupTri = r.getDouble(4)
+      assert(distinctRatio > 0 && distinctRatio <= 1.0, r)
+      assert(topBi > 0 && topBi <= 1.0001, r)
+      assert(dupTri >= 0 && dupTri <= 1.0, r)
+    }
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
+
+  test("q54 scrub masks entities and changes the fingerprint only when it hits") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q54_text_scrub")(spark, dir)
+      .join(graft.Tables(spark, dir, "documents"), "doc_id")
+      .select(col("doc_id"), col("n_ent"), col("scrubbed_fp"), md5(col("text")).as("raw_fp"))
+      .collect()
+    out.foreach { r =>
+      val hit = r.getLong(1) > 0
+      assert((r.getString(2) != r.getString(3)) == hit, r)
+    }
+  }
+
+  test("q55 packing window is partitioned (no single-partition global sort)") {
+    val df = SparkEntry.queries("q55_seq_packing")(spark, dir)
+    // the running sum must be partitioned by the shard key (lang), never a
+    // global single-partition window
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      df.queryExecution.optimizedPlan.toString))
+  }
+
+  test("q55 packing never exceeds the budget boundary semantics") {
+    val rows = SparkEntry.queries("q55_seq_packing")(spark, dir).collect()
+    rows.foreach { r =>
+      val nTok = r.getLong(2); val seqNo = r.getLong(3); val off = r.getLong(4)
+      assert(off >= 0 && off < 512, r)
+      assert(seqNo >= 0, r)
+      assert(nTok > 0, r)
+    }
+  }
+}
