@@ -161,6 +161,104 @@ object VectorQueries {
   private def kmeansFinalAssign(emb: DataFrame): DataFrame =
     kmeansScoresAndAssign(withNorm(emb))._2
 
+  // ---- product quantization (ANN path 4) machinery ----
+
+  /** PQ geometry: M subspaces of SubDim dims; Kpq codewords per subspace
+    * seeded from the first Kpq vectors (same seeding trick as IVF — fully
+    * deterministic and oracle-expressible). */
+  val PqM = 16
+  val PqSubDim = Dim / PqM
+  val PqK = 16
+
+  /** One oracle assignment pass: per-subspace squared-L2 to every codeword
+    * of `cwName` (sequential fold — bit-identical to the Spark `aggregate`),
+    * argmin code with tie → lowest code id. */
+  private def pqAssignSql(cwName: String, pdName: String, codesName: String): String =
+    s"""$pdName AS (SELECT s.vec_id, s.m, c.code,
+       |              list_reduce(list_transform(generate_series(1, $PqSubDim),
+       |                i -> (s.se[i] - c.ce[i]) * (s.se[i] - c.ce[i])), (a, b) -> a + b) AS d2
+       |       FROM sub s JOIN $cwName c USING (m)),
+       |$codesName AS (SELECT vec_id, m, code, d2 FROM
+       |            (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+       |             FROM $pdName)
+       |          WHERE rn = 1)""".stripMargin
+
+  /** One oracle Lloyd codebook update: per-(m,code) elementwise mean of
+    * member subvectors as a vec_id-ordered sequential fold; an emptied
+    * codeword keeps its previous value (same contract as the k-means CTE). */
+  private def pqUpdateSql(codesName: String, prevCw: String, newCw: String): String =
+    s"""mu_$newCw AS (SELECT c.m, c.code, list(s.se ORDER BY s.vec_id) AS ms, count(*) AS n
+       |       FROM $codesName c JOIN sub s ON s.vec_id = c.vec_id AND s.m = c.m
+       |       GROUP BY c.m, c.code),
+       |$newCw AS (SELECT c.m, c.code,
+       |            coalesce(list_transform(generate_series(1, $PqSubDim),
+       |              d -> list_reduce(list_transform(mu.ms, e -> e[d]),
+       |                               (acc, x) -> acc + x) / mu.n), c.ce) AS ce
+       |     FROM $prevCw c LEFT JOIN mu_$newCw mu ON mu.m = c.m AND mu.code = c.code)""".stripMargin
+
+  /** Lloyd training iterations over the codebook (unrolled identically in
+    * the oracle SQL). */
+  val PqIters = 1
+
+  /** Oracle CTE chain: subvectors → seed codebook (first PqK vectors) →
+    * PqIters × (assign → Lloyd update) → final `cw`/`codes`. */
+  private val pqCodesCte = {
+    val steps = (0 until PqIters).flatMap { i =>
+      val nextCw = if (i == PqIters - 1) "cw" else s"cw${i + 1}"
+      Seq(pqAssignSql(s"cw$i", s"pd$i", s"codes$i"),
+        pqUpdateSql(s"codes$i", s"cw$i", nextCw))
+    } :+ pqAssignSql("cw", s"pd$PqIters", "codes")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |sub AS (SELECT vec_id, m, e[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS se
+       |        FROM v CROSS JOIN range($PqM) AS r(m)),
+       |cw0 AS (SELECT m, vec_id AS code, se AS ce FROM sub WHERE vec_id < $PqK),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  /** Spark argmin-assignment twin (codebook is broadcast — PqM·PqK rows). */
+  private def pqAssign(sub: DataFrame, cw: DataFrame): DataFrame = {
+    val wMin = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("code"))
+    sub.join(broadcast(cw), "m")
+      .withColumn("d2", aggregate(zip_with(col("se"), col("ce"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+      .withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"), col("d2"))
+  }
+
+  /** Spark Lloyd-update twin. The vec_id-ordered `collect_list` fold exists
+    * only for bit-exact oracle determinism (same 100 TB note as kmUpdate:
+    * production uses posexplode→avg partial aggregation). */
+  private def pqUpdate(codes: DataFrame, sub: DataFrame, prevCw: DataFrame): DataFrame = {
+    val means = codes.join(sub, Seq("vec_id", "m"))
+      .groupBy("m", "code")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("se")))).as("ms"),
+        count(lit(1)).as("n"))
+      .select(col("m"), col("code"),
+        transform(sequence(lit(1), lit(PqSubDim)), d =>
+          aggregate(col("ms"), lit(0.0),
+            (acc, mm) => acc + get(mm.getField("se"), d - 1)) / col("n")).as("mce"))
+    prevCw.join(means, Seq("m", "code"), "left")
+      .select(col("m"), col("code"), coalesce(col("mce"), col("ce")).as("ce"))
+  }
+
+  /** Spark twins of the oracle CTEs: (subvectors, trained codebook, codes).
+    * The trained codebook (PqM·PqK rows) is cached — it feeds both the
+    * final assignment and the ADC table. */
+  private def pqFrames(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val v = Tables.fanout(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val sub = v.select(col("vec_id"),
+      posexplode(array((0 until PqM).map(m =>
+        slice(col("e"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "se")))
+    val cw0 = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("code"), col("se").as("ce"))
+    val cw = (0 until PqIters).foldLeft(cw0) { (c, _) =>
+      pqUpdate(pqAssign(sub, c), sub, c).cache()
+    }
+    (sub, cw, pqAssign(sub, cw))
+  }
+
   val all: Seq[Q] = Seq(
 
     // B35: brute-force cosine top-5 neighbors for the first 10 query vectors.
@@ -374,6 +472,65 @@ object VectorQueries {
         .withColumn("qcs", dot(col("qe"), col("me")) / (col("qn") * col("mn")))
         .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
         .select(col("qid"), col("cid"), round(col("qcs"), 4).as("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")
+    },
+
+    // ANN path 4: product quantization — each vector compressed to PqM
+    // 4-bit codes (argmin squared-L2 to the per-subspace codebook). The
+    // codes table IS the compressed index: at 100 TB the 64-dim float
+    // corpus becomes n·4 small ints, and search never touches the raw
+    // vectors. Codebook is broadcast (PqM·PqK rows at any scale).
+    q("q35h_pq_codes", s"ANN: product-quantization code assignment ($PqM×$PqK codebook, $PqIters Lloyd pass)")(
+      s"""$pqCodesCte
+         |SELECT vec_id, CAST(m AS BIGINT) AS m, code, round(d2, 4) + 0 AS dist
+         |FROM codes ORDER BY vec_id, m""".stripMargin
+    ) { (s, dir) =>
+      val (_, _, codes) = pqFrames(s, dir)
+      codes.select(col("vec_id"), col("m").cast("long").as("m"), col("code"),
+        round(col("d2"), 4).as("dist"))
+        .orderBy("vec_id", "m")
+    },
+
+    // ANN path 4 search: asymmetric distance computation (ADC) — per query,
+    // precompute the distance from each query subvector to every codeword
+    // (PqM·PqK entries/query, broadcast), then one pass over the compressed
+    // codes reconstructs each candidate's approximate distance as the fixed
+    // -order sum d0+…+d{M-1} of table lookups (fixed order keeps the float
+    // sum bit-identical to the oracle). Queries never touch raw candidate
+    // vectors — the PQ scale contract.
+    q("q35i_pq_adc_search", "ANN: PQ ADC top-3 by approximate L2 (queries vec_id<10)")(
+      s"""$pqCodesCte,
+         |adc AS (SELECT q.vec_id AS qid, c.m, c.code,
+         |               list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |                 i -> (q.se[i] - c.ce[i]) * (q.se[i] - c.ce[i])), (a, b) -> a + b) AS dd
+         |        FROM sub q JOIN cw c USING (m) WHERE q.vec_id < 10),
+         |j AS (SELECT adc.qid, codes.vec_id AS cid,
+         |${(0 until PqM).map(i => s"             max(CASE WHEN adc.m = $i THEN dd END) AS d$i").mkString(",\n")}
+         |      FROM codes JOIN adc ON adc.m = codes.m AND adc.code = codes.code
+         |      GROUP BY adc.qid, codes.vec_id),
+         |sc AS (SELECT qid, cid, ${(0 until PqM).map(i => s"d$i").mkString(" + ")} AS dist FROM j WHERE cid <> qid)
+         |SELECT qid, cid, round(dist, 4) + 0 AS adist, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn FROM sc)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    ) { (s, dir) =>
+      val (sub, cw, codes) = pqFrames(s, dir)
+      val adc = sub.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("m"), col("se"))
+        .join(cw, "m")
+        .withColumn("dd", aggregate(zip_with(col("se"), col("ce"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+        .select(col("qid"), col("m"), col("code"), col("dd"))
+      val byQ = codes.join(broadcast(adc), Seq("m", "code"))
+        .groupBy(col("qid"), col("vec_id").as("cid"))
+        .agg(max(when(col("m") === 0, col("dd"))).as("d0"),
+          (1 until PqM).map(i => max(when(col("m") === i, col("dd"))).as(s"d$i")): _*)
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("dist",
+          (0 until PqM).map(i => col(s"d$i")).reduceLeft(_ + _))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+      byQ.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), round(col("dist"), 4).as("adist"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")
     }
