@@ -88,4 +88,29 @@ class ApproxAndRecallSpec extends AnyFunSuite {
     val r = recallAt(pq, exact, 3)
     assert(r > 0.15, s"PQ ADC recall@3 vs exact L2 = $r")
   }
+
+  test("IVF-PQ with exact re-rank recovers most of the exact-L2 top-3") {
+    // the composed index (coarse routing + residual codes + 100-deep exact
+    // re-rank) must beat flat PQ by a wide margin: fixture measures 0.833
+    // recall@3 (vs 0.2 for flat PQ ADC) while re-ranking only 100 raw
+    // vectors per query.
+    import org.apache.spark.sql.functions._
+    val v = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val qs = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d"), col("cid"))
+    val exact = v.select(col("vec_id").as("cid"), col("e").as("ce"))
+      .join(broadcast(qs), col("cid") =!= col("qid"))
+      .withColumn("d", aggregate(zip_with(col("qe"), col("ce"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("qid", "cid", "rn").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    val ivfpq = neighbors("q35j_ivfpq_search")
+    val r = recallAt(ivfpq, exact, 3)
+    assert(r >= 0.7, s"IVF-PQ re-ranked recall@3 vs exact L2 = $r")
+  }
 }
