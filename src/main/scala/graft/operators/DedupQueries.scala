@@ -52,7 +52,7 @@ object DedupQueries {
 
   /** Shared SQL: same construction widened to the low 32 bits (for the
     * near-dup pair mining, where 16 bits is far too coarse). */
-  private val simhash32Cte = simhashCte
+  private[graft] val simhash32Cte = simhashCte
     .replace("range(16)", "range(32)")
 
   /** Spark twin of [[simhashCte]]: one-pass 64-bit aggregator; the oracle

@@ -211,6 +211,75 @@ object StreamingQueries {
         .toDF("user_id", "n", "mx_raw")
         .select(col("user_id"), col("n"), round(col("mx_raw"), 4).as("mx"))
       runToMemory(s, updates).orderBy("user_id")
+    },
+
+    // Streaming near-dup pair mining — the LLM-pipeline dedup operator run
+    // ON THE STREAM: each incoming doc's 32-bit SimHash (computed as a pure
+    // projection — a per-bit HOF fold over distinct token hashes, no
+    // aggregation, so it composes with downstream stateful ops) splits into
+    // 4×8-bit bands; per-(band, value) keyed state keeps the minimum doc_id
+    // ever seen, and every later doc in the bucket emits a (band, keeper,
+    // dup) candidate pair. State is one long per occupied bucket — bounded
+    // by distinct band values, not corpus size; emission is incremental
+    // (append mode). Docs arrive in doc_id order, so "state minimum" ≡
+    // "global minimum among earlier docs" — the batch-equivalent oracle.
+    q("q56_stream_neardup_pairs",
+      "streaming SimHash-banded near-dup pair mining (keyed band-bucket state)")(
+      s"""${graft.operators.DedupQueries.simhash32Cte},
+         |bands AS (SELECT doc_id, b, (simhash >> (b * 8)) & 255 AS bv
+         |          FROM sig CROSS JOIN range(4) AS r(b)),
+         |pairs AS (SELECT b.b AS band, min(a.doc_id) AS keeper, b.doc_id AS dup
+         |          FROM bands b JOIN bands a
+         |            ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |          GROUP BY b.b, b.doc_id)
+         |SELECT CAST(band AS BIGINT) AS band, keeper, dup FROM pairs
+         |ORDER BY dup, band""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.PortableHash.md5Long
+      // 32-bit SimHash as a stateless projection: distinct token hashes,
+      // then per bit a ±1 fold (integer addition — order-free, so the HOF
+      // fold matches the oracle's grouped sum exactly)
+      val hvs = transform(array_distinct(split(col("text"), " ")), w => md5Long(w))
+      val simhash = (0 until 32).map { i =>
+        val sgn = aggregate(hvs, lit(0L),
+          (acc, h) => acc + (shiftright(h, i).bitwiseAND(1L) * 2 - 1))
+        when(sgn > 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
+      val bands = docsStream(s, dir)
+        .select(col("doc_id"), simhash.as("simhash"))
+        .select(col("doc_id"), explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("simhash"), b * 8).bitwiseAND(255L).as("bv"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.b").as("b"), col("bb.bv").as("bv"))
+        .as[(Long, Int, Long)]
+      val pairs = bands.groupByKey(r => (r._2, r._3))
+        .flatMapGroupsWithState[Long, (Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (key: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[Long]) =>
+            val ds = rows.map(_._1).toArray.sorted
+            var mn = state.getOption.getOrElse(Long.MaxValue)
+            val out = Seq.newBuilder[(Long, Long, Long)]
+            ds.foreach { d =>
+              if (d < mn) mn = d
+              else out += ((key._1.toLong, mn, d))
+            }
+            state.update(mn)
+            out.result().iterator
+        }
+        .toDF("band", "keeper", "dup")
+      runToMemory(s, pairs).orderBy("dup", "band")
     }
   )
+
+  /** documents replayed as a stream (single-file fixture ⇒ one data batch,
+    * deterministic). */
+  private def docsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.readStream.schema(schema).option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
 }
