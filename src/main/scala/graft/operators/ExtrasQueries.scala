@@ -30,6 +30,26 @@ object ExtrasQueries {
       |ORDER BY revenue DESC, o_orderdate, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Shared dialect-neutral SQL for q49b (TPC-H Q5 shape: 6-way join +
+    * region filter + per-nation revenue). The revenue sum runs in exact
+    * DECIMAL (4-dp products are exact in (28,4)) so the grouped sum is
+    * order-independent across engines. */
+  val tpchQ5Sql: String =
+    """SELECT n_name,
+      |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // B38: the engine's spread column function (P8 0.0-coercion) applied to
@@ -326,6 +346,18 @@ object ExtrasQueries {
       Seq("customer", "orders", "lineitem").foreach(t =>
         Tables(s, dir, t).createOrReplaceTempView(t))
       s.sql(ExtrasQueries.tpchQ3Sql)
+    },
+
+    // TPC-H Q5 shape through the SQL surface: a 6-way star join (3 small
+    // dims broadcast, fact-fact on orderkey) with a selective region
+    // filter. Catalyst's join reorder + broadcast selection plans this
+    // unaided — the point of routing it through spark.sql.
+    q("q49b_sql_tpch_q5", "TPC-H Q5 shape via spark.sql — 6-way join, per-nation revenue")(
+      ExtrasQueries.tpchQ5Sql
+    ) { (s, dir) =>
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ5Sql)
     }
   )
 }

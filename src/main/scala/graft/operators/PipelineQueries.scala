@@ -146,6 +146,67 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental corpus dedup — the append-time operator: an arriving
+    // batch (doc_id >= 400) dedupes against the standing corpus's content
+    // -hash index (doc_id < 400) AND within itself (keep lowest doc_id per
+    // hash). One left-anti join on the 128-bit hash + one keep-first
+    // window: at 100 TB the index side is a bucketed hash table (16 B
+    // rows), the batch side is small — the join broadcasts the batch's
+    // hashes or probes the bucketed index shuffle-free; no text moves.
+    q("q57_incremental_dedup", "dedup an arriving batch against the standing corpus hash index")(
+      """WITH n AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |           FROM documents),
+        |keep AS (SELECT doc_id, h FROM
+        |           (SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |            FROM n WHERE doc_id >= 400)
+        |         WHERE rn = 1)
+        |SELECT k.doc_id, k.h FROM keep k
+        |WHERE NOT EXISTS (SELECT 1 FROM n i WHERE i.doc_id < 400 AND i.h = k.h)
+        |ORDER BY k.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val n = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("h"))
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val batchKeep = n.filter(col("doc_id") >= 400)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id", "h")
+      val index = n.filter(col("doc_id") < 400).select("h")
+      batchKeep.join(index, Seq("h"), "left_anti")
+        .select("doc_id", "h").orderBy("doc_id")
+    },
+
+    // Per-domain quantile gating — keep docs at or above their language's
+    // median length. The threshold is the DISCRETE median (the value at
+    // row ceil(n/2) in (n_chars, doc_id) order), so both engines pick the
+    // same integer — no interpolation float to diverge on. Per-shard
+    // window + broadcast threshold join: the per-domain thresholds frame
+    // is |domains| rows at any scale.
+    q("q58_quantile_gate", "keep docs >= their lang's discrete median n_chars")(
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |                  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |                  count(*) OVER (PARTITION BY lang) AS cnt
+        |           FROM documents),
+        |med AS (SELECT lang, n_chars AS med FROM r WHERE rn = (cnt + 1) // 2)
+        |SELECT d.doc_id, d.lang, d.n_chars, m.med
+        |FROM documents d JOIN med m USING (lang)
+        |WHERE d.n_chars >= m.med
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      val wc = Window.partitionBy(col("lang"))
+      val med = docs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("lang"), col("n_chars").as("med"))
+      docs.join(broadcast(med), "lang")
+        .filter(col("n_chars") >= col("med"))
+        .select("doc_id", "lang", "n_chars", "med")
+        .orderBy("doc_id")
+    },
+
     // Sequence packing: assign docs to fixed-budget (512-token) training
     // sequences by running token count, packed per-lang shard in doc_id
     // order. A per-shard window cumsum — partitions sort locally; no global

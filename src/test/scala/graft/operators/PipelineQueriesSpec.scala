@@ -64,6 +64,23 @@ class PipelineQueriesSpec extends AnyFunSuite {
       df.queryExecution.optimizedPlan.toString))
   }
 
+  test("q49b TPC-H Q5 plans broadcasts for the small dims, no nested loop") {
+    val df = SparkEntry.queries("q49b_sql_tpch_q5")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // at least nation/region/supplier should resolve to broadcast hash joins
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3, s"expected >=3 broadcast joins, got $nBroadcast\n$plan")
+  }
+
+  test("q57 incremental dedup is an anti join on the hash, never on text") {
+    val df = SparkEntry.queries("q57_incremental_dedup")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q55 packing never exceeds the budget boundary semantics") {
     val rows = SparkEntry.queries("q55_seq_packing")(spark, dir).collect()
     rows.foreach { r =>
