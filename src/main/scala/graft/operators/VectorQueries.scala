@@ -666,6 +666,61 @@ object VectorQueries {
         .select(col("qid"), col("cid"), round(col("d"), 4).as("dist"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")
+    },
+
+    // ANN path 6: scalar quantization (SQ8) — each dimension maps to one
+    // uint8 via per-dim [min, max] uniform levels (4:1 over float32, 8:1
+    // over the double pipeline), searched against the DEQUANTIZED
+    // reconstruction (mid-rise: mn + (c+0.5)·(mx-mn)/255). Per-dim bounds
+    // are a posexplode → min/max partial aggregation (64 rows, broadcast);
+    // at 100 TB the codes table is the stored corpus and bounds are index
+    // metadata. The reconstruction is reassembled in dim order (ordered
+    // fold — bit-identical across engines) so the distance rank is exact.
+    q("q35k_sq8_search", "ANN: SQ8 per-dim uniform quantization, dequantized top-3 (queries vec_id<10)")(
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |px AS (SELECT vec_id, d, e[d+1] AS x FROM v CROSS JOIN range($Dim) AS r(d)),
+         |dim AS (SELECT d, min(x) AS mn, max(x) AS mx FROM px GROUP BY d),
+         |codes AS (SELECT vec_id, d,
+         |                 CASE WHEN mx = mn THEN 0
+         |                      ELSE least(CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT), 255)
+         |                 END AS c
+         |          FROM px JOIN dim USING (d)),
+         |deq AS (SELECT vec_id, d, mn + (c + 0.5) * (mx - mn) / 255 AS xq
+         |        FROM codes JOIN dim USING (d)),
+         |deqv AS (SELECT vec_id, list(xq ORDER BY d) AS eq FROM deq GROUP BY vec_id),
+         |s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |             list_reduce(list_transform(generate_series(1, $Dim),
+         |               i -> (q.e[i] - c.eq[i]) * (q.e[i] - c.eq[i])), (a, b) -> a + b) AS d2
+         |      FROM v q CROSS JOIN deqv c
+         |      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |SELECT qid, cid, round(d2, 4) + 0 AS dist, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn FROM s)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    ) { (s, dir) =>
+      val v = Tables.fanout(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      val px = v.select(col("vec_id"), posexplode(col("e")).as(Seq("d", "x")))
+      val dim = px.groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val codes = px.join(broadcast(dim), "d")
+        .withColumn("c", when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor((col("x") - col("mn"))
+            / (col("mx") - col("mn")) * 255).cast("long"), lit(255L))))
+      val deqv = codes
+        .withColumn("xq", col("mn") + (col("c") + 0.5) * (col("mx") - col("mn")) / 255)
+        .groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("d"), col("xq")))).as("ms"))
+        .select(col("vec_id").as("cid"),
+          transform(col("ms"), m => m.getField("xq")).as("eq"))
+      val qs = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+      deqv.join(broadcast(qs), col("cid") =!= col("qid"))
+        .withColumn("d2", aggregate(zip_with(col("qe"), col("eq"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), round(col("d2"), 4).as("dist"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")
     }
   )
 }

@@ -112,5 +112,11 @@ class ApproxAndRecallSpec extends AnyFunSuite {
     val ivfpq = neighbors("q35j_ivfpq_search")
     val r = recallAt(ivfpq, exact, 3)
     assert(r >= 0.7, s"IVF-PQ re-ranked recall@3 vs exact L2 = $r")
+
+    // SQ8 (8 bits/dim) must be near-lossless: fixture measures 1.0 at
+    // sf0.01, 0.967 at sf0.1
+    val sq8 = neighbors("q35k_sq8_search")
+    val rSq = recallAt(sq8, exact, 3)
+    assert(rSq >= 0.9, s"SQ8 recall@3 vs exact L2 = $rSq")
   }
 }
