@@ -31,43 +31,68 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
 
-    // Benchmark decontamination: flag training docs sharing >= 5 distinct
-    // 3-gram shingles with any doc in the held-out test split (q50's
-    // content-hash split: b >= 90 is test, b < 80 is train). Join key is the
+    // Benchmark decontamination: score each training doc by the FRACTION
+    // of its distinct 3-gram shingles that also appear in the held-out
+    // test split (q50's content-hash split: b >= 90 is test, b < 80 is
+    // train), and flag the top quintile for removal. A quantile gate is
+    // the only scale-invariant choice on this corpus — its tiny shared
+    // vocabulary makes absolute overlap grow with benchmark size (real
+    // corpora gate on any 8-13-gram collision instead). Join key is the
     // 60-bit shingle hash, not the shingle text — 8-byte shuffle rows; the
     // test side is distinct-reduced and broadcast (benchmark sets are tiny
-    // relative to the corpus at any scale).
-    q("q52_decontaminate", "flag train docs sharing >=5 distinct 3-grams with the test split")(
+    // relative to the corpus at any scale). The exact discrete-quantile
+    // cutoff (global rank) exists for bit-exact oracle verification; at
+    // 100 TB the cutoff comes from approx_percentile — one scalar, same
+    // downstream gate.
+    q("q52_decontaminate", "flag the top-quintile test-split 3-gram overlap fraction")(
       s"""WITH b AS (SELECT doc_id, ${md5LongSql("text")} % 100 AS b,
          |                  str_split(text, ' ') AS w FROM documents),
-         |tr AS (SELECT doc_id, ${md5LongSql("s")} AS h
-         |       FROM (SELECT doc_id, unnest(list_distinct(${shinglesSql("w", 3)})) AS s
-         |             FROM b WHERE b < 80)),
-         |te AS (SELECT DISTINCT ${md5LongSql("s")} AS h
-         |       FROM (SELECT unnest(list_distinct(${shinglesSql("w", 3)})) AS s
-         |             FROM b WHERE b >= 90)),
+         |sh AS (SELECT doc_id, b, list_distinct(${shinglesSql("w", 3)}) AS s FROM b),
+         |trd AS (SELECT doc_id, len(s) AS n_sh FROM sh WHERE b < 80),
+         |tr AS (SELECT doc_id, ${md5LongSql("g")} AS h
+         |       FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE b < 80)),
+         |te AS (SELECT DISTINCT ${md5LongSql("g")} AS h
+         |       FROM (SELECT unnest(s) AS g FROM sh WHERE b >= 90)),
          |ov AS (SELECT tr.doc_id, count(DISTINCT tr.h) AS n_shared
-         |       FROM tr JOIN te USING (h) GROUP BY tr.doc_id)
-         |SELECT d.doc_id, COALESCE(ov.n_shared, 0) AS n_shared,
-         |       COALESCE(ov.n_shared, 0) >= 5 AS contaminated
-         |FROM (SELECT doc_id FROM b WHERE b < 80) d
-         |LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin
+         |       FROM tr JOIN te USING (h) GROUP BY tr.doc_id),
+         |j AS (SELECT d.doc_id, COALESCE(ov.n_shared, 0) AS n_shared,
+         |             COALESCE(ov.n_shared, 0) * 1.0 / d.n_sh AS ratio
+         |      FROM trd d LEFT JOIN ov USING (doc_id)),
+         |tot AS (SELECT count(*) AS n FROM j),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY ratio, doc_id) AS rn FROM j),
+         |cut AS (SELECT ratio AS cutoff FROM rk CROSS JOIN tot WHERE rn = (4 * n + 4) // 5)
+         |SELECT doc_id, n_shared, round(ratio, 4) AS overlap_frac,
+         |       ratio >= cutoff AS contaminated
+         |FROM rk CROSS JOIN cut ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       val b = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), (md5Long(col("text")) % 100).as("b"),
           tokens(col("text")).as("w"))
-      val tr = b.filter(col("b") < 80)
-        .select(col("doc_id"), explode(array_distinct(shingles(col("w"), 3))).as("s"))
-        .select(col("doc_id"), md5Long(col("s")).as("h"))
-      val te = b.filter(col("b") >= 90)
-        .select(explode(array_distinct(shingles(col("w"), 3))).as("s"))
-        .select(md5Long(col("s")).as("h")).distinct()
+      val sh = b.select(col("doc_id"), col("b"),
+        array_distinct(shingles(col("w"), 3)).as("s"))
+      val trd = sh.filter(col("b") < 80)
+        .select(col("doc_id"), size(col("s")).as("n_sh"))
+      val tr = sh.filter(col("b") < 80)
+        .select(col("doc_id"), explode(col("s")).as("g"))
+        .select(col("doc_id"), md5Long(col("g")).as("h"))
+      val te = sh.filter(col("b") >= 90)
+        .select(explode(col("s")).as("g"))
+        .select(md5Long(col("g")).as("h")).distinct()
       val ov = tr.join(broadcast(te), "h")
         .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
-      b.filter(col("b") < 80).select("doc_id")
-        .join(ov, Seq("doc_id"), "left")
+      val j = trd.join(ov, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          (coalesce(col("n_shared"), lit(0L)) >= 5).as("contaminated"))
+          (coalesce(col("n_shared"), lit(0L)) * lit(1.0) / col("n_sh")).as("ratio"))
+      val tot = j.agg(count(lit(1)).as("n"))
+      val rk = j.withColumn("rn",
+        row_number().over(Window.orderBy(col("ratio"), col("doc_id"))))
+      val cut = rk.crossJoin(broadcast(tot))
+        .filter(col("rn") === expr("(4 * n + 4) div 5"))
+        .select(col("ratio").as("cutoff"))
+      rk.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("n_shared"),
+          round(col("ratio"), 4).as("overlap_frac"),
+          (col("ratio") >= col("cutoff")).as("contaminated"))
         .orderBy("doc_id")
     },
 
@@ -95,8 +120,8 @@ object PipelineQueries {
          |       round(len(list_distinct(w)) * 1.0 / len(w), 4) AS distinct_ratio,
          |       round(2.0 * top_bi / len(w), 4) AS top_bigram_frac,
          |       round(dup_tri * 1.0 / n_tri, 4) AS dup_trigram_frac,
-         |       (len(list_distinct(w)) * 1.0 / len(w) >= 0.2
-         |        AND 2.0 * top_bi / len(w) <= 0.2) AS keep
+         |       (len(list_distinct(w)) * 1.0 / len(w) >= 0.45
+         |        AND 2.0 * top_bi / len(w) <= 0.12) AS keep
          |FROM t JOIN bi USING (doc_id) JOIN tri USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
@@ -117,8 +142,8 @@ object PipelineQueries {
             .as("distinct_ratio"),
           round(lit(2.0) * col("top_bi") / size(col("w")), 4).as("top_bigram_frac"),
           round(col("dup_tri") * lit(1.0) / col("n_tri"), 4).as("dup_trigram_frac"),
-          (size(array_distinct(col("w"))) * lit(1.0) / size(col("w")) >= 0.2
-            && lit(2.0) * col("top_bi") / size(col("w")) <= 0.2).as("keep"))
+          (size(array_distinct(col("w"))) * lit(1.0) / size(col("w")) >= 0.45
+            && lit(2.0) * col("top_bi") / size(col("w")) <= 0.12).as("keep"))
         .orderBy("doc_id")
     },
 

@@ -14,17 +14,25 @@ class PipelineQueriesSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the only nested-loop joins allowed are the broadcast crosses against
+    // the 1-row total/cutoff scalar frames — never a data×data product
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj)\n$plan")
   }
 
-  test("q52 flags a doc sharing all its 3-grams with the test split") {
+  test("q52 quantile gate flags roughly the top-quintile overlap") {
     val out = SparkEntry.queries("q52_decontaminate")(spark, dir)
-    // every train doc appears exactly once, n_shared >= 0, gate consistent
+    // every train doc appears exactly once; the quantile gate flags ~20%
+    // (ties at the cutoff may widen it slightly) and is monotone in the
+    // overlap fraction
     val rows = out.collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
-    assert(rows.forall(r => r.getBoolean(2) == (r.getLong(1) >= 5)))
-    // the corpus shares a tiny vocabulary: contamination must actually fire
-    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
+    val flagged = rows.count(_.getBoolean(3))
+    assert(flagged >= rows.length / 6 && flagged <= rows.length / 3,
+      s"$flagged of ${rows.length} flagged")
+    val minFlagged = rows.filter(_.getBoolean(3)).map(_.getDouble(2)).min
+    val maxClean = rows.filter(!_.getBoolean(3)).map(_.getDouble(2)).max
+    assert(maxClean <= minFlagged, s"gate not monotone: $maxClean vs $minFlagged")
   }
 
   test("q53 repetition metrics bound correctly") {
