@@ -91,11 +91,16 @@ object VectorQueries {
        |        WHERE rn = 1)""".stripMargin
 
   private def kmUpdateSql(prevAssign: String, prevCents: String, label: String): String =
+    // empty-cluster fallback must branch on the JOIN miss (m.n IS NULL), not
+    // coalesce over the transformed list — list_transform over a NULL inner
+    // list yields [NULL, ...], which is non-NULL and defeats coalesce
     s"""m$label AS (SELECT cent, list(e ORDER BY vec_id) AS ms, count(*) AS n
        |      FROM $prevAssign JOIN v USING (vec_id) GROUP BY cent),
        |$label AS (SELECT p.cent,
-       |            coalesce(list_transform(generate_series(1, $Dim),
-       |              d -> list_reduce(list_transform(m.ms, e -> e[d]), (acc, x) -> acc + x) / m.n), p.ce) AS ce
+       |            CASE WHEN m.n IS NULL THEN p.ce
+       |                 ELSE list_transform(generate_series(1, $Dim),
+       |                   d -> list_reduce(list_transform(m.ms, e -> e[d]), (acc, x) -> acc + x) / m.n)
+       |            END AS ce
        |     FROM $prevCents p LEFT JOIN m$label m ON m.cent = p.cent)""".stripMargin
 
   private val kmeansCte: String = {
@@ -187,13 +192,17 @@ object VectorQueries {
     * member subvectors as a vec_id-ordered sequential fold; an emptied
     * codeword keeps its previous value (same contract as the k-means CTE). */
   private def pqUpdateSql(codesName: String, prevCw: String, newCw: String): String =
+    // same JOIN-miss branching as kmUpdateSql: coalesce over the transformed
+    // list would see [NULL, ...] (non-NULL) and never fall back
     s"""mu_$newCw AS (SELECT c.m, c.code, list(s.se ORDER BY s.vec_id) AS ms, count(*) AS n
        |       FROM $codesName c JOIN sub s ON s.vec_id = c.vec_id AND s.m = c.m
        |       GROUP BY c.m, c.code),
        |$newCw AS (SELECT c.m, c.code,
-       |            coalesce(list_transform(generate_series(1, $PqSubDim),
-       |              d -> list_reduce(list_transform(mu.ms, e -> e[d]),
-       |                               (acc, x) -> acc + x) / mu.n), c.ce) AS ce
+       |            CASE WHEN mu.n IS NULL THEN c.ce
+       |                 ELSE list_transform(generate_series(1, $PqSubDim),
+       |                   d -> list_reduce(list_transform(mu.ms, e -> e[d]),
+       |                                    (acc, x) -> acc + x) / mu.n)
+       |            END AS ce
        |     FROM $prevCw c LEFT JOIN mu_$newCw mu ON mu.m = c.m AND mu.code = c.code)""".stripMargin
 
   /** Lloyd training iterations over the codebook (unrolled identically in
