@@ -47,49 +47,57 @@ object PipelineQueries {
     q("q52_decontaminate", "flag the top-quintile test-split 3-gram overlap fraction")(
       s"""WITH b AS (SELECT doc_id, ${md5LongSql("text")} % 100 AS b,
          |                  str_split(text, ' ') AS w FROM documents),
-         |sh AS (SELECT doc_id, b, list_distinct(${shinglesSql("w", 3)}) AS s FROM b),
+         |sh AS (SELECT doc_id, b, list_transform(list_distinct(${shinglesSql("w", 3)}),
+         |                            g -> ${md5LongSql("g")}) AS s FROM b),
          |trd AS (SELECT doc_id, len(s) AS n_sh FROM sh WHERE b < 80),
-         |tr AS (SELECT doc_id, ${md5LongSql("g")} AS h
-         |       FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE b < 80)),
-         |te AS (SELECT DISTINCT ${md5LongSql("g")} AS h
-         |       FROM (SELECT unnest(s) AS g FROM sh WHERE b >= 90)),
-         |ov AS (SELECT tr.doc_id, count(DISTINCT tr.h) AS n_shared
+         |tr AS (SELECT doc_id, unnest(s) AS h FROM sh WHERE b < 80),
+         |te AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE b >= 90),
+         |ov AS (SELECT tr.doc_id, count(*) AS n_shared
          |       FROM tr JOIN te USING (h) GROUP BY tr.doc_id),
          |j AS (SELECT d.doc_id, COALESCE(ov.n_shared, 0) AS n_shared,
          |             COALESCE(ov.n_shared, 0) * 1.0 / d.n_sh AS ratio
          |      FROM trd d LEFT JOIN ov USING (doc_id)),
-         |tot AS (SELECT count(*) AS n FROM j),
-         |rk AS (SELECT *, row_number() OVER (ORDER BY ratio, doc_id) AS rn FROM j),
-         |cut AS (SELECT ratio AS cutoff FROM rk CROSS JOIN tot WHERE rn = (4 * n + 4) // 5)
+         |rk AS (SELECT *, row_number() OVER (ORDER BY ratio, doc_id) AS rn,
+         |              count(*) OVER () AS n FROM j),
+         |fl AS (SELECT *, max(CASE WHEN rn = (4 * n + 4) // 5 THEN ratio END)
+         |                   OVER () AS cutoff FROM rk)
          |SELECT doc_id, n_shared, round(ratio, 4) AS overlap_frac,
          |       ratio >= cutoff AS contaminated
-         |FROM rk CROSS JOIN cut ORDER BY doc_id""".stripMargin
+         |FROM fl ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       val b = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), (md5Long(col("text")) % 100).as("b"),
           tokens(col("text")).as("w"))
+      // three consumers (trd, tr, te) — without the cache the fanout +
+      // md5 + shingle chain is re-executed per consumer; hashing inside the
+      // cached array means the cache holds 8-byte longs, not shingle text,
+      // and tr/te don't re-run md5 per exploded row
       val sh = b.select(col("doc_id"), col("b"),
-        array_distinct(shingles(col("w"), 3)).as("s"))
+        transform(array_distinct(shingles(col("w"), 3)),
+          g => md5Long(g)).as("s")).cache()
       val trd = sh.filter(col("b") < 80)
         .select(col("doc_id"), size(col("s")).as("n_sh"))
       val tr = sh.filter(col("b") < 80)
-        .select(col("doc_id"), explode(col("s")).as("g"))
-        .select(col("doc_id"), md5Long(col("g")).as("h"))
+        .select(col("doc_id"), explode(col("s")).as("h"))
       val te = sh.filter(col("b") >= 90)
-        .select(explode(col("s")).as("g"))
-        .select(md5Long(col("g")).as("h")).distinct()
+        .select(explode(col("s")).as("h")).distinct()
+      // per-doc arrays are distinct and te is distinct, so each tr row
+      // matches ≤1 te row — plain count(*) ≡ count(DISTINCT h), cheaper
       val ov = tr.join(broadcast(te), "h")
-        .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       val j = trd.join(ov, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
           (coalesce(col("n_shared"), lit(0L)) * lit(1.0) / col("n_sh")).as("ratio"))
-      val tot = j.agg(count(lit(1)).as("n"))
-      val rk = j.withColumn("rn",
-        row_number().over(Window.orderBy(col("ratio"), col("doc_id"))))
-      val cut = rk.crossJoin(broadcast(tot))
-        .filter(col("rn") === expr("(4 * n + 4) div 5"))
-        .select(col("ratio").as("cutoff"))
-      rk.crossJoin(broadcast(cut))
+      // the quantile cutoff rides the SAME global sort the ranking needs:
+      // count + the rank-selected cutoff as full-frame window aggregates,
+      // instead of two scalar subquery cross-joins (saves 2 broadcast
+      // rounds + a cache at identical output)
+      val wRun = Window.orderBy(col("ratio"), col("doc_id"))
+      val wAll = wRun.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val rk = j.withColumn("rn", row_number().over(wRun))
+        .withColumn("n", count(lit(1)).over(wAll))
+      rk.withColumn("cutoff",
+          max(when(col("rn") === expr("(4 * n + 4) div 5"), col("ratio"))).over(wAll))
         .select(col("doc_id"), col("n_shared"),
           round(col("ratio"), 4).as("overlap_frac"),
           (col("ratio") >= col("cutoff")).as("contaminated"))
