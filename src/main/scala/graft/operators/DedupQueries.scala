@@ -323,14 +323,18 @@ object DedupQueries {
         .withColumn("comp", col("u")).cache()
       var converged = false
       while (!converged) {
-        // each vertex takes the min of its own and its neighbors' labels
+        // each vertex takes the min of its own and its neighbors' labels;
+        // the vertex's own row carries the previous label through the
+        // aggregate (max over one non-null) so convergence is read off the
+        // SAME aggregation — no separate probe join per iteration
         val prop = bidir.as("e").join(labels.as("l"), col("e.d2") === col("l.u"))
-          .select(col("e.d1").as("u"), col("l.comp").as("comp2"))
-          .union(labels.select(col("u"), col("comp").as("comp2")))
-          .groupBy("u").agg(min(col("comp2")).as("comp2"))
+          .select(col("e.d1").as("u"), col("l.comp").as("comp2"),
+            lit(null).cast("long").as("old"))
+          .union(labels.select(col("u"), col("comp").as("comp2"),
+            col("comp").as("old")))
+          .groupBy("u").agg(min(col("comp2")).as("comp2"), max(col("old")).as("old"))
           .cache()
-        converged = prop.join(labels, "u")
-          .filter(col("comp2") =!= col("comp")).isEmpty
+        converged = prop.filter(col("comp2") < col("old")).isEmpty
         val old = labels
         labels = prop.select(col("u"), col("comp2").as("comp")).cache()
         old.unpersist()
