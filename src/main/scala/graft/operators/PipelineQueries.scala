@@ -268,6 +268,89 @@ object PipelineQueries {
           expr("(cum - n_tok) div 512").as("seq_no"),
           ((col("cum") - col("n_tok")) % 512).as("seq_offset"))
         .orderBy("doc_id")
+    },
+
+    // Bloom-filter dedup pre-filter — the sketch that makes q57's
+    // incremental dedup cheap at 100 TB: the standing corpus collapses to
+    // an m=4096-bit filter (BIGINT lanes packed 63 bits/word — the sign
+    // bit stays clear for DuckDB's checked shift — k=3 seeded hashes)
+    // built by a bit_or AGGREGATE (algebraic: partial per partition, one
+    // 64-row final), broadcast to the arriving batch; only bloom-hit docs
+    // need the exact index probe. No false negatives by construction (the
+    // spec asserts it); false positives are visible as bloom_hit &&
+    // !exact_dup. Real deployments size m to the corpus (bits stay a
+    // fixed broadcast table keyed by lane — same plan shape at any m).
+    q("q59_bloom_prefilter",
+      "Bloom pre-filter (m=4096, k=3) for batch-vs-corpus dedup + exact flag")(
+      s"""WITH n AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+         |           FROM documents),
+         |bits AS (SELECT doc_id, h, unnest([
+         |             ${md5LongSql("'bf0:' || h")} % 4096,
+         |             ${md5LongSql("'bf1:' || h")} % 4096,
+         |             ${md5LongSql("'bf2:' || h")} % 4096]) AS b FROM n),
+         |lanes AS (SELECT doc_id, h, b // 63 AS lane,
+         |                 (1::BIGINT << CAST(b % 63 AS INT)) AS bit FROM bits),
+         |bloom AS (SELECT lane, bit_or(bit) AS word FROM lanes
+         |          WHERE doc_id < 400 GROUP BY lane),
+         |probe AS (SELECT l.doc_id, l.h,
+         |                 bool_and(coalesce((bl.word & l.bit) != 0, false)) AS bloom_hit
+         |          FROM lanes l LEFT JOIN bloom bl USING (lane)
+         |          WHERE l.doc_id >= 400 GROUP BY l.doc_id, l.h)
+         |SELECT p.doc_id, p.bloom_hit, c.h IS NOT NULL AS exact_dup
+         |FROM probe p LEFT JOIN (SELECT DISTINCT h FROM n WHERE doc_id < 400) c
+         |  ON c.h = p.h
+         |ORDER BY p.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val n = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("h"))
+        .cache() // three consumers: corpus bits, probe bits, exact index
+      val bits = n
+        .select(col("doc_id"), col("h"), explode(array((0 until 3).map(i =>
+          md5Long(concat(lit(s"bf$i:"), col("h"))) % 4096): _*)).as("b"))
+        .selectExpr("doc_id", "h", "b div 63 AS lane",
+          "shiftleft(cast(1 AS bigint), cast(b % 63 AS int)) AS bit")
+      val bloom = bits.filter(col("doc_id") < 400)
+        .groupBy("lane").agg(expr("bit_or(bit)").as("word"))
+      val probe = bits.filter(col("doc_id") >= 400)
+        .join(broadcast(bloom), Seq("lane"), "left")
+        .withColumn("hit",
+          coalesce(col("word").bitwiseAND(col("bit")) =!= 0, lit(false)))
+        .groupBy("doc_id", "h").agg(expr("bool_and(hit)").as("bloom_hit"))
+      val index = n.filter(col("doc_id") < 400).select(col("h").as("hc")).distinct()
+      probe.join(broadcast(index), col("h") === col("hc"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          col("hc").isNotNull.as("exact_dup"))
+        .orderBy("doc_id")
+    },
+
+    // Mixture weighting to a token budget — sample each language shard
+    // down to a fixed token budget in content-hash order (deterministic
+    // under reruns/repartitions, uniform over docs): the standard way a
+    // training mix caps any one language's contribution. One per-shard
+    // window cumsum, same scale shape as q55. The window sum is cast back
+    // to BIGINT in the oracle (DuckDB window sum(BIGINT) → HUGEINT).
+    q("q60_token_budget", "keep each lang's docs up to a 2048-token budget, hash-ordered")(
+      s"""SELECT doc_id, lang, n_tok, CAST(cum AS BIGINT) AS cum_tok
+         |FROM (SELECT doc_id, lang, n_tok,
+         |             sum(n_tok) OVER (PARTITION BY lang
+         |                              ORDER BY ${md5LongSql("text")}, doc_id
+         |                              ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM (SELECT doc_id, lang, text,
+         |                   CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+         |            FROM documents))
+         |WHERE cum <= 2048 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5Long(col("text")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= 2048)
+        .select("doc_id", "lang", "n_tok", "cum_tok")
+        .orderBy("doc_id")
     }
   )
 }
