@@ -209,20 +209,24 @@ object VectorQueries {
     * the oracle SQL). */
   val PqIters = 1
 
-  /** Oracle CTE chain: subvectors → seed codebook (first PqK vectors) →
+  /** Oracle CTE chain: `subDef` (a CTE body producing (vec_id, m, se)
+    * subvectors, referenced as `sub`) → seed codebook (first PqK vectors) →
     * PqIters × (assign → Lloyd update) → final `cw`/`codes`. */
-  private val pqCodesCte = {
+  private def pqCodesCteFrom(subDef: String): String = {
     val steps = (0 until PqIters).flatMap { i =>
       val nextCw = if (i == PqIters - 1) "cw" else s"cw${i + 1}"
       Seq(pqAssignSql(s"cw$i", s"pd$i", s"codes$i"),
         pqUpdateSql(s"codes$i", s"cw$i", nextCw))
     } :+ pqAssignSql("cw", s"pd$PqIters", "codes")
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-       |sub AS (SELECT vec_id, m, e[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS se
-       |        FROM v CROSS JOIN range($PqM) AS r(m)),
+       |$subDef,
        |cw0 AS (SELECT m, vec_id AS code, se AS ce FROM sub WHERE vec_id < $PqK),
        |${steps.mkString(",\n")}""".stripMargin
   }
+
+  private val pqCodesCte = pqCodesCteFrom(
+    s"""sub AS (SELECT vec_id, m, e[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS se
+       |        FROM v CROSS JOIN range($PqM) AS r(m))""".stripMargin)
 
   /** Spark argmin-assignment twin (codebook is broadcast — PqM·PqK rows). */
   private def pqAssign(sub: DataFrame, cw: DataFrame): DataFrame = {
@@ -251,21 +255,95 @@ object VectorQueries {
       .select(col("m"), col("code"), coalesce(col("mce"), col("ce")).as("ce"))
   }
 
-  /** Spark twins of the oracle CTEs: (subvectors, trained codebook, codes).
-    * The trained codebook (PqM·PqK rows) is cached — it feeds both the
-    * final assignment and the ADC table. */
-  private def pqFrames(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val v = Tables.fanout(s, dir, "embeddings")
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
-    val sub = v.select(col("vec_id"),
-      posexplode(array((0 until PqM).map(m =>
-        slice(col("e"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "se")))
+  /** Spark twins of the oracle CTEs from any (vec_id, m, se) subvector
+    * frame: (subvectors, trained codebook, codes). The trained codebook
+    * (PqM·PqK rows) is cached — it feeds both the final assignment and the
+    * ADC table. */
+  private def pqFramesFromSub(sub: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val cw0 = sub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("code"), col("se").as("ce"))
     val cw = (0 until PqIters).foldLeft(cw0) { (c, _) =>
       pqUpdate(pqAssign(sub, c), sub, c).cache()
     }
     (sub, cw, pqAssign(sub, cw))
+  }
+
+  /** Slice a (vec_id, e) frame into PqM contiguous subvectors. */
+  private def pqSub(v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+      posexplode(array((0 until PqM).map(m =>
+        slice(col("e"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "se")))
+
+  private def pqFrames(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    pqFramesFromSub(pqSub(Tables.fanout(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))))
+
+  /** Oracle tail shared by the flat-PQ ADC searches (q35i, q35l): queries'
+    * exact subvectors vs codebook → per-candidate fixed-order d0+…+d15 sum
+    * → top-3. Appends to a `pqCodesCteFrom` chain (needs `sub`, `cw`,
+    * `codes`). */
+  private val pqAdcSearchSql: String =
+    s""",
+       |adc AS (SELECT q.vec_id AS qid, c.m, c.code,
+       |               list_reduce(list_transform(generate_series(1, $PqSubDim),
+       |                 i -> (q.se[i] - c.ce[i]) * (q.se[i] - c.ce[i])), (a, b) -> a + b) AS dd
+       |        FROM sub q JOIN cw c USING (m) WHERE q.vec_id < 10),
+       |j AS (SELECT adc.qid, codes.vec_id AS cid,
+       |${(0 until PqM).map(i => s"             max(CASE WHEN adc.m = $i THEN dd END) AS d$i").mkString(",\n")}
+       |      FROM codes JOIN adc ON adc.m = codes.m AND adc.code = codes.code
+       |      GROUP BY adc.qid, codes.vec_id),
+       |sc AS (SELECT qid, cid, ${(0 until PqM).map(i => s"d$i").mkString(" + ")} AS dist FROM j WHERE cid <> qid)
+       |SELECT qid, cid, round(dist, 4) + 0 AS adist, CAST(rn AS BIGINT) AS rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn FROM sc)
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  /** Spark twin of [[pqAdcSearchSql]] over any PQ frame triple. */
+  private def pqAdcTop3(sub: DataFrame, cw: DataFrame, codes: DataFrame): DataFrame = {
+    val adc = sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("se"))
+      .join(cw, "m")
+      .withColumn("dd", aggregate(zip_with(col("se"), col("ce"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+      .select(col("qid"), col("m"), col("code"), col("dd"))
+    val byQ = codes.join(broadcast(adc), Seq("m", "code"))
+      .groupBy(col("qid"), col("vec_id").as("cid"))
+      .agg(max(when(col("m") === 0, col("dd"))).as("d0"),
+        (1 until PqM).map(i => max(when(col("m") === i, col("dd"))).as(s"d$i")): _*)
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("dist",
+        (0 until PqM).map(i => col(s"d$i")).reduceLeft(_ + _))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+    byQ.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), round(col("dist"), 4).as("adist"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  // ---- OPQ-lite (ANN path 7) rotation machinery ----
+
+  /** Deterministic signed permutation — the cheapest member of the OPQ
+    * rotation family (cf. OPQ, ITQ: an orthogonal transform applied before
+    * PQ so subspaces share variance more evenly). Dims are reordered by
+    * md5("rot:d") rank and sign-flipped by md5("sgn:d") parity — orthogonal
+    * by construction, exactly representable in both engines, and free at
+    * search time (queries rotate once, in registers). Entry j of the
+    * returned seq is (source dim, sign) for destination j. */
+  private val rotPerm: Seq[(Int, Double)] = {
+    val order = (0 until Dim).sortBy(d => (md5LongScala(s"rot:$d"), d))
+    order.map(src => (src, if (md5LongScala(s"sgn:$src") % 2 == 0) 1.0 else -1.0))
+  }
+
+  /** Oracle twin of [[rotPerm]] + the rotated subvector CTE (dst-ordered
+    * list agg grouped into PqM subspaces). */
+  private val opqSubSql: String = {
+    val md5l = "(('0x' || substr(md5(%s), 1, 15))::BIGINT)"
+    s"""rot AS (SELECT d AS src,
+       |               row_number() OVER (ORDER BY ${md5l.format("'rot:' || d")}, d) - 1 AS dst,
+       |               CASE WHEN ${md5l.format("'sgn:' || d")} % 2 = 0 THEN 1.0 ELSE -1.0 END AS sg
+       |        FROM generate_series(0, ${Dim - 1}) AS g(d)),
+       |sub AS (SELECT v.vec_id, r.dst // $PqSubDim AS m,
+       |               list(v.e[r.src + 1] * r.sg ORDER BY r.dst) AS se
+       |        FROM v CROSS JOIN rot r GROUP BY v.vec_id, r.dst // $PqSubDim)""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -509,39 +587,31 @@ object VectorQueries {
     // sum bit-identical to the oracle). Queries never touch raw candidate
     // vectors — the PQ scale contract.
     q("q35i_pq_adc_search", "ANN: PQ ADC top-3 by approximate L2 (queries vec_id<10)")(
-      s"""$pqCodesCte,
-         |adc AS (SELECT q.vec_id AS qid, c.m, c.code,
-         |               list_reduce(list_transform(generate_series(1, $PqSubDim),
-         |                 i -> (q.se[i] - c.ce[i]) * (q.se[i] - c.ce[i])), (a, b) -> a + b) AS dd
-         |        FROM sub q JOIN cw c USING (m) WHERE q.vec_id < 10),
-         |j AS (SELECT adc.qid, codes.vec_id AS cid,
-         |${(0 until PqM).map(i => s"             max(CASE WHEN adc.m = $i THEN dd END) AS d$i").mkString(",\n")}
-         |      FROM codes JOIN adc ON adc.m = codes.m AND adc.code = codes.code
-         |      GROUP BY adc.qid, codes.vec_id),
-         |sc AS (SELECT qid, cid, ${(0 until PqM).map(i => s"d$i").mkString(" + ")} AS dist FROM j WHERE cid <> qid)
-         |SELECT qid, cid, round(dist, 4) + 0 AS adist, CAST(rn AS BIGINT) AS rn
-         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn FROM sc)
-         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+      s"$pqCodesCte$pqAdcSearchSql"
     ) { (s, dir) =>
       val (sub, cw, codes) = pqFrames(s, dir)
-      val adc = sub.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("m"), col("se"))
-        .join(cw, "m")
-        .withColumn("dd", aggregate(zip_with(col("se"), col("ce"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
-        .select(col("qid"), col("m"), col("code"), col("dd"))
-      val byQ = codes.join(broadcast(adc), Seq("m", "code"))
-        .groupBy(col("qid"), col("vec_id").as("cid"))
-        .agg(max(when(col("m") === 0, col("dd"))).as("d0"),
-          (1 until PqM).map(i => max(when(col("m") === i, col("dd"))).as(s"d$i")): _*)
-        .filter(col("cid") =!= col("qid"))
-        .withColumn("dist",
-          (0 until PqM).map(i => col(s"d$i")).reduceLeft(_ + _))
-      val wTop = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
-      byQ.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
-        .select(col("qid"), col("cid"), round(col("dist"), 4).as("adist"),
-          col("rn").cast("long").as("rn"))
-        .orderBy("qid", "rn")
+      pqAdcTop3(sub, cw, codes)
+    },
+
+    // ANN path 7: OPQ-lite — the same flat-PQ ADC search as q35i, but the
+    // space is first rotated by a deterministic signed permutation (the
+    // zero-cost end of the OPQ/ITQ rotation family: orthogonal, so L2
+    // distances are EXACTLY preserved; what changes is how variance lands
+    // across the 16 subspaces, which is the quantity PQ quantization error
+    // depends on). The rotation is metadata (64 (src, sign) pairs), applied
+    // in registers during encode/query — zero extra shuffle, zero storage.
+    // A learned OPQ rotation would slot into the same seam (rotate → slice
+    // → quantize) with the matrix swapped in for the permutation.
+    q("q35l_opq_adc_search",
+      "ANN: OPQ-lite signed-permutation rotation + PQ ADC top-3 (queries vec_id<10)")(
+      s"${pqCodesCteFrom(opqSubSql)}$pqAdcSearchSql"
+    ) { (s, dir) =>
+      val v = Tables.fanout(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      val rotated = v.select(col("vec_id"), array(rotPerm.map { case (src, sg) =>
+        col("e")(src) * lit(sg) }: _*).as("e"))
+      val (sub, cw, codes) = pqFramesFromSub(pqSub(rotated))
+      pqAdcTop3(sub, cw, codes)
     },
 
     // ANN path 5: IVF-PQ with exact re-rank — the composed index every
