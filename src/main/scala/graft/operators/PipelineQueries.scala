@@ -351,6 +351,51 @@ object PipelineQueries {
         .filter(col("cum_tok") <= 2048)
         .select("doc_id", "lang", "n_tok", "cum_tok")
         .orderBy("doc_id")
+    },
+
+    // Cross-doc duplicated-span detection (the exact-substring dedup
+    // signal of Lee et al. 2022): for every 8-token shingle POSITION in a
+    // doc, is that shingle present in at least one OTHER doc? Reported as
+    // the per-doc duplicated-position fraction + a 20% removal gate.
+    // Distinct from q53 (within-doc repetition) and q52 (overlap vs a
+    // held-out split): this is corpus-global. Scale shape: one row per
+    // position keyed by the 60-bit shingle hash (8-byte shuffle keys, no
+    // text moves), exact distinct-doc count per shingle (partial+final),
+    // join back by hash. At 100 TB the distinct-doc count's first pass
+    // collapses (h, doc_id) duplicates map-side; the hot keys are the
+    // duplicated shingles themselves — bounded by corpus dup rate, and a
+    // count ≥ 2 needs no exact tail (any-2 saturating count suffices).
+    q("q61_dup_spans", "fraction of 8-token positions duplicated in another doc + gate")(
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+         |pos AS (SELECT doc_id, ${md5LongSql("g")} AS h
+         |        FROM (SELECT doc_id, unnest(${shinglesSql("w", 8)}) AS g
+         |              FROM t WHERE len(w) >= 8)),
+         |df AS (SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY h),
+         |agg AS (SELECT p.doc_id, count(*) AS n_pos,
+         |               CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |        FROM pos p JOIN df USING (h) GROUP BY p.doc_id)
+         |SELECT doc_id, n_pos, n_dup,
+         |       round(n_dup * 1.0 / n_pos, 4) AS dup_frac,
+         |       n_dup * 1.0 / n_pos >= 0.2 AS flagged
+         |FROM agg ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 8)
+      // one row per shingle POSITION (not distinct): the metric counts
+      // positions; hashed before the explode so only 8-byte keys shuffle
+      val pos = t.select(col("doc_id"),
+        explode(transform(shingles(col("w"), 8), g => md5Long(g))).as("h"))
+        .cache() // consumed by the doc-frequency agg AND the join back
+      val df = pos.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      pos.join(df, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pos"),
+          sum(when(col("nd") >= 2, 1).otherwise(0)).cast("long").as("n_dup"))
+        .select(col("doc_id"), col("n_pos"), col("n_dup"),
+          round(col("n_dup") * 1.0 / col("n_pos"), 4).as("dup_frac"),
+          (col("n_dup") * 1.0 / col("n_pos") >= 0.2).as("flagged"))
+        .orderBy("doc_id")
     }
   )
 }

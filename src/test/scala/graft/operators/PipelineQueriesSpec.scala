@@ -118,6 +118,24 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q61 dup-span detection flags every exact-duplicate doc") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q61_dup_spans")(spark, dir)
+    // an exact content duplicate shares every shingle with its twin, so its
+    // duplicated-position fraction is 1.0 and it must be flagged
+    val dupDocs = graft.Tables(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+    val missed = dupDocs.join(out.filter(!col("flagged")), "doc_id").count()
+    assert(missed == 0, s"$missed exact-duplicate docs not flagged")
+    // and the gate separates: some docs flagged, most not
+    val rows = out.collect()
+    val flagged = rows.count(_.getBoolean(4))
+    assert(flagged > 0 && flagged < rows.length / 2, s"$flagged of ${rows.length}")
+  }
+
   test("q60 token budget: per-lang cumulative sums stay within budget and hash order") {
     val rows = SparkEntry.queries("q60_token_budget")(spark, dir).collect()
     assert(rows.nonEmpty)
