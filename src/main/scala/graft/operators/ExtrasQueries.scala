@@ -197,6 +197,22 @@ object ExtrasQueries {
         .orderBy("l_returnflag")
     },
 
+    // Approximate percentiles — the sketch q41 degrades to at 100 TB: a
+    // bounded-memory Greenwald-Khanna summary with partial+final merge
+    // (one pass, no global sort), rank error ≤ n/accuracy. Rows-only like
+    // the HLL entry (the sketch's merge order is partitioning-dependent,
+    // so cross-engine value equality is not a contract); the accuracy
+    // bound IS the contract, asserted against q41's exact quantiles in
+    // ApproxAndRecallSpec.
+    rowsOnly("q41b_approx_percentiles",
+      "approx p25/p50/p75 of quantity per returnflag (GK sketch, acc 1e4)") { (s, dir) =>
+      Tables(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("qs"))
+        .select(col("l_returnflag"),
+          col("qs")(0).as("q25"), col("qs")(1).as("q50"), col("qs")(2).as("q75"))
+        .orderBy("l_returnflag")
+    },
+
     // Statistical aggregates: correlation, covariance, stddev/variance —
     // scale-free or ratio quantities, stable at round-4 across engines.
     q("q42_stats", "corr/covar/stddev/variance over lineitem")(

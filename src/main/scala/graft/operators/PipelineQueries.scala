@@ -328,8 +328,14 @@ object PipelineQueries {
     // down to a fixed token budget in content-hash order (deterministic
     // under reruns/repartitions, uniform over docs): the standard way a
     // training mix caps any one language's contribution. One per-shard
-    // window cumsum, same scale shape as q55. The window sum is cast back
-    // to BIGINT in the oracle (DuckDB window sum(BIGINT) → HUGEINT).
+    // window cumsum. The window sum is cast back to BIGINT in the oracle
+    // (DuckDB window sum(BIGINT) → HUGEINT). 100 TB note: lang cardinality
+    // is small, so the per-lang window is a whole-language sort on one
+    // partition — the exact form exists for oracle verification; at scale
+    // the same selection is a hash-CUTOFF search (tokens are ~uniform in
+    // md5, so binary-search the cutoff over per-hash-range token sums —
+    // aggregates only, no sort), with the window pass run once per final
+    // cutoff only if exact budget adherence is required.
     q("q60_token_budget", "keep each lang's docs up to a 2048-token budget, hash-ordered")(
       s"""SELECT doc_id, lang, n_tok, CAST(cum AS BIGINT) AS cum_tok
          |FROM (SELECT doc_id, lang, n_tok,

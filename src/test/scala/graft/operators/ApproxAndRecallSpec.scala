@@ -25,6 +25,23 @@ class ApproxAndRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("q41b approx percentiles respect the GK rank-error bound") {
+    import org.apache.spark.sql.functions._
+    // accuracy 1e4 ⇒ rank error ≤ n/1e4; assert the far looser ±5-centile
+    // window so the test is robust to partitioning-dependent merge order
+    val exact = graft.Tables(spark, dir, "lineitem").groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.20, 0.30, 0.45, 0.55, 0.70, 0.80))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val approx = graft.SparkEntry.queries("q41b_approx_percentiles")(spark, dir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      assert(r.getDouble(1) >= e(0) && r.getDouble(1) <= e(1), s"q25 out of window: $r")
+      assert(r.getDouble(2) >= e(2) && r.getDouble(2) <= e(3), s"q50 out of window: $r")
+      assert(r.getDouble(3) >= e(4) && r.getDouble(3) <= e(5), s"q75 out of window: $r")
+    }
+  }
+
   /** recall@k of an ANN result against the brute-force top-k. */
   private def recallAt(ann: Map[Long, Seq[Long]], exact: Map[Long, Seq[Long]], k: Int): Double = {
     val scores = exact.keys.toSeq.map { q =>
