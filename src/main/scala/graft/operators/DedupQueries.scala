@@ -114,12 +114,17 @@ object DedupQueries {
     },
 
     // B34: exact n-gram Jaccard near-dup pairs (the ground truth MinHash
-    // approximates). Shingle-key equi-join → pair counts → |A∩B|/|A∪B|.
+    // approximates). Shingles are 60-bit-hashed BEFORE the self-join so the
+    // shuffle carries 8-byte keys, never shingle text (both engines hash
+    // with the same md5 arithmetic, so any collision is shared and the
+    // counts stay identical).
     q("q34a_jaccard_pairs", "B34 exact 3-shingle Jaccard near-dup pairs (≥0.5)")(
-      s"""$shingleCte,
+      s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(${shinglesSql("t", 3)}),
+         |                               g -> ${md5LongSql("g")})) AS h FROM toks),
          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT d1, d2, round(c * 1.0 / (ca.n + cb.n - c), 4) AS jac
          |FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
@@ -128,10 +133,12 @@ object DedupQueries {
     ) { (s, dir) =>
       val toks = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("t"))
-      val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
+      val sh = toks.select(col("doc_id"),
+        explode(transform(array_distinct(shingles(col("t"), 3)),
+          g => md5Long(g))).as("h"))
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("c"))
       pairs
@@ -289,10 +296,11 @@ object DedupQueries {
     // the exact-Jaccard ≥ 0.5 pairs of q34a.
     q("q34g_dedup_components", "near-dup clusters: connected components over Jaccard ≥ 0.5 edges")(
       s"""WITH RECURSIVE toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, unnest(${shinglesSql("t", 3)}) AS s FROM toks),
+         |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(${shinglesSql("t", 3)}),
+         |                               g -> ${md5LongSql("g")})) AS h FROM toks),
          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2),
          |edges AS (SELECT d1, d2 FROM pairs
          |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
@@ -306,10 +314,13 @@ object DedupQueries {
     ) { (s, dir) =>
       val toks = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("t"))
-      val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
+      // 60-bit-hashed shingle keys, same contract as q34a (8-byte shuffle)
+      val sh = toks.select(col("doc_id"),
+        explode(transform(array_distinct(shingles(col("t"), 3)),
+          g => md5Long(g))).as("h"))
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("c"))
       val edges = pairs
