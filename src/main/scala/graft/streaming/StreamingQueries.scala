@@ -269,6 +269,48 @@ object StreamingQueries {
         }
         .toDF("band", "keeper", "dup")
       runToMemory(s, pairs).orderBy("dup", "band")
+    },
+
+    // Streaming incremental corpus dedup — q57 run ON THE STREAM: arriving
+    // docs dedup within the stream (keyed keep-first state: one 8-byte min
+    // doc_id per content hash, emitted only on first sight so re-arrivals
+    // in later batches are suppressed) and against the standing corpus via
+    // a stream-static LEFT ANTI join on the hash index. At 100 TB the
+    // static side is the bucketed hash index; state size is one entry per
+    // distinct arriving hash — the append-time dedup shape. Single-batch
+    // replay ⇒ the batch q57 SQL is the exact oracle.
+    q("q62_stream_incremental_dedup",
+      "streaming arrival dedup: keyed keep-first state + anti join vs the corpus index")(
+      """WITH n AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |           FROM documents),
+        |keep AS (SELECT doc_id, h FROM
+        |           (SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |            FROM n WHERE doc_id >= 400)
+        |         WHERE rn = 1)
+        |SELECT k.doc_id, k.h FROM keep k
+        |WHERE NOT EXISTS (SELECT 1 FROM n i WHERE i.doc_id < 400 AND i.h = k.h)
+        |ORDER BY k.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val norm = (c: org.apache.spark.sql.Column) =>
+        md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+      val index = graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") < 400).select(norm(col("text")).as("h"))
+      val kept = docsStream(s, dir)
+        .filter(col("doc_id") >= 400)
+        .select(col("doc_id"), norm(col("text")).as("h"))
+        .as[(Long, String)]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState[Long, (Long, String)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (h: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+            val mn = rows.map(_._1).min
+            if (state.getOption.isEmpty) { state.update(mn); Iterator((mn, h)) }
+            else Iterator.empty
+        }
+        .toDF("doc_id", "h")
+      runToMemory(s, kept.join(index, Seq("h"), "left_anti"))
+        .select("doc_id", "h").orderBy("doc_id")
     }
   )
 
