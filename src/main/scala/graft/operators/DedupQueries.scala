@@ -81,6 +81,75 @@ object DedupQueries {
        |        FROM hs CROSS JOIN (VALUES ${minhashPermsSql}) AS perm(j, a, b)
        |        GROUP BY doc_id, j)""".stripMargin
 
+  /** Shared oracle CTE: connected components over the exact-Jaccard ≥ 0.5
+    * edge set (transitive closure via a recursive CTE), ending in
+    * `comp(doc_id, component)`. Shingles are 60-bit hashed before the
+    * self-join — 8-byte keys, same contract as q34a. */
+  private val ccComponentsCte: String =
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(${shinglesSql("t", 3)}),
+       |                               g -> ${md5LongSql("g")})) AS h FROM toks),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |edges AS (SELECT d1, d2 FROM pairs
+       |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+       |          WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5),
+       |bidir AS (SELECT d1 AS u, d2 AS v FROM edges UNION SELECT d2, d1 FROM edges),
+       |verts AS (SELECT DISTINCT u FROM bidir),
+       |reach AS (SELECT u, u AS r FROM verts
+       |          UNION
+       |          SELECT reach.u, bidir.v AS r FROM reach JOIN bidir ON bidir.u = reach.r),
+       |comp AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u)""".stripMargin
+
+  /** Spark twin of [[ccComponentsCte]]: iterative min-label propagation
+    * (one shuffle join + aggregate per iteration, iterations ≈ cluster
+    * diameter; the GraphFrames approach — at extreme diameters the upgrade
+    * is alternating large-star/small-star, same join shape). Returns
+    * (doc_id, component). */
+  private def ccComponents(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val toks = Tables.fanout(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    // 60-bit-hashed shingle keys, same contract as q34a (8-byte shuffle)
+    val sh = toks.select(col("doc_id"),
+      explode(transform(array_distinct(shingles(col("t"), 3)),
+        g => md5Long(g))).as("h"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    val edges = pairs
+      .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+      .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+      .filter(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")) >= 0.5)
+      .select("d1", "d2")
+    val bidir = edges
+      .union(edges.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
+    var labels = bidir.select(col("d1").as("u")).distinct()
+      .withColumn("comp", col("u")).cache()
+    var converged = false
+    while (!converged) {
+      // each vertex takes the min of its own and its neighbors' labels;
+      // the vertex's own row carries the previous label through the
+      // aggregate (max over one non-null) so convergence is read off the
+      // SAME aggregation — no separate probe join per iteration
+      val prop = bidir.as("e").join(labels.as("l"), col("e.d2") === col("l.u"))
+        .select(col("e.d1").as("u"), col("l.comp").as("comp2"),
+          lit(null).cast("long").as("old"))
+        .union(labels.select(col("u"), col("comp").as("comp2"),
+          col("comp").as("old")))
+        .groupBy("u").agg(min(col("comp2")).as("comp2"), max(col("old")).as("old"))
+        .cache()
+      converged = prop.filter(col("comp2") < col("old")).isEmpty
+      val old = labels
+      labels = prop.select(col("u"), col("comp2").as("comp")).cache()
+      old.unpersist()
+    }
+    labels.select(col("u").as("doc_id"), col("comp").as("component"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // B30: deterministic exact dedup — keep lowest doc_id per (lang, source)
@@ -295,63 +364,40 @@ object DedupQueries {
     // shape). Oracle is the transitive closure via a recursive CTE. Edges =
     // the exact-Jaccard ≥ 0.5 pairs of q34a.
     q("q34g_dedup_components", "near-dup clusters: connected components over Jaccard ≥ 0.5 edges")(
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(${shinglesSql("t", 3)}),
-         |                               g -> ${md5LongSql("g")})) AS h FROM toks),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2),
-         |edges AS (SELECT d1, d2 FROM pairs
-         |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
-         |          WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5),
-         |bidir AS (SELECT d1 AS u, d2 AS v FROM edges UNION SELECT d2, d1 FROM edges),
-         |verts AS (SELECT DISTINCT u FROM bidir),
-         |reach AS (SELECT u, u AS r FROM verts
-         |          UNION
-         |          SELECT reach.u, bidir.v AS r FROM reach JOIN bidir ON bidir.u = reach.r)
-         |SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+      s"""$ccComponentsCte
+         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
+    )((s, dir) => ccComponents(s, dir).orderBy("doc_id")),
+
+    // Canonical-doc selection — the decision a dedup pipeline actually
+    // ships: per near-dup cluster, KEEP the longest doc (n_chars, tie →
+    // lowest doc_id) and count the copies dropped. One window over the
+    // component key on top of q34g's clusters; the documents join brings
+    // only (doc_id, n_chars) — 16-byte rows at any scale.
+    q("q34h_canonical_keep",
+      "per near-dup cluster: keep the longest doc, count dropped copies")(
+      s"""$ccComponentsCte,
+         |m AS (SELECT c.component, c.doc_id, d.n_chars,
+         |             row_number() OVER (PARTITION BY c.component
+         |                                ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+         |             count(*) OVER (PARTITION BY c.component) AS n_docs
+         |      FROM comp c JOIN documents d USING (doc_id))
+         |SELECT component, doc_id AS keeper, n_chars AS keeper_chars,
+         |       CAST(n_docs - 1 AS BIGINT) AS n_dropped
+         |FROM m WHERE rn = 1 ORDER BY component""".stripMargin
     ) { (s, dir) =>
-      val toks = Tables.fanout(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-      // 60-bit-hashed shingle keys, same contract as q34a (8-byte shuffle)
-      val sh = toks.select(col("doc_id"),
-        explode(transform(array_distinct(shingles(col("t"), 3)),
-          g => md5Long(g))).as("h"))
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("c"))
-      val edges = pairs
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
-        .filter(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")) >= 0.5)
-        .select("d1", "d2")
-      val bidir = edges
-        .union(edges.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
-      var labels = bidir.select(col("d1").as("u")).distinct()
-        .withColumn("comp", col("u")).cache()
-      var converged = false
-      while (!converged) {
-        // each vertex takes the min of its own and its neighbors' labels;
-        // the vertex's own row carries the previous label through the
-        // aggregate (max over one non-null) so convergence is read off the
-        // SAME aggregation — no separate probe join per iteration
-        val prop = bidir.as("e").join(labels.as("l"), col("e.d2") === col("l.u"))
-          .select(col("e.d1").as("u"), col("l.comp").as("comp2"),
-            lit(null).cast("long").as("old"))
-          .union(labels.select(col("u"), col("comp").as("comp2"),
-            col("comp").as("old")))
-          .groupBy("u").agg(min(col("comp2")).as("comp2"), max(col("old")).as("old"))
-          .cache()
-        converged = prop.filter(col("comp2") < col("old")).isEmpty
-        val old = labels
-        labels = prop.select(col("u"), col("comp2").as("comp")).cache()
-        old.unpersist()
-      }
-      labels.select(col("u").as("doc_id"), col("comp").as("component"))
-        .orderBy("doc_id")
+      val comp = ccComponents(s, dir)
+      val chars = Tables(s, dir, "documents").select("doc_id", "n_chars")
+      val wSel = Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val wCnt = Window.partitionBy(col("component"))
+      comp.join(chars, "doc_id")
+        .withColumn("rn", row_number().over(wSel))
+        .withColumn("n_docs", count(lit(1)).over(wCnt))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("keeper"),
+          col("n_chars").as("keeper_chars"),
+          (col("n_docs") - 1).cast("long").as("n_dropped"))
+        .orderBy("component")
     },
 
     // Deterministic train/val/test split — the assignment every training

@@ -173,6 +173,57 @@ object TextQueries {
         .select(col("doc_id"), col("w"), col("tf"), col("df"), col("tfidf"),
           col("rn").cast("long").as("rn"))
         .orderBy("doc_id", "rn")
+    },
+
+    // PMI collocations — the corpus-statistics miner (phrase detection à la
+    // word2vec preprocessing): score every bigram with ≥5 occurrences by
+    // pointwise mutual information ln(p(xy) / (p(x)·p(y))) and keep the top
+    // 50. The PMI argument is evaluated in ONE fixed multiply/divide order
+    // in both engines (double ops are deterministic; ln is bit-compatible —
+    // q21), and ranking happens on the already-rounded score with (w1, w2)
+    // tiebreaks. Scale shape: two count aggregations (partial+final),
+    // scalar totals broadcast, unigram joins keyed by token.
+    q("q36g_pmi_collocations", "top-50 bigram collocations by PMI (support >= 5)")(
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+         |uni AS (SELECT u, count(*) AS c FROM (SELECT unnest(w) AS u FROM t) GROUP BY u),
+         |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+         |bi AS (SELECT s, count(*) AS c FROM (SELECT unnest(${shinglesSql("w", 2)}) AS s FROM t) GROUP BY s),
+         |nb AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM bi),
+         |sc AS (SELECT split_part(b.s, ' ', 1) AS w1, split_part(b.s, ' ', 2) AS w2, b.c,
+         |              round(ln(((b.c * 1.0) * nu.n / nb.n) * nu.n / ((ua.c * 1.0) * ub.c)), 4) AS pmi
+         |       FROM bi b
+         |       JOIN uni ua ON ua.u = split_part(b.s, ' ', 1)
+         |       JOIN uni ub ON ub.u = split_part(b.s, ' ', 2)
+         |       CROSS JOIN nu CROSS JOIN nb
+         |       WHERE b.c >= 5)
+         |SELECT w1, w2, c, pmi, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn FROM sc)
+         |WHERE rn <= 50 ORDER BY rn""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+      val uni = t.select(explode(col("w")).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("c")).cache() // joined twice
+      val nu = uni.agg(sum(col("c")).cast("double").as("nu"))
+      val bi = t.select(explode(shingles(col("w"), 2)).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 5)
+        .select(split_part(col("s"), lit(" "), lit(1)).as("w1"),
+          split_part(col("s"), lit(" "), lit(2)).as("w2"), col("c"))
+      val nb = t.select(explode(shingles(col("w"), 2)).as("s"))
+        .agg(count(lit(1)).cast("double").as("nb"))
+      val sc = bi
+        .join(uni.select(col("u").as("w1"), col("c").as("ca")), "w1")
+        .join(uni.select(col("u").as("w2"), col("c").as("cb")), "w2")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .withColumn("pmi", round(log(
+          (col("c") * lit(1.0)) * col("nu") / col("nb") * col("nu")
+            / ((col("ca") * lit(1.0)) * col("cb"))), 4))
+      sc.withColumn("rn", row_number().over(Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
+        .filter(col("rn") <= 50)
+        .select(col("w1"), col("w2"), col("c"), col("pmi"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("rn")
     }
   )
 }
