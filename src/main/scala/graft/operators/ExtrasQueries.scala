@@ -374,6 +374,51 @@ object ExtrasQueries {
       Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
         .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
       s.sql(ExtrasQueries.tpchQ5Sql)
+    },
+
+    // Funnel / sequence analytics — ordered-event pattern matching (the
+    // match_recognize class): per user, the first 'view', the first 'click'
+    // strictly after it, the first 'purchase' strictly after that; stage =
+    // how deep the user got. Three keyed min-aggregations chained by
+    // time-bounded joins — each stage shrinks the key set, all joins are
+    // on user_id (co-partitioned after the first shuffle; no window over
+    // the full event log needed).
+    q("q64_funnel", "view→click→purchase funnel stage per user (strict event order)")(
+      """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS t FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |v AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.t > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.t > c.t2 GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |       CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+        |                 WHEN c.t2 IS NOT NULL THEN 2
+        |                 WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |       v.t1, c.t2, p.t3
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts").as("t")).cache()
+      val u = e.select("user_id").distinct()
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("t")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("t") > col("t1"))
+        .groupBy("user_id").agg(min(col("t")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("t") > col("t2"))
+        .groupBy("user_id").agg(min(col("t")).as("t3"))
+      u.join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"),
+          col("t1"), col("t2"), col("t3"))
+        .orderBy("user_id")
     }
   )
 }

@@ -65,6 +65,49 @@ object TimeWindowQueries {
         .select(col("user_id"), col("session_window.start").as("s"),
           col("session_window.end").as("e"), col("n"))
         .orderBy("user_id", "s")
+    },
+
+    // OHLC bars — the tick-to-candle aggregation the reference's FX domain
+    // implies (oanda_client.rs streams per-instrument price ticks): per
+    // (series, 1h window) the first/last/max/min of value, with open/close
+    // pinned by (ts, event_id) order so duplicate timestamps can't flip
+    // them. One grouped aggregation after two window ranks that share a
+    // single sort per partition key; at scale this is the standard
+    // bar-building shape (partition by series, window within).
+    q("q63_ohlc_bars", "per (event_type, 1h) OHLC bars over value (tick→candle)")(
+      """WITH e AS (SELECT event_type, ts::TIMESTAMP AS t, event_id, value FROM events),
+        |w AS (SELECT event_type,
+        |             make_timestamp((CAST(floor(epoch(t)) AS BIGINT) // 3600) * 3600 * 1000000) AS ws,
+        |             t, event_id, value FROM e),
+        |r AS (SELECT *,
+        |             row_number() OVER (PARTITION BY event_type, ws ORDER BY t, event_id) AS rna,
+        |             row_number() OVER (PARTITION BY event_type, ws ORDER BY t DESC, event_id DESC) AS rnd
+        |      FROM w)
+        |SELECT event_type, ws,
+        |       round(max(CASE WHEN rna = 1 THEN value END), 4) AS open,
+        |       round(max(value), 4) AS high,
+        |       round(min(value), 4) AS low,
+        |       round(max(CASE WHEN rnd = 1 THEN value END), 4) AS close,
+        |       count(*) AS n
+        |FROM r GROUP BY event_type, ws ORDER BY event_type, ws""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Tables(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+        .withColumn("ws", window(col("ts"), "1 hour").getField("start"))
+      val wAsc = Window.partitionBy(col("event_type"), col("ws"))
+        .orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy(col("event_type"), col("ws"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      w.withColumn("rna", row_number().over(wAsc))
+        .withColumn("rnd", row_number().over(wDesc))
+        .groupBy("event_type", "ws")
+        .agg(round(max(when(col("rna") === 1, col("value"))), 4).as("open"),
+          round(max(col("value")), 4).as("high"),
+          round(min(col("value")), 4).as("low"),
+          round(max(when(col("rnd") === 1, col("value"))), 4).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "ws")
     }
   )
 }
