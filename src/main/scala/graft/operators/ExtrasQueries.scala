@@ -419,6 +419,34 @@ object ExtrasQueries {
             .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"),
           col("t1"), col("t2"), col("t3"))
         .orderBy("user_id")
+    },
+
+    // Cohort retention — the other half of event analytics next to q64:
+    // users cohort by the hour of their FIRST event; retention at offset k
+    // = distinct cohort users active k hours later (k ≤ 3). Hour buckets
+    // are integer epoch arithmetic (no timestamp float), the first-touch
+    // frame is one keyed min, and the activity join is on user_id — the
+    // same co-partitioned shape as q64.
+    q("q65_cohort_retention", "hourly signup cohorts × activity offset (k ≤ 3 h)")(
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600 AS hb
+        |           FROM events),
+        |f AS (SELECT user_id, min(hb) AS fhb FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.fhb, e.hb - f.fhb AS k
+        |      FROM e JOIN f USING (user_id) WHERE e.hb - f.fhb <= 3)
+        |SELECT make_timestamp(fhb * 3600 * 1000000) AS cohort, k, count(*) AS n_active
+        |FROM a GROUP BY fhb, k ORDER BY cohort, k""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .selectExpr("user_id", "cast(ts as bigint) div 3600 AS hb").cache()
+      val f = e.groupBy("user_id").agg(min(col("hb")).as("fhb"))
+      e.join(f, "user_id")
+        .filter(col("hb") - col("fhb") <= 3)
+        .select(col("user_id"), col("fhb"), (col("hb") - col("fhb")).as("k"))
+        .distinct()
+        .groupBy("fhb", "k").agg(count(lit(1)).as("n_active"))
+        .select(timestamp_micros(col("fhb") * 3600L * 1000000L).as("cohort"),
+          col("k"), col("n_active"))
+        .orderBy("cohort", "k")
     }
   )
 }
