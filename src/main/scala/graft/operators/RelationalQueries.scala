@@ -523,6 +523,36 @@ object RelationalQueries {
         .orderBy("vec_id", "pos")
     },
 
+    // B23 (maps): construct / concat / lookup / keys / values over MAP
+    // columns — the collection family q23 covers for arrays. Outputs are
+    // extracted SCALARS only (never a raw map: map iteration order is the
+    // one thing the engines need not share; key sort + order-free value
+    // max make every output deterministic).
+    q("q23c_map_fns", "B23 map construct/concat/lookup/keys/values (scalar outputs)")(
+      """SELECT l_orderkey AS o, l_linenumber AS n,
+        |       m['qty'][1] AS qty,
+        |       CAST(cardinality(map_concat(m, MAP {'disc': l_discount})) AS BIGINT) AS n_keys,
+        |       array_to_string(list_sort(map_keys(map_concat(m, MAP {'disc': l_discount}))), ',') AS ks,
+        |       round(list_max(map_values(m)), 4) AS vmax
+        |FROM (SELECT l_orderkey, l_linenumber, l_discount,
+        |             MAP {'qty': l_quantity, 'price': l_extendedprice} AS m
+        |      FROM lineitem)
+        |ORDER BY o, n""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_linenumber").as("n"),
+          col("l_discount"),
+          map(lit("qty"), col("l_quantity"),
+            lit("price"), col("l_extendedprice")).as("m"))
+        .withColumn("mc", map_concat(col("m"), map(lit("disc"), col("l_discount"))))
+        .select(col("o"), col("n"),
+          element_at(col("m"), "qty").as("qty"),
+          size(col("mc")).cast("long").as("n_keys"),
+          concat_ws(",", array_sort(map_keys(col("mc")))).as("ks"),
+          round(array_max(map_values(col("m"))), 4).as("vmax"))
+        .orderBy("o", "n")
+    },
+
     // B24: JSON extraction from the events.props string column (≙ P4/P6).
     q("q24_json_fns", "B24 JSON field extraction from events.props")(
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -69,6 +69,48 @@ object StreamingQueries {
       runToMemory(s, agg).orderBy("ws")
     },
 
+    // Streaming OHLC bars — q63 run as a REAL watermarked streaming
+    // aggregation: open/close ride min/max over (ts, event_id, value)
+    // structs (lexicographic struct ordering pins them exactly like q63's
+    // (ts, event_id) row_numbers; event_id is unique so the value field
+    // never decides), high/low are plain min/max — ALL algebraic, so the
+    // streaming state per open window is two structs + two doubles + a
+    // count, and partial aggregation works map-side. Append mode emits
+    // exactly the windows the watermark closed — the oracle's HAVING gate.
+    q("q63b_stream_ohlc_bars",
+      "streaming per (event_type, 1h) OHLC bars, 10-minute watermark")(
+      """WITH e AS (SELECT event_type, ts::TIMESTAMP AS t, event_id, value FROM events),
+        |w AS (SELECT event_type,
+        |             make_timestamp((CAST(floor(epoch(t)) AS BIGINT) // 3600) * 3600 * 1000000) AS ws,
+        |             t, event_id, value FROM e),
+        |r AS (SELECT *,
+        |             row_number() OVER (PARTITION BY event_type, ws ORDER BY t, event_id) AS rna,
+        |             row_number() OVER (PARTITION BY event_type, ws ORDER BY t DESC, event_id DESC) AS rnd
+        |      FROM w)
+        |SELECT event_type, ws,
+        |       round(max(CASE WHEN rna = 1 THEN value END), 4) AS open,
+        |       round(max(value), 4) AS high,
+        |       round(min(value), 4) AS low,
+        |       round(max(CASE WHEN rnd = 1 THEN value END), 4) AS close,
+        |       count(*) AS n
+        |FROM r GROUP BY event_type, ws
+        |HAVING ws + INTERVAL 1 HOUR <= (SELECT max(ts::TIMESTAMP) - INTERVAL 10 MINUTE FROM events)
+        |ORDER BY event_type, ws""".stripMargin
+    ) { (s, dir) =>
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+          round(max(col("value")), 4).as("high"),
+          round(min(col("value")), 4).as("low"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("window.start").as("ws"),
+          round(col("o.value"), 4).as("open"), col("high"), col("low"),
+          round(col("c.value"), 4).as("close"), col("n"))
+      runToMemory(s, agg).orderBy("event_type", "ws")
+    },
+
     // B31: stream-static join — the streaming side joins a broadcast static
     // dimension per micro-batch (the 100 TB pattern for enriching streams).
     q("q31_stream_static_join", "B31 stream events ⋈ static customer dim")(
