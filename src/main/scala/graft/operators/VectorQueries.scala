@@ -614,6 +614,61 @@ object VectorQueries {
       pqAdcTop3(sub, cw, codes)
     },
 
+    // ANN path 8: FILTERED vector search — top-k restricted to candidates
+    // passing a metadata predicate (here vec_id % 7 = 0 as the stand-in for
+    // a tag/date/tenant filter), the feature real vector stores ship as
+    // "pre-filtering". The predicate lands on the MEMBER side before any
+    // distance math (at 100 TB it pushes into the index scan / partition
+    // pruning), and the probe width widens 2 → 3 to compensate for the
+    // thinner lists (the standard over-fetch rule when selectivity drops).
+    q("q35m_filtered_ivf_search",
+      "ANN: metadata-filtered IVF 3-probe top-3 (filter vec_id % 7 = 0, queries vec_id<10)")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |s AS (SELECT x.vec_id, c.vec_id AS cent,
+        |             list_dot_product(x.e, c.e) / (nx.nrm * nc.nrm) AS cs,
+        |             row_number() OVER (PARTITION BY x.vec_id
+        |               ORDER BY list_dot_product(x.e, c.e) / (nx.nrm * nc.nrm) DESC, c.vec_id) AS rn
+        |      FROM v x JOIN n nx ON nx.vec_id = x.vec_id,
+        |           v c JOIN n nc ON nc.vec_id = c.vec_id
+        |      WHERE c.vec_id < 8),
+        |members AS (SELECT vec_id AS cid, cent FROM s WHERE rn = 1 AND vec_id % 7 = 0),
+        |probes AS (SELECT vec_id AS qid, cent FROM s WHERE rn <= 3 AND vec_id < 10),
+        |cand AS (SELECT DISTINCT p.qid, m.cid
+        |         FROM probes p JOIN members m ON m.cent = p.cent AND m.cid <> p.qid),
+        |sc AS (SELECT cand.qid, cand.cid,
+        |              list_dot_product(q.e, c.e) / (nq.nrm * nc.nrm) AS cs
+        |       FROM cand JOIN v q ON q.vec_id = cand.qid
+        |            JOIN v c ON c.vec_id = cand.cid
+        |            JOIN n nq ON nq.vec_id = cand.qid
+        |            JOIN n nc ON nc.vec_id = cand.cid)
+        |SELECT qid, cid, round(cs, 4) + 0 AS cos, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM sc)
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    ) { (s, dir) =>
+      val v = withNorm(Tables.fanout(s, dir, "embeddings"))
+      val cents = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent"), col("e").as("ce"), col("nrm").as("cn"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent"))
+      val assign = v.join(broadcast(cents))
+        .withColumn("cs", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("rn", row_number().over(wAssign))
+      // predicate applied BEFORE any per-candidate distance work
+      val members = assign.filter(col("rn") === 1 && col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("cid"), col("cent"), col("e").as("ce2"), col("nrm").as("cn2"))
+      val probes = assign.filter(col("rn") <= 3 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"), col("cent"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("qcs").desc, col("cid"))
+      members.join(broadcast(probes), Seq("cent"))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("qcs", dot(col("qe"), col("ce2")) / (col("qn") * col("cn2")))
+        .select(col("qid"), col("cid"), col("qcs")).distinct()
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), round(col("qcs"), 4).as("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")
+    },
+
     // ANN path 5: IVF-PQ with exact re-rank — the composed index every
     // large-scale vector store runs (FAISS IVFPQ+refine shape): a coarse
     // quantizer partitions the corpus into centroid lists (the IVF routing

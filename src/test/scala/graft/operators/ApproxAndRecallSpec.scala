@@ -69,6 +69,35 @@ class ApproxAndRecallSpec extends AnyFunSuite {
     assert(rLsh > 0.2 && rIvf > 0.2, s"LSH recall@3 = $rLsh, IVF recall@3 = $rIvf")
   }
 
+  test("filtered IVF search honors the predicate and keeps useful recall") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q35m_filtered_ivf_search")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // pre-filter contract: every returned candidate satisfies the predicate
+    rows.foreach(r => assert(r.getLong(1) % 7 == 0, s"predicate violated: $r"))
+    // recall vs the brute-force top-3 over the FILTERED corpus
+    val v = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(zip_with(col("e"), col("e"), _ * _), lit(0.0), _ + _)))
+    val qs = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+    val exact = v.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+      .join(broadcast(qs), col("cid") =!= col("qid"))
+      .withColumn("cs", aggregate(zip_with(col("qe"), col("ce"), _ * _), lit(0.0), _ + _)
+        / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("qid", "cid", "rn").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    val ann = rows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq }
+    val r = recallAt(ann, exact, 3)
+    assert(r > 0.5, s"filtered IVF recall@3 vs filtered brute force = $r")
+  }
+
   test("k-means IVF lifts recall over fixed-seed IVF (deterministic Lloyd)") {
     val exact = neighbors("q35_cosine_topk")
     val seedIvf = neighbors("q35e_ivf_search")
