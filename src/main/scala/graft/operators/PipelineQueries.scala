@@ -402,6 +402,33 @@ object PipelineQueries {
           round(col("n_dup") * 1.0 / col("n_pos"), 4).as("dup_frac"),
           (col("n_dup") * 1.0 / col("n_pos") >= 0.2).as("flagged"))
         .orderBy("doc_id")
+    },
+
+    // Data profiling — the per-column quality sweep run before any
+    // training job: row count, null count, exact distinct count, min/max
+    // (stringified on the native-type result, so numeric min/max is still
+    // numeric ordering). One aggregation pass per column unioned into a
+    // tall frame; at 100 TB each leg is a partial+final aggregate over a
+    // single column (column pruning keeps the scans narrow), and distinct
+    // counts degrade to HLL the same way q11b does.
+    q("q66_profile", "per-column profile of documents: nulls, distincts, min/max")(
+      Seq("doc_id", "lang", "n_chars", "source", "text").map(c =>
+        s"""SELECT '$c' AS col, count(*) AS n,
+           |       count(*) - count($c) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS mn, CAST(max($c) AS VARCHAR) AS mx
+           |FROM documents""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY col")
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").cache() // five single-column legs
+      Seq("doc_id", "lang", "n_chars", "source", "text").map { c =>
+        docs.agg(count(lit(1)).as("n"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("mn"),
+          max(col(c)).cast("string").as("mx"))
+          .select(lit(c).as("col"), col("n"), col("n_null"), col("n_distinct"),
+            col("mn"), col("mx"))
+      }.reduce(_ union _).orderBy("col")
     }
   )
 }
