@@ -179,6 +179,38 @@ object ExtrasQueries {
         .orderBy("event_id")
     },
 
+    // Forward as-of join — q44's mirror: for each view event, the EARLIEST
+    // purchase of the same user strictly after it (next-purchase
+    // attribution). Same union+window construction with the frame flipped
+    // to [current, ∞); purchases sort before same-instant views so the
+    // strict > bound holds, and event_id in the sort key makes same-µs
+    // purchase ties deterministic. One partitioned sort serves every view
+    // — no per-row probe.
+    q("q44b_asof_forward", "forward as-of join: next purchase after each view (per user)")(
+      """WITH v AS (SELECT event_id, user_id, ts::TIMESTAMP AS t FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, ts::TIMESTAMP AS t FROM events WHERE event_type = 'purchase'),
+        |nx AS (SELECT v.event_id, v.user_id, min(p.t) AS nt
+        |       FROM v JOIN p ON p.user_id = v.user_id AND p.t > v.t
+        |       GROUP BY v.event_id, v.user_id)
+        |SELECT nx.event_id, min(p.event_id) AS next_purchase, nx.nt AS pt
+        |FROM nx JOIN p ON p.user_id = nx.user_id AND p.t = nx.nt
+        |GROUP BY nx.event_id, nx.nt ORDER BY nx.event_id""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"),
+          when(col("event_type") === "purchase", 0).otherwise(1).as("tag"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("tag"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      e.withColumn("next_purchase",
+          first(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("pt", first(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1 && col("next_purchase").isNotNull)
+        .select(col("event_id"), col("next_purchase"), col("pt"))
+        .orderBy("event_id")
+    },
+
     // Exact interpolated percentiles, grouped (Spark `percentile` ≙ DuckDB
     // `quantile_cont`: both linear interpolation over the sorted set).
     q("q41_percentiles", "exact p25/p50/p75 of quantity and price per returnflag")(

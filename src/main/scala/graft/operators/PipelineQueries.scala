@@ -404,6 +404,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    // priority u^(1/w) with u a content-hash uniform and w = n_chars, top-5
+    // per lang — longer docs proportionally likelier, selection exactly
+    // reproducible (no RNG state: the hash IS the randomness). Ranking
+    // happens on the ROUNDED priority (pow is proven round-4-compatible by
+    // q21) with doc_id tiebreaks, so both engines pick identical samples;
+    // the window is per-shard, the same scale shape as q51/q60.
+    q("q67_weighted_sample",
+      "A-ES weighted sample: top-5 docs per lang by hash-priority u^(1/n_chars)")(
+      s"""WITH b AS (SELECT doc_id, lang, n_chars,
+         |                  (${md5LongSql("text")} + 1) / 1152921504606846976.0 AS u
+         |           FROM documents),
+         |p AS (SELECT doc_id, lang, n_chars, round(pow(u, 1.0 / n_chars), 4) AS pr FROM b)
+         |SELECT doc_id, lang, n_chars, pr, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pr DESC, doc_id) AS rn FROM p)
+         |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin
+    ) { (s, dir) =>
+      val b = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          ((md5Long(col("text")) + 1) / lit(1152921504606846976.0)).as("u"))
+      val p = b.withColumn("pr", round(pow(col("u"), lit(1.0) / col("n_chars")), 4))
+      val w = Window.partitionBy(col("lang")).orderBy(col("pr").desc, col("doc_id"))
+      p.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("pr"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("lang", "doc_id")
+    },
+
     // Data profiling — the per-column quality sweep run before any
     // training job: row count, null count, exact distinct count, min/max
     // (stringified on the native-type result, so numeric min/max is still
