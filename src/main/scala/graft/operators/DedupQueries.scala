@@ -108,7 +108,9 @@ object DedupQueries {
     * diameter; the GraphFrames approach — at extreme diameters the upgrade
     * is alternating large-star/small-star, same join shape). Returns
     * (doc_id, component). */
-  private def ccComponents(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** The exact-Jaccard ≥ 0.5 edge set (d1 < d2) — shared by q34g/q34h and
+    * by StarContractionSpec's equivalence test. */
+  private[operators] def jaccardEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val toks = Tables.fanout(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
     // 60-bit-hashed shingle keys, same contract as q34a (8-byte shuffle)
@@ -120,11 +122,15 @@ object DedupQueries {
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
-    val edges = pairs
+    pairs
       .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
       .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
       .filter(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")) >= 0.5)
       .select("d1", "d2")
+  }
+
+  private def ccComponents(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val edges = jaccardEdges(s, dir)
     val bidir = edges
       .union(edges.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
     var labels = bidir.select(col("d1").as("u")).distinct()
