@@ -408,6 +408,53 @@ object ExtrasQueries {
       s.sql(ExtrasQueries.tpchQ5Sql)
     },
 
+    // Per-group model fit through the TYPED API — KeyValueGroupedDataset
+    // .mapGroups running arbitrary Scala per group (the batch sibling of
+    // B32's stateful op; what a pipeline uses when per-group logic stops
+    // being SQL-expressible). Here: closed-form OLS of n_chars on token
+    // count per lang. Every sum (Σx, Σy, Σx², Σxy) is an integer-valued
+    // double < 2^53, so accumulation is EXACT and order-free — the Scala
+    // fold and the oracle's SQL sums agree bit-for-bit, no ordering
+    // contract needed. At scale mapGroups shuffles once on the group key;
+    // groups stream through the iterator (no per-group materialization
+    // beyond the fold state).
+    q("q68_group_ols", "per-lang OLS fit (n_chars ~ tokens) via typed mapGroups")(
+      """WITH b AS (SELECT lang,
+        |                  CAST(len(str_split(text, ' ')) AS DOUBLE) AS x,
+        |                  CAST(n_chars AS DOUBLE) AS y
+        |           FROM documents),
+        |a AS (SELECT lang, count(*) AS n,
+        |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |             CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy
+        |      FROM b GROUP BY lang),
+        |f AS (SELECT lang, n,
+        |             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |             sx, sy FROM a)
+        |SELECT lang, round(slope, 4) AS slope,
+        |       round((sy - slope * sx) / n, 4) AS intercept, n
+        |FROM f ORDER BY lang""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("double").as("x"),
+          col("n_chars").cast("double").as("y"))
+        .as[(String, Double, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (lang, rows) =>
+          var n = 0L; var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
+          rows.foreach { case (_, x, y) =>
+            n += 1; sx += x; sy += y; sxx += x * x; sxy += x * y
+          }
+          val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+          (lang, slope, (sy - slope * sx) / n, n)
+        }
+        .toDF("lang", "slope_raw", "intercept_raw", "n")
+        .select(col("lang"), round(col("slope_raw"), 4).as("slope"),
+          round(col("intercept_raw"), 4).as("intercept"), col("n"))
+        .orderBy("lang")
+    },
+
     // Funnel / sequence analytics — ordered-event pattern matching (the
     // match_recognize class): per user, the first 'view', the first 'click'
     // strictly after it, the first 'purchase' strictly after that; stage =
