@@ -96,6 +96,41 @@ object Multimodal {
       else f)
   }
 
+  /** REAL-codec chain (q69): synthesize a RIFF/PCM16 WAV payload per doc
+    * (sample i = (char_i - 96) · 256 at 8 kHz — deterministic and
+    * SQL-modelable since the corpus is ASCII), then DECODE IT BACK with
+    * [[WavCodec]] — an actual container parse, not the stub — and extract
+    * audio features (peak, RMS). The squared-sample sums are integer-valued
+    * doubles < 2^53, so RMS is exact and order-free in both engines. */
+  def wavFeaturesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val samples = text.map(ch => ((ch.toInt - 96) * 256).toShort).toArray
+          (id, WavCodec.encode(8000, samples))
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val pcm = WavCodec.decode(bytes) // real parse: magics, chunk walk
+        var peak = 0L
+        var ss = 0.0
+        pcm.samples.foreach { s =>
+          val a = math.abs(s.toLong); if (a > peak) peak = a
+          ss += s.toDouble * s.toDouble
+        }
+        (id, bytes.length.toLong, pcm.sampleRate, pcm.samples.length.toLong,
+          peak, math.sqrt(ss / pcm.samples.length))
+      }
+    }.toDF("media_id", "n_bytes", "sample_rate", "n_samples", "peak", "rms_raw")
+      .select(col("media_id"), col("n_bytes"), col("sample_rate"),
+        col("n_samples"), col("peak"), round(col("rms_raw"), 4).as("rms"))
+      .orderBy("media_id")
+  }
+
   /** The registered rows-only query: full decode→features→resize chain. */
   def featuresQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -359,6 +359,24 @@ object ExtrasQueries {
         |FROM m ORDER BY media_id""".stripMargin
     ) { (s, dir) => graft.multimodal.Multimodal.featuresQuery(s, dir) },
 
+    // Multimodal with a REAL codec: RIFF/PCM16 WAV payloads synthesized per
+    // doc, decoded back by graft.multimodal.WavCodec (actual magic checks +
+    // chunk-list walk, not the stub), audio features extracted. The oracle
+    // models the synthesis arithmetic directly; the container parse is
+    // additionally golden/property-tested in WavCodecSpec.
+    q("q69_wav_decode", "real WAV (RIFF/PCM16) encode→decode→features per doc")(
+      """WITH m AS (SELECT doc_id AS media_id, length(text) AS n,
+        |        list_transform(regexp_split_to_array(text, ''), c -> (unicode(c) - 96) * 256) AS smp
+        |        FROM documents)
+        |SELECT media_id,
+        |  CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+        |  round(sqrt(list_reduce(list_transform(smp, x -> x * 1.0 * x), (a, b) -> a + b) / n), 4) AS rms
+        |FROM m ORDER BY media_id""".stripMargin
+    ) { (s, dir) => graft.multimodal.Multimodal.wavFeaturesQuery(s, dir) },
+
     // Ingest throughput proxy: the full reference pipeline (parse → dispatch
     // → derive → proto encode) over wire lines synthesized from every event
     // row ×3 — Bench times this as the single-node throughput headline
