@@ -131,6 +131,43 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** REAL-codec image chain (q70): render each doc as a 16-wide grayscale
+    * BMP (pixel = char code, rows of 16, zero-padded tail), DECODE IT BACK
+    * with [[BmpCodec]] (real header parse + bottom-up row flip) and
+    * extract image features. px0 — the TOP-LEFT pixel — only comes out
+    * equal to the doc's first char if the decoder flips the bottom-up row
+    * order correctly, so the oracle checks the parse, not just the
+    * arithmetic. Mean sums are integer-valued doubles — exact. */
+  def bmpFeaturesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = 16
+          val h = (text.length + w - 1) / w
+          val px = Array.tabulate(h, w) { (y, x) =>
+            val i = y * w + x
+            if (i < text.length) text.charAt(i).toInt & 0xff else 0
+          }
+          (id, BmpCodec.encode(BmpCodec.Gray(w, h, px)))
+        }
+      }
+    media.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img = BmpCodec.decode(bytes) // real parse: magic, bpp, row flip
+        var sum = 0L
+        img.gray.foreach(row => row.foreach(sum += _))
+        (id, bytes.length.toLong, img.width, img.height,
+          img.gray(0)(0).toLong, sum.toDouble / (img.width * img.height))
+      }
+    }.toDF("media_id", "n_bytes", "width", "height", "px0", "mean_raw")
+      .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+        col("px0"), round(col("mean_raw"), 4).as("mean_gray"))
+      .orderBy("media_id")
+  }
+
   /** The registered rows-only query: full decode→features→resize chain. */
   def featuresQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -377,6 +377,25 @@ object ExtrasQueries {
         |FROM m ORDER BY media_id""".stripMargin
     ) { (s, dir) => graft.multimodal.Multimodal.wavFeaturesQuery(s, dir) },
 
+    // Image sibling of q69: real BMP (24-bit uncompressed) encode→decode.
+    // px0 (top-left pixel) equals the doc's first char ONLY if the decoder
+    // flips BMP's bottom-up row storage — the oracle checks the container
+    // parse, not just byte arithmetic. Row stride 16·3 = 48 is already
+    // 4-aligned, so n_bytes = 54 + 48·h exactly.
+    q("q70_bmp_decode", "real BMP (24-bit) encode→decode→features per doc")(
+      """WITH m AS (SELECT doc_id AS media_id, length(text) AS n,
+        |        list_transform(regexp_split_to_array(text, ''), c -> unicode(c)) AS codes
+        |        FROM documents)
+        |SELECT media_id,
+        |  CAST(54 + 48 * ((n + 15) // 16) AS BIGINT) AS n_bytes,
+        |  CAST(16 AS INT) AS width,
+        |  CAST((n + 15) // 16 AS INT) AS height,
+        |  CAST(codes[1] AS BIGINT) AS px0,
+        |  round(list_reduce(list_transform(codes, x -> x * 1.0), (a, b) -> a + b)
+        |        / (16 * ((n + 15) // 16)), 4) AS mean_gray
+        |FROM m ORDER BY media_id""".stripMargin
+    ) { (s, dir) => graft.multimodal.Multimodal.bmpFeaturesQuery(s, dir) },
+
     // Ingest throughput proxy: the full reference pipeline (parse → dispatch
     // → derive → proto encode) over wire lines synthesized from every event
     // row ×3 — Bench times this as the single-node throughput headline
