@@ -50,6 +50,71 @@ object ExtrasQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Shared dialect-neutral SQL for q49c (TPC-H Q10 shape: returned-item
+    * revenue per customer over a half-year window). DECIMAL-exact revenue
+    * sum; `c_acctbal` passes through untouched by arithmetic (both engines
+    * read the identical parquet double) but is rounded for display parity. */
+  val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name,
+      |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue,
+      |       round(c_acctbal, 4) AS acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |  AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49d (TPC-H Q14 shape: promo revenue
+    * percentage). Both the conditional and unconditional sums run in exact
+    * DECIMAL so the single-row ratio is bit-identical across engines. */
+  val tpchQ14Sql: String =
+    """SELECT round(100.00 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |                  THEN CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))
+      |                  ELSE CAST(0.0 AS DECIMAL(28,4)) END) AS DOUBLE)
+      |             / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49e (TPC-H Q19 shape: disjunctive
+    * brand/size/quantity predicate bundles — the classic OR-of-ANDs the
+    * optimizer must NOT turn into a cross product; fixture brands/sizes
+    * substituted for the missing container/shipmode columns). */
+  val tpchQ19Sql: String =
+    """SELECT round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND ((p_brand = 'Brand#9'  AND p_size BETWEEN 1  AND 15 AND l_quantity >= 1  AND l_quantity <= 20)
+      |    OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+      |    OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 40))""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49f (TPC-H Q7 shape: bilateral
+    * shipping volume between a nation pair by ship year — a 6-way join with
+    * the nation dimension joined TWICE under different roles). */
+  val tpchQ7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       round(CAST(sum(CAST(round(volume, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |         l_extendedprice * (1 - l_discount) AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // B38: the engine's spread column function (P8 0.0-coercion) applied to
@@ -445,6 +510,50 @@ object ExtrasQueries {
       s.sql(ExtrasQueries.tpchQ5Sql)
     },
 
+    // TPC-H Q10 shape: which customers returned the most revenue in a
+    // window. Fact-fact join on orderkey + two broadcast dims; the
+    // returnflag filter pushes to the lineitem scan.
+    q("q49c_sql_tpch_q10", "TPC-H Q10 shape via spark.sql — returned-item revenue per customer")(
+      ExtrasQueries.tpchQ10Sql
+    ) { (s, dir) =>
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ10Sql)
+    },
+
+    // TPC-H Q14 shape: promo revenue share — a single-row conditional-
+    // aggregate ratio over a month of shipments joined to part.
+    q("q49d_sql_tpch_q14", "TPC-H Q14 shape via spark.sql — promo revenue percentage")(
+      ExtrasQueries.tpchQ14Sql
+    ) { (s, dir) =>
+      Seq("lineitem", "part")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ14Sql)
+    },
+
+    // TPC-H Q19 shape: OR-of-AND predicate bundles over a part join. The
+    // planner must keep the equi-join on p_partkey and evaluate the
+    // disjunction as a post-join filter (common p_partkey conjunct
+    // extracted) — not fall back to a nested loop.
+    q("q49e_sql_tpch_q19", "TPC-H Q19 shape via spark.sql — disjunctive predicate revenue")(
+      ExtrasQueries.tpchQ19Sql
+    ) { (s, dir) =>
+      Seq("lineitem", "part")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ19Sql)
+    },
+
+    // TPC-H Q7 shape: nation is joined twice under different aliases
+    // (supplier side vs customer side) — exercises alias resolution and
+    // double-broadcast of the same dimension through the SQL front end.
+    q("q49f_sql_tpch_q7", "TPC-H Q7 shape via spark.sql — bilateral nation-pair volume by year")(
+      ExtrasQueries.tpchQ7Sql
+    ) { (s, dir) =>
+      Seq("supplier", "lineitem", "orders", "customer", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ7Sql)
+    },
+
     // Per-group model fit through the TYPED API — KeyValueGroupedDataset
     // .mapGroups running arbitrary Scala per group (the batch sibling of
     // B32's stateful op; what a pipeline uses when per-group logic stops
@@ -563,6 +672,50 @@ object ExtrasQueries {
         .select(timestamp_micros(col("fhb") * 3600L * 1000000L).as("cohort"),
           col("k"), col("n_active"))
         .orderBy("cohort", "k")
+    },
+
+    // MATCH_RECOGNIZE-lite sequence pattern matching — the general form of
+    // q64's fixed funnel: each user's event history becomes an ordered
+    // symbol string (one char per event type, pinned by (ts, event_id)),
+    // and the pattern is a real regex WITH QUANTIFIERS — here `v+c+p`
+    // (≥1 views, then ≥1 clicks, then a purchase; non-overlapping match
+    // count ≙ MATCH_RECOGNIZE ONE ROW PER MATCH ... AFTER MATCH SKIP PAST
+    // LAST ROW). At 100 TB: one shuffle on the match-partition key; each
+    // key's sequence is bounded by per-user history (sessionize first via
+    // q28's session windows when histories are unbounded) — the same
+    // contract every MATCH_RECOGNIZE engine imposes.
+    q("q71_seq_pattern", "regex pattern (v+c+p) over per-user ordered event-type sequences")(
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END,
+        |                    '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        |       CAST(len(regexp_extract_all(seq, 'v+c+p')) AS BIGINT) AS n_funnels
+        |FROM seqs WHERE len(regexp_extract_all(seq, 'v+c+p')) > 0
+        |ORDER BY n_funnels DESC, user_id LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      val seqs = Tables(s, dir, "events")
+        .withColumn("chr",
+          when(col("event_type") === "view", "v")
+            .when(col("event_type") === "click", "c")
+            .when(col("event_type") === "purchase", "p")
+            .when(col("event_type") === "signup", "s")
+            .otherwise("e"))
+        .groupBy("user_id")
+        // struct sort is lexicographic over (ts, event_id, chr) — the same
+        // (ts, event_id) order the oracle's string_agg ORDER BY pins
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("chr")))),
+            x => x.getField("chr")), "").as("seq"))
+      seqs.select(col("user_id"),
+          length(col("seq")).cast("long").as("seq_len"),
+          regexp_count(col("seq"), lit("v+c+p")).cast("long").as("n_funnels"))
+        .filter(col("n_funnels") > 0)
+        .orderBy(col("n_funnels").desc, col("user_id"))
+        .limit(50)
     }
   )
 }

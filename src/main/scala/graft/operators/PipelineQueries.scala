@@ -29,6 +29,13 @@ object PipelineQueries {
   private val emailPat = "[a-z0-9._]+@[a-z0-9.]+"
   private val numPat = "[0-9]{3,}"
 
+  /** q74's 16-bit × 2 z-order interleave as DuckDB SQL (declared before
+    * `all` — object vals initialize in order). Max shift is 31 < the 63-bit
+    * checked-shift ceiling. */
+  private val zorderTermsSql: String = (0 until 16).map { i =>
+    s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})"
+  }.mkString(" + ")
+
   val all: Seq[Q] = Seq(
 
     // Benchmark decontamination: score each training doc by the FRACTION
@@ -457,6 +464,47 @@ object PipelineQueries {
           .select(lit(c).as("col"), col("n"), col("n_null"), col("n_distinct"),
             col("mn"), col("mx"))
       }.reduce(_ union _).orderBy("col")
+    },
+
+    // Z-order data layout — multi-dimensional clustering for file skipping:
+    // interleave 16 bits of two scan-predicate columns into one sort key, so
+    // a range sort on zkey makes EVERY file's (partkey, suppkey) min/max
+    // envelope tight and a predicate on EITHER column prunes files. The
+    // output is the per-bucket min/max envelope (bucket ≙ output file under
+    // a range-partitioned write): bounded ranges ARE the skipping evidence.
+    // At 100 TB: zkey is row-local arithmetic; the sort is the same range
+    // shuffle any sorted write does; ntile here stands in for the writer's
+    // file boundaries.
+    q("q74_zorder_layout", "z-order interleaved sort key → per-bucket min/max pruning envelopes")(
+      s"""WITH z AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |         CAST(${zorderTermsSql} AS BIGINT) AS zkey
+         |  FROM lineitem),
+         |b AS (SELECT *, ntile(16) OVER (ORDER BY zkey, l_orderkey, l_linenumber) AS bucket FROM z)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+         |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk,
+         |       min(zkey) AS zmin, max(zkey) AS zmax
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      val zkey = (0 until 16).map { i =>
+        shiftleft(shiftright(col("l_partkey"), i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(col("l_suppkey"), i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .withColumn("zkey", zkey.cast("long"))
+        .withColumn("bucket",
+          ntile(16).over(Window.orderBy("zkey", "l_orderkey", "l_linenumber")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
+          min(col("zkey")).as("zmin"), max(col("zkey")).as("zmax"))
+        .select(col("bucket").cast("long").as("bucket"), col("n"),
+          col("min_pk"), col("max_pk"), col("min_sk"), col("max_sk"),
+          col("zmin"), col("zmax"))
+        .orderBy("bucket")
     }
   )
 }

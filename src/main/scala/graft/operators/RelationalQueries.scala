@@ -596,6 +596,35 @@ object RelationalQueries {
         .select(from_json(col("line"), schema).as("p"))
         .select(col("p.id").as("id"), col("p.et").as("et"), r4(col("p.v")).as("v"))
         .orderBy("id")
+    },
+
+    // Second columnar format, full sink→source round-trip: a lineitem
+    // projection is WRITTEN as ORC (snappy, overwrite — rerun-safe) and read
+    // back before aggregating. Doubles/longs round-trip bit-exactly through
+    // ORC, so the oracle can aggregate the original parquet directly. The
+    // write is a parallel executor-side sink (one ORC file per partition, no
+    // driver collect); the read-back scan prunes to the aggregation columns
+    // exactly as the parquet path does.
+    q("q73_orc_roundtrip", "write lineitem projection to ORC, read back, aggregate")(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS qty,
+        |       round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, dir) =>
+      val orcDir = s"/tmp/graft_orc/${new java.io.File(dir).getName}/lineitem"
+      Tables(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").orc(orcDir)
+      s.read.orc(orcDir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("l_quantity"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("qty"),
+          round(sum(round(col("l_extendedprice"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("price"))
+        .orderBy("l_returnflag", "l_linestatus")
     }
   )
 }

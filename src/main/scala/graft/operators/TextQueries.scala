@@ -224,6 +224,107 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("c"), col("pmi"),
           col("rn").cast("long").as("rn"))
         .orderBy("rn")
+    },
+
+    // Bigram language-model scoring — the perplexity-style quality filter a
+    // training pipeline runs after heuristics (q36c): train add-one-smoothed
+    // bigram counts on the 4/5 content-hash folds, score the held-out fold by
+    // average log P(w2|w1) = ln((c(w1 w2)+1)/(c(w1)+V)). The LM tables are
+    // vocabulary-bounded (≪ corpus) → BROADCAST joins against the corpus-
+    // sized bigram stream; counts shuffle once each. Cross-engine float
+    // contract: the probability is one double division, ln is bit-compatible,
+    // each term is rounded to 6 dp, and the per-doc sum runs in exact
+    // DECIMAL(28,6) so grouping order can't move the result (NOTES.md).
+    q("q72_bigram_lm", "add-one bigram LM trained on 4/5 hash folds scores the held-out fold")(
+      s"""WITH tok AS (
+         |  SELECT doc_id, str_split(text, ' ') AS toks, ${md5LongSql("text")} % 5 AS fold
+         |  FROM documents),
+         |big AS (
+         |  SELECT doc_id, fold, unnest(${shinglesSql("toks", 2)}) AS bg
+         |  FROM tok WHERE len(toks) >= 2),
+         |bigw AS (SELECT doc_id, fold, bg, split_part(bg, ' ', 1) AS w1 FROM big),
+         |lm_big AS (SELECT bg, count(*) AS c2 FROM big WHERE fold <> 0 GROUP BY bg),
+         |lm_uni AS (SELECT u AS w1, count(*) AS c1
+         |           FROM (SELECT unnest(toks) AS u FROM tok WHERE fold <> 0) GROUP BY u),
+         |vocab AS (SELECT count(*) AS v FROM lm_uni),
+         |scored AS (
+         |  SELECT b.doc_id, count(*) AS nb,
+         |         sum(CAST(round(ln((COALESCE(lb.c2, 0) + 1.0) / (COALESCE(lu.c1, 0) + vo.v)), 6) AS DECIMAL(28,6))) AS ll
+         |  FROM bigw b
+         |  LEFT JOIN lm_big lb USING (bg)
+         |  LEFT JOIN lm_uni lu USING (w1)
+         |  CROSS JOIN vocab vo
+         |  WHERE b.fold = 0
+         |  GROUP BY b.doc_id)
+         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+         |       round(CAST(ll AS DOUBLE) / nb, 4) AS avg_logprob
+         |FROM scored ORDER BY avg_logprob DESC, doc_id LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      val tok = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"),
+          (md5Long(col("text")) % 5).as("fold"))
+        .cache() // feeds the unigram LM, the bigram LM, and the scoring leg
+      val big = tok.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("fold"), explode(shingles(col("toks"), 2)).as("bg"))
+      val lmBig = big.filter(col("fold") =!= 0)
+        .groupBy("bg").agg(count(lit(1)).as("c2"))
+      val lmUni = tok.filter(col("fold") =!= 0)
+        .select(explode(col("toks")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+        .cache() // vocab count + the scoring join
+      val vocab = lmUni.agg(count(lit(1)).as("v"))
+      big.filter(col("fold") === 0)
+        .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
+        .join(broadcast(lmBig), Seq("bg"), "left")
+        .join(broadcast(lmUni), Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nb"),
+          sum(round(log((coalesce(col("c2"), lit(0L)) + lit(1.0))
+              / (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("ll"))
+        .select(col("doc_id"), col("nb").cast("long").as("n_bigrams"),
+          round(col("ll").cast("double") / col("nb"), 4).as("avg_logprob"))
+        .orderBy(col("avg_logprob").desc, col("doc_id"))
+        .limit(50)
+    },
+
+    // Count-min sketch heavy hitters — the streaming-friendly sibling of
+    // q36's exact top-k: a fixed d=4 × w=256 cell grid, row hashes defined
+    // as portable md5 arithmetic so the WHOLE sketch is reproduced cell-for-
+    // cell by the oracle (an exact hash-match of an approximate structure).
+    // Estimates are min over the 4 rows (over-count only, ≤ 2N/w expected).
+    // The sketch is built from the per-token count pre-aggregate — the
+    // map-side-combine shape; the full-stream form is the same cell grid as
+    // a d·w-wide algebraic aggregate, mergeable across partitions, and the
+    // probe side broadcasts the 1024-cell table. CountMinSpec pins the
+    // over-count invariant and the error bound on fixture data.
+    q("q75_countmin_heavy_hitters", "count-min sketch (4×256, md5 rows) top-20 estimates vs exact")(
+      s"""WITH occ AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+         |cand AS (SELECT tok, count(*) AS exact_n FROM occ GROUP BY tok),
+         |ic AS (SELECT tok, exact_n, i,
+         |              ${md5LongSql("CAST(i AS VARCHAR) || ':' || tok")} % 256 AS cell
+         |       FROM cand, (SELECT unnest([0, 1, 2, 3]) AS i)),
+         |cells AS (SELECT i, cell, CAST(sum(exact_n) AS BIGINT) AS c FROM ic GROUP BY i, cell),
+         |est AS (SELECT t.tok, t.exact_n, min(c.c) AS cm_est
+         |        FROM ic t JOIN cells c ON t.i = c.i AND t.cell = c.cell
+         |        GROUP BY t.tok, t.exact_n)
+         |SELECT tok, exact_n, cm_est FROM est
+         |ORDER BY cm_est DESC, tok LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val cand = Tables.fanout(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      val ic = cand.select(col("tok"), col("exact_n"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("i"),
+          (md5Long(concat(lit(s"$i:"), col("tok"))) % 256).as("cell"))): _*)).as("h"))
+        .select(col("tok"), col("exact_n"), col("h.i").as("i"), col("h.cell").as("cell"))
+        .cache() // builds the cells AND probes them
+      val cells = ic.groupBy("i", "cell").agg(sum(col("exact_n")).as("c"))
+      ic.join(broadcast(cells), Seq("i", "cell"))
+        .groupBy("tok", "exact_n").agg(min(col("c")).as("cm_est"))
+        .select(col("tok"), col("exact_n"), col("cm_est"))
+        .orderBy(col("cm_est").desc, col("tok")).limit(20)
     }
   )
 }
