@@ -19,6 +19,7 @@ object SparkEntry {
       operators.TextQueries.all ++
       operators.PipelineQueries.all ++
       operators.VectorQueries.all ++
+      operators.GraphQueries.all ++
       operators.ExtrasQueries.all ++
       streaming.StreamingQueries.all
 

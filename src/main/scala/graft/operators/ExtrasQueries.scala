@@ -115,6 +115,45 @@ object ExtrasQueries {
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** Shared SQL for q77: LATERAL correlated subquery (top-2 orders per
+    * customer). The lateral body re-sorts per outer row — the planner turns
+    * it into a ranked-window shape; both engines accept the same string. */
+  val lateralSql: String =
+    """SELECT c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS price
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin
+
+  /** Shared SQL for q78: deterministic mode (window over value counts — the
+    * built-in mode() breaks ties arbitrarily in both engines, so the oracle
+    * pins count-desc/value-asc) + exact interpolated median per group. */
+  val modeMedianSql: String =
+    """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+      |           FROM lineitem GROUP BY l_returnflag, l_quantity),
+      |m AS (SELECT l_returnflag, l_quantity AS mode_qty,
+      |             row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rn
+      |      FROM c),
+      |md AS (SELECT l_returnflag, round(median(l_quantity), 4) AS med_qty
+      |       FROM lineitem GROUP BY l_returnflag)
+      |SELECT m.l_returnflag, m.mode_qty, md.med_qty
+      |FROM m JOIN md ON m.l_returnflag = md.l_returnflag
+      |WHERE rn = 1 ORDER BY m.l_returnflag""".stripMargin
+
+  /** Shared SQL for q79: equi-width histogram — the profiling companion to
+    * q66. Bucket ids are width_bucket(x, 0, 110000, 11) semantics written as
+    * portable floor arithmetic (DuckDB has no width_bucket; one IEEE divide
+    * + floor is bit-identical in both engines; fixture range ⊂ [0, 110000)
+    * so no clamping branch is needed). */
+  val histogramSql: String =
+    """SELECT l_returnflag,
+      |       CAST(floor(l_extendedprice / 10000.0) + 1 AS BIGINT) AS bucket,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag, bucket
+      |ORDER BY l_returnflag, bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // B38: the engine's spread column function (P8 0.0-coercion) applied to
@@ -552,6 +591,36 @@ object ExtrasQueries {
       Seq("supplier", "lineitem", "orders", "customer", "nation")
         .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
       s.sql(ExtrasQueries.tpchQ7Sql)
+    },
+
+    // LATERAL correlated subquery — the SQL-surface sibling of q13's window
+    // top-k: top-2 orders per customer, expressed as a per-outer-row
+    // correlated table. Exercises Spark's lateral-join decorrelation.
+    q("q77_lateral_topk", "LATERAL correlated top-2 orders per customer via spark.sql")(
+      ExtrasQueries.lateralSql
+    ) { (s, dir) =>
+      Seq("customer", "orders").foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.lateralSql)
+    },
+
+    // Deterministic mode + exact median per group. The mode is pinned by a
+    // window (count desc, value asc) because the built-in mode() resolves
+    // ties engine-arbitrarily; the median is the interpolated exact one.
+    q("q78_mode_median", "deterministic per-group mode (windowed) + exact median")(
+      ExtrasQueries.modeMedianSql
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(ExtrasQueries.modeMedianSql)
+    },
+
+    // Equi-width histogram via width_bucket — numeric distribution
+    // profiling next to q66's min/max/null profile; one partial-aggregated
+    // groupBy, bucket id computed row-local.
+    q("q79_histogram", "equi-width 11-bucket histogram of l_extendedprice per returnflag")(
+      ExtrasQueries.histogramSql
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(ExtrasQueries.histogramSql)
     },
 
     // Per-group model fit through the TYPED API — KeyValueGroupedDataset

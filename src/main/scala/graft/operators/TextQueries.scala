@@ -26,6 +26,35 @@ object TextQueries {
 
   private def inListSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** q76's oracle: the same 3 BPE iterations unrolled as chained CTEs
+    * (declared before `all` — object vals initialize in order). */
+  private val bpeSql: String = {
+    def pairsCte(seqTbl: String, pName: String) =
+      s"""$pName AS (
+         |  SELECT s AS pair, CAST(sum(n) AS BIGINT) AS c
+         |  FROM (SELECT unnest(${shinglesSql(s"string_split(trim(seq), ' ')", 2)}) AS s, n
+         |        FROM $seqTbl)
+         |  GROUP BY s ORDER BY c DESC, pair LIMIT 1)""".stripMargin
+    def mergeCte(prevSeq: String, pName: String, newName: String) =
+      s"""$newName AS (
+         |  SELECT replace(seq, ' ' || p.pair || ' ', ' ' || replace(p.pair, ' ', '') || ' ') AS seq, n
+         |  FROM $prevSeq CROSS JOIN $pName p)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT tok, count(*) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |seq0 AS (SELECT ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS seq, n FROM w),
+       |${pairsCte("seq0", "p1")},
+       |${mergeCte("seq0", "p1", "seq1")},
+       |${pairsCte("seq1", "p2")},
+       |${mergeCte("seq1", "p2", "seq2")},
+       |${pairsCte("seq2", "p3")}
+       |SELECT CAST(1 AS BIGINT) AS it, pair, c FROM p1
+       |UNION ALL SELECT 2, pair, c FROM p2
+       |UNION ALL SELECT 3, pair, c FROM p3
+       |ORDER BY it""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // B36: token frequency analytics — top-20 tokens per language.
@@ -325,6 +354,40 @@ object TextQueries {
         .groupBy("tok", "exact_n").agg(min(col("c")).as("cm_est"))
         .select(col("tok"), col("exact_n"), col("cm_est"))
         .orderBy(col("cm_est").desc, col("tok")).limit(20)
+    },
+
+    // BPE merge training — the first 3 merge rules a byte-pair-encoding
+    // tokenizer learns from this corpus. The distributed shape is the real
+    // one: train on the WORD-FREQUENCY table (|vocab| rows, not |corpus| —
+    // the standard Sennrich reduction), count adjacent symbol pairs weighted
+    // by word count (one shuffle per iteration), pick the global argmax
+    // (count desc, pair asc — a 1-row TakeOrdered), broadcast it, and apply
+    // the merge with a boundary-anchored NON-regex replace (space-padded
+    // symbols; leftmost non-overlapping continue-after-replacement semantics
+    // are identical in Java and DuckDB, incl. the ' a a a ' case). Each
+    // iteration's pair count is exact integer arithmetic → the oracle
+    // replays the identical 3 unrolled iterations.
+    q("q76_bpe_train", "first 3 BPE merges learned from word frequencies (argmax pair per round)")(
+      TextQueries.bpeSql
+    ) { (s, dir) =>
+      val w = Tables.fanout(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      var seq = w.select(
+        concat(lit(" "), array_join(split(col("tok"), ""), " "), lit(" ")).as("seq"),
+        col("n")).cache() // pair count + merge application both read it
+      val tops = (1 to 3).map { it =>
+        val top = seq
+          .select(explode(shingles(split(trim(col("seq")), " "), 2)).as("pair"), col("n"))
+          .groupBy("pair").agg(sum(col("n")).as("c"))
+          .orderBy(col("c").desc, col("pair")).limit(1)
+          .cache() // output row + broadcast into the merge
+        seq = seq.crossJoin(broadcast(top.select(col("pair"))))
+          .select(expr("replace(seq, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')").as("seq"),
+            col("n")).cache()
+        top.select(lit(it.toLong).as("it"), col("pair"), col("c"))
+      }
+      tops.reduce(_ union _).orderBy("it")
     }
   )
 }
