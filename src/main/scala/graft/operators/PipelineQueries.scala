@@ -505,6 +505,76 @@ object PipelineQueries {
           col("min_pk"), col("max_pk"), col("min_sk"), col("max_sk"),
           col("zmin"), col("zmax"))
         .orderBy("bucket")
+    },
+
+    // Stratified sampling — per-stratum rates keyed on a content hash, so
+    // the sample is stable under reruns, repartitions, AND incremental
+    // appends (the q50/q51 selection contract, now with a rate per class —
+    // how a pipeline rebalances language mix without a global shuffle:
+    // filter is row-local, no sort, no sampleBy RNG state).
+    q("q83_stratified_sample", "per-lang hash-rate stratified sample of documents")(
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, ${md5LongSql("text")} % 100 AS h,
+         |         CASE lang WHEN 'en' THEN 10 WHEN 'fr' THEN 25 WHEN 'es' THEN 40
+         |                   WHEN 'de' THEN 60 ELSE 80 END AS rate
+         |  FROM documents)
+         |WHERE h < rate ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (md5Long(col("text")) % 100).as("h"),
+          when(col("lang") === "en", 10).when(col("lang") === "fr", 25)
+            .when(col("lang") === "es", 40).when(col("lang") === "de", 60)
+            .otherwise(80).as("rate"))
+        .filter(col("h") < col("rate"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // Dataset reconciliation (diff) — classify every key across two dataset
+    // versions as added/removed/changed/same via ONE full-outer join on the
+    // key. v2 is derived deterministically (delete every 97th key, bump
+    // acctbal on every 10th, insert new keys), so both engines agree on the
+    // ground truth. Values are compared column-wise (no double→string
+    // formatting dependency); at scale wide rows would compare a canonical
+    // byte-encoding hash instead, shuffling 8-byte digests not rows.
+    q("q85_table_diff", "added/removed/changed/same counts between two dataset versions")(
+      """WITH v2 AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 100.0, 2)
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NewCustomer#' || CAST(c_custkey AS VARCHAR), 0.0
+        |  FROM customer WHERE c_custkey % 113 = 0),
+        |j AS (
+        |  SELECT CASE WHEN a.c_custkey IS NULL THEN 'added'
+        |              WHEN b.c_custkey IS NULL THEN 'removed'
+        |              WHEN a.c_name <> b.c_name OR a.c_acctbal <> b.c_acctbal THEN 'changed'
+        |              ELSE 'same' END AS status
+        |  FROM customer a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey)
+        |SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status""".stripMargin
+    ) { (s, dir) =>
+      val v1 = Tables(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val v2 = v1.filter(col("c_custkey") % 97 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 10 === 0, round(col("c_acctbal") + 100.0, 2))
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .union(v1.filter(col("c_custkey") % 113 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            concat(lit("NewCustomer#"), col("c_custkey").cast("string")).as("c_name"),
+            lit(0.0).as("c_acctbal")))
+      val a = v1.as("a")
+      val b = v2.as("b")
+      a.join(b, col("a.c_custkey") === col("b.c_custkey"), "full_outer")
+        .select(
+          when(col("a.c_custkey").isNull, "added")
+            .when(col("b.c_custkey").isNull, "removed")
+            .when(col("a.c_name") =!= col("b.c_name")
+              || col("a.c_acctbal") =!= col("b.c_acctbal"), "changed")
+            .otherwise("same").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
     }
   )
 }

@@ -625,6 +625,71 @@ object RelationalQueries {
           round(sum(round(col("l_extendedprice"), 4)
             .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("price"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // MERGE/upsert emulation — vanilla Spark has no MERGE INTO target (that
+    // is a table-format concern), but the SEMANTICS are one full-outer join:
+    // matched→update, source-only→insert, target-only→keep. The update feed
+    // is a windowed order aggregate plus genuinely new keys, so all three
+    // branches are exercised. At scale the join shuffles on the merge key —
+    // exactly what a format-backed MERGE compiles to.
+    q("q82_upsert_merge", "full-outer MERGE emulation: update/insert/keep per customer")(
+      """WITH updates AS (
+        |  SELECT o_custkey AS k,
+        |         round(CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS new_bal
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 0.0 FROM customer WHERE c_custkey % 113 = 0),
+        |merged AS (
+        |  SELECT COALESCE(t.c_custkey, u.k) AS c_custkey,
+        |         COALESCE(t.c_name, 'New#' || CAST(u.k AS VARCHAR)) AS c_name,
+        |         round(CASE WHEN u.k IS NOT NULL THEN u.new_bal ELSE t.c_acctbal END, 4) AS bal,
+        |         CASE WHEN t.c_custkey IS NULL THEN 'insert'
+        |              WHEN u.k IS NOT NULL THEN 'update' ELSE 'keep' END AS op
+        |  FROM customer t FULL OUTER JOIN updates u ON t.c_custkey = u.k)
+        |SELECT c_custkey, c_name, bal, op FROM merged ORDER BY c_custkey""".stripMargin
+    ) { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      val updates = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("o_custkey").as("k"))
+        .agg(round(sum(round(col("o_totalprice"), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("new_bal"))
+        .union(cust.filter(col("c_custkey") % 113 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"), lit(0.0).as("new_bal")))
+      cust.join(updates, col("c_custkey") === col("k"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("k")).as("merged_key"),
+          coalesce(col("c_name"), concat(lit("New#"), col("k").cast("string"))).as("c_name"),
+          round(when(col("k").isNotNull, col("new_bal")).otherwise(col("c_acctbal")), 4).as("bal"),
+          when(col("c_custkey").isNull, "insert")
+            .when(col("k").isNotNull, "update").otherwise("keep").as("op"))
+        .withColumnRenamed("merged_key", "c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // Distribution window functions — percent_rank and cume_dist complete
+    // the B13 ranking surface. Both are exact integer-ratio doubles, so the
+    // cross-engine values are bit-identical before the display rounding.
+    q("q84_dist_windows", "percent_rank + cume_dist over quantity per returnflag")(
+      """SELECT l_orderkey, l_linenumber,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("l_orderkey", "l_linenumber").limit(1000)
     }
   )
 }

@@ -108,6 +108,38 @@ object TimeWindowQueries {
           round(max(when(col("rnd") === 1, col("value"))), 4).as("close"),
           count(lit(1)).as("n"))
         .orderBy("event_type", "ws")
+    },
+
+    // SCD Type 2 — build slowly-changing-dimension validity intervals from
+    // an event stream: detect state changes per key (lag), open a version
+    // row at each change, close it with the next change's timestamp (lead;
+    // null valid_to = current version). The warehouse op every dimension
+    // pipeline runs; two windows over the same (key, time) partitioning =
+    // ONE shuffle total.
+    q("q81_scd2", "SCD Type 2 validity intervals from per-user event-type changes")(
+      """WITH s AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+        |            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM s
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type AS state, ts AS valid_from, event_id,
+        |             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |      FROM c)
+        |SELECT user_id, state, valid_from, valid_to, event_id
+        |FROM v ORDER BY user_id, valid_from, event_id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byKey = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byKey))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("event_id"),
+          lead(col("ts"), 1).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")).as("valid_to"))
+        .orderBy("user_id", "valid_from", "event_id")
     }
   )
 }
