@@ -49,6 +49,15 @@ object VectorQueries {
   private val planeWeightSql =
     "(((('0x' || substr(md5('p' || i || ':' || d), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)"
 
+  /** q86's projection planes — same construction, distinct seed namespace
+    * so the projection is independent of the LSH planes. */
+  private def rpWeight(j: Int, d: Int): Double =
+    ((md5LongScala(s"rp$j:$d") % 2001) - 1000) / 1000.0
+  private def rpPlaneLit(j: Int): Column =
+    array((0 until Dim).map(d => lit(rpWeight(j, d))): _*)
+  private val rpWeightSql =
+    "(((('0x' || substr(md5('rp' || j || ':' || d), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)"
+
   /** Oracle CTE computing the LSH bucket per vector with a sequential
     * per-plane list dot product (lambda captures outer i). */
   private val bucketCte =
@@ -855,6 +864,32 @@ object VectorQueries {
         .select(col("qid"), col("cid"), round(col("d2"), 4).as("dist"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")
+    },
+
+    // Random projection 64→8 — Johnson-Lindenstrauss-style dimensionality
+    // reduction: 8 md5-seeded dense planes (same deterministic-plane
+    // machinery as the q35b LSH, different seed namespace), each output
+    // coordinate one sequential-fold dot product (`aggregate` ≙
+    // `list_dot_product`, bit-identical cross-engine — NOTES.md). Entirely
+    // row-local: no shuffle, pipelines into any downstream clustering/ANN
+    // stage; at 100 TB this is the cheap front of an embedding-compression
+    // path (project → quantize q35k → index q35j).
+    q("q86_random_projection", "64→8 dense md5-seeded random projection per embedding")(
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |pj AS (SELECT vec_id, j,
+         |              round(list_dot_product(e, list_transform(generate_series(0, ${Dim - 1}),
+         |                                                       d -> $rpWeightSql)), 4) AS p
+         |       FROM v CROSS JOIN range(8) AS r(j))
+         |SELECT vec_id,
+         |${(0 until 8).map(j => s"       max(CASE WHEN j = $j THEN p END) AS p$j").mkString(",\n")}
+         |FROM pj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      val base = withNorm(Tables(s, dir, "embeddings"))
+      (0 until 8).foldLeft(base) { (d, j) =>
+        d.withColumn(s"p$j", round(dot(col("e"), rpPlaneLit(j)), 4))
+      }
+        .select(col("vec_id") +: (0 until 8).map(j => col(s"p$j")): _*)
+        .orderBy("vec_id")
     }
   )
 }

@@ -353,6 +353,53 @@ object StreamingQueries {
         .toDF("doc_id", "h")
       runToMemory(s, kept.join(index, Seq("h"), "left_anti"))
         .select("doc_id", "h").orderBy("doc_id")
+    },
+
+    // q71's MATCH_RECOGNIZE-lite ON THE STREAM: per-user keyed state holds
+    // the accumulated symbol string; each batch's rows are sorted by
+    // (ts, event_id) before appending (group iterators are unordered —
+    // NOTES.md) and the full regex re-runs on the grown sequence. Emits the
+    // user's current match stats when ≥1 funnel exists — so a funnel whose
+    // views arrive in one batch and purchase in the next IS found
+    // (StreamSeqPatternSpec locks that cross-batch behavior). State is one
+    // bounded string per user, the same per-key contract as batch q71.
+    // Single-batch replay ⇒ the batch q71 SQL is the exact oracle.
+    q("q71b_stream_seq_pattern",
+      "streaming regex funnel matching with per-user accumulated-sequence state")(
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END,
+        |                    '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        |       CAST(len(regexp_extract_all(seq, 'v+c+p')) AS BIGINT) AS n_funnels
+        |FROM seqs WHERE len(regexp_extract_all(seq, 'v+c+p')) > 0
+        |ORDER BY n_funnels DESC, user_id LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val pat = "v+c+p".r
+      val typed = eventsStream(s, dir)
+        .select(col("user_id"), col("ts").cast("long").as("tsu"), col("event_id"),
+          when(col("event_type") === "view", "v")
+            .when(col("event_type") === "click", "c")
+            .when(col("event_type") === "purchase", "p")
+            .when(col("event_type") === "signup", "s")
+            .otherwise("e").as("chr"))
+        .as[(Long, Long, Long, String)]
+      val matches = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[String, (Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long, Long, String)], state: GroupState[String]) =>
+            val add = rows.toArray.sortBy(r => (r._2, r._3)).map(_._4).mkString
+            val seq = state.getOption.getOrElse("") + add
+            state.update(seq)
+            val n = pat.findAllIn(seq).length
+            if (n > 0) Iterator((user, seq.length.toLong, n.toLong)) else Iterator.empty
+        }
+        .toDF("user_id", "seq_len", "n_funnels")
+      runToMemory(s, matches)
+        .orderBy(col("n_funnels").desc, col("user_id")).limit(50)
     }
   )
 

@@ -51,4 +51,24 @@ class CountMinSpec extends AnyFunSuite {
     val estTop = est.maxBy(r => (r._3, r._1))._1
     assert(exactTop === estTop)
   }
+
+  test("sketches merge: per-partition cell grids sum to the global grid") {
+    // the property that makes count-min distributable: build one sketch per
+    // half of the corpus, merge by cell-wise addition, and the result must
+    // equal the sketch of the whole corpus
+    def cells(pred: org.apache.spark.sql.Column): Map[(Int, Long), Long] =
+      graft.Tables(spark, dir, "documents").filter(pred)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .select(col("n"), explode(array((0 until 4).map(i => struct(lit(i).as("i"),
+          (md5Long(concat(lit(s"$i:"), col("tok"))) % 256).as("cell"))): _*)).as("h"))
+        .groupBy("h.i", "h.cell").agg(sum(col("n")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lo = cells(col("doc_id") < 250)
+    val hi = cells(col("doc_id") >= 250)
+    val all = cells(lit(true))
+    val merged = (lo.keySet ++ hi.keySet).map(k =>
+      k -> (lo.getOrElse(k, 0L) + hi.getOrElse(k, 0L))).toMap
+    assert(merged == all)
+  }
 }
