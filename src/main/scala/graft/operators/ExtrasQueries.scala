@@ -115,6 +115,51 @@ object ExtrasQueries {
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** Shared dialect-neutral SQL for q49g (TPC-H Q4 shape: order counts by
+    * priority where some line item shipped >90 days after ordering — the
+    * fixture's stand-in for the missing commit/receipt dates; the
+    * correlated EXISTS decorrelates to a semi-join). */
+  val tpchQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+      |              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49h (TPC-H Q6 shape: pure scan-side
+    * predicate revenue — every filter pushes to the parquet scan). */
+  val tpchQ6Sql: String =
+    """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49i (TPC-H Q13 shape: customer
+    * order-count distribution — LEFT JOIN with an ON-clause filter, then a
+    * histogram over the per-customer counts). */
+  val tpchQ13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49j (TPC-H Q18 shape: large-quantity
+    * orders via IN over a grouped HAVING subquery; DECIMAL-exact sums). */
+  val tpchQ18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, round(o_totalprice, 4) AS price,
+      |       round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |                     HAVING sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) > 150)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY price DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
+
   /** Shared SQL for q77: LATERAL correlated subquery (top-2 orders per
     * customer). The lateral body re-sorts per outer row — the planner turns
     * it into a ranked-window shape; both engines accept the same string. */
@@ -591,6 +636,44 @@ object ExtrasQueries {
       Seq("supplier", "lineitem", "orders", "customer", "nation")
         .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
       s.sql(ExtrasQueries.tpchQ7Sql)
+    },
+
+    // TPC-H Q4 shape: correlated EXISTS with a cross-row date comparison —
+    // Catalyst decorrelates it into a left-semi join on orderkey.
+    q("q49g_sql_tpch_q4", "TPC-H Q4 shape via spark.sql — EXISTS late-shipment order counts")(
+      ExtrasQueries.tpchQ4Sql
+    ) { (s, dir) =>
+      Seq("orders", "lineitem").foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ4Sql)
+    },
+
+    // TPC-H Q6 shape: the pushdown benchmark — every predicate lands in
+    // PushedFilters on the scan; the aggregate is a 1-row global sum.
+    q("q49h_sql_tpch_q6", "TPC-H Q6 shape via spark.sql — scan-predicate revenue")(
+      ExtrasQueries.tpchQ6Sql
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(ExtrasQueries.tpchQ6Sql)
+    },
+
+    // TPC-H Q13 shape: LEFT JOIN with a non-key ON predicate (kept on the
+    // join, NOT pushed below it — the left-join filter-placement trap),
+    // then a second aggregation over the first's output.
+    q("q49i_sql_tpch_q13", "TPC-H Q13 shape via spark.sql — customer order-count distribution")(
+      ExtrasQueries.tpchQ13Sql
+    ) { (s, dir) =>
+      Seq("customer", "orders").foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ13Sql)
+    },
+
+    // TPC-H Q18 shape: IN over a grouped-HAVING subquery (semi-join against
+    // an aggregate) feeding a 3-way join + re-aggregation.
+    q("q49j_sql_tpch_q18", "TPC-H Q18 shape via spark.sql — large-quantity order ranking")(
+      ExtrasQueries.tpchQ18Sql
+    ) { (s, dir) =>
+      Seq("customer", "orders", "lineitem").foreach(t =>
+        Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ18Sql)
     },
 
     // LATERAL correlated subquery — the SQL-surface sibling of q13's window

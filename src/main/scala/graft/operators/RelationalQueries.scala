@@ -681,7 +681,7 @@ object RelationalQueries {
         |       round(cume_dist() OVER w, 6) AS cd
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
-        |ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, pr, cd LIMIT 1000""".stripMargin
     ) { (s, dir) =>
       val w = Window.partitionBy("l_returnflag")
         .orderBy("l_quantity", "l_orderkey", "l_linenumber")
@@ -689,7 +689,38 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           round(percent_rank().over(w), 6).as("pr"),
           round(cume_dist().over(w), 6).as("cd"))
-        .orderBy("l_orderkey", "l_linenumber").limit(1000)
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — order by
+        // the full output tuple so the LIMIT cut is engine-independent
+        .orderBy("l_orderkey", "l_linenumber", "pr", "cd").limit(1000)
+    },
+
+    // Value-picking window functions — first_value (default running frame),
+    // last_value (explicit full frame: the default frame's last row is the
+    // CURRENT row, the classic trap), nth_value (null until the frame holds
+    // 3 rows). The order key is unique, so RANGE peers are single rows and
+    // both engines agree frame-for-frame.
+    q("q84b_value_windows", "first/last/nth_value over quantity per returnflag")(
+      """SELECT l_orderkey, l_linenumber,
+        |       first_value(l_orderkey) OVER w AS fv,
+        |       last_value(l_orderkey) OVER
+        |         (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+        |       nth_value(l_orderkey, 3) OVER w AS nv
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber, fv, lv, nv LIMIT 1000""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          first(col("l_orderkey")).over(w).as("fv"),
+          last(col("l_orderkey")).over(full).as("lv"),
+          nth_value(col("l_orderkey"), 3).over(w).as("nv"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — order by
+        // the full output tuple so the LIMIT cut is engine-independent
+        .orderBy("l_orderkey", "l_linenumber", "fv", "lv", "nv").limit(1000)
     }
   )
 }

@@ -388,6 +388,28 @@ object TextQueries {
         top.select(lit(it.toLong).as("it"), col("pair"), col("c"))
       }
       tops.reduce(_ union _).orderBy("it")
+    },
+
+    // Inverted-index build — the search-engine/RAG building block: term →
+    // (document frequency, total frequency, head of the sorted posting
+    // list). One explode + one groupBy on the term; df's distinct pass
+    // collapses (term, doc) duplicates map-side. At 100 TB the index
+    // partitions by term and postings are delta-encoded per shard; hot
+    // terms (stopwords) get the q51-style cap or a stopword gate — the
+    // output here carries df/tf so that cut is one filter away.
+    q("q88_inverted_index", "inverted index: per-term df, tf, and head-of-postings")(
+      """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, count(*) AS tf,
+        |       list_sort(list(DISTINCT doc_id))[1:3] AS top_docs
+        |FROM p GROUP BY term
+        |ORDER BY df DESC, term LIMIT 100""".stripMargin
+    ) { (s, dir) =>
+      Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"),
+          slice(sort_array(collect_set(col("doc_id"))), 1, 3).as("top_docs"))
+        .orderBy(col("df").desc, col("term")).limit(100)
     }
   )
 }

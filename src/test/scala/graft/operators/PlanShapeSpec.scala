@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the round-2 operator additions — the
+  * properties that make each query survive a 100× scale-up, checked against
+  * the EXECUTED plan (so AQE re-planning is included).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q49h TPC-H Q6: every predicate pushes to the parquet scan") {
+    val plan = executedPlan("q49h_sql_tpch_q6")
+    // filters reach the scan (the plan string elides the full list — assert
+    // the pushdown marker) and the projection prunes to exactly the 4
+    // referenced columns
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+    assert(plan.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"), plan)
+  }
+
+  test("q49g TPC-H Q4: the correlated EXISTS decorrelates to a semi join") {
+    val plan = executedPlan("q49g_sql_tpch_q4")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q72 bigram LM: the LM tables broadcast against the corpus stream") {
+    val plan = executedPlan("q72_bigram_lm")
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q80 PageRank: no nested-loop or cartesian joins anywhere") {
+    val plan = executedPlan("q80_pagerank")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q75 count-min: the cell grid broadcasts to the probe side") {
+    val plan = executedPlan("q75_countmin_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q82 MERGE emulation: one shuffle join on the merge key, full outer") {
+    val plan = executedPlan("q82_upsert_merge")
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q74 z-order: the key is row-local (no join, no extra exchange before the sort)") {
+    val plan = executedPlan("q74_zorder_layout")
+    assert(!plan.contains("Join"), plan)
+  }
+}
