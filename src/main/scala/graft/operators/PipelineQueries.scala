@@ -575,6 +575,96 @@ object PipelineQueries {
             .otherwise("same").as("status"))
         .groupBy("status").agg(count(lit(1)).as("n"))
         .orderBy("status")
+    },
+
+    // Winsorization — clip a numeric feature at the per-group discrete
+    // p05/p95 (rank-based, not interpolated — the q58 trick that keeps the
+    // cutoff float-free cross-engine). One (group, value) window sort; the
+    // tiny per-group bounds table broadcasts back onto the rows. The
+    // outlier treatment step before any scale-sensitive model fit.
+    q("q89_winsorize", "clip n_chars at per-lang discrete p05/p95 bounds")(
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |            row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |            count(*) OVER (PARTITION BY lang) AS n
+        |           FROM documents),
+        |b AS (SELECT lang,
+        |        max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN n_chars END) AS lo,
+        |        max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN n_chars END) AS hi
+        |      FROM r GROUP BY lang)
+        |SELECT doc_id, r.lang, n_chars, least(greatest(n_chars, b.lo), b.hi) AS clipped
+        |FROM r JOIN b ON r.lang = b.lang ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val byLang = Window.partitionBy("lang")
+      val r = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rn", row_number().over(byLang.orderBy("n_chars", "doc_id")))
+        .withColumn("n", count(lit(1)).over(byLang))
+        .withColumn("isLo", col("rn") === ceil(lit(0.05) * col("n")).cast("long"))
+        .withColumn("isHi", col("rn") === ceil(lit(0.95) * col("n")).cast("long"))
+        .cache() // bounds + clip legs
+      val b = r.groupBy("lang").agg(
+        max(when(col("isLo"), col("n_chars"))).as("lo"),
+        max(when(col("isHi"), col("n_chars"))).as("hi"))
+      r.join(broadcast(b), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          least(greatest(col("n_chars"), col("lo")), col("hi")).as("clipped"))
+        .orderBy("doc_id")
+    },
+
+    // Skew diagnosis — the observability op behind SkewTools: per-key share
+    // vs the uniform expectation (skew_factor = n·|keys|/total), reporting
+    // keys above 2× uniform. Two aggregates, one broadcast scalar — runs
+    // BEFORE a big join to decide salting/AQE strategy.
+    q("q90_skew_report", "per-key skew factors >2x uniform for orders.o_custkey")(
+      """WITH k AS (SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS nkeys, CAST(sum(n) AS BIGINT) AS total FROM k)
+        |SELECT k.key, k.n, round(k.n * CAST(s.nkeys AS DOUBLE) / s.total, 4) AS skew_factor
+        |FROM k CROSS JOIN s
+        |WHERE k.n * s.nkeys > 2 * s.total
+        |ORDER BY k.n DESC, k.key LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val k = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n"))
+        .cache() // totals + report legs
+      val tot = k.agg(count(lit(1)).as("nkeys"), sum(col("n")).as("total"))
+      k.crossJoin(broadcast(tot))
+        .filter(col("n") * col("nkeys") > lit(2) * col("total"))
+        .select(col("key"), col("n"),
+          round(col("n") * col("nkeys").cast("double") / col("total"), 4).as("skew_factor"))
+        .orderBy(col("n").desc, col("key")).limit(20)
+    },
+
+    // Order-independent table checksum — the dataset-versioning primitive:
+    // per-row md5 of a canonical '|'-joined key projection (integer/string
+    // columns only — no float formatting), summed mod P. Addition commutes,
+    // so the checksum is invariant under partitioning/row order and
+    // mergeable across shards; two dataset versions compare by one number
+    // (q85 then localizes any difference).
+    q("q91_table_checksum", "order-independent md5-sum checksums of three tables")(
+      s"""WITH rows_h AS (
+         |  SELECT 'customer' AS tbl,
+         |         ${md5LongSql("CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment")} % 1000000007 AS h
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'orders',
+         |         ${md5LongSql("CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus")} % 1000000007
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'lineitem',
+         |         ${md5LongSql("CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || l_returnflag")} % 1000000007
+         |  FROM lineitem)
+         |SELECT tbl, count(*) AS n, CAST(sum(h) % 1000000007 AS BIGINT) AS checksum
+         |FROM rows_h GROUP BY tbl ORDER BY tbl""".stripMargin
+    ) { (s, dir) =>
+      def leg(tbl: String, canonical: org.apache.spark.sql.Column) =
+        Tables(s, dir, tbl).select(lit(tbl).as("tbl"), (md5Long(canonical) % 1000000007L).as("h"))
+      leg("customer", concat_ws("|", col("c_custkey"), col("c_name"), col("c_mktsegment")))
+        .union(leg("orders", concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))))
+        .union(leg("lineitem", concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_returnflag"))))
+        .groupBy("tbl")
+        .agg(count(lit(1)).as("n"), (sum(col("h")) % 1000000007L).cast("long").as("checksum"))
+        .orderBy("tbl")
     }
   )
 }
