@@ -485,6 +485,42 @@ object DedupQueries {
         .filter(col("cos_raw") >= 0.9)
         .select(col("v1"), col("v2"), round(col("cos_raw"), 4).as("cos"))
         .orderBy("v1", "v2")
+    },
+
+    // Fuzzy join by deletion neighborhood — edit-distance-1 candidate pairs
+    // WITHOUT an all-pairs product: each string expands to its |s|+1
+    // single-deletion variants (plus itself), candidates are an EQUI-join on
+    // the variant, and exact levenshtein filters survivors. Bucket size per
+    // variant is bounded by the alphabet (strings sharing a deletion differ
+    // at one position), so the join stays near-linear at any scale — the
+    // standard scalable fuzzy-dedup shape for names/URLs (FastSS family).
+    q("q92_fuzzy_join", "edit-distance-1 name pairs via deletion-variant equi-join")(
+      """WITH var AS (
+        |  SELECT c_custkey, c_name, unnest(
+        |    list_append(list_transform(generate_series(1, length(c_name)),
+        |      i -> substr(c_name, 1, i-1) || substr(c_name, i+1)), c_name)) AS v
+        |  FROM customer),
+        |cand AS (
+        |  SELECT DISTINCT a.c_custkey AS k1, a.c_name AS n1, b.c_custkey AS k2, b.c_name AS n2
+        |  FROM var a JOIN var b ON a.v = b.v AND a.c_custkey < b.c_custkey)
+        |SELECT k1, k2, n1, n2 FROM cand WHERE levenshtein(n1, n2) = 1
+        |ORDER BY k1, k2 LIMIT 100""".stripMargin
+    ) { (s, dir) =>
+      val vr = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          explode(array_append(
+            transform(sequence(lit(1), length(col("c_name"))),
+              i => concat(col("c_name").substr(lit(1), i - 1),
+                col("c_name").substr(i + 1, length(col("c_name"))))),
+            col("c_name"))).as("v"))
+        .cache() // both sides of the self-join
+      val a = vr.select(col("c_custkey").as("k1"), col("c_name").as("n1"), col("v"))
+      val b = vr.select(col("c_custkey").as("k2"), col("c_name").as("n2"), col("v"))
+      a.join(b, Seq("v")).filter(col("k1") < col("k2"))
+        .select("k1", "n1", "k2", "n2").distinct()
+        .filter(levenshtein(col("n1"), col("n2")) === 1)
+        .select("k1", "k2", "n1", "n2")
+        .orderBy("k1", "k2").limit(100)
     }
   )
 }

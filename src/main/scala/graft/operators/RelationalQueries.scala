@@ -721,6 +721,31 @@ object RelationalQueries {
         // (l_orderkey, l_linenumber) is NOT unique in the fixture — order by
         // the full output tuple so the LIMIT cut is engine-independent
         .orderBy("l_orderkey", "l_linenumber", "fv", "lv", "nv").limit(1000)
+    },
+
+    // B15 companion: time-RANGE frames — a rolling 1-hour sum/count per
+    // series ordered by event time (RANGE BETWEEN INTERVAL ... PRECEDING).
+    // Rolling FLOAT sums are engine-divergent (frame re-summation order),
+    // so the frame sum runs in exact DECIMAL — order-free by construction.
+    // Routed through spark.sql: interval range frames are SQL-only surface.
+    q("q15b_range_interval_frame", "rolling 1h RANGE-interval frame sum/count per event_type")(
+      """SELECT event_id, event_type,
+        |       round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,4))) OVER w AS DOUBLE), 4) AS roll_sum,
+        |       count(*) OVER w AS roll_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts::TIMESTAMP
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id LIMIT 2000""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(
+        """SELECT event_id, event_type,
+          |       round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,4))) OVER w AS DOUBLE), 4) AS roll_sum,
+          |       count(*) OVER w AS roll_n
+          |FROM events
+          |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+          |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id LIMIT 2000""".stripMargin)
     }
   )
 }

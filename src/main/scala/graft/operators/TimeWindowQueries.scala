@@ -140,6 +140,49 @@ object TimeWindowQueries {
           lead(col("ts"), 1).over(
             Window.partitionBy("user_id").orderBy("ts", "event_id")).as("valid_to"))
         .orderBy("user_id", "valid_from", "event_id")
+    },
+
+    // Point-in-time (temporal) join — the CONSUMER side of q81's SCD2
+    // dimension: each purchase joins the state version valid AT its
+    // timestamp (valid_from ≤ t < valid_to, null = current). The plan is an
+    // equi hash join on the entity key with the interval as a post-filter —
+    // at 100 TB both sides co-partition on user_id, and a fact row matches
+    // exactly one version, so output ≙ fact cardinality.
+    q("q81b_pit_join", "point-in-time join: purchases against the SCD2 state dimension")(
+      """WITH s AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+        |            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM s
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type AS state, ts AS valid_from,
+        |             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |      FROM c),
+        |p AS (SELECT user_id, ts::TIMESTAMP AS pts, event_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, v.state, v.valid_from
+        |FROM p JOIN v ON p.user_id = v.user_id
+        | AND p.pts >= v.valid_from AND (v.valid_to IS NULL OR p.pts < v.valid_to)
+        |ORDER BY p.event_id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byKey = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val events = Tables(s, dir, "events")
+      val dim = events
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byKey))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id").as("d_user"), col("event_type").as("state"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")).as("valid_to"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id"))
+      purchases.join(dim,
+        col("user_id") === col("d_user")
+          && col("pts") >= col("valid_from")
+          && (col("valid_to").isNull || col("pts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("state"), col("valid_from"))
+        .orderBy("event_id")
     }
   )
 }
