@@ -506,7 +506,7 @@ object DedupQueries {
         |SELECT k1, k2, n1, n2 FROM cand WHERE levenshtein(n1, n2) = 1
         |ORDER BY k1, k2 LIMIT 100""".stripMargin
     ) { (s, dir) =>
-      val vr = Tables(s, dir, "customer")
+      val vr = Tables.fanout(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"),
           explode(array_append(
             transform(sequence(lit(1), length(col("c_name"))),

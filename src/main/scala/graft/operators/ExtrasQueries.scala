@@ -826,6 +826,53 @@ object ExtrasQueries {
         .orderBy("cohort", "k")
     },
 
+    // UNPIVOT — the inverse of q46's pivot: wide per-group measures back to
+    // (group, measure, value) long form via the typed melt API. Row-local
+    // fan-out (one row → |measures| rows), no shuffle beyond the aggregate.
+    q("q46b_unpivot", "melt wide per-returnflag measures to long (measure, val) rows")(
+      """WITH w AS (SELECT l_returnflag,
+        |            round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS qty,
+        |            round(CAST(sum(CAST(round(l_discount, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS disc
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, m AS measure, val FROM (
+        |  SELECT l_returnflag, 'qty' AS m, qty AS val FROM w
+        |  UNION ALL SELECT l_returnflag, 'disc', disc FROM w)
+        |ORDER BY l_returnflag, measure""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(sum(round(col("l_quantity"), 4).cast(DecimalType(28, 4))).cast("double"), 4).as("qty"),
+          round(sum(round(col("l_discount"), 4).cast(DecimalType(28, 4))).cast("double"), 4).as("disc"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("disc")), "measure", "val")
+        .orderBy("l_returnflag", "measure")
+    },
+
+    // Null semantics — the three places NULL diverges from a value: the
+    // null-safe equality join (<=> ≙ IS NOT DISTINCT FROM — nulls DO
+    // match), count(*) vs count(col) (null rows counted vs skipped), and
+    // NULLS FIRST ordering of the null group.
+    q("q95_null_semantics", "null-safe join + null grouping + count(*)/count(col) contrast")(
+      """WITH a AS (SELECT c_custkey AS k,
+        |            CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+        |           FROM customer),
+        |b AS (SELECT s_suppkey AS k2,
+        |            CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END AS nk2
+        |      FROM supplier)
+        |SELECT a.nk AS nk, count(*) AS n_pairs, count(a.nk) AS n_nonnull
+        |FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk2
+        |GROUP BY a.nk ORDER BY nk NULLS FIRST""".stripMargin
+    ) { (s, dir) =>
+      val a = Tables(s, dir, "customer")
+        .select(when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_nationkey")).as("nk"))
+      val b = Tables(s, dir, "supplier")
+        .select(when(col("s_suppkey") % 5 === 0, lit(null)).otherwise(col("s_nationkey")).as("nk2"))
+      a.join(b, col("nk") <=> col("nk2"))
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n_pairs"), count(col("nk")).as("n_nonnull"))
+        .orderBy(col("nk").asc_nulls_first)
+    },
+
     // MATCH_RECOGNIZE-lite sequence pattern matching — the general form of
     // q64's fixed funnel: each user's event history becomes an ordered
     // symbol string (one char per event type, pinned by (ts, event_id)),
