@@ -665,6 +665,35 @@ object PipelineQueries {
         .groupBy("tbl")
         .agg(count(lit(1)).as("n"), (sum(col("h")) % 1000000007L).cast("long").as("checksum"))
         .orderBy("tbl")
+    },
+
+    // Z-score standardization — per-group (x−μ)/σ where μ and σ derive from
+    // EXACT integer sums (Σx and Σx² of a bigint column stay under 2^53, so
+    // the aggregates are order-free and the float arithmetic happens once,
+    // in a fixed expression order — no Welford/merge-order divergence). The
+    // tiny per-group stats table broadcasts back onto the rows: the
+    // feature-scaling step before any distance-based model.
+    q("q97_zscore", "per-lang z-score of n_chars from exact integer sums")(
+      """WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(n_chars) AS BIGINT) AS sm,
+        |                  CAST(sum(n_chars * n_chars) AS BIGINT) AS sq
+        |           FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars,
+        |       round((n_chars - CAST(sm AS DOUBLE) / n)
+        |             / sqrt((sq - CAST(sm AS DOUBLE) * sm / n) / (n - 1)), 4) AS z
+        |FROM documents d JOIN s ON d.lang = s.lang
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val stats = Tables(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sm"),
+          sum(col("n_chars") * col("n_chars")).as("sq"))
+      Tables(s, dir, "documents")
+        .join(broadcast(stats), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round((col("n_chars") - col("sm").cast("double") / col("n"))
+            / sqrt((col("sq") - col("sm").cast("double") * col("sm") / col("n"))
+              / (col("n") - 1)), 4).as("z"))
+        .orderBy("doc_id")
     }
   )
 }

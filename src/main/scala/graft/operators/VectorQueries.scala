@@ -58,6 +58,10 @@ object VectorQueries {
   private val rpWeightSql =
     "(((('0x' || substr(md5('rp' || j || ':' || d), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)"
 
+  /** q96's classifier weight vector — one md5-seeded plane. */
+  private val scorerWeightSql =
+    "(((('0x' || substr(md5('w' || d), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)"
+
   /** Oracle CTE computing the LSH bucket per vector with a sequential
     * per-plane list dot product (lambda captures outer i). */
   private val bucketCte =
@@ -890,6 +894,40 @@ object VectorQueries {
       }
         .select(col("vec_id") +: (0 until 8).map(j => col(s"p$j")): _*)
         .orderBy("vec_id")
+    },
+
+    // Linear scorer — the inference-adjacent op a pipeline runs with a
+    // trained classifier's weights: sigmoid(w·v) per embedding, md5-seeded
+    // weight vector, then a per-(label, prediction) confusion summary.
+    // Row-local: the weight literal compiles into the plan, the dot product
+    // is the same sequential fold as q86, and exp/division are bit-portable
+    // (the per-cell score_sum runs in rounded DECIMAL regardless). At
+    // 100 TB this is a broadcast-weights map stage feeding one partial-
+    // aggregated groupBy.
+    q("q96_linear_scorer", "sigmoid(w·v) scoring + per-(label, pred) confusion summary")(
+      s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |sc AS (SELECT vec_id, label,
+         |        1.0 / (1.0 + exp(-(list_dot_product(e, list_transform(generate_series(0, ${Dim - 1}),
+         |                                                              d -> $scorerWeightSql))))) AS score
+         |       FROM v)
+         |SELECT CAST(label AS BIGINT) AS label,
+         |       CAST(CASE WHEN score > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+         |       count(*) AS n,
+         |       round(CAST(sum(CAST(round(score, 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS score_sum
+         |FROM sc GROUP BY label, pred ORDER BY label, pred""".stripMargin
+    ) { (s, dir) =>
+      val w = array((0 until Dim).map(d =>
+        lit(((md5LongScala(s"w$d") % 2001) - 1000) / 1000.0)): _*)
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("e"))
+        .withColumn("score", lit(1.0) / (lit(1.0) + exp(-dot(col("e"), w))))
+        .groupBy(col("label").cast("long").as("label"),
+          when(col("score") > 0.5, 1L).otherwise(0L).as("pred"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("score"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6))).cast("double"), 4).as("score_sum"))
+        .orderBy("label", "pred")
     }
   )
 }
