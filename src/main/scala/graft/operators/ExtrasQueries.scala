@@ -160,6 +160,31 @@ object ExtrasQueries {
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY price DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
 
+  /** Shared dialect-neutral SQL for q49k (TPC-H Q17 shape: small-quantity
+    * revenue below 20% of the part's average quantity — a correlated SCALAR
+    * subquery in a comparison; l_quantity is integer-valued so the
+    * correlated avg is exact in both engines). */
+  val tpchQ17Sql: String =
+    """SELECT round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#9' AND p_type = 'PROMO'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49l (TPC-H Q22 shape: above-average-
+    * balance customers with no recent orders; c_custkey%10 stands in for
+    * the missing phone country code). The scalar avg threshold is rounded
+    * to 4 dp so a last-ulp double-sum divergence cannot move the cut. */
+  val tpchQ22Sql: String =
+    """WITH pos AS (SELECT c_custkey, c_acctbal FROM customer
+      |             WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer
+      |                                WHERE c_acctbal > 0.0)
+      |               AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+      |                               AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+      |SELECT c_custkey % 10 AS cgroup, count(*) AS numcust,
+      |       round(CAST(sum(CAST(round(c_acctbal, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS totacctbal
+      |FROM pos GROUP BY cgroup ORDER BY cgroup""".stripMargin
+
   /** Shared SQL for q77: LATERAL correlated subquery (top-2 orders per
     * customer). The lateral body re-sorts per outer row — the planner turns
     * it into a ranked-window shape; both engines accept the same string. */
@@ -824,6 +849,25 @@ object ExtrasQueries {
         .select(timestamp_micros(col("fhb") * 3600L * 1000000L).as("cohort"),
           col("k"), col("n_active"))
         .orderBy("cohort", "k")
+    },
+
+    // TPC-H Q17 shape: a correlated scalar AGGREGATE subquery inside a
+    // comparison — decorrelates to a per-part average joined back to the
+    // fact rows.
+    q("q49k_sql_tpch_q17", "TPC-H Q17 shape via spark.sql — below-avg-quantity revenue")(
+      ExtrasQueries.tpchQ17Sql
+    ) { (s, dir) =>
+      Seq("lineitem", "part").foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ17Sql)
+    },
+
+    // TPC-H Q22 shape: an uncorrelated scalar subquery threshold + a
+    // correlated NOT EXISTS (anti-join decorrelation) + re-aggregation.
+    q("q49l_sql_tpch_q22", "TPC-H Q22 shape via spark.sql — wealthy inactive customers")(
+      ExtrasQueries.tpchQ22Sql
+    ) { (s, dir) =>
+      Seq("customer", "orders").foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ22Sql)
     },
 
     // UNPIVOT — the inverse of q46's pivot: wide per-group measures back to

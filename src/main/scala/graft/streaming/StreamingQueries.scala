@@ -400,6 +400,58 @@ object StreamingQueries {
         .toDF("user_id", "seq_len", "n_funnels")
       runToMemory(s, matches)
         .orderBy(col("n_funnels").desc, col("user_id")).limit(50)
+    },
+
+    // CDC-style SCD2 maintenance ON THE STREAM: per-user keyed state holds
+    // the OPEN version (state, valid_from, event_id); each arriving state
+    // change CLOSES it (emits the finished version row with valid_to = the
+    // change's timestamp) and opens the next — so the dimension table is
+    // maintained append-only as changes arrive, the streaming twin of
+    // batch q81. Emitted rows are exactly q81's closed intervals
+    // (single-batch replay ⇒ that SQL, filtered to valid_to IS NOT NULL,
+    // is the exact oracle); StreamScd2Spec locks the cross-batch close.
+    q("q81c_stream_scd2",
+      "streaming SCD2 maintenance: keyed open-version state, emit-on-close")(
+      """WITH s AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+        |            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM s
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type AS state, ts AS valid_from, event_id,
+        |             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |      FROM c)
+        |SELECT user_id, state, valid_from, valid_to, event_id
+        |FROM v WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, valid_from, event_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val typed = eventsStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"),
+          col("event_type"))
+        .as[(Long, Long, Long, String)]
+      val closed = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[(String, Long, Long), (Long, String, Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long, Long, String)],
+           state: GroupState[(String, Long, Long)]) =>
+            val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+            var cur = state.getOption.orNull
+            val out = Seq.newBuilder[(Long, String, Long, Long, Long)]
+            sorted.foreach { case (_, tsu, eid, et) =>
+              if (cur == null) cur = (et, tsu, eid)
+              else if (cur._1 != et) {
+                out += ((user, cur._1, cur._2, tsu, cur._3))
+                cur = (et, tsu, eid)
+              }
+            }
+            if (cur != null) state.update(cur)
+            out.result().iterator
+        }
+        .toDF("user_id", "state", "valid_from_us", "valid_to_us", "event_id")
+        .select(col("user_id"), col("state"),
+          timestamp_micros(col("valid_from_us")).as("valid_from"),
+          timestamp_micros(col("valid_to_us")).as("valid_to"), col("event_id"))
+      runToMemory(s, closed).orderBy("user_id", "valid_from", "event_id")
     }
   )
 
