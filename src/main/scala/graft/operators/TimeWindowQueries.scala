@@ -183,6 +183,51 @@ object TimeWindowQueries {
           && (col("valid_to").isNull || col("pts") < col("valid_to")))
         .select(col("event_id"), col("user_id"), col("state"), col("valid_from"))
         .orderBy("event_id")
+    },
+
+    // Gap filling / resampling — regularize a sparse series onto a dense
+    // hourly spine: generate the (series, hour) grid (sequence + explode —
+    // GENERATED, not scanned), left-join the actual buckets, and forward-
+    // fill the last observation with ignore-nulls last_value. Missing
+    // hours report n=0 with the carried value — the resample step before
+    // any fixed-step time-series model. One window per series; the spine
+    // is |series|×|hours| rows of two longs.
+    q("q98_gapfill", "hourly spine per event_type with forward-filled last observation")(
+      """WITH b AS (SELECT event_type,
+        |                  (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) AS hb,
+        |                  count(*) AS n,
+        |                  round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS v
+        |           FROM events GROUP BY event_type, hb),
+        |r AS (SELECT CAST(min(hb) AS BIGINT) AS lo, CAST(max(hb) AS BIGINT) AS hi FROM b),
+        |spine AS (SELECT t.event_type, g.hb
+        |          FROM (SELECT DISTINCT event_type FROM b) t
+        |          CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM r), (SELECT hi FROM r))) AS hb) g),
+        |j AS (SELECT s.event_type, s.hb, b.n, b.v
+        |      FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.hb = b.hb)
+        |SELECT event_type, make_timestamp(hb * 3600 * 1000000) AS bucket,
+        |       COALESCE(n, 0) AS n,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hb) AS v_ffill
+        |FROM j ORDER BY event_type, bucket""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val b = Tables(s, dir, "events")
+        .selectExpr("event_type", "cast(ts as bigint) div 3600 AS hb", "value")
+        .groupBy("event_type", "hb")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value"), 4).cast(DecimalType(28, 4))).cast("double"), 4).as("v"))
+        .cache() // bounds + series list + the left join
+      val bounds = b.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+      val spine = b.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hb"))
+      spine.join(b, Seq("event_type", "hb"), "left")
+        .select(col("event_type"),
+          timestamp_micros(col("hb") * 3600L * 1000000L).as("bucket"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("v"), ignoreNulls = true)
+            .over(Window.partitionBy("event_type").orderBy("hb")).as("v_ffill"))
+        .orderBy("event_type", "bucket")
     }
   )
 }
