@@ -731,6 +731,106 @@ object ExtrasQueries {
       s.sql(ExtrasQueries.histogramSql)
     },
 
+    // Market-basket association rules — support/confidence/lift over
+    // (order, brand) baskets: distinct items per basket, pair supports via
+    // a self equi-join ON THE BASKET KEY (pairs per basket are C(k,2) with
+    // k ≙ basket size — bounded fan-out, never a global product), rules
+    // from exact integer supports with the float ratios in one fixed
+    // expression order. The classic co-occurrence miner (apriori's first
+    // pass) for recommendations/affinity.
+    q("q99_assoc_rules", "brand-pair association rules: support, confidence, lift (s12 ≥ 50)")(
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |               FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+        |sup AS (SELECT b, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY b),
+        |pairs AS (SELECT a.b AS b1, c.b AS b2, CAST(count(*) AS BIGINT) AS s12
+        |          FROM items a JOIN items c ON a.o = c.o AND a.b < c.b
+        |          GROUP BY a.b, c.b),
+        |r AS (SELECT b1, b2, s12,
+        |             round(CAST(s12 AS DOUBLE) / sa.s, 4) AS conf,
+        |             round((CAST(s12 AS DOUBLE) / n.n_orders)
+        |                   / ((CAST(sa.s AS DOUBLE) / n.n_orders) * (CAST(sb.s AS DOUBLE) / n.n_orders)), 4) AS lift
+        |      FROM pairs JOIN sup sa ON b1 = sa.b JOIN sup sb ON b2 = sb.b CROSS JOIN n
+        |      WHERE s12 >= 50)
+        |SELECT b1, b2, s12, conf, lift FROM r ORDER BY lift DESC, b1, b2 LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      val items = Tables.fanout(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct()
+        .cache() // basket count, supports, and both pair sides
+      val nOrders = items.agg(countDistinct(col("o")).as("n_orders"))
+      val sup = items.groupBy("b").agg(count(lit(1)).as("s"))
+      val pairs = items.as("a")
+        .join(items.as("c"), col("a.o") === col("c.o") && col("a.b") < col("c.b"))
+        .groupBy(col("a.b").as("b1"), col("c.b").as("b2"))
+        .agg(count(lit(1)).as("s12"))
+        .filter(col("s12") >= 50)
+      pairs
+        .join(broadcast(sup.select(col("b").as("b1"), col("s").as("s1"))), "b1")
+        .join(broadcast(sup.select(col("b").as("b2"), col("s").as("s2"))), "b2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("b1"), col("b2"), col("s12"),
+          round(col("s12").cast("double") / col("s1"), 4).as("conf"),
+          round((col("s12").cast("double") / col("n_orders"))
+            / ((col("s1").cast("double") / col("n_orders"))
+              * (col("s2").cast("double") / col("n_orders"))), 4).as("lift"))
+        .orderBy(col("lift").desc, col("b1"), col("b2")).limit(50)
+    },
+
+    // Pairwise Pearson correlation from DECIMAL-EXACT moments — corr() the
+    // portable way: every moment (Σx, Σx², Σxy, …) accumulates as an exact
+    // DECIMAL of 4-dp-rounded terms (order-free), and the correlation
+    // formula runs once per pair in a fixed float expression order. The
+    // built-in corr() aggregates doubles in partition order — unverifiable
+    // cross-engine; this shape is how a pipeline computes a whole feature-
+    // correlation matrix in ONE pass over the data.
+    q("q100_correlation", "Pearson correlations of (qty, price, discount) from exact moments")(
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(round(l_discount, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sz,
+        |         CAST(sum(CAST(round(l_quantity * l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(round(l_extendedprice * l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(round(l_discount * l_discount, 4) AS DECIMAL(28,4))) AS DOUBLE) AS szz,
+        |         CAST(sum(CAST(round(l_quantity * l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(round(l_quantity * l_discount, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxz,
+        |         CAST(sum(CAST(round(l_extendedprice * l_discount, 4) AS DECIMAL(28,4))) AS DOUBLE) AS syz
+        |  FROM lineitem)
+        |SELECT 'qty_price' AS pair, round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r FROM m
+        |UNION ALL
+        |SELECT 'qty_disc', round((n * sxz - sx * sz) / (sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz)), 6) FROM m
+        |UNION ALL
+        |SELECT 'price_disc', round((n * syz - sy * sz) / (sqrt(n * syy - sy * sy) * sqrt(n * szz - sz * sz)), 6) FROM m
+        |ORDER BY pair""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(round(c, 4).cast(DecimalType(28, 4))).cast("double")
+      val li = Tables(s, dir, "lineitem")
+      val m = li.agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sx"), dsum(col("l_extendedprice")).as("sy"),
+        dsum(col("l_discount")).as("sz"),
+        dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+        dsum(col("l_discount") * col("l_discount")).as("szz"),
+        dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        dsum(col("l_quantity") * col("l_discount")).as("sxz"),
+        dsum(col("l_extendedprice") * col("l_discount")).as("syz"))
+        .cache() // three output legs
+      def leg(name: String, sab: String, sa: String, sb: String, saa: String, sbb: String) =
+        m.select(lit(name).as("pair"),
+          round((col("n") * col(sab) - col(sa) * col(sb))
+            / (sqrt(col("n") * col(saa) - col(sa) * col(sa))
+              * sqrt(col("n") * col(sbb) - col(sb) * col(sb))), 6).as("r"))
+      leg("qty_price", "sxy", "sx", "sy", "sxx", "syy")
+        .union(leg("qty_disc", "sxz", "sx", "sz", "sxx", "szz"))
+        .union(leg("price_disc", "syz", "sy", "sz", "syy", "szz"))
+        .orderBy("pair")
+    },
+
     // Per-group model fit through the TYPED API — KeyValueGroupedDataset
     // .mapGroups running arbitrary Scala per group (the batch sibling of
     // B32's stateful op; what a pipeline uses when per-group logic stops
