@@ -185,6 +185,22 @@ object ExtrasQueries {
       |       round(CAST(sum(CAST(round(c_acctbal, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS totacctbal
       |FROM pos GROUP BY cgroup ORDER BY cgroup""".stripMargin
 
+  /** Shared dialect-neutral SQL for q101: a RECURSIVE CTE (Spark 4's
+    * UnionLoop) walking the implicit binary-halving ancestor chain of each
+    * key — transitive closure through the SQL surface, identical string in
+    * both engines. floor()+CAST instead of integer division because DuckDB
+    * `/` on integers yields DOUBLE and its double→BIGINT cast ROUNDS while
+    * Spark's truncates. */
+  val recursiveCteSql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT c_custkey AS node, c_custkey AS a, CAST(0 AS BIGINT) AS depth
+      |  FROM customer WHERE c_custkey < 64
+      |  UNION ALL
+      |  SELECT node, CAST(floor(a / 2.0) AS BIGINT), depth + 1 FROM anc WHERE a > 0
+      |)
+      |SELECT node, count(*) AS n_anc, max(depth) AS max_depth
+      |FROM anc GROUP BY node ORDER BY node""".stripMargin
+
   /** Shared SQL for q77: LATERAL correlated subquery (top-2 orders per
     * customer). The lateral body re-sorts per outer row — the planner turns
     * it into a ranked-window shape; both engines accept the same string. */
@@ -729,6 +745,17 @@ object ExtrasQueries {
     ) { (s, dir) =>
       Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(ExtrasQueries.histogramSql)
+    },
+
+    // Recursive CTE — iterative transitive closure through the SQL parser
+    // (Spark 4 UnionLoop): each key walks its halving-ancestor chain to the
+    // root. The SQL-surface twin of the DataFrame-loop iteration q80/q34g
+    // do programmatically.
+    q("q101_recursive_cte", "WITH RECURSIVE ancestor-chain closure via spark.sql")(
+      ExtrasQueries.recursiveCteSql
+    ) { (s, dir) =>
+      Tables(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(ExtrasQueries.recursiveCteSql)
     },
 
     // Market-basket association rules — support/confidence/lift over
