@@ -836,7 +836,9 @@ object ExtrasQueries {
       import org.apache.spark.sql.types.DecimalType
       def dsum(c: org.apache.spark.sql.Column) =
         sum(round(c, 4).cast(DecimalType(28, 4))).cast("double")
-      val li = Tables(s, dir, "lineitem")
+      // 10 decimal partial aggregates over every row — fan past the
+      // single-row-group fixture scan so they run on all cores
+      val li = Tables.fanout(s, dir, "lineitem")
       val m = li.agg(count(lit(1)).as("n"),
         dsum(col("l_quantity")).as("sx"), dsum(col("l_extendedprice")).as("sy"),
         dsum(col("l_discount")).as("sz"),
