@@ -694,6 +694,45 @@ object PipelineQueries {
             / sqrt((col("sq") - col("sm").cast("double") * col("sm") / col("n"))
               / (col("n") - 1)), 4).as("z"))
         .orderBy("doc_id")
+    },
+
+    // Quantile normalization — the RANK-based sibling of q97's z-score:
+    // each value maps through its within-group percentile onto the global
+    // discrete distribution (floor-interpolated target rank), removing
+    // per-group distribution shift entirely (the microarray-era normalizer,
+    // used on per-source quality scores). Two window sorts (per-group,
+    // global) + one equi-join on the integer target rank; the float in the
+    // rank interpolation is exact-integer arithmetic divided once.
+    q("q102_quantile_norm", "map per-lang ranks onto the global n_chars distribution")(
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |            row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |            count(*) OVER (PARTITION BY lang) AS cnt
+        |           FROM documents),
+        |g AS (SELECT n_chars AS gv, row_number() OVER (ORDER BY n_chars, doc_id) AS grn
+        |      FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+        |m AS (SELECT r.doc_id, r.lang, r.n_chars,
+        |             CAST(floor((r.rn - 1.0) * (n.total - 1) / (r.cnt - 1.0)) AS BIGINT) + 1 AS target
+        |      FROM r CROSS JOIN n WHERE r.cnt > 1)
+        |SELECT m.doc_id, m.lang, m.n_chars, g.gv AS qnorm
+        |FROM m JOIN g ON g.grn = m.target
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val r = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy("n_chars", "doc_id")))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+      val g = docs.select(col("n_chars").as("gv"))
+        .withColumn("grn", row_number().over(Window.orderBy("gv")))
+      val total = docs.agg(count(lit(1)).as("total"))
+      r.crossJoin(broadcast(total))
+        .filter(col("cnt") > 1)
+        .withColumn("grn", (floor((col("rn") - 1.0) * (col("total") - 1)
+          / (col("cnt") - 1.0))).cast("long") + 1)
+        .join(g, "grn")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("gv").as("qnorm"))
+        .orderBy("doc_id")
     }
   )
 }
