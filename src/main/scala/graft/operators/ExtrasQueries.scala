@@ -201,6 +201,19 @@ object ExtrasQueries {
       |SELECT node, count(*) AS n_anc, max(depth) AS max_depth
       |FROM anc GROUP BY node ORDER BY node""".stripMargin
 
+  // Shared dialect-neutral SQL for q103: an explicit join-strategy HINT.
+  // Spark honors the BROADCAST(t) hint comment (plan asserted in
+  // PlanShapeSpec); DuckDB parses it as a plain block comment — so ONE
+  // string carries an engine-specific physical directive without breaking
+  // the oracle. (Line comment on purpose: the hint's closing delimiter
+  // would terminate a scaladoc block.)
+  val hintSql: String =
+    """SELECT /*+ BROADCAST(nation) */ n_name, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |            JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** Shared SQL for q77: LATERAL correlated subquery (top-2 orders per
     * customer). The lateral body re-sorts per outer row — the planner turns
     * it into a ranked-window shape; both engines accept the same string. */
@@ -745,6 +758,16 @@ object ExtrasQueries {
     ) { (s, dir) =>
       Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(ExtrasQueries.histogramSql)
+    },
+
+    // Join-strategy hints through the SQL surface — the physical-plan
+    // escape hatch users reach for when statistics mislead the planner.
+    q("q103_join_hint", "BROADCAST hint via spark.sql (a comment to the oracle)")(
+      ExtrasQueries.hintSql
+    ) { (s, dir) =>
+      Seq("orders", "customer", "nation").foreach(t =>
+        Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.hintSql)
     },
 
     // Recursive CTE — iterative transitive closure through the SQL parser

@@ -57,4 +57,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = executedPlan("q74_zorder_layout")
     assert(!plan.contains("Join"), plan)
   }
+
+  test("q103 the BROADCAST hint reaches the physical plan") {
+    val plan = executedPlan("q103_join_hint")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
