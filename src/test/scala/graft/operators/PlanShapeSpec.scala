@@ -62,4 +62,24 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = executedPlan("q103_join_hint")
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q92 fuzzy join stays an equi-join on the variant (no nested loop)") {
+    val plan = executedPlan("q92_fuzzy_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q99 association rules pair via the basket key, never a product") {
+    val plan = executedPlan("q99_assoc_rules")
+    // the only nested-loop joins are the broadcast 1-row totals; the item
+    // pairing itself must be the equi-join on the basket key
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q81b point-in-time join hash-joins on the entity key") {
+    val plan = executedPlan("q81b_pit_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
