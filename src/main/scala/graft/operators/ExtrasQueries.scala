@@ -770,6 +770,41 @@ object ExtrasQueries {
       s.sql(ExtrasQueries.hintSql)
     },
 
+    // Parameterized SQL — named parameter markers bound at execution,
+    // Spark's injection-safe query API (the oracle states the same query
+    // with the literal inlined).
+    q("q105_parameterized_sql", "named-parameter spark.sql (:maxq bound at execution)")(
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem WHERE l_quantity < 24
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem WHERE l_quantity < :maxq " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag",
+        Map("maxq" -> 24))
+    },
+
+    // VARIANT — Spark 4's semi-structured type: parse the JSON props column
+    // once into a variant, extract typed paths with variant_get (no
+    // per-field re-parse), aggregate. The open-schema ingestion path for
+    // event payloads; the oracle extracts the same path via JSON.
+    q("q106_variant", "parse_json → VARIANT → typed variant_get extraction + aggregate")(
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+        |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"), expr("variant_get(v, '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy("event_type")
+    },
+
     // Recursive CTE — iterative transitive closure through the SQL parser
     // (Spark 4 UnionLoop): each key walks its halving-ancestor chain to the
     // root. The SQL-surface twin of the DataFrame-loop iteration q80/q34g
