@@ -723,6 +723,52 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber", "fv", "lv", "nv").limit(1000)
     },
 
+    // B23/B24 companion: the MAP higher-order-function family —
+    // map_from_arrays, transform_values, map_filter, map_entries. The
+    // oracle states the equivalent list arithmetic (maps are unordered, so
+    // the contract is the SORTED entry list).
+    q("q107_map_hofs", "map HOFs: build → transform_values → map_filter → sorted entries")(
+      """WITH t AS (SELECT doc_id, list_distinct((string_split(text, ' '))[1:3]) AS ts
+        |           FROM documents)
+        |SELECT doc_id,
+        |       list_sort(list_transform(list_filter(ts, x -> (2 * length(x)) % 4 = 0),
+        |                                x -> x || ':' || CAST(2 * length(x) AS VARCHAR))) AS entries
+        |FROM t ORDER BY doc_id LIMIT 200""".stripMargin
+    ) { (s, dir) =>
+      val toks3 = array_distinct(slice(split(col("text"), " "), 1, 3))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks3.as("ts"))
+        .withColumn("m", map_from_arrays(col("ts"), transform(col("ts"), t => length(t))))
+        .withColumn("m2", transform_values(col("m"), (_, v) => v * 2))
+        .withColumn("mf", map_filter(col("m2"), (_, v) => v % 4 === 0))
+        .select(col("doc_id"),
+          array_sort(transform(map_entries(col("mf")),
+            e => concat(e.getField("key"), lit(":"),
+              e.getField("value").cast("string")))).as("entries"))
+        .orderBy("doc_id").limit(200)
+    },
+
+    // B19 companion: binary/digest functions — md5, sha2-256, hex encoding
+    // of raw bytes, and a base64 encode→decode round-trip (both engines
+    // emit lowercase digests and uppercase hex).
+    q("q108_binary_fns", "digest + binary encodings: md5, sha256, hex, base64 round-trip")(
+      """SELECT doc_id,
+        |       md5(text) AS md5_hex,
+        |       sha256(text) AS sha256_hex,
+        |       hex(substr(text, 1, 8)) AS head_hex,
+        |       from_base64(to_base64(substr(text, 1, 16)::BLOB)) = substr(text, 1, 16)::BLOB AS b64_roundtrip
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(col("text")).as("md5_hex"),
+          sha2(col("text"), 256).as("sha256_hex"),
+          hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"),
+          (unbase64(base64(substring(col("text"), 1, 16).cast("binary")))
+            === substring(col("text"), 1, 16).cast("binary")).as("b64_roundtrip"))
+        .orderBy("doc_id").limit(200)
+    },
+
     // B15 companion: time-RANGE frames — a rolling 1-hour sum/count per
     // series ordered by event time (RANGE BETWEEN INTERVAL ... PRECEDING).
     // Rolling FLOAT sums are engine-divergent (frame re-summation order),
