@@ -452,6 +452,25 @@ object StreamingQueries {
           timestamp_micros(col("valid_from_us")).as("valid_from"),
           timestamp_micros(col("valid_to_us")).as("valid_to"), col("event_id"))
       runToMemory(s, closed).orderBy("user_id", "valid_from", "event_id")
+    },
+
+    // COMPLETE output mode — the third streaming output mode next to the
+    // registry's append (windowed aggs) and the update-mode state ops: an
+    // unwindowed running aggregate whose full result table re-emits per
+    // batch. State is one row per group key (bounded by |event_type|);
+    // single-batch replay ⇒ the final complete table IS the batch group-by.
+    q("q109_stream_complete_agg",
+      "complete-mode streaming global aggregate per event_type")(
+      """SELECT event_type, count(*) AS n,
+        |       round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS v_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val agg = eventsStream(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("v_sum"))
+      runToMemory(s, agg, OutputMode.Complete).orderBy("event_type")
     }
   )
 
