@@ -42,19 +42,29 @@ object Bench {
         try spark.catalog.clearCache() catch { case _: Throwable => () }
         name -> dt
       }
-    // timings rounded to ms: the round-1 full-precision line was ~4 KB and
-    // overflowed the driver's captured-output tail, so no complete JSON line
-    // survived to parse ("parsed": null). ~2 KB fits with room to spare.
+    // The driver keeps only the last ~2000 chars of output ("tail") and
+    // parses the JSON line from it; sbt appends its own "[success] ..."
+    // line (~80 chars) after ours. A full 159-query map is ~4.5 KB and
+    // truncates mid-line ("parsed": null in rounds 1+2). So: print a line
+    // with the total plus the slowest queries, trimmed to fit the tail
+    // budget; the COMPLETE per-query map still lands in the file artifact.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // also drop the artifact as a file, free of any sbt log framing
+    def line(rs: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(rs)},"sf":"$sfDir"}"""
+    // slowest-first, keep as many as fit in ~1800 chars
+    val bySlow = results.sortBy(-_._2)
+    var keep = bySlow.length
+    while (keep > 1 && line(bySlow.take(keep).sortBy(_._1)).length > 1800) keep -= 1
+    val printed = line(bySlow.take(keep).sortBy(_._1))
+    // the file artifact carries every query, free of any sbt log framing
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line + "\n")
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+      line(results) + "\n")
     catch { case _: Throwable => () }
-    println(line)
+    println(printed)
     spark.stop()
   }
 }

@@ -453,19 +453,23 @@ object DedupQueries {
     // Scale shape: candidates come from the same random-hyperplane LSH
     // buckets q35b assigns, probed to Hamming ≤ 2 (multi-probe), then exact
     // cosine only on bucket-colliding pairs — an equi-join on bucket id, not
-    // the all-pairs product (the oracle stays all-pairs: it is the small-sf
-    // ground truth, like q34a is for MinHash). Recall of the probe ball for
-    // genuinely near-identical pairs (cos ≥ 0.97) is ≥ 0.97; documented in
-    // SCALE.md, recall asserted in ApproxAndRecallSpec.
+    // the all-pairs product. The oracle mirrors the candidate filter
+    // (bit_count(xor(bucket,bucket)) ≤ 2 ≡ the Hamming-2 probe ball), so the
+    // verification contract is exact at ANY fixture/sf and does not lean on
+    // probe-ball recall being 1.0 here; recall vs the exact all-pairs ground
+    // truth is pinned separately in ApproxAndRecallSpec and SCALE.md.
     q("q34e_embedding_neardup", "embedding-cosine near-dup pairs (cos ≥ 0.9) via LSH candidates")(
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+      s"""${VectorQueries.bucketCte},
         |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v)
         |SELECT a.vec_id AS v1, b.vec_id AS v2,
         |       round(list_dot_product(a.e, b.e) / (na.nrm * nb.nrm), 4) AS cos
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |         JOIN n na ON na.vec_id = a.vec_id
         |         JOIN n nb ON nb.vec_id = b.vec_id
+        |         JOIN bk ba ON ba.vec_id = a.vec_id
+        |         JOIN bk bb ON bb.vec_id = b.vec_id
         |WHERE list_dot_product(a.e, b.e) / (na.nrm * nb.nrm) >= 0.9
+        |  AND bit_count(xor(ba.bucket, bb.bucket)) <= 2
         |ORDER BY v1, v2""".stripMargin
     ) { (s, dir) =>
       val masks = VectorQueries.probeMasks(2)

@@ -728,11 +728,16 @@ object RelationalQueries {
     // oracle states the equivalent list arithmetic (maps are unordered, so
     // the contract is the SORTED entry list).
     q("q107_map_hofs", "map HOFs: build → transform_values → map_filter → sorted entries")(
+      // entries serialize to a '|'-joined string: the driver's comparator
+      // sorts pandas frames, and list-typed cells are unhashable there
+      // (coalesce: DuckDB array_to_string([]) is NULL, Spark array_join is '')
       """WITH t AS (SELECT doc_id, list_distinct((string_split(text, ' '))[1:3]) AS ts
         |           FROM documents)
         |SELECT doc_id,
-        |       list_sort(list_transform(list_filter(ts, x -> (2 * length(x)) % 4 = 0),
-        |                                x -> x || ':' || CAST(2 * length(x) AS VARCHAR))) AS entries
+        |       coalesce(array_to_string(
+        |         list_sort(list_transform(list_filter(ts, x -> (2 * length(x)) % 4 = 0),
+        |                                  x -> x || ':' || CAST(2 * length(x) AS VARCHAR))),
+        |         '|'), '') AS entries
         |FROM t ORDER BY doc_id LIMIT 200""".stripMargin
     ) { (s, dir) =>
       val toks3 = array_distinct(slice(split(col("text"), " "), 1, 3))
@@ -742,9 +747,9 @@ object RelationalQueries {
         .withColumn("m2", transform_values(col("m"), (_, v) => v * 2))
         .withColumn("mf", map_filter(col("m2"), (_, v) => v % 4 === 0))
         .select(col("doc_id"),
-          array_sort(transform(map_entries(col("mf")),
+          array_join(array_sort(transform(map_entries(col("mf")),
             e => concat(e.getField("key"), lit(":"),
-              e.getField("value").cast("string")))).as("entries"))
+              e.getField("value").cast("string")))), "|").as("entries"))
         .orderBy("doc_id").limit(200)
     },
 

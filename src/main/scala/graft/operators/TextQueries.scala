@@ -398,9 +398,11 @@ object TextQueries {
     // terms (stopwords) get the q51-style cap or a stopword gate — the
     // output here carries df/tf so that cut is one filter away.
     q("q88_inverted_index", "inverted index: per-term df, tf, and head-of-postings")(
+      // postings head is serialized to a CSV string: the driver's comparator
+      // sorts pandas frames, and list-typed cells are unhashable there
       """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, count(*) AS tf,
-        |       list_sort(list(DISTINCT doc_id))[1:3] AS top_docs
+        |       coalesce(array_to_string(list_sort(list(DISTINCT doc_id))[1:3], ','), '') AS top_docs
         |FROM p GROUP BY term
         |ORDER BY df DESC, term LIMIT 100""".stripMargin
     ) { (s, dir) =>
@@ -408,7 +410,8 @@ object TextQueries {
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy("term")
         .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"),
-          slice(sort_array(collect_set(col("doc_id"))), 1, 3).as("top_docs"))
+          array_join(transform(slice(sort_array(collect_set(col("doc_id"))), 1, 3),
+            _.cast("string")), ",").as("top_docs"))
         .orderBy(col("df").desc, col("term")).limit(100)
     }
   )

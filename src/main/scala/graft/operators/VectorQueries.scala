@@ -64,7 +64,7 @@ object VectorQueries {
 
   /** Oracle CTE computing the LSH bucket per vector with a sequential
     * per-plane list dot product (lambda captures outer i). */
-  private val bucketCte =
+  private[operators] val bucketCte =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
        |pd AS (SELECT vec_id, i,
        |              list_dot_product(e, list_transform(generate_series(0, ${Dim - 1}),

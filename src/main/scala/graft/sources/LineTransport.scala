@@ -143,6 +143,11 @@ final class HttpLineTransport(
   private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
   private var terminal: Option[Throwable] = None
   @volatile private var closed = false
+  // the in-flight response body: close() must close it, because a reader
+  // blocked in readLine() on a no-timeout socket ignores Thread.interrupt —
+  // without this every stopped query leaks the thread AND holds the HTTP
+  // stream open (duplicate consumption if a new query starts)
+  @volatile private var inFlight: InputStream = _
 
   /** GETs issued so far (observable for reconnect tests). */
   @volatile private[sources] var connects = 0
@@ -164,6 +169,8 @@ final class HttpLineTransport(
         if (resp.status < 200 || resp.status >= 300)
           throw new FailFast(new java.io.IOException(
             s"OANDA stream returned HTTP ${resp.status}"))
+        inFlight = resp.body
+        if (closed) { try resp.body.close() catch { case _: Exception => () }; return }
         val br = new BufferedReader(new InputStreamReader(resp.body, StandardCharsets.UTF_8))
         try {
           var line = br.readLine()
@@ -173,7 +180,7 @@ final class HttpLineTransport(
             line = br.readLine()
           }
           if (!closed) throw new java.io.IOException("stream ended (EOF)")
-        } finally br.close()
+        } finally { br.close(); inFlight = null }
       } catch {
         case f: FailFast => done = true; fail(f.e)
         case _: InterruptedException => done = true
@@ -201,6 +208,12 @@ final class HttpLineTransport(
   override def planPartitions(start: Long, end: Long): Array[InputPartition] =
     lock.synchronized {
       require(start >= base, s"range [$start,$end) starts below committed offset $base")
+      // a range past the buffered head means a checkpoint replay this fresh
+      // transport never buffered (live stream, no resume cursor): surface it
+      // loudly instead of returning a silently-empty batch
+      require(end <= base + buf.size,
+        s"range [$start,$end) extends past buffered head ${base + buf.size}: " +
+          "uncommitted-batch replay against a fresh live transport is not replayable")
       val lines = buf.slice((start - base).toInt, (end - base).toInt).toArray
       Array(BufferedLinesPartition(lines))
     }
@@ -218,6 +231,10 @@ final class HttpLineTransport(
   override def close(): Unit = {
     closed = true
     lock.synchronized(lock.notifyAll())
+    // closing the body makes the blocked readLine() throw, so the reader
+    // thread actually exits and the server-side stream is released
+    val s = inFlight
+    if (s != null) { try s.close() catch { case _: Exception => () } }
     reader.interrupt()
   }
 }

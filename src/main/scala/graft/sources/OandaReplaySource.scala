@@ -83,8 +83,14 @@ class OandaReplayTable(path: String, linesPerTrigger: Int, transport: String = "
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new OandaReplayMicroBatchStream(newTransport(), linesPerTrigger)
       override def toBatch: Batch = new Batch {
-        override def planInputPartitions(): Array[InputPartition] =
+        override def planInputPartitions(): Array[InputPartition] = {
+          // a live HTTP stream has no finite extent to batch-scan; fail with
+          // intent instead of NPE-ing on the absent capture path
+          if (transport == "http") throw new UnsupportedOperationException(
+            "oanda-replay: batch read is only supported for transport=file " +
+              "(a live HTTP pricing stream has no finite extent); use readStream")
           Array(LineRangePartition(path, 0L, Long.MaxValue))
+        }
         override def createReaderFactory(): PartitionReaderFactory = LineReaderFactory
       }
     }

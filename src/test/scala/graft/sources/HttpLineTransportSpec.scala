@@ -164,6 +164,63 @@ class HttpLineTransportSpec extends AnyFunSuite {
     } finally stream.stop()
   }
 
+  /** Body that delivers one line and then blocks forever (a quiet pricing
+    * stream with readTimeout 0) until close(), when the blocked read throws
+    * — the shape where Thread.interrupt alone cannot free the reader. */
+  private class BlockingBody(first: String) extends InputStream {
+    private var sent = false
+    private val lock = new Object
+    @volatile var closedCalled = false
+    override def read(): Int = throw new UnsupportedOperationException
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (!sent) {
+        sent = true
+        val bytes = first.getBytes(StandardCharsets.UTF_8)
+        System.arraycopy(bytes, 0, b, off, bytes.length)
+        bytes.length
+      } else lock.synchronized {
+        while (!closedCalled) lock.wait()
+        throw new IOException("stream closed")
+      }
+    override def close(): Unit = lock.synchronized {
+      closedCalled = true; lock.notifyAll()
+    }
+  }
+
+  test("close() closes the in-flight body and the blocked reader thread exits") {
+    def readerThreads: Set[Thread] = {
+      import scala.jdk.CollectionConverters._
+      Thread.getAllStackTraces.keySet.asScala.toSet
+        .filter(th => th.getName == "oanda-http-reader" && th.isAlive)
+    }
+    val before = readerThreads
+    val body = new BlockingBody("l1\n")
+    val t = new HttpLineTransport(cfg, new FakeHttp(Seq(() => ok(body))), maxReconnects = 0)
+    try {
+      awaitHead(t, 1) // the reader is now parked inside readLine() forever
+      val spawned = (readerThreads -- before).toSeq
+      assert(spawned.size == 1, s"expected exactly one new reader thread, got $spawned")
+      t.close()
+      assert(body.closedCalled, "close() must close the in-flight response body")
+      spawned.head.join(5000)
+      assert(!spawned.head.isAlive,
+        "reader thread must exit after close() (leaked thread + held HTTP stream otherwise)")
+    } finally t.close()
+  }
+
+  test("a range past the buffered head fails loudly (no silent empty replay)") {
+    val http = new FakeHttp(Seq(() =>
+      ok(new ChunkedBody(Seq("a\nb\n"), thenDisconnect = false))))
+    val t = new HttpLineTransport(cfg, http, maxReconnects = 0)
+    try {
+      awaitHead(t, 2)
+      // a fresh transport asked to replay a checkpointed range it never
+      // buffered (restart with uncommitted batches) must not return empty
+      assertThrows[IllegalArgumentException](t.planPartitions(0, 5))
+      assert(lines(t, 0, 2) == Seq("a", "b"), "in-range reads still work")
+    } finally t.close()
+  }
+
   test("uncommitted ranges stay replayable (micro-batch retry contract)") {
     val http = new FakeHttp(Seq(() =>
       ok(new ChunkedBody(Seq("a\nb\nc\n"), thenDisconnect = false))))

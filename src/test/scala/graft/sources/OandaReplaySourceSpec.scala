@@ -102,4 +102,15 @@ class OandaReplaySourceSpec extends AnyFunSuite {
     val n = spark.read.format("oanda-replay").option("path", path).load().count()
     assert(n == 10)
   }
+
+  test("batch read with transport=http fails with intent, not an NPE") {
+    val e = intercept[Exception] {
+      spark.read.format("oanda-replay").option("transport", "http").load().count()
+    }
+    // Spark may wrap the planner exception; the root message must survive
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("batch read is only supported for transport=file")),
+      s"got: ${messages(e)}")
+  }
 }

@@ -77,6 +77,13 @@ def main():
         if bad_duck:
             print(f"ORATYPE  {name}: oracle emits non-parquet-native types {bad_duck}")
             n_fail += 1; continue
+        # the driver sorts results in pandas, where LIST/STRUCT/MAP cells are
+        # unhashable numpy objects and crash sort_values (hit: q88/q107 in r02)
+        nested = [(duck_cols[k], spark_types[idx[k]]) for k in range(len(duck_cols))
+                  if any(t in spark_types[idx[k]] for t in ("[]", "STRUCT", "MAP"))]
+        if nested:
+            print(f"NESTED   {name}: output has nested cols (driver sort crashes) {nested}")
+            n_fail += 1; continue
         cs, cd = canon(spark_rows), canon(duck_rows)
         if len(cs) != len(cd):
             print(f"ROWS     {name}: spark={len(cs)} duck={len(cd)}"); n_fail += 1; continue
@@ -89,7 +96,13 @@ def main():
         if d not in oracle and os.path.isdir(os.path.join(out_dir, d)):
             files = glob.glob(os.path.join(out_dir, d, "*.parquet"))
             if files:
-                n = con.sql(f"SELECT count(*) FROM read_parquet('{out_dir}/{d}/*.parquet')").fetchone()[0]
+                rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{d}/*.parquet')")
+                n = len(rel.fetchall())
+                nested = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                          if any(s in str(t) for s in ("[]", "STRUCT", "MAP"))]
+                if nested:
+                    print(f"NESTED   {d}: rows-only output has nested cols {nested}")
+                    n_fail += 1; continue
                 status = "ROWSONLY" if n > 0 else "EMPTY   "
                 print(f"{status} {d} ({n} rows)")
                 if n == 0: n_fail += 1
