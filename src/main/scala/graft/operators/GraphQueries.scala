@@ -43,7 +43,58 @@ object GraphQueries {
        |SELECT node, rank FROM r5 ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  /** q111's oracle: id-ordered triangle enumeration (u < v < w). The
+    * triangle SET is orientation-independent, so this matches the Spark
+    * side's degree-ordered enumeration row-for-row after the per-node
+    * roll-up. */
+  private val triangleSql: String =
+    """WITH raw AS (SELECT l_partkey % 9973 AS a, l_suppkey % 9973 AS b FROM lineitem),
+      |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+      |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      |FROM (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+      |GROUP BY node ORDER BY triangles DESC, node LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
+
+    // Triangle counting (per-node participation, top 20) over the derived
+    // part↔supplier co-occurrence graph. The Spark side runs the
+    // compact-forward shape: edges are ORIENTED from the lower-(degree, id)
+    // endpoint, which bounds every node's out-degree by ~√(2m), so the
+    // wedge self-join stays near-linear instead of exploding on hub nodes —
+    // THE difference between feasible and not at 100 TB (the oracle keeps
+    // the simpler id-ordering; both enumerate the identical triangle set).
+    // Three shuffles total: edge dedup, the wedge equi-join, the closing
+    // equi-join; per-node counts partial-aggregate map-side.
+    q("q111_triangle_count", "per-node triangle counts via degree-oriented wedge join")(
+      triangleSql
+    ) { (s, dir) =>
+      val e0 = Tables.fanout(s, dir, "lineitem")
+        .select((col("l_partkey") % 9973).as("a"), (col("l_suppkey") % 9973).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .cache() // degree pass + orientation both read it
+      val deg = e0.select(col("u").as("n")).union(e0.select(col("v")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val du = deg.select(col("n").as("u"), col("d").as("du"))
+      val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+      // strict total order (degree, id): u < v already, so ties keep u first
+      val fromU = col("du") < col("dv") || (col("du") === col("dv"))
+      val oriented = e0.join(du, "u").join(dv, "v")
+        .select(when(fromU, col("u")).otherwise(col("v")).as("x"),
+          when(fromU, col("v")).otherwise(col("u")).as("y"))
+        .cache() // read three times (both wedge legs + the closing edge)
+      val wedges = oriented.select(col("x").as("na"), col("y").as("nb"))
+        .join(oriented.select(col("x").as("nb"), col("y").as("nc")), "nb")
+      val tris = wedges.join(
+        oriented.select(col("x").as("na"), col("y").as("nc")), Seq("na", "nc"))
+      tris.select(explode(array(col("na"), col("nb"), col("nc"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("triangles"))
+        .orderBy(col("triangles").desc, col("node")).limit(20)
+    },
 
     q("q80_pagerank", "5-iteration integer-arithmetic PageRank over the customer→supplier graph")(
       pagerankSql

@@ -55,6 +55,72 @@ object TextQueries {
        |ORDER BY it""".stripMargin
   }
 
+  /** q76b's oracle: the q76 training chain with the token identity carried
+    * through each merge, so the final sequence IS the token's encoding. */
+  private val bpeEncodeSql: String = {
+    def pairsCte(seqTbl: String, pName: String) =
+      s"""$pName AS (
+         |  SELECT s AS pair, CAST(sum(n) AS BIGINT) AS c
+         |  FROM (SELECT unnest(${shinglesSql(s"string_split(trim(seq), ' ')", 2)}) AS s, n
+         |        FROM $seqTbl)
+         |  GROUP BY s ORDER BY c DESC, pair LIMIT 1)""".stripMargin
+    def mergeCte(prevSeq: String, pName: String, newName: String) =
+      s"""$newName AS (
+         |  SELECT tok, replace(seq, ' ' || p.pair || ' ', ' ' || replace(p.pair, ' ', '') || ' ') AS seq, n
+         |  FROM $prevSeq CROSS JOIN $pName p)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT tok, count(*) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |seq0 AS (SELECT tok, ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS seq, n FROM w),
+       |${pairsCte("seq0", "p1")},
+       |${mergeCte("seq0", "p1", "seq1")},
+       |${pairsCte("seq1", "p2")},
+       |${mergeCte("seq1", "p2", "seq2")},
+       |${pairsCte("seq2", "p3")},
+       |${mergeCte("seq2", "p3", "seq3")}
+       |SELECT tok, n, trim(seq) AS encoded FROM seq3
+       |ORDER BY n DESC, tok LIMIT 50""".stripMargin
+  }
+
+  /** q110's oracle. BM25 determinism contract: every per-term score is one
+    * fixed-shape double expression (ln is bit-compatible across engines),
+    * and the per-doc total is a SEQUENTIAL fold over term-sorted scores
+    * (list_reduce ≙ Spark aggregate) — no order-free float sum anywhere. */
+  private val bm25Sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(sum(dlen) AS BIGINT) / (1.0 * count(*)) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+      |       WHERE term IN ('spark', 'merge', 'stream') GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+      |       WHERE term IN ('spark', 'merge', 'stream') GROUP BY term),
+      |sc AS (SELECT t.doc_id, t.term,
+      |              ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+      |              (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl)) AS score
+      |       FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s)
+      |SELECT doc_id,
+      |       round(list_reduce(list_prepend(0.0, list(score ORDER BY term)), (a, x) -> a + x), 4) AS bm25
+      |FROM sc GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+
+  /** q75's oracle — also the exact oracle of the streaming twin q75b
+    * (single-batch replay ⇒ the stream-maintained grid equals the batch
+    * grid cell-for-cell). */
+  private[graft] val countminSql: String =
+    s"""WITH occ AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+       |cand AS (SELECT tok, count(*) AS exact_n FROM occ GROUP BY tok),
+       |ic AS (SELECT tok, exact_n, i,
+       |              ${md5LongSql("CAST(i AS VARCHAR) || ':' || tok")} % 256 AS cell
+       |       FROM cand, (SELECT unnest([0, 1, 2, 3]) AS i)),
+       |cells AS (SELECT i, cell, CAST(sum(exact_n) AS BIGINT) AS c FROM ic GROUP BY i, cell),
+       |est AS (SELECT t.tok, t.exact_n, min(c.c) AS cm_est
+       |        FROM ic t JOIN cells c ON t.i = c.i AND t.cell = c.cell
+       |        GROUP BY t.tok, t.exact_n)
+       |SELECT tok, exact_n, cm_est FROM est
+       |ORDER BY cm_est DESC, tok LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // B36: token frequency analytics — top-20 tokens per language.
@@ -329,17 +395,7 @@ object TextQueries {
     // probe side broadcasts the 1024-cell table. CountMinSpec pins the
     // over-count invariant and the error bound on fixture data.
     q("q75_countmin_heavy_hitters", "count-min sketch (4×256, md5 rows) top-20 estimates vs exact")(
-      s"""WITH occ AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
-         |cand AS (SELECT tok, count(*) AS exact_n FROM occ GROUP BY tok),
-         |ic AS (SELECT tok, exact_n, i,
-         |              ${md5LongSql("CAST(i AS VARCHAR) || ':' || tok")} % 256 AS cell
-         |       FROM cand, (SELECT unnest([0, 1, 2, 3]) AS i)),
-         |cells AS (SELECT i, cell, CAST(sum(exact_n) AS BIGINT) AS c FROM ic GROUP BY i, cell),
-         |est AS (SELECT t.tok, t.exact_n, min(c.c) AS cm_est
-         |        FROM ic t JOIN cells c ON t.i = c.i AND t.cell = c.cell
-         |        GROUP BY t.tok, t.exact_n)
-         |SELECT tok, exact_n, cm_est FROM est
-         |ORDER BY cm_est DESC, tok LIMIT 20""".stripMargin
+      countminSql
     ) { (s, dir) =>
       val cand = Tables.fanout(s, dir, "documents")
         .select(explode(tokens(col("text"))).as("tok"))
@@ -388,6 +444,70 @@ object TextQueries {
         top.select(lit(it.toLong).as("it"), col("pair"), col("c"))
       }
       tops.reduce(_ union _).orderBy("it")
+    },
+
+    // BPE ENCODING — q76's merges APPLIED: the other half of a tokenizer
+    // (train once, encode the corpus). Same Sennrich reduction: encoding
+    // runs per DISTINCT token (|vocab| rows), never per corpus occurrence;
+    // the trained merge table is tiny and broadcasts, and each merge round
+    // is one non-regex replace over the vocab frame. At 100 TB the vocab
+    // frame is millions of rows against billions of corpus tokens — the
+    // final encode is a broadcast-join of corpus tokens to their cached
+    // encodings, exactly the map-side shape this query pins.
+    q("q76b_bpe_encode", "apply the 3 trained BPE merges: per-token segmentation")(
+      bpeEncodeSql
+    ) { (s, dir) =>
+      val w = Tables.fanout(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      var seq = w.select(col("tok"),
+        concat(lit(" "), array_join(split(col("tok"), ""), " "), lit(" ")).as("seq"),
+        col("n")).cache() // pair count + merge application both read it
+      (1 to 3).foreach { _ =>
+        val top = seq
+          .select(explode(shingles(split(trim(col("seq")), " "), 2)).as("pair"), col("n"))
+          .groupBy("pair").agg(sum(col("n")).as("c"))
+          .orderBy(col("c").desc, col("pair")).limit(1)
+        seq = seq.crossJoin(broadcast(top.select(col("pair"))))
+          .select(col("tok"),
+            expr("replace(seq, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')").as("seq"),
+            col("n")).cache()
+      }
+      seq.select(col("tok"), col("n"), trim(col("seq")).as("encoded"))
+        .orderBy(col("n").desc, col("tok")).limit(50)
+    },
+
+    // BM25 ranking (k1=1.2, b=0.75) for a fixed 3-term query — the lexical
+    // retrieval scorer on top of q88's inverted-index statistics. All
+    // inputs (tf, df, dlen, N) are exact integers; avgdl is one division;
+    // each per-term score is a single fixed-shape double expression and the
+    // per-doc total folds term-sorted scores SEQUENTIALLY (aggregate ≙
+    // list_reduce), so scores are bit-identical cross-engine before the
+    // display round. Scale shape: tf/df/dl are one explode + three partial
+    // aggregates; df and corpus stats broadcast; nothing touches the
+    // posting lists twice.
+    q("q110_bm25", "BM25 (k1=1.2, b=0.75) top-50 docs for query {spark, merge, stream}")(
+      bm25Sql
+    ) { (s, dir) =>
+      val qterms = Seq("spark", "merge", "stream")
+      val tok = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .cache() // dl, tf, and df all read it
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen")).cache()
+      val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+        (sum(col("dlen")).cast("long") / (lit(1.0) * count(lit(1)))).as("avgdl"))
+      val tf = tok.filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.filter(col("term").isin(qterms: _*))
+        .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val score = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (col("tf") * 2.2) / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl")))
+      tf.join(broadcast(df), "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"), score.as("score"))
+        .groupBy("doc_id")
+        .agg(round(aggregate(array_sort(collect_list(struct(col("term"), col("score")))),
+          lit(0.0), (a, x) => a + x.getField("score")), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
     },
 
     // Inverted-index build — the search-engine/RAG building block: term →

@@ -355,6 +355,50 @@ object StreamingQueries {
         .select("doc_id", "h").orderBy("doc_id")
     },
 
+    // q75's count-min sketch maintained ON THE STREAM: the 4×256 grid lives
+    // as keyed state (key = (row, cell), value = running BIGINT counter —
+    // ≤1024 entries total, a bounded-state structure by construction, which
+    // is the whole point of a sketch at 100 TB). Each batch folds its token
+    // occurrences into the counters and emits the post-batch value; the
+    // final grid (max emission per cell) is then probed offline by the
+    // exact candidate set, broadcast-joining the 1024-cell table. Counter
+    // accumulation across batches is locked by StreamCountMinSpec;
+    // single-batch replay ⇒ the batch q75 SQL is the exact oracle.
+    q("q75b_stream_countmin",
+      "stream-maintained count-min grid (keyed cell-counter state) probed for top-20")(
+      graft.operators.TextQueries.countminSql
+    ) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.PortableHash.md5Long
+      def cellHashes(tok: org.apache.spark.sql.Column) = array((0 until 4).map(i =>
+        struct(lit(i).as("i"), (md5Long(concat(lit(s"$i:"), tok)) % 256).as("cell"))): _*)
+      val occ = docsStream(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .select(explode(cellHashes(col("tok"))).as("h"))
+        .select(col("h.i").as("i"), col("h.cell").as("cell"))
+        .as[(Int, Long)]
+      val cells = occ.groupByKey(identity)
+        .flatMapGroupsWithState[Long, (Int, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (key: (Int, Long), rows: Iterator[(Int, Long)], state: GroupState[Long]) =>
+            val c = state.getOption.getOrElse(0L) + rows.size
+            state.update(c)
+            Iterator((key._1, key._2, c))
+        }.toDF("i", "cell", "c")
+      // one emission per cell per batch; the cumulative value is the max
+      val grid = runToMemory(s, cells)
+        .groupBy("i", "cell").agg(max(col("c")).as("c"))
+      val cand = graft.Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      cand.select(col("tok"), col("exact_n"), explode(cellHashes(col("tok"))).as("h"))
+        .select(col("tok"), col("exact_n"), col("h.i").as("i"), col("h.cell").as("cell"))
+        .join(broadcast(grid), Seq("i", "cell"))
+        .groupBy("tok", "exact_n").agg(min(col("c")).as("cm_est"))
+        .select(col("tok"), col("exact_n"), col("cm_est"))
+        .orderBy(col("cm_est").desc, col("tok")).limit(20)
+    },
+
     // q71's MATCH_RECOGNIZE-lite ON THE STREAM: per-user keyed state holds
     // the accumulated symbol string; each batch's rows are sorted by
     // (ts, event_id) before appending (group iterators are unordered —

@@ -47,6 +47,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q111 triangles: wedge + closing joins are equi-joins, never a product") {
+    val plan = executedPlan("q111_triangle_count")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q110 BM25: df and corpus stats broadcast; no product joins") {
+    val plan = executedPlan("q110_bm25")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q82 MERGE emulation: one shuffle join on the merge key, full outer") {
     val plan = executedPlan("q82_upsert_merge")
     assert(plan.contains("FullOuter"), plan)
