@@ -185,6 +185,211 @@ object ExtrasQueries {
       |       round(CAST(sum(CAST(round(c_acctbal, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS totacctbal
       |FROM pos GROUP BY cgroup ORDER BY cgroup""".stripMargin
 
+  /** The fixture has no `partsupp` table; the remaining TPC-H shapes that
+    * need one derive it deterministically from lineitem's distinct
+    * (partkey, suppkey) pairs: availqty = floored total quantity shipped
+    * (integer-valued doubles sum exactly; floor+CAST because DuckDB's
+    * double→BIGINT cast rounds while Spark's truncates), supplycost =
+    * min unit price in integer MICRO-UNITS (cost·10⁴). The micro-unit
+    * floor matters: `round(min(price/qty), 4)` lands on a 4-dp rounding
+    * tie for 1,688 fixture pairs, where Spark (exact-decimal HALF_UP) and
+    * DuckDB (scaled-double nearest) disagree by one ulp — floor() of the
+    * identical IEEE product has no tie to disagree on. Every derived value
+    * is therefore bit-identical across engines. */
+  val partsuppCte: String =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         CAST(floor(sum(l_quantity)) AS BIGINT) AS ps_availqty,
+      |         CAST(floor(min(l_extendedprice / l_quantity) * 10000) AS BIGINT) AS ps_supplycost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49m (TPC-H Q1 pricing summary — the
+    * official SQL shape; q09 carries the same semantics via the DataFrame
+    * API). All sums run in exact DECIMAL; the averages are computed as
+    * exact-sum / count so no engine-side avg() re-association can move a
+    * ulp. */
+  val tpchQ1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_qty,
+      |       round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_base_price,
+      |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_disc_price,
+      |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_charge,
+      |       round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+      |       round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+      |       round(CAST(sum(CAST(round(l_discount, 4) AS DECIMAL(28,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+      |       CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49n (TPC-H Q2 min-cost supplier: the
+    * correlated scalar-subquery-in-comparison over the derived partsupp;
+    * p_size widened to a band because the fixture has exactly one
+    * (size=15, LARGE) part). Cost equality compares two identically-rounded
+    * doubles, so it is exact in both engines. */
+  val tpchQ2Sql: String =
+    s"""WITH $partsuppCte
+       |SELECT round(s_acctbal, 4) AS acctbal, s_name, n_name, p_partkey, p_name
+       |FROM part, supplier, partsupp, nation, region
+       |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+       |  AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+       |  AND ps_supplycost = (SELECT min(ps2.ps_supplycost)
+       |                       FROM partsupp ps2, supplier s2, nation n2, region r2
+       |                       WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+       |                         AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+       |                         AND r2.r_name = 'EUROPE')
+       |ORDER BY acctbal DESC, n_name, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49o (TPC-H Q8 national market share:
+    * an 8-way join where nation joins twice — customer-region side filters
+    * the market, supplier-nation side is the share numerator). The ratio
+    * divides two exact DECIMAL sums cast to DOUBLE, so it is bit-identical
+    * before the display round. */
+  val tpchQ8Sql: String =
+    """SELECT o_year,
+      |       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol ELSE CAST(0.0 AS DECIMAL(28,4)) END) AS DOUBLE)
+      |             / CAST(sum(vol) AS DOUBLE), 4) AS mkt_share
+      |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |             CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4)) AS vol,
+      |             n2.n_name AS nation
+      |      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+      |        AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+      |        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |        AND p_type = 'ECONOMY') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49p (TPC-H Q9 product-type profit:
+    * profit = revenue − supplycost·qty per (nation, year), parts filtered
+    * by name. Revenue accumulates as exact DECIMAL (the established
+    * tie-safe product rounding); cost accumulates as an exact BIGINT
+    * micro-unit sum (supplycost is integer micro-units × integer
+    * quantity) — the two exact totals meet only in the final per-group
+    * subtraction, which lands on the 4-dp grid, never a rounding tie. */
+  val tpchQ9Sql: String =
+    s"""WITH $partsuppCte
+       |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE)
+       |             - CAST(sum(ps_supplycost * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 10000, 4) AS sum_profit
+       |FROM part, supplier, lineitem, partsupp, orders, nation
+       |WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+       |  AND p_partkey = l_partkey AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+       |  AND p_name LIKE '%widget%'
+       |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49q (TPC-H Q11 important stock: the
+    * grouped-HAVING-vs-global-scalar value cut over the derived partsupp.
+    * The spec's fixed fraction is SF-scaled (0.0001/SF); this uses a
+    * scale-free equivalent — parts above 2× the average per-part value —
+    * so the query is non-degenerate at every fixture SF. All values are
+    * exact integer micro-unit sums, so the cut is engine-identical). */
+  val tpchQ11Sql: String =
+    s"""WITH $partsuppCte,
+       |nat AS (SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+       |        FROM partsupp, supplier, nation
+       |        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'),
+       |tot AS (SELECT CAST(sum(v) AS DOUBLE) AS tv, CAST(count(DISTINCT ps_partkey) AS BIGINT) AS np FROM nat)
+       |SELECT ps_partkey,
+       |       round(CAST(sum(v) AS DOUBLE) / 10000, 4) AS part_value
+       |FROM nat
+       |GROUP BY ps_partkey
+       |HAVING CAST(sum(v) AS DOUBLE) > (SELECT round(2.0 * tv / np, 4) FROM tot)
+       |ORDER BY part_value DESC, ps_partkey""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49r (TPC-H Q12 shipmode priority
+    * counts; l_returnflag stands in for the missing l_shipmode and
+    * shipdate > orderdate + 60 days for the missing commit/receipt-date
+    * lateness test — same conditional-count split by priority class). The
+    * counting sums are CAST to BIGINT because DuckDB's sum(INTEGER) widens
+    * to HUGEINT. */
+  val tpchQ12Sql: String =
+    """SELECT l_returnflag AS ship_mode,
+      |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey AND l_returnflag IN ('A', 'N')
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49s (TPC-H Q15 top supplier: a
+    * revenue CTE consumed twice — once joined, once under max() — the
+    * view-reuse shape; revenue is rounded before the equality so the
+    * max-match is exact). */
+  val tpchQ15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49t (TPC-H Q16 supplier-count by part
+    * attribute: distinct-count over the derived partsupp with a NOT IN
+    * exclusion — negative-balance suppliers stand in for the spec's
+    * complaints predicate). */
+  val tpchQ16Sql: String =
+    """WITH partsupp AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem)
+      |SELECT p_brand, p_type, p_size, CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM partsupp, part
+      |WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49u (TPC-H Q20 part promotion: nested
+    * IN-subqueries with a correlated availability-vs-half-year-demand
+    * scalar — availqty (exact BIGINT) against 0.5 × an exact integer-valued
+    * double sum, so the cut cannot straddle a ulp). */
+  val tpchQ20Sql: String =
+    s"""WITH $partsuppCte
+       |SELECT s_name
+       |FROM supplier, nation
+       |WHERE s_suppkey IN (
+       |    SELECT ps_suppkey FROM partsupp
+       |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+       |      AND ps_availqty > (SELECT 0.5 * sum(l_quantity) FROM lineitem
+       |                         WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |                           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |                           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+       |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+       |ORDER BY s_name""".stripMargin
+
+  /** Shared dialect-neutral SQL for q49v (TPC-H Q21 waiting suppliers:
+    * EXISTS + NOT EXISTS self-correlations on lineitem — the only supplier
+    * late on a multi-supplier order; shipdate > orderdate + 60 days stands
+    * in for the missing receipt/commit lateness). */
+  val tpchQ21Sql: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   /** Shared dialect-neutral SQL for q101: a RECURSIVE CTE (Spark 4's
     * UnionLoop) walking the implicit binary-halving ancestor chain of each
     * key — transitive closure through the SQL surface, identical string in
@@ -728,6 +933,105 @@ object ExtrasQueries {
       Seq("customer", "orders", "lineitem").foreach(t =>
         Tables(s, dir, t).createOrReplaceTempView(t))
       s.sql(ExtrasQueries.tpchQ18Sql)
+    },
+
+    // TPC-H Q1 (official SQL shape; the DataFrame twin is q09): the
+    // pricing-summary scan-aggregate every engine benchmarks first. One
+    // pass over lineitem, 6 groups, partial+final HashAggregate.
+    q("q49m_sql_tpch_q1", "TPC-H Q1 pricing summary via spark.sql — full 8-aggregate shape")(
+      ExtrasQueries.tpchQ1Sql
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(ExtrasQueries.tpchQ1Sql)
+    },
+
+    // TPC-H Q2: correlated scalar subquery in a comparison (min-cost
+    // supplier per part) — Catalyst decorrelates the aggregate subquery
+    // into a join against a grouped min.
+    q("q49n_sql_tpch_q2", "TPC-H Q2 min-cost supplier via spark.sql — correlated scalar subquery")(
+      ExtrasQueries.tpchQ2Sql
+    ) { (s, dir) =>
+      Seq("part", "supplier", "lineitem", "nation", "region")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ2Sql)
+    },
+
+    // TPC-H Q8: the widest join in the suite (8 relations, nation twice) —
+    // market share of one supplier nation inside one customer region.
+    q("q49o_sql_tpch_q8", "TPC-H Q8 national market share via spark.sql — 8-way join")(
+      ExtrasQueries.tpchQ8Sql
+    ) { (s, dir) =>
+      Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ8Sql)
+    },
+
+    // TPC-H Q9: product-type profit — lineitem joined to the derived
+    // partsupp on BOTH halves of its composite key plus part/orders/
+    // supplier/nation.
+    q("q49p_sql_tpch_q9", "TPC-H Q9 product-type profit via spark.sql — composite-key partsupp join")(
+      ExtrasQueries.tpchQ9Sql
+    ) { (s, dir) =>
+      Seq("part", "supplier", "lineitem", "orders", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ9Sql)
+    },
+
+    // TPC-H Q11: grouped HAVING against a global scalar over the same
+    // derived table — the CTE is evaluated under two different aggregation
+    // scopes.
+    q("q49q_sql_tpch_q11", "TPC-H Q11 important stock via spark.sql — HAVING vs global scalar")(
+      ExtrasQueries.tpchQ11Sql
+    ) { (s, dir) =>
+      Seq("supplier", "lineitem", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ11Sql)
+    },
+
+    // TPC-H Q12: conditional-count split by priority class over a
+    // date-arithmetic join filter.
+    q("q49r_sql_tpch_q12", "TPC-H Q12 shipmode priority counts via spark.sql")(
+      ExtrasQueries.tpchQ12Sql
+    ) { (s, dir) =>
+      Seq("orders", "lineitem").foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ12Sql)
+    },
+
+    // TPC-H Q15: one CTE consumed twice (join + scalar max) — the
+    // canonical view-reuse shape.
+    q("q49s_sql_tpch_q15", "TPC-H Q15 top supplier via spark.sql — CTE reused under max()")(
+      ExtrasQueries.tpchQ15Sql
+    ) { (s, dir) =>
+      Seq("supplier", "lineitem").foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ15Sql)
+    },
+
+    // TPC-H Q16: distinct-count with a NOT IN anti-join exclusion.
+    q("q49t_sql_tpch_q16", "TPC-H Q16 supplier counts via spark.sql — NOT IN exclusion")(
+      ExtrasQueries.tpchQ16Sql
+    ) { (s, dir) =>
+      Seq("part", "supplier", "lineitem").foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ16Sql)
+    },
+
+    // TPC-H Q20: nested IN-subqueries with a correlated scalar inside —
+    // three levels of decorrelation ending in semi-joins.
+    q("q49u_sql_tpch_q20", "TPC-H Q20 part promotion via spark.sql — nested correlated subqueries")(
+      ExtrasQueries.tpchQ20Sql
+    ) { (s, dir) =>
+      Seq("part", "supplier", "lineitem", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ20Sql)
+    },
+
+    // TPC-H Q21: EXISTS + NOT EXISTS self-correlations on the fact table —
+    // a semi-join AND an anti-join against the same relation.
+    q("q49v_sql_tpch_q21", "TPC-H Q21 waiting suppliers via spark.sql — EXISTS/NOT EXISTS pair")(
+      ExtrasQueries.tpchQ21Sql
+    ) { (s, dir) =>
+      Seq("supplier", "lineitem", "orders", "nation")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(ExtrasQueries.tpchQ21Sql)
     },
 
     // LATERAL correlated subquery — the SQL-surface sibling of q13's window

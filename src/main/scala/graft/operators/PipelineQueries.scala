@@ -733,6 +733,125 @@ object PipelineQueries {
         .join(g, "grn")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("gv").as("qnorm"))
         .orderBy("doc_id")
+    },
+
+    // End-to-end curation funnel — the composed pipeline a corpus actually
+    // runs (CCNet/RefinedWeb shape): language gate → length gate →
+    // lexical-diversity gate → exact prefix dedup (keep-first), with every
+    // document labeled by the FIRST stage that rejected it (the funnel
+    // report that decides which gate to retune). Each stage is row-local
+    // until the final dedup, which shuffles only (prefix, doc_id) pairs of
+    // gate survivors; at 100 TB the funnel is one pass + one narrow
+    // shuffle. The diversity ratio is one integer division — bit-identical
+    // across engines, so the 0.35 cut needs no rounding guard.
+    q("q115_curation_funnel",
+      "lang → length → diversity → prefix-dedup funnel with per-doc rejection stage")(
+      """WITH t AS (SELECT doc_id, lang, n_chars, str_split(text, ' ') AS w FROM documents),
+        |st AS (SELECT doc_id, lang, n_chars,
+        |              len(list_distinct(w))::DOUBLE / len(w) AS dtr,
+        |              list_aggregate(w[1:8], 'string_agg', ' ') AS pre
+        |       FROM t),
+        |dec AS (SELECT doc_id, pre,
+        |               CASE WHEN lang <> 'en' THEN 'lang'
+        |                    WHEN n_chars < 100 OR n_chars > 500 THEN 'length'
+        |                    WHEN dtr < 0.35 THEN 'quality'
+        |                    ELSE 'pass' END AS gate
+        |        FROM st),
+        |f AS (SELECT pre, min(doc_id) AS keeper FROM dec WHERE gate = 'pass' GROUP BY pre)
+        |SELECT d.doc_id,
+        |       CASE WHEN d.gate <> 'pass' THEN d.gate
+        |            WHEN d.doc_id <> f.keeper THEN 'duplicate'
+        |            ELSE 'kept' END AS stage
+        |FROM dec d LEFT JOIN f ON f.pre = d.pre
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val dec = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          split(col("text"), " ").as("w"))
+        .withColumn("dtr",
+          size(array_distinct(col("w"))).cast("double") / size(col("w")))
+        .withColumn("pre", concat_ws(" ", slice(col("w"), 1, 8)))
+        .withColumn("gate",
+          when(col("lang") =!= "en", "lang")
+            .when(col("n_chars") < 100 || col("n_chars") > 500, "length")
+            .when(col("dtr") < 0.35, "quality")
+            .otherwise("pass"))
+      val keepers = dec.filter(col("gate") === "pass")
+        .groupBy("pre").agg(min("doc_id").as("keeper"))
+      dec.join(keepers, Seq("pre"), "left")
+        .select(col("doc_id"),
+          when(col("gate") =!= "pass", col("gate"))
+            .when(col("doc_id") =!= col("keeper"), "duplicate")
+            .otherwise("kept").as("stage"))
+        .orderBy("doc_id")
+    },
+
+    // RAG chunking: overlapping token windows (size 32, stride 24) per
+    // document, each chunk fingerprinted for downstream embedding dedup.
+    // Row-local explode — no shuffle at all; chunk counts follow from
+    // token counts, so the plan is a map stage at any scale. DuckDB's
+    // 1-based INCLUSIVE list slice ≙ Spark's slice(w, start, len) with
+    // Spark-side end-truncation (NOTES.md).
+    q("q116_rag_chunks",
+      "overlapping 32-token/stride-24 chunks per doc with md5 fingerprints")(
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+         |e AS (SELECT doc_id, w,
+         |             unnest(generate_series(0, CAST(floor((len(w) - 1) / 24.0) AS BIGINT))) AS i
+         |      FROM t),
+         |c AS (SELECT doc_id, i, w[(i * 24 + 1):least(i * 24 + 32, len(w))] AS chunk FROM e)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(len(chunk) AS BIGINT) AS n_toks,
+         |       ${md5LongSql("list_aggregate(chunk, 'string_agg', ' ')")} AS fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    ) { (s, dir) =>
+      Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0L),
+            floor((size(col("w")) - 1) / lit(24.0)).cast("long"))).as("chunk_idx"))
+        .withColumn("chunk",
+          slice(col("w"), (col("chunk_idx") * 24 + 1).cast("int"), lit(32)))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_toks"),
+          md5Long(concat_ws(" ", col("chunk"))).as("fp"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Temperature-flattened mixture sampling (T = 2): per-source selection
+    // quotas ∝ √(char mass), the standard down-weighting of oversized
+    // sources when composing a training mix. All quota arithmetic is exact
+    // (integer micro-unit weights; the only division is one double op on
+    // exactly-representable integers), and the per-source pick is the
+    // md5-ranked prefix — deterministic, engine-identical, and at scale a
+    // rank-within-partition window over each source shard.
+    q("q117_temperature_mix",
+      "per-source quotas ∝ sqrt(char mass), md5-rank-prefix picks (100-doc target)")(
+      """WITH srcw AS (SELECT source, CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 10000) AS BIGINT) AS w
+        |              FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM srcw),
+        |quota AS (SELECT source, CAST(floor(100.0 * w / tw) AS BIGINT) AS n_take
+        |          FROM srcw CROSS JOIN tot),
+        |rnk AS (SELECT doc_id, source,
+        |               row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        |        FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS rnk
+        |FROM rnk r JOIN quota q ON q.source = r.source
+        |WHERE r.rn <= q.n_take
+        |ORDER BY r.source, r.rn""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val srcw = docs.groupBy("source")
+        .agg(floor(sqrt(sum(col("n_chars")).cast("double")) * 10000)
+          .cast("long").as("w"))
+      val tot = srcw.agg(sum(col("w")).as("tw"))
+      val quota = srcw.crossJoin(broadcast(tot))
+        .select(col("source"), floor(lit(100.0) * col("w") / col("tw")).cast("long").as("n_take"))
+      val rnk = docs.select(col("doc_id"), col("source"),
+        row_number().over(Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id")))
+          .cast("long").as("rnk"))
+      rnk.join(broadcast(quota), Seq("source"))
+        .filter(col("rnk") <= col("n_take"))
+        .select(col("doc_id"), col("source"), col("rnk"))
+        .orderBy("source", "rnk")
     }
   )
 }

@@ -797,6 +797,42 @@ object RelationalQueries {
           |WINDOW w AS (PARTITION BY event_type ORDER BY ts
           |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
           |ORDER BY event_id LIMIT 2000""".stripMargin)
+    },
+
+    // GROUPS window frames (SQL:2011) — the third frame mode NEITHER engine
+    // implements (Spark: unsupported; DuckDB: "not implemented yet"). The
+    // engine provides the semantics by construction: pre-aggregate each
+    // peer group (rows tied on the ORDER BY key), run a ROWS frame over the
+    // per-group table — ROWS-over-groups ≡ GROUPS-over-rows — and carry the
+    // group's row count alongside. This is also the preferred plan at
+    // 100 TB: the window runs over |distinct keys| rows, not corpus rows,
+    // after a partial-aggregated shuffle. The oracle derives the same
+    // semantics through a rank-distance self-join — a genuinely independent
+    // formulation, so the compare checks the semantics, not the plan.
+    q("q114_groups_frame",
+      "GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING emulated via group pre-aggregation")(
+      """WITH g AS (SELECT l_returnflag, l_quantity, count(*) AS n,
+        |                  sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4))) AS gs
+        |           FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rk FROM g)
+        |SELECT a.l_returnflag, a.l_quantity, CAST(a.n AS BIGINT) AS n_rows,
+        |       round(CAST(sum(b.gs) AS DOUBLE), 4) AS frame_sum
+        |FROM r a JOIN r b ON a.l_returnflag = b.l_returnflag AND abs(a.rk - b.rk) <= 1
+        |GROUP BY a.l_returnflag, a.l_quantity, a.n
+        |ORDER BY a.l_returnflag, a.l_quantity""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val groups = Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("l_extendedprice"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).as("gs"))
+      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        .rowsBetween(-1, 1)
+      groups
+        .select(col("l_returnflag"), col("l_quantity"), col("n_rows"),
+          round(sum(col("gs")).over(w).cast("double"), 4).as("frame_sum"))
+        .orderBy("l_returnflag", "l_quantity")
     }
   )
 }

@@ -928,6 +928,50 @@ object VectorQueries {
           round(sum(round(col("score"), 6)
             .cast(org.apache.spark.sql.types.DecimalType(28, 6))).cast("double"), 4).as("score_sum"))
         .orderBy("label", "pred")
+    },
+
+    // SemDeDup (semantic dedup over embeddings, Abbas et al. 2023 shape):
+    // cluster the corpus with the deterministic k-means, then mark any
+    // vector that has a LOWER-id cluster-mate above the cosine threshold as
+    // a semantic duplicate (keep-lowest-id, the same canonical rule as
+    // q34h). This is THE 100 TB answer to q34e's all-pairs trap: pair
+    // generation is an equi-join on cluster id, so total pair work is
+    // Σ|cluster|² — bounded by clustering granularity (at production scale
+    // K grows with n to hold clusters at ~√n, and oversized clusters split
+    // recursively). Threshold 0.35 ≈ the within-cluster 99th percentile of
+    // this synthetic corpus (max pairwise cosine ~0.49 — the fixture has no
+    // true near-dups, so the τ=0.9-style production cut would be vacuous).
+    // Cosines are sequential folds — bit-identical across engines — so the
+    // threshold compare needs no rounding guard.
+    q("q113_semdedup",
+      "SemDeDup: k-means clusters + within-cluster cosine >= 0.35 keep-lowest-id")(
+      s"""$kmeansCte,
+         |pr AS (SELECT y.vec_id AS dropped
+         |       FROM a$KmeansIters x JOIN a$KmeansIters y ON x.cent = y.cent AND x.vec_id < y.vec_id
+         |            JOIN v vx ON vx.vec_id = x.vec_id JOIN v vy ON vy.vec_id = y.vec_id
+         |            JOIN n nx ON nx.vec_id = x.vec_id JOIN n ny ON ny.vec_id = y.vec_id
+         |       WHERE list_dot_product(vx.e, vy.e) / (nx.nrm * ny.nrm) >= 0.35),
+         |d AS (SELECT DISTINCT dropped FROM pr)
+         |SELECT a.vec_id, a.cent,
+         |       CAST(CASE WHEN d.dropped IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM a$KmeansIters a LEFT JOIN d ON d.dropped = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    ) { (s, dir) =>
+      val v = withNorm(Tables.fanout(s, dir, "embeddings"))
+      val assign = kmeansScoresAndAssign(v)._2
+        .select(col("vec_id"), col("cent"), col("e"), col("nrm")).cache()
+      val lo = assign.select(col("cent"), col("vec_id").as("v1"),
+        col("e").as("e1"), col("nrm").as("n1"))
+      val hi = assign.select(col("cent"), col("vec_id").as("v2"),
+        col("e").as("e2"), col("nrm").as("n2"))
+      val dropped = lo.join(hi, Seq("cent"))
+        .filter(col("v1") < col("v2"))
+        .filter(dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >= 0.35)
+        .select(col("v2").as("vec_id")).distinct()
+        .withColumn("hit", lit(0L))
+      assign.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cent"), coalesce(col("hit"), lit(1L)).as("kept"))
+        .orderBy("vec_id")
     }
   )
 }

@@ -94,4 +94,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q113 SemDeDup pairs via the cluster-id equi-join, never all-pairs") {
+    val plan = executedPlan("q113_semdedup")
+    // the K-row centroid broadcasts (IdentityBroadcastMode fan-outs) are the
+    // k-means scoring design, same as q35f/g; what must NOT be a product is
+    // the candidate-pair join — assert it is keyed on the cluster id
+    assert(plan.contains("CartesianProduct") == false, plan)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[cent".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q114 GROUPS frame runs the window over the per-group table, not corpus rows") {
+    val df = SparkEntry.queries("q114_groups_frame")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the Window must consume the aggregated (150-group) table — i.e. sit
+    // ABOVE the HashAggregate in the plan tree, not directly on the scan
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx, plan)
+  }
+
+  test("q115 curation funnel: one narrow shuffle, no product joins") {
+    val plan = executedPlan("q115_curation_funnel")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q116 RAG chunking is a pure map stage: no join, no aggregate-shuffle") {
+    val plan = executedPlan("q116_rag_chunks")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
+  test("q117 temperature mix broadcasts the quota table") {
+    val plan = executedPlan("q117_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") ||
+      plan.split("CartesianProduct").length - 1 <= 1, plan) // the 1-row tot crossJoin broadcasts
+  }
 }
