@@ -168,6 +168,56 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Perceptual average-hash (aHash) over the REAL BMP codec: synthesize a
+    * 16×h grayscale BMP per doc (q70's construction), decode it back through
+    * the container parse, partition the pixel grid into 8×8 floor-banded
+    * blocks, and set bit (r·8+c) iff the block's pixel sum strictly exceeds
+    * the image mean — compared by integer CROSS-MULTIPLICATION
+    * (sum_block·N > total·cnt_block), so the hash is exact in both engines
+    * with no float division anywhere. The 64-bit hash ships as two 32-bit
+    * halves because DuckDB's left shift is overflow-checked at bit 63.
+    * Row-local end to end: at any scale this is a map stage whose output
+    * (8 bytes/image) feeds hash-equality or Hamming-ball image dedup —
+    * the visual sibling of q34d's SimHash. */
+  def bmpAHashQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = 16
+          val h = (text.length + w - 1) / w
+          val px = Array.tabulate(h, w) { (y, x) =>
+            val i = y * w + x
+            if (i < text.length) text.charAt(i).toInt & 0xff else 0
+          }
+          val img = BmpCodec.decode(BmpCodec.encode(BmpCodec.Gray(w, h, px)))
+          val n = img.width.toLong * img.height
+          val sums = Array.ofDim[Long](8, 8)
+          val cnts = Array.ofDim[Long](8, 8)
+          var total = 0L
+          for (y <- 0 until img.height; x <- 0 until img.width) {
+            val r = y * 8 / img.height
+            val c = x * 8 / img.width
+            sums(r)(c) += img.gray(y)(x)
+            cnts(r)(c) += 1
+            total += img.gray(y)(x)
+          }
+          var hi = 0L; var lo = 0L
+          for (r <- 0 until 8; c <- 0 until 8) {
+            if (sums(r)(c) * n > total * cnts(r)(c)) {
+              val idx = r * 8 + c
+              if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+            }
+          }
+          (id, img.height.toLong, hi, lo)
+        }
+      }
+      .toDF("media_id", "height", "ahash_hi", "ahash_lo")
+      .orderBy("media_id")
+  }
+
   /** The registered rows-only query: full decode→features→resize chain. */
   def featuresQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

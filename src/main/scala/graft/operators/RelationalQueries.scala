@@ -627,6 +627,93 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // CSV sink→source round-trip — the text-format sibling of q73's ORC:
+    // proves the engine can EMIT csv (header, typed columns) and re-ingest
+    // it losslessly. Doubles are rounded to 4 dp before the write; Spark's
+    // shortest-repr double printing then parses back to the identical
+    // double, so the post-read aggregate is exact. Write is parallel
+    // (one file per partition), read is schema-explicit — no inference
+    // nondeterminism in the query path.
+    q("q118_csv_roundtrip", "write events projection to CSV, read back, aggregate")(
+      """SELECT event_type, count(*) AS n,
+        |       round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS value_sum
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val csvDir = s"/tmp/graft_csv/${new java.io.File(dir).getName}/events"
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value"))
+        .write.mode("overwrite").option("header", "true").csv(csvDir)
+      s.read
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .option("header", "true").csv(csvDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("value_sum"))
+        .orderBy("event_type")
+    },
+
+    // JSON-lines sink→source round-trip — the third interchange format
+    // (q73 ORC columnar, q118 CSV flat text, this one nested text): the
+    // projection carries a genuinely NESTED struct through the write so
+    // the round-trip proves structure preservation, not just scalars.
+    q("q119_jsonl_roundtrip", "write nested-struct JSONL, read back, aggregate")(
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS value_u
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val jsonDir = s"/tmp/graft_jsonl/${new java.io.File(dir).getName}/events"
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          struct(col("event_type").as("t"),
+            floor(col("value") * 10000).cast("long").as("vu")).as("payload"))
+        .write.mode("overwrite").json(jsonDir)
+      s.read
+        .schema("event_id BIGINT, payload STRUCT<t: STRING, vu: BIGINT>")
+        .json(jsonDir)
+        .groupBy(col("payload.t").as("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("payload.vu")).as("value_u"))
+        .orderBy("event_type")
+    },
+
+    // Incremental materialized-view maintenance — the algebraic-merge
+    // identity every warehouse MV engine relies on: a base aggregate plus
+    // a delta-batch aggregate merged by key equals the full recompute
+    // (counts add; sums add in exact DECIMAL). The oracle IS the full
+    // recompute, so the compare verifies the maintenance algebra itself.
+    // At 100 TB this is the difference between touching one day's
+    // partition and re-scanning the table.
+    q("q120_incremental_agg", "base + delta algebraic merge == full recompute per priority")(
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      val cut = lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00"))
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).as("ts"))
+      val orders = Tables(s, dir, "orders")
+      val base = agg(orders.filter(col("o_orderdate") < cut))
+        .withColumnRenamed("n", "n1").withColumnRenamed("ts", "ts1")
+      val delta = agg(orders.filter(col("o_orderdate") >= cut))
+        .withColumnRenamed("n", "n2").withColumnRenamed("ts", "ts2")
+      base.join(delta, Seq("o_orderpriority"), "fullOuter")
+        .select(col("o_orderpriority"),
+          (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n"),
+          round((coalesce(col("ts1"), lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+            + coalesce(col("ts2"), lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 4))))
+            .cast("double"), 4).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // MERGE/upsert emulation — vanilla Spark has no MERGE INTO target (that
     // is a table-format concern), but the SEMANTICS are one full-outer join:
     // matched→update, source-only→insert, target-only→keep. The update feed

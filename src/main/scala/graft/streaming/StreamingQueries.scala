@@ -200,6 +200,50 @@ object StreamingQueries {
         .orderBy(col("pid"), col("cid").asc_nulls_last)
     },
 
+    // Stream-stream FULL OUTER interval join — the third (and last) outer
+    // mode Spark supports for stream-stream joins: unmatched rows on BOTH
+    // sides emit null-padded once the watermark proves no partner can
+    // arrive. Same conservative max(ts) - 3h margin as q45b, applied
+    // per-side (an unmatched click row carries a null pts and vice versa),
+    // so the result is independent of the engine's internal eviction
+    // schedule while still proving watermark-gated emission on both sides.
+    q("q45c_stream_stream_full_join",
+      "stream-stream FULL OUTER interval join, null emission gated both sides")(
+      """SELECT p.event_id AS pid, c.event_id AS cid
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts::TIMESTAMP <= p.ts::TIMESTAMP
+        | AND c.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL 30 MINUTE
+        |WHERE (p.event_id IS NOT NULL AND c.event_id IS NOT NULL)
+        |   OR (c.event_id IS NULL AND p.ts::TIMESTAMP <
+        |       (SELECT max(ts::TIMESTAMP) - INTERVAL 3 HOUR FROM events))
+        |   OR (p.event_id IS NULL AND c.ts::TIMESTAMP <
+        |       (SELECT max(ts::TIMESTAMP) - INTERVAL 3 HOUR FROM events))
+        |ORDER BY pid NULLS LAST, cid NULLS LAST""".stripMargin
+    ) { (s, dir) =>
+      val p = eventsStream(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val c = eventsStream(s, dir).filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val joined = p.join(c,
+        col("pu") === col("cu")
+          && col("cts") <= col("pts")
+          && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"),
+        "fullOuter")
+        .select(col("pid"), col("cid"), col("pts"), col("cts"))
+      val mx = graft.Tables(s, dir, "events").agg(max(col("ts")).as("mx"))
+      runToMemory(s, joined)
+        .crossJoin(broadcast(mx))
+        .filter((col("pid").isNotNull && col("cid").isNotNull) ||
+          (col("cid").isNull && col("pts") < col("mx") - expr("INTERVAL 3 HOURS")) ||
+          (col("pid").isNull && col("cts") < col("mx") - expr("INTERVAL 3 HOURS")))
+        .select(col("pid"), col("cid"))
+        .orderBy(col("pid").asc_nulls_last, col("cid").asc_nulls_last)
+    },
+
     // B28 as a REAL streaming execution (q28 checks the batch operator):
     // session windows finalize in append mode only when the watermark
     // passes the session end (last event + gap); with the single-file
