@@ -125,6 +125,54 @@ object GraphQueries {
       }
       rank.select(col("rnode").as("node"), col("pr").as("rank"))
         .orderBy(col("rank").desc, col("node")).limit(20)
+    },
+
+    // Single-source shortest paths (unweighted BFS) — the remaining core
+    // graph primitive next to CC (q34g) / PageRank (q80) / triangles
+    // (q111). Spark runs the Pregel-style frontier iteration: per level,
+    // expand the frontier through the cached edge list, anti-join out
+    // already-visited nodes, localCheckpoint to truncate lineage
+    // (NOTES.md). Hop distances are small integers — no float anywhere.
+    // The oracle is a recursive CTE with UNION dedup semantics (DuckDB's
+    // cycle-safe mode) + a final min(d) roll-up — a genuinely different
+    // derivation of the same distances. Graph: the sparse (quantity < 2)
+    // slice of the mod-9973 part–supplier graph, undirected; 6-hop cap
+    // reaches 853 of the nodes at sf0.01 with distances spread 0–6.
+    q("q122_shortest_path", "6-hop BFS distances from node 1 over the sparse part-supplier graph")(
+      """WITH RECURSIVE raw AS (SELECT l_partkey % 9973 AS a, l_suppkey % 9973 AS b
+        |                       FROM lineitem WHERE l_quantity < 2),
+        |e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |bfs AS (
+        |  SELECT CAST(1 AS BIGINT) AS node, 0 AS d
+        |  UNION
+        |  SELECT e.v AS node, bfs.d + 1 AS d
+        |  FROM bfs JOIN e ON e.u = bfs.node
+        |  WHERE bfs.d < 6
+        |)
+        |SELECT node, CAST(min(d) AS BIGINT) AS d
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val raw = Tables.fanout(s, dir, "lineitem")
+        .filter(col("l_quantity") < 2)
+        .select((col("l_partkey") % 9973).as("a"), (col("l_suppkey") % 9973).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      val e = raw.union(raw.select(col("v"), col("u"))).cache() // (u, v) both directions
+      var dist = Seq((1L, 0L)).toDF("node", "d")
+      var frontier = dist.select("node")
+      for (i <- 1 to 6) {
+        val next = frontier.join(e, col("node") === col("u"))
+          .select(col("v").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("d", lit(i.toLong))
+          .localCheckpoint(true) // truncate per-level lineage
+        dist = dist.union(next).localCheckpoint(true)
+        frontier = next.select("node")
+      }
+      dist.orderBy("node")
     }
   )
 }

@@ -714,6 +714,54 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Spatial ε-neighborhood join — the grid-bucketed shape every
+    // distributed spatial engine uses (and the 2-D sibling of q08's range
+    // bins): each point lands in one ε-sized cell, probes its 3×3 cell
+    // neighborhood via a pure EQUI-join on (cx, cy), and only candidates
+    // pass the exact distance test — no all-pairs product at any scale.
+    // A neighbor lies in exactly one probed cell, so no dedup is needed.
+    // The oracle is brute-force (IEJoin range pruning at ±10.5 — SLACK on
+    // purpose: a tight ±10 bound computed as b.x + 10 can round below a
+    // pair whose exact distance is within ε — plus the exact filter): an
+    // INDEPENDENT derivation that verifies the grid pruning loses nothing.
+    // Distances compare in a fixed-order double expression (identical
+    // bits both engines). Points with zero neighbors don't emit (count
+    // over an inner join) — documented shape.
+    q("q123_spatial_grid_join", "ε=10 neighbor counts via 3×3 grid-cell equi-join (views as 2-D points)")(
+      """WITH p AS (SELECT event_id AS id, value AS x, user_id * 3.3 AS y
+        |           FROM events WHERE event_type = 'view')
+        |SELECT a.id AS event_id, CAST(count(*) AS BIGINT) AS n_neighbors
+        |FROM p a JOIN p b
+        |  ON a.x >= b.x - 10.5 AND a.x <= b.x + 10.5
+        | AND a.y >= b.y - 10.5 AND a.y <= b.y + 10.5
+        | AND a.id <> b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 100.0
+        |GROUP BY a.id ORDER BY a.id""".stripMargin
+    ) { (s, dir) =>
+      val pts = Tables.fanout(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("id"), col("value").as("x"),
+          (col("user_id") * 3.3).as("y"))
+        .withColumn("cx", floor(col("x") / 10).cast("long"))
+        .withColumn("cy", floor(col("y") / 10).cast("long"))
+        .cache() // probe side + build side
+      val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
+      val probes = pts
+        .withColumn("o", explode(array(offsets.map { case (dx, dy) =>
+          struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")) }: _*)))
+        .select(col("id").as("aid"), col("x").as("ax"), col("y").as("ay"),
+          (col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"))
+      probes
+        .join(pts.select(col("id").as("bid"), col("x").as("bx"),
+          col("y").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
+        .filter(col("aid") =!= col("bid"))
+        .filter((col("ax") - col("bx")) * (col("ax") - col("bx"))
+          + (col("ay") - col("by")) * (col("ay") - col("by")) <= 100.0)
+        .groupBy(col("aid").as("event_id"))
+        .agg(count(lit(1)).as("n_neighbors"))
+        .orderBy("event_id")
+    },
+
     // MERGE/upsert emulation — vanilla Spark has no MERGE INTO target (that
     // is a table-format concern), but the SEMANTICS are one full-outer join:
     // matched→update, source-only→insert, target-only→keep. The update feed

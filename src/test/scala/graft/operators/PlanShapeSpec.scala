@@ -127,6 +127,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), plan)
   }
 
+  test("q122 BFS frontier expansion joins on the node key, never a product") {
+    val plan = executedPlan("q122_shortest_path")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q123 spatial join is the (cx, cy) cell equi-join, not an all-pairs product") {
+    val plan = executedPlan("q123_spatial_grid_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[cx".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("q117 temperature mix broadcasts the quota table") {
     val plan = executedPlan("q117_temperature_mix")
     assert(plan.contains("BroadcastHashJoin"), plan)
