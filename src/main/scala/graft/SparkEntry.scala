@@ -20,6 +20,7 @@ object SparkEntry {
       operators.PipelineQueries.all ++
       operators.VectorQueries.all ++
       operators.GraphQueries.all ++
+      operators.AnalyticsQueries.all ++
       operators.ExtrasQueries.all ++
       streaming.StreamingQueries.all
 

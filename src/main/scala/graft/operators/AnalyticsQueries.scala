@@ -1,0 +1,354 @@
+package graft.operators
+
+import graft.Registry.{Q, q}
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Session/behavioral analytics pack (round 3): gaps-and-islands, interval
+  * concurrency, bitmap audience overlap, EWMA smoothing, running distinct
+  * counts, conditional-aggregate surface, skyline (Pareto frontier),
+  * hierarchical OHLC rollup cascade, and last-touch attribution.
+  *
+  * All queries follow the FIXTURES.md determinism contract: full-tuple
+  * ORDER BY, round(·,4) on double outputs, BIGINT casts wherever DuckDB
+  * widens (window sums, bit_count sums), and µs integer time arithmetic
+  * (`unix_micros` ≙ `epoch_us`) instead of fractional epoch seconds.
+  *
+  * 100 TB notes per query inline — every shape here is a partition-local
+  * window or an equi-join; nothing is all-pairs or driver-side.
+  */
+object AnalyticsQueries {
+
+  private def us(c: Column): Column = unix_micros(c)
+
+  val all: Seq[Q] = Seq(
+
+    // Gaps-and-islands: split each user's event stream into activity
+    // islands wherever the gap exceeds 1 h, then profile islands per user.
+    // The classic sessionization-without-session_window shape: one window
+    // pass marks island starts, a running sum labels islands, two grouped
+    // aggregations roll up. At 100 TB everything is partitioned by user_id
+    // — no cross-key traffic beyond the initial shuffle; the window and
+    // both groupBys reuse the same hash partitioning (one exchange total).
+    q("q124_islands", "gaps-and-islands per user: island count, peak size, longest span")(
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS t,
+        |         CASE WHEN lag(epoch_us(ts::TIMESTAMP)) OVER w IS NULL
+        |                OR epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w > 3600000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |lab AS (
+        |  SELECT user_id, t,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl
+        |  FROM o),
+        |isles AS (
+        |  SELECT user_id, isl, count(*) AS n, (max(t) - min(t)) // 1000000 AS dur_s
+        |  FROM lab GROUP BY user_id, isl)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(max(n) AS BIGINT) AS peak_events,
+        |       CAST(max(dur_s) AS BIGINT) AS longest_s
+        |FROM isles GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val t = us(col("ts"))
+      val brk = when(lag(t, 1).over(w).isNull ||
+        t - lag(t, 1).over(w) > 3600L * 1000000L, 1).otherwise(0)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), t.as("t"), brk.as("brk"))
+        .withColumn("isl",
+          sum(col("brk")).over(Window.partitionBy("user_id").orderBy("t", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "isl")
+        .agg(count(lit(1)).as("n"),
+          ((max(col("t")) - min(col("t"))) / 1000000L).cast("long").as("dur_s"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          max(col("n")).as("peak_events"),
+          max(col("dur_s")).as("longest_s"))
+        .orderBy("user_id")
+    },
+
+    // Interval-overlap concurrency via sweep line: each event opens a
+    // 30-minute interval [ts, ts+30m); +1/−1 boundary points, a running sum
+    // per event_type, and the max is the peak concurrency. Sorting −1
+    // before +1 at equal timestamps implements the half-open contract.
+    // The scale shape for "max concurrent sessions/connections" reports:
+    // one shuffle on the partition key, one window pass — never an
+    // interval self-join (which is quadratic on dense overlap).
+    q("q125_max_concurrency", "peak concurrent 30-min intervals per event_type (sweep line)")(
+      """WITH pts AS (
+        |  SELECT event_type, epoch_us(ts::TIMESTAMP) AS t, 1 AS d FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts::TIMESTAMP) + 1800000000, -1 FROM events),
+        |run AS (
+        |  SELECT event_type,
+        |         CAST(sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |  FROM pts)
+        |SELECT event_type, max(c) AS peak
+        |FROM run GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val pts = ev.select(col("event_type"), us(col("ts")).as("t"), lit(1).as("d"))
+        .unionAll(ev.select(col("event_type"),
+          (us(col("ts")) + 1800L * 1000000L).as("t"), lit(-1).as("d")))
+      pts.withColumn("c",
+          sum(col("d")).over(Window.partitionBy("event_type").orderBy("t", "d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("event_type").agg(max(col("c")).as("peak"))
+        .orderBy("event_type")
+    },
+
+    // Audience overlap via bitmap indexes: each event_type's user set is
+    // packed into 63-bit BIGINT words (word = user_id div 63; DuckDB's
+    // shift is overflow-checked at bit 63, q59's lesson), pairwise overlap
+    // is AND + popcount on word-aligned equi-joined segments. The roaring-
+    // bitmap shape: set intersection cost is O(words), not O(members), and
+    // the word equi-join co-partitions — at 100 TB each (segment, word)
+    // cell is independent, so overlap matrices over billions of users are
+    // a map-side AND away once the bitmaps exist.
+    q("q126_bitmap_overlap", "pairwise audience overlap via 63-bit word bitmaps")(
+      """WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+        |b AS (
+        |  SELECT event_type, user_id // 63 AS w,
+        |         bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bits
+        |  FROM m GROUP BY event_type, user_id // 63)
+        |SELECT a.event_type AS t1, c.event_type AS t2,
+        |       CAST(sum(bit_count(a.bits & c.bits)) AS BIGINT) AS overlap
+        |FROM b a JOIN b c ON a.w = c.w AND a.event_type < c.event_type
+        |GROUP BY t1, t2 ORDER BY t1, t2""".stripMargin
+    ) { (s, dir) =>
+      val b = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .select(col("event_type"), expr("user_id div 63").as("w"),
+          expr("shiftleft(1L, cast(user_id % 63 as int))").as("bit"))
+        .groupBy("event_type", "w").agg(expr("bit_or(bit)").as("bits"))
+      val a = b.select(col("event_type").as("t1"), col("w"), col("bits").as("ba"))
+      val c = b.select(col("event_type").as("t2"), col("w"), col("bits").as("bc"))
+      a.join(c, Seq("w")).filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(sum(bit_count(col("ba").bitwiseAND(col("bc")))).cast("long").as("overlap"))
+        .orderBy("t1", "t2")
+    },
+
+    // EWMA (α = 1/2) over each event_type's last 16 values, computed as a
+    // SEQUENTIAL left fold over the windowed value list — `aggregate` and
+    // DuckDB's `list_reduce` run the identical (a+x)/2 chain in the same
+    // order, so the doubles are bit-identical cross-engine (NOTES.md:
+    // sequential folds are the deterministic way to verify smoothing).
+    // One window pass, partition-local; the 16-element list bounds state.
+    q("q127_ewma", "EWMA (α=1/2) of the last 16 values per event_type")(
+      """WITH l AS (
+        |  SELECT event_type, ts, event_id,
+        |         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vs,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM events)
+        |SELECT event_type, n, round(list_reduce(vs, (a, x) -> (a + x) / 2), 4) AS ewma
+        |FROM l WHERE rn = 1 ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+        .withColumn("vs", collect_list(col("value")).over(ord.rowsBetween(-15, 0)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("ts").desc, col("event_id").desc)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n"),
+          round(aggregate(
+            slice(col("vs"), lit(2), size(col("vs")) - 1),
+            element_at(col("vs"), 1),
+            (a, x) => (a + x) / lit(2.0)), 4).as("ewma"))
+        .orderBy("event_type")
+    },
+
+    // Running distinct count over a window — the window COUNT(DISTINCT)
+    // Spark and DuckDB both lack, emulated exactly: mark each (user,
+    // event_type)'s first occurrence with row_number()=1, then running-sum
+    // the marks along the user's timeline. Two window passes over the SAME
+    // user_id partitioning (one exchange); scales as pure partition-local
+    // state — the standard trick for "distinct items seen so far" feeds.
+    q("q128_running_distinct", "running distinct event_type count along each user's timeline")(
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                                      ORDER BY ts, event_id) = 1
+        |              THEN 1 ELSE 0 END AS fst
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |       CAST(sum(fst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k_types
+        |FROM f ORDER BY user_id, ts, event_id LIMIT 500""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("fst", when(row_number().over(
+          Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")) === 1, 1)
+          .otherwise(0))
+        .withColumn("k_types", sum(col("fst")).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("k_types"))
+        .limit(500)
+    },
+
+    // Conditional-aggregate surface: count_if / bool_and / bool_or /
+    // max_by / min_by — the same five names resolve in both engines.
+    // min_by/max_by are keyed on the UNIQUE event_id (keying them on value
+    // would be tie-nondeterministic cross-engine). All partial-aggregate
+    // map-side; 5 groups.
+    q("q129_agg_variants", "count_if / bool_and / bool_or / max_by / min_by per event_type")(
+      """SELECT event_type,
+        |       CAST(count_if(value > 50) AS BIGINT) AS n_hi,
+        |       bool_and(value >= 0) AS all_nonneg,
+        |       bool_or(value > 480) AS any_extreme,
+        |       round(max_by(value, event_id), 4) AS latest_value,
+        |       round(min_by(value, event_id), 4) AS earliest_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("count_if(value > 50)").cast("long").as("n_hi"),
+          expr("bool_and(value >= 0)").as("all_nonneg"),
+          expr("bool_or(value > 480)").as("any_extreme"),
+          round(expr("max_by(value, event_id)"), 4).as("latest_value"),
+          round(expr("min_by(value, event_id)"), 4).as("earliest_value"))
+        .orderBy("event_type")
+    },
+
+    // Skyline (Pareto frontier) on part: minimize retail price, maximize
+    // size, strict dominance on both axes. The O(n log n) window shape —
+    // pre-aggregate max size per distinct price, running max over the
+    // price ordering shifted one group back, keep rows beating every
+    // strictly-cheaper part. NEVER the quadratic NOT-EXISTS self-join: at
+    // 100 TB the frontier test is a sort + one window + an equi-join back.
+    q("q130_skyline", "Pareto frontier of part (min price, max size) via running max")(
+      """WITH g AS (SELECT p_retailprice AS pr, max(p_size) AS ms FROM part GROUP BY p_retailprice),
+        |c AS (SELECT pr, max(ms) OVER (ORDER BY pr ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND 1 PRECEDING) AS below FROM g)
+        |SELECT p.p_partkey, p.p_size, round(p.p_retailprice, 4) AS price
+        |FROM part p JOIN c ON p.p_retailprice = c.pr
+        |WHERE p.p_size > COALESCE(c.below, -1)
+        |ORDER BY price, p.p_partkey""".stripMargin
+    ) { (s, dir) =>
+      val part = Tables(s, dir, "part")
+      val g = part.groupBy(col("p_retailprice").as("pr")).agg(max(col("p_size")).as("ms"))
+      val c = g.withColumn("below", max(col("ms")).over(
+        Window.orderBy("pr").rowsBetween(Window.unboundedPreceding, -1)))
+      part.join(c, part("p_retailprice") === c("pr"))
+        .filter(col("p_size") > coalesce(col("below"), lit(-1)))
+        .select(col("p_partkey"), col("p_size"), round(col("p_retailprice"), 4).as("price"))
+        .orderBy("price", "p_partkey")
+    },
+
+    // Hierarchical OHLC rollup cascade: 1-minute bars aggregate into
+    // 10-minute bars into 1-hour bars — each level computed FROM THE LEVEL
+    // BELOW (open = first child's open, close = last child's close,
+    // high/low/volume compose). The oracle recomputes every level directly
+    // from raw events, so the query PROVES the cascade is lossless — the
+    // incremental-rollup contract that lets a 100 TB deployment maintain
+    // coarse bars from fine bars without ever rescanning raw data.
+    q("q139_rollup_cascade", "OHLC 1m→10m→1h cascade; each level from the level below")({
+      // the oracle computes each level DIRECTLY from raw events — the Spark
+      // side cascades level-from-level, so a hash match proves the cascade
+      // is lossless (open/close/high/low/volume compose exactly)
+      def direct(widthUs: Long, lvl: String) =
+        s"""SELECT '$lvl' AS lvl, event_type, bar,
+           |       max(value) AS h, min(value) AS l, count(*) AS n,
+           |       max(o) AS o, max(c) AS c
+           |FROM (SELECT event_type, value,
+           |        (epoch_us(ts::TIMESTAMP) // $widthUs) * $widthUs AS bar,
+           |        first_value(value) OVER (PARTITION BY event_type, epoch_us(ts::TIMESTAMP) // $widthUs
+           |                                 ORDER BY ts, event_id) AS o,
+           |        first_value(value) OVER (PARTITION BY event_type, epoch_us(ts::TIMESTAMP) // $widthUs
+           |                                 ORDER BY ts DESC, event_id DESC) AS c
+           |      FROM events)
+           |GROUP BY event_type, bar""".stripMargin
+      s"""SELECT lvl, event_type, make_timestamp(bar) AS bar_start,
+         |       round(o, 4) AS open, round(h, 4) AS high, round(l, 4) AS low,
+         |       round(c, 4) AS close, CAST(n AS BIGINT) AS volume
+         |FROM (${direct(3600000000L, "1h")} UNION ALL ${direct(600000000L, "10m")})
+         |ORDER BY lvl, event_type, bar_start""".stripMargin
+    }) { (s, dir) =>
+      def lift(df: org.apache.spark.sql.DataFrame, width: Long) = {
+        val bucket = (col("bar") / lit(width)).cast("long") * lit(width)
+        val wAsc = Window.partitionBy(col("event_type"), bucket).orderBy(col("bar"))
+        val wDesc = Window.partitionBy(col("event_type"), bucket).orderBy(col("bar").desc)
+        df.withColumn("o2", first(col("o")).over(wAsc))
+          .withColumn("c2", first(col("c")).over(wDesc))
+          .groupBy(col("event_type"), bucket.as("bar"))
+          .agg(max(col("h")).as("h"), min(col("l")).as("l"), sum(col("n")).as("n"),
+            max(col("o2")).as("o"), max(col("c2")).as("c"))
+      }
+      val t = us(col("ts"))
+      val minuteBar = (t / lit(60000000L)).cast("long") * lit(60000000L)
+      val base = Tables(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"),
+          minuteBar.as("bar"))
+      val wAsc = Window.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+      val wDesc = Window.partitionBy("event_type", "bar")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val b1 = base
+        .withColumn("o", first(col("value")).over(wAsc))
+        .withColumn("c", first(col("value")).over(wDesc))
+        .groupBy("event_type", "bar")
+        .agg(max(col("value")).as("h"), min(col("value")).as("l"), count(lit(1)).as("n"),
+          max(col("o")).as("o"), max(col("c")).as("c"))
+      val b10 = lift(b1, 600000000L)
+      val b60 = lift(b10, 3600000000L)
+      b60.withColumn("lvl", lit("1h")).unionByName(b10.withColumn("lvl", lit("10m")))
+        .select(col("lvl"), col("event_type"), timestamp_micros(col("bar")).as("bar_start"),
+          round(col("o"), 4).as("open"), round(col("h"), 4).as("high"),
+          round(col("l"), 4).as("low"), round(col("c"), 4).as("close"),
+          col("n").cast("long").as("volume"))
+        .orderBy("lvl", "event_type", "bar_start")
+    },
+
+    // Last-touch attribution: each purchase credits the user's most recent
+    // prior click/view within 7 days. One window pass carries the last
+    // touch forward (last_value IGNORE NULLS over the user timeline) — the
+    // attribution join that is usually written as an expensive as-of
+    // self-join collapses into partition-local state. Revenue sums run in
+    // DECIMAL(28,4) over pre-rounded values (FIXTURES.md: grouped double
+    // sums are order-dependent cross-engine).
+    q("q140_attribution", "last-touch purchase attribution (7-day lookback) per source")(
+      """WITH tl AS (
+        |  SELECT user_id, event_type, value, epoch_us(ts::TIMESTAMP) AS t,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN epoch_us(ts::TIMESTAMP) END
+        |               IGNORE NULLS) OVER w AS lt_t,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END
+        |               IGNORE NULLS) OVER w AS source
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_purchases,
+        |       round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+        |FROM tl
+        |WHERE event_type = 'purchase' AND lt_t IS NOT NULL AND t - lt_t <= 604800000000
+        |GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isTouch = col("event_type").isin("click", "view")
+      val t = us(col("ts"))
+      Tables(s, dir, "events")
+        .withColumn("t", t)
+        .withColumn("lt_t", last(when(isTouch, t), ignoreNulls = true).over(w))
+        .withColumn("source", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("lt_t").isNotNull &&
+          col("t") - col("lt_t") <= 604800000000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(round(col("value"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4)
+            .as("revenue"))
+        .orderBy("source")
+    }
+  )
+}
