@@ -218,6 +218,45 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Frame-level audio analysis through the REAL WAV codec (q69's synth +
+    * container parse): whole-clip zero-crossing count plus the peak
+    * 80-sample-frame energy — the speech/music front-end primitives (ZCR,
+    * short-time energy), kept in EXACT integer arithmetic (energies are
+    * BIGINT sums of 16-bit squares; no float anywhere). Row-local map
+    * stage at any scale; partial frames are dropped (n div 80 frames). */
+  def audioFramesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val samples = text.map(ch => ((ch.toInt - 96) * 256).toShort).toArray
+          val pcm = WavCodec.decode(WavCodec.encode(8000, samples)) // real parse
+          val s = pcm.samples
+          var zc = 0L
+          var i = 1
+          while (i < s.length) {
+            if ((s(i) < 0) != (s(i - 1) < 0)) zc += 1
+            i += 1
+          }
+          val nf = s.length / 80
+          var maxE = 0L
+          var f = 0
+          while (f < nf) {
+            var e = 0L
+            var j = f * 80
+            while (j < (f + 1) * 80) { e += s(j).toLong * s(j); j += 1 }
+            if (e > maxE) maxE = e
+            f += 1
+          }
+          (id, s.length.toLong, zc, nf.toLong, maxE)
+        }
+      }
+      .toDF("media_id", "n_samples", "zc", "n_frames", "max_frame_energy")
+      .orderBy("media_id")
+  }
+
   /** The registered rows-only query: full decode→features→resize chain. */
   def featuresQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

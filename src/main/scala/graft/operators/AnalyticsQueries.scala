@@ -349,6 +349,34 @@ object AnalyticsQueries {
             .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4)
             .as("revenue"))
         .orderBy("source")
+    },
+
+    // Behavioral Markov chain: the event_type → next event_type transition
+    // matrix over each user's timeline. One lead() window pass emits the
+    // transitions, one groupBy counts them; probabilities are EXACT integer
+    // micro-units (count·10⁶ div row-total — q80's no-float-ordering
+    // contract). The per-user window partitioning is the only exchange;
+    // the 25-cell matrix partial-aggregates map-side at any scale.
+    q("q141_markov", "event_type transition matrix in integer micro-units")(
+      """WITH tr AS (
+        |  SELECT event_type AS cur,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, count(*) AS n FROM tr WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+        |SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+        |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY cur) AS BIGINT) AS p_micro
+        |FROM c ORDER BY cur, nxt""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy("cur")))
+        .select(col("cur"), col("nxt"), col("n"),
+          expr("(n * 1000000L) div tot").as("p_micro"))
+        .orderBy("cur", "nxt")
     }
   )
 }

@@ -834,6 +834,25 @@ object ExtrasQueries {
         |ORDER BY m.media_id""".stripMargin
     ) { (s, dir) => graft.multimodal.Multimodal.bmpAHashQuery(s, dir) },
 
+    // Frame-level audio features through the REAL WAV codec: zero-crossing
+    // count + peak 80-sample frame energy, all integer-exact (q69's synth
+    // arithmetic gives the oracle an exact SQL model; the Spark side must
+    // round-trip the actual RIFF container to agree).
+    q("q136_audio_frames", "audio ZCR + peak frame energy via real WAV decode")(
+      """WITH m AS (SELECT doc_id AS media_id, length(text) AS n,
+        |        list_transform(regexp_split_to_array(text, ''),
+        |                       c -> CAST((unicode(c) - 96) * 256 AS BIGINT)) AS smp
+        |        FROM documents)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(len(list_filter(generate_series(2, n),
+        |       i -> (smp[i] < 0) <> (smp[i-1] < 0))) AS BIGINT) AS zc,
+        |  CAST(n // 80 AS BIGINT) AS n_frames,
+        |  CAST(COALESCE(list_max(list_transform(generate_series(1, n // 80),
+        |       f -> list_reduce(list_transform(smp[(f-1)*80+1 : f*80], x -> x * x),
+        |                        (a, b) -> a + b))), 0) AS BIGINT) AS max_frame_energy
+        |FROM m ORDER BY media_id""".stripMargin
+    ) { (s, dir) => graft.multimodal.Multimodal.audioFramesQuery(s, dir) },
+
     // Ingest throughput proxy: the full reference pipeline (parse → dispatch
     // → derive → proto encode) over wire lines synthesized from every event
     // row ×3 — Bench times this as the single-node throughput headline

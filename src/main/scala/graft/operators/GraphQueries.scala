@@ -173,6 +173,49 @@ object GraphQueries {
         frontier = next.select("node")
       }
       dist.orderBy("node")
+    },
+
+    // HITS hubs & authorities over the bipartite part→supplier purchase
+    // graph — the mutual-reinforcement ranking PageRank doesn't give
+    // (authorities: suppliers endorsed by broad parts; hubs: parts that
+    // touch strong suppliers). Two full a/h rounds in EXACT BIGINT
+    // arithmetic, unnormalized (normalization is a float trap cross-engine
+    // and does not change the ordering). Magnitude bound: with max degrees
+    // (682, 52) at sf0.1, h₂ ≤ 52·682·52·682·10⁶ ≈ 1.2·10¹⁵ — 3 decimal
+    // orders under int64; deeper iteration would rescale by 10³ per round.
+    // Scale shape = PageRank's: each half-round is one equi-join of the
+    // cached edge list with a broadcast score frame + a partial-aggregated
+    // groupBy; nothing grows past |edges|.
+    q("q138_hits", "2-round integer HITS: top hubs (parts) and authorities (suppliers)")(
+      """WITH e AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+        |                           's' || CAST(l_suppkey AS VARCHAR) AS s FROM lineitem),
+        |a1 AS (SELECT s, CAST(count(*) AS BIGINT) * 1000000 AS a FROM e GROUP BY s),
+        |h1 AS (SELECT p, CAST(sum(a) AS BIGINT) AS h FROM e JOIN a1 USING (s) GROUP BY p),
+        |a2 AS (SELECT s, CAST(sum(h) AS BIGINT) AS a FROM e JOIN h1 USING (p) GROUP BY s),
+        |h2 AS (SELECT p, CAST(sum(a) AS BIGINT) AS h FROM e JOIN a2 USING (s) GROUP BY p)
+        |SELECT kind, node, score FROM (
+        |  (SELECT 'authority' AS kind, s AS node, a AS score FROM a2
+        |   ORDER BY score DESC, node LIMIT 20)
+        |  UNION ALL
+        |  (SELECT 'hub' AS kind, p AS node, h AS score FROM h2
+        |   ORDER BY score DESC, node LIMIT 20))
+        |ORDER BY kind, score DESC, node""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables.fanout(s, dir, "lineitem")
+        .select(concat(lit("p"), col("l_partkey").cast("string")).as("p"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
+        .distinct()
+        .cache() // re-joined every half-round
+      val a1 = e.groupBy("s").agg((count(lit(1)) * 1000000L).as("a"))
+      val h1 = e.join(broadcast(a1), "s").groupBy("p").agg(sum(col("a")).as("h"))
+      val a2 = e.join(broadcast(h1), "p").groupBy("s").agg(sum(col("h")).as("a"))
+      val h2 = e.join(broadcast(a2), "s").groupBy("p").agg(sum(col("a")).as("h"))
+      a2.select(lit("authority").as("kind"), col("s").as("node"), col("a").as("score"))
+        .orderBy(col("score").desc, col("node")).limit(20)
+        .unionAll(
+          h2.select(lit("hub").as("kind"), col("p").as("node"), col("h").as("score"))
+            .orderBy(col("score").desc, col("node")).limit(20))
+        .orderBy(col("kind"), col("score").desc, col("node"))
     }
   )
 }

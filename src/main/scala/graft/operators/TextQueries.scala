@@ -533,6 +533,48 @@ object TextQueries {
           array_join(transform(slice(sort_array(collect_set(col("doc_id"))), 1, 3),
             _.cast("string")), ",").as("top_docs"))
         .orderBy(col("df").desc, col("term")).limit(100)
+    },
+
+    // Character-level n-gram Jaccard near-dup — the tokenization-robust
+    // sibling of q34a's word shingles (catches near-dups that differ only
+    // in whitespace/punctuation, where word shingles shift). Distinct char
+    // 5-grams per doc, |A∩B| from a gram equi-join (never all-pairs), sizes
+    // joined back, J = i/(|A|+|B|−i). The raw 5-char gram IS the join key —
+    // at 5 bytes it is already narrower than any hash of it. At 100 TB the
+    // gram join needs the q51-style hot-gram cap (stopword-like grams
+    // dominate); threshold 0.5 keeps candidate pairs sparse here.
+    q("q131_char_ngram_jaccard", "char 5-gram Jaccard near-dup pairs (J ≥ 0.5)")(
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, length(text) - 4), i -> substr(text, i, 5)))) AS gr
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+        |WHERE i * 2.0 >= (sa.n + sb.n - i)
+        |ORDER BY d1, d2""".stripMargin
+    ) { (s, dir) =>
+      val g = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), length(col("text")) - 4),
+            i => col("text").substr(i, lit(5))))).as("gr"))
+        .cache() // sizes + both sides of the intersection join
+      val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = g.select(col("doc_id").as("d1"), col("gr"))
+        .join(g.select(col("doc_id").as("d2"), col("gr")), Seq("gr"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
+        .join(sz.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
+        .filter(col("i") * 2.0 >= col("na") + col("nb") - col("i"))
+        .select(col("d1"), col("d2"),
+          round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
+        .orderBy("d1", "d2")
     }
   )
 }

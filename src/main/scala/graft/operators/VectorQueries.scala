@@ -972,6 +972,51 @@ object VectorQueries {
       assign.join(dropped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cent"), coalesce(col("hit"), lit(1L)).as("kept"))
         .orderBy("vec_id")
+    },
+
+    // Approximate kNN self-join — every vector's top-3 neighbors in one
+    // distributed pass, the workhorse behind SemDeDup-style curation and
+    // diversity sampling. Candidates come from the radius-2 LSH probe ball
+    // (q35c's multi-probe over q35b's sign buckets: 37 probes across 8
+    // planes), ranked by the ALREADY-ROUNDED cosine with nn_id tiebreak.
+    // The oracle mirrors the candidate generation (hamming ≤ 2 on buckets),
+    // pinning exactness; probe-ball recall vs brute force is bounds-tested
+    // separately (ApproxAndRecallSpec). Scale shape: probe-bucket equi-join
+    // (each pair surfaces at most once — probes are distinct per left row,
+    // each right row has one bucket), per-vector top-k window — never an
+    // all-pairs product.
+    q("q137_knn_join", "approximate kNN self-join: top-3 neighbors per vector via LSH probe ball")(
+      s"""$bucketCte,
+         |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |         round(list_dot_product(a.e, b.e) / (na.nrm * nb.nrm), 4) AS cos
+         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+         |       JOIN n na ON na.vec_id = a.vec_id
+         |       JOIN n nb ON nb.vec_id = b.vec_id
+         |       JOIN bk ba ON ba.vec_id = a.vec_id
+         |       JOIN bk bb ON bb.vec_id = b.vec_id
+         |  WHERE bit_count(xor(ba.bucket, bb.bucket)) <= 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                    ORDER BY cos DESC, nn_id) AS rnk FROM cand)
+         |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nn_id, cos
+         |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      val masks = probeMasks(2)
+      val v = withBucket(withNorm(Tables.fanout(s, dir, "embeddings")))
+      val a = v.select(col("vec_id"), col("e").as("ea"),
+          col("nrm").as("nrma"), col("bucket"))
+        .withColumn("pb", explode(array(
+          masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+      val b = v.select(col("vec_id").as("nn_id"), col("e").as("eb"),
+        col("nrm").as("nrmb"), col("bucket").as("cb"))
+      a.join(b, col("pb") === col("cb") && col("vec_id") =!= col("nn_id"))
+        .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("nrma") * col("nrmb")), 4))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("vec_id"), col("rnk"), col("nn_id"), col("cos"))
+        .orderBy("vec_id", "rnk")
     }
   )
 }
