@@ -575,6 +575,78 @@ object TextQueries {
         .select(col("d1"), col("d2"),
           round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
         .orderBy("d1", "d2")
+    },
+
+    // Shannon character entropy per doc — the compression-proxy quality
+    // gate (gibberish and boilerplate both sit at entropy extremes). The
+    // -Σ p·ln p sum is float-order-sensitive, so both engines fold the
+    // char-sorted count list SEQUENTIALLY (aggregate ≙ list_reduce with a
+    // 0.0+x1 ≡ x1 seed — bit-identical, NOTES.md) with ln on doubles.
+    // Shape: one explode + two partial-aggregated groupBys on doc_id.
+    q("q143_char_entropy", "per-doc Shannon char entropy via sequential sorted fold")(
+      """WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c0 FROM documents),
+        |cnt AS (SELECT doc_id, c0, count(*) AS k FROM ch GROUP BY doc_id, c0),
+        |e AS (SELECT doc_id, list(k ORDER BY c0) AS ks,
+        |             CAST(sum(k) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct
+        |      FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n AS n_chars, n_distinct,
+        |       round(-list_reduce(list_transform(ks,
+        |             k -> (CAST(k AS DOUBLE) / n) * ln(CAST(k AS DOUBLE) / n)),
+        |             (a, b) -> a + b), 4) AS entropy
+        |FROM e ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c0"))
+        .groupBy("doc_id", "c0").agg(count(lit(1)).as("k"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("c0"), col("k")))).as("ks"),
+          sum(col("k")).as("n_chars"), count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+          round(-aggregate(col("ks"), lit(0.0), (a, m) => {
+            val p = m.getField("k").cast("double") / col("n_chars")
+            a + p * log(p)
+          }), 4).as("entropy"))
+        .orderBy("doc_id")
+    },
+
+    // Train/test n-gram contamination coverage — q52's decontamination gate
+    // measured instead of enforced: for every held-out (fold 0, q72's md5
+    // split) doc, the fraction of its bigrams (with multiplicity) that
+    // exist anywhere in the training folds, in exact integer micro-units.
+    // Shape: the test-side explode equi-joins the DISTINCT train-bigram
+    // table — at 100 TB the train side is the large one, so it stays
+    // hash-partitioned by bigram while test probes it; never a product.
+    q("q144_ngram_coverage", "held-out doc bigram coverage vs training folds (micro-units)")(
+      s"""WITH tok AS (
+         |  SELECT doc_id, str_split(text, ' ') AS toks, ${md5LongSql("text")} % 5 AS fold
+         |  FROM documents),
+         |big AS (
+         |  SELECT doc_id, fold, unnest(${shinglesSql("toks", 2)}) AS bg
+         |  FROM tok WHERE len(toks) >= 2),
+         |train AS (SELECT DISTINCT bg FROM big WHERE fold <> 0),
+         |test AS (SELECT b.doc_id, count(*) AS nb,
+         |                CAST(count(t.bg) AS BIGINT) AS hits
+         |         FROM big b LEFT JOIN train t USING (bg)
+         |         WHERE b.fold = 0 GROUP BY b.doc_id)
+         |SELECT doc_id, CAST(nb AS BIGINT) AS nb, hits,
+         |       CAST(hits * 1000000 // nb AS BIGINT) AS cov_micro
+         |FROM test ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val tok = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"),
+          (md5Long(col("text")) % 5).as("fold"))
+      val big = tok.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("fold"), explode(shingles(col("toks"), 2)).as("bg"))
+        .cache() // train legs + test leg
+      val train = big.filter(col("fold") =!= 0).select(col("bg")).distinct()
+        .withColumn("hit", lit(1L))
+      big.filter(col("fold") === 0)
+        .join(train, Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nb"), sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("doc_id"), col("nb"), col("hits"),
+          expr("(hits * 1000000L) div nb").as("cov_micro"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -147,4 +147,61 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") ||
       plan.split("CartesianProduct").length - 1 <= 1, plan) // the 1-row tot crossJoin broadcasts
   }
+
+  // ---- round-3 additions ----
+
+  test("q124 islands: windows + both groupBys reuse ONE user_id exchange") {
+    val plan = executedPlan("q124_islands")
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q125 sweep-line concurrency: no interval self-join anywhere") {
+    val plan = executedPlan("q125_max_concurrency")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+  }
+
+  test("q126 bitmap overlap: word-aligned equi-join, never a product") {
+    val plan = executedPlan("q126_bitmap_overlap")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q139 rollup cascade: pure window + aggregate, no join at any level") {
+    val plan = executedPlan("q139_rollup_cascade")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q140 attribution: carry-forward window, no as-of self-join") {
+    val plan = executedPlan("q140_attribution")
+    assert(!plan.contains("Join"), plan)
+    // exactly two hash exchanges: the user_id window + the source roll-up
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 2, plan)
+  }
+
+  test("q137 kNN join: probe-bucket equi-join, never an all-pairs product") {
+    val plan = executedPlan("q137_knn_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q138 HITS: score frames broadcast against the cached edge list") {
+    val plan = executedPlan("q138_hits")
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q131 char-ngram jaccard: gram equi-join, never a product") {
+    val plan = executedPlan("q131_char_ngram_jaccard")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q130 skyline: frontier via window + join-back, no NOT-EXISTS product") {
+    val plan = executedPlan("q130_skyline")
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
