@@ -377,6 +377,104 @@ object AnalyticsQueries {
         .select(col("cur"), col("nxt"), col("n"),
           expr("(n * 1000000L) div tot").as("p_micro"))
         .orderBy("cur", "nxt")
+    },
+
+    // Robust outlier detection via MAD (median absolute deviation) — the
+    // robust sibling of q97's z-score (one wild value cannot drag the
+    // gate). Both medians are DISCRETE (element at ceil(n/2) of the sorted
+    // list — q58's no-interpolation contract, so no float blending
+    // cross-engine); the 3·MAD flag is an integer-free double compare of
+    // exactly-selected values. Two window/agg passes per group key.
+    q("q145_mad_outliers", "per-type MAD and |x−med| > 3·MAD outlier counts")(
+      """WITH med AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |m AS (SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+        |      FROM med GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad,
+        |         row_number() OVER (PARTITION BY e.event_type
+        |                            ORDER BY abs(e.value - m.med), e.event_id) AS rn,
+        |         count(*) OVER (PARTITION BY e.event_type) AS n
+        |  FROM events e JOIN m USING (event_type)),
+        |mad AS (SELECT event_type, max(med) AS med,
+        |               max(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad
+        |        FROM dev GROUP BY event_type)
+        |SELECT d.event_type, round(mad.med, 4) AS median, round(mad.mad, 4) AS mad,
+        |       CAST(count_if(d.ad > 3 * mad.mad) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY d.event_type, mad.med, mad.mad ORDER BY d.event_type""".stripMargin
+    ) { (s, dir) =>
+      def discreteMedian(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+          out: String): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy("event_type").orderBy(valueCol, col("event_id"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          // (n+1) div 2, NOT (n+1)/2: Column./ is double division and a
+          // fractional rank would never equal the integer row_number
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === expr("(n + 1L) div 2"), valueCol)).as(out))
+      }
+      val ev = Tables(s, dir, "events")
+      val m = discreteMedian(ev, col("value"), "med")
+      val dev = ev.join(broadcast(m), "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = discreteMedian(dev, col("ad"), "mad")
+        .join(broadcast(m), "event_type")
+      dev.drop("med").join(broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(expr("count_if(ad > 3 * mad)").cast("long").as("n_outliers"))
+        .select(col("event_type"), round(col("med"), 4).as("median"),
+          round(col("mad"), 4).as("mad"), col("n_outliers"))
+        .orderBy("event_type")
+    },
+
+    // Decile binning (ntile) + per-bin profile — the feature-bucketing op
+    // for score calibration and equi-depth histograms. ntile ties are
+    // order-dependent, so the window orders by the full unique (value,
+    // event_id) tuple — deterministic bin edges in both engines. One
+    // window pass + one grouped roll-up on the same partitioning.
+    q("q146_deciles", "ntile(10) decile binning per event_type with per-bin profile")(
+      """WITH d AS (
+        |  SELECT event_type, value,
+        |         CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS decile
+        |  FROM events)
+        |SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n,
+        |       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        |FROM d GROUP BY event_type, decile ORDER BY event_type, decile""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy("event_type").orderBy("value", "event_id")).cast("long"))
+        .groupBy("event_type", "decile")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"), round(max(col("value")), 4).as("hi"))
+        .orderBy("event_type", "decile")
+    },
+
+    // Exact rolling median (11-row centered-tail window) — the robust
+    // smoother for noisy series; selection (sort + middle element), never
+    // averaging, so the doubles pass through both engines untouched.
+    // Partition-local window state bounded by the frame width.
+    q("q147_rolling_median", "exact rolling median of the last 11 values per event_type")(
+      """WITH l AS (
+        |  SELECT event_type, ts, event_id, value,
+        |         list_sort(list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                        ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) AS vs
+        |  FROM events)
+        |SELECT event_type, event_id, round(vs[(len(vs) + 1) // 2], 4) AS roll_med
+        |FROM l ORDER BY event_type, ts, event_id LIMIT 1000""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("vs", sort_array(collect_list(col("value")).over(
+          Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-10, 0))))
+        .withColumn("roll_med",
+          round(element_at(col("vs"), ((size(col("vs")) + 1) / 2).cast("int")), 4))
+        .orderBy("event_type", "ts", "event_id")
+        .select(col("event_type"), col("event_id"), col("roll_med"))
+        .limit(1000)
     }
   )
 }
