@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global scale-discipline guard: NO registered query may plan a
+  * CartesianProduct or BroadcastNestedLoopJoin unless it is on the
+  * explicit allowlist below with a justification. This is the property
+  * that kills 100 TB deployments silently — a refactor that turns an
+  * equi-join into a product would pass every value-correctness check and
+  * then run for days at scale. Plans are built at sf0.001 (AQE initial
+  * plan); streaming queries are skipped (building them executes real
+  * micro-batch runs, and their joins are covered by their own specs).
+  */
+class GlobalPlanGuardSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Intended product joins — every entry is a BOUNDED fan-out (a 1-row
+    * scalar frame or a K-row constant grid broadcast against the data),
+    * never a data×data product. Anything not listed here fails the test. */
+  private val allowed: Map[String, String] = Map(
+    "q98_gapfill" -> "per-series hourly spine: bounded generated sequence × series keys",
+    "q36f_tfidf" -> "1-row corpus doc-count frame × term table (IDF)",
+    "q36g_pmi_collocations" -> "1-row total-counts frame × bigram table",
+    "q72_bigram_lm" -> "1-row vocab-size frame × scoring stream",
+    "q76_bpe_train" -> "1-row argmax merge-pair frame per unrolled round (3 rounds)",
+    "q76b_bpe_encode" -> "3-row trained-merge table × distinct-token frame",
+    "q110_bm25" -> "1-row corpus stats (N, avgdl) × term-match stream",
+    "q90_skew_report" -> "1-row grand-total frame × per-key share table",
+    "q102_quantile_norm" -> "1-row global-count frame × ranked rows",
+    "q117_temperature_mix" -> "1-row total-char-mass frame × per-source quota table",
+    "q35_cosine_topk" -> "brute-force baseline BY DESIGN: 10 query vectors broadcast × corpus",
+    "q35d_ivf_assign" -> "K=8 seed-centroid grid broadcast × vectors (coarse quantizer)",
+    "q35e_ivf_search" -> "K=8 centroid grid × query vectors (probe scoring)",
+    "q35f_kmeans_ivf_assign" -> "K=8 Lloyd-centroid grid × vectors per iteration",
+    "q35g_kmeans_ivf_search" -> "K=8 Lloyd-centroid grid × query vectors",
+    "q35m_filtered_ivf_search" -> "K=8 centroid grid × query vectors (filtered probe)",
+    "q35j_ivfpq_search" -> "K=8 coarse grid + 16-codeword PQ tables × queries",
+    "q35k_sq8_search" -> "1-row per-dim min/max frame × vectors (quantizer bounds)",
+    "q113_semdedup" -> "K=8 centroid grid × vectors (cluster assignment)",
+    "q40_pipeline_throughput" -> "deliberate ×3 bench fan-out of the wire-line fixture",
+    "q99_assoc_rules" -> "1-row basket-count frame × itemset supports")
+
+  test("no registry query plans an unintended cartesian or nested-loop join") {
+    val offenders = SparkEntry.registry
+      .filterNot(q => q.name.contains("stream"))
+      .flatMap { q =>
+        val found =
+          try {
+            val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
+            Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+          } catch {
+            case e: Throwable => Seq(s"plan-failed: ${e.getClass.getSimpleName} ${e.getMessage}")
+          } finally {
+            try spark.catalog.clearCache() catch { case _: Throwable => () }
+          }
+        if (found.nonEmpty && !allowed.contains(q.name)) Some(s"${q.name}: ${found.mkString(",")}")
+        else None
+      }
+    assert(offenders.isEmpty, "\n" + offenders.mkString("\n"))
+  }
+}
