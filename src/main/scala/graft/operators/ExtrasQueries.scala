@@ -1499,6 +1499,32 @@ object ExtrasQueries {
         .filter(col("n_funnels") > 0)
         .orderBy(col("n_funnels").desc, col("user_id"))
         .limit(50)
+    },
+
+    // The NATIVE custom physical operator (SURVEY §4.2 preference (c)):
+    // top-3 orders per customer through graft.plans.TopKPerKey — a logical
+    // node + planner Strategy + heap-based SparkPlan pair (partial map-side
+    // heap → exchange bounded at k rows/key/task → final heap), replacing
+    // the window formulation's full per-partition sort and full-width
+    // shuffle. The oracle IS the window formulation, so the hash match
+    // proves operator-for-operator equivalence; TopKPerKeySpec pins the
+    // plan (two TopKPerKeyExec nodes, no Window, no Sort before exchange).
+    q("q148_native_topk", "top-3 orders per customer via the native heap TopKPerKey operator")(
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, price DESC, o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      graft.plans.TopKPerKey.topK(
+        Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        keys = Seq(col("o_custkey")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+        k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))
+        .orderBy(col("o_custkey"), col("price").desc, col("o_orderkey"))
     }
   )
 }
