@@ -650,6 +650,32 @@ object TextQueries {
         .select(col("doc_id"), col("nb"), col("hits"),
           expr("(hits * 1000000L) div nb").as("cov_micro"))
         .orderBy("doc_id")
+    },
+
+    // Feature hashing (the hashing trick): tokens project into a fixed
+    // 32-bucket signed feature space — the unbounded-vocabulary featurizer
+    // for linear models at corpus scale (no dictionary to build, ship, or
+    // grow; collisions are absorbed by the sign hash keeping E[collision
+    // bias] = 0). Output is the SPARSE long form (doc, bucket, weight) —
+    // integer-exact signed counts, one explode + one partial-aggregated
+    // groupBy; entirely row-local before the doc-keyed aggregation.
+    q("q150_feature_hash", "signed 32-bucket feature hashing per doc (sparse long form)")(
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${md5LongSql("'fh:' || tok")} % 32 AS bucket,
+         |             CASE WHEN ${md5LongSql("'fs:' || tok")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |      FROM t)
+         |SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS w
+         |FROM h GROUP BY doc_id, bucket
+         |ORDER BY doc_id, bucket LIMIT 5000""".stripMargin
+    ) { (s, dir) =>
+      Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          (md5Long(concat(lit("fh:"), col("tok"))) % 32).as("bucket"),
+          when(md5Long(concat(lit("fs:"), col("tok"))) % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+        .groupBy("doc_id", "bucket").agg(sum(col("sgn")).as("w"))
+        .orderBy("doc_id", "bucket")
+        .limit(5000)
     }
   )
 }

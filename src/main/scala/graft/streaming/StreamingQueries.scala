@@ -559,6 +559,47 @@ object StreamingQueries {
           round(sum(round(col("value"), 4)
             .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("v_sum"))
       runToMemory(s, agg, OutputMode.Complete).orderBy("event_type")
+    },
+
+    // Stream-maintained per-key top-k leaderboard — the streaming twin of
+    // q148's native heap operator: each event_type's top-3 (value desc,
+    // event_id) rows live as BOUNDED keyed state (k tuples per key, the
+    // streaming analogue of the partial heap), merged with each batch's
+    // arrivals and re-emitted. Group iterators are NOT ordered
+    // (NOTES.md) — the merge sorts the combined list. Single-file replay ⇒
+    // one data batch ⇒ the emission IS the batch top-3 (the oracle);
+    // cross-batch displacement is locked by StreamTopKSpec.
+    q("q149_stream_topk",
+      "stream-maintained per-type top-3 leaderboard (bounded keyed state)")(
+      """SELECT event_type, rnk, event_id, round(value, 4) AS value
+        |FROM (SELECT event_type, event_id, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY value DESC, event_id) AS rnk
+        |      FROM events)
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val rows = eventsStream(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Seq[(Double, Long)], (String, Long, Long, Double)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (et: String, it: Iterator[(String, Long, Double)],
+           state: GroupState[Seq[(Double, Long)]]) =>
+            val merged = (state.getOption.getOrElse(Seq.empty) ++
+                it.map(r => (r._3, r._2)))
+              .sortBy { case (v, id) => (-v, id) }.take(3)
+            state.update(merged)
+            merged.zipWithIndex.iterator.map { case ((v, id), i) =>
+              (et, (i + 1).toLong, id, v)
+            }
+        }
+        .toDF("event_type", "rnk", "event_id", "value")
+      runToMemory(s, rows)
+        .select(col("event_type"), col("rnk"), col("event_id"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_type", "rnk")
     }
   )
 
