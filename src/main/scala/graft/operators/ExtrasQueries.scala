@@ -16,6 +16,31 @@ object ExtrasQueries {
 
   /** Shared dialect-neutral SQL for q49 (verbatim in Spark and DuckDB).
     * Declared before `all` — object vals initialize in order. */
+
+  /** q121/q151 shared oracle CTE: the per-image aHash (hi, lo) halves from
+    * the synthesis arithmetic (see q121's scaladoc). Ends with a CTE named
+    * `ah(media_id, hi, lo)`. */
+  val aHashCteSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, length(text) AS n,
+      |                  (length(text) + 15) // 16 AS h,
+      |                  list_transform(regexp_split_to_array(text, ''), c -> unicode(c)) AS codes
+      |           FROM documents),
+      |px AS (SELECT media_id, h, i // 16 AS y, i % 16 AS x,
+      |              CASE WHEN i < n THEN codes[i + 1] ELSE 0 END AS v
+      |       FROM m, LATERAL (SELECT unnest(generate_series(0, 16 * h - 1)) AS i)),
+      |blk AS (SELECT media_id, h, (y * 8) // h AS r, x // 2 AS c,
+      |               sum(v) AS bs, count(*) AS bc
+      |        FROM px GROUP BY media_id, h, (y * 8) // h, x // 2),
+      |tot AS (SELECT media_id, sum(bs) AS total, sum(bc) AS np FROM blk GROUP BY media_id),
+      |bits AS (SELECT b.media_id, b.r * 8 + b.c AS idx
+      |         FROM blk b JOIN tot t USING (media_id)
+      |         WHERE b.bs * t.np > t.total * b.bc),
+      |ah AS (SELECT m.media_id,
+      |              CAST(COALESCE(sum(CASE WHEN idx >= 32 THEN (1::BIGINT << (idx - 32)) END), 0) AS BIGINT) AS hi,
+      |              CAST(COALESCE(sum(CASE WHEN idx < 32 THEN (1::BIGINT << idx) END), 0) AS BIGINT) AS lo
+      |       FROM m LEFT JOIN bits ON bits.media_id = m.media_id
+      |       GROUP BY m.media_id)""".stripMargin
+
   val tpchQ3Sql: String =
     """SELECT l_orderkey,
       |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
@@ -852,6 +877,45 @@ object ExtrasQueries {
         |                        (a, b) -> a + b))), 0) AS BIGINT) AS max_frame_energy
         |FROM m ORDER BY media_id""".stripMargin
     ) { (s, dir) => graft.multimodal.Multimodal.audioFramesQuery(s, dir) },
+
+    // Image near-dup pairs — the visual dedup END of the q121 aHash: 64-bit
+    // hashes band into 4×16-bit segments, candidates are the band
+    // equi-join, survivors pass exact Hamming ≤ 3. By pigeonhole, ≤ 3
+    // flipped bits cannot touch all 4 bands, so band recall is EXACT at
+    // this threshold — the oracle is therefore an independent brute-force
+    // pair join, not a mirror of the candidate rule. Same banding shape as
+    // SimHash text dedup (q34f): candidate volume scales with duplicate
+    // density, never n². The Spark side hashes through the REAL BMP
+    // decode (q121's contract).
+    q("q151_image_neardup_pairs", "image near-dup pairs: banded aHash + exact Hamming ≤ 3")(
+      s"""$aHashCteSql
+         |SELECT a.media_id AS m1, b.media_id AS m2,
+         |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
+         |FROM ah a JOIN ah b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         |ORDER BY m1, m2""".stripMargin
+    ) { (s, dir) =>
+      val ah = graft.multimodal.Multimodal.bmpAHashQuery(s, dir)
+        .select(col("media_id"), col("ahash_hi").as("hi"), col("ahash_lo").as("lo"))
+        .cache() // both band legs
+      def bands(m: String, hi: String, lo: String) = ah.select(
+        col("media_id").as(m), col("hi").as(hi), col("lo").as(lo),
+        explode(array(
+          struct(lit(0).as("bi"), expr("shiftright(hi, 16) & 65535").as("bv")),
+          struct(lit(1).as("bi"), expr("hi & 65535").as("bv")),
+          struct(lit(2).as("bi"), expr("shiftright(lo, 16) & 65535").as("bv")),
+          struct(lit(3).as("bi"), expr("lo & 65535").as("bv")))).as("b"))
+        .select(col(m), col(hi), col(lo), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      val dist = bit_count(col("h1").bitwiseXOR(col("h2"))) +
+        bit_count(col("l1").bitwiseXOR(col("l2")))
+      bands("m1", "h1", "l1")
+        .join(bands("m2", "h2", "l2"), Seq("bi", "bv"))
+        .filter(col("m1") < col("m2"))
+        .select("m1", "m2", "h1", "l1", "h2", "l2").distinct()
+        .filter(dist <= 3)
+        .select(col("m1"), col("m2"), dist.cast("long").as("dist"))
+        .orderBy("m1", "m2")
+    },
 
     // Ingest throughput proxy: the full reference pipeline (parse → dispatch
     // → derive → proto encode) over wire lines synthesized from every event
