@@ -77,7 +77,15 @@ object TopKPerKey {
     override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
       copy(child = newChild)
 
+    override lazy val metrics = Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+      "numKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of distinct keys"))
+
     override protected def doExecute(): RDD[InternalRow] = {
+      val outRows = longMetric("numOutputRows")
+      val nKeys = longMetric("numKeys")
       val kLocal = k
       val keyExprs = keys
       val orderExprs = order
@@ -110,6 +118,8 @@ object TopKPerKey {
           rows.sort(ord)
           rows.forEach(r => out += r)
         }
+        nKeys += heaps.size()
+        outRows += out.size
         out.iterator
       }
     }

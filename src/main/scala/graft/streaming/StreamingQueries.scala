@@ -600,6 +600,53 @@ object StreamingQueries {
         .select(col("event_type"), col("rnk"), col("event_id"),
           round(col("value"), 4).as("value"))
         .orderBy("event_type", "rnk")
+    },
+
+    // Stream-maintained EWMA — q127's smoother as keyed state that FOLDS
+    // ACROSS batches: state is one double per event_type, each batch's
+    // rows fold in (ts, event_id) order (group iterators are NOT ordered —
+    // NOTES.md — so the batch materializes and sorts before folding). The
+    // fold seeds from the stream's first value (state absent), exactly
+    // like list_reduce — so the single-batch replay equals the oracle's
+    // whole-stream sequential fold bit-for-bit. Cross-batch continuation
+    // is locked by StreamEwmaSpec. State: ONE double per key.
+    q("q152_stream_ewma",
+      "stream-maintained whole-series EWMA (α=1/2) per event_type (one-double state)")(
+      """WITH l AS (
+        |  SELECT event_type, list(value ORDER BY ts, event_id) AS vs,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, round(list_reduce(vs, (a, x) -> (a + x) / 2), 4) AS ewma
+        |FROM l ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val folded = eventsStream(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("t"),
+          col("event_id"), col("value"))
+        .as[(String, Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Double, Long), (String, Long, Double)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (et: String, it: Iterator[(String, Long, Long, Double)],
+           state: GroupState[(Double, Long)]) =>
+            val batch = it.toVector.sortBy(r => (r._2, r._3)).map(_._4)
+            val (seed, seen) = state.getOption match {
+              case Some((e, n)) => (e, n)
+              case None => (batch.head, 1L)
+            }
+            val rest = if (state.getOption.isEmpty) batch.tail else batch
+            val ewma = rest.foldLeft(seed)((a, x) => (a + x) / 2)
+            val n = seen + rest.size
+            state.update((ewma, n))
+            Iterator((et, n, ewma))
+        }
+        .toDF("event_type", "n", "ewma")
+      runToMemory(s, folded)
+        .groupBy("event_type")
+        .agg(max(struct(col("n"), col("ewma"))).as("last"))
+        .select(col("event_type"), col("last.n").as("n"),
+          round(col("last.ewma"), 4).as("ewma"))
+        .orderBy("event_type")
     }
   )
 
