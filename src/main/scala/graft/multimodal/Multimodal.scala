@@ -218,6 +218,33 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Frame sampling (the north-star's fourth multimodal verb): every 4th
+    * frame of each video payload, emitted as (frame_idx, byte count, 60-bit
+    * content hash) rows. The STUB "decode" slices fixed 256-byte chunks
+    * (FakeCodec.videoFrames' geometry — a real implementation extracts
+    * keyframes here); the Spark-side plumbing — typed flatMap fan-out, one
+    * row per sampled frame, per-partition batch shape — is real, and the
+    * hash arithmetic is portable, so the whole op is oracle-checked. */
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir)
+      .filter(_.kind == "video")
+      .mapPartitions { batch =>
+        batch.flatMap { m =>
+          val nf = FakeCodec.videoFrames(m.content)
+          (0 until nf by 4).iterator.map { f =>
+            val lo = f * 256
+            val hi = math.min(m.content.length, lo + 256)
+            // STUB BOUNDARY: a real codec decodes the keyframe here
+            val frame = java.util.Arrays.copyOfRange(m.content, lo, hi)
+            (m.media_id, f.toLong, (hi - lo).toLong, FakeCodec.hash(frame))
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_bytes", "frame_hash")
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Frame-level audio analysis through the REAL WAV codec (q69's synth +
     * container parse): whole-clip zero-crossing count plus the peak
     * 80-sample-frame energy — the speech/music front-end primitives (ZCR,

@@ -485,6 +485,56 @@ object AnalyticsQueries {
         .orderBy("event_type", "ts", "event_id")
         .select(col("event_type"), col("event_id"), col("roll_med"))
         .limit(1000)
+    },
+
+    // Chi-square test of independence (event_type × high-value flag) — the
+    // categorical feature-selection primitive. All contingency counts are
+    // exact BIGINTs; expected counts and (O−E)²/E terms are doubles built
+    // with ONE fixed expression order (r·c then /n), and the 10 cell terms
+    // fold SEQUENTIALLY in (event_type, hi) order (q143's contract — a
+    // grouped float sum would be merge-order-dependent). The contingency
+    // build is one partial-aggregated groupBy; everything after runs on
+    // ≤10 rows.
+    q("q154_chi2_independence", "chi-square independence test: event_type × value>245")(
+      """WITH c AS (SELECT event_type, CASE WHEN value > 245 THEN 1 ELSE 0 END AS hi,
+        |                  count(*) AS o
+        |           FROM events GROUP BY event_type, CASE WHEN value > 245 THEN 1 ELSE 0 END),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM c GROUP BY event_type),
+        |ct AS (SELECT hi, CAST(sum(o) AS BIGINT) AS cc FROM c GROUP BY hi),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+        |terms AS (
+        |  SELECT c.event_type, c.hi,
+        |         (c.o - CAST(rt.r AS DOUBLE) * ct.cc / nn.n)
+        |           * (c.o - CAST(rt.r AS DOUBLE) * ct.cc / nn.n)
+        |           / (CAST(rt.r AS DOUBLE) * ct.cc / nn.n) AS t
+        |  FROM c JOIN rt USING (event_type) JOIN ct USING (hi) CROSS JOIN nn),
+        |folded AS (SELECT list(t ORDER BY event_type, hi) AS ts FROM terms)
+        |SELECT (SELECT n FROM nn) AS n,
+        |       CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+        |         * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+        |       round(list_reduce(ts, (a, b) -> a + b), 4) AS chi2
+        |FROM folded""".stripMargin
+    ) { (s, dir) =>
+      val c = Tables(s, dir, "events")
+        .groupBy(col("event_type"), when(col("value") > 245, 1).otherwise(0).as("hi"))
+        .agg(count(lit(1)).as("o"))
+        .cache() // row totals, col totals, n, and the term join all read it
+      val rt = c.groupBy("event_type").agg(sum(col("o")).as("r"))
+      val ct = c.groupBy("hi").agg(sum(col("o")).as("cc"))
+      val nn = c.agg(sum(col("o")).as("n"))
+      val e = col("r").cast("double") * col("cc") / col("n")
+      val terms = c.join(broadcast(rt), "event_type").join(broadcast(ct), "hi")
+        .crossJoin(broadcast(nn))
+        .select(col("event_type"), col("hi"),
+          ((col("o") - e) * (col("o") - e) / e).as("t"))
+      val dof = broadcast(rt.agg((count(lit(1)) - 1).as("dr")))
+        .crossJoin(broadcast(ct.agg((count(lit(1)) - 1).as("dc"))))
+        .select((col("dr") * col("dc")).as("dof"))
+      terms
+        .agg(sort_array(collect_list(struct(col("event_type"), col("hi"), col("t")))).as("ts"))
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(dof))
+        .select(col("n"), col("dof"),
+          round(aggregate(col("ts"), lit(0.0), (a, m) => a + m.getField("t")), 4).as("chi2"))
     }
   )
 }

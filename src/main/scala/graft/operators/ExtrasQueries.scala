@@ -878,6 +878,24 @@ object ExtrasQueries {
         |FROM m ORDER BY media_id""".stripMargin
     ) { (s, dir) => graft.multimodal.Multimodal.audioFramesQuery(s, dir) },
 
+    // Frame sampling — the fourth multimodal verb (decode / feature-extract
+    // / resize / frame-sample): every 4th 256-byte stub frame per video
+    // payload with a portable per-frame content hash. The fan-out (one row
+    // per sampled frame) is the real plumbing; the oracle replays the
+    // chunk geometry over the ASCII text (q39's byte≡char contract).
+    q("q153_frame_sample", "every-4th-frame sampling per video payload with frame hashes")(
+      s"""WITH v AS (SELECT doc_id AS media_id, text, length(text) AS n
+         |           FROM documents WHERE doc_id % 3 = 2),
+         |f AS (SELECT media_id, text, n,
+         |             unnest(generate_series(0, least(32, 1 + n // 256) - 1)) AS fi
+         |      FROM v)
+         |SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
+         |       CAST(least(n, fi * 256 + 256) - fi * 256 AS BIGINT) AS frame_bytes,
+         |       ${graft.functions.PortableHash.md5LongSql("substr(text, fi * 256 + 1, 256)")} AS frame_hash
+         |FROM f WHERE fi % 4 = 0
+         |ORDER BY media_id, frame_idx""".stripMargin
+    ) { (s, dir) => graft.multimodal.Multimodal.frameSampleQuery(s, dir) },
+
     // Image near-dup pairs — the visual dedup END of the q121 aHash: 64-bit
     // hashes band into 4×16-bit segments, candidates are the band
     // equi-join, survivors pass exact Hamming ≤ 3. By pigeonhole, ≤ 3

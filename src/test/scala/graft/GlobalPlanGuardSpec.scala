@@ -39,7 +39,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q35k_sq8_search" -> "1-row per-dim min/max frame × vectors (quantizer bounds)",
     "q113_semdedup" -> "K=8 centroid grid × vectors (cluster assignment)",
     "q40_pipeline_throughput" -> "deliberate ×3 bench fan-out of the wire-line fixture",
-    "q99_assoc_rules" -> "1-row basket-count frame × itemset supports")
+    "q99_assoc_rules" -> "1-row basket-count frame × itemset supports",
+    "q154_chi2_independence" -> "1-row n/dof frames × the ≤10-cell contingency table")
 
   test("no registry query plans an unintended cartesian or nested-loop join") {
     val offenders = SparkEntry.registry
