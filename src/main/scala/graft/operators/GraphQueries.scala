@@ -109,6 +109,9 @@ object GraphQueries {
     q("q80_pagerank", "5-iteration integer-arithmetic PageRank over the customer→supplier graph")(
       pagerankSql
     ) { (s, dir) =>
+      // edge build note: broadcasting the 150 K-row orders projection was
+      // MEASURED SLOWER here (10 s vs 6 s total — driver-side relation
+      // build dominates at local scale); the shuffled join wins
       val edges = Tables.fanout(s, dir, "orders")
         .join(Tables.fanout(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
