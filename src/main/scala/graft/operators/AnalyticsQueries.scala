@@ -535,6 +535,86 @@ object AnalyticsQueries {
         .crossJoin(broadcast(nn)).crossJoin(broadcast(dof))
         .select(col("n"), col("dof"),
           round(aggregate(col("ts"), lit(0.0), (a, m) => a + m.getField("t")), 4).as("chi2"))
+    },
+
+    // Exponential time-decay trending score (12 h half-life, hour
+    // granularity): score = Σ count_h · 2^(−age/12). Counts are exact
+    // BIGINTs; 2^(−age div 12) is an exact power of two, and the 12
+    // fractional-step factors are PRECOMPUTED DOUBLE LITERALS inlined into
+    // both engines' expressions (cross-engine pow() bit-compatibility is
+    // not a documented contract — literals are). Terms fold SEQUENTIALLY
+    // in age order. One groupBy to hour buckets (partial map-side), then
+    // per-key folds over ≤ 720 buckets — the feature-store
+    // "recency-weighted count" at any scale.
+    q("q155_decay_trending", "half-life-decayed event counts per type (12h half-life)")({
+      val factors = (0 until 12).map(m => math.pow(2.0, -m / 12.0).toString)
+      s"""WITH mx AS (SELECT max(epoch_us(ts::TIMESTAMP)) // 3600000000 AS top FROM events),
+         |hb AS (SELECT event_type,
+         |              CAST(mx.top - epoch_us(ts::TIMESTAMP) // 3600000000 AS BIGINT) AS age_h,
+         |              count(*) AS c
+         |       FROM events CROSS JOIN mx
+         |       GROUP BY event_type, mx.top - epoch_us(ts::TIMESTAMP) // 3600000000),
+         |f AS (SELECT event_type,
+         |             list(c * pow(2.0, -CAST(age_h // 12 AS DOUBLE))
+         |                    * ([${factors.mkString(", ")}])[CAST(age_h % 12 AS INT) + 1]
+         |                  ORDER BY age_h) AS terms,
+         |             CAST(sum(c) AS BIGINT) AS n
+         |      FROM hb GROUP BY event_type)
+         |SELECT event_type, n, round(list_reduce(terms, (a, b) -> a + b), 4) AS trending
+         |FROM f ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+      val factors = (0 until 12).map(m => math.pow(2.0, -m / 12.0))
+      val hour = (unix_micros(col("ts")) / lit(3600000000L)).cast("long")
+      val ev = Tables(s, dir, "events")
+      val top = ev.agg(max(hour).as("top"))
+      val hb = ev.crossJoin(broadcast(top))
+        .groupBy(col("event_type"), (col("top") - hour).as("age_h"))
+        .agg(count(lit(1)).as("c"))
+      val term = col("c") * pow(lit(2.0), -(expr("age_h div 12").cast("double"))) *
+        element_at(array(factors.map(lit): _*), (col("age_h") % 12).cast("int") + 1)
+      hb.select(col("event_type"), col("age_h"), term.as("t"), col("c"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("age_h"), col("t")))).as("terms"),
+          sum(col("c")).as("n"))
+        .select(col("event_type"), col("n"),
+          round(aggregate(col("terms"), lit(0.0), (a, m) => a + m.getField("t")), 4)
+            .as("trending"))
+        .orderBy("event_type")
+    },
+
+    // Rate burst detection: hours whose event count exceeds 1.5× the
+    // trailing-24-hour mean (1.5×: the uniform fixture has no true
+    // bursts, so the gate sits where hour-to-hour variance trips it at
+    // both verification scales) — the alerting primitive over streams.
+    // The gate is pure integer CROSS-MULTIPLICATION (c · window_n >
+    // 3 · window_sum, all BIGINT) — no float ever enters the comparison.
+    // One groupBy + one partition-local window; a 12-hour burn-in skips
+    // the undersampled head of each series.
+    q("q156_burst_detection", "hours with event count > 1.5× trailing-24h mean, per type")(
+      """WITH hb AS (SELECT event_type,
+        |                   CAST(epoch_us(ts::TIMESTAMP) // 3600000000 AS BIGINT) AS hr,
+        |                   count(*) AS c
+        |            FROM events GROUP BY event_type, epoch_us(ts::TIMESTAMP) // 3600000000),
+        |w AS (SELECT event_type, hr, c,
+        |             CAST(sum(c) OVER tw AS BIGINT) AS tsum,
+        |             CAST(count(*) OVER tw AS BIGINT) AS tn
+        |      FROM hb
+        |      WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+        |                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hr, CAST(c AS BIGINT) AS c, tsum, tn
+        |FROM w WHERE tn >= 12 AND c * tn * 2 > 3 * tsum
+        |ORDER BY event_type, hr""".stripMargin
+    ) { (s, dir) =>
+      val hour = (unix_micros(col("ts")) / lit(3600000000L)).cast("long")
+      val tw = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"), hour.as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("tsum", sum(col("c")).over(tw))
+        .withColumn("tn", count(lit(1)).over(tw))
+        .filter(col("tn") >= 12 && col("c") * col("tn") * 2 > col("tsum") * 3)
+        .select(col("event_type"), col("hr"), col("c"), col("tsum"), col("tn"))
+        .orderBy("event_type", "hr")
     }
   )
 }

@@ -40,7 +40,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q113_semdedup" -> "K=8 centroid grid × vectors (cluster assignment)",
     "q40_pipeline_throughput" -> "deliberate ×3 bench fan-out of the wire-line fixture",
     "q99_assoc_rules" -> "1-row basket-count frame × itemset supports",
-    "q154_chi2_independence" -> "1-row n/dof frames × the ≤10-cell contingency table")
+    "q154_chi2_independence" -> "1-row n/dof frames × the ≤10-cell contingency table",
+    "q155_decay_trending" -> "1-row max-hour frame × the event scan (age anchor)")
 
   test("no registry query plans an unintended cartesian or nested-loop join") {
     val offenders = SparkEntry.registry
