@@ -176,4 +176,30 @@ class ApproxAndRecallSpec extends AnyFunSuite {
     val rSq = recallAt(sq8, exact, 3)
     assert(rSq >= 0.9, s"SQ8 recall@3 vs exact L2 = $rSq")
   }
+
+  test("q137 kNN self-join probe-ball recall vs exact all-pairs cosine") {
+    // exact top-3 per vector, computed in-driver (500×500 cosines)
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val norms = vecs.map { case (id, v) => id -> math.sqrt(v.map(x => x * x).sum) }
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      var s = 0.0; var i = 0
+      while (i < va.length) { s += va(i) * vb(i); i += 1 }
+      s / (norms(a) * norms(b))
+    }
+    val ids = vecs.keys.toSeq
+    val exact = ids.map { q =>
+      q -> ids.filter(_ != q).map(o => (-cos(q, o), o)).sorted.take(3).map(_._2)
+    }.toMap
+    val approx = SparkEntry.queries("q137_knn_join")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    val hits = exact.toSeq.map { case (q, ex) =>
+      approx.getOrElse(q, Seq.empty).count(ex.toSet).toDouble / 3 }
+    val recall = hits.sum / hits.size
+    // radius-2 probe ball over 8 sign planes: fixture measures 0.343 —
+    // ~57× the 3/499 chance floor; bound loosely for stability
+    assert(recall > 0.25, s"kNN-join recall@3 = $recall")
+  }
 }
