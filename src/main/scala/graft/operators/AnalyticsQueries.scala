@@ -615,6 +615,39 @@ object AnalyticsQueries {
         .filter(col("tn") >= 12 && col("c") * col("tn") * 2 > col("tsum") * 3)
         .select(col("event_type"), col("hr"), col("c"), col("tsum"), col("tn"))
         .orderBy("event_type", "hr")
+    },
+
+    // Top user-flow paths: the most common 3-event sequences within a
+    // 1-hour step gap — the Sankey/user-journey staple. Two lead() windows
+    // over the user timeline emit each consecutive triple (path mining
+    // without a self-join — an event participates in ≤3 triples), a gap
+    // guard keeps only within-session steps, one partial-aggregated
+    // groupBy counts. q141's Markov matrix generalized one step deeper.
+    q("q157_top_paths", "top-20 within-hour 3-event user paths")(
+      """WITH tl AS (
+        |  SELECT user_id, event_type AS e1, epoch_us(ts::TIMESTAMP) AS t1,
+        |         lead(event_type) OVER w AS e2,
+        |         lead(epoch_us(ts::TIMESTAMP)) OVER w AS t2,
+        |         lead(event_type, 2) OVER w AS e3,
+        |         lead(epoch_us(ts::TIMESTAMP), 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(count(*) AS BIGINT) AS n
+        |FROM tl
+        |WHERE e3 IS NOT NULL AND t2 - t1 <= 3600000000 AND t3 - t2 <= 3600000000
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val t = us(col("ts"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("e1"), t.as("t1"),
+          lead(col("event_type"), 1).over(w).as("e2"), lead(t, 1).over(w).as("t2"),
+          lead(col("event_type"), 2).over(w).as("e3"), lead(t, 2).over(w).as("t3"))
+        .filter(col("e3").isNotNull &&
+          col("t2") - col("t1") <= 3600000000L && col("t3") - col("t2") <= 3600000000L)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
     }
   )
 }
