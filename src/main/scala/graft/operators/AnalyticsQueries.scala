@@ -648,6 +648,44 @@ object AnalyticsQueries {
         .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
         .groupBy("path").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path")).limit(20)
+    },
+
+    // Seasonal-baseline anomaly gate — q156's trailing-mean cousin with a
+    // SEASONALITY-AWARE baseline: each (type, hour) cell compares against
+    // the mean of the SAME hour-of-day on all OTHER days (leave-one-out,
+    // so a cell never inflates its own baseline). The gate stays pure
+    // integer cross-multiplication: c·(n−1)·2 > 3·(S−c) ⟺ c > 1.5× the
+    // other-days mean. Two partial-aggregated groupBys + one equi-join on
+    // the (type, hod) baseline key — 120 baseline rows broadcast at any
+    // scale.
+    q("q158_seasonal_anomaly", "hours exceeding 1.5× their hour-of-day baseline (leave-one-out)")(
+      """WITH hb AS (SELECT event_type,
+        |                   CAST(epoch_us(ts::TIMESTAMP) // 3600000000 AS BIGINT) AS hr,
+        |                   count(*) AS c
+        |            FROM events GROUP BY event_type, epoch_us(ts::TIMESTAMP) // 3600000000),
+        |hod AS (SELECT event_type, hr, c, hr % 24 AS hod FROM hb),
+        |base AS (SELECT event_type, hod, CAST(sum(c) AS BIGINT) AS s,
+        |                CAST(count(*) AS BIGINT) AS n
+        |         FROM hod GROUP BY event_type, hod)
+        |SELECT h.event_type, h.hr, CAST(h.c AS BIGINT) AS c,
+        |       b.s - h.c AS other_sum, b.n - 1 AS other_n
+        |FROM hod h JOIN base b USING (event_type, hod)
+        |WHERE b.n >= 8 AND h.c * (b.n - 1) * 2 > 3 * (b.s - h.c)
+        |ORDER BY h.event_type, h.hr""".stripMargin
+    ) { (s, dir) =>
+      val hour = (unix_micros(col("ts")) / lit(3600000000L)).cast("long")
+      val hb = Tables(s, dir, "events")
+        .groupBy(col("event_type"), hour.as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("hod", col("hr") % 24)
+      val base = hb.groupBy("event_type", "hod")
+        .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+      hb.join(broadcast(base), Seq("event_type", "hod"))
+        .filter(col("n") >= 8 &&
+          col("c") * (col("n") - 1) * 2 > (col("s") - col("c")) * 3)
+        .select(col("event_type"), col("hr"), col("c"),
+          (col("s") - col("c")).as("other_sum"), (col("n") - 1).as("other_n"))
+        .orderBy("event_type", "hr")
     }
   )
 }
