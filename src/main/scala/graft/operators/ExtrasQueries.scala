@@ -837,26 +837,14 @@ object ExtrasQueries {
     // arithmetic over the text codes — the Spark side must round-trip the
     // actual container (encode → parse → row flip) to agree.
     q("q121_image_ahash", "perceptual aHash per image via real BMP decode (8×8 blocks, integer-exact)")(
-      """WITH m AS (SELECT doc_id AS media_id, length(text) AS n,
-        |                  (length(text) + 15) // 16 AS h,
-        |                  list_transform(regexp_split_to_array(text, ''), c -> unicode(c)) AS codes
-        |           FROM documents),
-        |px AS (SELECT media_id, h, i // 16 AS y, i % 16 AS x,
-        |              CASE WHEN i < n THEN codes[i + 1] ELSE 0 END AS v
-        |       FROM m, LATERAL (SELECT unnest(generate_series(0, 16 * h - 1)) AS i)),
-        |blk AS (SELECT media_id, h, (y * 8) // h AS r, x // 2 AS c,
-        |               sum(v) AS bs, count(*) AS bc
-        |        FROM px GROUP BY media_id, h, (y * 8) // h, x // 2),
-        |tot AS (SELECT media_id, sum(bs) AS total, sum(bc) AS np FROM blk GROUP BY media_id),
-        |bits AS (SELECT b.media_id, b.h, b.r * 8 + b.c AS idx
-        |         FROM blk b JOIN tot t USING (media_id)
-        |         WHERE b.bs * t.np > t.total * b.bc)
-        |SELECT m.media_id, CAST(m.h AS BIGINT) AS height,
-        |       CAST(COALESCE(sum(CASE WHEN idx >= 32 THEN (1::BIGINT << (idx - 32)) END), 0) AS BIGINT) AS ahash_hi,
-        |       CAST(COALESCE(sum(CASE WHEN idx < 32 THEN (1::BIGINT << idx) END), 0) AS BIGINT) AS ahash_lo
-        |FROM m LEFT JOIN bits ON bits.media_id = m.media_id
-        |GROUP BY m.media_id, m.h
-        |ORDER BY m.media_id""".stripMargin
+      // reuses the shared aHash CTE (q151's candidate hashes must be the
+      // same construction, so the SQL lives once); `m` stays addressable
+      // for the height column
+      s"""$aHashCteSql
+         |SELECT m.media_id, CAST(m.h AS BIGINT) AS height,
+         |       ah.hi AS ahash_hi, ah.lo AS ahash_lo
+         |FROM m JOIN ah USING (media_id)
+         |ORDER BY m.media_id""".stripMargin
     ) { (s, dir) => graft.multimodal.Multimodal.bmpAHashQuery(s, dir) },
 
     // Frame-level audio features through the REAL WAV codec: zero-crossing
