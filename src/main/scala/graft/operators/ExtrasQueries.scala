@@ -866,6 +866,59 @@ object ExtrasQueries {
         |FROM m ORDER BY media_id""".stripMargin
     ) { (s, dir) => graft.multimodal.Multimodal.audioFramesQuery(s, dir) },
 
+    // Order-book depth — the FX-domain query a consumer of the reference
+    // would actually run: 3-level ask ladders synthesized onto the wire,
+    // parsed back through the REAL ingest pipeline (to_json → OandaPipeline
+    // from_json + ladder validation), exploded by level, and rolled up to
+    // cumulative liquidity depth per instrument. Proves the ladder arrays
+    // survive the wire round-trip value-exactly (price strings are
+    // shortest-repr doubles — parse back bit-identical, q118's contract).
+    // Depth sums are exact BIGINTs; avg price per level is a DECIMAL-exact
+    // grouped sum. One groupBy + one 3-row window per instrument.
+    q("q159_book_depth", "cumulative ask-ladder depth per instrument through the wire round-trip")(
+      """WITH lv AS (
+        |  SELECT event_type AS instrument, i,
+        |         CASE WHEN i = 0 THEN value WHEN i = 1 THEN value + 0.01
+        |              ELSE value + 0.02 END AS price,
+        |         CAST((i + 1) * 1000000 AS BIGINT) AS liquidity
+        |  FROM events CROSS JOIN (VALUES (0), (1), (2)) AS l(i)),
+        |g AS (SELECT instrument, CAST(i AS BIGINT) AS lvl, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(liquidity) AS BIGINT) AS liq,
+        |             round(CAST(sum(CAST(round(price, 4) AS DECIMAL(28,4))) AS DOUBLE)
+        |                   / count(*), 4) AS avg_price
+        |      FROM lv GROUP BY instrument, i)
+        |SELECT instrument, lvl, n, liq,
+        |       CAST(sum(liq) OVER (PARTITION BY instrument ORDER BY lvl
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_liq,
+        |       avg_price
+        |FROM g ORDER BY instrument, lvl""".stripMargin
+    ) { (s, dir) =>
+      import graft.streaming.WireLines._
+      val asks = array((0 until 3).map(i =>
+        level(col("value") + lit(i * 0.01), lit(1000000L * (i + 1)))): _*)
+      val lines = Tables.fanout(s, dir, "events")
+        .select(tickLine(asks, asks, col("value"), col("value") - 0.01,
+          col("event_type"), isoMicros(col("ts"))).as("value"))
+      graft.streaming.OandaPipeline.pipeline(lines)
+        .filter(col("message_type") === "price_tick")
+        .select(col("tick.instrument").as("instrument"),
+          posexplode(col("tick.asks")).as(Seq("lvl", "l")))
+        .select(col("instrument"), col("lvl").cast("long").as("lvl"),
+          col("l.price").cast("double").as("price"), col("l.liquidity").as("liquidity"))
+        .groupBy("instrument", "lvl")
+        .agg(count(lit(1)).as("n"), sum(col("liquidity")).as("liq"),
+          round(sum(round(col("price"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double")
+            / count(lit(1)), 4).as("avg_price"))
+        .withColumn("cum_liq", sum(col("liq")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("instrument").orderBy("lvl")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .select(col("instrument"), col("lvl"), col("n"), col("liq"),
+          col("cum_liq"), col("avg_price"))
+        .orderBy("instrument", "lvl")
+    },
+
     // Frame sampling — the fourth multimodal verb (decode / feature-extract
     // / resize / frame-sample): every 4th 256-byte stub frame per video
     // payload with a portable per-frame content hash. The fan-out (one row
