@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global (or grouped) `row_number` without a data-sized
+  * single-partition sort — the classic two-pass distributed rank:
+  *
+  *  1. range-partition the input on (group ++ order) so partition i holds
+  *     strictly earlier sort keys than partition i+1 (equal keys never
+  *     straddle a boundary — RangePartitioner binary-searches on the key);
+  *  2. count rows per (partition, group) — a tiny aggregate bounded by
+  *     `parts × |groups|`, i.e. by CONFIG, not by data;
+  *  3. offsets = triangular self-join of that tiny frame (sum of earlier
+  *     partitions' counts for the same group) — broadcast both ways, no
+  *     window anywhere near it;
+  *  4. rank = offset + local `row_number` over a window partitioned by
+  *     (partition id, group) — every window partition is one range
+  *     partition's slice, so the sort that Spark's unpartitioned WindowExec
+  *     would funnel through ONE task is spread across all of them.
+  *
+  * The result is bit-identical to `row_number() OVER ([PARTITION BY g]
+  * ORDER BY o)` whenever the order key is a total order within each group
+  * (callers append a unique tiebreak column, same as they must for any
+  * deterministic rank). Ties that DO remain only ever produce identical
+  * output rows, because equal full keys land in the same range partition.
+  *
+  * Cost model: two passes over the input (the counts job and the rank job)
+  * instead of one single-partition sort — the standard trade. The
+  * range-partitioned frame is cached so the two passes share one upstream
+  * computation AND see identical range boundaries (Verify/Bench clearCache
+  * between queries; at 100 TB you'd persist to disk or recompute).
+  */
+object DistributedRank {
+
+  /** Adds BIGINT column `out` = exact 1-based rank of each row by `order`
+    * within each distinct value of `group` (global rank when `group` is
+    * empty). `order` may carry sort directions (`col.desc`). */
+  def withRowNumber(df: DataFrame, order: Seq[Column], out: String,
+                    group: Seq[String] = Nil, numParts: Int = 0): DataFrame = {
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.sparkContext.defaultParallelism
+    val gcols = group.map(col)
+    val parted = df
+      .repartitionByRange(parts, (gcols ++ order): _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val counts = parted
+      .groupBy(col("__pid") +: gcols: _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val later = counts.select(
+      col("__pid").as("__bpid") +:
+        group.map(g => col(g).as(s"__bg_$g")) :+
+        col("__cnt").as("__bcnt"): _*)
+    val sameGroupEarlier = group
+      .map(g => col(g) === col(s"__bg_$g"))
+      .foldLeft(col("__bpid") < col("__pid"))(_ && _)
+    val offsets = counts
+      .join(broadcast(later), sameGroupEarlier, "left")
+      .groupBy(col("__pid") +: gcols: _*)
+      .agg(coalesce(sum(col("__bcnt")), lit(0L)).as("__off"))
+    val w = Window.partitionBy(col("__pid") +: gcols: _*).orderBy(order: _*)
+    parted
+      .withColumn("__lrn", row_number().over(w))
+      .join(broadcast(offsets), Seq("__pid") ++ group)
+      .withColumn(out, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
+}

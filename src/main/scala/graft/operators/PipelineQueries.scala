@@ -48,9 +48,10 @@ object PipelineQueries {
     // 60-bit shingle hash, not the shingle text — 8-byte shuffle rows; the
     // test side is distinct-reduced and broadcast (benchmark sets are tiny
     // relative to the corpus at any scale). The exact discrete-quantile
-    // cutoff (global rank) exists for bit-exact oracle verification; at
-    // 100 TB the cutoff comes from approx_percentile — one scalar, same
-    // downstream gate.
+    // cutoff is selected by a two-pass distributed rank (DistributedRank:
+    // range partitions + broadcast offsets — no single-partition sort) and
+    // broadcast back as one scalar; at 100 TB approx_percentile is the
+    // one-pass alternative, same downstream gate.
     q("q52_decontaminate", "flag the top-quintile test-split 3-gram overlap fraction")(
       s"""WITH b AS (SELECT doc_id, ${md5LongSql("text")} % 100 AS b,
          |                  str_split(text, ' ') AS w FROM documents),
@@ -92,19 +93,22 @@ object PipelineQueries {
       // matches ≤1 te row — plain count(*) ≡ count(DISTINCT h), cheaper
       val ov = tr.join(broadcast(te), "h")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      // cached: three consumers (the count scalar, the rank pass for the
+      // cutoff, and the final gate projection)
       val j = trd.join(ov, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
           (coalesce(col("n_shared"), lit(0L)) * lit(1.0) / col("n_sh")).as("ratio"))
-      // the quantile cutoff rides the SAME global sort the ranking needs:
-      // count + the rank-selected cutoff as full-frame window aggregates,
-      // instead of two scalar subquery cross-joins (saves 2 broadcast
-      // rounds + a cache at identical output)
-      val wRun = Window.orderBy(col("ratio"), col("doc_id"))
-      val wAll = wRun.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val rk = j.withColumn("rn", row_number().over(wRun))
-        .withColumn("n", count(lit(1)).over(wAll))
-      rk.withColumn("cutoff",
-          max(when(col("rn") === expr("(4 * n + 4) div 5"), col("ratio"))).over(wAll))
+        .cache()
+      // the exact quintile cutoff comes from a two-pass DISTRIBUTED rank
+      // (range partitions + broadcast offsets — DistributedRank), never a
+      // single-partition WindowExec sort, and flows back as ONE broadcast
+      // scalar; the output path itself touches no window at all
+      val tot = j.agg(count(lit(1)).as("n"))
+      val rk = DistributedRank.withRowNumber(j, Seq(col("ratio"), col("doc_id")), "rn")
+      val cut = rk.crossJoin(broadcast(tot))
+        .filter(col("rn") === expr("(4 * n + 4) div 5"))
+        .select(col("ratio").as("cutoff"))
+      j.crossJoin(broadcast(cut))
         .select(col("doc_id"), col("n_shared"),
           round(col("ratio"), 4).as("overlap_frac"),
           (col("ratio") >= col("cutoff")).as("contaminated"))
@@ -472,16 +476,22 @@ object PipelineQueries {
     // envelope tight and a predicate on EITHER column prunes files. The
     // output is the per-bucket min/max envelope (bucket ≙ output file under
     // a range-partitioned write): bounded ranges ARE the skipping evidence.
-    // At 100 TB: zkey is row-local arithmetic; the sort is the same range
-    // shuffle any sorted write does; ntile here stands in for the writer's
-    // file boundaries.
+    // Buckets are FIXED-WIDTH RANGE BINS of zkey over [0, zmax] — the
+    // reproducible stand-in for a range-partitioned writer's file
+    // boundaries (a real writer samples boundaries for equal file sizes;
+    // that sampling is engine-private and un-oracle-able). Assignment is
+    // row-local arithmetic off ONE broadcast scalar (zmax) — no global
+    // sort anywhere, unlike the ntile formulation this replaces, which
+    // funneled the whole fact table through a single-partition WindowExec.
+    // At 100 TB zmax comes from column stats or the same one-row aggregate.
     q("q74_zorder_layout", "z-order interleaved sort key → per-bucket min/max pruning envelopes")(
       s"""WITH z AS (
-         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  SELECT l_partkey, l_suppkey,
          |         CAST(${zorderTermsSql} AS BIGINT) AS zkey
          |  FROM lineitem),
-         |b AS (SELECT *, ntile(16) OVER (ORDER BY zkey, l_orderkey, l_linenumber) AS bucket FROM z)
-         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+         |zm AS (SELECT max(zkey) AS zmax FROM z),
+         |b AS (SELECT z.*, (zkey * 16) // (zmax + 1) AS bucket FROM z CROSS JOIN zm)
+         |SELECT bucket, count(*) AS n,
          |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
          |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk,
          |       min(zkey) AS zmin, max(zkey) AS zmax
@@ -491,19 +501,17 @@ object PipelineQueries {
         shiftleft(shiftright(col("l_partkey"), i).bitwiseAND(1), 2 * i) +
           shiftleft(shiftright(col("l_suppkey"), i).bitwiseAND(1), 2 * i + 1)
       }.reduce(_ + _)
-      Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val z = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
         .withColumn("zkey", zkey.cast("long"))
-        .withColumn("bucket",
-          ntile(16).over(Window.orderBy("zkey", "l_orderkey", "l_linenumber")))
+      val zm = z.agg(max(col("zkey")).as("zmax"))
+      z.crossJoin(broadcast(zm))
+        .withColumn("bucket", expr("(zkey * 16) div (zmax + 1)"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
           min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
           min(col("zkey")).as("zmin"), max(col("zkey")).as("zmax"))
-        .select(col("bucket").cast("long").as("bucket"), col("n"),
-          col("min_pk"), col("max_pk"), col("min_sk"), col("max_sk"),
-          col("zmin"), col("zmax"))
         .orderBy("bucket")
     },
 
@@ -700,9 +708,13 @@ object PipelineQueries {
     // each value maps through its within-group percentile onto the global
     // discrete distribution (floor-interpolated target rank), removing
     // per-group distribution shift entirely (the microarray-era normalizer,
-    // used on per-source quality scores). Two window sorts (per-group,
-    // global) + one equi-join on the integer target rank; the float in the
-    // rank interpolation is exact-integer arithmetic divided once.
+    // used on per-source quality scores). BOTH ranks (per-lang and global)
+    // come from the two-pass distributed rank (DistributedRank: range
+    // partitions + broadcast offsets) — no single-partition WindowExec and
+    // no per-lang window skew (lang has ~5 values; PARTITION BY lang would
+    // funnel the corpus through 5 tasks at 100 TB). Group sizes join in as
+    // a broadcast aggregate; the rank interpolation float is exact-integer
+    // arithmetic divided once.
     q("q102_quantile_norm", "map per-lang ranks onto the global n_chars distribution")(
       """WITH r AS (SELECT doc_id, lang, n_chars,
         |            row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
@@ -719,12 +731,13 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val r = docs.select(col("doc_id"), col("lang"), col("n_chars"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("lang").orderBy("n_chars", "doc_id")))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
-      val g = docs.select(col("n_chars").as("gv"))
-        .withColumn("grn", row_number().over(Window.orderBy("gv")))
+      val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      val cnts = base.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val r = DistributedRank.withRowNumber(
+          base, Seq(col("n_chars"), col("doc_id")), "rn", group = Seq("lang"))
+        .join(broadcast(cnts), "lang")
+      val g = DistributedRank.withRowNumber(
+        docs.select(col("n_chars").as("gv")), Seq(col("gv")), "grn")
       val total = docs.agg(count(lit(1)).as("total"))
       r.crossJoin(broadcast(total))
         .filter(col("cnt") > 1)

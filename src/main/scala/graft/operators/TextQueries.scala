@@ -277,7 +277,8 @@ object TextQueries {
     // in both engines (double ops are deterministic; ln is bit-compatible —
     // q21), and ranking happens on the already-rounded score with (w1, w2)
     // tiebreaks. Scale shape: two count aggregations (partial+final),
-    // scalar totals broadcast, unigram joins keyed by token.
+    // scalar totals broadcast, unigram joins keyed by token, top-k via
+    // per-partition heaps (TakeOrderedAndProject), never a global sort.
     q("q36g_pmi_collocations", "top-50 bigram collocations by PMI (support >= 5)")(
       s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
          |uni AS (SELECT u, count(*) AS c FROM (SELECT unnest(w) AS u FROM t) GROUP BY u),
@@ -314,10 +315,21 @@ object TextQueries {
         .withColumn("pmi", round(log(
           (col("c") * lit(1.0)) * col("nu") / col("nb") * col("nu")
             / ((col("ca") * lit(1.0)) * col("cb"))), 4))
-      sc.withColumn("rn", row_number().over(Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
-        .filter(col("rn") <= 50)
-        .select(col("w1"), col("w2"), col("c"), col("pmi"),
-          col("rn").cast("long").as("rn"))
+      // top-50 via orderBy().limit() — TakeOrderedAndProject keeps a 50-row
+      // heap PER PARTITION (no global sort, unlike the row_number-then-
+      // filter formulation this replaces, which funneled every scored
+      // bigram through one unpartitioned WindowExec). rn is then derived
+      // WINDOW-FREE over the already-LIMIT-bounded frame: one global
+      // aggregate collects the 50 rows into a struct array sorted by the
+      // same key (negated pmi makes struct-sort's ascending order = pmi
+      // DESC; the original pmi rides along so no double round-trips
+      // through negation), and posexplode's position is the rank.
+      sc.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(50)
+        .agg(sort_array(collect_list(struct(
+          (-col("pmi")).as("sk"), col("w1"), col("w2"), col("c"), col("pmi")))).as("a"))
+        .select(posexplode(col("a")).as(Seq("pos", "r")))
+        .select(col("r.w1").as("w1"), col("r.w2").as("w2"), col("r.c").as("c"),
+          col("r.pmi").as("pmi"), (col("pos") + 1).cast("long").as("rn"))
         .orderBy("rn")
     },
 
