@@ -223,11 +223,15 @@ object AnalyticsQueries {
     },
 
     // Skyline (Pareto frontier) on part: minimize retail price, maximize
-    // size, strict dominance on both axes. The O(n log n) window shape —
-    // pre-aggregate max size per distinct price, running max over the
-    // price ordering shifted one group back, keep rows beating every
-    // strictly-cheaper part. NEVER the quadratic NOT-EXISTS self-join: at
-    // 100 TB the frontier test is a sort + one window + an equi-join back.
+    // size, strict dominance on both axes. The O(n log n) shape —
+    // pre-aggregate max size per distinct price, strict-prefix running max
+    // over the price ordering, keep rows beating every strictly-cheaper
+    // part. NEVER the quadratic NOT-EXISTS self-join. The running max is
+    // the two-pass distributed scan (DistributedRank.withStrictPrefixMax:
+    // per-range-partition maxima prefix-combined by broadcast) — even
+    // though the frame is the distinct-price table, price grids are only
+    // quantized-cents-bounded by ASSUMPTION, and the distributed form costs
+    // the same here while surviving a continuous-valued column at 100 TB.
     q("q130_skyline", "Pareto frontier of part (min price, max size) via running max")(
       """WITH g AS (SELECT p_retailprice AS pr, max(p_size) AS ms FROM part GROUP BY p_retailprice),
         |c AS (SELECT pr, max(ms) OVER (ORDER BY pr ROWS BETWEEN UNBOUNDED PRECEDING
@@ -239,8 +243,7 @@ object AnalyticsQueries {
     ) { (s, dir) =>
       val part = Tables(s, dir, "part")
       val g = part.groupBy(col("p_retailprice").as("pr")).agg(max(col("p_size")).as("ms"))
-      val c = g.withColumn("below", max(col("ms")).over(
-        Window.orderBy("pr").rowsBetween(Window.unboundedPreceding, -1)))
+      val c = DistributedRank.withStrictPrefixMax(g, col("pr"), col("ms"), "below")
       part.join(c, part("p_retailprice") === c("pr"))
         .filter(col("p_size") > coalesce(col("below"), lit(-1)))
         .select(col("p_partkey"), col("p_size"), round(col("p_retailprice"), 4).as("price"))

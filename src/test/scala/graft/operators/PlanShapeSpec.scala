@@ -65,9 +65,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("q74 z-order: the key is row-local (no join, no extra exchange before the sort)") {
+  test("q74 z-order: row-local bucket off one broadcast scalar, no window/sort") {
     val plan = executedPlan("q74_zorder_layout")
-    assert(!plan.contains("Join"), plan)
+    // the only join is the 1-row zmax scalar broadcast (IdentityBroadcastMode);
+    // bucket assignment itself is row-local arithmetic — no WindowExec, no
+    // global SortExec anywhere before the final presentation ORDER BY
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 
   test("q103 the BROADCAST hint reaches the physical plan") {
@@ -198,10 +202,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("q130 skyline: frontier via window + join-back, no NOT-EXISTS product") {
+  test("q130 skyline: frontier via distributed prefix scan + join-back, no NOT-EXISTS product") {
     val plan = executedPlan("q130_skyline")
+    // the running max is DistributedRank.withStrictPrefixMax: a PARTITIONED
+    // window (per range partition) + a ≤parts-row triangular broadcast —
+    // never the quadratic NOT-EXISTS product over part×part
     assert(plan.contains("Window"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 }
