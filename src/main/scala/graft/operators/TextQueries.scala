@@ -562,7 +562,7 @@ object TextQueries {
       """WITH g AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    list_transform(generate_series(1, length(text) - 15), i -> substr(text, i, 16)))) AS gr
-        |  FROM documents),
+        |  FROM documents WHERE length(text) >= 16),
         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
@@ -573,7 +573,13 @@ object TextQueries {
         |WHERE i * 2.0 >= (sa.n + sb.n - i)
         |ORDER BY d1, d2""".stripMargin
     ) { (s, dir) =>
+      // the length gate is semantic, not cosmetic: for length(text) < 16,
+      // Spark's sequence(1, n-15) auto-steps DOWNWARD (1, 0, -1, …) and
+      // would fabricate grams from zero/negative substr positions, while
+      // DuckDB's generate_series returns empty — a silent cross-engine
+      // divergence the moment a short doc enters the corpus
       val g = Tables.fanout(s, dir, "documents")
+        .filter(length(col("text")) >= 16)
         .select(col("doc_id"), explode(array_distinct(
           transform(sequence(lit(1), length(col("text")) - 15),
             i => col("text").substr(i, lit(16))))).as("gr"))

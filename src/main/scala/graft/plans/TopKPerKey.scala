@@ -26,8 +26,25 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
   * contribution to ≤ k rows per key BEFORE the exchange (like a partial
   * aggregate), so shuffled volume is bounded by k·|keys| regardless of
   * input size; the final phase merges per key under the same bound.
+  *
+  * Memory bound: each phase buffers a (k+1)-row heap per distinct key it
+  * sees. The PARTIAL phase caps that at [[maxBufferedKeys]] heaps — once
+  * the cap is hit, rows of not-yet-seen keys PASS THROUGH un-reduced
+  * (correct: the partial phase emits a superset and the final phase is
+  * exact — the same degrade-to-passthrough hash aggregation uses when its
+  * map is full, minus the spill file). The FINAL phase cannot pass through
+  * (it must produce the exact top k), so its working set is
+  * k·|distinct keys in the task's partition| — the identical bound a
+  * reduce-side hash aggregate carries pre-spill; size the shuffle
+  * partition count so k·|keys|/numPartitions fits an executor, exactly as
+  * you would for a grouped aggregation over the same keys.
   */
 object TopKPerKey {
+
+  /** Partial-phase heap-map cap (heaps, not rows; ≈ (k+1)·this rows).
+    * Generous for local[32] bench scale and still a hard bound — override
+    * per-operator via [[topK]]'s `maxBufferedKeys`. */
+  val defaultMaxBufferedKeys: Int = 1 << 20
 
   /** Logical marker node: "keep the top k rows per `keys` under `order`".
     * Output = child output (row-preserving filter semantics). */
@@ -35,8 +52,11 @@ object TopKPerKey {
       k: Int,
       keys: Seq[Expression],
       order: Seq[SortOrder],
-      child: LogicalPlan)
+      child: LogicalPlan,
+      maxBufferedKeys: Int = defaultMaxBufferedKeys)
     extends UnaryNode {
+    require(k >= 1, s"topK requires k >= 1, got $k")
+    require(maxBufferedKeys >= 1, s"maxBufferedKeys must be >= 1, got $maxBufferedKeys")
     override def output: Seq[Attribute] = child.output
     // reference every output so column pruning leaves the node intact
     override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -50,9 +70,10 @@ object TopKPerKey {
     * requires ClusteredDistribution over the keys. */
   object TopKPerKeyStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case TopKPerKeyNode(k, keys, order, child) =>
+      case TopKPerKeyNode(k, keys, order, child, maxKeys) =>
         TopKPerKeyExec(k, keys, order, partial = false,
-          TopKPerKeyExec(k, keys, order, partial = true, planLater(child))) :: Nil
+          TopKPerKeyExec(k, keys, order, partial = true, planLater(child),
+            maxKeys), maxKeys) :: Nil
       case _ => Nil
     }
   }
@@ -65,8 +86,10 @@ object TopKPerKey {
       keys: Seq[Expression],
       order: Seq[SortOrder],
       partial: Boolean,
-      child: SparkPlan)
+      child: SparkPlan,
+      maxBufferedKeys: Int = defaultMaxBufferedKeys)
     extends UnaryExecNode {
+    require(k >= 1, s"topK requires k >= 1, got $k")
 
     override def output: Seq[Attribute] = child.output
 
@@ -81,15 +104,20 @@ object TopKPerKey {
       "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
         .createMetric(sparkContext, "number of output rows"),
       "numKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
-        .createMetric(sparkContext, "number of distinct keys"))
+        .createMetric(sparkContext, "number of distinct keys"),
+      "passThroughRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "rows passed through un-reduced (partial map full)"))
 
     override protected def doExecute(): RDD[InternalRow] = {
       val outRows = longMetric("numOutputRows")
       val nKeys = longMetric("numKeys")
+      val spilledRows = longMetric("passThroughRows")
       val kLocal = k
       val keyExprs = keys
       val orderExprs = order
       val childOutput = child.output
+      val isPartial = partial
+      val maxKeys = maxBufferedKeys
       child.execute().mapPartitions { it =>
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
         val rowProj = UnsafeProjection.create(childOutput, childOutput)
@@ -100,16 +128,28 @@ object TopKPerKey {
         // so admission is one comparison against the root
         val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
         val worstFirst = ord.reverse
+        // partial-phase overflow: rows of keys that did NOT get a heap
+        // (map at capacity) are emitted verbatim — a superset is fine
+        // before the exact final phase. The final phase never overflows by
+        // construction (requiredChildDistribution clusters its keys; its
+        // bound is k·|keys in partition|, documented above).
+        val passThrough = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
         it.foreach { row =>
           val key = keyProj(row)
           var heap = heaps.get(key)
           if (heap == null) {
-            heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
-            heaps.put(key.copy(), heap)
+            if (isPartial && heaps.size() >= maxKeys) {
+              passThrough += rowProj(row).copy()
+            } else {
+              heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
+              heaps.put(key.copy(), heap)
+            }
           }
-          if (heap.size < kLocal) heap.add(rowProj(row).copy())
-          else if (ord.compare(row, heap.peek()) < 0) {
-            heap.poll(); heap.add(rowProj(row).copy())
+          if (heap != null) {
+            if (heap.size < kLocal) heap.add(rowProj(row).copy())
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll(); heap.add(rowProj(row).copy())
+            }
           }
         }
         val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
@@ -118,7 +158,9 @@ object TopKPerKey {
           rows.sort(ord)
           rows.forEach(r => out += r)
         }
+        out ++= passThrough
         nKeys += heaps.size()
+        spilledRows += passThrough.size
         outRows += out.size
         out.iterator
       }
@@ -128,11 +170,21 @@ object TopKPerKey {
   /** Library entry point: top `k` rows per key under `order`, as a
     * DataFrame transform. Injects the planner strategy into the session
     * (idempotent) — also registerable at build time via GraftExtensions. */
-  def topK(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+  def topK(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
+           maxBufferedKeys: Int = defaultMaxBufferedKeys): DataFrame = {
+    require(k >= 1, s"topK requires k >= 1, got $k")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    // injection is synchronized and checks the PLANNER's strategy list —
+    // which includes both experimental strategies and those registered via
+    // SparkSessionExtensions (GraftExtensions) — so concurrent callers and
+    // extension-registered sessions never double-append
+    TopKPerKey.synchronized {
+      if (!spark.sessionState.planner.extraPlanningStrategies
+            .contains(TopKPerKeyStrategy) &&
+          !spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
     // let the ANALYZER produce fully-resolved catalyst SortOrders (a
     // hand-converted sort Column would carry Connect-side AST nodes that
     // are not task-serializable): plan a sortWithinPartitions and lift its
@@ -144,6 +196,7 @@ object TopKPerKey {
       .partitionExpressions
     // both lifts analyze over df's already-analyzed plan, so attribute ids
     // agree between sortPlan.child and the key expressions
-    DatasetBridge.ofRows(spark, TopKPerKeyNode(k, keyExprs, sortPlan.order, sortPlan.child))
+    DatasetBridge.ofRows(spark,
+      TopKPerKeyNode(k, keyExprs, sortPlan.order, sortPlan.child, maxBufferedKeys))
   }
 }

@@ -565,10 +565,15 @@ object StreamingQueries {
     // q148's native heap operator: each event_type's top-3 (value desc,
     // event_id) rows live as BOUNDED keyed state (k tuples per key, the
     // streaming analogue of the partial heap), merged with each batch's
-    // arrivals and re-emitted. Group iterators are NOT ordered
-    // (NOTES.md) — the merge sorts the combined list. Single-file replay ⇒
-    // one data batch ⇒ the emission IS the batch top-3 (the oracle);
-    // cross-batch displacement is locked by StreamTopKSpec.
+    // arrivals and re-emitted WITH a monotone events-seen counter. The
+    // Append-mode memory sink accumulates one board emission per batch, so
+    // the final select reduces each (type, rank) slot to its max-counter
+    // emission (q152's defense) — a multi-batch replay (multi-file
+    // fixture, maxFilesPerTrigger) yields the LATEST board, never stale
+    // duplicate rows. Group iterators are NOT ordered (NOTES.md) — the
+    // merge sorts the combined list. Single-file replay ⇒ one data batch ⇒
+    // the emission IS the batch top-3 (the oracle); cross-batch
+    // displacement is locked by StreamTopKSpec.
     q("q149_stream_topk",
       "stream-maintained per-type top-3 leaderboard (bounded keyed state)")(
       """SELECT event_type, rnk, event_id, round(value, 4) AS value
@@ -583,22 +588,26 @@ object StreamingQueries {
         .select(col("event_type"), col("event_id"), col("value"))
         .as[(String, Long, Double)]
         .groupByKey(_._1)
-        .flatMapGroupsWithState[Seq[(Double, Long)], (String, Long, Long, Double)](
+        .flatMapGroupsWithState[(Seq[(Double, Long)], Long), (String, Long, Long, Long, Double)](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (et: String, it: Iterator[(String, Long, Double)],
-           state: GroupState[Seq[(Double, Long)]]) =>
-            val merged = (state.getOption.getOrElse(Seq.empty) ++
-                it.map(r => (r._3, r._2)))
+           state: GroupState[(Seq[(Double, Long)], Long)]) =>
+            val (board, seen) = state.getOption.getOrElse((Seq.empty[(Double, Long)], 0L))
+            val arrivals = it.map(r => (r._3, r._2)).toVector
+            val merged = (board ++ arrivals)
               .sortBy { case (v, id) => (-v, id) }.take(3)
-            state.update(merged)
+            val n = seen + arrivals.size
+            state.update((merged, n))
             merged.zipWithIndex.iterator.map { case ((v, id), i) =>
-              (et, (i + 1).toLong, id, v)
+              (et, n, (i + 1).toLong, id, v)
             }
         }
-        .toDF("event_type", "rnk", "event_id", "value")
+        .toDF("event_type", "n", "rnk", "event_id", "value")
       runToMemory(s, rows)
-        .select(col("event_type"), col("rnk"), col("event_id"),
-          round(col("value"), 4).as("value"))
+        .groupBy("event_type", "rnk")
+        .agg(max(struct(col("n"), col("event_id"), col("value"))).as("last"))
+        .select(col("event_type"), col("rnk"), col("last.event_id").as("event_id"),
+          round(col("last.value"), 4).as("value"))
         .orderBy("event_type", "rnk")
     },
 

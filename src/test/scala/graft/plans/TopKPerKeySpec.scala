@@ -55,4 +55,33 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(TopKPerKey.topK(empty, Seq(col("o_custkey")),
       Seq(col("o_totalprice").desc), 3).count() == 0)
   }
+
+  test("k < 1 is rejected up front, not as a task-time NPE") {
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topK(orders, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc), 0)
+    }
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topK(orders, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc), -2)
+    }
+  }
+
+  test("partial-phase key cap degrades to pass-through, result unchanged") {
+    // cap the partial heap map at 2 keys — far below the ~1000 customers in
+    // the fixture — so almost every map-side row takes the pass-through
+    // path; the final phase must still produce the exact top-k
+    val capped = TopKPerKey.topK(orders,
+      Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey")),
+      3, maxBufferedKeys = 2)
+    val a = capped.orderBy("o_custkey", "o_orderkey").collect()
+    val b = windowed(3).orderBy("o_custkey", "o_orderkey").collect()
+    assert(a.length == b.length && a.sameElements(b))
+  }
+
+  test("repeat topK calls never stack duplicate planner strategies") {
+    native(2).collect(); native(2).collect()
+    assert(spark.experimental.extraStrategies
+      .count(_ == TopKPerKey.TopKPerKeyStrategy) <= 1)
+  }
 }
