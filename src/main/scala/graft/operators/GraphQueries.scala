@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries {
 
+  /** Row-count switch point for the iterative queries' score/adjacency
+    * frames (q80 rank, q111 adjacency, q138 hub/authority scores). These
+    * frames are |V|-bounded — tiny next to the edge list — so broadcasting
+    * them keeps the cached edge frame from ever reshuffling. But |V| grows
+    * with the graph: past ~5M rows (≈100 MB+ of executor heap per copy at
+    * typical node-id + score widths) a broadcast stops being free, and the
+    * join must fall back to a co-partitioned shuffle join against the
+    * edge frame (which is already hash-partitioned by the join key from
+    * its own build). The fixture graphs sit 3 orders of magnitude under
+    * the switch, so local plans take the broadcast arm — the fallback arm
+    * is exercised by GraphQueriesSpec with a threshold of 0. */
+  private[operators] val BroadcastRowThreshold = 5000000L
+
+  /** Broadcast `dim` when its (already-counted) row count is under the
+    * switch point, else return it untouched for a co-partitioned join. */
+  private[operators] def maybeBroadcast(
+      dim: org.apache.spark.sql.DataFrame, rows: Long,
+      threshold: Long = BroadcastRowThreshold): org.apache.spark.sql.DataFrame =
+    if (rows <= threshold) broadcast(dim) else dim
+
   /** q80's oracle: the same 5 iterations unrolled as chained CTEs. */
   private val pagerankSql: String = {
     def iter(prev: String, next: String) =
@@ -82,19 +102,25 @@ object GraphQueries {
         .cache() // degree pass + orientation both read it
       val deg = e0.select(col("u").as("n")).union(e0.select(col("v")))
         .groupBy("n").agg(count(lit(1)).as("d"))
-      val du = deg.select(col("n").as("u"), col("d").as("du"))
-      val dv = deg.select(col("n").as("v"), col("d").as("dv"))
       // strict total order (degree, id): u < v already, so ties keep u first
       val fromU = col("du") < col("dv") || (col("du") === col("dv"))
-      val oriented = e0.join(broadcast(du), "u").join(broadcast(dv), "v")
+      // deg is |V|-bounded: count it once and let the size switch decide
+      // whether the degree and adjacency frames broadcast or co-partition
+      val degc = deg.cache()
+      val nV = degc.count()
+      val du = degc.select(col("n").as("u"), col("d").as("du"))
+      val dv = degc.select(col("n").as("v"), col("d").as("dv"))
+      val oriented = e0.join(maybeBroadcast(du, nV), "u")
+        .join(maybeBroadcast(dv, nV), "v")
         .select(when(fromU, col("u")).otherwise(col("v")).as("x"),
           when(fromU, col("v")).otherwise(col("u")).as("y"))
         .cache() // adjacency build + both endpoint joins
       val adj = oriented.groupBy(col("x").as("n"))
         .agg(sort_array(collect_list(col("y"))).as("nbrs"))
+        .cache() // joined on both endpoints
       val common = oriented
-        .join(broadcast(adj.select(col("n").as("x"), col("nbrs").as("ax"))), Seq("x"))
-        .join(broadcast(adj.select(col("n").as("y"), col("nbrs").as("ay"))), Seq("y"))
+        .join(maybeBroadcast(adj.select(col("n").as("x"), col("nbrs").as("ax")), nV), Seq("x"))
+        .join(maybeBroadcast(adj.select(col("n").as("y"), col("nbrs").as("ay")), nV), Seq("y"))
         .select(col("x"), col("y"),
           array_intersect(col("ax"), col("ay")).as("ws"))
         .filter(size(col("ws")) > 0)
@@ -120,18 +146,21 @@ object GraphQueries {
         .cache() // read 4× (outdeg, contribBase, and both node legs)
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst"))).distinct().cache()
+      // |V| counted once: the size switch routes every score-frame join
+      // below (rank, m, outdeg are all |V|-bounded)
+      val nV = nodes.count()
       val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       // (src, dst, deg) is re-joined every iteration — materialize it once
-      val contribBase = edges.join(broadcast(outdeg), "src").cache() // outdeg is |src|-bounded
+      val contribBase = edges.join(maybeBroadcast(outdeg, nV), "src").cache()
       var rank = nodes.select(col("node").as("rnode"), lit(1000000L).as("pr"))
       for (_ <- 1 to 5) {
-        // rank is |nodes|-sized (tiny next to edges) — broadcast it so the
-        // cached edge frame never reshuffles; the dst groupBy collapses
-        // map-side (|dst| distinct keys)
-        val m = contribBase.join(broadcast(rank), col("src") === col("rnode"))
+        // rank is |nodes|-sized (tiny next to edges) — broadcast it (below
+        // the switch point) so the cached edge frame never reshuffles; the
+        // dst groupBy collapses map-side (|dst| distinct keys)
+        val m = contribBase.join(maybeBroadcast(rank, nV), col("src") === col("rnode"))
           .select(col("dst").as("node"), expr("pr div deg").as("contrib"))
           .groupBy("node").agg(sum(col("contrib")).as("m"))
-        rank = nodes.join(broadcast(m), Seq("node"), "left")
+        rank = nodes.join(maybeBroadcast(m, nV), Seq("node"), "left")
           .select(col("node").as("rnode"),
             expr("150000L + (850000L * coalesce(m, 0L)) div 1000000L").as("pr"))
           .localCheckpoint(true) // truncate lineage per round (NOTES.md)
@@ -219,10 +248,14 @@ object GraphQueries {
           concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
         .distinct()
         .cache() // re-joined every half-round
+      // the score frames are bounded by the two partition sizes — count
+      // them once off the cached edge list and size-switch every half-round
+      val nP = e.select("p").distinct().count()
+      val nS = e.select("s").distinct().count()
       val a1 = e.groupBy("s").agg((count(lit(1)) * 1000000L).as("a"))
-      val h1 = e.join(broadcast(a1), "s").groupBy("p").agg(sum(col("a")).as("h"))
-      val a2 = e.join(broadcast(h1), "p").groupBy("s").agg(sum(col("h")).as("a"))
-      val h2 = e.join(broadcast(a2), "s").groupBy("p").agg(sum(col("a")).as("h"))
+      val h1 = e.join(maybeBroadcast(a1, nS), "s").groupBy("p").agg(sum(col("a")).as("h"))
+      val a2 = e.join(maybeBroadcast(h1, nP), "p").groupBy("s").agg(sum(col("h")).as("a"))
+      val h2 = e.join(maybeBroadcast(a2, nS), "s").groupBy("p").agg(sum(col("a")).as("h"))
       a2.select(lit("authority").as("kind"), col("s").as("node"), col("a").as("score"))
         .orderBy(col("score").desc, col("node")).limit(20)
         .unionAll(

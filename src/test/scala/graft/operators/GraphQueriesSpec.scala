@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkTestSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The iterative graph queries (q80 PageRank, q111 triangles, q138 HITS)
+  * join |V|-bounded score/adjacency frames against their cached edge lists.
+  * Below GraphQueries.BroadcastRowThreshold those frames broadcast (the
+  * edge frame never reshuffles); above it the SAME join falls back to a
+  * co-partitioned shuffle join — this spec exercises BOTH arms of that
+  * switch, since the fixture graphs only ever take the broadcast arm. */
+class GraphQueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // q80's per-iteration joins live inside eagerly-checkpointed lineage
+  // (invisible in the final plan), so the broadcast-arm pin rides q138 and
+  // q111, whose half-round/adjacency joins stay in the plan tree
+  test("fixture-scale q138 and q111 take the broadcast arm for their score joins") {
+    for (name <- Seq("q138_hits", "q111_triangle_count")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("maybeBroadcast above the threshold plans a shuffle join, not a broadcast") {
+    val edges = spark.range(0, 1000)
+      .select((col("id") % 100).as("src"), (col("id") % 37).as("dst"))
+    val scores = spark.range(0, 100)
+      .select(col("id").as("src"), (col("id") * 10).as("score"))
+    // a genuinely over-threshold frame would also exceed Catalyst's own
+    // autoBroadcastJoinThreshold; emulate that statistics regime so the
+    // planner can't silently re-broadcast the tiny test frame
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // threshold 0 forces the co-partitioned arm regardless of actual size
+      val plan = edges.join(GraphQueries.maybeBroadcast(scores, rows = 100, threshold = 0), "src")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("maybeBroadcast below the threshold broadcasts") {
+    val edges = spark.range(0, 1000)
+      .select((col("id") % 100).as("src"), (col("id") % 37).as("dst"))
+    val scores = spark.range(0, 100)
+      .select(col("id").as("src"), (col("id") * 10).as("score"))
+    val plan = edges.join(GraphQueries.maybeBroadcast(scores, rows = 100), "src")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
