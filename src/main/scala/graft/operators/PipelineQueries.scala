@@ -36,6 +36,34 @@ object PipelineQueries {
     s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})"
   }.mkString(" + ")
 
+  /** q160's oracle: the Hilbert xy2d walk unrolled as 16 chained CTE
+    * stages (one per bit level, s = 32768 … 1), each carrying the rotated
+    * frame forward as (x{i}, y{i}, d{i}) — index-suffixed names, never
+    * reusing a column name inside a stage (lateral alias resolution is
+    * engine-specific). An independent derivation of the index the codegen
+    * [[graft.expressions.HilbertIndex]] expression computes in one loop. */
+  private val hilbertStagesSql: String = {
+    val n = 65536L
+    val stages = (0 until 16).map { i =>
+      val s = n >> (i + 1)
+      s"""h${i + 1} AS (SELECT l_partkey, l_suppkey,
+         |  d$i + ${s * s} * xor(3 * (CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END),
+         |                       (CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END)) AS d${i + 1},
+         |  CASE WHEN (y$i & $s) = 0
+         |       THEN (CASE WHEN (x$i & $s) > 0 THEN ${n - 1} - y$i ELSE y$i END)
+         |       ELSE x$i END AS x${i + 1},
+         |  CASE WHEN (y$i & $s) = 0
+         |       THEN (CASE WHEN (x$i & $s) > 0 THEN ${n - 1} - x$i ELSE x$i END)
+         |       ELSE y$i END AS y${i + 1}
+         |FROM h$i)""".stripMargin
+    }
+    s"""h0 AS (SELECT l_partkey, l_suppkey,
+       |  CAST(l_partkey & 65535 AS BIGINT) AS x0,
+       |  CAST(l_suppkey & 65535 AS BIGINT) AS y0,
+       |  CAST(0 AS BIGINT) AS d0 FROM lineitem),
+       |${stages.mkString(",\n")}""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Benchmark decontamination: score each training doc by the FRACTION
@@ -512,6 +540,41 @@ object PipelineQueries {
           min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
           min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
           min(col("zkey")).as("zmin"), max(col("zkey")).as("zmax"))
+        .orderBy("bucket")
+    },
+
+    // Hilbert-curve layout — q74's sibling with the stronger locality key:
+    // consecutive Hilbert indices are GRID NEIGHBORS (proven exhaustively
+    // in HilbertIndexSpec), so range-partitioned files get envelopes with
+    // no z-shape diagonal jumps — measurably tighter file skipping on the
+    // secondary column. The index is the codegen HilbertIndex expression
+    // (the xy2d bit-rotation walk is per-row mutable state — SQL-hostile,
+    // which is exactly why the oracle derives it independently as 16
+    // unrolled CTE stages). Same scale shape as q74: row-local key, one
+    // broadcast max, 16-group aggregate; no sort, no window.
+    q("q160_hilbert_layout", "Hilbert-curve sort key → per-bucket min/max pruning envelopes")(
+      s"""WITH $hilbertStagesSql,
+         |z AS (SELECT l_partkey, l_suppkey, d16 AS hkey FROM h16),
+         |zm AS (SELECT max(hkey) AS hmax FROM z),
+         |b AS (SELECT z.*, (hkey * 16) // (hmax + 1) AS bucket FROM z CROSS JOIN zm)
+         |SELECT bucket, count(*) AS n,
+         |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk,
+         |       min(hkey) AS hmin, max(hkey) AS hmax
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      val z = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .withColumn("hkey", graft.expressions.HilbertFunctions
+          .hilbertIndex(col("l_partkey"), col("l_suppkey"), 16))
+      val zm = z.agg(max(col("hkey")).as("hmax"))
+      z.crossJoin(broadcast(zm))
+        .withColumn("bucket", expr("(hkey * 16) div (hmax + 1)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
+          min(col("hkey")).as("hmin"), max(col("hkey")).as("hmax"))
         .orderBy("bucket")
     },
 

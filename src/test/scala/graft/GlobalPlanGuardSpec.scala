@@ -30,6 +30,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q102_quantile_norm" -> "1-row global-count frame × ranked rows; ≤(parts×|lang|)-row rank-offset triangular join (DistributedRank)",
     "q52_decontaminate" -> "1-row count + 1-row cutoff scalars; ≤parts-row rank-offset triangular join (DistributedRank)",
     "q74_zorder_layout" -> "1-row zmax scalar × lineitem (range-bin bucket off one broadcast bound)",
+    "q160_hilbert_layout" -> "1-row hmax scalar × lineitem (range-bin bucket off one broadcast bound)",
     "q130_skyline" -> "≤parts-row partition-maxima triangular join (DistributedRank prefix scan)",
     "q117_temperature_mix" -> "1-row total-char-mass frame × per-source quota table",
     "q35_cosine_topk" -> "brute-force baseline BY DESIGN: 10 query vectors broadcast × corpus",
