@@ -5,7 +5,7 @@ import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TimeMode}
 import org.apache.spark.sql.types._
 
 /** Streaming operators (SURVEY.md §2B B26/B29/B31/B32) executed as REAL
@@ -656,6 +656,49 @@ object StreamingQueries {
         .select(col("event_type"), col("last.n").as("n"),
           round(col("last.ewma"), 4).as("ewma"))
         .orderBy("event_type")
+    },
+
+    // Stream-maintained exact rolling median — q147's 11-row selection
+    // frame as keyed streaming state (RollingMedianProcessor: ordered-tail
+    // ListState on the arbitrary-state v2 API, bounded by the frame width).
+    // Single-file replay ⇒ one data batch, sorted per key before folding ⇒
+    // the emission equals the batch window oracle bit-for-bit (selection,
+    // never averaging — no float arithmetic to diverge). Cross-batch
+    // continuation (the tail carrying into the next batch's first frames)
+    // is locked by StreamRollingMedianSpec. Requires the RocksDB state
+    // store provider (restored after the run).
+    q("q161_stream_rolling_median",
+      "stream-maintained exact rolling median of the last 11 values per event_type")(
+      """WITH l AS (
+        |  SELECT event_type, ts, event_id, value,
+        |         list_sort(list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                        ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) AS vs
+        |  FROM events)
+        |SELECT event_type, event_id, round(vs[(len(vs) + 1) // 2], 4) AS roll_med
+        |FROM l ORDER BY event_type, ts, event_id LIMIT 1000""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val med = eventsStream(s, dir)
+          .select(col("event_type"), unix_micros(col("ts")).as("t"),
+            col("event_id"), col("value"))
+          .as[(String, Long, Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new RollingMedianProcessor, TimeMode.None(), OutputMode.Append())
+          .toDF("event_type", "t", "event_id", "med")
+        runToMemory(s, med)
+          .orderBy("event_type", "t", "event_id")
+          .select(col("event_type"), col("event_id"),
+            round(col("med"), 4).as("roll_med"))
+          .limit(1000)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   )
 
