@@ -976,6 +976,54 @@ object ExtrasQueries {
         .orderBy("m1", "m2")
     },
 
+    // q151 at Hamming ≤ 4 — past plain banding's exactness ceiling (4
+    // flips can touch all 4 bands: recall measured < 1 at d ≥ 4). The fix
+    // is 1-bit MULTI-PROBE: one join side also probes every 1-bit
+    // perturbation of each 16-bit band value (17 probes/band — row-local
+    // fan-out, the join stays an equi-join on (band, value)). Pigeonhole
+    // restores PROVABLE exactness: if every band differed by ≥ 2 bits the
+    // total distance would be ≥ 8, so any pair at d ≤ 7 — a fortiori the
+    // d ≤ 4 threshold here — has a band within Hamming 1, which the probe
+    // ball catches. The oracle therefore stays independent brute force,
+    // not a candidate mirror. Candidate volume: 17× the band rows on one
+    // side only — still linear in images, never n².
+    q("q151b_image_neardup_multiprobe",
+      "image near-dup pairs at Hamming ≤ 4: banded aHash + 1-bit multi-probe")(
+      s"""$aHashCteSql
+         |SELECT a.media_id AS m1, b.media_id AS m2,
+         |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
+         |FROM ah a JOIN ah b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
+         |ORDER BY m1, m2""".stripMargin
+    ) { (s, dir) =>
+      val ah = graft.multimodal.Multimodal.bmpAHashQuery(s, dir)
+        .select(col("media_id"), col("ahash_hi").as("hi"), col("ahash_lo").as("lo"))
+        .cache() // exact leg + probe leg
+      def bands(m: String, hi: String, lo: String) = ah.select(
+        col("media_id").as(m), col("hi").as(hi), col("lo").as(lo),
+        explode(array(
+          struct(lit(0).as("bi"), expr("shiftright(hi, 16) & 65535").as("bv")),
+          struct(lit(1).as("bi"), expr("hi & 65535").as("bv")),
+          struct(lit(2).as("bi"), expr("shiftright(lo, 16) & 65535").as("bv")),
+          struct(lit(3).as("bi"), expr("lo & 65535").as("bv")))).as("b"))
+        .select(col(m), col(hi), col(lo), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      // probe leg: the band value itself plus its 16 one-bit flips
+      val probed = bands("m2", "h2", "l2")
+        .select(col("m2"), col("h2"), col("l2"), col("bi"),
+          explode(array((-1 to 15).map(j =>
+            if (j < 0) col("bv") else col("bv").bitwiseXOR(lit(1L << j))): _*)).as("pbv"))
+        .withColumnRenamed("pbv", "bv")
+      val dist = bit_count(col("h1").bitwiseXOR(col("h2"))) +
+        bit_count(col("l1").bitwiseXOR(col("l2")))
+      bands("m1", "h1", "l1")
+        .join(probed, Seq("bi", "bv"))
+        .filter(col("m1") < col("m2"))
+        .select("m1", "m2", "h1", "l1", "h2", "l2").distinct()
+        .filter(dist <= 4)
+        .select(col("m1"), col("m2"), dist.cast("long").as("dist"))
+        .orderBy("m1", "m2")
+    },
+
     // Ingest throughput proxy: the full reference pipeline (parse → dispatch
     // → derive → proto encode) over wire lines synthesized from every event
     // row ×3 — Bench times this as the single-node throughput headline
