@@ -262,6 +262,47 @@ object GraphQueries {
           h2.select(lit("hub").as("kind"), col("p").as("node"), col("h").as("score"))
             .orderBy(col("score").desc, col("node")).limit(20))
         .orderBy(col("kind"), col("score").desc, col("node"))
+    },
+
+    // Bipartite → unipartite projection with co-occurrence weights: the
+    // part–supplier graph projected to supplier–supplier edges, w = number
+    // of SHARED parts — the "co-purchased-with" construction (and, on a
+    // doc–term graph, the term-co-occurrence matrix). The blow-up hazard is
+    // the hub: projecting through a part of degree d fans out C(d,2) pairs,
+    // so parts above a DEGREE CAP are dropped before the self-join — the
+    // same stopword-gram lesson as q131/q51 (hub nodes carry no
+    // co-occurrence signal; here the cap also bounds per-join-key fan-out
+    // at C(25,2) = 300, making worst-case candidate volume 300·|parts|,
+    // linear — never Σd² over unbounded hubs). Supplier degrees in this
+    // fixture are ~500+ (every supplier pairs with every other — a
+    // vacuous projection), so parts are the projection key in BOTH
+    // directions' only non-degenerate choice. The cap filter rides the
+    // degree aggregate (|parts|-bounded, size-switched broadcast); pair
+    // counts partial-aggregate map-side; top-100 via per-partition heaps.
+    q("q162_bipartite_projection",
+      "supplier co-occurrence projection through degree-capped parts (top 100 edges)")(
+      """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |d AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY p),
+        |keep AS (SELECT e.p, e.s FROM e JOIN d USING (p) WHERE d.deg <= 25),
+        |pairs AS (SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS w
+        |          FROM keep a JOIN keep b ON a.p = b.p AND a.s < b.s
+        |          GROUP BY a.s, b.s)
+        |SELECT s1, s2, w FROM pairs ORDER BY w DESC, s1, s2 LIMIT 100""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct() // the exchange also parallelizes the single-file scan
+        .cache() // degree pass + both projection legs
+      val d = e.groupBy("p").agg(count(lit(1)).as("deg")).cache()
+      val nParts = d.count()
+      val keep = e.join(maybeBroadcast(d.filter(col("deg") <= 25), nParts), "p")
+        .select(col("p"), col("s"))
+        .cache() // both legs of the self-join
+      keep.select(col("p"), col("s").as("s1"))
+        .join(keep.select(col("p"), col("s").as("s2")), Seq("p"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+        .orderBy(col("w").desc, col("s1"), col("s2")).limit(100)
     }
   )
 }

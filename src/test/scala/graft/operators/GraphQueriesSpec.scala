@@ -45,6 +45,17 @@ class GraphQueriesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q162 projection: degree cap precedes the self-join, no product join") {
+    val plan = SparkEntry.queries("q162_bipartite_projection")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the hub cap must be in the plan (fan-out bounded at C(25,2) per key)
+    // and the projection must stay an equi-join on the part key
+    assert(plan.contains("<= 25"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    spark.catalog.clearCache()
+  }
+
   test("maybeBroadcast below the threshold broadcasts") {
     val edges = spark.range(0, 1000)
       .select((col("id") % 100).as("src"), (col("id") % 37).as("dst"))
