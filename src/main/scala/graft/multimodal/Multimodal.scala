@@ -218,6 +218,50 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** REAL pixel resize through the BMP codec (the resize verb on actual
+    * pixels — [[resizeHalf]] above is the metadata-shape stub): synthesize
+    * the 16×h grayscale BMP (q70's construction), decode through the real
+    * container parse, 2×2 BOX-DOWNSAMPLE in exact integer arithmetic
+    * (floor of block sum over block pixel count — bottom row blocks hold 2
+    * pixels when h is odd), then RE-ENCODE the 8×⌈h/2⌉ result and decode
+    * it AGAIN. The doubled round-trip makes the emitted stats prove the
+    * codec handles the resized geometry (odd heights, new row padding),
+    * not just the original; everything is integer-exact so the oracle can
+    * re-derive the downsample from the synthesis arithmetic alone.
+    * Row-local map stage at any scale. */
+  def bmpResizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = 16
+          val h = (text.length + w - 1) / w
+          val px = Array.tabulate(h, w) { (y, x) =>
+            val i = y * w + x
+            if (i < text.length) text.charAt(i).toInt & 0xff else 0
+          }
+          val img = BmpCodec.decode(BmpCodec.encode(BmpCodec.Gray(w, h, px)))
+          val rh = (img.height + 1) / 2
+          val small = Array.tabulate(rh, 8) { (yy, xx) =>
+            var s = 0L; var c = 0L
+            for (dy <- 0 to 1; dx <- 0 to 1) {
+              val y = yy * 2 + dy; val x = xx * 2 + dx
+              if (y < img.height) { s += img.gray(y)(x); c += 1 }
+            }
+            (s / c).toInt
+          }
+          val out = BmpCodec.decode(BmpCodec.encode(BmpCodec.Gray(8, rh, small)))
+          var rsum = 0L
+          out.gray.foreach(row => row.foreach(rsum += _))
+          (id, out.width.toLong, out.height.toLong, out.gray(0)(0).toLong, rsum)
+        }
+      }
+      .toDF("media_id", "rw", "rh", "rpx0", "rsum")
+      .orderBy("media_id")
+  }
+
   /** Frame sampling (the north-star's fourth multimodal verb): every 4th
     * frame of each video payload, emitted as (frame_idx, byte count, 60-bit
     * content hash) rows. The STUB "decode" slices fixed 256-byte chunks

@@ -937,6 +937,39 @@ object ExtrasQueries {
          |ORDER BY media_id, frame_idx""".stripMargin
     ) { (s, dir) => graft.multimodal.Multimodal.frameSampleQuery(s, dir) },
 
+    // REAL pixel resize — the multimodal resize verb on actual pixels
+    // (metadata-level resize ships in the q39 feature chain): decode the
+    // synthesized 16×h BMP through the real codec, 2×2 integer box-
+    // downsample (floor of block sum over block count; odd heights leave
+    // 2-pixel bottom blocks), re-encode the 8×⌈h/2⌉ image and decode it
+    // AGAIN — the emitted stats only match if the codec round-trips the
+    // RESIZED geometry too. The oracle re-derives every downsampled pixel
+    // from the synthesis arithmetic (char codes, zero padding) with the
+    // same floor division — integer-exact end to end, no codec on the
+    // oracle side at all.
+    q("q163_image_resize",
+      "2x2 integer box-downsample through the real BMP codec (re-encoded + re-decoded)")({
+      def p(y: String, x: String) =
+        s"CASE WHEN ($y) * 16 + ($x) < n THEN ord(substr(text, ($y) * 16 + ($x) + 1, 1)) ELSE 0 END"
+      s"""WITH t AS (SELECT doc_id AS media_id, text, length(text) AS n,
+         |                  (length(text) + 15) // 16 AS h FROM documents),
+         |ys AS (SELECT media_id, text, n, h,
+         |              unnest(generate_series(0, (h + 1) // 2 - 1)) AS yy FROM t),
+         |c AS (SELECT media_id, text, n, h, yy,
+         |             unnest(generate_series(0, 7)) AS xx FROM ys),
+         |r AS (SELECT media_id, h, yy, xx,
+         |        ${p("2*yy", "2*xx")} + ${p("2*yy", "2*xx+1")} +
+         |        CASE WHEN 2*yy+1 < h
+         |             THEN ${p("2*yy+1", "2*xx")} + ${p("2*yy+1", "2*xx+1")}
+         |             ELSE 0 END AS bs,
+         |        CASE WHEN 2*yy+1 < h THEN 4 ELSE 2 END AS cnt
+         |      FROM c)
+         |SELECT media_id, CAST(8 AS BIGINT) AS rw, CAST((h + 1) // 2 AS BIGINT) AS rh,
+         |       CAST(max(CASE WHEN yy = 0 AND xx = 0 THEN bs // cnt END) AS BIGINT) AS rpx0,
+         |       CAST(sum(bs // cnt) AS BIGINT) AS rsum
+         |FROM r GROUP BY media_id, h ORDER BY media_id""".stripMargin
+    }) { (s, dir) => graft.multimodal.Multimodal.bmpResizeQuery(s, dir) },
+
     // Image near-dup pairs — the visual dedup END of the q121 aHash: 64-bit
     // hashes band into 4×16-bit segments, candidates are the band
     // equi-join, survivors pass exact Hamming ≤ 3. By pigeonhole, ≤ 3
