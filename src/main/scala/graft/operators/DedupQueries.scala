@@ -225,6 +225,62 @@ object DedupQueries {
         .orderBy("d1", "d2")
     },
 
+    // Prefix-filtered set-similarity join — the AllPairs/PPJoin candidate
+    // rule next to q34a's full-inverted-index join and q34c's MinHash-LSH:
+    // order each doc's shingle set by GLOBAL rarity (df, then hash — a
+    // total order), and join only on each doc's first n - ⌈t·n⌉ + 1
+    // elements (t = 0.5 ⇒ n div 2 + 1). The prefix-filtering theorem
+    // (Chaudhuri/Ganti/Kaushik SSJoin; Bayardo AllPairs) guarantees any
+    // pair with J ≥ t shares a PREFIX element, so recall is exactly 1 —
+    // and the oracle is the FULL join, which would hash-mismatch on any
+    // missed pair. Scale lever: candidate volume is Σ df² over PREFIX
+    // occurrences only, and prefixes hold each doc's RAREST shingles — the
+    // hot stopword-like keys that dominate the full join's Σ df² never
+    // enter the candidate join (DedupPlanSpec measures the pruning).
+    // Exact Jaccard then verifies candidates via (doc, hash)-keyed joins.
+    q("q164_prefix_filter_join",
+      "AllPairs prefix-filtered exact Jaccard join (≥ 0.5): rarest-shingle candidates")(
+      s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(${shinglesSql("t", 3)}),
+         |                               g -> ${md5LongSql("g")})) AS h FROM toks),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2, round(c * 1.0 / (ca.n + cb.n - c), 4) AS jac
+         |FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+         |WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+         |ORDER BY d1, d2""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val sh = toks.select(col("doc_id"),
+        explode(transform(array_distinct(shingles(col("t"), 3)),
+          g => md5Long(g))).as("h"))
+        .cache() // df pass + prefix build + both verification legs
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      val pref = sh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
+        .select(col("doc_id"),
+          explode(expr("slice(arr, 1, size(arr) div 2 + 1)")).as("e"))
+        .select(col("doc_id"), col("e.h").as("h"))
+      val cand = pref.as("a")
+        .join(pref.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      val c = cand
+        .join(sh.select(col("doc_id").as("d1"), col("h")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("h")), Seq("d2", "h"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      c.join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+        .withColumn("jac_raw", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+        .filter(col("jac_raw") >= 0.5)
+        .select(col("d1"), col("d2"), round(col("jac_raw"), 4).as("jac"))
+        .orderBy("d1", "d2")
+    },
+
     // B34: MinHash signatures — 16 portable arithmetic permutations over
     // shingle hashes, value-checked against the oracle (not just candidates).
     q("q34b_minhash_signatures", "B34 16-permutation MinHash signatures per doc")(

@@ -66,4 +66,35 @@ class DedupPlanSpec extends AnyFunSuite {
     assert(expected.size == 50, s"fixture should contain the 50 injected pairs, got ${expected.size}")
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
+
+  test("q164 prefix filter prunes the candidate join below the full-index join") {
+    // rebuild both candidate sets the way the queries do and compare
+    // volume: the prefix join must generate strictly fewer candidate pairs
+    // than joining on EVERY shingle (recall stays 1 — the oracle is the
+    // full join, so any missed pair is a correctness failure, not a spec
+    // concern here). Also: q164's plan stays equi-join only.
+    import graft.functions.PortableHash.{md5Long, shingles, tokens}
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(shingles(col("t"), 3), g => md5Long(g)))).as("h"))
+      .cache()
+    val full = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val pref = sh.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
+      .select(col("doc_id"), explode(expr("slice(arr, 1, size(arr) div 2 + 1)")).as("e"))
+      .select(col("doc_id"), col("e.h").as("h"))
+    val pruned = pref.as("a")
+      .join(pref.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(pruned < full, s"prefix candidates $pruned should be < full-join candidates $full")
+    val plan = SparkEntry.queries("q164_prefix_filter_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    spark.catalog.clearCache()
+  }
 }
