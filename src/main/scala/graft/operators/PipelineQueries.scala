@@ -928,6 +928,87 @@ object PipelineQueries {
         .filter(col("rnk") <= col("n_take"))
         .select(col("doc_id"), col("source"), col("rnk"))
         .orderBy("source", "rnk")
+    },
+
+    // Entity resolution — multi-pass BLOCKING + agreement scoring (the
+    // Fellegi–Sunter shape a dedup pipeline runs on records rather than
+    // text). A dirty copy of customer is derived deterministically (typo'd
+    // name every 7th key, ±2-cent balance drift, wrong nation every 31st),
+    // then candidates come from the UNION of two blocking passes — block A
+    // on (nation, 50-unit balance bin), block B on the name's digit
+    // suffix — so a pair survives any SINGLE corrupted field, and neither
+    // pass is ever an all-pairs product (the Σ block-size² cost is the
+    // blocking-key design knob, same role as q162's degree cap). Agreement
+    // scores are pure integers (balances compared in CENTS — no float
+    // tolerance), thresholded into match / possible. At 100 TB: two
+    // equi-joins + a distinct, scoring row-local.
+    q("q165_entity_resolution",
+      "blocked candidate pairs + integer agreement scores over a derived dirty copy")(
+      """WITH dirty AS (
+        |  SELECT c_custkey + 1000000 AS rid,
+        |         CASE WHEN c_custkey % 7 = 0
+        |              THEN substr(c_name, 1, 3) || substr(c_name, 5) ELSE c_name END AS name,
+        |         CASE WHEN c_custkey % 31 = 0 THEN (c_nationkey + 1) % 25
+        |              ELSE c_nationkey END AS nation,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) + (c_custkey % 5 - 2) AS cents,
+        |         c_mktsegment AS seg
+        |  FROM customer),
+        |clean AS (SELECT c_custkey AS cid, c_name AS name, c_nationkey AS nation,
+        |                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_mktsegment AS seg
+        |          FROM customer),
+        |ba AS (SELECT c.cid, d.rid FROM clean c JOIN dirty d
+        |       ON c.nation = d.nation AND c.cents // 5000 = d.cents // 5000),
+        |bb AS (SELECT c.cid, d.rid FROM clean c JOIN dirty d
+        |       ON substr(c.name, length(c.name) - 5) = substr(d.name, length(d.name) - 5)),
+        |cand AS (SELECT DISTINCT cid, rid FROM (SELECT * FROM ba UNION ALL SELECT * FROM bb)),
+        |scored AS (
+        |  SELECT c.cid, d.rid,
+        |         (CASE WHEN c.name = d.name THEN 3 ELSE 0 END
+        |          + CASE WHEN abs(c.cents - d.cents) <= 2 THEN 2 ELSE 0 END
+        |          + CASE WHEN c.nation = d.nation THEN 1 ELSE 0 END
+        |          + CASE WHEN c.seg = d.seg THEN 1 ELSE 0 END) AS score
+        |  FROM cand JOIN clean c USING (cid) JOIN dirty d USING (rid))
+        |SELECT cid, rid, CAST(score AS BIGINT) AS score,
+        |       CASE WHEN score >= 6 THEN 'match' ELSE 'possible' END AS decision,
+        |       rid - 1000000 = cid AS is_true
+        |FROM scored WHERE score >= 3 ORDER BY cid, rid""".stripMargin
+    ) { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      val clean = cust.select(col("c_custkey").as("cid"), col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nation"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"),
+        col("c_mktsegment").as("seg")).cache() // two blocking passes + scoring
+      val dirty = cust.select((col("c_custkey") + 1000000L).as("rid"),
+        when(col("c_custkey") % 7 === 0,
+          concat(expr("substr(c_name, 1, 3)"), expr("substr(c_name, 5)")))
+          .otherwise(col("c_name")).as("name"),
+        when(col("c_custkey") % 31 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).cast("long").as("nation"),
+        (expr("CAST(round(c_acctbal * 100) AS BIGINT)") + col("c_custkey") % 5 - 2).as("cents"),
+        col("c_mktsegment").as("seg")).cache()
+      val ba = clean.select(col("cid"), col("nation"), expr("cents div 5000").as("bin"))
+        .join(dirty.select(col("rid"), col("nation"), expr("cents div 5000").as("bin")),
+          Seq("nation", "bin"))
+        .select("cid", "rid")
+      val bb = clean.select(col("cid"), expr("substr(name, length(name) - 5)").as("sfx"))
+        .join(dirty.select(col("rid"), expr("substr(name, length(name) - 5)").as("sfx")), "sfx")
+        .select("cid", "rid")
+      val cand = ba.unionAll(bb).distinct()
+      cand
+        .join(clean.select(col("cid"), col("name").as("cn"), col("nation").as("cnat"),
+          col("cents").as("cc"), col("seg").as("cs")), "cid")
+        .join(dirty.select(col("rid"), col("name").as("dn"), col("nation").as("dnat"),
+          col("cents").as("dc"), col("seg").as("ds")), "rid")
+        .withColumn("score",
+          when(col("cn") === col("dn"), 3).otherwise(0)
+            + when(abs(col("cc") - col("dc")) <= 2, 2).otherwise(0)
+            + when(col("cnat") === col("dnat"), 1).otherwise(0)
+            + when(col("cs") === col("ds"), 1).otherwise(0))
+        .filter(col("score") >= 3)
+        .select(col("cid"), col("rid"), col("score").cast("long").as("score"),
+          when(col("score") >= 6, "match").otherwise("possible").as("decision"),
+          (col("rid") - 1000000L === col("cid")).as("is_true"))
+        .orderBy("cid", "rid")
     }
   )
 }

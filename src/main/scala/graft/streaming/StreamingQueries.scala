@@ -658,6 +658,53 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
+    // Streaming point-in-time join — q81b's temporal fact-to-dimension
+    // lookup with the FACTS ARRIVING AS A STREAM: each purchase event joins
+    // the static SCD2 state dimension (batch-derived from the same events
+    // table) on the entity key plus validity-interval containment. Stream-
+    // static inner joins are STATELESS (no watermark, no join state — the
+    // static side is re-planned per micro-batch), so this scales with the
+    // dimension build, not the stream: the non-equi validity predicate
+    // rides as a residual on the user_id equi-join, and at 100 TB the
+    // versions dimension broadcasts (entities × versions, ≪ facts) or
+    // co-partitions on the key. Single-file replay ⇒ one batch ⇒ the
+    // emission equals the batch PIT join row-for-row.
+    q("q166_stream_pit_join",
+      "streaming point-in-time join: purchase stream against the static SCD2 dimension")(
+      """WITH s AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+        |            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM s
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type AS state, ts AS valid_from,
+        |             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |      FROM c),
+        |p AS (SELECT user_id, ts::TIMESTAMP AS pts, event_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, v.state, v.valid_from
+        |FROM p JOIN v ON p.user_id = v.user_id
+        | AND p.pts >= v.valid_from AND (v.valid_to IS NULL OR p.pts < v.valid_to)
+        |ORDER BY p.event_id""".stripMargin
+    ) { (s, dir) =>
+      val byKey = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val dim = graft.Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byKey))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id").as("d_user"), col("event_type").as("state"),
+          col("ts").as("valid_from"), lead(col("ts"), 1).over(byKey).as("valid_to"))
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id"))
+      val joined = purchases.join(dim,
+        col("user_id") === col("d_user")
+          && col("pts") >= col("valid_from")
+          && (col("valid_to").isNull || col("pts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("state"), col("valid_from"))
+      runToMemory(s, joined).orderBy("event_id")
+    },
+
     // Stream-maintained exact rolling median — q147's 11-row selection
     // frame as keyed streaming state (RollingMedianProcessor: ordered-tail
     // ListState on the arbitrary-state v2 API, bounded by the frame width).
