@@ -930,6 +930,66 @@ object PipelineQueries {
         .orderBy("source", "rnk")
     },
 
+    // Exact stratified K-fold assignment — q50's hash split gives
+    // PROPORTIONAL folds; cross-validation wants EXACT ones (per-stratum
+    // fold sizes differing by at most 1). Rank each stratum by a content
+    // hash (deterministic, rerun- and append-stable ordering) with the
+    // two-pass DistributedRank — never a per-lang window funnel — and deal
+    // ranks round-robin into 5 folds. PipelineQueriesSpec asserts the
+    // ±1-exactness per (lang, fold).
+    q("q167_stratified_kfold",
+      "exact per-lang 5-fold assignment via distributed rank (fold sizes ±1)")(
+      """WITH r AS (SELECT doc_id, lang,
+        |            row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |           FROM documents)
+        |SELECT doc_id, lang, CAST((rn - 1) % 5 AS BIGINT) AS fold
+        |FROM r ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("mh"))
+      DistributedRank.withRowNumber(
+          base, Seq(col("mh"), col("doc_id")), "rn", group = Seq("lang"))
+        .select(col("doc_id"), col("lang"), ((col("rn") - 1) % 5).as("fold"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic negative sampling — the contrastive-pair miner: each
+    // anchor doc draws 3 pseudo-random negatives by hashing (anchor, k)
+    // into the dense doc-id space, keeping only cross-lang draws (the
+    // cheap hard-negative heuristic; same-lang collisions just drop).
+    // Fully deterministic ⇒ reproducible + incremental-append-stable (the
+    // q83 selection contract extended from rows to PAIRS); the lookup is
+    // one equi-join on doc_id, constant fan-out per anchor — at 100 TB
+    // this is a hash-join against the (id, lang) projection, never a
+    // random shuffle or RNG state.
+    q("q168_negative_sampling",
+      "3 deterministic cross-lang negatives per anchor via hash-into-id-space")(
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+         |a AS (SELECT doc_id, lang, unnest(generate_series(0, 2)) AS k FROM documents),
+         |t AS (SELECT a.doc_id AS anchor, a.lang AS alang, a.k,
+         |             ${md5LongSql("CAST(a.doc_id AS VARCHAR) || '#' || CAST(a.k AS VARCHAR)")} % n.total AS neg
+         |      FROM a CROSS JOIN n)
+         |SELECT t.anchor, CAST(t.k AS BIGINT) AS k, b.doc_id AS neg_id, b.lang AS neg_lang
+         |FROM t JOIN documents b ON b.doc_id = t.neg
+         |WHERE b.lang <> t.alang
+         |ORDER BY t.anchor, t.k""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val total = docs.agg(count(lit(1)).as("total"))
+      val draws = docs.select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0), lit(2))).as("k"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id").as("anchor"), col("lang").as("alang"),
+          col("k").cast("long").as("k"),
+          (md5Long(concat(col("doc_id").cast("string"), lit("#"),
+            col("k").cast("string"))) % col("total")).as("neg"))
+      draws.join(docs.select(col("doc_id").as("neg"), col("doc_id").as("neg_id"),
+          col("lang").as("neg_lang")), "neg")
+        .filter(col("neg_lang") =!= col("alang"))
+        .select(col("anchor"), col("k"), col("neg_id"), col("neg_lang"))
+        .orderBy("anchor", "k")
+    },
+
     // Entity resolution — multi-pass BLOCKING + agreement scoring (the
     // Fellegi–Sunter shape a dedup pipeline runs on records rather than
     // text). A dirty copy of customer is derived deterministically (typo'd

@@ -156,4 +156,16 @@ class PipelineQueriesSpec extends AnyFunSuite {
       sorted.foreach { r => cum += r.getLong(2); assert(r.getLong(3) == cum, r) }
     }
   }
+
+  test("q167 K-fold: per-stratum fold sizes are exact (differ by at most 1)") {
+    val rows = SparkEntry.queries("q167_stratified_kfold")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._2).map(_._2.size)
+      assert(sizes.size == 5, s"$lang has ${sizes.size} folds")
+      assert(sizes.max - sizes.min <= 1,
+        s"$lang folds uneven: ${sizes.toSeq.sorted}")
+    }
+    spark.catalog.clearCache()
+  }
 }
