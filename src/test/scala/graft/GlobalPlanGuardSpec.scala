@@ -31,6 +31,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q52_decontaminate" -> "1-row count + 1-row cutoff scalars; ≤parts-row rank-offset triangular join (DistributedRank)",
     "q74_zorder_layout" -> "1-row zmax scalar × lineitem (range-bin bucket off one broadcast bound)",
     "q160_hilbert_layout" -> "1-row hmax scalar × lineitem (range-bin bucket off one broadcast bound)",
+    "q168_negative_sampling" -> "1-row total-count scalar × anchor draws (hash-into-id-space modulus)",
     "q130_skyline" -> "≤parts-row partition-maxima triangular join (DistributedRank prefix scan)",
     "q117_temperature_mix" -> "1-row total-char-mass frame × per-source quota table",
     "q35_cosine_topk" -> "brute-force baseline BY DESIGN: 10 query vectors broadcast × corpus",
