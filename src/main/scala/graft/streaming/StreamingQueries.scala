@@ -295,8 +295,16 @@ object StreamingQueries {
             Iterator((uid, n, mx))
         }
         .toDF("user_id", "n", "mx_raw")
-        .select(col("user_id"), col("n"), round(col("mx_raw"), 4).as("mx"))
-      runToMemory(s, updates).orderBy("user_id")
+      // one running emission per user per batch; n is monotone, so the
+      // max-n reduction keeps only the LATEST state under multi-batch
+      // replay (the q152/q149 sink discipline — without it a multi-file
+      // fixture would emit stale running totals as extra rows)
+      runToMemory(s, updates)
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("mx_raw"))).as("last"))
+        .select(col("user_id"), col("last.n").as("n"),
+          round(col("last.mx_raw"), 4).as("mx"))
+        .orderBy("user_id")
     },
 
     // Streaming near-dup pair mining — the LLM-pipeline dedup operator run
@@ -486,7 +494,14 @@ object StreamingQueries {
             if (n > 0) Iterator((user, seq.length.toLong, n.toLong)) else Iterator.empty
         }
         .toDF("user_id", "seq_len", "n_funnels")
+      // one emission per matching user per batch; seq_len is monotone, so
+      // the max-struct reduction keeps the LATEST stats under multi-batch
+      // replay (q152/q149 sink discipline)
       runToMemory(s, matches)
+        .groupBy("user_id")
+        .agg(max(struct(col("seq_len"), col("n_funnels"))).as("last"))
+        .select(col("user_id"), col("last.seq_len").as("seq_len"),
+          col("last.n_funnels").as("n_funnels"))
         .orderBy(col("n_funnels").desc, col("user_id")).limit(50)
     },
 
