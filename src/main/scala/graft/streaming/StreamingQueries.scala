@@ -34,6 +34,17 @@ object StreamingQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** embeddings replayed as a stream (single-file fixture ⇒ one data
+    * batch, deterministic). */
+  private def embeddingsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    s.readStream.schema(schema).option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
+
   /** Run a streaming frame to completion into a memory sink; return the
     * materialized table. */
   private def runToMemory(s: SparkSession, df: DataFrame,
@@ -671,6 +682,54 @@ object StreamingQueries {
         .select(col("event_type"), col("last.n").as("n"),
           round(col("last.ewma"), 4).as("ewma"))
         .orderBy("event_type")
+    },
+
+    // Streaming IVF centroid assignment — the vector-index INGEST path run
+    // on the stream (new embeddings routed to their coarse cell as they
+    // arrive, the maintenance half of q35d/q35e's build-then-search). The
+    // 8 seed centroids collapse batch-side into ONE packed array row that
+    // broadcasts; each streaming vector computes its argmax-cosine cell as
+    // a row-local HOF fold (same sequential zip_with/aggregate dot product
+    // the batch path and the DuckDB oracle use — bit-identical doubles),
+    // with the argmax as array_max over struct(cs, -cent) so ties break to
+    // the smallest centroid exactly like the oracle's rank. STATELESS end
+    // to end: no join state, no keyed state, no watermark — at 100 TB the
+    // cost is one broadcast of K·dim doubles and a map stage, the same
+    // contract as the batch assignment. Oracle = q35d's SQL verbatim.
+    q("q169_stream_ivf_assign",
+      "streaming IVF centroid assignment (stateless row-local argmax over packed centroids)")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |s AS (SELECT x.vec_id, c.vec_id AS cent,
+        |             list_dot_product(x.e, c.e) / (nx.nrm * nc.nrm) AS cs
+        |      FROM v x JOIN n nx ON nx.vec_id = x.vec_id,
+        |           v c JOIN n nc ON nc.vec_id = c.vec_id
+        |      WHERE c.vec_id < 8)
+        |SELECT vec_id, cent, round(cs, 4) + 0 AS cos
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent) AS rn FROM s)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      val packed = graft.Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent"),
+          transform(col("embedding"), _.cast("double")).as("ce"))
+        .withColumn("cn",
+          sqrt(aggregate(zip_with(col("ce"), col("ce"), _ * _), lit(0.0), _ + _)))
+        .agg(sort_array(collect_list(struct(col("cent"), col("ce"), col("cn"))))
+          .as("cents"))
+      val stream = embeddingsStream(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+        .withColumn("nrm",
+          sqrt(aggregate(zip_with(col("e"), col("e"), _ * _), lit(0.0), _ + _)))
+      val assigned = stream.join(broadcast(packed))
+        .withColumn("scored", expr(
+          "transform(cents, c -> struct(" +
+            "aggregate(zip_with(e, c.ce, (x, y) -> x * y), 0D, (a, x) -> a + x)" +
+            " / (nrm * c.cn) AS cs, -c.cent AS nc))"))
+        .withColumn("best", array_max(col("scored")))
+        .select(col("vec_id"), (-col("best.nc")).as("cent"),
+          round(col("best.cs"), 4).as("cos"))
+      runToMemory(s, assigned).orderBy("vec_id")
     },
 
     // Streaming point-in-time join — q81b's temporal fact-to-dimension
