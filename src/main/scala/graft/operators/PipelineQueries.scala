@@ -990,6 +990,41 @@ object PipelineQueries {
         .orderBy("anchor", "k")
     },
 
+    // Exact grouped percentiles — the DISTRIBUTED-RANK sibling of the
+    // approximate sketches (q41b GK) and the single-partition LATERAL
+    // median (q78): p50/p90/p99 per group by explicit rank SELECTION
+    // (k = ⌈p·n⌉ computed in pure integers — (9n+9) div 10, never a
+    // float quantile function whose index convention differs per engine).
+    // The rank comes from DistributedRank's grouped two-pass, the group
+    // sizes from one broadcast aggregate, and the three selections
+    // collapse in a single conditional aggregation — no window, no sort
+    // funnel, exact at any scale.
+    q("q170_grouped_percentiles",
+      "exact per-type p50/p90/p99 by integer rank selection over the distributed rank")(
+      """WITH r AS (SELECT event_type, value, event_id,
+        |            row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |            count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events)
+        |SELECT event_type,
+        |       round(max(CASE WHEN rn = (n + 1) // 2 THEN value END), 4) AS p50,
+        |       round(max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END), 4) AS p90,
+        |       round(max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END), 4) AS p99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+      val cnts = base.groupBy("event_type").agg(count(lit(1)).as("n"))
+      DistributedRank.withRowNumber(
+          base, Seq(col("value"), col("event_id")), "rn", group = Seq("event_type"))
+        .join(broadcast(cnts), "event_type")
+        .groupBy("event_type")
+        .agg(
+          round(max(when(col("rn") === expr("(n + 1) div 2"), col("value"))), 4).as("p50"),
+          round(max(when(col("rn") === expr("(9 * n + 9) div 10"), col("value"))), 4).as("p90"),
+          round(max(when(col("rn") === expr("(99 * n + 99) div 100"), col("value"))), 4).as("p99"))
+        .orderBy("event_type")
+    },
+
     // Entity resolution — multi-pass BLOCKING + agreement scoring (the
     // Fellegi–Sunter shape a dedup pipeline runs on records rather than
     // text). A dirty copy of customer is derived deterministically (typo'd
