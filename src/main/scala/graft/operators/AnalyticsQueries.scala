@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Registry.{Q, q}
 import graft.Tables
+import graft.functions.PortableHash.md5LongSql
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -689,6 +690,50 @@ object AnalyticsQueries {
         .select(col("event_type"), col("hr"), col("c"),
           (col("s") - col("c")).as("other_sum"), (col("n") - 1).as("other_n"))
         .orderBy("event_type", "hr")
+    },
+
+    // Deterministic weighted-bootstrap confidence intervals — error bars
+    // for a per-group metric WITHOUT resampling shuffles: 16 replicas,
+    // each reweighting every row by a DETERMINISTIC integer weight 0-3
+    // hashed from (event_id, replica) — the distributed random-weighting
+    // bootstrap (the Poisson-bootstrap shape with a portable hash in
+    // place of RNG state, so reruns and both engines agree exactly).
+    // Each replica mean = one DECIMAL-exact weighted sum / BIGINT weight
+    // sum (single double division); the CI is rank selection (2nd/15th of
+    // the 16 sorted replica means). Cost: a ×16 row-local fan-out into a
+    // partial-aggregated groupBy on (type, replica) — 80 output cells —
+    // never a per-replica pass over the data.
+    q("q171_bootstrap_ci",
+      "16-replica deterministic weighted-bootstrap CI for the per-type mean value")(
+      s"""WITH b AS (SELECT event_type, value, event_id,
+         |                  unnest(generate_series(0, 15)) AS rep FROM events),
+         |w AS (SELECT event_type, rep, value,
+         |             ${md5LongSql("CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)")} % 4 AS wt
+         |      FROM b),
+         |m AS (SELECT event_type, rep,
+         |             CAST(sum(wt * CAST(round(value, 4) AS DECIMAL(28,4))) AS DOUBLE)
+         |               / CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) AS mu
+         |      FROM w GROUP BY event_type, rep),
+         |a AS (SELECT event_type, list_sort(list(mu)) AS mus FROM m GROUP BY event_type)
+         |SELECT event_type, round(mus[2], 4) AS ci_lo, round(mus[15], 4) AS ci_hi
+         |FROM a ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val reps = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"),
+          explode(sequence(lit(0), lit(15))).as("rep"))
+        .withColumn("wt", md5Long(concat(col("event_id").cast("string"),
+          lit(":"), col("rep").cast("string"))) % 4)
+      val mus = reps.groupBy("event_type", "rep")
+        .agg((sum(col("wt") * round(col("value"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double")
+          / sum(col("wt")).cast("double")).as("mu"))
+      mus.groupBy("event_type")
+        .agg(sort_array(collect_list(col("mu"))).as("mus"))
+        .select(col("event_type"),
+          round(element_at(col("mus"), 2), 4).as("ci_lo"),
+          round(element_at(col("mus"), 15), 4).as("ci_hi"))
+        .orderBy("event_type")
     }
   )
 }
