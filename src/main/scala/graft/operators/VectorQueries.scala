@@ -930,6 +930,86 @@ object VectorQueries {
         .orderBy("label", "pred")
     },
 
+    // Exact distributed AUC — the ranking metric behind every quality-
+    // classifier gate (q96's scorer, labels binarized at <5), computed by
+    // the Mann-Whitney rank-sum identity: AUC = (Σ ranks(pos) −
+    // nPos(nPos+1)/2) / (nPos·nNeg). Ranks come from the two-pass
+    // DistributedRank (never a global-window sort), so everything up to
+    // the final division is EXACT integer arithmetic; score ties resolve
+    // deterministically by vec_id (documented variant — q96's score_sum
+    // hash match already proves the scores themselves are bit-identical
+    // cross-engine, so the orderings agree). At 100 TB this is the one
+    // metric people approximate with sampling; the two-pass rank makes
+    // the exact form affordable.
+    q("q172_exact_auc",
+      "exact AUC of the sigmoid scorer (label < 5 positive) via distributed rank-sum")(
+      s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |sc AS (SELECT vec_id, label < 5 AS pos,
+         |        1.0 / (1.0 + exp(-(list_dot_product(e, list_transform(generate_series(0, ${Dim - 1}),
+         |                                                              d -> $scorerWeightSql))))) AS score
+         |       FROM v),
+         |r AS (SELECT pos, row_number() OVER (ORDER BY score, vec_id) AS rn FROM sc),
+         |s AS (SELECT CAST(sum(CASE WHEN pos THEN rn ELSE 0 END) AS BIGINT) AS rsum,
+         |             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+         |      FROM r)
+         |SELECT n_pos, n_neg,
+         |       round((rsum - n_pos * (n_pos + 1) / 2) * 1.0 / (n_pos * n_neg), 6) AS auc
+         |FROM s""".stripMargin
+    ) { (s, dir) =>
+      val w = array((0 until Dim).map(d =>
+        lit(((md5LongScala(s"w$d") % 2001) - 1000) / 1000.0)): _*)
+      val scored = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), (col("label") < 5).as("pos"),
+          transform(col("embedding"), _.cast("double")).as("e"))
+        .withColumn("score", lit(1.0) / (lit(1.0) + exp(-dot(col("e"), w))))
+        .select(col("vec_id"), col("pos"), col("score"))
+      DistributedRank.withRowNumber(scored, Seq(col("score"), col("vec_id")), "rn")
+        .agg(sum(when(col("pos"), col("rn")).otherwise(0L)).as("rsum"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg"))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("rsum") - col("n_pos") * (col("n_pos") + 1) / 2) * lit(1.0)
+            / (col("n_pos") * col("n_neg")), 6).as("auc"))
+    },
+
+    // Calibration / reliability table for the same scorer — the companion
+    // diagnostic to q172's AUC (a well-ranked scorer can still be
+    // miscalibrated): scores bucket into 10 equal-width confidence bins
+    // (floor(score·10) on bit-identical doubles ⇒ identical bins), and
+    // each bin reports count, mean confidence (DECIMAL-exact sum, one
+    // double division) and empirical positive rate — the inputs to ECE /
+    // a reliability diagram. One partial-aggregated groupBy on ≤10 keys.
+    q("q173_reliability_bins",
+      "10-bin reliability table (confidence vs positive rate) for the sigmoid scorer")(
+      s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |sc AS (SELECT vec_id, label < 5 AS pos,
+         |        1.0 / (1.0 + exp(-(list_dot_product(e, list_transform(generate_series(0, ${Dim - 1}),
+         |                                                              d -> $scorerWeightSql))))) AS score
+         |       FROM v)
+         |SELECT CAST(least(9, CAST(floor(score * 10) AS BIGINT)) AS BIGINT) AS bin,
+         |       count(*) AS n,
+         |       round(CAST(sum(CAST(round(score, 6) AS DECIMAL(28,6))) AS DOUBLE)
+         |             / count(*), 4) AS conf,
+         |       round(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS frac_pos
+         |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
+    ) { (s, dir) =>
+      val w = array((0 until Dim).map(d =>
+        lit(((md5LongScala(s"w$d") % 2001) - 1000) / 1000.0)): _*)
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), (col("label") < 5).as("pos"),
+          transform(col("embedding"), _.cast("double")).as("e"))
+        .withColumn("score", lit(1.0) / (lit(1.0) + exp(-dot(col("e"), w))))
+        .groupBy(least(lit(9), floor(col("score") * 10).cast("long")).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("score"), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(28, 6))).cast("double")
+            / count(lit(1)), 4).as("conf"),
+          round(sum(when(col("pos"), 1L).otherwise(0L)) * lit(1.0) / count(lit(1)), 4)
+            .as("frac_pos"))
+        .orderBy("bin")
+    },
+
     // SemDeDup (semantic dedup over embeddings, Abbas et al. 2023 shape):
     // cluster the corpus with the deterministic k-means, then mark any
     // vector that has a LOWER-id cluster-mate above the cosine threshold as
