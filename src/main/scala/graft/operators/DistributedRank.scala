@@ -69,6 +69,38 @@ object DistributedRank {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Adds column `out` = INCLUSIVE running sum of `value` in `order`
+    * (`sum(value) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING)`) — the
+    * prefix-sum scan, same two-pass shape as [[withStrictPrefixMax]]:
+    * per-range-partition totals combine through the triangular broadcast,
+    * local windows stay per-partition. `order` must be unique (ties make
+    * any inclusive running sum order-dependent). `value` must be integral
+    * (LongType sums — float prefix sums are re-association-sensitive and
+    * have no cross-engine contract). */
+  def withPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+                    out: String, numParts: Int = 0): DataFrame = {
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.sparkContext.defaultParallelism
+    val parted = df
+      .repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val psum = parted.groupBy(col("__pid")).agg(sum(value).as("__psum"))
+    val earlier = psum.select(col("__pid").as("__bpid"), col("__psum").as("__bsum"))
+    val prefix = psum
+      .join(broadcast(earlier), col("__bpid") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__bsum")), lit(0L)).as("__pre"))
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    parted
+      .withColumn("__loc", sum(value).over(w))
+      .join(broadcast(prefix), Seq("__pid"))
+      .withColumn(out, col("__loc") + col("__pre"))
+      .drop("__pid", "__loc", "__pre")
+  }
+
   /** Adds column `out` = max of `value` over all rows STRICTLY before the
     * current one in `order` (`max(value) OVER (ORDER BY o ROWS BETWEEN
     * UNBOUNDED PRECEDING AND 1 PRECEDING)`) — the running-max scan — again

@@ -973,6 +973,56 @@ object VectorQueries {
             / (col("n_pos") * col("n_neg")), 6).as("auc"))
     },
 
+    // Exact average precision — the PR-side companion to q172's AUC (class
+    // imbalance makes AP the metric retrieval/filter gates actually
+    // report). Rank by score DESC (distributed rank), cumulative positives
+    // at each rank by the two-pass distributed PREFIX SUM (never a global
+    // window), and AP = mean over positives of precision-at-their-rank.
+    // The one float fold — summing the per-positive precision terms — is
+    // made order-free by rounding each term to 6 dp into DECIMAL before
+    // the grouped sum (the q09/q15b contract); everything before it is
+    // exact integers on bit-identical score orderings.
+    q("q174_exact_average_precision",
+      "exact average precision of the sigmoid scorer via distributed rank + prefix sum")(
+      s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         |sc AS (SELECT vec_id, label < 5 AS pos,
+         |        1.0 / (1.0 + exp(-(list_dot_product(e, list_transform(generate_series(0, ${Dim - 1}),
+         |                                                              d -> $scorerWeightSql))))) AS score
+         |       FROM v),
+         |r AS (SELECT pos, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM sc),
+         |c AS (SELECT pos, rn,
+         |             sum(CASE WHEN pos THEN 1 ELSE 0 END)
+         |               OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS cum_pos
+         |      FROM r)
+         |SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |       round(CAST(sum(CASE WHEN pos
+         |                     THEN CAST(round(cum_pos * 1.0 / rn, 6) AS DECIMAL(28,6))
+         |                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+         |             / sum(CASE WHEN pos THEN 1 ELSE 0 END), 6) AS ap
+         |FROM c""".stripMargin
+    ) { (s, dir) =>
+      val w = array((0 until Dim).map(d =>
+        lit(((md5LongScala(s"w$d") % 2001) - 1000) / 1000.0)): _*)
+      val scored = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), (col("label") < 5).as("pos"),
+          transform(col("embedding"), _.cast("double")).as("e"))
+        .withColumn("score", lit(1.0) / (lit(1.0) + exp(-dot(col("e"), w))))
+        .select(col("vec_id"), col("pos"), col("score"))
+      val ranked = DistributedRank.withRowNumber(
+        scored, Seq(col("score").desc, col("vec_id")), "rn")
+      DistributedRank.withPrefixSum(ranked, Seq(col("rn")),
+          when(col("pos"), 1L).otherwise(0L), "cum_pos")
+        .agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          (sum(when(col("pos"),
+              round(col("cum_pos") * lit(1.0) / col("rn"), 6)
+                .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6))))
+            .cast("double")).as("ap_raw"))
+        .select(col("n_pos"),
+          round(col("ap_raw") / col("n_pos"), 6).as("ap"))
+    },
+
     // Calibration / reliability table for the same scorer — the companion
     // diagnostic to q172's AUC (a well-ranked scorer can still be
     // miscalibrated): scores bucket into 10 equal-width confidence bins

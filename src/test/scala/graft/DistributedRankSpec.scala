@@ -82,6 +82,21 @@ class DistributedRankSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("inclusive prefix sum matches the ROWS UNBOUNDED PRECEDING window") {
+    val df = randFrame(150).groupBy("v").agg(max("id").as("m")).cache()
+    val expected = df
+      .withColumn("ps", sum(col("m")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      .select("v", "ps").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    for (parts <- Seq(1, 4, 200)) {
+      val got = DistributedRank
+        .withPrefixSum(df, Seq(col("v")), col("m"), "ps", numParts = parts)
+        .select("v", "ps").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+    df.unpersist()
+  }
+
   test("no unpartitioned WindowExec in the planned shape") {
     import org.apache.spark.sql.execution.window.WindowExecBase
     val df = randFrame(50)
