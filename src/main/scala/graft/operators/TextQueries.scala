@@ -522,6 +522,79 @@ object TextQueries {
         .orderBy(col("bm25").desc, col("doc_id")).limit(50)
     },
 
+    // Retrieval evaluation — MRR and recall@10 for the q110 BM25 ranker,
+    // the third leg of the eval suite next to AUC (q172) and calibration
+    // (q173). Each query term ranks its matching docs by the ROUNDED
+    // score (the NOTES rank-on-rounded contract) through the NATIVE
+    // TopKPerKey operator (q148's heap exec composed inside another
+    // query — per-term top-10 with k-bounded shuffle, no per-term window
+    // sort); relevance is the stricter tf ≥ 2 so the metrics are
+    // non-vacuous (every BM25 match contains the term once). Rank numbers
+    // are derived AFTER the top-k on the 10-row-per-term frame via the
+    // sorted-array trick (q36g). Reciprocal ranks are exact binary/decimal
+    // doubles rounded at 4 dp.
+    q("q175_retrieval_eval",
+      "MRR + recall@10 of BM25 per query term (native top-k, tf >= 2 relevance)")(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(dlen) AS BIGINT) / (1.0 * count(*)) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |       WHERE term IN ('spark', 'merge', 'stream') GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+        |       WHERE term IN ('spark', 'merge', 'stream') GROUP BY term),
+        |sc AS (SELECT t.term, t.doc_id, t.tf,
+        |              round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |              (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl)), 4) AS s4
+        |       FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+        |rk AS (SELECT term, doc_id, tf,
+        |              row_number() OVER (PARTITION BY term ORDER BY s4 DESC, doc_id) AS rn
+        |       FROM sc),
+        |nrel AS (SELECT term, CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+        |         FROM sc GROUP BY term),
+        |top AS (SELECT term,
+        |               CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |               min(CASE WHEN tf >= 2 THEN rn END) AS fr
+        |        FROM rk WHERE rn <= 10 GROUP BY term)
+        |SELECT n.term, n.n_rel, t.hits,
+        |       round(CASE WHEN t.fr IS NULL THEN 0.0 ELSE 1.0 / t.fr END, 4) AS mrr
+        |FROM nrel n JOIN top t USING (term) ORDER BY term""".stripMargin
+    ) { (s, dir) =>
+      val qterms = Seq("spark", "merge", "stream")
+      val tok = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .cache()
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen")).cache()
+      val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+        (sum(col("dlen")).cast("long") / (lit(1.0) * count(lit(1)))).as("avgdl"))
+      val tf = tok.filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tok.filter(col("term").isin(qterms: _*))
+        .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val score = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (col("tf") * 2.2) / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl")))
+      val scored = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"), col("tf"), round(score, 4).as("s4"))
+        .cache() // top-k leg + n_rel leg
+      val nrel = scored.groupBy("term")
+        .agg(sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("n_rel"))
+      val ranked = graft.plans.TopKPerKey
+        .topK(scored, Seq(col("term")), Seq(col("s4").desc, col("doc_id")), 10)
+        .groupBy("term")
+        .agg(sort_array(collect_list(struct((-col("s4")).as("ns"),
+          col("doc_id"), col("tf")))).as("a"))
+        .select(col("term"), posexplode(col("a")).as(Seq("pos", "r")))
+        .select(col("term"), (col("pos") + 1).as("rn"), col("r.tf").as("tf"))
+      val top = ranked.groupBy("term")
+        .agg(sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("hits"),
+          min(when(col("tf") >= 2, col("rn"))).as("fr"))
+      nrel.join(top, "term")
+        .select(col("term"), col("n_rel"), col("hits"),
+          round(when(col("fr").isNull, 0.0).otherwise(lit(1.0) / col("fr")), 4).as("mrr"))
+        .orderBy("term")
+    },
+
     // Inverted-index build — the search-engine/RAG building block: term →
     // (document frequency, total frequency, head of the sorted posting
     // list). One explode + one groupBy on the term; df's distinct pass

@@ -26,6 +26,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q76_bpe_train" -> "1-row argmax merge-pair frame per unrolled round (3 rounds)",
     "q76b_bpe_encode" -> "3-row trained-merge table × distinct-token frame",
     "q110_bm25" -> "1-row corpus stats (N, avgdl) × term-match stream",
+    "q175_retrieval_eval" -> "1-row corpus stats (N, avgdl) × term-match stream (q110's shape)",
     "q90_skew_report" -> "1-row grand-total frame × per-key share table",
     "q102_quantile_norm" -> "1-row global-count frame × ranked rows; ≤(parts×|lang|)-row rank-offset triangular join (DistributedRank)",
     "q52_decontaminate" -> "1-row count + 1-row cutoff scalars; ≤parts-row rank-offset triangular join (DistributedRank)",
