@@ -34,6 +34,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q160_hilbert_layout" -> "1-row hmax scalar × lineitem (range-bin bucket off one broadcast bound)",
     "q168_negative_sampling" -> "1-row total-count scalar × anchor draws (hash-into-id-space modulus)",
     "q130_skyline" -> "≤parts-row partition-maxima triangular join (DistributedRank prefix scan)",
+    "q172_exact_auc" -> "≤parts-row rank-offset triangular join (DistributedRank)",
+    "q174_exact_average_precision" -> "≤parts-row rank/prefix-sum triangular joins (DistributedRank)",
     "q117_temperature_mix" -> "1-row total-char-mass frame × per-source quota table",
     "q35_cosine_topk" -> "brute-force baseline BY DESIGN: 10 query vectors broadcast × corpus",
     "q35d_ivf_assign" -> "K=8 seed-centroid grid broadcast × vectors (coarse quantizer)",
