@@ -684,6 +684,44 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
+    // Watermarked per-window top-k — the leaderboard (q149) and the
+    // windowed aggregation discipline (q29/q63b) composed: per (1h window,
+    // event_type), the top-3 events by value, emitted ONCE when the
+    // watermark closes the window. The ranking runs through the typed
+    // TopKAggregator — an ALGEBRAIC bounded top-k (merge = merge-and-trim)
+    // — so streaming state per open window is k pairs, never the window's
+    // event list, and partial aggregation trims map-side exactly like the
+    // batch TopKPerKeyExec. Oracle = per-(type, hour) rank with the
+    // watermark-close HAVING gate (q29's contract).
+    q("q176_stream_windowed_topk",
+      "watermarked per (event_type, 1h) top-3 by value via the algebraic top-k aggregator")(
+      """WITH r AS (SELECT event_type,
+        |            make_timestamp((CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600)
+        |                           * 3600 * 1000000) AS ws,
+        |            value, event_id,
+        |            row_number() OVER (PARTITION BY event_type,
+        |              (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600)
+        |              ORDER BY value DESC, event_id) AS rnk
+        |           FROM events)
+        |SELECT event_type, ws, CAST(rnk AS BIGINT) AS rnk, event_id,
+        |       round(value, 4) AS value
+        |FROM r
+        |WHERE rnk <= 3
+        |  AND ws + INTERVAL 1 HOUR <= (SELECT max(ts::TIMESTAMP) - INTERVAL 10 MINUTE FROM events)
+        |ORDER BY event_type, ws, rnk""".stripMargin
+    ) { (s, dir) =>
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(topk(col("value"), col("event_id")).as("top"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("event_type"), col("ws"), (col("pos") + 1).cast("long").as("rnk"),
+          col("r._2").as("event_id"), round(col("r._1"), 4).as("value"))
+      runToMemory(s, agg).orderBy("event_type", "ws", "rnk")
+    },
+
     // Streaming IVF centroid assignment — the vector-index INGEST path run
     // on the stream (new embeddings routed to their coarse cell as they
     // arrive, the maintenance half of q35d/q35e's build-then-search). The
