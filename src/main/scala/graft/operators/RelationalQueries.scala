@@ -968,6 +968,40 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("l_quantity"), col("n_rows"),
           round(sum(col("gs")).over(w).cast("double"), 4).as("frame_sum"))
         .orderBy("l_returnflag", "l_quantity")
+    },
+
+    // Salted skew join — the MANUAL hot-key split (SkewTools.saltedJoin),
+    // demonstrated as a runnable oracle-checked query rather than a doc
+    // note: the join key floor(sqrt(user_id)) is skewed by construction
+    // (key k covers 2k+1 user ids — the hottest key holds ~77× the
+    // coldest's rows at sf0.1), the fact side salts each key 8 ways off a
+    // hash of the event id (deterministic — retries agree), and the dim
+    // replicates ×8 so every (key, salt) sub-partition joins locally.
+    // Salting is OUTPUT-INVISIBLE: the oracle is the plain unsalted join,
+    // and the hash match proves the split is pure partitioning. Post-join
+    // sums run in DECIMAL so grouping order can't move them.
+    q("q177_salted_skew_join",
+      "hot-key fact⋈dim join split 8 ways by deterministic salting (oracle = plain join)")(
+      """WITH f AS (SELECT CAST(floor(sqrt(user_id)) AS BIGINT) AS k, value FROM events),
+        |d AS (SELECT DISTINCT CAST(floor(sqrt(user_id)) AS BIGINT) AS k FROM events),
+        |dim AS (SELECT k, 'grp-' || CAST(k AS VARCHAR) AS label FROM d)
+        |SELECT f.k, dim.label, count(*) AS n,
+        |       round(CAST(sum(CAST(round(f.value, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS sv
+        |FROM f JOIN dim ON f.k = dim.k
+        |GROUP BY f.k, dim.label ORDER BY f.k""".stripMargin
+    ) { (s, dir) =>
+      val events = Tables(s, dir, "events")
+      val fact = events.select(
+        floor(sqrt(col("user_id"))).cast("long").as("k"),
+        col("event_id"), col("value"))
+      val dim = fact.select(col("k")).distinct()
+        .select(col("k"), concat(lit("grp-"), col("k").cast("string")).as("label"))
+      SkewTools.saltedJoin(fact, dim, "k", col("event_id"), buckets = 8)
+        .groupBy("k", "label")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("sv"))
+        .orderBy("k")
     }
   )
 }

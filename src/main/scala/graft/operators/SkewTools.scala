@@ -36,4 +36,23 @@ object SkewTools {
       .agg(aggs.head._3(col(s"__p_${aggs.head._1}")).as(aggs.head._1),
         aggs.tail.map(a => a._3(col(s"__p_${a._1}")).as(a._1)): _*)
   }
+
+  /** Salted equi-join for hot-KEY skew on the FACT side of a fact⋈dim
+    * join (the manual form of AQE's skew-join split, for when the skew is
+    * known up front or AQE is unavailable — e.g. the dim is too big to
+    * broadcast but a hot fact key still drowns one shuffle partition):
+    * fact rows salt deterministically into `buckets` sub-keys via a hash
+    * of `saltOn` (any column(s) that vary WITHIN a key — never random, so
+    * reruns and retries agree), and the dim side replicates ×`buckets` so
+    * every (key, salt) pair finds its match. The output is EXACTLY the
+    * plain join's rows — salting only splits each hot key's shuffle
+    * partition `buckets` ways at the cost of a ×`buckets` dim shuffle. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltOn: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val saltedFact = fact.withColumn("__salt", pmod(hash(saltOn), lit(buckets)))
+    val repDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

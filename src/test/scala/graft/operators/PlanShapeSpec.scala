@@ -202,6 +202,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q177 salted join: the salt reaches the join keys; output matches the plain join") {
+    val plan = executedPlan("q177_salted_skew_join")
+    // the (key, salt) pair must BE the join key — that split is the whole
+    // point; the hash-match against the unsalted oracle proves it is pure
+    // partitioning
+    assert(plan.contains("__salt"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q130 skyline: frontier via distributed prefix scan + join-back, no NOT-EXISTS product") {
     val plan = executedPlan("q130_skyline")
     // the running max is DistributedRank.withStrictPrefixMax: a PARTITIONED
