@@ -232,6 +232,10 @@ object Multimodal {
   def bmpResizeQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "documents")
+      // an empty text has no pixels: the codec (rightly) rejects 16×0
+      // images, and the oracle's generate_series just omits the row — so
+      // gate identically on BOTH sides (the q131 short-doc lesson)
+      .filter(length(col("text")) >= 1)
       .select(col("doc_id").as("media_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>

@@ -54,19 +54,30 @@ object DistributedRank {
       col("__pid").as("__bpid") +:
         group.map(g => col(g).as(s"__bg_$g")) :+
         col("__cnt").as("__bcnt"): _*)
+    // group equality is NULL-SAFE (<=>): a window's PARTITION BY treats
+    // NULL as one ordinary partition, and this must match it — a
+    // null-unsafe join would zero every null-group offset AND drop
+    // null-group rows at the final join (silent row loss)
     val sameGroupEarlier = group
-      .map(g => col(g) === col(s"__bg_$g"))
+      .map(g => col(g) <=> col(s"__bg_$g"))
       .foldLeft(col("__bpid") < col("__pid"))(_ && _)
     val offsets = counts
       .join(broadcast(later), sameGroupEarlier, "left")
       .groupBy(col("__pid") +: gcols: _*)
       .agg(coalesce(sum(col("__bcnt")), lit(0L)).as("__off"))
+    val offRenamed = offsets.select(
+      col("__pid").as("__opid") +:
+        group.map(g => col(g).as(s"__og_$g")) :+
+        col("__off"): _*)
+    val joinCond = group
+      .map(g => col(g) <=> col(s"__og_$g"))
+      .foldLeft(col("__pid") === col("__opid"))(_ && _)
     val w = Window.partitionBy(col("__pid") +: gcols: _*).orderBy(order: _*)
     parted
       .withColumn("__lrn", row_number().over(w))
-      .join(broadcast(offsets), Seq("__pid") ++ group)
+      .join(broadcast(offRenamed), joinCond)
       .withColumn(out, col("__off") + col("__lrn"))
-      .drop("__pid", "__lrn", "__off")
+      .drop(Seq("__pid", "__lrn", "__off", "__opid") ++ group.map(g => s"__og_$g"): _*)
   }
 
   /** Adds column `out` = INCLUSIVE running sum of `value` in `order`

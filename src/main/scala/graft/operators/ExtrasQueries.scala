@@ -952,7 +952,8 @@ object ExtrasQueries {
       def p(y: String, x: String) =
         s"CASE WHEN ($y) * 16 + ($x) < n THEN ord(substr(text, ($y) * 16 + ($x) + 1, 1)) ELSE 0 END"
       s"""WITH t AS (SELECT doc_id AS media_id, text, length(text) AS n,
-         |                  (length(text) + 15) // 16 AS h FROM documents),
+         |                  (length(text) + 15) // 16 AS h
+         |           FROM documents WHERE length(text) >= 1),
          |ys AS (SELECT media_id, text, n, h,
          |              unnest(generate_series(0, (h + 1) // 2 - 1)) AS yy FROM t),
          |c AS (SELECT media_id, text, n, h, yy,

@@ -248,10 +248,11 @@ object GraphQueries {
           concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
         .distinct()
         .cache() // re-joined every half-round
-      // the score frames are bounded by the two partition sizes — count
-      // them once off the cached edge list and size-switch every half-round
-      val nP = e.select("p").distinct().count()
-      val nS = e.select("s").distinct().count()
+      // the score frames are bounded by the two partition sizes — ONE
+      // distinct-count pass over the cached edge list sizes both switches
+      val psCounts = e.agg(countDistinct(col("p")), countDistinct(col("s"))).head()
+      val nP = psCounts.getLong(0)
+      val nS = psCounts.getLong(1)
       val a1 = e.groupBy("s").agg((count(lit(1)) * 1000000L).as("a"))
       val h1 = e.join(maybeBroadcast(a1, nS), "s").groupBy("p").agg(sum(col("a")).as("h"))
       val a2 = e.join(maybeBroadcast(h1, nP), "p").groupBy("s").agg(sum(col("h")).as("a"))

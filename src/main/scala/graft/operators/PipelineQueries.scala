@@ -47,8 +47,9 @@ object PipelineQueries {
     val stages = (0 until 16).map { i =>
       val s = n >> (i + 1)
       s"""h${i + 1} AS (SELECT l_partkey, l_suppkey,
-         |  d$i + ${s * s} * xor(3 * (CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END),
-         |                       (CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END)) AS d${i + 1},
+         |  d$i + CAST(${s * s} AS BIGINT)
+         |        * xor(3 * (CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END),
+         |              (CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END)) AS d${i + 1},
          |  CASE WHEN (y$i & $s) = 0
          |       THEN (CASE WHEN (x$i & $s) > 0 THEN ${n - 1} - y$i ELSE y$i END)
          |       ELSE x$i END AS x${i + 1},

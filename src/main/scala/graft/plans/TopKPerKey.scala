@@ -129,40 +129,49 @@ object TopKPerKey {
         val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
         val worstFirst = ord.reverse
         // partial-phase overflow: rows of keys that did NOT get a heap
-        // (map at capacity) are emitted verbatim — a superset is fine
-        // before the exact final phase. The final phase never overflows by
-        // construction (requiredChildDistribution clusters its keys; its
-        // bound is k·|keys in partition|, documented above).
-        val passThrough = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-        it.foreach { row =>
+        // (map at capacity) are STREAMED OUT as encountered — never
+        // buffered, so partial-phase memory is truly (k+1)·maxKeys rows
+        // (buffering overflow to partition end would grow with partition
+        // size, defeating the cap). A superset is fine before the exact
+        // final phase, which never overflows by construction
+        // (requiredChildDistribution clusters its keys; its bound is
+        // k·|keys in partition|, documented above).
+        val overflow: Iterator[InternalRow] = it.flatMap { row =>
           val key = keyProj(row)
           var heap = heaps.get(key)
-          if (heap == null) {
-            if (isPartial && heaps.size() >= maxKeys) {
-              passThrough += rowProj(row).copy()
-            } else {
-              heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
-              heaps.put(key.copy(), heap)
-            }
+          if (heap == null && !(isPartial && heaps.size() >= maxKeys)) {
+            heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
+            heaps.put(key.copy(), heap)
           }
-          if (heap != null) {
+          if (heap == null) {
+            spilledRows += 1
+            outRows += 1
+            Iterator.single(rowProj(row).copy(): InternalRow)
+          } else {
             if (heap.size < kLocal) heap.add(rowProj(row).copy())
             else if (ord.compare(row, heap.peek()) < 0) {
               heap.poll(); heap.add(rowProj(row).copy())
             }
+            Iterator.empty
           }
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-        heaps.values().forEach { h =>
-          val rows = new java.util.ArrayList[UnsafeRow](h)
-          rows.sort(ord)
-          rows.forEach(r => out += r)
+        // `++` is lazy: the heap leg only materializes after the input is
+        // fully consumed (all admissions done)
+        overflow ++ new Iterator[InternalRow] {
+          private lazy val inner: Iterator[InternalRow] = {
+            val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+            heaps.values().forEach { h =>
+              val rows = new java.util.ArrayList[UnsafeRow](h)
+              rows.sort(ord)
+              rows.forEach(r => out += r)
+            }
+            nKeys += heaps.size()
+            outRows += out.size
+            out.iterator
+          }
+          override def hasNext: Boolean = inner.hasNext
+          override def next(): InternalRow = inner.next()
         }
-        out ++= passThrough
-        nKeys += heaps.size()
-        spilledRows += passThrough.size
-        outRows += out.size
-        out.iterator
       }
     }
   }

@@ -37,7 +37,9 @@ class RollingMedianProcessor(window: Int = 11)
       val sorted = tail.sorted
       (et, ts, id, sorted((sorted.size + 1) / 2 - 1))
     }
-    tailState.put(tail.takeRight(window - 1).toArray)
+    val keep = tail.takeRight(window - 1)
+    // ListState.put rejects empty arrays — window = 1 keeps no tail
+    if (keep.isEmpty) tailState.clear() else tailState.put(keep.toArray)
     out.iterator
   }
 }

@@ -51,6 +51,23 @@ class DistributedRankSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("NULL group keys rank as one ordinary partition (window parity)") {
+    val df = randFrame(120)
+      .withColumn("grp", when(col("id") % 4 === 0, lit(null)).otherwise(col("grp")))
+      .cache()
+    val expected = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy("v", "id")).cast("long"))
+      .select("id", "rn").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val got = DistributedRank
+      .withRowNumber(df, Seq(col("v"), col("id")), "rn",
+        group = Seq("grp"), numParts = 5)
+      .select("id", "rn").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.length == expected.length, "null-group rows must not be dropped")
+    assert(got == expected)
+    df.unpersist()
+  }
+
   test("descending order keys rank identically to the window form") {
     val df = randFrame(80).cache()
     val expected = df
