@@ -28,16 +28,20 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
   * input size; the final phase merges per key under the same bound.
   *
   * Memory bound: each phase buffers a (k+1)-row heap per distinct key it
-  * sees. The PARTIAL phase caps that at [[maxBufferedKeys]] heaps — once
-  * the cap is hit, rows of not-yet-seen keys PASS THROUGH un-reduced
+  * sees, capped at [[maxBufferedKeys]] heaps. The PARTIAL phase degrades
+  * past the cap by PASSING rows of not-yet-seen keys through un-reduced
   * (correct: the partial phase emits a superset and the final phase is
   * exact — the same degrade-to-passthrough hash aggregation uses when its
   * map is full, minus the spill file). The FINAL phase cannot pass through
-  * (it must produce the exact top k), so its working set is
-  * k·|distinct keys in the task's partition| — the identical bound a
-  * reduce-side hash aggregate carries pre-spill; size the shuffle
-  * partition count so k·|keys|/numPartitions fits an executor, exactly as
-  * you would for a grouped aggregation over the same keys.
+  * (it must produce the exact top k), so past the cap it SPILLS: the full
+  * heap map is flushed to a key-sorted disk run and cleared, and at
+  * end-of-input the runs are k-way merged per key with the surviving
+  * in-memory heaps (each run holds ≤ k rows per key, so top-k of the
+  * union = top-k of the per-run top-ks — the same distributivity the
+  * partial phase already relies on). Working memory is therefore
+  * min(k·|keys in partition|, (k+1)·maxBufferedKeys) rows plus, during
+  * the merge, ≤ k·(runs+1) rows for one key at a time — the sort-based
+  * fallback shape of ObjectHashAggregateExec.
   */
 object TopKPerKey {
 
@@ -106,12 +110,20 @@ object TopKPerKey {
       "numKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
         .createMetric(sparkContext, "number of distinct keys"),
       "passThroughRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
-        .createMetric(sparkContext, "rows passed through un-reduced (partial map full)"))
+        .createMetric(sparkContext, "rows passed through un-reduced (partial map full)"),
+      "numSpilledRuns" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "heap-map flushes to disk (final phase over key cap)"))
 
     override protected def doExecute(): RDD[InternalRow] = {
+      // Metric exactness: numKeys and the heap/merge-leg share of
+      // numOutputRows only accumulate when the trailing iterator is
+      // actually drained — a downstream early-terminating consumer (e.g. a
+      // LIMIT stopping mid-partition) undercounts them. Acceptable for
+      // metrics; counts are exact whenever the partition is fully consumed.
       val outRows = longMetric("numOutputRows")
       val nKeys = longMetric("numKeys")
       val spilledRows = longMetric("passThroughRows")
+      val nSpills = longMetric("numSpilledRuns")
       val kLocal = k
       val keyExprs = keys
       val orderExprs = order
@@ -128,47 +140,171 @@ object TopKPerKey {
         // so admission is one comparison against the root
         val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
         val worstFirst = ord.reverse
+        val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => spillFiles.foreach(_.delete())))
+
+        def admit(heap: java.util.PriorityQueue[UnsafeRow], row: InternalRow): Unit = {
+          if (heap.size < kLocal) heap.add(rowProj(row).copy())
+          else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll(); heap.add(rowProj(row).copy())
+          }
+        }
+
+        // FINAL-phase overflow: flush the whole heap map to a key-sorted
+        // disk run (each key contributes its current ≤ k rows, `ord`-sorted)
+        // and clear it. Keys are ordered by their UnsafeRow BYTES — the same
+        // identity the hash map groups by — so the end-of-input merge can
+        // group equal keys across runs with a k-way merge.
+        def spillHeaps(): Unit = {
+          val file = java.io.File.createTempFile("graft-topk-spill", ".run")
+          spillFiles += file
+          val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(file), 1 << 16))
+          try {
+            val sortedKeys = new java.util.ArrayList[UnsafeRow](heaps.keySet())
+            sortedKeys.sort((a: UnsafeRow, b: UnsafeRow) =>
+              java.util.Arrays.compareUnsigned(a.getBytes, b.getBytes))
+            sortedKeys.forEach { key =>
+              val rows = new java.util.ArrayList[UnsafeRow](heaps.get(key))
+              rows.sort(ord)
+              val kb = key.getBytes
+              out.writeInt(kb.length); out.write(kb)
+              out.writeInt(rows.size())
+              rows.forEach { r =>
+                val rb = r.getBytes
+                out.writeInt(rb.length); out.write(rb)
+              }
+            }
+          } finally out.close()
+          heaps.clear()
+          nSpills += 1
+        }
+
+        // Streams one spill run back as (keyBytes, rows-for-that-key).
+        def readRun(file: java.io.File): Iterator[(Array[Byte], Array[UnsafeRow])] =
+          new Iterator[(Array[Byte], Array[UnsafeRow])] {
+            private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+              new java.io.FileInputStream(file), 1 << 16))
+            private var nextGroup: (Array[Byte], Array[UnsafeRow]) = advance()
+            private def advance(): (Array[Byte], Array[UnsafeRow]) = {
+              val keyLen = try in.readInt() catch {
+                case _: java.io.EOFException => in.close(); return null
+              }
+              val kb = new Array[Byte](keyLen); in.readFully(kb)
+              val n = in.readInt()
+              val rows = Array.tabulate(n) { _ =>
+                val rb = new Array[Byte](in.readInt()); in.readFully(rb)
+                val r = new UnsafeRow(childOutput.length)
+                r.pointTo(rb, rb.length)
+                r
+              }
+              (kb, rows)
+            }
+            override def hasNext: Boolean = nextGroup != null
+            override def next(): (Array[Byte], Array[UnsafeRow]) = {
+              val g = nextGroup; nextGroup = advance(); g
+            }
+          }
+
+        // The surviving in-memory heaps as one more (key-sorted) run.
+        def memoryRun(): Iterator[(Array[Byte], Array[UnsafeRow])] = {
+          val sortedKeys = new java.util.ArrayList[UnsafeRow](heaps.keySet())
+          sortedKeys.sort((a: UnsafeRow, b: UnsafeRow) =>
+            java.util.Arrays.compareUnsigned(a.getBytes, b.getBytes))
+          val it = sortedKeys.iterator()
+          new Iterator[(Array[Byte], Array[UnsafeRow])] {
+            override def hasNext: Boolean = it.hasNext
+            override def next(): (Array[Byte], Array[UnsafeRow]) = {
+              val key = it.next()
+              (key.getBytes, heaps.get(key).toArray(new Array[UnsafeRow](0)))
+            }
+          }
+        }
+
+        // K-way merge of key-sorted runs: for each distinct key (byte
+        // order), pool the ≤ k rows each run holds for it and re-select the
+        // exact top k. Memory: one key group at a time, ≤ k·(runs+1) rows.
+        def mergeRuns(): Iterator[InternalRow] = {
+          val runs = (spillFiles.map(readRun) :+ memoryRun()).map(_.buffered)
+            .filter(_.hasNext).toIndexedSeq
+          new Iterator[InternalRow] {
+            private var group: Iterator[InternalRow] = Iterator.empty
+            private def refill(): Unit = {
+              val live = runs.filter(_.hasNext)
+              if (live.isEmpty) return
+              val minKey = live.map(_.head._1).reduce { (a, b) =>
+                if (java.util.Arrays.compareUnsigned(a, b) <= 0) a else b
+              }
+              val heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
+              live.foreach { r =>
+                if (java.util.Arrays.compareUnsigned(r.head._1, minKey) == 0) {
+                  r.next()._2.foreach { row =>
+                    if (heap.size < kLocal) heap.add(row)
+                    else if (ord.compare(row, heap.peek()) < 0) {
+                      heap.poll(); heap.add(row)
+                    }
+                  }
+                }
+              }
+              val rows = new java.util.ArrayList[UnsafeRow](heap)
+              rows.sort(ord)
+              nKeys += 1
+              outRows += rows.size()
+              group = scala.jdk.CollectionConverters.ListHasAsScala(rows)
+                .asScala.iterator
+            }
+            override def hasNext: Boolean = {
+              while (!group.hasNext && runs.exists(_.hasNext)) refill()
+              group.hasNext
+            }
+            override def next(): InternalRow = { hasNext; group.next() }
+          }
+        }
+
         // partial-phase overflow: rows of keys that did NOT get a heap
         // (map at capacity) are STREAMED OUT as encountered — never
         // buffered, so partial-phase memory is truly (k+1)·maxKeys rows
         // (buffering overflow to partition end would grow with partition
         // size, defeating the cap). A superset is fine before the exact
-        // final phase, which never overflows by construction
-        // (requiredChildDistribution clusters its keys; its bound is
-        // k·|keys in partition|, documented above).
+        // final phase, which spills past the same cap instead.
         val overflow: Iterator[InternalRow] = it.flatMap { row =>
           val key = keyProj(row)
           var heap = heaps.get(key)
-          if (heap == null && !(isPartial && heaps.size() >= maxKeys)) {
-            heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
-            heaps.put(key.copy(), heap)
+          if (heap == null) {
+            // at capacity: the final phase flushes the map to a disk run
+            // (making room), the partial phase leaves heap null and the
+            // row passes through below
+            if (heaps.size() >= maxKeys && !isPartial) spillHeaps()
+            if (heaps.size() < maxKeys) {
+              heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
+              heaps.put(key.copy(), heap)
+            }
           }
           if (heap == null) {
             spilledRows += 1
             outRows += 1
             Iterator.single(rowProj(row).copy(): InternalRow)
           } else {
-            if (heap.size < kLocal) heap.add(rowProj(row).copy())
-            else if (ord.compare(row, heap.peek()) < 0) {
-              heap.poll(); heap.add(rowProj(row).copy())
-            }
+            admit(heap, row)
             Iterator.empty
           }
         }
-        // `++` is lazy: the heap leg only materializes after the input is
-        // fully consumed (all admissions done)
+        // `++` is lazy: the heap/merge leg only materializes after the
+        // input is fully consumed (all admissions done)
         overflow ++ new Iterator[InternalRow] {
-          private lazy val inner: Iterator[InternalRow] = {
-            val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-            heaps.values().forEach { h =>
-              val rows = new java.util.ArrayList[UnsafeRow](h)
-              rows.sort(ord)
-              rows.forEach(r => out += r)
-            }
-            nKeys += heaps.size()
-            outRows += out.size
-            out.iterator
-          }
+          private lazy val inner: Iterator[InternalRow] =
+            if (spillFiles.isEmpty) {
+              val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+              heaps.values().forEach { h =>
+                val rows = new java.util.ArrayList[UnsafeRow](h)
+                rows.sort(ord)
+                rows.forEach(r => out += r)
+              }
+              nKeys += heaps.size()
+              outRows += out.size
+              out.iterator
+            } else mergeRuns()
           override def hasNext: Boolean = inner.hasNext
           override def next(): InternalRow = inner.next()
         }

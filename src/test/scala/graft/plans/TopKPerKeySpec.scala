@@ -79,6 +79,68 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(a.length == b.length && a.sameElements(b))
   }
 
+  test("final-phase spill fallback: tiny key cap forces disk runs, result unchanged") {
+    // cap=2 on BOTH phases: the partial side passes through (superset) and
+    // the final side must repeatedly flush its heap map to key-sorted disk
+    // runs and k-way merge them — the sort-based fallback path. The result
+    // must still be row-for-row the window formulation.
+    val spilled = TopKPerKey.topK(orders,
+      Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey")),
+      3, maxBufferedKeys = 2)
+      .orderBy("o_custkey", "o_orderkey")
+    val a = spilled.collect()
+    val b = windowed(3).orderBy("o_custkey", "o_orderkey").collect()
+    assert(a.length == b.length && a.sameElements(b))
+    // prove the fallback actually ran: the FINAL exec of the JUST-EXECUTED
+    // plan reports > 0 disk runs (unwrap AQE — the post-execution plan
+    // lives under it)
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p match {
+        case ad: AdaptiveSparkPlanExec => flatten(ad.executedPlan)
+        case qs: QueryStageExec => flatten(qs.plan)
+        case _ => p.children.flatMap(flatten)
+      })
+    val spills = flatten(spilled.queryExecution.executedPlan).collect {
+      case t: TopKPerKey.TopKPerKeyExec if !t.partial =>
+        t.metrics("numSpilledRuns").value
+    }
+    assert(spills.nonEmpty && spills.head > 0,
+      s"expected the final phase to spill under cap=2, metrics=$spills")
+  }
+
+  test("spill fallback with k exceeding group sizes keeps every row") {
+    val spilled = TopKPerKey.topK(orders,
+      Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey")),
+      100000, maxBufferedKeys = 2)
+    assert(spilled.count() == orders.count())
+  }
+
+  test("codegen: the row-based heap pair adds NO extra exchange and leaves " +
+       "neighboring stages in whole-stage codegen") {
+    // the exec pair is row-based (no doGenCode), which BREAKS codegen at
+    // its boundary — acceptable; what must NOT happen is the break
+    // inserting an extra exchange or de-codegening the scan/project below
+    // or the transform above
+    val df = native(3)
+      .select(col("o_custkey"), (col("o_totalprice") * 2).as("p2"))
+      .filter(col("p2") > lit(0))
+    df.collect()
+    // AQE's toString echoes the plan twice (Final + Initial) — judge only
+    // the final executed plan
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // exactly ONE exchange in the whole plan: the hashpartitioning between
+    // partial and final that the operator requires by design
+    val exchanges = plan.split("Exchange ").length - 1
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    // the stages around the heap pair still whole-stage-codegen: the
+    // scan→project below the partial exec and the filter→project above the
+    // final exec each carry a codegen-stage `*(n)` marker
+    assert(plan.contains("*(1) "), plan)
+    assert(plan.contains("*(2) "), plan)
+  }
+
   test("repeat topK calls never stack duplicate planner strategies") {
     native(2).collect(); native(2).collect()
     assert(spark.experimental.extraStrategies
