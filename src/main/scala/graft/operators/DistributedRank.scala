@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Exact global (or grouped) `row_number` without a data-sized
   * single-partition sort — the classic two-pass distributed rank:
@@ -28,25 +29,53 @@ import org.apache.spark.sql.functions._
   *
   * Cost model: two passes over the input (the counts job and the rank job)
   * instead of one single-partition sort — the standard trade. The
-  * range-partitioned frame is cached so the two passes share one upstream
-  * computation AND see identical range boundaries (Verify/Bench clearCache
-  * between queries; at 100 TB you'd persist to disk or recompute).
+  * range-partitioned frame is persisted (knob: `storage`) so the two passes
+  * share one upstream computation AND see identical range boundaries.
+  *
+  * Persistence contract (the 100 TB knob):
+  *  - default `MEMORY_AND_DISK` suits bench/local scale;
+  *  - `DISK_ONLY` fits executors whose memory the fact table exceeds;
+  *  - `StorageLevel.NONE` skips the persist entirely: both passes then read
+  *    the SAME range exchange via Spark's exchange/stage reuse (the shuffle
+  *    files on disk already play the persist role — no second copy), which
+  *    also keeps the sampled range boundaries consistent across the passes.
+  *    DistributedRankSpec pins both the single-exchange plan shape and rank
+  *    equality for this mode.
+  * Persisted frames are registered; a library consumer calls
+  * [[unpersistAll]] once results are materialized (Verify/Bench clear the
+  * whole cache between queries instead).
   */
 object DistributedRank {
+
+  /** Frames persisted by the helpers below, so consumers can release them
+    * after materializing results — chained calls (rank→prefix-sum) would
+    * otherwise accumulate cached inputs for the life of the session. */
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersists (non-blocking) every frame the helpers have cached. */
+  def unpersistAll(): Unit = {
+    var df = persistedFrames.poll()
+    while (df != null) { df.unpersist(blocking = false); df = persistedFrames.poll() }
+  }
+
+  private def pin(df: DataFrame, storage: StorageLevel): DataFrame =
+    if (storage == StorageLevel.NONE) df
+    else { df.persist(storage); persistedFrames.add(df); df }
 
   /** Adds BIGINT column `out` = exact 1-based rank of each row by `order`
     * within each distinct value of `group` (global rank when `group` is
     * empty). `order` may carry sort directions (`col.desc`). */
   def withRowNumber(df: DataFrame, order: Seq[Column], out: String,
-                    group: Seq[String] = Nil, numParts: Int = 0): DataFrame = {
+                    group: Seq[String] = Nil, numParts: Int = 0,
+                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.sparkContext.defaultParallelism
     val gcols = group.map(col)
-    val parted = df
+    val parted = pin(df
       .repartitionByRange(parts, (gcols ++ order): _*)
-      .withColumn("__pid", spark_partition_id())
-      .cache()
+      .withColumn("__pid", spark_partition_id()), storage)
     val counts = parted
       .groupBy(col("__pid") +: gcols: _*)
       .agg(count(lit(1)).as("__cnt"))
@@ -89,14 +118,14 @@ object DistributedRank {
     * (LongType sums — float prefix sums are re-association-sensitive and
     * have no cross-engine contract). */
   def withPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
-                    out: String, numParts: Int = 0): DataFrame = {
+                    out: String, numParts: Int = 0,
+                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.sparkContext.defaultParallelism
-    val parted = df
+    val parted = pin(df
       .repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .cache()
+      .withColumn("__pid", spark_partition_id()), storage)
     val psum = parted.groupBy(col("__pid")).agg(sum(value).as("__psum"))
     val earlier = psum.select(col("__pid").as("__bpid"), col("__psum").as("__bsum"))
     val prefix = psum
@@ -124,14 +153,14 @@ object DistributedRank {
     * with duplicate keys the shift-by-one inside a tie is order-dependent
     * in ANY formulation, windowed or not. */
   def withStrictPrefixMax(df: DataFrame, order: Column, value: Column,
-                          out: String, numParts: Int = 0): DataFrame = {
+                          out: String, numParts: Int = 0,
+                          storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.sparkContext.defaultParallelism
-    val parted = df
+    val parted = pin(df
       .repartitionByRange(parts, order)
-      .withColumn("__pid", spark_partition_id())
-      .cache()
+      .withColumn("__pid", spark_partition_id()), storage)
     val pmax = parted.groupBy(col("__pid")).agg(max(value).as("__pmax"))
     val earlier = pmax.select(col("__pid").as("__bpid"), col("__pmax").as("__bmax"))
     val prefix = pmax

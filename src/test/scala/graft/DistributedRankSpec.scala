@@ -114,6 +114,78 @@ class DistributedRankSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("StorageLevel.NONE mode: identical ranks, ONE materialized range exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.storage.StorageLevel
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    // isolate from earlier tests: a still-cached structurally-equal
+    // range-partitioned frame would be substituted by the CacheManager and
+    // hide the exchange this test pins
+    DistributedRank.unpersistAll()
+    spark.catalog.clearCache()
+    val df = randFrame(200)
+    val expected = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy("v", "id")).cast("long"))
+      .select("id", "rn").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val ranked = DistributedRank.withRowNumber(df, Seq(col("v"), col("id")), "rn",
+      group = Seq("grp"), numParts = 5, storage = StorageLevel.NONE)
+      .select("id", "rn")
+    val got = ranked.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(got == expected)
+    // correctness of the non-persisted mode RIDES on exchange/stage reuse:
+    // both passes must read the SAME materialized range shuffle (identical
+    // sampled boundaries). Pin it on the JUST-EXECUTED plan: exactly one
+    // distinct exchange OBJECT.
+    val exchangeObjects = flatten(ranked.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[RangePartitioning] => e }
+      .map(System.identityHashCode).distinct
+    assert(exchangeObjects.size == 1,
+      s"expected ONE reused range exchange, got ${exchangeObjects.size}; nodes=\n" +
+        flatten(ranked.queryExecution.executedPlan)
+          .map(p => p.getClass.getSimpleName + " :: " + p.outputPartitioning)
+          .mkString("\n"))
+    // prefix-sum and prefix-max arms in the same mode
+    val base = randFrame(150).groupBy("v").agg(max("id").as("m"))
+    val expPs = base.withColumn("ps", sum(col("m")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      .select("v", "ps").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val gotPs = DistributedRank.withPrefixSum(base, Seq(col("v")), col("m"), "ps",
+        numParts = 4, storage = StorageLevel.NONE)
+      .select("v", "ps").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(gotPs == expPs)
+    val expPm = base.withColumn("pm", max(col("m")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("v", "pm").as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    val gotPm = DistributedRank.withStrictPrefixMax(base, col("v"), col("m"), "pm",
+        numParts = 4, storage = StorageLevel.NONE)
+      .select("v", "pm").as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(gotPm == expPm)
+  }
+
+  test("unpersistAll releases every helper-cached frame") {
+    spark.catalog.clearCache()
+    val df = randFrame(100)
+    // two chained helper calls -> two registered persists (the leak shape
+    // ADVICE flagged: q174's rank->prefix-sum chain)
+    val ranked = DistributedRank.withRowNumber(df, Seq(col("v"), col("id")), "rn")
+    val summed = DistributedRank.withPrefixSum(ranked, Seq(col("rn")), col("v"), "ps")
+    summed.count()
+    assert(!spark.sharedState.cacheManager.isEmpty, "helpers should have cached")
+    DistributedRank.unpersistAll()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "unpersistAll must release all helper-cached frames")
+  }
+
   test("no unpartitioned WindowExec in the planned shape") {
     import org.apache.spark.sql.execution.window.WindowExecBase
     val df = randFrame(50)
