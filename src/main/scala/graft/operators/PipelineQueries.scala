@@ -1055,7 +1055,8 @@ object PipelineQueries {
         |ba AS (SELECT c.cid, d.rid FROM clean c JOIN dirty d
         |       ON c.nation = d.nation AND c.cents // 5000 = d.cents // 5000),
         |bb AS (SELECT c.cid, d.rid FROM clean c JOIN dirty d
-        |       ON substr(c.name, length(c.name) - 5) = substr(d.name, length(d.name) - 5)),
+        |       ON substr(c.name, greatest(1, length(c.name) - 5))
+        |        = substr(d.name, greatest(1, length(d.name) - 5))),
         |cand AS (SELECT DISTINCT cid, rid FROM (SELECT * FROM ba UNION ALL SELECT * FROM bb)),
         |scored AS (
         |  SELECT c.cid, d.rid,
@@ -1086,8 +1087,14 @@ object PipelineQueries {
         .join(dirty.select(col("rid"), col("nation"), expr("cents div 5000").as("bin")),
           Seq("nation", "bin"))
         .select("cid", "rid")
-      val bb = clean.select(col("cid"), expr("substr(name, length(name) - 5)").as("sfx"))
-        .join(dirty.select(col("rid"), expr("substr(name, length(name) - 5)").as("sfx")), "sfx")
+      // suffix start is clamped to 1: Spark counts a NEGATIVE start from
+      // the string END while DuckDB clamps to the front, so names shorter
+      // than 6 chars would silently produce different candidate sets —
+      // greatest(1, …) keeps the position positive, where the engines agree
+      val bb = clean.select(col("cid"),
+          expr("substr(name, greatest(1, length(name) - 5))").as("sfx"))
+        .join(dirty.select(col("rid"),
+          expr("substr(name, greatest(1, length(name) - 5))").as("sfx")), "sfx")
         .select("cid", "rid")
       val cand = ba.unionAll(bb).distinct()
       cand

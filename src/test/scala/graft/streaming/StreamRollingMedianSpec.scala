@@ -42,11 +42,21 @@ class StreamRollingMedianSpec extends AnyFunSuite {
         // then [4,9,2]→4
         ms.addData(("a", 4L, 1L, 9.0), ("a", 5L, 1L, 2.0))
         q.processAllAvailable()
+        // batch 3 arrives with a timestamp EARLIER than the whole retained
+        // tail [(4,9),(5,2)]: (ts=0) sorts BEFORE it, so its frame is the
+        // retained horizon at-or-before ts=0 — just itself → 1.0 (the
+        // arrival-order fold would have said [9,2,1]→2.0); the in-order
+        // row then frames over [(4,9),(5,2),(6,3)] minus its own window
+        // slot → [9,2,3]→3.0, with the late row correctly EXCLUDED (it
+        // sits 3 positions back, outside the 3-row frame)
+        ms.addData(("a", 0L, 9L, 1.0), ("a", 6L, 1L, 3.0))
+        q.processAllAvailable()
       } finally q.stop()
       val got = spark.table(name).collect()
-        .map(r => (r.getLong(1), r.getDouble(3))).toMap
-      assert(got == Map(1L -> 5.0, 2L -> 1.0, 3L -> 4.0, 4L -> 4.0, 5L -> 4.0),
-        got.toSeq.sorted.mkString(", "))
+        .map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+      assert(got == Map((1L, 1L) -> 5.0, (2L, 1L) -> 1.0, (3L, 1L) -> 4.0,
+          (4L, 1L) -> 4.0, (5L, 1L) -> 4.0, (0L, 9L) -> 1.0, (6L, 1L) -> 3.0),
+        got.toSeq.sortBy(_._1).mkString(", "))
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
