@@ -94,6 +94,67 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(fields.find(_.number == 91).get.bytes.length == 4)
   }
 
+  test("property: random unknown fields spliced into golden bytes never disturb known fields") {
+    // prost decoders skip unknown fields; the clean-room reader must too —
+    // inject 1-4 random unknown fields (all four wire types, random field
+    // numbers outside the schema) at random field boundaries of the golden
+    // tick message, and the known-field view must be byte-identical
+    val rnd = new scala.util.Random(4242)
+    val secs = java.time.Instant.parse("2024-01-15T09:30:00Z").getEpochSecond
+    val tick = ProtoWire.priceTick(
+      asks = Seq(("1.08425", 1000000L), ("1.08427", 2000000L)),
+      bids = Seq(("1.08412", 1000000L)),
+      closeoutAsk = "1.08430", closeoutBid = "1.08410",
+      instrument = "EUR_USD", status = "tradeable",
+      seconds = secs, nanos = 123456789)
+    val known = ProtoWire.readFields(tick)
+    // re-encode one decoded field byte-canonically (the writer is canonical,
+    // so known fields reconstruct to their original bytes)
+    def encodeKnown(f: ProtoWire.Field): Array[Byte] = {
+      val w = new ProtoWire.Writer
+      w.writeVarint((f.number.toLong << 3) | f.wire)
+      f.wire match {
+        case 0 => w.writeVarint(f.varint); w.toBytes
+        case 2 => w.writeVarint(f.bytes.length.toLong); w.toBytes ++ f.bytes
+        case _ => w.toBytes ++ f.bytes // fixed32/fixed64 payload as read
+      }
+    }
+    assert(known.flatMap(encodeKnown).toSeq == tick.toSeq, "canonical re-encode sanity")
+    def unknownField(): Array[Byte] = {
+      val num = 8 + rnd.nextInt(1 << 20) // any number outside the schema's 1-7
+      val w = new ProtoWire.Writer
+      rnd.nextInt(4) match {
+        case 0 => w.writeVarint((num.toLong << 3) | 0); w.writeVarint(rnd.nextLong()); w.toBytes
+        case 1 => w.writeVarint((num.toLong << 3) | 1)
+          w.toBytes ++ Array.fill[Byte](8)(rnd.nextInt().toByte)
+        case 2 => val body = Array.fill[Byte](rnd.nextInt(24))(rnd.nextInt().toByte)
+          w.writeVarint((num.toLong << 3) | 2); w.writeVarint(body.length.toLong)
+          w.toBytes ++ body
+        case _ => w.writeVarint((num.toLong << 3) | 5)
+          w.toBytes ++ Array.fill[Byte](4)(rnd.nextInt().toByte)
+      }
+    }
+    (1 to 200).foreach { trial =>
+      val chunks = scala.collection.mutable.ArrayBuffer(known.map(encodeKnown): _*)
+      (1 to 1 + rnd.nextInt(4)).foreach { _ =>
+        chunks.insert(rnd.nextInt(chunks.size + 1), unknownField())
+      }
+      val mutated = chunks.toArray.flatten
+      val decoded = ProtoWire.readFields(mutated)
+      val knownView = decoded.filter(_.number <= 7)
+      assert(knownView.size == known.size, s"trial $trial: known field lost")
+      knownView.zip(known).foreach { case (g, e) =>
+        assert(g.number == e.number && g.wire == e.wire &&
+          g.varint == e.varint && g.bytes.toSeq == e.bytes.toSeq,
+          s"trial $trial: field ${e.number} disturbed")
+      }
+      // the consumer path (q37's decode) still reads the timestamp through
+      // the noise
+      val ts = ProtoWire.readFields(knownView.find(_.number == 7).get.bytes)
+      assert(ts.find(_.number == 1).get.varint == secs)
+    }
+  }
+
   test("proto3 default skipping: empty string and zero scalar omitted; empty message emitted") {
     assert(ProtoWire.priceLevel("", 0L).isEmpty)
     assert(hex(ProtoWire.timestamp(0L, 0)) == "")
