@@ -444,6 +444,58 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Variable-length MAXIMAL duplicated spans (the substring extents a
+    // Lee et al. 2022 exact-substring pass actually removes): q61 only
+    // FLAGS fixed 8-token shingle positions; here adjacent duplicated
+    // positions merge into maximal runs via gaps-and-islands (q124's
+    // machinery — island id = position minus per-doc row_number), and a
+    // run of consecutive shingle positions [s, e] is the token span
+    // [s, e+7], i.e. e+8-s tokens. One row per (doc, maximal span) with
+    // its start, token length, and shingle count. Scale shape: identical
+    // to q61 up to the duplicated-position set (60-bit hash keys, exact
+    // distinct-doc counts, equi-join back), then the islands window and
+    // both groupBys are partitioned by doc_id — no all-pairs, no global
+    // window, one extra doc_id-hash exchange over q61.
+    q("q61b_max_dup_spans",
+      "maximal duplicated token spans per doc (islands over duplicated 8-gram positions)")(
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+         |pos AS (SELECT doc_id,
+         |               unnest(generate_series(0, len(w) - 8)) AS p,
+         |               unnest(${shinglesSql("w", 8)}) AS g
+         |        FROM t WHERE len(w) >= 8),
+         |ph AS (SELECT doc_id, p, ${md5LongSql("g")} AS h FROM pos),
+         |df AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ph GROUP BY h),
+         |hits AS (SELECT doc_id, p FROM ph JOIN df USING (h) WHERE nd >= 2),
+         |lab AS (SELECT doc_id, p,
+         |               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+         |        FROM hits),
+         |spans AS (SELECT doc_id, isl, min(p) AS s, max(p) AS e, count(*) AS ns
+         |          FROM lab GROUP BY doc_id, isl)
+         |SELECT doc_id, CAST(s AS BIGINT) AS span_start,
+         |       CAST(e + 8 - s AS BIGINT) AS span_tokens,
+         |       CAST(ns AS BIGINT) AS n_shingles
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 8)
+      val ph = t.select(col("doc_id"),
+          posexplode(transform(shingles(col("w"), 8), g => md5Long(g))))
+        .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("h"))
+        .cache() // consumed by the doc-frequency agg AND the join back
+      val dfreq = ph.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      val hits = ph.join(dfreq.filter(col("nd") >= 2), "h").select("doc_id", "p")
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      hits
+        .withColumn("isl", col("p") - row_number().over(w))
+        .groupBy("doc_id", "isl")
+        .agg(min(col("p")).as("s"), max(col("p")).as("e"), count(lit(1)).as("ns"))
+        .select(col("doc_id"), col("s").cast("long").as("span_start"),
+          (col("e") + 8 - col("s")).cast("long").as("span_tokens"),
+          col("ns").cast("long").as("n_shingles"))
+        .orderBy("doc_id", "span_start")
+    },
+
     // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
     // priority u^(1/w) with u a content-hash uniform and w = n_chars, top-5
     // per lang — longer docs proportionally likelier, selection exactly
