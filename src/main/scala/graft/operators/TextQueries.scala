@@ -55,6 +55,37 @@ object TextQueries {
        |ORDER BY it""".stripMargin
   }
 
+  /** q76c's oracle: the q76 chain generalized to `rounds` iterations. The
+    * CTEs MUST be MATERIALIZED: DuckDB inlines plain CTEs, and each stage
+    * references its predecessor twice (pair count + merge application), so
+    * a 32-round chain would otherwise expand 2^32 ways. Same per-round
+    * algebra as [[bpeSql]], byte-for-byte. */
+  private def bpeDeepSql(rounds: Int): String = {
+    def pairsCte(seqTbl: String, pName: String) =
+      s"""$pName AS MATERIALIZED (
+         |  SELECT s AS pair, CAST(sum(n) AS BIGINT) AS c
+         |  FROM (SELECT unnest(${shinglesSql(s"string_split(trim(seq), ' ')", 2)}) AS s, n
+         |        FROM $seqTbl)
+         |  GROUP BY s ORDER BY c DESC, pair LIMIT 1)""".stripMargin
+    def mergeCte(prevSeq: String, pName: String, newName: String) =
+      s"""$newName AS MATERIALIZED (
+         |  SELECT replace(seq, ' ' || p.pair || ' ', ' ' || replace(p.pair, ' ', '') || ' ') AS seq, n
+         |  FROM $prevSeq CROSS JOIN $pName p)""".stripMargin
+    val ctes = (1 to rounds).flatMap { i =>
+      pairsCte(s"seq${i - 1}", s"p$i") ::
+        (if (i < rounds) mergeCte(s"seq${i - 1}", s"p$i", s"seq$i") :: Nil else Nil)
+    }
+    s"""WITH w AS (
+       |  SELECT tok, count(*) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |seq0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS seq, n FROM w),
+       |${ctes.mkString(",\n")}
+       |${(1 to rounds).map(i => s"SELECT CAST($i AS BIGINT) AS it, pair, c FROM p$i")
+           .mkString("\nUNION ALL ")}
+       |ORDER BY it""".stripMargin
+  }
+
   /** q76b's oracle: the q76 training chain with the token identity carried
     * through each merge, so the final sequence IS the token's encoding. */
   private val bpeEncodeSql: String = {
@@ -456,6 +487,40 @@ object TextQueries {
         top.select(lit(it.toLong).as("it"), col("pair"), col("c"))
       }
       tops.reduce(_ union _).orderBy("it")
+    },
+
+    // BPE training at REAL depth — 32 merge rounds as a DRIVER LOOP with
+    // per-round eager localCheckpoint (the StarContraction lineage lesson:
+    // each round references its predecessor twice, so without truncation
+    // the logical plan doubles per round — 2^32 by round 32; checkpointing
+    // resets it to a scan of the materialized vocab frame). The per-round
+    // algebra is byte-identical to q76; the oracle replays the same 32
+    // rounds as MATERIALIZED CTEs (plain CTEs inline and hit the identical
+    // exponential blowup in DuckDB). Scale shape per round: one pair-count
+    // shuffle over the |vocab| frame + a 1-row TakeOrdered argmax broadcast
+    // — the corpus is touched ONCE (the word-frequency reduction); 32
+    // rounds cost 32 tiny shuffles, not 32 corpus passes.
+    q("q76c_bpe_train_deep", "32 BPE merges via a checkpointed driver loop (argmax pair per round)")(
+      TextQueries.bpeDeepSql(32)
+    ) { (s, dir) =>
+      val w = Tables.fanout(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      var seq = w.select(
+        concat(lit(" "), array_join(split(col("tok"), ""), " "), lit(" ")).as("seq"),
+        col("n")).localCheckpoint()
+      val tops = (1 to 32).map { it =>
+        val top = seq
+          .select(explode(shingles(split(trim(col("seq")), " "), 2)).as("pair"), col("n"))
+          .groupBy("pair").agg(sum(col("n")).as("c"))
+          .orderBy(col("c").desc, col("pair")).limit(1)
+          .localCheckpoint() // 1-row frame: output leg + merge broadcast
+        seq = seq.crossJoin(broadcast(top.select(col("pair"))))
+          .select(expr("replace(seq, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')").as("seq"),
+            col("n")).localCheckpoint()
+        top.select(lit(it.toLong).as("it"), col("pair"), col("c"))
+      }
+      tops.reduce(_ unionAll _).orderBy("it")
     },
 
     // BPE ENCODING — q76's merges APPLIED: the other half of a tokenizer

@@ -25,6 +25,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q72_bigram_lm" -> "1-row vocab-size frame × scoring stream",
     "q76_bpe_train" -> "1-row argmax merge-pair frame per unrolled round (3 rounds)",
     "q76b_bpe_encode" -> "3-row trained-merge table × distinct-token frame",
+    "q76c_bpe_train_deep" -> "1-row argmax merge-pair frame per checkpointed round (32 rounds; products live inside the materialized rounds, not the final plan)",
     "q110_bm25" -> "1-row corpus stats (N, avgdl) × term-match stream",
     "q175_retrieval_eval" -> "1-row corpus stats (N, avgdl) × term-match stream (q110's shape)",
     "q90_skew_report" -> "1-row grand-total frame × per-key share table",
