@@ -1,13 +1,223 @@
 package graft.plans
 
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, GenerateOrdering}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetric
 import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
+
+/** Per-partition working state of the top-k operator: a bounded (k+1)-row
+  * heap per distinct key, a pass-through / spill policy past
+  * [[maxKeys]] buffered heaps, and the end-of-input merge. One instance per
+  * task; shared by the interpreted ([[TopKPerKey.TopKPerKeyExec.doExecute]])
+  * and whole-stage-codegen (`doProduce`/`doConsume`) paths — the generated
+  * code calls [[add]] per input row and [[finish]] once, which is why this
+  * is a top-level class (Janino resolves `graft.plans.TopKBuffer` without
+  * the `$`-nested name mangling an object member would carry).
+  *
+  * Overflow policy past `maxKeys` heaps:
+  *  - `passThrough = true` (interpreted PARTIAL phase): rows of keys that
+  *    did not get a heap are returned from [[add]] for the caller to stream
+  *    out un-reduced — never buffered, so memory is truly (k+1)·maxKeys
+  *    rows. A superset is fine before the exact final phase.
+  *  - `passThrough = false` (FINAL phase, and BOTH phases under codegen —
+  *    a blocking codegen operator cannot emit mid-consume): the full heap
+  *    map is flushed to a key-sorted disk run and cleared; [[finish]]
+  *    k-way-merges the runs with the surviving heaps. Each run holds ≤ k
+  *    rows per key, so top-k of the union = top-k of the per-run top-ks
+  *    (the same distributivity the partial phase relies on). Working
+  *    memory during the merge is ≤ k·(runs+1) rows for one key at a time —
+  *    ObjectHashAggregateExec's sort-based-fallback shape.
+  */
+final class TopKBuffer(
+    k: Int,
+    maxKeys: Int,
+    passThrough: Boolean,
+    keyExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    childOutput: Seq[Attribute],
+    outRows: SQLMetric,
+    nKeys: SQLMetric,
+    passRows: SQLMetric,
+    nSpills: SQLMetric) {
+
+  private val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+  private val rowProj = UnsafeProjection.create(childOutput, childOutput)
+  private val ord: Ordering[InternalRow] =
+    GenerateOrdering.generate(orderExprs, childOutput)
+  private val worstFirst = ord.reverse
+  // per key: a max-heap under `ord` whose root is the WORST kept row, so
+  // admission is one comparison against the root
+  private val heaps =
+    new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+  private val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+  Option(TaskContext.get()).foreach(
+    _.addTaskCompletionListener[Unit](_ => spillFiles.foreach(_.delete())))
+
+  /** Admit one input row. Returns `null` normally; in [[passThrough]] mode
+    * with the heap map at capacity, returns the (copied) row for the
+    * caller to stream out un-reduced. */
+  def add(row: InternalRow): InternalRow = {
+    val key = keyProj(row)
+    var heap = heaps.get(key)
+    if (heap == null) {
+      // at capacity: the spill policy flushes the map to a disk run
+      // (making room); the pass-through policy leaves heap null and the
+      // row is returned below
+      if (heaps.size() >= maxKeys && !passThrough) spillHeaps()
+      if (heaps.size() < maxKeys) {
+        heap = new java.util.PriorityQueue[UnsafeRow](k + 1, worstFirst)
+        heaps.put(key.copy(), heap)
+      }
+    }
+    if (heap == null) {
+      passRows += 1
+      outRows += 1
+      rowProj(row).copy()
+    } else {
+      if (heap.size < k) heap.add(rowProj(row).copy())
+      else if (ord.compare(row, heap.peek()) < 0) {
+        heap.poll(); heap.add(rowProj(row).copy())
+      }
+      null
+    }
+  }
+
+  /** The surviving per-key top-k rows (merged with any disk runs), to be
+    * consumed AFTER the input is exhausted. Metric exactness: numKeys and
+    * the heap/merge-leg share of numOutputRows only accumulate as this
+    * iterator is drained — a downstream early-terminating consumer (e.g. a
+    * LIMIT stopping mid-partition) undercounts them. Acceptable for
+    * metrics; counts are exact whenever the partition is fully consumed. */
+  def finish(): Iterator[InternalRow] =
+    if (spillFiles.isEmpty) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.values().forEach { h =>
+        val rows = new java.util.ArrayList[UnsafeRow](h)
+        rows.sort(ord)
+        rows.forEach(r => out += r)
+      }
+      nKeys += heaps.size()
+      outRows += out.size
+      out.iterator
+    } else mergeRuns()
+
+  // Flush the whole heap map to a key-sorted disk run (each key contributes
+  // its current ≤ k rows, `ord`-sorted) and clear it. Keys are ordered by
+  // their UnsafeRow BYTES — the same identity the hash map groups by — so
+  // the end-of-input merge can group equal keys across runs.
+  private def spillHeaps(): Unit = {
+    val file = java.io.File.createTempFile("graft-topk-spill", ".run")
+    spillFiles += file
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(file), 1 << 16))
+    try {
+      val sortedKeys = new java.util.ArrayList[UnsafeRow](heaps.keySet())
+      sortedKeys.sort((a: UnsafeRow, b: UnsafeRow) =>
+        java.util.Arrays.compareUnsigned(a.getBytes, b.getBytes))
+      sortedKeys.forEach { key =>
+        val rows = new java.util.ArrayList[UnsafeRow](heaps.get(key))
+        rows.sort(ord)
+        val kb = key.getBytes
+        out.writeInt(kb.length); out.write(kb)
+        out.writeInt(rows.size())
+        rows.forEach { r =>
+          val rb = r.getBytes
+          out.writeInt(rb.length); out.write(rb)
+        }
+      }
+    } finally out.close()
+    heaps.clear()
+    nSpills += 1
+  }
+
+  // Streams one spill run back as (keyBytes, rows-for-that-key).
+  private def readRun(file: java.io.File): Iterator[(Array[Byte], Array[UnsafeRow])] =
+    new Iterator[(Array[Byte], Array[UnsafeRow])] {
+      private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(file), 1 << 16))
+      private var nextGroup: (Array[Byte], Array[UnsafeRow]) = advance()
+      private def advance(): (Array[Byte], Array[UnsafeRow]) = {
+        val keyLen = try in.readInt() catch {
+          case _: java.io.EOFException => in.close(); return null
+        }
+        val kb = new Array[Byte](keyLen); in.readFully(kb)
+        val n = in.readInt()
+        val rows = Array.tabulate(n) { _ =>
+          val rb = new Array[Byte](in.readInt()); in.readFully(rb)
+          val r = new UnsafeRow(childOutput.length)
+          r.pointTo(rb, rb.length)
+          r
+        }
+        (kb, rows)
+      }
+      override def hasNext: Boolean = nextGroup != null
+      override def next(): (Array[Byte], Array[UnsafeRow]) = {
+        val g = nextGroup; nextGroup = advance(); g
+      }
+    }
+
+  // The surviving in-memory heaps as one more (key-sorted) run.
+  private def memoryRun(): Iterator[(Array[Byte], Array[UnsafeRow])] = {
+    val sortedKeys = new java.util.ArrayList[UnsafeRow](heaps.keySet())
+    sortedKeys.sort((a: UnsafeRow, b: UnsafeRow) =>
+      java.util.Arrays.compareUnsigned(a.getBytes, b.getBytes))
+    val it = sortedKeys.iterator()
+    new Iterator[(Array[Byte], Array[UnsafeRow])] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): (Array[Byte], Array[UnsafeRow]) = {
+        val key = it.next()
+        (key.getBytes, heaps.get(key).toArray(new Array[UnsafeRow](0)))
+      }
+    }
+  }
+
+  // K-way merge of key-sorted runs: for each distinct key (byte order),
+  // pool the ≤ k rows each run holds for it and re-select the exact top k.
+  // Memory: one key group at a time, ≤ k·(runs+1) rows.
+  private def mergeRuns(): Iterator[InternalRow] = {
+    val runs = (spillFiles.map(readRun) :+ memoryRun()).map(_.buffered)
+      .filter(_.hasNext).toIndexedSeq
+    new Iterator[InternalRow] {
+      private var group: Iterator[InternalRow] = Iterator.empty
+      private def refill(): Unit = {
+        val live = runs.filter(_.hasNext)
+        if (live.isEmpty) return
+        val minKey = live.map(_.head._1).reduce { (a, b) =>
+          if (java.util.Arrays.compareUnsigned(a, b) <= 0) a else b
+        }
+        val heap = new java.util.PriorityQueue[UnsafeRow](k + 1, worstFirst)
+        live.foreach { r =>
+          if (java.util.Arrays.compareUnsigned(r.head._1, minKey) == 0) {
+            r.next()._2.foreach { row =>
+              if (heap.size < k) heap.add(row)
+              else if (ord.compare(row, heap.peek()) < 0) {
+                heap.poll(); heap.add(row)
+              }
+            }
+          }
+        }
+        val rows = new java.util.ArrayList[UnsafeRow](heap)
+        rows.sort(ord)
+        nKeys += 1
+        outRows += rows.size()
+        group = scala.jdk.CollectionConverters.ListHasAsScala(rows)
+          .asScala.iterator
+      }
+      override def hasNext: Boolean = {
+        while (!group.hasNext && runs.exists(_.hasNext)) refill()
+        group.hasNext
+      }
+      override def next(): InternalRow = { hasNext; group.next() }
+    }
+  }
+}
 
 /** Native per-key top-k — the full custom-operator stack (SURVEY.md §4.2
   * preference (c)): a logical node, a planner [[Strategy]], and a physical
@@ -28,20 +238,19 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
   * input size; the final phase merges per key under the same bound.
   *
   * Memory bound: each phase buffers a (k+1)-row heap per distinct key it
-  * sees, capped at [[maxBufferedKeys]] heaps. The PARTIAL phase degrades
-  * past the cap by PASSING rows of not-yet-seen keys through un-reduced
-  * (correct: the partial phase emits a superset and the final phase is
-  * exact — the same degrade-to-passthrough hash aggregation uses when its
-  * map is full, minus the spill file). The FINAL phase cannot pass through
-  * (it must produce the exact top k), so past the cap it SPILLS: the full
-  * heap map is flushed to a key-sorted disk run and cleared, and at
-  * end-of-input the runs are k-way merged per key with the surviving
-  * in-memory heaps (each run holds ≤ k rows per key, so top-k of the
-  * union = top-k of the per-run top-ks — the same distributivity the
-  * partial phase already relies on). Working memory is therefore
-  * min(k·|keys in partition|, (k+1)·maxBufferedKeys) rows plus, during
-  * the merge, ≤ k·(runs+1) rows for one key at a time — the sort-based
-  * fallback shape of ObjectHashAggregateExec.
+  * sees, capped at [[maxBufferedKeys]] heaps — past the cap the partial
+  * phase streams rows through un-reduced and the final phase spills to
+  * key-sorted disk runs (policy details on [[TopKBuffer]]).
+  *
+  * Whole-stage codegen: the exec participates as a BLOCKING codegen
+  * consumer (SortExec's shape — `BlockingOperatorWithCodegen`): the child
+  * stage's generated loop feeds [[TopKBuffer.add]] directly, so the
+  * scan→project→partial pipeline below the exchange and the final→transform
+  * pipeline above it each fuse into ONE generated stage instead of breaking
+  * at the operator boundary. Under codegen both phases use the spill
+  * overflow policy (a blocking operator cannot stream pass-through rows
+  * mid-consume); the interpreted fallback path keeps the cheaper
+  * pass-through policy for the partial phase.
   */
 object TopKPerKey {
 
@@ -92,7 +301,7 @@ object TopKPerKey {
       partial: Boolean,
       child: SparkPlan,
       maxBufferedKeys: Int = defaultMaxBufferedKeys)
-    extends UnaryExecNode {
+    extends UnaryExecNode with BlockingOperatorWithCodegen {
     require(k >= 1, s"topK requires k >= 1, got $k")
 
     override def output: Seq[Attribute] = child.output
@@ -112,199 +321,72 @@ object TopKPerKey {
       "passThroughRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
         .createMetric(sparkContext, "rows passed through un-reduced (partial map full)"),
       "numSpilledRuns" -> org.apache.spark.sql.execution.metric.SQLMetrics
-        .createMetric(sparkContext, "heap-map flushes to disk (final phase over key cap)"))
+        .createMetric(sparkContext, "heap-map flushes to disk (key cap overflow)"))
+
+    /** Per-task state factory — called from the generated class's
+      * constructor (one generated-class instance per partition), and from
+      * [[doExecute]]'s mapPartitions. `passThrough` only in the
+      * interpreted partial phase; see [[TopKBuffer]]. */
+    def createBuffer(passThrough: Boolean): TopKBuffer =
+      new TopKBuffer(k, maxBufferedKeys, passThrough, keys, order, child.output,
+        longMetric("numOutputRows"), longMetric("numKeys"),
+        longMetric("passThroughRows"), longMetric("numSpilledRuns"))
+
+    // ---- whole-stage codegen (blocking consumer, SortExec's shape) ----
+
+    override def inputRDDs(): Seq[RDD[InternalRow]] =
+      child.asInstanceOf[CodegenSupport].inputRDDs()
+
+    // set in doProduce, read in doConsume (same generated class)
+    private var bufferVarName: String = _
+
+    override protected def doProduce(ctx: CodegenContext): String = {
+      val needToProcess = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN,
+        "topKNeedsInput", v => s"$v = true;")
+      val thisPlan = ctx.addReferenceObj("topKPlan", this)
+      bufferVarName = ctx.addMutableState(classOf[TopKBuffer].getName, "topKBuffer",
+        v => s"$v = $thisPlan.createBuffer(false);", forceInline = true)
+      val outputIter = ctx.addMutableState("scala.collection.Iterator",
+        "topKOutput", forceInline = true)
+      val addToBuffer = ctx.freshName("addToTopK")
+      val addToBufferFunc = ctx.addNewFunction(addToBuffer,
+        s"""
+           |private void $addToBuffer() throws java.io.IOException {
+           |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+           |}
+         """.stripMargin.trim, inlineToOuterClass = true)
+      val outputRow = ctx.freshName("topKOutputRow")
+      s"""
+         |if ($needToProcess) {
+         |  $addToBufferFunc();
+         |  $needToProcess = false;
+         |  $outputIter = $bufferVarName.finish();
+         |}
+         |while ($limitNotReachedCond $outputIter.hasNext()) {
+         |  UnsafeRow $outputRow = (UnsafeRow) $outputIter.next();
+         |  ${consume(ctx, null, outputRow)}
+         |  if (shouldStop()) return;
+         |}
+       """.stripMargin
+    }
+
+    override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+        row: ExprCode): String =
+      s"""
+         |${row.code}
+         |$bufferVarName.add((UnsafeRow) ${row.value});
+       """.stripMargin
+
+    // ---- interpreted fallback (codegen disabled or compile fallback) ----
 
     override protected def doExecute(): RDD[InternalRow] = {
-      // Metric exactness: numKeys and the heap/merge-leg share of
-      // numOutputRows only accumulate when the trailing iterator is
-      // actually drained — a downstream early-terminating consumer (e.g. a
-      // LIMIT stopping mid-partition) undercounts them. Acceptable for
-      // metrics; counts are exact whenever the partition is fully consumed.
-      val outRows = longMetric("numOutputRows")
-      val nKeys = longMetric("numKeys")
-      val spilledRows = longMetric("passThroughRows")
-      val nSpills = longMetric("numSpilledRuns")
-      val kLocal = k
-      val keyExprs = keys
-      val orderExprs = order
-      val childOutput = child.output
       val isPartial = partial
-      val maxKeys = maxBufferedKeys
       child.execute().mapPartitions { it =>
-        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-        val rowProj = UnsafeProjection.create(childOutput, childOutput)
-        val ord: Ordering[InternalRow] =
-          org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
-            .generate(orderExprs, childOutput)
-        // per key: a max-heap under `ord` whose root is the WORST kept row,
-        // so admission is one comparison against the root
-        val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-        val worstFirst = ord.reverse
-        val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => spillFiles.foreach(_.delete())))
-
-        def admit(heap: java.util.PriorityQueue[UnsafeRow], row: InternalRow): Unit = {
-          if (heap.size < kLocal) heap.add(rowProj(row).copy())
-          else if (ord.compare(row, heap.peek()) < 0) {
-            heap.poll(); heap.add(rowProj(row).copy())
-          }
-        }
-
-        // FINAL-phase overflow: flush the whole heap map to a key-sorted
-        // disk run (each key contributes its current ≤ k rows, `ord`-sorted)
-        // and clear it. Keys are ordered by their UnsafeRow BYTES — the same
-        // identity the hash map groups by — so the end-of-input merge can
-        // group equal keys across runs with a k-way merge.
-        def spillHeaps(): Unit = {
-          val file = java.io.File.createTempFile("graft-topk-spill", ".run")
-          spillFiles += file
-          val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(file), 1 << 16))
-          try {
-            val sortedKeys = new java.util.ArrayList[UnsafeRow](heaps.keySet())
-            sortedKeys.sort((a: UnsafeRow, b: UnsafeRow) =>
-              java.util.Arrays.compareUnsigned(a.getBytes, b.getBytes))
-            sortedKeys.forEach { key =>
-              val rows = new java.util.ArrayList[UnsafeRow](heaps.get(key))
-              rows.sort(ord)
-              val kb = key.getBytes
-              out.writeInt(kb.length); out.write(kb)
-              out.writeInt(rows.size())
-              rows.forEach { r =>
-                val rb = r.getBytes
-                out.writeInt(rb.length); out.write(rb)
-              }
-            }
-          } finally out.close()
-          heaps.clear()
-          nSpills += 1
-        }
-
-        // Streams one spill run back as (keyBytes, rows-for-that-key).
-        def readRun(file: java.io.File): Iterator[(Array[Byte], Array[UnsafeRow])] =
-          new Iterator[(Array[Byte], Array[UnsafeRow])] {
-            private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-              new java.io.FileInputStream(file), 1 << 16))
-            private var nextGroup: (Array[Byte], Array[UnsafeRow]) = advance()
-            private def advance(): (Array[Byte], Array[UnsafeRow]) = {
-              val keyLen = try in.readInt() catch {
-                case _: java.io.EOFException => in.close(); return null
-              }
-              val kb = new Array[Byte](keyLen); in.readFully(kb)
-              val n = in.readInt()
-              val rows = Array.tabulate(n) { _ =>
-                val rb = new Array[Byte](in.readInt()); in.readFully(rb)
-                val r = new UnsafeRow(childOutput.length)
-                r.pointTo(rb, rb.length)
-                r
-              }
-              (kb, rows)
-            }
-            override def hasNext: Boolean = nextGroup != null
-            override def next(): (Array[Byte], Array[UnsafeRow]) = {
-              val g = nextGroup; nextGroup = advance(); g
-            }
-          }
-
-        // The surviving in-memory heaps as one more (key-sorted) run.
-        def memoryRun(): Iterator[(Array[Byte], Array[UnsafeRow])] = {
-          val sortedKeys = new java.util.ArrayList[UnsafeRow](heaps.keySet())
-          sortedKeys.sort((a: UnsafeRow, b: UnsafeRow) =>
-            java.util.Arrays.compareUnsigned(a.getBytes, b.getBytes))
-          val it = sortedKeys.iterator()
-          new Iterator[(Array[Byte], Array[UnsafeRow])] {
-            override def hasNext: Boolean = it.hasNext
-            override def next(): (Array[Byte], Array[UnsafeRow]) = {
-              val key = it.next()
-              (key.getBytes, heaps.get(key).toArray(new Array[UnsafeRow](0)))
-            }
-          }
-        }
-
-        // K-way merge of key-sorted runs: for each distinct key (byte
-        // order), pool the ≤ k rows each run holds for it and re-select the
-        // exact top k. Memory: one key group at a time, ≤ k·(runs+1) rows.
-        def mergeRuns(): Iterator[InternalRow] = {
-          val runs = (spillFiles.map(readRun) :+ memoryRun()).map(_.buffered)
-            .filter(_.hasNext).toIndexedSeq
-          new Iterator[InternalRow] {
-            private var group: Iterator[InternalRow] = Iterator.empty
-            private def refill(): Unit = {
-              val live = runs.filter(_.hasNext)
-              if (live.isEmpty) return
-              val minKey = live.map(_.head._1).reduce { (a, b) =>
-                if (java.util.Arrays.compareUnsigned(a, b) <= 0) a else b
-              }
-              val heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
-              live.foreach { r =>
-                if (java.util.Arrays.compareUnsigned(r.head._1, minKey) == 0) {
-                  r.next()._2.foreach { row =>
-                    if (heap.size < kLocal) heap.add(row)
-                    else if (ord.compare(row, heap.peek()) < 0) {
-                      heap.poll(); heap.add(row)
-                    }
-                  }
-                }
-              }
-              val rows = new java.util.ArrayList[UnsafeRow](heap)
-              rows.sort(ord)
-              nKeys += 1
-              outRows += rows.size()
-              group = scala.jdk.CollectionConverters.ListHasAsScala(rows)
-                .asScala.iterator
-            }
-            override def hasNext: Boolean = {
-              while (!group.hasNext && runs.exists(_.hasNext)) refill()
-              group.hasNext
-            }
-            override def next(): InternalRow = { hasNext; group.next() }
-          }
-        }
-
-        // partial-phase overflow: rows of keys that did NOT get a heap
-        // (map at capacity) are STREAMED OUT as encountered — never
-        // buffered, so partial-phase memory is truly (k+1)·maxKeys rows
-        // (buffering overflow to partition end would grow with partition
-        // size, defeating the cap). A superset is fine before the exact
-        // final phase, which spills past the same cap instead.
-        val overflow: Iterator[InternalRow] = it.flatMap { row =>
-          val key = keyProj(row)
-          var heap = heaps.get(key)
-          if (heap == null) {
-            // at capacity: the final phase flushes the map to a disk run
-            // (making room), the partial phase leaves heap null and the
-            // row passes through below
-            if (heaps.size() >= maxKeys && !isPartial) spillHeaps()
-            if (heaps.size() < maxKeys) {
-              heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
-              heaps.put(key.copy(), heap)
-            }
-          }
-          if (heap == null) {
-            spilledRows += 1
-            outRows += 1
-            Iterator.single(rowProj(row).copy(): InternalRow)
-          } else {
-            admit(heap, row)
-            Iterator.empty
-          }
-        }
-        // `++` is lazy: the heap/merge leg only materializes after the
-        // input is fully consumed (all admissions done)
-        overflow ++ new Iterator[InternalRow] {
-          private lazy val inner: Iterator[InternalRow] =
-            if (spillFiles.isEmpty) {
-              val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-              heaps.values().forEach { h =>
-                val rows = new java.util.ArrayList[UnsafeRow](h)
-                rows.sort(ord)
-                rows.forEach(r => out += r)
-              }
-              nKeys += heaps.size()
-              outRows += out.size
-              out.iterator
-            } else mergeRuns()
+        val buf = createBuffer(passThrough = isPartial)
+        // pass-through rows stream out as encountered; `++` is lazy, so the
+        // heap/merge leg only materializes after all admissions are done
+        it.flatMap(row => Option(buf.add(row))) ++ new Iterator[InternalRow] {
+          private lazy val inner: Iterator[InternalRow] = buf.finish()
           override def hasNext: Boolean = inner.hasNext
           override def next(): InternalRow = inner.next()
         }

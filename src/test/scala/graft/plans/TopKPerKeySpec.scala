@@ -117,12 +117,13 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(spilled.count() == orders.count())
   }
 
-  test("codegen: the row-based heap pair adds NO extra exchange and leaves " +
-       "neighboring stages in whole-stage codegen") {
-    // the exec pair is row-based (no doGenCode), which BREAKS codegen at
-    // its boundary — acceptable; what must NOT happen is the break
-    // inserting an extra exchange or de-codegening the scan/project below
-    // or the transform above
+  test("codegen: the heap pair FUSES into whole-stage codegen (blocking " +
+       "consumer) and adds no extra exchange") {
+    // the exec pair participates as a blocking codegen consumer (SortExec's
+    // BlockingOperatorWithCodegen shape): the child stage's generated loop
+    // feeds TopKBuffer.add directly, so scan→project→partial below the
+    // exchange and final→filter→project above it are each ONE generated
+    // stage — the operator must appear INSIDE a `*(n)` span, not break it
     val df = native(3)
       .select(col("o_custkey"), (col("o_totalprice") * 2).as("p2"))
       .filter(col("p2") > lit(0))
@@ -134,11 +135,30 @@ class TopKPerKeySpec extends AnyFunSuite {
     // partial and final that the operator requires by design
     val exchanges = plan.split("Exchange ").length - 1
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
-    // the stages around the heap pair still whole-stage-codegen: the
-    // scan→project below the partial exec and the filter→project above the
-    // final exec each carry a codegen-stage `*(n)` marker
+    // both execs carry a codegen-stage `*(n)` marker of their own stage
+    val topKLines = plan.linesIterator.filter(_.contains("TopKPerKey")).toSeq
+    assert(topKLines.size == 2, plan)
+    assert(topKLines.forall(_.contains("*(")),
+      s"TopKPerKey exec fell out of whole-stage codegen:\n$plan")
+    // and the neighbors share those stages (scan side = stage 1, output
+    // side = stage 2)
     assert(plan.contains("*(1) "), plan)
     assert(plan.contains("*(2) "), plan)
+  }
+
+  test("interpreted fallback (codegen off) still matches the window oracle") {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val a = native(3).orderBy("o_custkey", "o_orderkey").collect()
+      val b = windowed(3).orderBy("o_custkey", "o_orderkey").collect()
+      assert(a.length == b.length && a.sameElements(b))
+      // the pass-through policy (interpreted partial phase) still holds
+      val capped = TopKPerKey.topK(orders,
+        Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey")),
+        3, maxBufferedKeys = 2).orderBy("o_custkey", "o_orderkey").collect()
+      assert(capped.length == b.length && capped.sameElements(b))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
   test("repeat topK calls never stack duplicate planner strategies") {
