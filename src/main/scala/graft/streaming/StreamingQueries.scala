@@ -255,6 +255,42 @@ object StreamingQueries {
         .orderBy(col("pid").asc_nulls_last, col("cid").asc_nulls_last)
     },
 
+    // Stream-stream LEFT SEMI interval join — the fourth and last join mode
+    // Spark supports for stream-stream joins (inner q45, leftOuter q45b,
+    // fullOuter q45c): "did this purchase have ANY prior click ≤30m?" —
+    // each matched purchase emits ONCE, however many clicks matched, and
+    // unmatched purchases never emit (evicted silently at the watermark).
+    // Exactly the existence-probe shape a 100 TB attribution pipeline runs
+    // (semi join state stores no right-side payload and each left row at
+    // most once — strictly lighter than the inner join's n×m emission).
+    // Single-file replay ⇒ both sides land in one batch and every match is
+    // in-batch; the oracle is the batch EXISTS. Cross-batch match arrival
+    // and once-only emission are pinned in StreamingSemanticsSpec.
+    q("q45d_stream_stream_semi_join",
+      "stream-stream LEFT SEMI interval join: purchases with ≥1 prior click ≤30m")(
+      """SELECT p.event_id AS pid FROM events p
+        |WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND c.ts::TIMESTAMP <= p.ts::TIMESTAMP
+        |    AND c.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL 30 MINUTE)
+        |ORDER BY pid""".stripMargin
+    ) { (s, dir) =>
+      val p = eventsStream(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val c = eventsStream(s, dir).filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val joined = p.join(c,
+        col("pu") === col("cu")
+          && col("cts") <= col("pts")
+          && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"),
+        "leftSemi")
+        .select(col("pid"))
+      runToMemory(s, joined).orderBy("pid")
+    },
+
     // B28 as a REAL streaming execution (q28 checks the batch operator):
     // session windows finalize in append mode only when the watermark
     // passes the session end (last event + gap); with the single-file

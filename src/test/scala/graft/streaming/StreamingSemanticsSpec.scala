@@ -129,6 +129,53 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(!ids.contains(2L), "late rows on both sides must be dropped from join state")
   }
 
+  test("stream-stream LEFT SEMI join emits each matched left row once, " +
+       "matches across batches, and drops late rows past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("cid", "cts").withWatermark("cts", "10 minutes")
+    val b = buys.toDF().toDF("bid", "bts").withWatermark("bts", "10 minutes")
+    val joined = b.join(c,
+      col("bid") === col("cid")
+        && col("cts") <= col("bts")
+        && col("cts") >= col("bts") - expr("INTERVAL 30 MINUTES"),
+      "leftSemi")
+    val name = s"sssemi_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("sssemi").toString)
+      .format("memory").queryName(name).start()
+    try {
+      // two clicks match buy 1 in the SAME batch: exactly one emission
+      clicks.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")))
+      buys.addData((1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // buy 3 arrives FIRST; its click lands in a LATER batch — the
+      // buffered left row must emit when the match arrives
+      buys.addData((3L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      clicks.addData((3L, ts("2024-01-01 10:15:00")))
+      q.processAllAvailable()
+      // advance both watermarks far past the fixture times
+      clicks.addData((9L, ts("2024-01-01 15:00:00")))
+      buys.addData((9L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      // late pair hours behind the watermark: must not emit
+      clicks.addData((2L, ts("2024-01-01 10:01:00")))
+      buys.addData((2L, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      clicks.addData((9L, ts("2024-01-01 19:00:00"))) // flush
+      buys.addData((9L, ts("2024-01-01 19:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).select("bid").as[Long].collect().toSeq
+    assert(rows.count(_ == 1L) == 1,
+      s"buy 1 matched two clicks but must emit exactly once, got $rows")
+    assert(rows.count(_ == 3L) == 1,
+      s"buy 3's click arrived a batch later and must still emit once, got $rows")
+    assert(!rows.contains(2L), "late rows past the watermark must not emit")
+  }
+
   test("P16/recovery: restart from checkpoint does not re-publish processed data") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("rec").toString
