@@ -631,6 +631,42 @@ object PipelineQueries {
         .orderBy("bucket")
     },
 
+    // The layout loop CLOSED — q160 computes Hilbert pruning envelopes;
+    // this query actually WRITES lineitem as Hilbert-bucketed partitioned
+    // parquet (one curve-sorted file per bucket + the envelope sidecar, via
+    // LayoutWriter) and READS it back through envelope pruning with a
+    // (l_partkey, l_suppkey) box predicate: dead buckets are eliminated as
+    // static PartitionFilters (their files never open) and the box pushes
+    // down into the survivors' row groups. The aggregate result is
+    // layout-invariant, so the oracle is the plain box filter over
+    // lineitem; LayoutPruningSpec asserts the files-scanned shrinkage that
+    // the oracle cannot see. The only driver-side step is the ≤16-row
+    // bucket-id collect (metadata scale — a planner reading file stats).
+    q("q160b_hilbert_readback",
+      "write Hilbert-bucketed layout, read back box-pruned, aggregate")(
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 1 AND 100 AND l_suppkey BETWEEN 1 AND 3
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      val outDir = s"/tmp/graft_layout/${new java.io.File(dir).getName}/hilbert"
+      LayoutWriter.write(
+        Tables(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_returnflag")),
+        "l_partkey", "l_suppkey",
+        graft.expressions.HilbertFunctions
+          .hilbertIndex(col("l_partkey"), col("l_suppkey"), 16),
+        outDir)
+      LayoutWriter.readBox(s, outDir, "l_partkey", 1, 100, "l_suppkey", 1, 3)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("l_quantity"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("qty"))
+        .orderBy("l_returnflag")
+    },
+
     // Stratified sampling — per-stratum rates keyed on a content hash, so
     // the sample is stable under reruns, repartitions, AND incremental
     // appends (the q50/q51 selection contract, now with a rate per class —
