@@ -52,6 +52,14 @@ class RollingMedianProcessor(window: Int = 11)
       }
       history = (history.take(pos) :+ ((ts, id, v))) ++ history.drop(pos)
       val frame = history.slice(math.max(0, pos - window + 1), pos + 1).map(_._3)
+      // the batch is sorted, so every later row inserts at or after `pos`
+      // and frames at or after `pos - window + 1`: the prefix before that
+      // can never be read again (and the end-of-batch takeRight never
+      // reaches it) — dropping it keeps `history` bounded by the frame
+      // width plus the retained tail instead of growing with the batch
+      // (an O(batch²) scan-and-rebuild otherwise: the whole per-key series
+      // in a single-file replay)
+      history = history.drop(math.max(0, pos - window + 1))
       val sorted = frame.sorted
       (et, ts, id, sorted((sorted.size + 1) / 2 - 1))
     }
