@@ -66,6 +66,32 @@ class LayoutPruningSpec extends AnyFunSuite {
       s"scan touched a dead bucket: $filesRead vs live=${live.mkString(",")}")
   }
 
+  test("Hilbert envelopes prune at least as tightly as z-order across a box battery") {
+    // the q160 claim measured: consecutive Hilbert indices are grid
+    // neighbors (no z-shape diagonal jumps), so range-partitioned files
+    // get envelopes at least as tight as the interleaved key's — summed
+    // over a battery of boxes the hilbert layout must intersect no more
+    // envelopes than z-order (ties allowed; on some single boxes either
+    // can win)
+    val zKey = (0 until 16).map { i =>
+      shiftleft(shiftright(col("l_partkey"), i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(col("l_suppkey"), i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _).cast("long")
+    val hOut = Files.createTempDirectory("hcmp").toString
+    val zOut = Files.createTempDirectory("zcmp").toString
+    LayoutWriter.write(lineitem, "l_partkey", "l_suppkey", hilbertKey, hOut)
+    LayoutWriter.write(lineitem, "l_partkey", "l_suppkey", zKey, zOut)
+    val boxes = Seq((1L, 50L, 1L, 10L), (50L, 100L, 1L, 3L), (1L, 200L, 4L, 6L),
+      (120L, 160L, 2L, 8L), (1L, 25L, 1L, 2L), (90L, 110L, 5L, 10L))
+    val (hSum, zSum) = boxes.map { case (a, b, c, d) =>
+      (LayoutWriter.intersectingBuckets(spark, hOut, a, b, c, d).length,
+        LayoutWriter.intersectingBuckets(spark, zOut, a, b, c, d).length)
+    }.reduce((p, q) => (p._1 + q._1, p._2 + q._2))
+    info(s"summed intersecting envelopes over ${boxes.size} boxes: hilbert=$hSum zorder=$zSum")
+    assert(hSum <= zSum,
+      s"hilbert must not be looser than z-order overall (hilbert=$hSum, zorder=$zSum)")
+  }
+
   test("Hilbert clustering prunes strictly better than an unclustered layout") {
     val hOut = Files.createTempDirectory("hlay3").toString
     val rOut = Files.createTempDirectory("rlay3").toString
