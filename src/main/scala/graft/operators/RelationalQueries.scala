@@ -627,6 +627,75 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // Schema evolution — the lake reality q73/q118 skip: partitions written
+    // MONTHS apart carry different schemas (a column added mid-stream), and
+    // the reader must union them BY NAME with nulls for the missing column
+    // (parquet mergeSchema). v1 files hold (o_orderkey, o_totalprice); v2
+    // adds o_orderstatus; the split is a deterministic key parity. The
+    // merged read aggregates per status with v1's rows in the NULL group —
+    // exactly the oracle's union. At 100 TB mergeSchema's footer sweep is
+    // the cost to watch: the schema union is driver-side over file footers
+    // (bounded by file count, distributed since Spark reads footers in a
+    // job), not data.
+    q("q178_schema_evolution",
+      "two parquet schema versions merged by name at read (mergeSchema)")(
+      """SELECT o_orderstatus, count(*) AS n,
+        |       round(CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS tot
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
+    ) { (s, dir) =>
+      val base = s"/tmp/graft_evolve/${new java.io.File(dir).getName}/orders"
+      val orders = Tables(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$base/v=1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$base/v=2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/v=1", s"$base/v=2")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("o_totalprice"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("tot"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+    },
+
+    // Small-file compaction — the other lake maintenance verb LayoutWriter's
+    // write path implies: a table fragmented into many tiny files (here 64,
+    // via an explicit repartition at write) is rewritten into few
+    // right-sized ones (4 — at 100 TB the target count comes from
+    // size-stats ÷ target-file-bytes, same arithmetic). The compacted
+    // rewrite is ONE round-robin repartition (no sort, no skew pivot);
+    // the aggregate proves row preservation, and PartitioningSpec pins the
+    // file-count shrinkage the oracle cannot see.
+    q("q179_compaction", "rewrite a 64-small-file table into 4 compacted files")(
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      val base = s"/tmp/graft_compact/${new java.io.File(dir).getName}/lineitem"
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$base/small")
+      s.read.parquet(s"$base/small").repartition(4)
+        .write.mode("overwrite").parquet(s"$base/compact")
+      s.read.parquet(s"$base/compact")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("l_quantity"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("qty"))
+        .orderBy("l_returnflag")
+    },
+
     // CSV sink→source round-trip — the text-format sibling of q73's ORC:
     // proves the engine can EMIT csv (header, typed columns) and re-ingest
     // it losslessly. Doubles are rounded to 4 dp before the write; Spark's

@@ -56,6 +56,20 @@ class PartitioningSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction rewrites many small files into the target count, rows intact") {
+    val base = Files.createTempDirectory("compact").toString
+    val src = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+    src.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/small") == 64)
+    spark.read.parquet(s"$base/small").repartition(4)
+      .write.mode("overwrite").parquet(s"$base/compact")
+    assert(parquetFiles(s"$base/compact") == 4)
+    assert(spark.read.parquet(s"$base/compact").count() == src.count())
+  }
+
   test("file-format IO breadth: parquet/csv/json/orc round-trips") {
     val base = Files.createTempDirectory("fmt").toString
     val src = graft.Tables(spark, dir, "customer")
