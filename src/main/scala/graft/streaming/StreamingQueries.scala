@@ -894,6 +894,57 @@ object StreamingQueries {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    },
+
+    // Timer-driven sessionization — the EVENT-TIME-TIMER leg of
+    // transformWithState (q32/q161 cover ValueState/ListState; this
+    // completes the v2 surface): per-user 30-minute-gap sessions held as
+    // pending islands in ListState and emitted ONLY from
+    // handleExpiredTimer once the watermark passes last-event + gap — no
+    // inline emission, so the output is exactly the provably-closed
+    // sessions (the built-in session_window q28b re-derived on raw
+    // timers). Timer resolution is ms: a close at last+gap µs registers at
+    // floor(·/1000)+1 ms, and the final watermark is floor(max_us/1000) −
+    // 10min — the oracle gates on the identical integer arithmetic, so
+    // the emitted set matches exactly. State per user = open islands only;
+    // timers and state are both watermark-bounded.
+    q("q180_stream_timer_sessions",
+      "timer-closed 30m-gap sessions per user (event-time timers, v2 API)")(
+      """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |             CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT user_id, t,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY t) AS sid
+        |      FROM m),
+        |g AS (SELECT user_id, min(t) AS start_us, max(t) AS end_us,
+        |             count(*) AS n
+        |      FROM s GROUP BY user_id, sid),
+        |wm AS (SELECT (max(t) // 1000) - 600000 AS wm_ms FROM e)
+        |SELECT user_id, start_us, end_us, n FROM g CROSS JOIN wm
+        |WHERE (end_us + 1800000000) // 1000 + 1 <= wm_ms
+        |ORDER BY user_id, start_us""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val sess = eventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .select(col("user_id"), unix_micros(col("ts")).as("t"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new SessionTimerProcessor(1800000000L),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "start_us", "end_us", "n")
+        runToMemory(s, sess).orderBy("user_id", "start_us")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   )
 
