@@ -896,6 +896,41 @@ object StreamingQueries {
       }
     },
 
+    // Per-user event-type counters in MAP state — the MapState leg of the
+    // v2 API (ValueState q32-successor, ListState q161, timers q180; this
+    // completes the quartet). MapState reads/writes only the entries a
+    // batch touches — O(types touched) not O(types held) state IO, the
+    // reason it exists over a ValueState[Map]. Counts are monotone per
+    // (user, type), so the q32/q149 max-reduction sink keeps the latest
+    // emission under multi-batch replay.
+    q("q181_stream_mapstate_counts",
+      "per-user per-event-type running counts in MapState (v2 API)")(
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val cnt = eventsStream(s, dir)
+          .select(col("user_id"), col("event_type")).as[(Long, String)]
+          .groupByKey(_._1)
+          .transformWithState(new TypeCountProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "event_type", "n_run")
+        runToMemory(s, cnt)
+          .groupBy("user_id", "event_type")
+          .agg(max(col("n_run")).as("n"))
+          .orderBy("user_id", "event_type")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+
     // Timer-driven sessionization — the EVENT-TIME-TIMER leg of
     // transformWithState (q32/q161 cover ValueState/ListState; this
     // completes the v2 surface): per-user 30-minute-gap sessions held as
