@@ -498,17 +498,19 @@ object StreamingQueries {
         .orderBy(col("cm_est").desc, col("tok")).limit(20)
     },
 
-    // q71's MATCH_RECOGNIZE-lite ON THE STREAM: per-user keyed state holds
-    // the accumulated symbol string; each batch's rows are sorted by
-    // (ts, event_id) before appending (group iterators are unordered —
-    // NOTES.md) and the full regex re-runs on the grown sequence. Emits the
-    // user's current match stats when ≥1 funnel exists — so a funnel whose
-    // views arrive in one batch and purchase in the next IS found
-    // (StreamSeqPatternSpec locks that cross-batch behavior). State is one
-    // bounded string per user, the same per-key contract as batch q71.
-    // Single-batch replay ⇒ the batch q71 SQL is the exact oracle.
+    // q71's MATCH_RECOGNIZE-lite ON THE STREAM: the funnel regex compiled
+    // to an O(1)-state DFA (FunnelDfa) — per-user keyed state is the
+    // (dfa state, events, funnels) triple, NOT an accumulated symbol
+    // string that would grow with the stream. Each batch's rows are sorted
+    // by (ts, event_id) before folding (group iterators are unordered —
+    // NOTES.md); DFA ≡ leftmost non-overlapping regex matching is
+    // property-tested on 5000 random strings. Emits the user's current
+    // match stats when ≥1 funnel exists — a funnel whose views arrive in
+    // one batch and purchase in the next IS found (StreamSeqPatternSpec
+    // locks that cross-batch behavior). Single-batch replay ⇒ the batch
+    // q71 SQL is the exact oracle.
     q("q71b_stream_seq_pattern",
-      "streaming regex funnel matching with per-user accumulated-sequence state")(
+      "streaming funnel matching: the v+c+p regex as O(1) per-user DFA state")(
       """WITH seqs AS (
         |  SELECT user_id,
         |         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
@@ -521,7 +523,6 @@ object StreamingQueries {
         |ORDER BY n_funnels DESC, user_id LIMIT 50""".stripMargin
     ) { (s, dir) =>
       import s.implicits._
-      val pat = "v+c+p".r
       val typed = eventsStream(s, dir)
         .select(col("user_id"), col("ts").cast("long").as("tsu"), col("event_id"),
           when(col("event_type") === "view", "v")
@@ -530,15 +531,23 @@ object StreamingQueries {
             .when(col("event_type") === "signup", "s")
             .otherwise("e").as("chr"))
         .as[(Long, Long, Long, String)]
+      // state is the O(1) (dfa state, events, funnels) triple — the regex
+      // compiled to FunnelDfa — NOT the accumulated symbol string (which
+      // grew with the stream); DFA ≡ regex proven by property test
       val matches = typed.groupByKey(_._1)
-        .flatMapGroupsWithState[String, (Long, Long, Long)](
+        .flatMapGroupsWithState[(Int, Long, Long), (Long, Long, Long)](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (user: Long, rows: Iterator[(Long, Long, Long, String)], state: GroupState[String]) =>
-            val add = rows.toArray.sortBy(r => (r._2, r._3)).map(_._4).mkString
-            val seq = state.getOption.getOrElse("") + add
-            state.update(seq)
-            val n = pat.findAllIn(seq).length
-            if (n > 0) Iterator((user, seq.length.toLong, n.toLong)) else Iterator.empty
+          (user: Long, rows: Iterator[(Long, Long, Long, String)],
+           state: GroupState[(Int, Long, Long)]) =>
+            var (st, len, n) = state.getOption.getOrElse((0, 0L, 0L))
+            rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+              len += 1
+              val (st2, done) = FunnelDfa.step(st, r._4)
+              st = st2
+              if (done) n += 1
+            }
+            state.update((st, len, n))
+            if (n > 0) Iterator((user, len, n)) else Iterator.empty
         }
         .toDF("user_id", "seq_len", "n_funnels")
       // one emission per matching user per batch; seq_len is monotone, so
