@@ -66,6 +66,16 @@ class LayoutPruningSpec extends AnyFunSuite {
       s"scan touched a dead bucket: $filesRead vs live=${live.mkString(",")}")
   }
 
+  test("empty input round-trips: schema-only layout, empty pruned read") {
+    val out = Files.createTempDirectory("hlay0").toString
+    LayoutWriter.write(lineitem.filter(col("l_partkey") < 0),
+      "l_partkey", "l_suppkey", hilbertKey, out)
+    assert(LayoutWriter.intersectingBuckets(spark, out, xlo, xhi, ylo, yhi).isEmpty)
+    assert(LayoutWriter
+      .readBox(spark, out, "l_partkey", xlo, xhi, "l_suppkey", ylo, yhi)
+      .count() == 0)
+  }
+
   test("Hilbert envelopes prune at least as tightly as z-order across a box battery") {
     // the q160 claim measured: consecutive Hilbert indices are grid
     // neighbors (no z-shape diagonal jumps), so range-partitioned files
