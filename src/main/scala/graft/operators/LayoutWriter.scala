@@ -49,6 +49,15 @@ object LayoutWriter {
       // file into its own bucket directory
       .select(df.columns.map(col) :+ spark_partition_id().as("bucket"): _*)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/data")
+    // an EMPTY input writes no partition directories at all, leaving the
+    // data dir schema-less; anchor it with one schema-carrying empty flat
+    // file so reads still resolve (only then — a flat file NEXT TO
+    // bucket= dirs would break partition discovery)
+    val dataPath = new org.apache.hadoop.fs.Path(s"$outDir/data")
+    val fs = dataPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.listStatus(dataPath).exists(_.getPath.getName.startsWith("bucket=")))
+      df.limit(0).withColumn("bucket", lit(0))
+        .write.mode("append").parquet(s"$outDir/data")
     df.sparkSession.read.parquet(s"$outDir/data").groupBy("bucket").agg(
         min(col(x)).as("min_x"), max(col(x)).as("max_x"),
         min(col(y)).as("min_y"), max(col(y)).as("max_y"))
