@@ -40,6 +40,7 @@ object Bench {
         // drop caches a query may have pinned so later queries aren't
         // charged its memory pressure
         try spark.catalog.clearCache() catch { case _: Throwable => () }
+        try graft.operators.DistributedRank.unpersistAll() catch { case _: Throwable => () }
         name -> dt
       }
     // The driver keeps only the last ~2000 chars of output ("tail") and

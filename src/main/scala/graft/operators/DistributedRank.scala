@@ -60,8 +60,17 @@ object DistributedRank {
   }
 
   private def pin(df: DataFrame, storage: StorageLevel): DataFrame =
-    if (storage == StorageLevel.NONE) df
-    else { df.persist(storage); persistedFrames.add(df); df }
+    if (storage == StorageLevel.NONE) {
+      // correctness in NONE mode RIDES on exchange/stage reuse: without it
+      // the two passes re-sample range boundaries independently (the
+      // sampler seeds per RDD) and the counts no longer describe the
+      // partitions being ranked — fail loudly instead of returning
+      // silently wrong ranks under a legal-but-unusual conf
+      require(df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+        "DistributedRank with StorageLevel.NONE requires spark.sql.exchange.reuse=true " +
+          "(both passes must read one shared range exchange); persist instead, or re-enable reuse")
+      df
+    } else { df.persist(storage); persistedFrames.add(df); df }
 
   /** Adds BIGINT column `out` = exact 1-based rank of each row by `order`
     * within each distinct value of `group` (global rank when `group` is

@@ -41,6 +41,12 @@ object LayoutWriter {
     * 100 TB the same envelopes come straight from the parquet footers. */
   def write(df: DataFrame, x: String, y: String, key: Column,
             outDir: String, buckets: Int = 16): Unit = {
+    // `_lkey` is a working column and `bucket` becomes the partition
+    // column: a caller frame already carrying either would be silently
+    // overwritten (withColumn replaces) or collide at the write
+    require(!df.columns.contains("_lkey") && !df.columns.contains("bucket"),
+      s"LayoutWriter reserves the column names '_lkey' and 'bucket'; " +
+        s"rename them in the input (got ${df.columns.mkString(", ")})")
     df.withColumn("_lkey", key.cast("long"))
       .repartitionByRange(buckets, col("_lkey"))
       .sortWithinPartitions("_lkey")

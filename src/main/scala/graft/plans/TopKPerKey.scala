@@ -57,8 +57,16 @@ final class TopKBuffer(
   private val heaps =
     new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
   private val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
-  Option(TaskContext.get()).foreach(
-    _.addTaskCompletionListener[Unit](_ => spillFiles.foreach(_.delete())))
+  // run streams close themselves at EOF, but an early-terminating consumer
+  // (a LIMIT stopping mid-merge) abandons them open — the listener closes
+  // before deleting so no fd outlives the task (and the delete works on
+  // filesystems that refuse to unlink open files)
+  private val openRunStreams =
+    scala.collection.mutable.ArrayBuffer.empty[java.io.DataInputStream]
+  Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+    openRunStreams.foreach(s => try s.close() catch { case _: Throwable => () })
+    spillFiles.foreach(_.delete())
+  })
 
   /** Admit one input row. Returns `null` normally; in [[passThrough]] mode
     * with the heap map at capacity, returns the (copied) row for the
@@ -142,6 +150,7 @@ final class TopKBuffer(
     new Iterator[(Array[Byte], Array[UnsafeRow])] {
       private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
         new java.io.FileInputStream(file), 1 << 16))
+      openRunStreams += in
       private var nextGroup: (Array[Byte], Array[UnsafeRow]) = advance()
       private def advance(): (Array[Byte], Array[UnsafeRow]) = {
         val keyLen = try in.readInt() catch {

@@ -37,7 +37,17 @@ class SessionTimerProcessor(gapUs: Long)
 
   override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
       timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
-    val events = rows.map(r => (r._2, r._2, 1L)).toVector
+    // drop watermark-late events HERE: the query projects the event time
+    // into a plain long, so the engine's own late-row filter (keyed to the
+    // watermarked column) no longer applies, and a late event would
+    // otherwise re-open a session that already emitted — producing
+    // overlapping duplicate emissions. An in-time event can never overlap
+    // an emitted session (emission required last + gap < watermark, so any
+    // event at or past the watermark is > gap after that session's end).
+    val wmUs = timers.getCurrentWatermarkInMs() * 1000
+    val events = rows.collect {
+      case r if r._2 >= wmUs => (r._2, r._2, 1L)
+    }.toVector
     val merged = (pending.get().toVector ++ events).sortBy(s => (s._1, s._2))
       .foldLeft(Vector.empty[(Long, Long, Long)]) { (acc, s) =>
         acc.lastOption match {

@@ -115,16 +115,11 @@ class DistributedRankSpec extends AnyFunSuite {
   }
 
   test("StorageLevel.NONE mode: identical ranks, ONE materialized range exchange") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
     import org.apache.spark.storage.StorageLevel
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case q: QueryStageExec => flatten(q.plan)
-      case _ => p.children.flatMap(flatten)
-    })
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan) =
+      SparkTestSession.flattenExecuted(p)
     // isolate from earlier tests: a still-cached structurally-equal
     // range-partitioned frame would be substituted by the CacheManager and
     // hide the exchange this test pins

@@ -16,4 +16,18 @@ object SparkTestSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Flattens a POST-EXECUTION plan, unwrapping AQE and query-stage nodes
+    * to the plans that actually ran — the shared helper for specs that
+    * assert on executed-plan shape or metrics (GlobalPlanGuardSpec keeps
+    * its own pre-execution variant: inputPlan + subqueries). */
+  def flattenExecuted(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => flattenExecuted(a.executedPlan)
+      case q: QueryStageExec => flattenExecuted(q.plan)
+      case _ => p.children.flatMap(flattenExecuted)
+    })
+  }
 }

@@ -94,15 +94,8 @@ class TopKPerKeySpec extends AnyFunSuite {
     // prove the fallback actually ran: the FINAL exec of the JUST-EXECUTED
     // plan reports > 0 disk runs (unwrap AQE — the post-execution plan
     // lives under it)
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p +: (p match {
-        case ad: AdaptiveSparkPlanExec => flatten(ad.executedPlan)
-        case qs: QueryStageExec => flatten(qs.plan)
-        case _ => p.children.flatMap(flatten)
-      })
-    val spills = flatten(spilled.queryExecution.executedPlan).collect {
+    val spills = SparkTestSession
+      .flattenExecuted(spilled.queryExecution.executedPlan).collect {
       case t: TopKPerKey.TopKPerKeyExec if !t.partial =>
         t.metrics("numSpilledRuns").value
     }

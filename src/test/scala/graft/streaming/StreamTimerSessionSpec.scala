@@ -58,6 +58,11 @@ class StreamTimerSessionSpec extends AnyFunSuite {
         // batch 3: flush far ahead — closes user 9's 12:00 singleton too.
         ms.addData((9L, ts("2024-01-01 15:00:00")))
         q.processAllAvailable()
+        // batch 4: a LATE event for user 1, hours behind the watermark and
+        // inside the already-emitted session — must be dropped, never
+        // re-opening the session (no second user-1 emission below)
+        ms.addData((1L, ts("2024-01-01 10:05:00")), (9L, ts("2024-01-01 16:30:00")))
+        q.processAllAvailable()
         val rows = spark.table(name)
           .select("user_id", "start_us", "end_us", "n")
           .as[(Long, Long, Long, Long)].collect().toSet
@@ -69,8 +74,10 @@ class StreamTimerSessionSpec extends AnyFunSuite {
           s"user 2 must never emit singleton fragments: $rows")
         assert(rows.contains((9L, us("2024-01-01 12:00:00"), us("2024-01-01 12:00:00"), 1L)),
           s"user 9's first singleton should have closed: $rows")
-        assert(!rows.exists(r => r._2 == us("2024-01-01 15:00:00")),
-          s"user 9's 15:00 session is still open and must not emit: $rows")
+        assert(!rows.exists(r => r._2 == us("2024-01-01 16:30:00")),
+          s"user 9's 16:30 session is still open and must not emit: $rows")
+        assert(rows.count(_._1 == 1L) == 1,
+          s"the late 10:05 event must not re-open user 1's emitted session: $rows")
       } finally q.stop()
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
