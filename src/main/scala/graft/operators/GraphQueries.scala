@@ -77,6 +77,67 @@ object GraphQueries {
       |FROM (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
       |GROUP BY node ORDER BY triangles DESC, node LIMIT 20""".stripMargin
 
+  /** q182's peel-round count. Fixpoint is MEASURED at 2 rounds on both
+    * fixture scales (sf0.01: 849 core edges, sf0.1: 17239); the extra
+    * rounds are provable no-ops past the fixpoint in BOTH engines, so the
+    * fixed count stays exact even if an intermediate scale converges
+    * slower. */
+  private val KCoreRounds = 6
+
+  /** q182's oracle: the same 6 peel rounds unrolled. MATERIALIZED is load-
+    * bearing — each round's edge CTE is referenced three times (degree
+    * pass + both endpoint filters), so plain CTEs would inline 3^6 ways
+    * (the q76c lesson). */
+  private val kcoreSql: String = {
+    def round(i: Int) =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT u AS n FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY n),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN d$i du ON du.n = e.u JOIN d$i dv ON dv.n = e.v
+         |  WHERE du.deg >= 3 AND dv.deg >= 3)""".stripMargin
+    s"""WITH raw AS (SELECT l_partkey % 9973 AS a, l_suppkey % 9973 AS b
+       |             FROM lineitem WHERE l_quantity < 3),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |                    FROM raw WHERE a <> b),
+       |${(1 to KCoreRounds).map(round).mkString(",\n")}
+       |SELECT n AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM (SELECT u AS n FROM e$KCoreRounds UNION ALL SELECT v FROM e$KCoreRounds)
+       |GROUP BY n ORDER BY node""".stripMargin
+  }
+
+  /** Mode-label encoding base for q183: one BIGINT carries (count, label)
+    * with count dominant and label anti-monotone, so a plain max() picks
+    * the most frequent neighbor label with smallest-label tie-break —
+    * identical integer arithmetic in both engines (no argmax/max_by
+    * tie-order contract needed). Labels are node ids < 9973 ≪ C; counts
+    * are ≤ |E| ≪ 2^63/C. */
+  private val LpaC = 100000000L
+
+  /** q183's oracle: 3 label-propagation rounds unrolled (MATERIALIZED —
+    * each round reads its predecessor once but the final round is read
+    * by the projection; inlining 3 chained mode-aggregations is already
+    * quadratic in plan text). */
+  private val lpaSql: String = {
+    def round(i: Int) =
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, $LpaC - 1 - (m % $LpaC) AS lab FROM (
+         |    SELECT u AS node, max(cnt * $LpaC + ($LpaC - 1 - lab)) AS m FROM (
+         |      SELECT e.u, l.lab, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM e JOIN l${i - 1} l ON l.node = e.v
+         |      GROUP BY e.u, l.lab) c
+         |    GROUP BY u) m)""".stripMargin
+    s"""WITH raw AS (SELECT l_partkey % 9973 AS a, l_suppkey % 9973 AS b
+       |             FROM lineitem WHERE l_quantity < 2),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |                    FROM raw WHERE a <> b),
+       |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM e),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT node, CAST(lab AS BIGINT) AS community FROM l3 ORDER BY node""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Triangle counting (per-node participation, top 20) over the derived
@@ -304,6 +365,87 @@ object GraphQueries {
         .filter(col("s1") < col("s2"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
         .orderBy(col("w").desc, col("s1"), col("s2")).limit(100)
+    },
+
+    // k-core decomposition (k=3) by iterative peeling: per round, drop
+    // every node whose degree in the CURRENT edge set is < k, until the
+    // fixpoint — the standard densest-region primitive (spam/boilerplate
+    // cluster detection on a doc-similarity graph; degeneracy ordering).
+    // Scale shape: each round is one partial-aggregated degree groupBy
+    // over the surviving edges + two equi-joins against the |V|-bounded
+    // surviving-node frame (size-switched broadcast); the edge frame only
+    // ever SHRINKS, and per-round lineage is truncated with eager
+    // localCheckpoint (NOTES.md — cache alone quadruples the plan per
+    // round). Round count is fixed at 6 — measured fixpoint is 2 at both
+    // fixture scales, and post-fixpoint rounds are exact no-ops in both
+    // engines — so Spark and the 6-round unrolled oracle agree by
+    // construction. Output: surviving nodes with their in-core degree.
+    q("q182_kcore", "3-core of the part-supplier graph via 6 peel rounds")(
+      kcoreSql
+    ) { (s, dir) =>
+      val k = 3
+      var e = Tables.fanout(s, dir, "lineitem")
+        .filter(col("l_quantity") < 3)
+        .select((col("l_partkey") % 9973).as("a"), (col("l_suppkey") % 9973).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // |V| of the INITIAL graph bounds every round's surviving-node frame
+      val nV = e.select(col("u").as("n")).union(e.select(col("v"))).distinct().count()
+      for (_ <- 1 to KCoreRounds) {
+        // eager checkpoint: the keep-frame is read by BOTH endpoint joins
+        val keep = e.select(col("u").as("n")).unionAll(e.select(col("v")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select("n")
+          .localCheckpoint(true)
+        e = e.join(maybeBroadcast(keep.select(col("n").as("u")), nV), "u")
+          .join(maybeBroadcast(keep.select(col("n").as("v")), nV), "v")
+          .select("u", "v")
+          .localCheckpoint(true)
+      }
+      e.select(col("u").as("node")).unionAll(e.select(col("v")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .orderBy("node")
+    },
+
+    // Community detection by deterministic label propagation (3 synchronous
+    // rounds): labels start as node ids; each round every node adopts its
+    // neighbors' MODE label, ties to the smallest label. The tie-break is
+    // folded into one BIGINT encoding (cnt·C + (C-1-label), C = 1e8) so a
+    // plain max() aggregate — identical in both engines — is the whole
+    // update rule; no argmax tie-order contract anywhere. Scale shape =
+    // PageRank's: per round, one equi-join of the cached doubled edge list
+    // against the |V|-bounded label frame (size-switched broadcast), a
+    // partial-aggregated (node, label) count, and a second partial-
+    // aggregated max — nothing grows past |E|; lineage truncated per round.
+    // Fixture yields 133 communities at sf0.01 / 1035 at sf0.1.
+    q("q183_label_propagation",
+      "3-round deterministic mode-label propagation over the sparse part-supplier graph")(
+      lpaSql
+    ) { (s, dir) =>
+      val e0 = Tables.fanout(s, dir, "lineitem")
+        .filter(col("l_quantity") < 2)
+        .select((col("l_partkey") % 9973).as("a"), (col("l_suppkey") % 9973).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(true) // re-joined every round
+      var lab = e.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("lab"))
+        .localCheckpoint(true)
+      val nV = lab.count() // label frame is |V|-bounded every round
+      for (_ <- 1 to 3) {
+        lab = e.join(maybeBroadcast(lab.select(col("node").as("v"), col("lab")), nV), "v")
+          .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("u"))
+          .agg(max(col("cnt") * LpaC + (lit(LpaC) - 1 - col("lab"))).as("m"))
+          .select(col("u").as("node"), (lit(LpaC) - 1 - (col("m") % LpaC)).as("lab"))
+          .localCheckpoint(true)
+      }
+      lab.select(col("node"), col("lab").cast("long").as("community")).orderBy("node")
     }
   )
 }

@@ -1200,6 +1200,70 @@ object PipelineQueries {
           when(col("score") >= 6, "match").otherwise("possible").as("decision"),
           (col("rid") - 1000000L === col("cid")).as("is_true"))
         .orderBy("cid", "rid")
+    },
+
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — public arXiv:2302.03169):
+    // score each candidate document by how target-like its hashed n-gram
+    // feature distribution is. Features are hashed unigrams (md5Long % 256
+    // — the engine-portable hash, so the whole feature space is 256
+    // buckets); the target corpus is the English slice, the raw corpus is
+    // everything; per-bucket log importance ratios use add-one smoothing.
+    // Float determinism follows q72's proven contract: each per-bucket
+    // ratio is ONE fixed-shape ln expression (bit-compatible across
+    // engines), rounded to 6 places BEFORE the per-doc sum, and the sum
+    // runs in DECIMAL(28,6) — order-free and exact. Scale shape: two
+    // partial-aggregated feature histograms + one 256-row broadcast weight
+    // table + one per-doc groupBy; the corpus shuffles only (doc_id,
+    // bucket) pairs, never text. Output: the 50 most-English-like
+    // non-English docs — the resampling pool head.
+    q("q184_dsir_selection",
+      "DSIR importance weights: hashed-unigram log ratios rank non-target docs by target-likeness")(
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |feat AS MATERIALIZED (
+         |  SELECT doc_id, lang, ${md5LongSql("tok")} % 256 AS f FROM tok),
+         |tgt AS (SELECT f, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY f),
+         |rawf AS (SELECT f, count(*) AS cr FROM feat GROUP BY f),
+         |tot AS (SELECT (SELECT count(*) FROM feat WHERE lang = 'en') AS nt,
+         |               (SELECT count(*) FROM feat) AS nr),
+         |w AS (
+         |  SELECT r.f,
+         |         CAST(round(ln((COALESCE(t.ct, 0) + 1.0) / (tot.nt + 256))
+         |                  - ln((r.cr + 1.0) / (tot.nr + 256)), 6) AS DECIMAL(28,6)) AS lw
+         |  FROM rawf r LEFT JOIN tgt t USING (f) CROSS JOIN tot),
+         |scored AS (
+         |  SELECT fe.doc_id, count(*) AS n_toks, sum(w.lw) AS s
+         |  FROM feat fe JOIN w USING (f)
+         |  WHERE fe.lang <> 'en'
+         |  GROUP BY fe.doc_id)
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         |       round(CAST(s AS DOUBLE) / n_toks, 4) AS dsir_weight
+         |FROM scored ORDER BY dsir_weight DESC, doc_id LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      val feat = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"), (md5Long(col("tok")) % 256).as("f"))
+        .cache() // both histograms + the totals + the scoring leg
+      val tgt = feat.filter(col("lang") === "en").groupBy("f").agg(count(lit(1)).as("ct"))
+      val rawf = feat.groupBy("f").agg(count(lit(1)).as("cr"))
+      val tot = feat.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("nr"))
+      // the weight table is feature-space-bounded (256 rows) — broadcast
+      val w = rawf.join(tgt, Seq("f"), "left").crossJoin(broadcast(tot))
+        .select(col("f"),
+          round(log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + 256))
+              - log((col("cr") + lit(1.0)) / (col("nr") + 256)), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("lw"))
+      feat.filter(col("lang") =!= "en")
+        .join(broadcast(w), Seq("f"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("lw")).as("s"))
+        .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+          round(col("s").cast("double") / col("n_toks"), 4).as("dsir_weight"))
+        .orderBy(col("dsir_weight").desc, col("doc_id"))
+        .limit(50)
     }
   )
 }

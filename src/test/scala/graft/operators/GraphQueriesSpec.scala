@@ -65,4 +65,56 @@ class GraphQueriesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  /** The sparse mod-9973 part–supplier edge set (the q182/q183 graph) as
+    * plain Scala pairs (u < v), for brute-force references. */
+  private def sparseEdges(maxQty: Int): Set[(Long, Long)] =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") < maxQty)
+      .select((col("l_partkey") % 9973).as("a"), (col("l_suppkey") % 9973).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")), greatest(col("a"), col("b")))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // the per-round joins live inside eagerly-checkpointed lineage (invisible
+  // in the final plan, like q80's), so these two are verified against an
+  // INDEPENDENT in-memory derivation instead of a plan pin
+  test("q182 k-core equals an in-memory peel run to its fixpoint") {
+    val out = SparkEntry.queries("q182_kcore")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var edges = sparseEdges(maxQty = 3)
+    var done = false
+    while (!done) { // fixpoint, NOT a fixed round count — this also proves
+      // the query's 6 rounds cover the fixture's convergence depth
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      done = next == edges
+      edges = next
+    }
+    val expected = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(out == expected)
+    assert(out.nonEmpty, "fixture 3-core must be non-trivial")
+    spark.catalog.clearCache()
+  }
+
+  test("q183 label propagation equals an in-memory 3-round mode fold") {
+    val out = SparkEntry.queries("q183_label_propagation")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = sparseEdges(maxQty = 2)
+    val adj = (e0.toSeq ++ e0.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3)
+      lab = adj.map { case (u, nbrs) =>
+        val counts = nbrs.groupBy(lab).toSeq.map { case (l, xs) => (xs.size, -l) }
+        u -> -counts.max._2 // most frequent label, smallest label on ties
+      }
+    assert(out == lab)
+    assert(out.values.toSet.size > 1, "fixture must yield multiple communities")
+    spark.catalog.clearCache()
+  }
 }

@@ -168,4 +168,40 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("q184 DSIR weights equal an independent in-memory derivation") {
+    import graft.functions.PortableHash
+    val sf = "/root/testdata/sf0.001" // 500 docs — brute-force scale
+    val out = SparkEntry.queries("q184_dsir_selection")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // independent reference: same arithmetic in plain Scala (md5 twin,
+    // math.log, HALF_UP rounds, exact decimal sum)
+    def r6(x: Double) = BigDecimal.decimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val feats = docs.flatMap { case (id, lang, text) =>
+      text.split(" ", -1).map(t => (id, lang, PortableHash.md5LongScala(t) % 256))
+    }
+    val nt = feats.count(_._2 == "en").toLong
+    val nr = feats.length.toLong
+    val ct = feats.filter(_._2 == "en").groupBy(_._3).map { case (f, xs) => f -> xs.length }
+    val cr = feats.groupBy(_._3).map { case (f, xs) => f -> xs.length }
+    val lw = cr.map { case (f, c) =>
+      f -> r6(math.log((ct.getOrElse(f, 0) + 1.0) / (nt + 256))
+            - math.log((c + 1.0) / (nr + 256)))
+    }
+    val expected = feats.filter(_._2 != "en").groupBy(_._1).toSeq
+      .map { case (id, xs) =>
+        val s = xs.map(x => lw(x._3)).sum
+        (id, xs.length.toLong,
+          BigDecimal.decimal(s.toDouble / xs.length)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, _, w) => (-w, id) }
+      .take(50)
+    assert(out.toSeq == expected)
+    spark.catalog.clearCache()
+  }
 }
