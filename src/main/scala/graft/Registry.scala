@@ -31,11 +31,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // defensive: events.parquet is ns-precision, which Spark 4 refuses
-    // outright unless nanosAsLong is set — callers with their own sessions
-    // (the driver's entry smoke) must not crash on it (runtime-settable conf)
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fixture-format defenses, set here (runtime-settable SQL confs) so
+    // callers with their own sessions — the driver's entry smoke — don't
+    // crash on either generation of the driver fixtures:
+    //  * pre-r5 events.parquet is ns-precision, which Spark 4 refuses
+    //    outright unless nanosAsLong is set;
+    //  * r5+ fixtures write every timestamp column µs with
+    //    isAdjustedToUTC=false, which Spark 4 would otherwise read as
+    //    TIMESTAMP_NTZ (inferTimestampNTZ defaults true) — the engine and
+    //    the DuckDB oracle both treat them as UTC instants, so pin the
+    //    legacy TIMESTAMP (LTZ) read; sessions run UTC, values identical.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is nanosecond-precision parquet (TESTDATA.md); Spark reads it
     // as LongType nanos under spark.sql.legacy.parquet.nanosAsLong. Truncate

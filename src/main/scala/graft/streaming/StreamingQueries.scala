@@ -20,18 +20,19 @@ object StreamingQueries {
 
   private val nameCounter = new AtomicInteger()
 
-  /** events replayed as a stream; ts arrives as nanos (TESTDATA.md) and is
-    * truncated to µs exactly like the batch Tables loader. */
+  /** events replayed as a stream; the r5+ fixtures store ts as µs
+    * isAdjustedToUTC=false — requesting TimestampType reads the stored
+    * micros as UTC instants, matching the batch Tables loader (sessions
+    * run UTC). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the streaming file source requires a directory; pathGlobFilter pins it
     // to the events table inside the fixture dir
     s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** embeddings replayed as a stream (single-file fixture ⇒ one data
