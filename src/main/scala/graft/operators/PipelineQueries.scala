@@ -1264,6 +1264,54 @@ object PipelineQueries {
           round(col("s").cast("double") / col("n_toks"), 4).as("dsir_weight"))
         .orderBy(col("dsir_weight").desc, col("doc_id"))
         .limit(50)
+    },
+
+    // Incremental view maintenance: keep a per-customer order summary
+    // current by merging a standing aggregate STATE with the aggregate of a
+    // delta batch — the historical rows are never re-read. Works because
+    // every kept statistic is algebraic: count and sum merge by sum, max by
+    // max, and avg is DERIVED from (sum, count) at read time rather than
+    // stored — exactly the partial/final decomposition Spark's own
+    // hash-aggregate uses map-side, lifted to the pipeline level. The
+    // oracle is the FULL recompute over all rows; matching it proves the
+    // maintenance algebra. Money runs in integer 10⁻⁴-units (BIGINT sums,
+    // floor-div average) — order-free and tie-free in both engines, and the
+    // final /10000 double scaling is exact (sums ≪ 2⁵³). Scale shape at
+    // 100 TB: the delta leg scans only the new partition (partition-pruned
+    // by the date predicate), the merge shuffles |keys| state rows — never
+    // the raw history; refresh cost is O(delta + keys), independent of the
+    // view's age.
+    q("q185_incremental_agg",
+      "incremental MV maintenance: base-state + delta-batch merge equals the full recompute")(
+      """SELECT o_custkey,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total,
+        |       max(o_orderdate) AS last_order,
+        |       CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT)) // count(*) AS DOUBLE)
+        |         / 10000 AS avg_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+    ) { (s, dir) =>
+      val orders = Tables(s, dir, "orders")
+        .withColumn("c4", round(col("o_totalprice") * 10000).cast("long"))
+      val split = expr("timestamp'2000-01-01 00:00:00'")
+      // the mergeable state vector: (count, integer-unit sum, max) per key
+      def state(df: org.apache.spark.sql.DataFrame) = df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("c4")).as("sum_c4"),
+        max(col("o_orderdate")).as("last_order"))
+      val base = state(orders.filter(col("o_orderdate") < split)) // standing MV state
+      val delta = state(orders.filter(col("o_orderdate") >= split)) // new batch only
+      base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("sum_c4")).as("sum_c4"),
+          max(col("last_order")).as("last_order"))
+        .select(col("o_custkey"),
+          col("n_orders").cast("long").as("n_orders"),
+          (col("sum_c4").cast("double") / 10000).as("total"),
+          col("last_order"),
+          (expr("sum_c4 div n_orders").cast("double") / 10000).as("avg_price"))
+        .orderBy("o_custkey")
     }
   )
 }
