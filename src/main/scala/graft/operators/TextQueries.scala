@@ -832,6 +832,41 @@ object TextQueries {
         .groupBy("doc_id", "bucket").agg(sum(col("sgn")).as("w"))
         .orderBy("doc_id", "bucket")
         .limit(5000)
+    },
+
+    // Heavy hitters without aggregating the domain: a Misra–Gries sketch
+    // pass (capacity 63 ⇒ any token with freq > n/64 is guaranteed in the
+    // summary) produces ≤63 candidates; an exact count of ONLY those
+    // candidates then applies the real threshold (freq·32 > n, i.e.
+    // freq > n/32 > n/64 — safely inside the sketch's no-false-negative
+    // zone). False positives die in the verify step, so the result equals
+    // the plain GROUP BY … HAVING oracle EXACTLY, even though the sketch
+    // content is order-dependent. Scale shape at 100 TB: each map task
+    // carries 63 counters; the merged summary is one ≤63-row broadcast;
+    // the exact pass aggregates only candidate-matching rows — the full
+    // token domain (trillions of distinct keys) is never grouped anywhere.
+    q("q188_heavy_hitters",
+      "Misra-Gries candidates + exact verify: tokens with freq > n/32, no domain-wide groupBy")(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok CROSS JOIN tot
+        |GROUP BY tok, n HAVING count(*) * 32 > n
+        |ORDER BY cnt DESC, tok""".stripMargin
+    ) { (s, dir) =>
+      val mg = udaf(new graft.functions.MisraGriesAggregator(63))
+      val tok = Tables.fanout(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .cache() // sketch pass + total + exact verify pass
+      val cand = tok.agg(mg(col("tok")).as("summary"))
+        .select(explode(map_keys(col("summary"))).as("tok"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      tok.join(broadcast(cand), Seq("tok")) // ≤63 candidate keys
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * 32 > col("n"))
+        .select(col("tok"), col("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
     }
   )
 }

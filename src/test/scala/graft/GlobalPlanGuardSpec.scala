@@ -51,7 +51,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q99_assoc_rules" -> "1-row basket-count frame × itemset supports",
     "q154_chi2_independence" -> "1-row n/dof frames × the ≤10-cell contingency table",
     "q155_decay_trending" -> "1-row max-hour frame × the event scan (age anchor)",
-    "q184_dsir_selection" -> "1-row corpus-totals frame (nt, nr) × the 256-row feature-weight table")
+    "q184_dsir_selection" -> "1-row corpus-totals frame (nt, nr) × the 256-row feature-weight table",
+    "q188_heavy_hitters" -> "1-row total-token-count scalar × the ≤63-row verified-candidate counts")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.
