@@ -696,6 +696,55 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // Bucketed co-located join — the write-side amortization that kills
+    // the shuffle entirely: both fact tables are WRITTEN bucketed (8
+    // buckets, Spark's Murmur3 hash) on the join key via the session
+    // catalog, so the subsequent join reads bucket i against bucket i
+    // directly — no Exchange on either side (PlanShapeSpec pins the
+    // exchange-free sort-merge join with broadcasting disabled). The
+    // repartition before each write aligns write tasks with buckets
+    // (same hash), yielding exactly one file per bucket — which also lets
+    // the scan trust the written sort order. At 100 TB this is THE pattern
+    // for repeatedly-joined fact tables: pay one bucketed rewrite, then
+    // every orderkey join/aggregation runs shuffle-free forever; the
+    // oracle proves the bucketed result equals the plain join.
+    q("q186_bucketed_join",
+      "bucketed-table co-located join on orderkey: zero exchanges under the join")(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '/tmp/graft_bkt_db'")
+      val ot = s"graft_bkt.orders_$sf"
+      val lt = s"graft_bkt.lineitem_$sf"
+      // the in-memory catalog dies with the JVM but the managed-table files
+      // don't: a later session's CREATE refuses the orphaned location, so
+      // drop both layers before writing (rerun- and cross-JVM-safe)
+      Seq(ot -> s"orders_$sf", lt -> s"lineitem_$sf").foreach { case (tbl, leaf) =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_bkt_db/$leaf")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey")) // one write task per bucket → one file per bucket
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      Tables(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100).as("qty"),
+          (sum(round(col("l_extendedprice") * 10000).cast("long")).cast("double") / 10000).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
     // CSV sink→source round-trip — the text-format sibling of q73's ORC:
     // proves the engine can EMIT csv (header, typed columns) and re-ingest
     // it losslessly. Doubles are rounded to 4 dp before the write; Spark's

@@ -219,4 +219,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q186 bucketed join: co-located scans, no exchange on either join key") {
+    // broadcasting off so the join cannot sidestep the property under test:
+    // a sort-merge join whose children are bucketed scans with NO
+    // hashpartitioning exchange on the join keys anywhere below it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executedPlan("q186_bucketed_join")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.contains("hashpartitioning(o_orderkey"), plan)
+      assert(!plan.contains("hashpartitioning(l_orderkey"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
