@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Registry.{Q, q}
+import graft.Registry.{Q, q, rowsOnly}
 import graft.Tables
 import graft.functions.PortableHash.md5LongSql
 import org.apache.spark.sql.Column
@@ -733,6 +733,28 @@ object AnalyticsQueries {
         .select(col("event_type"),
           round(element_at(col("mus"), 2), 4).as("ci_lo"),
           round(element_at(col("mus"), 15), 4).as("ci_hi"))
+        .orderBy("event_type")
+    },
+
+    // Mergeable distinct-count sketches — the piece q185's incremental
+    // maintenance can NOT do with plain aggregates: COUNT DISTINCT does not
+    // merge, but HLL sketches do (register-wise max — order- and
+    // partition-independent, so the rollup is fully deterministic within
+    // the engine). Per-(type, hour) sketches roll up to per-type estimates
+    // by union WITHOUT touching raw rows again — at 100 TB you persist the
+    // hourly sketch table (a few KB per cell) and answer any
+    // coarser-grained distinct-user question from sketch unions alone.
+    // rows-only: DataSketches HLL and DuckDB's approx_count_distinct are
+    // different estimators; mergeability (union == direct, exactly) and
+    // the error bound vs exact are pinned in ApproxAndRecallSpec.
+    rowsOnly("q187_hll_rollup",
+      "per-hour HLL user sketches unioned to event_type distinct estimates") { (s, dir) =>
+      val hourly = Tables(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hourly_sketches"),
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_users"))
         .orderBy("event_type")
     }
   )

@@ -202,4 +202,29 @@ class ApproxAndRecallSpec extends AnyFunSuite {
     // ~57× the 3/499 chance floor; bound loosely for stability
     assert(recall > 0.25, s"kNN-join recall@3 = $recall")
   }
+
+  test("q187 HLL rollup: sketch union equals the direct sketch; error bounded") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables(spark, dir, "events")
+    // mergeability: estimate(union of per-hour sketches) must equal the
+    // single-pass sketch EXACTLY — HLL updates/unions are register-wise
+    // max, so any partition of the input yields identical registers
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rolled = SparkEntry.queries("q187_hll_rollup")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rolled.keySet == direct.keySet)
+    rolled.foreach { case (t, est) =>
+      assert(est == direct(t), s"$t: merged $est != direct ${direct(t)}")
+    }
+    // accuracy: lgK=14 gives rsd ≈ 1.04/√2¹⁴ ≈ 0.8%; allow 4σ
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rolled.foreach { case (t, est) =>
+      assert(math.abs(est.toDouble - exact(t)) / exact(t) < 0.035,
+        s"$t: est=$est exact=${exact(t)}")
+    }
+  }
 }
