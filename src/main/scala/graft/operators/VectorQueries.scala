@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Registry.{Q, q, rowsOnly}
 import graft.Tables
-import graft.functions.PortableHash.md5LongScala
+import graft.functions.PortableHash.{md5LongScala, md5LongSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -1147,6 +1147,100 @@ object VectorQueries {
         .filter(col("rnk") <= 3)
         .select(col("vec_id"), col("rnk"), col("nn_id"), col("cos"))
         .orderBy("vec_id", "rnk")
+    },
+
+    // Grid-accelerated DBSCAN — density clustering without the all-pairs
+    // distance matrix: with cell size = ε (=300), every ε-neighbor of a point
+    // lies in its 3×3 cell neighborhood, so candidate pairs come from a
+    // 9-way cell equi-join (each pair matches on exactly ONE cell — the
+    // build side keeps its home cell). Core points (≥ minPts neighbors,
+    // self included) cluster via connected components over core-core
+    // edges (StarContraction, O(log²n) rounds); border points take the
+    // min core-neighbor's label; noise drops. Everything is integer
+    // arithmetic — points are synthesized per-nation (centers 5000 apart,
+    // 1200-unit hashed spread), distances compared squared in BIGINT —
+    // so both engines agree bit-for-bit. Scale shape at 100 TB: candidate
+    // volume is Σ per-cell-pair products bounded by density ε² — never
+    // n²; the grid join, core filter, and CC are all key-partitioned.
+    q("q189_grid_dbscan",
+      "DBSCAN(eps=300, minPts=5) via eps-grid candidate join + CC cores + min-label borders")(
+      s"""WITH RECURSIVE pts AS (
+         |  SELECT c_custkey AS id,
+         |         c_nationkey * 5000 + ${md5LongSql("'px:' || c_custkey")} % 1200 AS x,
+         |         ${md5LongSql("'py:' || c_custkey")} % 1200 AS y
+         |  FROM customer),
+         |b AS (SELECT id AS j, x AS xb, y AS yb, x // 300 AS cx, y // 300 AS cy FROM pts),
+         |p AS (SELECT id AS i, x AS xa, y AS ya,
+         |             x // 300 + dxs.dx AS cx, y // 300 + dys.dy AS cy
+         |      FROM pts, (SELECT unnest([-1, 0, 1]) AS dx) dxs,
+         |                (SELECT unnest([-1, 0, 1]) AS dy) dys),
+         |cand AS (
+         |  SELECT i, j FROM p JOIN b USING (cx, cy)
+         |  WHERE (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 90000),
+         |cores AS (SELECT i AS id FROM cand GROUP BY i HAVING count(*) >= 5),
+         |ce AS (SELECT i, j FROM cand
+         |       WHERE i <> j AND i IN (SELECT id FROM cores)
+         |         AND j IN (SELECT id FROM cores)),
+         |reach AS (SELECT id, id AS r FROM cores
+         |          UNION
+         |          SELECT e.j AS id, r.r FROM reach r JOIN ce e ON e.i = r.id),
+         |clab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+         |border AS (SELECT c.i AS id, min(l.lbl) AS lbl
+         |           FROM cand c JOIN clab l ON c.j = l.id
+         |           WHERE c.i NOT IN (SELECT id FROM cores)
+         |           GROUP BY c.i)
+         |SELECT lbl AS cluster, CAST(count(*) AS BIGINT) AS n_pts,
+         |       CAST(sum(is_core) AS BIGINT) AS n_core
+         |FROM (SELECT lbl, 1 AS is_core FROM clab
+         |      UNION ALL SELECT lbl, 0 AS is_core FROM border)
+         |GROUP BY lbl ORDER BY cluster""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val eps = 300L; val eps2 = 90000L; val minPts = 5L
+      val pts = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          (col("c_nationkey") * 5000 +
+            md5Long(concat(lit("px:"), col("c_custkey").cast("string"))) % 1200).as("x"),
+          (md5Long(concat(lit("py:"), col("c_custkey").cast("string"))) % 1200).as("y"))
+        .cache() // probe + build legs
+      val build = pts.select(col("id").as("j"), col("x").as("xb"), col("y").as("yb"),
+        expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
+      val probe = pts
+        .select(col("id").as("i"), col("x").as("xa"), col("y").as("ya"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("dx"))
+        .select(col("i"), col("xa"), col("ya"), col("dx"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("dy"))
+        .select(col("i"), col("xa"), col("ya"),
+          (expr(s"xa div $eps") + col("dx")).as("cx"),
+          (expr(s"ya div $eps") + col("dy")).as("cy"))
+      val cand = probe.join(build, Seq("cx", "cy"))
+        .filter((col("xa") - col("xb")) * (col("xa") - col("xb"))
+          + (col("ya") - col("yb")) * (col("ya") - col("yb")) <= eps2)
+        .select(col("i"), col("j"))
+        .cache() // neighbor counts + core edges + border assignment
+      val cores = cand.groupBy("i").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minPts).select(col("i").as("id")).cache()
+      val coreEdges = cand
+        .join(cores.select(col("id").as("i")), Seq("i"), "left_semi")
+        .join(cores.select(col("id").as("j")), Seq("j"), "left_semi")
+        .filter(col("i") =!= col("j"))
+        .select(col("i").as("d1"), col("j").as("d2"))
+      // components labels non-isolated cores; a core whose ε-ball holds
+      // only border points forms its own singleton cluster (label = id)
+      val lab = StarContraction.components(coreEdges)
+      val coreLab = cores.join(lab, cores("id") === lab("doc_id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("lbl"))
+        .cache()
+      val border = cand
+        .join(cores.select(col("id").as("i")), Seq("i"), "left_anti")
+        .join(coreLab.select(col("id").as("j"), col("lbl")), Seq("j"))
+        .groupBy("i").agg(min(col("lbl")).as("lbl"))
+      coreLab.select(col("lbl"), lit(1L).as("is_core"))
+        .unionByName(border.select(col("lbl"), lit(0L).as("is_core")))
+        .groupBy("lbl")
+        .agg(count(lit(1)).as("n_pts"), sum(col("is_core")).as("n_core"))
+        .select(col("lbl").as("cluster"), col("n_pts"), col("n_core"))
+        .orderBy("cluster")
     }
   )
 }
