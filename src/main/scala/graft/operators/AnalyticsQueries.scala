@@ -756,6 +756,108 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_hourly_sketches"),
           hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_users"))
         .orderBy("event_type")
+    },
+
+    // KMV (k-minimum-values) distinct sketch — the ORACLE-CHECKABLE sibling
+    // of q187's HLL: the k smallest distinct portable hashes are pure set
+    // arithmetic (order- and merge-free), so DuckDB reproduces the sketch
+    // — and therefore the estimate — bit-for-bit with ORDER BY h LIMIT k,
+    // and the full hash compare applies where HLL had to settle for
+    // rows-only. Estimator (Beyer et al. 2007): |D| ≈ (k−1)·2⁶⁰/h_k;
+    // under k distinct values the sketch IS the set (exact branch — live
+    // at sf0.001 where each type has 15 users). All arithmetic is integer
+    // or fixed-shape double division (IEEE-identical cross-engine). Scale:
+    // O(k) state per group on both sides of the shuffle, like MinHash.
+    q("q190_kmv_sketch",
+      "KMV bottom-64 distinct-user sketch per event_type, estimator vs exact branch")(
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |                  ${md5LongSql("'u:' || user_id")} AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |             count(*) OVER (PARTITION BY event_type) AS nd
+         |      FROM h),
+         |g AS (SELECT event_type, max(nd) AS nd,
+         |             max(CASE WHEN rn = 64 THEN h END) AS h64
+         |      FROM r GROUP BY event_type)
+         |SELECT event_type, CAST(least(nd, 64) AS BIGINT) AS n_sketch,
+         |       CAST(CASE WHEN nd < 64 THEN nd
+         |            ELSE floor(63 * CAST(1152921504606846976 AS DOUBLE)
+         |                       / CAST(h64 AS DOUBLE)) END AS BIGINT) AS est_users
+         |FROM g ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val kmv = udaf(new graft.functions.KmvAggregator(64))
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          md5Long(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+        .groupBy("event_type").agg(kmv(col("h")).as("mins"))
+        .select(col("event_type"),
+          size(col("mins")).cast("long").as("n_sketch"),
+          when(size(col("mins")) < 64, size(col("mins")).cast("long"))
+            .otherwise(expr("CAST(floor(63 * CAST(1152921504606846976 AS DOUBLE)" +
+              " / CAST(element_at(mins, 64) AS DOUBLE)) AS BIGINT)"))
+            .as("est_users"))
+        .orderBy("event_type")
+    },
+
+    // KMV intersection — the set operation HLL cannot estimate without
+    // inclusion–exclusion blowup (Beyer et al. §4): take the bottom-k L of
+    // A ∪ B (merge the two sketches, trim to k); ρ = |L ∩ A ∩ B| gives
+    // Jaccard ≈ ρ/k and |A∩B| ≈ (ρ/k)·|A∪B|-est. Everything after the two
+    // O(k) sketches is array arithmetic over 64-element lists on a 1-row
+    // frame — at 100 TB the sketches come off the q190 aggregation and the
+    // intersection math costs nothing. Integer milli-Jaccard and floored
+    // estimates keep the compare exact.
+    q("q190b_kmv_intersection",
+      "KMV sketch intersection: even-id click users ∩ 3divisible-id view users")(
+      s"""WITH h AS (SELECT DISTINCT event_type, ${md5LongSql("'u:' || user_id")} AS h
+         |           FROM events
+         |           WHERE (event_type = 'click' AND user_id % 2 = 0)
+         |              OR (event_type = 'view' AND user_id % 3 = 0)),
+         |a AS (SELECT h FROM h WHERE event_type = 'click' ORDER BY h LIMIT 64),
+         |b AS (SELECT h FROM h WHERE event_type = 'view' ORDER BY h LIMIT 64),
+         |u AS (SELECT DISTINCT h FROM ((SELECT h FROM a) UNION (SELECT h FROM b))
+         |      ORDER BY h LIMIT 64),
+         |st AS (SELECT (SELECT count(*) FROM u) AS nl,
+         |              (SELECT max(h) FROM u) AS hk,
+         |              (SELECT count(*) FROM u
+         |               WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)) AS rho)
+         |SELECT CAST(rho AS BIGINT) AS rho,
+         |       CAST((rho * 1000) // 64 AS BIGINT) AS jaccard_milli,
+         |       CAST(CASE WHEN nl < 64 THEN nl
+         |            ELSE floor(63 * CAST(1152921504606846976 AS DOUBLE)
+         |                       / CAST(hk AS DOUBLE)) END AS BIGINT) AS est_union,
+         |       CAST(floor(rho * (CASE WHEN nl < 64 THEN nl
+         |                         ELSE floor(63 * CAST(1152921504606846976 AS DOUBLE)
+         |                                    / CAST(hk AS DOUBLE)) END)
+         |                  / CAST(64 AS DOUBLE)) AS BIGINT) AS est_intersection
+         |FROM st""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val kmv = udaf(new graft.functions.KmvAggregator(64))
+      val sk = Tables(s, dir, "events")
+        .filter((col("event_type") === "click" && col("user_id") % 2 === 0)
+          || (col("event_type") === "view" && col("user_id") % 3 === 0))
+        .select(col("event_type"),
+          md5Long(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+        .groupBy("event_type").agg(kmv(col("h")).as("mins"))
+        .cache() // both 1-row legs below
+      val a = sk.filter(col("event_type") === "click").select(col("mins").as("am"))
+      val b = sk.filter(col("event_type") === "view").select(col("mins").as("bm"))
+      a.crossJoin(broadcast(b)) // 1-row × 1-row sketch frames
+        .withColumn("l", slice(array_sort(array_union(col("am"), col("bm"))), 1, 64))
+        .withColumn("nl", size(col("l")))
+        .withColumn("rho", size(filter(col("l"),
+          x => array_contains(col("am"), x) && array_contains(col("bm"), x))))
+        .withColumn("uest",
+          expr("CAST(CASE WHEN nl < 64 THEN nl" +
+            " ELSE floor(63 * CAST(1152921504606846976 AS DOUBLE)" +
+            " / CAST(element_at(l, 64) AS DOUBLE)) END AS BIGINT)"))
+        .select(col("rho").cast("long").as("rho"),
+          expr("CAST((rho * 1000) div 64 AS BIGINT)").as("jaccard_milli"),
+          col("uest").as("est_union"),
+          expr("CAST(floor(rho * uest / CAST(64 AS DOUBLE)) AS BIGINT)")
+            .as("est_intersection"))
     }
   )
 }
