@@ -1312,6 +1312,62 @@ object PipelineQueries {
           col("last_order"),
           (expr("sum_c4 div n_orders").cast("double") / 10000).as("avg_price"))
         .orderBy("o_custkey")
+    },
+
+    // The composed curation pipeline — q33 (exact dedup) → q53's gate
+    // (length + distinct-token repetition, as INTEGER cross-multiplication
+    // so the ratio compare is tie-free cross-engine) → q55 (per-lang
+    // 512-token sequence packing), chained as ONE DataFrame lineage and
+    // verified end-to-end. Each stage individually is proven elsewhere;
+    // this query proves they COMPOSE — the property a user running a real
+    // training-data pass actually needs, and one no per-stage oracle
+    // implies (a schema/semantic mismatch at a stage boundary would pass
+    // every per-stage check and still corrupt the pipeline). Scale shape:
+    // dedup shuffles 16-byte hashes, the gate is row-local, packing is
+    // per-lang-shard windows — the chain introduces exactly two wide ops
+    // (hash groupBy + per-shard window), both key-partitioned.
+    q("q191_curation_pipeline",
+      "dedup → repetition gate → sequence packing, one lineage, end-to-end oracle")(
+      """WITH norm AS (SELECT doc_id, lang, text,
+        |                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |              FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY md5(norm)),
+        |gate AS (SELECT n.doc_id, n.lang,
+        |                CAST(len(str_split(n.text, ' ')) AS BIGINT) AS n_tok
+        |         FROM norm n JOIN keep k ON n.doc_id = k.doc_id
+        |         WHERE len(str_split(n.text, ' ')) >= 30
+        |           AND len(list_distinct(str_split(n.text, ' '))) * 100
+        |               >= len(str_split(n.text, ' ')) * 45),
+        |packed AS (SELECT doc_id, lang, n_tok,
+        |                  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS cum
+        |           FROM gate)
+        |SELECT lang, CAST((cum - n_tok) // 512 AS BIGINT) AS seq_no,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |       CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM packed GROUP BY lang, seq_no
+        |ORDER BY lang, seq_no""".stripMargin
+    ) { (s, dir) =>
+      val norm = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      val keep = norm.groupBy(md5(col("norm")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val gate = norm.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 30 &&
+          size(array_distinct(col("w"))) * 100 >= size(col("w")) * 45)
+        .select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      gate.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_no", expr("(cum - n_tok) div 512"))
+        .groupBy("lang", "seq_no")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "seq_no")
     }
   )
 }
