@@ -28,4 +28,44 @@ class SkewToolsSpec extends AnyFunSuite {
     assert(salted.toSeq == direct.toSeq)
     assert(direct.length == 98) // HOT + 97 cold keys
   }
+
+  test("AQE skew join splits the hot partition (the runtime twin of saltedJoin)") {
+    // Manual salting (q177) is the plan-time answer to key skew; Spark's
+    // AQE skew-join is the RUNTIME answer the engine leans on at 100 TB
+    // when skew is not known in advance. This pins that the lever actually
+    // engages: a deliberately hot-keyed sort-merge join, thresholds tuned
+    // to local data sizes, must re-plan with SortMergeJoin(skew=true) —
+    // the hot partition split into advisory-sized reads instead of one
+    // melted reducer.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 80% of the big side lands on one key; the small side is uniform
+      val big = spark.range(200000)
+        .select(when(col("id") % 10 < 8, 0L).otherwise(col("id") % 997).as("k"),
+          concat(lit("payload-"), col("id")).as("p"))
+      val dim = spark.range(997).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("d"))
+      // aggregate on the DIM column, not the join key: a same-key parent
+      // would pin the join's output partitioning and (correctly) veto the
+      // skew split — the veto is itself part of the rule's contract
+      val j = big.join(dim, "k").groupBy("d").agg(count(lit(1)).as("n"))
+      // execute THIS dataframe (a derived .filter would re-plan separately),
+      // then read the final adaptive plan off the same execution
+      val rows = j.collect()
+      // 160000 hot rows + the 40 uniform rows whose id % 997 is also 0
+      assert(rows.find(_.getString(0) == "d0").get.getLong(1) == 160040L)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
