@@ -745,6 +745,42 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Dynamic partition pruning — the third pruning lever after static
+    // filters (q49h) and layout envelopes (q160b): the fact table is
+    // WRITTEN partitioned by ship-month, and the join's dim side (months
+    // that saw a >499k urgent order — knowable only at RUNTIME) becomes a
+    // dynamicpruning partition filter on the fact scan, so non-matching
+    // month directories are never read (plan-pinned in PlanShapeSpec; 4
+    // of 83 months survive at sf0.01). At 100 TB this is the
+    // date-partitioned-fact ⋈ filtered-dim pattern every warehouse query
+    // leans on — scans scale with the dim filter's selectivity, not the
+    // fact's history length.
+    q("q192_dpp",
+      "dynamic partition pruning: runtime dim months prune the ship-month-partitioned fact")(
+      """WITH dim AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS sm
+        |            FROM orders
+        |            WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 499000)
+        |SELECT sm, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS qty
+        |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS sm, l_quantity FROM lineitem) f
+        |JOIN dim USING (sm)
+        |GROUP BY sm ORDER BY sm""".stripMargin
+    ) { (s, dir) =>
+      val base = s"/tmp/graft_dpp/${new java.io.File(dir).getName}/lineitem"
+      Tables(s, dir, "lineitem")
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("sm"), col("l_quantity"))
+        .write.mode("overwrite").partitionBy("sm").parquet(base)
+      val fact = s.read.parquet(base)
+      val dim = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 499000)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("sm")).distinct()
+      fact.join(dim, Seq("sm"))
+        .groupBy("sm")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100).as("qty"))
+        .orderBy("sm")
+    },
+
     // CSV sink→source round-trip — the text-format sibling of q73's ORC:
     // proves the engine can EMIT csv (header, typed columns) and re-ingest
     // it losslessly. Doubles are rounded to 4 dp before the write; Spark's

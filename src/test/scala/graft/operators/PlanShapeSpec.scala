@@ -220,6 +220,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q192 DPP: the runtime dim filter reaches the fact scan as a partition filter") {
+    val plan = executedPlan("q192_dpp")
+    assert(plan.contains("dynamicpruning"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q186 bucketed join: co-located scans, no exchange on either join key") {
     // broadcasting off so the join cannot sidestep the property under test:
     // a sort-merge join whose children are bucketed scans with NO
