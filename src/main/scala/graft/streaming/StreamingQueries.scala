@@ -768,6 +768,57 @@ object StreamingQueries {
       runToMemory(s, agg).orderBy("event_type", "ws", "rnk")
     },
 
+    // Streaming windowed KMV distinct — the sketch×streaming cell of the
+    // matrix: q190's mergeable bottom-64 aggregator runs INSIDE a
+    // watermarked window aggregation, so per-open-window state is ≤64
+    // hashes (serialized typed-aggregator buffer in the state store),
+    // never the window's user list — the same bounded-state discipline as
+    // q176's top-k. Because the sketch is order/merge-free set arithmetic,
+    // the emitted estimates are deterministic and the batch SQL twin
+    // hash-matches exactly (append mode ⇒ only watermark-closed windows
+    // emit; q29's gate mirrored in the oracle). At 100 TB: distinct-user
+    // dashboards over unbounded streams with O(k) state per window and
+    // mergeable spill-over to the batch sketch table (q190) for backfill.
+    q("q193_stream_windowed_kmv",
+      "watermarked per (event_type, 1h) KMV distinct-user estimates, bounded sketch state")(
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |             make_timestamp((CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600)
+         |                            * 3600 * 1000000) AS ws,
+         |             ${graft.functions.PortableHash.md5LongSql("'u:' || user_id")} AS h
+         |           FROM events),
+         |r AS (SELECT event_type, ws, h,
+         |             row_number() OVER (PARTITION BY event_type, ws ORDER BY h) AS rn,
+         |             count(*) OVER (PARTITION BY event_type, ws) AS nd
+         |      FROM h),
+         |g AS (SELECT event_type, ws, max(nd) AS nd,
+         |             max(CASE WHEN rn = 64 THEN h END) AS h64
+         |      FROM r GROUP BY event_type, ws)
+         |SELECT event_type, ws, CAST(least(nd, 64) AS BIGINT) AS n_sketch,
+         |       CAST(CASE WHEN nd < 64 THEN nd
+         |            ELSE floor(63 * CAST(1152921504606846976 AS DOUBLE)
+         |                       / CAST(h64 AS DOUBLE)) END AS BIGINT) AS est_users
+         |FROM g
+         |WHERE ws + INTERVAL 1 HOUR <=
+         |      (SELECT max(ts::TIMESTAMP) - INTERVAL 10 MINUTE FROM events)
+         |ORDER BY event_type, ws""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val kmv = udaf(new graft.functions.KmvAggregator(64))
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .select(col("ts"), col("event_type"),
+          md5Long(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(kmv(col("h")).as("mins"))
+        .select(col("event_type"), col("window.start").as("ws"),
+          size(col("mins")).cast("long").as("n_sketch"),
+          when(size(col("mins")) < 64, size(col("mins")).cast("long"))
+            .otherwise(expr("CAST(floor(63 * CAST(1152921504606846976 AS DOUBLE)" +
+              " / CAST(element_at(mins, 64) AS DOUBLE)) AS BIGINT)"))
+            .as("est_users"))
+      runToMemory(s, agg).orderBy("event_type", "ws")
+    },
+
     // Streaming IVF centroid assignment — the vector-index INGEST path run
     // on the stream (new embeddings routed to their coarse cell as they
     // arrive, the maintenance half of q35d/q35e's build-then-search). The
