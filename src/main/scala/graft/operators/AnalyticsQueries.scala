@@ -844,7 +844,7 @@ object AnalyticsQueries {
         .cache() // both 1-row legs below
       val a = sk.filter(col("event_type") === "click").select(col("mins").as("am"))
       val b = sk.filter(col("event_type") === "view").select(col("mins").as("bm"))
-      a.crossJoin(broadcast(b)) // 1-row × 1-row sketch frames
+      a.crossJoin(broadcast(b)) // 1-row x 1-row sketch frames
         .withColumn("l", slice(array_sort(array_union(col("am"), col("bm"))), 1, 64))
         .withColumn("nl", size(col("l")))
         .withColumn("rho", size(filter(col("l"),
@@ -858,6 +858,57 @@ object AnalyticsQueries {
           col("uest").as("est_union"),
           expr("CAST(floor(rho * uest / CAST(64 AS DOUBLE)) AS BIGINT)")
             .as("est_intersection"))
+    },
+
+    // Mergeable histogram quantiles — the quantile member of the sketch
+    // algebra family (q185 algebraic, q187/q190 distinct, q188 frequency):
+    // fixed unit-width integer bins count per (type, hour) — the persisted
+    // sketch table — then roll up to per-type histograms by SUMMING BINS
+    // (pure algebraic merge) and read p50/p90/p99 as the smallest bin
+    // whose cumulative count reaches the integer-cross-multiplied rank
+    // threshold. Resolution is the bin width (here 1.0 ⇒ the reported
+    // value floors the true percentile), which is the explicit, verifiable
+    // trade GK/t-digest make opaquely — and unlike those, every number
+    // here hash-matches the oracle. Scale: the sketch table is
+    // |types|·|hours|·|bins| rows regardless of event volume; the rollup
+    // and cumulative pass are per-type partitioned.
+    q("q194_histogram_quantiles",
+      "per-(type,hour) unit-bin histograms merged to per-type p50/p90/p99 (bin-resolution exact)")(
+      """WITH hb AS (SELECT event_type,
+        |                   make_timestamp((CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600)
+        |                                  * 3600 * 1000000) AS hr,
+        |                   CAST(floor(value) AS BIGINT) AS bin, count(*) AS c
+        |            FROM events GROUP BY event_type, hr, bin),
+        |m AS (SELECT event_type, bin, sum(c) AS c FROM hb GROUP BY event_type, bin),
+        |cum AS (SELECT event_type, bin, c,
+        |               sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |                            ROWS UNBOUNDED PRECEDING) AS cc,
+        |               sum(c) OVER (PARTITION BY event_type) AS n
+        |        FROM m)
+        |SELECT event_type,
+        |       CAST(min(CASE WHEN cc * 100 >= n * 50 THEN bin END) AS BIGINT) AS p50_bin,
+        |       CAST(min(CASE WHEN cc * 100 >= n * 90 THEN bin END) AS BIGINT) AS p90_bin,
+        |       CAST(min(CASE WHEN cc * 100 >= n * 99 THEN bin END) AS BIGINT) AS p99_bin,
+        |       CAST(max(n) AS BIGINT) AS n
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val hourly = Tables(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+          floor(col("value")).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c")) // the persisted sketch table
+      val merged = hourly.groupBy("event_type", "bin").agg(sum(col("c")).as("c"))
+      val wCum = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      merged
+        .withColumn("cc", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy("event_type")
+        .agg(min(when(col("cc") * 100 >= col("n") * 50, col("bin"))).as("p50_bin"),
+          min(when(col("cc") * 100 >= col("n") * 90, col("bin"))).as("p90_bin"),
+          min(when(col("cc") * 100 >= col("n") * 99, col("bin"))).as("p99_bin"),
+          max(col("n")).as("n"))
+        .orderBy("event_type")
     }
   )
 }
