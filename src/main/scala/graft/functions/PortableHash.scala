@@ -44,6 +44,18 @@ object PortableHash {
     minhashPerms.zipWithIndex
       .map { case ((a, b), j) => s"($j, ${a}, ${b})" }.mkString(", ")
 
+  /** KMV distinct estimator over a bottom-`k` sketch of [[md5Long]] hashes
+    * (domain 2⁶⁰): (k−1)·2⁶⁰/h_k, or the exact sketch size under k
+    * values. ONE text, evaluated by Spark (via `expr`) and DuckDB alike —
+    * `n` is the sketch-size expression, `hk` the k-th-minimum expression
+    * (unevaluated in the exact branch, so an out-of-bounds element_at is
+    * safe). Keeping the constant pair (2⁶⁰, k−1) in one place is what
+    * guarantees the bit-for-bit cross-engine agreement q190/q190b/q193
+    * exist to prove. */
+  def kmvEstimateSql(n: String, hk: String, k: Int): String =
+    s"CAST(CASE WHEN $n < $k THEN $n ELSE floor(${k - 1} * " +
+      s"CAST(1152921504606846976 AS DOUBLE) / CAST($hk AS DOUBLE)) END AS BIGINT)"
+
   /** Tokenize on single spaces (documents.text is single-space separated). */
   def tokens(c: Column): Column = split(c, " ")
 

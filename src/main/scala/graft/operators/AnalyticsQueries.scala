@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Registry.{Q, q, rowsOnly}
 import graft.Tables
-import graft.functions.PortableHash.md5LongSql
+import graft.functions.PortableHash.{kmvEstimateSql, md5LongSql}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -780,9 +780,7 @@ object AnalyticsQueries {
          |             max(CASE WHEN rn = 64 THEN h END) AS h64
          |      FROM r GROUP BY event_type)
          |SELECT event_type, CAST(least(nd, 64) AS BIGINT) AS n_sketch,
-         |       CAST(CASE WHEN nd < 64 THEN nd
-         |            ELSE floor(63 * CAST(1152921504606846976 AS DOUBLE)
-         |                       / CAST(h64 AS DOUBLE)) END AS BIGINT) AS est_users
+         |       ${kmvEstimateSql("nd", "h64", 64)} AS est_users
          |FROM g ORDER BY event_type""".stripMargin
     ) { (s, dir) =>
       import graft.functions.PortableHash.md5Long
@@ -793,9 +791,7 @@ object AnalyticsQueries {
         .groupBy("event_type").agg(kmv(col("h")).as("mins"))
         .select(col("event_type"),
           size(col("mins")).cast("long").as("n_sketch"),
-          when(size(col("mins")) < 64, size(col("mins")).cast("long"))
-            .otherwise(expr("CAST(floor(63 * CAST(1152921504606846976 AS DOUBLE)" +
-              " / CAST(element_at(mins, 64) AS DOUBLE)) AS BIGINT)"))
+          expr(kmvEstimateSql("size(mins)", "element_at(mins, 64)", 64))
             .as("est_users"))
         .orderBy("event_type")
     },
@@ -824,35 +820,29 @@ object AnalyticsQueries {
          |               WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)) AS rho)
          |SELECT CAST(rho AS BIGINT) AS rho,
          |       CAST((rho * 1000) // 64 AS BIGINT) AS jaccard_milli,
-         |       CAST(CASE WHEN nl < 64 THEN nl
-         |            ELSE floor(63 * CAST(1152921504606846976 AS DOUBLE)
-         |                       / CAST(hk AS DOUBLE)) END AS BIGINT) AS est_union,
-         |       CAST(floor(rho * (CASE WHEN nl < 64 THEN nl
-         |                         ELSE floor(63 * CAST(1152921504606846976 AS DOUBLE)
-         |                                    / CAST(hk AS DOUBLE)) END)
+         |       ${kmvEstimateSql("nl", "hk", 64)} AS est_union,
+         |       CAST(floor(rho * ${kmvEstimateSql("nl", "hk", 64)}
          |                  / CAST(64 AS DOUBLE)) AS BIGINT) AS est_intersection
          |FROM st""".stripMargin
     ) { (s, dir) =>
       import graft.functions.PortableHash.md5Long
       val kmv = udaf(new graft.functions.KmvAggregator(64))
-      val sk = Tables(s, dir, "events")
+      val ev = Tables(s, dir, "events")
         .filter((col("event_type") === "click" && col("user_id") % 2 === 0)
           || (col("event_type") === "view" && col("user_id") % 3 === 0))
         .select(col("event_type"),
           md5Long(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
-        .groupBy("event_type").agg(kmv(col("h")).as("mins"))
-        .cache() // both 1-row legs below
-      val a = sk.filter(col("event_type") === "click").select(col("mins").as("am"))
-      val b = sk.filter(col("event_type") === "view").select(col("mins").as("bm"))
+        .cache() // both sketch legs below
+      // GLOBAL aggs, not groupBy+filter: an empty audience still yields one
+      // row (empty sketch), matching the oracle's always-1-row scalar CTE
+      val a = ev.filter(col("event_type") === "click").agg(kmv(col("h")).as("am"))
+      val b = ev.filter(col("event_type") === "view").agg(kmv(col("h")).as("bm"))
       a.crossJoin(broadcast(b)) // 1-row x 1-row sketch frames
         .withColumn("l", slice(array_sort(array_union(col("am"), col("bm"))), 1, 64))
         .withColumn("nl", size(col("l")))
         .withColumn("rho", size(filter(col("l"),
           x => array_contains(col("am"), x) && array_contains(col("bm"), x))))
-        .withColumn("uest",
-          expr("CAST(CASE WHEN nl < 64 THEN nl" +
-            " ELSE floor(63 * CAST(1152921504606846976 AS DOUBLE)" +
-            " / CAST(element_at(l, 64) AS DOUBLE)) END AS BIGINT)"))
+        .withColumn("uest", expr(kmvEstimateSql("nl", "element_at(l, 64)", 64)))
         .select(col("rho").cast("long").as("rho"),
           expr("CAST((rho * 1000) div 64 AS BIGINT)").as("jaccard_milli"),
           col("uest").as("est_union"),

@@ -20,19 +20,30 @@ object StreamingQueries {
 
   private val nameCounter = new AtomicInteger()
 
-  /** events replayed as a stream; the r5+ fixtures store ts as µs
-    * isAdjustedToUTC=false — requesting TimestampType reads the stored
-    * micros as UTC instants, matching the batch Tables loader (sessions
-    * run UTC). */
+  /** events replayed as a stream, tolerant of BOTH fixture generations the
+    * batch [[graft.Tables]] loader defends (its contract — don't crash on
+    * either): r5+ stores ts as µs isAdjustedToUTC=false (read directly as
+    * TimestampType — UTC sessions make the instants identical), pre-r5
+    * stored ns-precision INT64 (surfaces as LongType under nanosAsLong;
+    * truncate to µs exactly like the batch loader). One driver-side footer
+    * probe per call picks the branch. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val tsIsNanosLong = {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      s.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
+    }
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType),
+      StructField("ts", if (tsIsNanosLong) LongType else TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the streaming file source requires a directory; pathGlobFilter pins it
     // to the events table inside the fixture dir
-    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    val raw = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    if (tsIsNanosLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** embeddings replayed as a stream (single-file fixture ⇒ one data
@@ -794,9 +805,7 @@ object StreamingQueries {
          |             max(CASE WHEN rn = 64 THEN h END) AS h64
          |      FROM r GROUP BY event_type, ws)
          |SELECT event_type, ws, CAST(least(nd, 64) AS BIGINT) AS n_sketch,
-         |       CAST(CASE WHEN nd < 64 THEN nd
-         |            ELSE floor(63 * CAST(1152921504606846976 AS DOUBLE)
-         |                       / CAST(h64 AS DOUBLE)) END AS BIGINT) AS est_users
+         |       ${graft.functions.PortableHash.kmvEstimateSql("nd", "h64", 64)} AS est_users
          |FROM g
          |WHERE ws + INTERVAL 1 HOUR <=
          |      (SELECT max(ts::TIMESTAMP) - INTERVAL 10 MINUTE FROM events)
@@ -812,10 +821,8 @@ object StreamingQueries {
         .agg(kmv(col("h")).as("mins"))
         .select(col("event_type"), col("window.start").as("ws"),
           size(col("mins")).cast("long").as("n_sketch"),
-          when(size(col("mins")) < 64, size(col("mins")).cast("long"))
-            .otherwise(expr("CAST(floor(63 * CAST(1152921504606846976 AS DOUBLE)" +
-              " / CAST(element_at(mins, 64) AS DOUBLE)) AS BIGINT)"))
-            .as("est_users"))
+          expr(graft.functions.PortableHash.kmvEstimateSql(
+            "size(mins)", "element_at(mins, 64)", 64)).as("est_users"))
       runToMemory(s, agg).orderBy("event_type", "ws")
     },
 
