@@ -220,6 +220,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("parquet aggregate pushdown: MIN/MAX/COUNT answered from footers, no row scan") {
+    // the fourth scan-avoidance lever (static pushdown, DPP, envelope
+    // pruning, and THIS): un-filtered MIN/MAX/COUNT compile to a
+    // footer-statistics read — at 100 TB a table-wide extremum costs
+    // O(files) metadata, not a data scan. Requires the v2 reader.
+    val s = spark
+    val prev = Seq("spark.sql.parquet.aggregatePushdown" -> s.conf.getOption("spark.sql.parquet.aggregatePushdown"),
+      "spark.sql.sources.useV1SourceList" -> s.conf.getOption("spark.sql.sources.useV1SourceList"))
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      import org.apache.spark.sql.functions._
+      // MIN/MAX pushdown covers numeric/date leaves (not timestamps) —
+      // quantity is the double column every stats footer carries
+      val agg = s.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n"), min("l_quantity").as("lo"), max("l_quantity").as("hi"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)"), plan)
+      assert(plan.contains("MIN(l_quantity)"), plan)
+      val row = agg.head()
+      assert(row.getLong(0) == 60000L, row.toString) // sf0.01 lineitem rows
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("q192 DPP: the runtime dim filter reaches the fact scan as a partition filter") {
     val plan = executedPlan("q192_dpp")
     assert(plan.contains("dynamicpruning"), plan)
