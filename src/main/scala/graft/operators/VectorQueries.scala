@@ -1241,6 +1241,73 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_pts"), sum(col("is_core")).as("n_core"))
         .select(col("lbl").as("cluster"), col("n_pts"), col("n_core"))
         .orderBy("cluster")
+    },
+
+    // Distributed PCA, top component by power iteration — the
+    // linear-algebra member of the scale library: the 64×64 gram matrix
+    // is ONE partial-aggregated groupBy over exploded (i, j) coordinate
+    // products (Catalyst's map-side combine gives exactly the
+    // per-partition-outer-products-then-merge treeAggregate shape — the
+    // shuffle carries parts·d² cells, never rows·d²), and the 8 power
+    // rounds run on 64-row frames against the broadcast gram. Float
+    // determinism: every sum that would be order-sensitive (gram cells,
+    // matrix-vector products, the norm) runs in DECIMAL over
+    // round(·,12)-ed products; each round's vector re-rounds to 6 dp after
+    // the IEEE-identical normalize division; v0 = 1/√64 = 0.125 exactly.
+    // The oracle replays the identical 8 rounds as materialized CTEs.
+    q("q195_pca_power",
+      "top principal component of the embeddings via 8 decimal-exact power iterations")({
+      val d = 64
+      def roundCte(r: Int, prevV: String): String =
+        s"""w$r AS MATERIALIZED (
+           |  SELECT g.i AS i,
+           |         CAST(sum(CAST(round(g.g * v.v, 12) AS DECIMAL(28,12))) AS DOUBLE) AS w
+           |  FROM g JOIN $prevV v ON g.j = v.i GROUP BY g.i),
+           |n$r AS MATERIALIZED (
+           |  SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+           |  FROM w$r),
+           |v$r AS MATERIALIZED (SELECT i, round(w / nrm, 6) AS v FROM w$r CROSS JOIN n$r)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+         |           FROM embeddings),
+         |px AS (SELECT vec_id, i, e[i + 1] AS xi
+         |       FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${d - 1})) AS i) ii),
+         |g AS MATERIALIZED (
+         |  SELECT a.i AS i, b.i AS j,
+         |         CAST(sum(CAST(round(a.xi * b.xi, 12) AS DECIMAL(28,12))) AS DOUBLE) AS g
+         |  FROM px a JOIN px b USING (vec_id) GROUP BY a.i, b.i),
+         |v0 AS (SELECT unnest(generate_series(0, ${d - 1})) AS i, 0.125 AS v),
+         |${(1 to 8).map(r => roundCte(r, s"v${r - 1}")).mkString(",\n")}
+         |SELECT CAST(i AS BIGINT) AS i, v AS loading,
+         |       (SELECT round(nrm, 4) FROM n8) AS lam
+         |FROM v8 ORDER BY i""".stripMargin
+    }) { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val px = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(transform(col("embedding"), _.cast("double"))))
+        .select(col("vec_id"), col("pos").as("i"), col("col").as("xi"))
+      val gram = px.select(col("vec_id"), col("i"), col("xi"))
+        .join(px.select(col("vec_id"), col("i").as("j"), col("xi").as("xj")), Seq("vec_id"))
+        .groupBy("i", "j")
+        .agg(sum(round(col("xi") * col("xj"), 12).cast(dec)).cast("double").as("g"))
+        .localCheckpoint(true) // reused by all 8 rounds
+      var v = s.range(64).select(col("id").cast("int").as("i"), lit(0.125).as("v"))
+      var lam: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 8) {
+        val w = broadcast(gram)
+          .join(v.select(col("i").as("j"), col("v")), Seq("j"))
+          .groupBy("i")
+          .agg(sum(round(col("g") * col("v"), 12).cast(dec)).cast("double").as("w"))
+        val nrm = w.agg(
+          sqrt(sum(round(col("w") * col("w"), 12).cast(dec)).cast("double")).as("nrm"))
+        // eager checkpoint per round: 64 rows, truncates the doubling lineage
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("i"), round(col("w") / col("nrm"), 6).as("v"))
+          .localCheckpoint(true)
+        lam = nrm
+      }
+      v.crossJoin(broadcast(lam.select(round(col("nrm"), 4).as("lam"))))
+        .select(col("i").cast("long").as("i"), col("v").as("loading"), col("lam"))
+        .orderBy("i")
     }
   )
 }

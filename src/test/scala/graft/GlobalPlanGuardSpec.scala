@@ -53,7 +53,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q155_decay_trending" -> "1-row max-hour frame × the event scan (age anchor)",
     "q184_dsir_selection" -> "1-row corpus-totals frame (nt, nr) × the 256-row feature-weight table",
     "q188_heavy_hitters" -> "1-row total-token-count scalar × the ≤63-row verified-candidate counts",
-    "q190b_kmv_intersection" -> "1-row × 1-row KMV sketch frames (64-element arrays)")
+    "q190b_kmv_intersection" -> "1-row × 1-row KMV sketch frames (64-element arrays)",
+    "q195_pca_power" -> "1-row norm and eigenvalue scalars × the 64-row component frame (post-checkpoint final round)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.
