@@ -799,7 +799,8 @@ object AnalyticsQueries {
     // KMV intersection — the set operation HLL cannot estimate without
     // inclusion–exclusion blowup (Beyer et al. §4): take the bottom-k L of
     // A ∪ B (merge the two sketches, trim to k); ρ = |L ∩ A ∩ B| gives
-    // Jaccard ≈ ρ/k and |A∩B| ≈ (ρ/k)·|A∪B|-est. Everything after the two
+    // Jaccard ≈ ρ/min(k,|L|) and |A∩B| ≈ that ratio · |A∪B|-est (the min
+    // keeps the small-|L| regime exact instead of biased low). After the two
     // O(k) sketches is array arithmetic over 64-element lists on a 1-row
     // frame — at 100 TB the sketches come off the q190 aggregation and the
     // intersection math costs nothing. Integer milli-Jaccard and floored
@@ -819,10 +820,10 @@ object AnalyticsQueries {
          |              (SELECT count(*) FROM u
          |               WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)) AS rho)
          |SELECT CAST(rho AS BIGINT) AS rho,
-         |       CAST((rho * 1000) // 64 AS BIGINT) AS jaccard_milli,
+         |       CAST((rho * 1000) // greatest(least(nl, 64), 1) AS BIGINT) AS jaccard_milli,
          |       ${kmvEstimateSql("nl", "hk", 64)} AS est_union,
          |       CAST(floor(rho * ${kmvEstimateSql("nl", "hk", 64)}
-         |                  / CAST(64 AS DOUBLE)) AS BIGINT) AS est_intersection
+         |                  / CAST(greatest(least(nl, 64), 1) AS DOUBLE)) AS BIGINT) AS est_intersection
          |FROM st""".stripMargin
     ) { (s, dir) =>
       import graft.functions.PortableHash.md5Long
@@ -843,10 +844,17 @@ object AnalyticsQueries {
         .withColumn("rho", size(filter(col("l"),
           x => array_contains(col("am"), x) && array_contains(col("bm"), x))))
         .withColumn("uest", expr(kmvEstimateSql("nl", "element_at(l, 64)", 64)))
+        // Jaccard denominator is the LIVE union-sketch size least(nl, k), not
+        // the fixed k: when the union has nl < k elements L is the exact
+        // union and rho the exact intersection, so dividing by k would
+        // systematically understate exactly where the sketch is exact
+        // (ADVICE r5). greatest(...,1) guards the empty-audience row (rho=0
+        // there, so the ratio is 0 either way, in both engines).
         .select(col("rho").cast("long").as("rho"),
-          expr("CAST((rho * 1000) div 64 AS BIGINT)").as("jaccard_milli"),
+          expr("CAST((rho * 1000) div greatest(least(nl, 64), 1) AS BIGINT)")
+            .as("jaccard_milli"),
           col("uest").as("est_union"),
-          expr("CAST(floor(rho * uest / CAST(64 AS DOUBLE)) AS BIGINT)")
+          expr("CAST(floor(rho * uest / CAST(greatest(least(nl, 64), 1) AS DOUBLE)) AS BIGINT)")
             .as("est_intersection"))
     },
 

@@ -717,7 +717,12 @@ object RelationalQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
     ) { (s, dir) =>
       val sf = new java.io.File(dir).getName.replace('.', '_')
-      s.sql("CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '/tmp/graft_bkt_db'")
+      // Location is suffixed with the Spark applicationId so two concurrent
+      // JVMs on the same fixture never race on DROP + recursive delete +
+      // overwrite of a shared path (ADVICE r5); within one JVM the id is
+      // stable, so reruns still hit the drop-both-layers defense below.
+      val loc = s"/tmp/graft_bkt_db_${s.sparkContext.applicationId}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$loc'")
       val ot = s"graft_bkt.orders_$sf"
       val lt = s"graft_bkt.lineitem_$sf"
       // the in-memory catalog dies with the JVM but the managed-table files
@@ -725,7 +730,7 @@ object RelationalQueries {
       // drop both layers before writing (rerun- and cross-JVM-safe)
       Seq(ot -> s"orders_$sf", lt -> s"lineitem_$sf").foreach { case (tbl, leaf) =>
         s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_bkt_db/$leaf")
+        val p = new org.apache.hadoop.fs.Path(s"$loc/$leaf")
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
       }
@@ -770,7 +775,15 @@ object RelationalQueries {
       Tables(s, dir, "lineitem")
         .select(date_format(col("l_shipdate"), "yyyy-MM").as("sm"), col("l_quantity"))
         .write.mode("overwrite").partitionBy("sm").parquet(base)
-      val fact = s.read.parquet(base)
+      // Read the partition column as an EXPLICIT string: inference would
+      // otherwise be free to parse 'yyyy-MM' values as dates (stringToDate
+      // accepts '1992-01', and inference behavior has shifted across Spark
+      // versions), silently retyping the USING(sm) join key and emptying
+      // the result. An explicit schema disables partition-type inference
+      // for exactly this read without touching session-wide conf.
+      val fact = s.read
+        .schema("l_quantity DOUBLE, sm STRING")
+        .option("basePath", base).parquet(base)
       val dim = Tables(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 499000)
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("sm")).distinct()
