@@ -175,10 +175,19 @@ object GraphQueries {
         .join(maybeBroadcast(dv, nV), "v")
         .select(when(fromU, col("u")).otherwise(col("v")).as("x"),
           when(fromU, col("v")).otherwise(col("u")).as("y"))
-        .cache() // adjacency build + both endpoint joins
+        // EAGER checkpoint, not cache: materializes now and truncates
+        // lineage, so the e0/degc caches below it can be released
+        // immediately instead of pinning executor memory until the
+        // harness's clearCache — under a long contended run the four
+        // chained caches were this query's 3× run-to-run variance
+        // (VERDICT r5). At most TWO block sets (oriented, adj) are live
+        // from here on.
+        .localCheckpoint(true) // adjacency build + both endpoint joins
+      e0.unpersist(false)
+      degc.unpersist(false)
       val adj = oriented.groupBy(col("x").as("n"))
         .agg(sort_array(collect_list(col("y"))).as("nbrs"))
-        .cache() // joined on both endpoints
+        .localCheckpoint(true) // joined on both endpoints
       val common = oriented
         .join(maybeBroadcast(adj.select(col("n").as("x"), col("nbrs").as("ax")), nV), Seq("x"))
         .join(maybeBroadcast(adj.select(col("n").as("y"), col("nbrs").as("ay")), nV), Seq("y"))
@@ -211,8 +220,12 @@ object GraphQueries {
       // below (rank, m, outdeg are all |V|-bounded)
       val nV = nodes.count()
       val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      // (src, dst, deg) is re-joined every iteration — materialize it once
-      val contribBase = edges.join(maybeBroadcast(outdeg, nV), "src").cache()
+      // (src, dst, deg) is re-joined every iteration — materialize it once,
+      // EAGERLY, so the edges cache under it can be released before the
+      // iteration loop starts instead of pinning memory for all 5 rounds
+      val contribBase = edges.join(maybeBroadcast(outdeg, nV), "src")
+        .localCheckpoint(true)
+      edges.unpersist(false)
       var rank = nodes.select(col("node").as("rnode"), lit(1000000L).as("pr"))
       for (_ <- 1 to 5) {
         // rank is |nodes|-sized (tiny next to edges) — broadcast it (below
@@ -360,6 +373,13 @@ object GraphQueries {
       val keep = e.join(maybeBroadcast(d.filter(col("deg") <= 25), nParts), "p")
         .select(col("p"), col("s"))
         .cache() // both legs of the self-join
+      // materialize keep NOW so the e/d caches above it can be released
+      // before returning, instead of pinning memory until the harness's
+      // clearCache (cache, not checkpoint: the degree-cap filter stays
+      // visible in the returned plan for the shape pin)
+      keep.count()
+      e.unpersist(false)
+      d.unpersist(false)
       keep.select(col("p"), col("s").as("s1"))
         .join(keep.select(col("p"), col("s").as("s2")), Seq("p"))
         .filter(col("s1") < col("s2"))

@@ -26,6 +26,35 @@ class GraphQueriesSpec extends AnyFunSuite {
     }
   }
 
+  // VERDICT r5: q111's four chained caches (e0/degc/oriented/adj) lived
+  // until the harness's clearCache, and under a contended 258-query run
+  // that memory pressure produced a 3.3× run-to-run spread. The fix keeps
+  // at most two EAGER checkpoint block sets (oriented, adj) and zero
+  // cacheManager entries by the time the query frame is returned.
+  test("q111/q162 release their interior caches before returning") {
+    def livePersisted = spark.sparkContext.getPersistentRDDs.size
+    // q162: of its three interior caches only the twice-read keep frame may
+    // remain persisted (e/d are dropped once keep materializes)
+    spark.catalog.clearCache()
+    val before162 = livePersisted
+    val df162 = SparkEntry.queries("q162_bipartite_projection")(spark, dir)
+    assert(livePersisted - before162 <= 1,
+      s"q162 left ${livePersisted - before162} newly persisted RDDs")
+    assert(df162.count() > 0)
+    // q111: zero cacheManager entries (all four interior caches are either
+    // unpersisted or replaced by eager checkpoints) and ≤2 new block sets
+    // (the oriented + adj checkpoints)
+    spark.catalog.clearCache()
+    val before111 = livePersisted
+    val df111 = SparkEntry.queries("q111_triangle_count")(spark, dir)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q111 must eagerly unpersist its interior caches")
+    assert(livePersisted - before111 <= 2,
+      s"q111 left ${livePersisted - before111} newly persisted RDDs")
+    assert(df111.count() > 0) // and still computes off the released lineage
+    spark.catalog.clearCache()
+  }
+
   test("maybeBroadcast above the threshold plans a shuffle join, not a broadcast") {
     val edges = spark.range(0, 1000)
       .select((col("id") % 100).as("src"), (col("id") % 37).as("dst"))
