@@ -5,7 +5,7 @@ import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TimeMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TimeMode, TTLConfig}
 import org.apache.spark.sql.types._
 
 /** Streaming operators (SURVEY.md §2B B26/B29/B31/B32) executed as REAL
@@ -970,9 +970,17 @@ object StreamingQueries {
     // batch touches — O(types touched) not O(types held) state IO, the
     // reason it exists over a ValueState[Map]. Counts are monotone per
     // (user, type), so the q32/q149 max-reduction sink keeps the latest
-    // emission under multi-batch replay.
+    // emission under multi-batch replay. Eviction at scale: the processor
+    // takes a TTLConfig (the production deployment sets ~24h, bounding the
+    // map at |keys active in the window| instead of all-time
+    // |users|·|types| — StateTtlSpec proves cross-batch expiry AND
+    // pre-expiry equivalence). The REPLAY here must keep TimeMode.None/no
+    // TTL: TTL requires ProcessingTime mode, whose shouldRunAnotherBatch
+    // returns true unconditionally (TransformWithStateExecBase, Spark
+    // 4.1), so a bounded drain — AvailableNow included — never terminates
+    // (measured: 5000+ empty commits before kill).
     q("q181_stream_mapstate_counts",
-      "per-user per-event-type running counts in MapState (v2 API)")(
+      "per-user per-event-type running counts in MapState (v2 API, TTL-capable)")(
       """SELECT user_id, event_type, count(*) AS n
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin
@@ -986,7 +994,7 @@ object StreamingQueries {
         val cnt = eventsStream(s, dir)
           .select(col("user_id"), col("event_type")).as[(Long, String)]
           .groupByKey(_._1)
-          .transformWithState(new TypeCountProcessor,
+          .transformWithState(new TypeCountProcessor(TTLConfig.NONE),
             TimeMode.None(), OutputMode.Append())
           .toDF("user_id", "event_type", "n_run")
         runToMemory(s, cnt)
