@@ -25,6 +25,38 @@ object RelationalQueries {
   private def dsum(c: Column): Column =
     sum(round(c, 4).cast("decimal(28,4)")).cast("double")
 
+  /** q196's join frame, written in the WORST order — lineitem ⋈ orders
+    * (the two facts) first, the filtered customer dim last — over
+    * ANALYZE'd external catalog twins of the fixture tables. With
+    * cbo.enabled + cbo.joinReorder.enabled the optimizer rewrites the
+    * order from the catalog stats; without them the written order stands.
+    * Factored out so CboPlanSpec can build the same frame under both conf
+    * arms and inspect the optimized plan. CREATE + ANALYZE run once per
+    * (session, sf): external tables over the fixture files (no copy), one
+    * stats scan each. */
+  private[graft] def cboJoinFrame(s: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName.replace('.', '_')
+    // per-application location: same concurrency defense as q186
+    val loc = s"/tmp/graft_cbo_db_${s.sparkContext.applicationId}"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_cbo LOCATION '$loc'")
+    val names = Seq("lineitem", "orders", "customer").map { t =>
+      val tbl = s"graft_cbo.${t}_$sf"
+      if (!s.catalog.tableExists(tbl)) {
+        s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$dir/$t.parquet'")
+        s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+        s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      t -> tbl
+    }.toMap
+    s.sql(
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+         |FROM ${names("lineitem")} JOIN ${names("orders")} ON l_orderkey = o_orderkey
+         |                          JOIN ${names("customer")} ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
 
     // B1: parquet scan — row counts of every fixture table.
@@ -792,6 +824,40 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           (sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100).as("qty"))
         .orderBy("sm")
+    },
+
+    // Stats-driven (CBO) planning — the principled twin of q103's manual
+    // hint and GraphQueries' runtime count() size switch: ANALYZE writes
+    // rowCount + per-column NDV/min/max into the catalog, cbo.enabled +
+    // joinReorder.enabled let the optimizer REORDER a flat inner-join
+    // written in the worst order (fact ⋈ fact first) so the filtered
+    // customer dim joins orders before lineitem ever enters — no hint, no
+    // hand count. Relative table sizes are scale-invariant, so the
+    // reorder decision holds from sf0.001 to 100 TB, where ANALYZE-backed
+    // stats are exactly how a warehouse avoids hand-tuning every query
+    // (CboPlanSpec pins both arms: cbo on → orders⋈customer innermost;
+    // cbo off → the written fact-fact order survives).
+    q("q196_cbo_join_reorder",
+      "ANALYZE-backed cost-based join reorder: filtered dim joins first, hint-free")(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |              JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      val confs = Map("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true")
+      val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      // materialize UNDER the CBO confs (plans optimize at action time, so
+      // returning a lazy frame would re-plan after the finally restores);
+      // the checkpointed result is 5 aggregated rows
+      try cboJoinFrame(s, dir).localCheckpoint(true)
+      finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     },
 
     // CSV sink→source round-trip — the text-format sibling of q73's ORC:
