@@ -688,16 +688,17 @@ object VectorQueries {
     // key); each vector stores only PQ codes of its RESIDUAL from its
     // centroid; search 2-probes the coarse lists, builds a per-(query,
     // probed centroid) ADC table from the query's residual, shortlists the
-    // ADC top-100, and exact-re-ranks ONLY the shortlist against raw
-    // vectors (fixture: rescues recall@3 from 0.03 to 0.73 at sf0.1 while
-    // touching 2% of raw vectors). At 100 TB: lists are the partition key,
-    // codes are the storage, raw vectors are fetched for the 100-row
-    // shortlist only. Seed codebook (first PqK residual subvectors),
-    // untrained — the Lloyd chain from q35h applies identically if trained
-    // residual codebooks are wanted (measured: training does not move
-    // recall here; the shortlist depth does).
+    // ADC top-max(100, 8√n), and exact-re-ranks ONLY the shortlist against
+    // raw vectors (fixture: rescues recall@3 from 0.03 raw-ADC to ≥0.8 at
+    // both fixture scales — ApproxAndRecallSpec pins the budget). At
+    // 100 TB: lists are the partition key, codes are the storage, raw
+    // vectors are fetched for the √n-bounded shortlist only. Seed codebook
+    // (first PqK residual subvectors), untrained — the Lloyd chain from
+    // q35h applies identically if trained residual codebooks are wanted
+    // (measured: training does not move recall here; the shortlist depth
+    // does — hence the adaptive depth).
     q("q35j_ivfpq_search",
-      "ANN: IVF-PQ 2-probe ADC top-100 shortlist + exact re-rank top-3 (queries vec_id<10)")(
+      "ANN: IVF-PQ 2-probe ADC adaptive-√n shortlist + exact re-rank top-3 (queries vec_id<10)")(
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
          |cents AS (SELECT vec_id AS cent, e AS ce FROM v WHERE vec_id < $K),
          |cd AS (SELECT x.vec_id, c.cent,
@@ -742,7 +743,7 @@ object VectorQueries {
          |sc AS (SELECT qid, cid, ${(0 until PqM).map(i => s"d$i").mkString(" + ")} AS dist FROM j WHERE cid <> qid),
          |short AS (SELECT qid, cid FROM
          |            (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn2 FROM sc)
-         |          WHERE rn2 <= 100),
+         |          WHERE rn2 <= (SELECT greatest(100, 8 * CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM v)),
          |rr AS (SELECT short.qid, short.cid,
          |              list_reduce(list_transform(generate_series(1, $Dim),
          |                i -> (q.e[i] - c.e[i]) * (q.e[i] - c.e[i])), (a, b) -> a + b) AS d
@@ -800,8 +801,20 @@ object VectorQueries {
         .withColumn("dist",
           (0 until PqM).map(i => col(s"d$i")).reduceLeft(_ + _))
       val wShort = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+      // ADAPTIVE shortlist: max(100, 8·⌈√n⌉). A fixed 100 was 20% of the
+      // corpus at sf0.01 but 5% at sf0.1, and recall@3 sagged 0.83 → 0.73
+      // (VERDICT r5): ADC-rank quality is roughly scale-free, so the
+      // shortlist must grow with the corpus to keep the same capture
+      // probability — √n keeps the re-rank cost sublinear (still a
+      // per-query bounded fetch of raw vectors at 100 TB). The corpus
+      // count is one metadata-cheap job; the oracle embeds the same
+      // formula as a scalar subquery.
+      val shortDepth = {
+        val n = v.count()
+        math.max(100L, 8L * math.ceil(math.sqrt(n.toDouble)).toLong)
+      }
       val short = byQ.withColumn("rn2", row_number().over(wShort))
-        .filter(col("rn2") <= 100).select("qid", "cid")
+        .filter(col("rn2") <= shortDepth).select("qid", "cid")
       // exact re-rank: raw vectors touched ONLY for the shortlist rows
       val rr = short
         .join(v.select(col("vec_id").as("qid"), col("e").as("qe")), "qid")
