@@ -70,6 +70,26 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring after.
+    *
+    * For the stateful streaming replays the partition count is ALSO the
+    * state-store count, and every micro-batch (data or not) commits every
+    * store through CheckpointFileManager's rename protocol — at 32
+    * partitions a stream-stream join (4 stores per partition) writes 128+
+    * checkpoint files per batch, which measured as ~95% of the q45
+    * family's wall time at fixture scale. 8 partitions carry the same
+    * fixture data (both join sides are ~10k rows) at a quarter of the
+    * fixed cost. At 100 TB the partition count is sized to the STATE
+    * (rows per store × row width vs executor memory), not to this
+    * replay's fixed overhead — the knob is per-deployment either way;
+    * the plan and results are partition-count-independent. */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val all: Seq[Q] = Seq(
 
     // B29: watermark + append-mode event-time aggregation. With a single-file
@@ -163,18 +183,20 @@ object StreamingQueries {
         | AND c.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL 30 MINUTE
         |ORDER BY pid, cid""".stripMargin
     ) { (s, dir) =>
-      val p = eventsStream(s, dir).filter(col("event_type") === "purchase")
-        .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
-        .withWatermark("pts", "1 hour")
-      val c = eventsStream(s, dir).filter(col("event_type") === "click")
-        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
-        .withWatermark("cts", "1 hour")
-      val joined = p.join(c,
-        col("pu") === col("cu")
-          && col("cts") <= col("pts")
-          && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"))
-        .select(col("pid"), col("cid"))
-      runToMemory(s, joined).orderBy("pid", "cid")
+      withShufflePartitions(s, 8) {
+        val p = eventsStream(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+          .withWatermark("pts", "1 hour")
+        val c = eventsStream(s, dir).filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+          .withWatermark("cts", "1 hour")
+        val joined = p.join(c,
+          col("pu") === col("cu")
+            && col("cts") <= col("pts")
+            && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"))
+          .select(col("pid"), col("cid"))
+        runToMemory(s, joined).orderBy("pid", "cid")
+      }
     },
 
     // Stream-stream LEFT OUTER interval join: same pairing as q45, but
@@ -202,25 +224,27 @@ object StreamingQueries {
         |   OR p.ts::TIMESTAMP < (SELECT max(ts::TIMESTAMP) - INTERVAL 3 HOUR FROM events)
         |ORDER BY pid, cid""".stripMargin
     ) { (s, dir) =>
-      val p = eventsStream(s, dir).filter(col("event_type") === "purchase")
-        .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
-        .withWatermark("pts", "1 hour")
-      val c = eventsStream(s, dir).filter(col("event_type") === "click")
-        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
-        .withWatermark("cts", "1 hour")
-      val joined = p.join(c,
-        col("pu") === col("cu")
-          && col("cts") <= col("pts")
-          && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"),
-        "leftOuter")
-        .select(col("pid"), col("cid"), col("pts"))
-      val mx = graft.Tables(s, dir, "events").agg(max(col("ts")).as("mx"))
-      runToMemory(s, joined)
-        .crossJoin(broadcast(mx))
-        .filter(col("cid").isNotNull ||
-          col("pts") < col("mx") - expr("INTERVAL 3 HOURS"))
-        .select(col("pid"), col("cid"))
-        .orderBy(col("pid"), col("cid").asc_nulls_last)
+      withShufflePartitions(s, 8) {
+        val p = eventsStream(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+          .withWatermark("pts", "1 hour")
+        val c = eventsStream(s, dir).filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+          .withWatermark("cts", "1 hour")
+        val joined = p.join(c,
+          col("pu") === col("cu")
+            && col("cts") <= col("pts")
+            && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"),
+          "leftOuter")
+          .select(col("pid"), col("cid"), col("pts"))
+        val mx = graft.Tables(s, dir, "events").agg(max(col("ts")).as("mx"))
+        runToMemory(s, joined)
+          .crossJoin(broadcast(mx))
+          .filter(col("cid").isNotNull ||
+            col("pts") < col("mx") - expr("INTERVAL 3 HOURS"))
+          .select(col("pid"), col("cid"))
+          .orderBy(col("pid"), col("cid").asc_nulls_last)
+      }
     },
 
     // Stream-stream FULL OUTER interval join — the third (and last) outer
@@ -245,26 +269,28 @@ object StreamingQueries {
         |       (SELECT max(ts::TIMESTAMP) - INTERVAL 3 HOUR FROM events))
         |ORDER BY pid NULLS LAST, cid NULLS LAST""".stripMargin
     ) { (s, dir) =>
-      val p = eventsStream(s, dir).filter(col("event_type") === "purchase")
-        .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
-        .withWatermark("pts", "1 hour")
-      val c = eventsStream(s, dir).filter(col("event_type") === "click")
-        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
-        .withWatermark("cts", "1 hour")
-      val joined = p.join(c,
-        col("pu") === col("cu")
-          && col("cts") <= col("pts")
-          && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"),
-        "fullOuter")
-        .select(col("pid"), col("cid"), col("pts"), col("cts"))
-      val mx = graft.Tables(s, dir, "events").agg(max(col("ts")).as("mx"))
-      runToMemory(s, joined)
-        .crossJoin(broadcast(mx))
-        .filter((col("pid").isNotNull && col("cid").isNotNull) ||
-          (col("cid").isNull && col("pts") < col("mx") - expr("INTERVAL 3 HOURS")) ||
-          (col("pid").isNull && col("cts") < col("mx") - expr("INTERVAL 3 HOURS")))
-        .select(col("pid"), col("cid"))
-        .orderBy(col("pid").asc_nulls_last, col("cid").asc_nulls_last)
+      withShufflePartitions(s, 8) {
+        val p = eventsStream(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+          .withWatermark("pts", "1 hour")
+        val c = eventsStream(s, dir).filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+          .withWatermark("cts", "1 hour")
+        val joined = p.join(c,
+          col("pu") === col("cu")
+            && col("cts") <= col("pts")
+            && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"),
+          "fullOuter")
+          .select(col("pid"), col("cid"), col("pts"), col("cts"))
+        val mx = graft.Tables(s, dir, "events").agg(max(col("ts")).as("mx"))
+        runToMemory(s, joined)
+          .crossJoin(broadcast(mx))
+          .filter((col("pid").isNotNull && col("cid").isNotNull) ||
+            (col("cid").isNull && col("pts") < col("mx") - expr("INTERVAL 3 HOURS")) ||
+            (col("pid").isNull && col("cts") < col("mx") - expr("INTERVAL 3 HOURS")))
+          .select(col("pid"), col("cid"))
+          .orderBy(col("pid").asc_nulls_last, col("cid").asc_nulls_last)
+      }
     },
 
     // Stream-stream LEFT SEMI interval join — the fourth and last join mode
@@ -288,19 +314,21 @@ object StreamingQueries {
         |    AND c.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL 30 MINUTE)
         |ORDER BY pid""".stripMargin
     ) { (s, dir) =>
-      val p = eventsStream(s, dir).filter(col("event_type") === "purchase")
-        .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
-        .withWatermark("pts", "1 hour")
-      val c = eventsStream(s, dir).filter(col("event_type") === "click")
-        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
-        .withWatermark("cts", "1 hour")
-      val joined = p.join(c,
-        col("pu") === col("cu")
-          && col("cts") <= col("pts")
-          && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"),
-        "leftSemi")
-        .select(col("pid"))
-      runToMemory(s, joined).orderBy("pid")
+      withShufflePartitions(s, 8) {
+        val p = eventsStream(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+          .withWatermark("pts", "1 hour")
+        val c = eventsStream(s, dir).filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+          .withWatermark("cts", "1 hour")
+        val joined = p.join(c,
+          col("pu") === col("cu")
+            && col("cts") <= col("pts")
+            && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"),
+          "leftSemi")
+          .select(col("pid"))
+        runToMemory(s, joined).orderBy("pid")
+      }
     },
 
     // B28 as a REAL streaming execution (q28 checks the batch operator):
