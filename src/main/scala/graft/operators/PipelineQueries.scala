@@ -3,6 +3,7 @@ package graft.operators
 import graft.Registry.{Q, q}
 import graft.Tables
 import graft.functions.PortableHash._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -63,6 +64,61 @@ object PipelineQueries {
        |  CAST(l_suppkey & 65535 AS BIGINT) AS y0,
        |  CAST(0 AS BIGINT) AS d0 FROM lineitem),
        |${stages.mkString(",\n")}""".stripMargin
+  }
+
+  /** q61c core over any (doc_id, text) frame: per shingle level L, the
+    * maximal runs of L-gram positions whose shingle occurs in ≥2 docs
+    * (q61b's islands machinery, once per level). Factored out so
+    * DupSpanLadderSpec can drive it over seeded corpora with known
+    * duplicate structure. */
+  private[operators] def dupSpanLadder(
+      docs: DataFrame, levels: Seq[Int]): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    levels.map { l =>
+      val ph = t.filter(size(col("w")) >= l)
+        .select(col("doc_id"),
+          posexplode(transform(shingles(col("w"), l), g => md5Long(g))))
+        .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("h"))
+        .cache() // doc-frequency agg + join back (harness clears)
+      val dfreq = ph.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      ph.join(dfreq.filter(col("nd") >= 2), "h")
+        .select(col("doc_id"), col("p"))
+        .withColumn("isl", col("p") - row_number().over(w))
+        .groupBy("doc_id", "isl")
+        .agg(min(col("p")).as("s"), max(col("p")).as("e"), count(lit(1)).as("ns"))
+        .select(col("doc_id"), lit(l.toLong).as("lvl"),
+          col("s").cast("long").as("span_start"),
+          (col("e") + l - col("s")).cast("long").as("span_tokens"),
+          col("ns").cast("long").as("n_shingles"))
+    }.reduce(_.unionAll(_))
+      .orderBy("doc_id", "lvl", "span_start")
+  }
+
+  /** q61c's oracle: the same per-level islands, one CTE chain per level,
+    * UNION ALL'd. */
+  private def dupSpanLadderSql(levels: Seq[Int]): String = {
+    val ctes = levels.map { l =>
+      s"""ph$l AS (SELECT doc_id, p, ${md5LongSql("g")} AS h FROM
+         |          (SELECT doc_id, unnest(generate_series(0, len(w) - $l)) AS p,
+         |                  unnest(${shinglesSql("w", l)}) AS g
+         |           FROM t WHERE len(w) >= $l)),
+         |df$l AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ph$l GROUP BY h),
+         |sp$l AS (SELECT doc_id, isl, min(p) AS s, max(p) AS e, count(*) AS ns
+         |         FROM (SELECT doc_id, p,
+         |                      p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+         |               FROM ph$l JOIN df$l USING (h) WHERE nd >= 2)
+         |         GROUP BY doc_id, isl)""".stripMargin
+    }.mkString(",\n")
+    val legs = levels.map { l =>
+      s"""SELECT doc_id, CAST($l AS BIGINT) AS lvl, CAST(s AS BIGINT) AS span_start,
+         |       CAST(e + $l - s AS BIGINT) AS span_tokens, CAST(ns AS BIGINT) AS n_shingles
+         |FROM sp$l""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+       |$ctes
+       |$legs
+       |ORDER BY doc_id, lvl, span_start""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -494,6 +550,26 @@ object PipelineQueries {
           (col("e") + 8 - col("s")).cast("long").as("span_tokens"),
           col("ns").cast("long").as("n_shingles"))
         .orderBy("doc_id", "span_start")
+    },
+
+    // Length-doubling duplicated-span LADDER — the resolution upgrade over
+    // q61b that Lee et al. 2022's suffix-automaton pass gets for free and
+    // a shingle pass must earn: q61b's islands merge adjacent duplicated
+    // 8-gram positions, so two OVERLAPPING duplicates from DIFFERENT
+    // partner docs fuse into one reported span that no single partner
+    // actually shares. Matching 8→16→32-token shingles (islands per
+    // level) localizes that: a span confirmed at level L proves L-token
+    // contiguous agreement with a single partner per shingle, so the
+    // coarse levels split chained-partner fusions and certify long
+    // duplicates as units (DupSpanLadderSpec pins both laws on seeded
+    // 40-token duplicates). Scale shape: 3 hashed positional passes (8-
+    // byte keys, no text shuffles), per-doc windows — exactly q61b ×3
+    // with geometrically fewer positions per level.
+    q("q61c_dup_span_ladder",
+      "maximal duplicated spans at 8/16/32-token shingle resolution (length-doubling)")(
+      dupSpanLadderSql(Seq(8, 16, 32))
+    ) { (s, dir) =>
+      dupSpanLadder(Tables.fanout(s, dir, "documents"), Seq(8, 16, 32))
     },
 
     // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
