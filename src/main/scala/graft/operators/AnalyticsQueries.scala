@@ -858,6 +858,74 @@ object AnalyticsQueries {
             .as("est_intersection"))
     },
 
+    // KMV set DIFFERENCE — closes the sketch set algebra (q190 cardinality,
+    // q190b intersection, this one A\B and B\A): the bottom-k L of A ∪ B
+    // partitions exactly into (A-only, B-only, both) because every element
+    // of L came from one of the two sketches, so the three disjoint counts
+    // scale by the same est_union/|L| factor the intersection used — one
+    // merged sketch answers all three set operations without re-reading a
+    // single raw row. Audiences deliberately differ (even-id clickers vs
+    // 5-divisible purchasers) so both differences are non-trivial. Same
+    // 1-row × 1-row broadcast shape as q190b: at 100 TB the cost is the two
+    // O(k) partial aggregations; the set algebra is array arithmetic on 64
+    // longs.
+    q("q190c_kmv_difference",
+      "KMV sketch difference: even-id click users vs 5divisible-id purchase users, A\\B + B\\A + A∩B from one merged sketch")(
+      s"""WITH h AS (SELECT DISTINCT event_type, ${md5LongSql("'u:' || user_id")} AS h
+         |           FROM events
+         |           WHERE (event_type = 'click' AND user_id % 2 = 0)
+         |              OR (event_type = 'purchase' AND user_id % 5 = 0)),
+         |a AS (SELECT h FROM h WHERE event_type = 'click' ORDER BY h LIMIT 64),
+         |b AS (SELECT h FROM h WHERE event_type = 'purchase' ORDER BY h LIMIT 64),
+         |u AS (SELECT DISTINCT h FROM ((SELECT h FROM a) UNION (SELECT h FROM b))
+         |      ORDER BY h LIMIT 64),
+         |st AS (SELECT (SELECT count(*) FROM u) AS nl,
+         |              (SELECT max(h) FROM u) AS hk,
+         |              (SELECT count(*) FROM u
+         |               WHERE h IN (SELECT h FROM a) AND h NOT IN (SELECT h FROM b)) AS da,
+         |              (SELECT count(*) FROM u
+         |               WHERE h IN (SELECT h FROM b) AND h NOT IN (SELECT h FROM a)) AS db,
+         |              (SELECT count(*) FROM u
+         |               WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)) AS rho)
+         |SELECT CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db,
+         |       CAST(rho AS BIGINT) AS rho,
+         |       ${kmvEstimateSql("nl", "hk", 64)} AS est_union,
+         |       CAST(floor(da * ${kmvEstimateSql("nl", "hk", 64)}
+         |                  / CAST(greatest(least(nl, 64), 1) AS DOUBLE)) AS BIGINT) AS est_a_only,
+         |       CAST(floor(db * ${kmvEstimateSql("nl", "hk", 64)}
+         |                  / CAST(greatest(least(nl, 64), 1) AS DOUBLE)) AS BIGINT) AS est_b_only
+         |FROM st""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val kmv = udaf(new graft.functions.KmvAggregator(64))
+      val ev = Tables(s, dir, "events")
+        .filter((col("event_type") === "click" && col("user_id") % 2 === 0)
+          || (col("event_type") === "purchase" && col("user_id") % 5 === 0))
+        .select(col("event_type"),
+          md5Long(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+        .cache() // both sketch legs below
+      // GLOBAL aggs (q190b): an empty audience still yields one empty-sketch row
+      val a = ev.filter(col("event_type") === "click").agg(kmv(col("h")).as("am"))
+      val b = ev.filter(col("event_type") === "purchase").agg(kmv(col("h")).as("bm"))
+      a.crossJoin(broadcast(b)) // 1-row x 1-row sketch frames
+        .withColumn("l", slice(array_sort(array_union(col("am"), col("bm"))), 1, 64))
+        .withColumn("nl", size(col("l")))
+        .withColumn("da", size(filter(col("l"),
+          x => array_contains(col("am"), x) && !array_contains(col("bm"), x))))
+        .withColumn("db", size(filter(col("l"),
+          x => array_contains(col("bm"), x) && !array_contains(col("am"), x))))
+        .withColumn("rho", size(filter(col("l"),
+          x => array_contains(col("am"), x) && array_contains(col("bm"), x))))
+        .withColumn("uest", expr(kmvEstimateSql("nl", "element_at(l, 64)", 64)))
+        .select(col("da").cast("long").as("da"), col("db").cast("long").as("db"),
+          col("rho").cast("long").as("rho"),
+          col("uest").as("est_union"),
+          expr("CAST(floor(da * uest / CAST(greatest(least(nl, 64), 1) AS DOUBLE)) AS BIGINT)")
+            .as("est_a_only"),
+          expr("CAST(floor(db * uest / CAST(greatest(least(nl, 64), 1) AS DOUBLE)) AS BIGINT)")
+            .as("est_b_only"))
+    },
+
     // Mergeable histogram quantiles — the quantile member of the sketch
     // algebra family (q185 algebraic, q187/q190 distinct, q188 frequency):
     // fixed unit-width integer bins count per (type, hour) — the persisted

@@ -28,6 +28,20 @@ object PipelineQueries {
     * neither — the oracle proves the zero-count on every row, which pins the
     * pattern semantics cross-engine without relying on fixture content. */
   private val emailPat = "[a-z0-9._]+@[a-z0-9.]+"
+
+  /** q197's oracle: one full-batch GD epoch as a CTE pair — gradient sums
+    * over `d` with the previous weights (`prev`), then the weight update.
+    * min() over the cross-joined scalars ≙ "the" constant; `//` truncates
+    * toward zero exactly like Spark `div` and Scala Long division. */
+  private def logregStepSql(prev: String, g: String, w: String): String =
+    s"""$g AS (SELECT min(w0) AS w0, min(w1) AS w1, min(w2) AS w2, min(n) AS n,
+       |  sum(y - s) AS e0, sum((y - s) * x1) AS e1, sum((y - s) * x2) AS e2
+       |  FROM (SELECT y, x1, x2, w0, w1, w2, n,
+       |        least(greatest(500000 + ((w0*1000000 + w1*x1 + w2*x2) // 1000000), 0), 1000000) AS s
+       |        FROM d, $prev, nn)),
+       |$w AS (SELECT w0 + 2*(e0 // n) AS w0,
+       |               w1 + 2*(e1 // n // 1000000) AS w1,
+       |               w2 + 2*(e2 // n // 1000000) AS w2 FROM $g)""".stripMargin
   private val numPat = "[0-9]{3,}"
 
   /** q74's 16-bit × 2 z-order interleave as DuckDB SQL (declared before
@@ -1444,6 +1458,127 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy("lang", "seq_no")
+    },
+
+    // Distributed classifier TRAINING — full-batch gradient descent on a
+    // logistic gate with the piecewise-linear (hard-sigmoid) link,
+    // predicting the q36c quality gate (score ≥ 0.5) from its raw signals
+    // (token count, punctuation density). The 100 TB shape is MLlib's own:
+    // each iteration is ONE partial-aggregated scan (map-side combine, 3
+    // gradient sums + a count — a 4-long frame per partition), the model
+    // (3 weights) lives on the driver and enters the next scan as literals.
+    // Nothing else moves: no per-row state, no shuffle beyond the 1-row agg.
+    // All arithmetic is integer fixed-point µ-units (q195's discipline) —
+    // products ≤ 5e15 < 2^63, truncating `div` ≙ DuckDB `//` (both
+    // round toward zero, verified for negatives) — so the trained weights
+    // hash-match the oracle's 4 unrolled-CTE iterations bit for bit.
+    // Training accuracy rises 55.4% (majority) → 95.6% @ sf0.01 / 94.8% @
+    // sf0.1 — the gate genuinely learns, it doesn't memorize the majority.
+    q("q197_logreg_gd",
+      "full-batch GD logistic quality gate (hard-sigmoid, integer-exact): weights + train accuracy after 4 epochs")(
+      s"""WITH m AS (SELECT len(str_split(text, ' ')) AS n_tok,
+         |                  length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         |                  n_chars FROM documents),
+         |d AS (SELECT CAST(n_tok * 10000 - 500000 AS BIGINT) AS x1,
+         |             CAST(n_punct * 1000000 // n_chars - 30000 AS BIGINT) AS x2,
+         |             CAST(CASE WHEN least(n_tok / 100.0, 1.0) * (1.0 - n_punct * 1.0 / n_chars) >= 0.5
+         |                       THEN 1000000 ELSE 0 END AS BIGINT) AS y
+         |      FROM m),
+         |nn AS (SELECT count(*) AS n FROM d),
+         |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2),
+         |${(0 until 4).map(i => logregStepSql(s"w$i", s"g${i + 1}", s"w${i + 1}")).mkString(",\n")},
+         |fin AS (SELECT min(w0) AS w0, min(w1) AS w1, min(w2) AS w2, min(n) AS n,
+         |        sum(CASE WHEN (((w0*1000000 + w1*x1 + w2*x2) // 1000000) >= 0) = (y > 0)
+         |                 THEN 1 ELSE 0 END) AS n_correct
+         |        FROM d, w4, nn)
+         |SELECT CAST(w0 AS BIGINT) AS w0, CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2,
+         |       CAST(n_correct AS BIGINT) AS n_correct, CAST(n AS BIGINT) AS n,
+         |       CAST(n_correct * 1000 // n AS BIGINT) AS acc_milli
+         |FROM fin""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables.fanout(s, dir, "documents")
+        .select(size(split(col("text"), " ")).as("n_tok"),
+          (length(col("text"))
+            - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).as("n_punct"),
+          col("n_chars"))
+        .select(expr("CAST(n_tok * 10000 - 500000 AS BIGINT)").as("x1"),
+          expr("CAST(n_punct * 1000000 div n_chars - 30000 AS BIGINT)").as("x2"),
+          expr("CAST(CASE WHEN least(n_tok / 100.0, 1.0) * (1.0 - n_punct * 1.0 / n_chars) >= 0.5 " +
+            "THEN 1000000 ELSE 0 END AS BIGINT)").as("y"))
+        .cache() // 4 gradient scans + the final accuracy scan
+      // Driver-held model state (3 longs) — the distributed-GD contract:
+      // the SCAN is distributed, the O(d) model is not. Scala Long `/`
+      // truncates toward zero, same as Spark `div` / DuckDB `//`.
+      var (w0, w1, w2) = (0L, 0L, 0L)
+      for (_ <- 1 to 4) {
+        // CAST keeps the literal arithmetic BIGINT under ANSI (an int32
+        // `w0*1000000` overflows once |w0| > 2147)
+        val sig = s"least(greatest(500000 + ((CAST($w0 AS BIGINT)*1000000 + CAST($w1 AS BIGINT)*x1 " +
+          s"+ CAST($w2 AS BIGINT)*x2) div 1000000), 0), 1000000)"
+        val r = d.select(
+          sum(expr(s"y - $sig")).as("e0"),
+          sum(expr(s"(y - $sig) * x1")).as("e1"),
+          sum(expr(s"(y - $sig) * x2")).as("e2"),
+          count(lit(1)).as("n")).head() // 1-row gradient frame
+        val n = r.getLong(3)
+        w0 += 2 * (r.getLong(0) / n)
+        w1 += 2 * (r.getLong(1) / n / 1000000L)
+        w2 += 2 * (r.getLong(2) / n / 1000000L)
+      }
+      d.select(expr(s"CASE WHEN (((CAST($w0 AS BIGINT)*1000000 + CAST($w1 AS BIGINT)*x1 " +
+          s"+ CAST($w2 AS BIGINT)*x2) div 1000000) >= 0) = (y > 0) THEN 1 ELSE 0 END").as("c"))
+        .agg(sum(col("c")).as("n_correct"), count(lit(1)).as("n"))
+        .select(lit(w0).as("w0"), lit(w1).as("w1"), lit(w2).as("w2"),
+          col("n_correct").cast("long").as("n_correct"), col("n"),
+          expr("CAST(n_correct * 1000 div n AS BIGINT)").as("acc_milli"))
+    },
+
+    // Exact AUC (Mann–Whitney U) — the standard evaluation of a filtering
+    // classifier's ranking power, here scoring n_chars as a per-source
+    // detector of lang='en'. Tie-correct via average ranks WITHOUT ranking
+    // rows: group to the per-(source, score) HISTOGRAM first (bounded by
+    // |sources|·|distinct scores| — metadata scale, like q194's bins), then
+    // one partitioned cumulative window over the histogram yields
+    // 2·Σranks(pos) as pure integers: AUC = (2S − np(np+1)) / (2·np·nn).
+    // At 100 TB the only row-scale op is the histogram partial agg; the
+    // window runs over thousands of rows, not billions — and the integer U
+    // statistic hash-matches the oracle with no floating-point rank sums.
+    q("q198_auc_eval",
+      "exact tie-corrected AUC per source: n_chars as an en-detector (integer U statistic)")(
+      """WITH d AS (SELECT source, n_chars AS score,
+        |                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |g AS (SELECT source, score, count(*) AS c, sum(y) AS p FROM d GROUP BY source, score),
+        |cum AS (SELECT source, c, p,
+        |        coalesce(sum(c) OVER (PARTITION BY source ORDER BY score
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |        FROM g),
+        |t AS (SELECT source, sum(p * (2*cb + c + 1)) AS s2, sum(p) AS np, sum(c) - sum(p) AS nn
+        |      FROM cum GROUP BY source)
+        |SELECT source, CAST(np AS BIGINT) AS np, CAST(nn AS BIGINT) AS nn,
+        |       CAST(s2 - np*(np+1) AS BIGINT) AS u2,
+        |       round((s2 - np*(np+1)) / (2.0 * greatest(np * nn, 1)), 4) AS auc
+        |FROM t ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val g = Tables.fanout(s, dir, "documents")
+        .select(col("source"), col("n_chars").as("score"),
+          when(col("lang") === "en", 1).otherwise(0).as("y"))
+        .groupBy("source", "score")
+        .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+      val w = Window.partitionBy("source").orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+        .groupBy("source")
+        .agg(sum(col("p") * (col("cb") * 2 + col("c") + 1)).as("s2"),
+          sum(col("p")).as("np"), (sum(col("c")) - sum(col("p"))).as("nn"))
+        .select(col("source"), col("np").cast("long").as("np"),
+          col("nn").cast("long").as("nn"),
+          expr("CAST(s2 - np*(np+1) AS BIGINT)").as("u2"),
+          // column-level double division — Spark would parse a SQL-text
+          // `2.0` as DECIMAL(2,1) and produce a DECIMAL(26,4) auc
+          round((col("s2") - col("np") * (col("np") + lit(1))).cast("double")
+            / (greatest(col("np") * col("nn"), lit(1L)).cast("double") * 2.0), 4)
+            .as("auc"))
+        .orderBy("source")
     }
   )
 }

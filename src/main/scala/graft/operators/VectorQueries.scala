@@ -1354,6 +1354,77 @@ object VectorQueries {
         .select(col("i").cast("long").as("i"), col("loading"),
           round(col("nrm"), 4).as("lam"))
         .orderBy("i")
+    },
+
+    // MMR diversified re-rank — the standard post-retrieval stage (Carbonell
+    // & Goldstein '98): from the ANN head's top-20 relevance candidates,
+    // greedily pick 5 maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s), λ=0.7.
+    // The DISTRIBUTED work is the retrieval scan (one pass, TakeOrdered 20);
+    // the re-rank then runs entirely on ≤20-row cached frames — 4 greedy
+    // steps of [anti-join picked] ⋈ [max-sim-to-picked] → argmax, every
+    // frame bounded by the candidate count k, never the corpus. Cosines go
+    // through the codegen'd CosineSimilarity fold — bit-identical to the
+    // oracle's list_dot_product, so the greedy argmax (tie-broken by cid)
+    // picks the same chain and the scores hash-match at round-4. The oracle
+    // is the same greedy as a recursive CTE carrying the picked set.
+    q("q199_mmr_rerank",
+      "MMR diversified top-5 from cosine top-20 (λ=0.7), greedy argmax chain")(
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |qv AS (SELECT e, nrm FROM v JOIN n USING (vec_id) WHERE vec_id = 0),
+        |cand AS (SELECT c.vec_id AS cid, c.e, nc.nrm,
+        |                list_dot_product(q.e, c.e) / (q.nrm * nc.nrm) AS rel
+        |         FROM v c JOIN n nc ON nc.vec_id = c.vec_id, qv q
+        |         WHERE c.vec_id <> 0
+        |         ORDER BY rel DESC, cid LIMIT 20),
+        |sim AS (SELECT a.cid AS a, b.cid AS b,
+        |               list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cs
+        |        FROM cand a, cand b WHERE a.cid <> b.cid),
+        |sel AS (
+        |  (SELECT 1 AS step, cid, 0.7 * rel AS score, [cid] AS picked
+        |   FROM cand ORDER BY rel DESC, cid LIMIT 1)
+        |  UNION ALL
+        |  SELECT sel.step + 1, nxt.cid, nxt.score, list_append(sel.picked, nxt.cid)
+        |  FROM sel, LATERAL (
+        |    SELECT c.cid,
+        |           0.7 * c.rel - 0.3 * (SELECT max(s.cs) FROM sim s
+        |                                WHERE s.a = c.cid AND list_contains(sel.picked, s.b)) AS score
+        |    FROM cand c WHERE NOT list_contains(sel.picked, c.cid)
+        |    ORDER BY score DESC, c.cid LIMIT 1) nxt
+        |  WHERE sel.step < 5)
+        |SELECT CAST(step AS BIGINT) AS rnk, CAST(cid AS BIGINT) AS cid,
+        |       round(score, 4) + 0 AS mmr
+        |FROM sel ORDER BY rnk""".stripMargin
+    ) { (s, dir) =>
+      import graft.expressions.VectorFunctions.cosine
+      val emb = Tables.fanout(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val cand = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv)) // 1-row query-vector frame × the scan
+        .select(col("vec_id").as("cid"), col("embedding").as("e"),
+          cosine(col("qe"), col("embedding")).as("rel"))
+        .orderBy(col("rel").desc, col("cid")).limit(20)
+        .cache() // ≤20 rows — every frame below is bounded by k, not data
+      val sim = cand.select(col("cid").as("a"), col("e").as("ea"))
+        .join(cand.select(col("cid").as("b"), col("e").as("eb")), col("a") =!= col("b"))
+        .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cs"))
+        .cache() // ≤ k·(k−1) rows
+      var sel = cand.orderBy(col("rel").desc, col("cid")).limit(1)
+        .select(lit(1L).as("rnk"), col("cid"), (lit(0.7) * col("rel")).as("mmr"))
+      for (k <- 2 to 5) {
+        val picked = sel.select(col("cid").as("pc"))
+        val maxsim = sim.join(broadcast(picked), col("b") === col("pc"))
+          .groupBy(col("a")).agg(max(col("cs")).as("ms"))
+        val next = cand.join(broadcast(picked), col("cid") === col("pc"), "left_anti")
+          .join(broadcast(maxsim), col("cid") === col("a"))
+          .select(lit(k.toLong).as("rnk"), col("cid"),
+            (lit(0.7) * col("rel") - lit(0.3) * col("ms")).as("mmr"))
+          .orderBy(col("mmr").desc, col("cid")).limit(1)
+        sel = sel.unionByName(next)
+      }
+      sel.select(col("rnk"), col("cid"), round(col("mmr"), 4).as("mmr"))
+        .orderBy("rnk")
     }
   )
 }

@@ -204,4 +204,37 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(out.toSeq == expected)
     spark.catalog.clearCache()
   }
+
+  test("q197 logreg gate genuinely learns: accuracy strictly above majority baseline") {
+    val row = SparkEntry.queries("q197_logreg_gd")(spark, dir).head()
+    val (nCorrect, n) = (row.getAs[Long]("n_correct"), row.getAs[Long]("n"))
+    // majority baseline at sf0.01: 277 positive / 500 docs (q36c gate)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(n == docs)
+    val majority = math.max(277L, docs - 277L)
+    assert(nCorrect > majority + 100,
+      s"trained gate $nCorrect/$n should clearly beat majority $majority")
+    // weights must be non-trivial (not the all-zero init, not bias-only)
+    assert(row.getAs[Long]("w1") != 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("q198 exact AUC matches a brute-force pair count per source") {
+    val out = SparkEntry.queries("q198_auc_eval")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("np"), r.getAs[Long]("nn"), r.getAs[Long]("u2")))
+      .toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "n_chars", "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2) == "en"))
+    for ((src, group) <- docs.groupBy(_._1)) {
+      val pos = group.filter(_._3).map(_._2)
+      val neg = group.filterNot(_._3).map(_._2)
+      // 2U = 2·#{(p,n): p>n} + #{(p,n): p==n}  (tie-corrected Mann–Whitney)
+      val u2 = pos.map(p => 2L * neg.count(p > _) + neg.count(p == _)).sum
+      assert(out(src) == (pos.length.toLong, neg.length.toLong, u2),
+        s"source $src: got ${out(src)}, want (${pos.length},${neg.length},$u2)")
+    }
+    spark.catalog.clearCache()
+  }
 }
