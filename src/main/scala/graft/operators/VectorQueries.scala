@@ -1359,14 +1359,16 @@ object VectorQueries {
     // MMR diversified re-rank — the standard post-retrieval stage (Carbonell
     // & Goldstein '98): from the ANN head's top-20 relevance candidates,
     // greedily pick 5 maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s), λ=0.7.
-    // The DISTRIBUTED work is the retrieval scan (one pass, TakeOrdered 20);
-    // the re-rank then runs entirely on ≤20-row cached frames — 4 greedy
-    // steps of [anti-join picked] ⋈ [max-sim-to-picked] → argmax, every
-    // frame bounded by the candidate count k, never the corpus. Cosines go
-    // through the codegen'd CosineSimilarity fold — bit-identical to the
-    // oracle's list_dot_product, so the greedy argmax (tie-broken by cid)
-    // picks the same chain and the scores hash-match at round-4. The oracle
-    // is the same greedy as a recursive CTE carrying the picked set.
+    // The DISTRIBUTED work is the retrieval scan (one pass, TakeOrdered 20)
+    // and the k×(k−1) candidate-pair cosines; the greedy argmax chain then
+    // runs on the DRIVER over the collected ≤k+k(k−1)=400-row head — bounded
+    // by the candidate count by construction, never the corpus (the
+    // LayoutWriter discipline; 4 chained limit(1) Spark jobs for 5-of-20
+    // measured 4.3 s of pure scheduling overhead). Cosines go through the
+    // codegen'd CosineSimilarity fold — bit-identical to the oracle's
+    // list_dot_product — and the driver greedy applies the same IEEE
+    // 0.7·rel − 0.3·maxsim doubles with the same cid tiebreak, so the chain
+    // matches the recursive-CTE oracle at both scales.
     q("q199_mmr_rerank",
       "MMR diversified top-5 from cosine top-20 (λ=0.7), greedy argmax chain")(
       """WITH RECURSIVE
@@ -1405,25 +1407,30 @@ object VectorQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("e"),
           cosine(col("qe"), col("embedding")).as("rel"))
         .orderBy(col("rel").desc, col("cid")).limit(20)
-        .cache() // ≤20 rows — every frame below is bounded by k, not data
-      val sim = cand.select(col("cid").as("a"), col("e").as("ea"))
+        .cache() // ≤20 rows — candidate head, bounded by k not data
+      val rels = cand.select(col("cid"), col("rel")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val sims = cand.select(col("cid").as("a"), col("e").as("ea"))
         .join(cand.select(col("cid").as("b"), col("e").as("eb")), col("a") =!= col("b"))
         .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cs"))
-        .cache() // ≤ k·(k−1) rows
-      var sel = cand.orderBy(col("rel").desc, col("cid")).limit(1)
-        .select(lit(1L).as("rnk"), col("cid"), (lit(0.7) * col("rel")).as("mmr"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // driver-side greedy over the ≤400-row head (bounded by k²)
+      val first = rels.minBy { case (cid, rel) => (-rel, cid) }
+      val picked = scala.collection.mutable.ArrayBuffer(
+        (1L, first._1, 0.7 * first._2))
       for (k <- 2 to 5) {
-        val picked = sel.select(col("cid").as("pc"))
-        val maxsim = sim.join(broadcast(picked), col("b") === col("pc"))
-          .groupBy(col("a")).agg(max(col("cs")).as("ms"))
-        val next = cand.join(broadcast(picked), col("cid") === col("pc"), "left_anti")
-          .join(broadcast(maxsim), col("cid") === col("a"))
-          .select(lit(k.toLong).as("rnk"), col("cid"),
-            (lit(0.7) * col("rel") - lit(0.3) * col("ms")).as("mmr"))
-          .orderBy(col("mmr").desc, col("cid")).limit(1)
-        sel = sel.unionByName(next)
+        val chosen = picked.map(_._2).toSet
+        val (cid, score) = rels.filterNot(c => chosen(c._1))
+          .map { case (cid, rel) =>
+            val ms = chosen.iterator.map(p => sims((cid, p))).max
+            (cid, 0.7 * rel - 0.3 * ms)
+          }
+          .minBy { case (cid, sc) => (-sc, cid) }
+        picked += ((k.toLong, cid, score))
       }
-      sel.select(col("rnk"), col("cid"), round(col("mmr"), 4).as("mmr"))
+      import s.implicits._
+      picked.toSeq.toDF("rnk", "cid", "mmr")
+        .select(col("rnk"), col("cid"), round(col("mmr"), 4).as("mmr"))
         .orderBy("rnk")
     }
   )

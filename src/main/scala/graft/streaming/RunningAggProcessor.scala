@@ -9,15 +9,22 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * (SURVEY.md §2B B32), successor API to flatMapGroupsWithState (which the
   * engine also implements in StreamingQueries.q32). Requires the RocksDB
   * state store provider.
+  *
+  * `ttl` bounds the per-key ValueState lifetime (the q152-class risk:
+  * running aggregates for keys never seen again live forever without it).
+  * Default NONE keeps the bounded-replay registry path on TimeMode.None;
+  * a production deployment passes a TTL and TimeMode.ProcessingTime —
+  * both laws (pre-expiry equivalence, cross-batch expiry) are proven for
+  * this processor in StateTtlSpec's ValueState arm.
   */
-class RunningAggProcessor
+class RunningAggProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
 
   @transient private var state: ValueState[(Long, Double)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     state = getHandle.getValueState[(Long, Double)]("agg",
-      Encoders.product[(Long, Double)], TTLConfig.NONE)
+      Encoders.product[(Long, Double)], ttl)
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
       timers: TimerValues): Iterator[(Long, Long, Double)] = {

@@ -55,8 +55,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q188_heavy_hitters" -> "1-row total-token-count scalar × the ≤63-row verified-candidate counts",
     "q190b_kmv_intersection" -> "1-row × 1-row KMV sketch frames (64-element arrays)",
     "q190c_kmv_difference" -> "1-row × 1-row KMV sketch frames (64-element arrays)",
-    "q195_pca_power" -> "1-row norm and eigenvalue scalars × the 64-row component frame (post-checkpoint final round)",
-    "q199_mmr_rerank" -> "1-row query-vector frame × the scan; re-rank joins run on ≤20-row candidate frames")
+    "q195_pca_power" -> "1-row norm and eigenvalue scalars × the 64-row component frame (post-checkpoint final round)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

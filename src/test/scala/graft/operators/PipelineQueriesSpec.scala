@@ -219,6 +219,27 @@ class PipelineQueriesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q201 holdout gate generalizes: held-out accuracy beats the held-out majority") {
+    val row = SparkEntry.queries("q201_holdout_eval")(spark, dir).head()
+    val (tp, fp, tn, fneg) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"),
+      row.getAs[Long]("tn"), row.getAs[Long]("fneg"))
+    val nTest = row.getAs[Long]("n_test")
+    assert(tp + fp + tn + fneg == nTest)
+    val majority = math.max(tp + fneg, tn + fp) // best constant predictor
+    assert(tp + tn > majority + 20,
+      s"holdout ${tp + tn}/$nTest should clearly beat majority $majority")
+    spark.catalog.clearCache()
+  }
+
+  test("q200 calibration bins are monotone in predicted probability and partition the corpus") {
+    val bins = SparkEntry.queries("q200_calibration")(spark, dir).collect()
+    val preds = bins.map(_.getAs[Long]("pred_milli"))
+    assert(preds.sameElements(preds.sorted), "bin means must increase with bin index")
+    val total = bins.map(_.getAs[Long]("n")).sum
+    assert(total == spark.read.parquet(s"$dir/documents.parquet").count())
+    spark.catalog.clearCache()
+  }
+
   test("q198 exact AUC matches a brute-force pair count per source") {
     val out = SparkEntry.queries("q198_auc_eval")(spark, dir).collect()
       .map(r => r.getAs[String]("source") ->

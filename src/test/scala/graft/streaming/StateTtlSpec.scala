@@ -118,4 +118,64 @@ class StateTtlSpec extends AnyFunSuite {
         s"entry must not survive past its TTL: $rows")
     }
   }
+
+  /** ValueState twin of [[runBatches]]: feeds (key, value) rows through the
+    * TTL'd RunningAggProcessor (per-key running count/max in ONE ValueState
+    * — the q152-class shape), polling one emission per touched key per
+    * batch. */
+  private def runValueBatches(ttl: TTLConfig, batches: Seq[Seq[(Long, Double)]],
+      gapMs: Long): Seq[(Long, Long, Double)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new RunningAggProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+    val name = s"ttlv_${System.nanoTime()}"
+    val q = out.toDF("k", "n", "mx").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ttlvck").toString)
+      .format("memory").queryName(name).start()
+    try {
+      var expected = 0L
+      batches.zipWithIndex.foreach { case (batch, i) =>
+        if (i > 0 && gapMs > 0) Thread.sleep(gapMs)
+        ms.addData(batch: _*)
+        expected += batch.map(_._1).distinct.size
+        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+        while (spark.table(name).count() < expected
+            && System.nanoTime() < deadline) Thread.sleep(200)
+        assert(spark.table(name).count() >= expected,
+          s"timed out waiting for batch $i emissions")
+      }
+    } finally q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+  }
+
+  test("ValueState pre-expiry: a long TTL leaves the running count/max identical") {
+    withStreamConf {
+      val rows = runValueBatches(TTLConfig(java.time.Duration.ofHours(1)),
+        Seq(Seq((1L, 5.0), (1L, 9.0), (2L, 3.0)), Seq((1L, 7.0))), gapMs = 0)
+      // count continues 2 → 3 and the max carries across the batch gap
+      assert(rows.toSet == Set((1L, 2L, 9.0), (2L, 1L, 3.0), (1L, 3L, 9.0)),
+        rows.toString)
+    }
+  }
+
+  test("ValueState cross-batch expiry: the running aggregate restarts after the TTL") {
+    withStreamConf {
+      val ttlMs = 1500L
+      val rows = runValueBatches(TTLConfig(java.time.Duration.ofMillis(ttlMs)),
+        Seq(Seq((1L, 5.0), (1L, 9.0)), Seq((1L, 7.0))), gapMs = ttlMs * 4)
+      assert(rows.contains((1L, 2L, 9.0)))
+      // after the > TTL gap the ValueState is GONE: count restarts at 1 and
+      // the max forgets the earlier 9.0
+      assert(rows.contains((1L, 1L, 7.0)),
+        s"expected expired running aggregate to restart: $rows")
+      assert(!rows.contains((1L, 3L, 9.0)),
+        s"running aggregate must not survive past its TTL: $rows")
+    }
+  }
 }
