@@ -975,6 +975,37 @@ object AnalyticsQueries {
           min(when(col("cc") * 100 >= col("n") * 99, col("bin"))).as("p99_bin"),
           max(col("n")).as("n"))
         .orderBy("event_type")
+    },
+
+    // Per-group closed-form OLS — the trend-per-key operator (chars-per-
+    // token slope by language): slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²) off
+    // FIVE integer partial-aggregated sums in ONE grouped scan — the
+    // canonical "fit millions of tiny models with zero extra passes"
+    // shape (map-side combine carries 5 longs per (partition, group)).
+    // All moments and the milli-scaled slope/intercept are integer
+    // arithmetic with truncating div, so every group row hash-matches.
+    q("q202_grouped_ols",
+      "per-lang OLS chars-on-tokens: slope/intercept (milli) from one pass of integer moments")(
+      """WITH d AS (SELECT lang, len(str_split(text, ' ')) AS x, n_chars AS y FROM documents),
+        |g AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM d GROUP BY lang)
+        |SELECT lang, CAST(n AS BIGINT) AS n,
+        |       CAST((1000*(n*sxy - sx*sy)) // (n*sxx - sx*sx) AS BIGINT) AS slope_milli,
+        |       CAST((1000*sy - ((1000*(n*sxy - sx*sy)) // (n*sxx - sx*sx)) * sx) // n AS BIGINT) AS icept_milli
+        |FROM g ORDER BY lang""".stripMargin
+    ) { (s, dir) =>
+      Tables.fanout(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("x"),
+          col("n_chars").as("y"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("lang"), col("n"),
+          expr("CAST((1000*(n*sxy - sx*sy)) div (n*sxx - sx*sx) AS BIGINT)").as("slope_milli"),
+          expr("CAST((1000*sy - ((1000*(n*sxy - sx*sy)) div (n*sxx - sx*sx)) * sx) div n AS BIGINT)")
+            .as("icept_milli"))
+        .orderBy("lang")
     }
   )
 }
