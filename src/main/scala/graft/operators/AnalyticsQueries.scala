@@ -1006,6 +1006,55 @@ object AnalyticsQueries {
           expr("CAST((1000*sy - ((1000*(n*sxy - sx*sy)) div (n*sxx - sx*sx)) * sx) div n AS BIGINT)")
             .as("icept_milli"))
         .orderBy("lang")
+    },
+
+    // Robust per-group outlier detection via MAD (median absolute
+    // deviation) — the resistant twin of q97's mean/stddev z-score (one
+    // gross outlier corrupts a mean; the median/MAD pair shrugs it off).
+    // Exactness discipline: values quantize to integer centi-units via
+    // floor (floor is bit-identical cross-engine; round-half is not), and
+    // every median is interpolated over INTEGERS — both engines compute
+    // (a+b)/2 of int64-range integers, exact in doubles — so med is a
+    // half-integer, |v−med| a half-integer, MAD a quarter-integer, and the
+    // 4× / 2× scalings published below are EXACT BIGINTs (no display
+    // rounding of .25/.5 values, where engine half-rounding rules would
+    // diverge). The outlier test |v−med| > 3·MAD compares exact dyadic
+    // doubles. Scale shape: two grouped medians + two equi-joins against
+    // the |groups|-bounded med/MAD frames (broadcast). Exact grouped
+    // median buffers one group's values per task — fine while per-group
+    // cardinality is memory-bounded; at unbounded cardinality swap in the
+    // mergeable-sketch quantiles (q41b GK / q194 histogram), same shape.
+    q("q205_mad_outliers",
+      "per-type robust outliers: |v - median| > 3*MAD in exact integer centi-units")(
+      """WITH x AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |med AS (SELECT event_type, median(v) AS med FROM x GROUP BY event_type),
+        |dev AS (SELECT x.event_type, x.v, abs(x.v - m.med) AS ad
+        |        FROM x JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(2 * min(me.med) AS BIGINT) AS med2,
+        |       CAST(4 * min(ma.mad) AS BIGINT) AS mad4,
+        |       CAST(sum(CASE WHEN d.ad > 3 * ma.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       CAST(max(CASE WHEN d.ad > 3 * ma.mad THEN d.v END) AS BIGINT) AS worst_v
+        |FROM dev d JOIN mad ma USING (event_type) JOIN med me USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+    ) { (s, dir) =>
+      val x = Tables.fanout(s, dir, "events")
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("v"))
+        .cache() // median pass + deviation pass
+      val med = x.groupBy("event_type").agg(median(col("v")).as("med"))
+      val dev = x.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("v"), abs(col("v") - col("med")).as("ad"))
+        .cache() // MAD pass + final scan
+      val mad = dev.groupBy("event_type").agg(median(col("ad")).as("mad"))
+      dev.join(broadcast(mad), "event_type").join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (lit(2) * min(col("med"))).cast("long").as("med2"),
+          (lit(4) * min(col("mad"))).cast("long").as("mad4"),
+          sum(when(col("ad") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+          max(when(col("ad") > lit(3) * col("mad"), col("v"))).as("worst_v"))
+        .orderBy("event_type")
     }
   )
 }

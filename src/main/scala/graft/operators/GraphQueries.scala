@@ -466,6 +466,68 @@ object GraphQueries {
           .localCheckpoint(true)
       }
       lab.select(col("node"), col("lab").cast("long").as("community")).orderBy("node")
+    },
+
+    // Weighted single-source shortest paths — Bellman-Ford relaxation, the
+    // weighted completion of q122's unweighted BFS. Edge weight = min
+    // l_quantity over the multi-edges of each undirected pair (small exact
+    // integers — no float distance anywhere). Six synchronous relaxation
+    // rounds: dist' = min(dist, min over in-edges (dist[u] + w)) — the
+    // frame after round i holds the exact min-cost over paths of ≤ i edges,
+    // a well-defined quantity whether or not the graph has converged, so
+    // Spark and the 6-round unrolled oracle agree by construction (no
+    // fixpoint-detection contract needed). Scale shape = q122/q80's Pregel
+    // form: per round one equi-join of the |reached|-bounded distance frame
+    // (size-switched broadcast) against the checkpointed edge list + one
+    // partial-aggregated min groupBy; lineage truncated per round
+    // (NOTES.md). At 100 TB the distance frame co-partitions with the
+    // edges on u instead of broadcasting — same switch as PageRank.
+    q("q204_weighted_sssp",
+      "6-round Bellman-Ford distances from node 1 (min-quantity edge weights)")(
+      {
+        def round(i: Int) =
+          s"""d$i AS MATERIALIZED (
+             |  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+             |    SELECT node, d FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT e.v AS node, x.d + e.w AS d
+             |    FROM d${i - 1} x JOIN e ON e.u = x.node)
+             |  GROUP BY node)""".stripMargin
+        s"""WITH raw AS (SELECT l_partkey % 9973 AS a, l_suppkey % 9973 AS b,
+           |                    CAST(l_quantity AS BIGINT) AS q
+           |             FROM lineitem WHERE l_quantity < 4),
+           |e0 AS MATERIALIZED (SELECT least(a, b) AS u, greatest(a, b) AS v,
+           |                           CAST(min(q) AS BIGINT) AS w
+           |                    FROM raw WHERE a <> b GROUP BY 1, 2),
+           |e AS MATERIALIZED (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+           |d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d),
+           |${(1 to 6).map(round).mkString(",\n")}
+           |SELECT node, d FROM d6 ORDER BY node""".stripMargin
+      }
+    ) { (s, dir) =>
+      import s.implicits._
+      val e0 = Tables.fanout(s, dir, "lineitem")
+        .filter(col("l_quantity") < 4)
+        .select((col("l_partkey") % 9973).as("a"), (col("l_suppkey") % 9973).as("b"),
+          col("l_quantity").cast("long").as("q"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"),
+          col("q"))
+        .groupBy("u", "v").agg(min(col("q")).as("w"))
+      val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+        .localCheckpoint(true) // re-joined every round
+      // the distance frame is bounded by |V| of the edge list — count once
+      val nV = e.select(col("u")).distinct().count()
+      var dist = Seq((1L, 0L)).toDF("node", "d")
+      for (_ <- 1 to 6) {
+        val relaxed = e.join(
+            maybeBroadcast(dist.select(col("node").as("u"), col("d")), nV), "u")
+          .select(col("v").as("node"), (col("d") + col("w")).as("d"))
+        dist = dist.unionAll(relaxed)
+          .groupBy("node").agg(min(col("d")).as("d"))
+          .localCheckpoint(true) // truncate per-round lineage
+      }
+      dist.orderBy("node")
     }
   )
 }

@@ -867,6 +867,105 @@ object TextQueries {
         .filter(col("cnt") * 32 > col("n"))
         .select(col("tok"), col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
+    },
+
+    // Hybrid retrieval via Reciprocal Rank Fusion — the modern RAG-stack
+    // composition of the repo's two rankers: the q110 BM25 lexical leg over
+    // `documents` and a semantic leg ranking `embeddings` by cosine to a
+    // query vector (vec_id 0; the fixtures align doc_id ≙ vec_id). Each leg
+    // independently takes its top-50 (global top-k ⇒ TakeOrderedAndProject —
+    // a k-bounded partial top-k per partition, never a global sort), ranks
+    // INSIDE the ≤50-row shortlist with the q36g sorted-array trick (no
+    // unpartitioned WindowExec — GlobalPlanGuardSpec's invariant), and the
+    // fusion is a ≤100-row union + groupBy: rrf = Σ 1000000 // (60 + rank)
+    // in exact BIGINT floor division (RRF's 1/(k+r) scaled to integers so
+    // no float sum crosses engines; k=60 per Cormack et al.). Determinism:
+    // both legs rank on the ROUNDED score (4 dp) with id tie-break — scores
+    // are bit-identical cross-engine before the round (BM25: fixed-shape ln
+    // + sequential term-sorted fold; cosine: the codegen fold ≙
+    // list_dot_product). 100 TB shape: the corpus-sized work is two
+    // independent scans feeding bounded top-ks; fusion cost is O(k).
+    q("q203_rrf_hybrid",
+      "hybrid retrieval: BM25 + cosine legs fused by integer reciprocal-rank fusion")(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(dlen) AS BIGINT) / (1.0 * count(*)) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |       WHERE term IN ('spark', 'merge', 'stream') GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+        |       WHERE term IN ('spark', 'merge', 'stream') GROUP BY term),
+        |sc AS (SELECT t.doc_id, t.term,
+        |              ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |              (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl)) AS score
+        |       FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+        |bm AS (SELECT doc_id,
+        |              round(list_reduce(list_prepend(0.0, list(score ORDER BY term)), (a, x) -> a + x), 4) AS b4
+        |       FROM sc GROUP BY doc_id),
+        |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY b4 DESC, doc_id) AS BIGINT) AS r
+        |        FROM bm ORDER BY b4 DESC, doc_id LIMIT 50),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |cs AS (SELECT c.vec_id AS doc_id,
+        |              round(list_dot_product(q.e, c.e) / (nq.nrm * nc.nrm), 4) AS c4
+        |       FROM v q JOIN n nq ON nq.vec_id = q.vec_id,
+        |            v c JOIN n nc ON nc.vec_id = c.vec_id
+        |       WHERE q.vec_id = 0 AND c.vec_id <> 0),
+        |sem AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY c4 DESC, doc_id) AS BIGINT) AS r
+        |        FROM cs ORDER BY c4 DESC, doc_id LIMIT 50),
+        |u AS (SELECT doc_id, r, 'lex' AS leg FROM lex
+        |      UNION ALL SELECT doc_id, r, 'sem' FROM sem)
+        |SELECT doc_id,
+        |       max(CASE WHEN leg = 'lex' THEN r END) AS lex_rank,
+        |       max(CASE WHEN leg = 'sem' THEN r END) AS sem_rank,
+        |       CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val qterms = Seq("spark", "merge", "stream")
+      // ---- lexical leg: the q110 BM25 chain, ranked on the rounded score
+      val tok = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .cache() // dl, tf, df all read it
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen")).cache()
+      val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+        (sum(col("dlen")).cast("long") / (lit(1.0) * count(lit(1)))).as("avgdl"))
+      val tf = tok.filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tok.filter(col("term").isin(qterms: _*))
+        .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val score = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (col("tf") * 2.2) / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl")))
+      val bm = tf.join(broadcast(dfq), "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"), score.as("score"))
+        .groupBy("doc_id")
+        .agg(round(aggregate(array_sort(collect_list(struct(col("term"), col("score")))),
+          lit(0.0), (a, x) => a + x.getField("score")), 4).as("b4"))
+      // rank inside the shortlist: sort_array over (-score, id) structs,
+      // posexplode position + 1 = rank — no unpartitioned window
+      def shortlistRanks(leg: String, scored: org.apache.spark.sql.DataFrame,
+                         scoreCol: String): org.apache.spark.sql.DataFrame =
+        scored.orderBy(col(scoreCol).desc, col("doc_id")).limit(50)
+          .groupBy() // ≤50 rows post-top-k — single tiny group by design
+          .agg(sort_array(collect_list(struct((-col(scoreCol)).as("ns"), col("doc_id")))).as("a"))
+          .select(posexplode(col("a")).as(Seq("pos", "x")))
+          .select(col("x.doc_id").as("doc_id"), (col("pos") + 1).cast("long").as("r"),
+            lit(leg).as("leg"))
+      val lex = shortlistRanks("lex", bm, "b4")
+      // ---- semantic leg: cosine of every vector to the query (vec_id 0)
+      val emb = Tables.fanout(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val semScored = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(graft.expressions.VectorFunctions.cosine(col("qe"), col("embedding")), 4).as("c4"))
+      val sem = shortlistRanks("sem", semScored, "c4")
+      // ---- fusion: ≤100 rows, exact integer RRF contributions
+      lex.unionAll(sem)
+        .groupBy("doc_id")
+        .agg(max(when(col("leg") === "lex", col("r"))).as("lex_rank"),
+          max(when(col("leg") === "sem", col("r"))).as("sem_rank"),
+          sum(expr("1000000L div (60 + r)")).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     }
   )
 }

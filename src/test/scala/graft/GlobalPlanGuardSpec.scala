@@ -27,6 +27,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q76b_bpe_encode" -> "3-row trained-merge table × distinct-token frame",
     "q76c_bpe_train_deep" -> "1-row argmax merge-pair frame per checkpointed round (32 rounds; products live inside the materialized rounds, not the final plan)",
     "q110_bm25" -> "1-row corpus stats (N, avgdl) × term-match stream",
+    "q203_rrf_hybrid" -> "1-row corpus stats (q110's shape) + 1-row query-vector frame × corpus scan",
     "q175_retrieval_eval" -> "1-row corpus stats (N, avgdl) × term-match stream (q110's shape)",
     "q90_skew_report" -> "1-row grand-total frame × per-key share table",
     "q102_quantile_norm" -> "1-row global-count frame × ranked rows; ≤(parts×|lang|)-row rank-offset triangular join (DistributedRank)",
