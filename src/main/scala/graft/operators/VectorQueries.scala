@@ -1432,6 +1432,108 @@ object VectorQueries {
       picked.toSeq.toDF("rnk", "cid", "mmr")
         .select(col("rnk"), col("cid"), round(col("mmr"), 4).as("mmr"))
         .orderBy("rnk")
+    },
+
+    // kNN classification — the non-parametric member of the eval suite
+    // (next to the trained gate q197/q200/q201): predict each held-out
+    // vector's label as the majority vote of its 5 exact-cosine nearest
+    // TRAIN neighbors, and report the label confusion matrix. Held-out
+    // slice = vec_id < 100 (a BOUNDED broadcast frame — the scan stays
+    // linear in the corpus, never n²); per-query top-5 runs through the
+    // NATIVE TopKPerKeyExec (O(n log k) heaps + k-bounded exchange — no
+    // per-query partition sort anywhere); the majority vote folds
+    // (count, label) into one BIGINT max with smallest-label tie-break
+    // (q183's mode encoding — no argmax tie-order contract). At real scale
+    // the exact-scan leg swaps for IVF candidate generation (q35g) with
+    // the identical vote/confusion tail. Cosines are the codegen fold ≙
+    // list_dot_product, ranks tie-break on cid — fully deterministic.
+    q("q206_knn_classifier",
+      "5-NN majority-vote label prediction for 100 held-out vectors: confusion matrix")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |q AS (SELECT v.vec_id AS qid, v.e, n.nrm FROM v JOIN n USING (vec_id) WHERE vec_id < 100),
+        |t AS (SELECT v.vec_id AS cid, v.e, n.nrm, em.label
+        |      FROM v JOIN n USING (vec_id) JOIN embeddings em ON em.vec_id = v.vec_id
+        |      WHERE v.vec_id >= 100),
+        |sc AS (SELECT q.qid, t.cid, t.label,
+        |              list_dot_product(q.e, t.e) / (q.nrm * t.nrm) AS cs
+        |       FROM q, t),
+        |top AS (SELECT qid, label FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn
+        |           FROM sc)
+        |        WHERE rn <= 5),
+        |vote AS (SELECT qid, label AS lab, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM top GROUP BY qid, label),
+        |pred AS (SELECT qid, 999 - (m % 1000) AS plab
+        |         FROM (SELECT qid, max(cnt * 1000 + (999 - lab)) AS m FROM vote GROUP BY qid)),
+        |tru AS (SELECT vec_id AS qid, label FROM embeddings WHERE vec_id < 100)
+        |SELECT CAST(t.label AS BIGINT) AS true_label, CAST(p.plab AS BIGINT) AS pred_label,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM tru t JOIN pred p USING (qid)
+        |GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin
+    ) { (s, dir) =>
+      import graft.expressions.VectorFunctions.cosine
+      val emb = Tables.fanout(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val tr = emb.filter(col("vec_id") >= 100)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label"))
+      val sc = tr.crossJoin(broadcast(qs)) // 100-row held-out frame × train scan
+        .select(col("qid"), col("cid"), col("label"),
+          cosine(col("qe"), col("ce")).as("cs"))
+      val top = graft.plans.TopKPerKey
+        .topK(sc, Seq(col("qid")), Seq(col("cs").desc, col("cid")), 5)
+        .select("qid", "label")
+      val vote = top.groupBy("qid", "label").agg(count(lit(1)).as("cnt"))
+      val pred = vote.groupBy("qid")
+        .agg(max(col("cnt") * 1000 + (lit(999) - col("label"))).as("m"))
+        .select(col("qid"), (lit(999) - (col("m") % 1000)).as("plab"))
+      val tru = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("label").as("true_label"))
+      tru.join(pred, "qid")
+        .groupBy(col("true_label").cast("long").as("true_label"),
+          col("plab").cast("long").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    },
+
+    // Cluster-quality evaluation: PURITY of the q35f k-means clustering
+    // against the ground-truth labels — per cluster, the majority label's
+    // share in exact integer milli-units (purity = Σ majority / n is the
+    // standard external clustering metric; computing it per cluster keeps
+    // every output row integer-exact and the global number one trivial
+    // roll-up away). Reuses the full deterministic Lloyd chain, then ONE
+    // (cent, label) grouped count — |K·labels| rows, metadata-scale at any
+    // corpus size — and the q183 mode encoding picks each cluster's
+    // majority with smallest-label tie-break. 100 TB shape: the only
+    // row-scale work is the assignment scan the clustering already does;
+    // the purity tail never touches raw vectors.
+    q("q207_cluster_purity",
+      "per-cluster purity of the 2-iter k-means clustering vs true labels (milli)")(
+      s"""$kmeansCte,
+         |mem AS (SELECT a.vec_id, a.cent, em.label
+         |        FROM a$KmeansIters a JOIN embeddings em USING (vec_id)),
+         |cl AS (SELECT cent, label, CAST(count(*) AS BIGINT) AS cnt FROM mem GROUP BY cent, label),
+         |maj AS (SELECT cent, max(cnt * 1000 + (999 - label)) AS m,
+         |               CAST(sum(cnt) AS BIGINT) AS sz FROM cl GROUP BY cent)
+         |SELECT CAST(cent AS BIGINT) AS cent, sz AS csize,
+         |       CAST(999 - (m % 1000) AS BIGINT) AS major_label,
+         |       CAST(m // 1000 AS BIGINT) AS major_cnt,
+         |       CAST((1000 * (m // 1000)) // sz AS BIGINT) AS purity_milli
+         |FROM maj ORDER BY cent""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables.fanout(s, dir, "embeddings")
+      val assign = kmeansFinalAssign(emb).select("vec_id", "cent")
+      val cl = assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cent", "label").agg(count(lit(1)).as("cnt"))
+      cl.groupBy("cent")
+        .agg(max(col("cnt") * 1000 + (lit(999) - col("label"))).as("m"),
+          sum(col("cnt")).as("sz"))
+        .select(col("cent").cast("long").as("cent"), col("sz").as("csize"),
+          (lit(999) - (col("m") % 1000)).cast("long").as("major_label"),
+          expr("m div 1000").cast("long").as("major_cnt"),
+          expr("(1000 * (m div 1000)) div sz").cast("long").as("purity_milli"))
+        .orderBy("cent")
     }
   )
 }
