@@ -1701,6 +1701,129 @@ object PipelineQueries {
           col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
           col("tn").cast("long").as("tn"), col("fneg").cast("long").as("fneg"),
           expr("CAST((tp + tn) * 1000 div n_test AS BIGINT)").as("acc_milli"))
+    },
+
+    // The full curation funnel as ONE lineage — the flagship composition
+    // of the pipeline's standalone stages, each reusing its twin's EXACT
+    // predicate so the funnel is consistent with q36b/q36c/q33/q52-q61/q60:
+    //   0 all → 1 langid (q36b marker rule, keep pred='en')
+    //         → 2 quality (q36c score ≥ 0.5, unrounded — identical IEEE
+    //           expression shape both engines)
+    //         → 3 exact dedup (q33 normalize→md5, keep min doc_id per hash)
+    //         → 4 decontaminate (drop any doc sharing an 8-token shingle
+    //           hash with the md5%100 ≥ 90 holdout split — Lee-style
+    //           substring decontamination; holdout docs self-match and
+    //           fall out, exactly "test data leaves the training set")
+    //         → 5 token budget (per-source hash-ordered cumulative
+    //           whitespace-token cap at 512 — q60's shape keyed by source; 512 binds at every fixture scale, 20 sources)
+    // Output = the per-stage funnel report (docs, tokens) a data engineer
+    // actually ships. 100 TB shape: every stage is one scan/one grouped
+    // pass over the shrinking survivor frame; the only corpus-width joins
+    // key on 8-byte hashes (dedup group, holdout shingles — holdout side
+    // broadcast, bounded by the split fraction); the budget window
+    // partitions by source. The report rows are six 1-row aggregates.
+    q("q208_curation_funnel",
+      "end-to-end curation funnel: langid→quality→dedup→decontaminate→budget, per-stage report")(
+      s"""WITH base AS (SELECT doc_id, text, lang, source, n_chars,
+         |                     str_split(text, ' ') AS w,
+         |                     ${md5LongSql("text")} % 100 AS b,
+         |                     CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+         |              FROM documents),
+         |s1 AS (SELECT * FROM (
+         |         SELECT *,
+         |${TextQueries.markers.map { case (l, ws) =>
+             s"           len(list_filter(w, x -> x IN (${TextQueries.inListSql(ws)}))) AS n_$l"
+           }.mkString(",\n")}
+         |         FROM base)
+         |       WHERE n_en >= n_fr AND n_en >= n_es AND n_en >= n_de AND n_en >= n_zh),
+         |s2 AS (SELECT * FROM (
+         |         SELECT *, length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
+         |         FROM s1)
+         |       WHERE least(n_tok / 100.0, 1.0) * (1.0 - n_punct * 1.0 / n_chars) >= 0.5),
+         |hgrp AS (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h, min(doc_id) AS keeper
+         |         FROM s2 GROUP BY 1),
+         |s3 AS (SELECT s2.* FROM s2
+         |       JOIN hgrp ON md5(trim(regexp_replace(lower(s2.text), '\\s+', ' ', 'g'))) = hgrp.h
+         |                AND s2.doc_id = hgrp.keeper),
+         |hold AS (SELECT DISTINCT unnest(list_transform(list_distinct(${shinglesSql("w", 8)}),
+         |                                               g -> ${md5LongSql("g")})) AS h
+         |         FROM base WHERE b >= 90 AND len(w) >= 8),
+         |contam AS (SELECT DISTINCT doc_id FROM
+         |             (SELECT doc_id, unnest(list_transform(list_distinct(${shinglesSql("w", 8)}),
+         |                                                   g -> ${md5LongSql("g")})) AS h
+         |              FROM s3 WHERE len(w) >= 8) sh
+         |           JOIN hold USING (h)),
+         |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |s5 AS (SELECT * FROM (
+         |         SELECT *, sum(n_tok) OVER (PARTITION BY source
+         |                                    ORDER BY ${md5LongSql("text")}, doc_id
+         |                                    ROWS UNBOUNDED PRECEDING) AS cum
+         |         FROM s4)
+         |       WHERE cum <= 512)
+         |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM (
+         |  SELECT '0_all' AS stage, count(*) AS n_docs, sum(n_tok) AS n_tokens FROM base
+         |  UNION ALL SELECT '1_langid', count(*), sum(n_tok) FROM s1
+         |  UNION ALL SELECT '2_quality', count(*), sum(n_tok) FROM s2
+         |  UNION ALL SELECT '3_exact_dedup', count(*), sum(n_tok) FROM s3
+         |  UNION ALL SELECT '4_decontaminated', count(*), sum(n_tok) FROM s4
+         |  UNION ALL SELECT '5_token_budget', count(*), sum(n_tok) FROM s5)
+         |ORDER BY stage""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
+          tokens(col("text")).as("w"), (md5Long(col("text")) % 100).as("b"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .cache() // report row + langid stage + holdout split all read it
+      // stage 1: q36b's marker rule, keep predicted-en
+      val withScores = TextQueries.markers.foldLeft(base) { case (df, (l, ws)) =>
+        df.withColumn(s"n_$l",
+          size(filter(col("w"), x => x.isin(ws.map(_.asInstanceOf[Any]): _*))))
+      }
+      val s1 = withScores.filter(col("n_en") >= col("n_fr") && col("n_en") >= col("n_es")
+          && col("n_en") >= col("n_de") && col("n_en") >= col("n_zh"))
+        .select(base.columns.map(col): _*)
+      // stage 2: q36c's score ≥ 0.5 (same IEEE expression shape)
+      val nPunct = length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+      val s2 = s1.withColumn("n_punct", nPunct)
+        .filter(least(col("n_tok") / 100.0, lit(1.0))
+          * (lit(1.0) - col("n_punct") * lit(1.0) / col("n_chars")) >= 0.5)
+        .select(base.columns.map(col): _*)
+        .cache() // dedup group pass + survivor join
+      // stage 3: q33's normalize→md5, keep the min doc_id of each group
+      val norm = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      val keepers = s2.groupBy(norm.as("h")).agg(min(col("doc_id")).as("keeper"))
+      val s3 = s2.withColumn("h", norm)
+        .join(keepers, Seq("h"))
+        .filter(col("doc_id") === col("keeper"))
+        .select(base.columns.map(col): _*)
+        .cache() // shingle pass + anti-join
+      // stage 4: drop docs sharing an 8-shingle hash with the ≥90 holdout
+      def shingleHashes(df: DataFrame) = df.filter(size(col("w")) >= 8)
+        .select(col("doc_id"),
+          explode(transform(array_distinct(shingles(col("w"), 8)), g => md5Long(g))).as("h"))
+      val hold = shingleHashes(base.filter(col("b") >= 90)).select("h").distinct()
+      val contam = shingleHashes(s3).join(broadcast(hold), "h")
+        .select("doc_id").distinct()
+      val s4 = s3.join(contam, Seq("doc_id"), "left_anti").cache()
+      // stage 5: q60's hash-ordered running budget, keyed by source
+      val wWin = Window.partitionBy(col("source"))
+        .orderBy(md5Long(col("text")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val s5 = s4.withColumn("cum", sum(col("n_tok")).over(wWin))
+        .filter(col("cum") <= 512)
+      def report(stage: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .select(lit(stage).as("stage"), col("n_docs"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      report("0_all", base)
+        .unionAll(report("1_langid", s1))
+        .unionAll(report("2_quality", s2))
+        .unionAll(report("3_exact_dedup", s3))
+        .unionAll(report("4_decontaminated", s4))
+        .unionAll(report("5_token_budget", s5))
+        .orderBy("stage")
     }
   )
 }
