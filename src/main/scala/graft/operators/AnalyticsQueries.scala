@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Registry.{Q, q, rowsOnly}
 import graft.Tables
-import graft.functions.PortableHash.{kmvEstimateSql, md5LongSql}
+import graft.functions.PortableHash.{kmvEstimateSql, md5Long, md5LongSql}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1055,6 +1055,52 @@ object AnalyticsQueries {
           sum(when(col("ad") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
           max(when(col("ad") > lit(3) * col("mad"), col("v"))).as("worst_v"))
         .orderBy("event_type")
+    },
+
+    // Approximate query processing by deterministic sampling — the
+    // remaining approximation class next to the sketch family (KMV/HLL
+    // estimate distincts, GK/histograms quantiles, MG heavy hitters; this
+    // estimates plain GROUP-BY counts from a 10% sample WITH an error
+    // bound). The sample is a HASH of the row key (md5 % 10 = 0), so it is
+    // rerun- and engine-stable, stratification-free, and at 100 TB it is a
+    // materialized 1/10th table the estimator scans INSTEAD of the fact
+    // scan — the query-time win is the point (this demo derives both sides
+    // inline to let the oracle verify the math). est = 10·n_s; the 99% CI
+    // half-width 2.576·√(90·n_s) comes from Var(10·Binomial(N, .1)) ≈
+    // 90·n_s — floor'd to BIGINT, all IEEE ops in one fixed shape so both
+    // engines agree bit-for-bit; `within_ci` SHOWS the bound holding
+    // against the exact count on every stratum.
+    q("q209_aqp_sample_agg",
+      "approximate group counts from a 10% hash sample with exact-checked 99% CI")(
+      s"""WITH s AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+         |                  ${md5LongSql("CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} % 10 AS smp
+         |           FROM lineitem),
+         |tru AS (SELECT rf, ls, CAST(count(*) AS BIGINT) AS true_cnt FROM s GROUP BY rf, ls),
+         |est AS (SELECT rf, ls, CAST(count(*) AS BIGINT) AS n_s,
+         |               CAST(10 * count(*) AS BIGINT) AS est_cnt
+         |        FROM s WHERE smp = 0 GROUP BY rf, ls)
+         |SELECT t.rf, t.ls, e.n_s, e.est_cnt, t.true_cnt,
+         |       CAST(1000 * abs(e.est_cnt - t.true_cnt) // t.true_cnt AS BIGINT) AS err_milli,
+         |       CAST(floor(2.576 * sqrt(90.0 * e.n_s)) AS BIGINT) AS ci99,
+         |       abs(e.est_cnt - t.true_cnt) <= CAST(floor(2.576 * sqrt(90.0 * e.n_s)) AS BIGINT) AS within_ci
+         |FROM tru t JOIN est e USING (rf, ls)
+         |ORDER BY rf, ls""".stripMargin
+    ) { (s, dir) =>
+      val base = Tables.fanout(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          (md5Long(concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))) % 10).as("smp"))
+        .cache() // exact pass + sample pass
+      val tru = base.groupBy("rf", "ls").agg(count(lit(1)).as("true_cnt"))
+      val est = base.filter(col("smp") === 0).groupBy("rf", "ls")
+        .agg(count(lit(1)).as("n_s"), (lit(10) * count(lit(1))).as("est_cnt"))
+      val ci = floor(lit(2.576) * sqrt(lit(90.0) * col("n_s"))).cast("long")
+      tru.join(est, Seq("rf", "ls"))
+        .select(col("rf"), col("ls"), col("n_s"), col("est_cnt"), col("true_cnt"),
+          expr("CAST(1000 * abs(est_cnt - true_cnt) div true_cnt AS BIGINT)").as("err_milli"),
+          ci.as("ci99"),
+          (abs(col("est_cnt") - col("true_cnt")) <= ci).as("within_ci"))
+        .orderBy("rf", "ls")
     }
   )
 }
