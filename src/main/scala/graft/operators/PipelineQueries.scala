@@ -1824,6 +1824,39 @@ object PipelineQueries {
         .unionAll(report("4_decontaminated", s4))
         .unionAll(report("5_token_budget", s5))
         .orderBy("stage")
+    },
+
+    // RAG document chunking — fixed 64-token windows at stride 48 (16-token
+    // overlap), the retrieval-side sibling of q54's training-side packing:
+    // every embedding/index pipeline runs this pass first. Pure row-local
+    // fan-out (sequence → explode → slice), no shuffle until the final
+    // order — at 100 TB this is a map-only stage that pipelines into the
+    // embedder. Chunk content crosses the oracle as its 60-bit hash (the
+    // usual 8-byte discipline — proves token-exact chunk equality without
+    // shipping text); starts stop BEFORE len so every chunk is non-empty
+    // and the tail chunk is the only short one (standard sliding-window
+    // chunker semantics).
+    q("q210_chunk_overlap",
+      "RAG chunker: 64-token windows, stride 48 — per-chunk token count + content hash")(
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w,
+         |                  len(str_split(text, ' ')) AS n FROM documents),
+         |ch AS (SELECT doc_id, n, unnest(range(0, n, 48)) AS s FROM t WHERE n >= 1)
+         |SELECT ch.doc_id, CAST(ch.s // 48 AS BIGINT) AS chunk_idx,
+         |       CAST(least(64, ch.n - ch.s) AS BIGINT) AS n_tok,
+         |       ${md5LongSql("array_to_string(t.w[ch.s + 1 : ch.s + 64], ' ')")} AS chunk_hash
+         |FROM ch JOIN t USING (doc_id)
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    ) { (s, dir) =>
+      Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") >= 1)
+        .select(col("doc_id"), col("w"), col("n"),
+          explode(sequence(lit(0), col("n") - 1, lit(48))).as("s"))
+        .select(col("doc_id"), (col("s") / 48).cast("long").as("chunk_idx"),
+          least(lit(64), col("n") - col("s")).cast("long").as("n_tok"),
+          md5Long(array_join(slice(col("w"), col("s") + 1, lit(64)), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }
