@@ -57,4 +57,54 @@ class RocksDBStateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("changelog checkpointing commits deltas, not full snapshots") {
+    // At 100 TB of keyed state the per-batch commit cost is the bottleneck:
+    // default RocksDB checkpointing uploads a full snapshot zip per store
+    // per batch, changelog mode uploads only the batch's delta (snapshots
+    // happen in the background every N batches). This pins that the public
+    // conf engages — .changelog files appear under the state path — and
+    // that results are identical to the snapshot mode run above.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[(Timestamp, Double)]
+      val agg = ms.toDF().toDF("ts", "v")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("sv"))
+        .select(col("window.start").as("ws"), col("n"), col("sv"))
+      val ckpt = Files.createTempDirectory("rockscl").toString
+      val name = s"rockscl_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(name).start()
+      try {
+        ms.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1.5),
+          (Timestamp.valueOf("2024-01-01 10:30:00"), 2.5))
+        q.processAllAvailable()
+        ms.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 9.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("2024-01-01 10:00:00.0", 2L, 4.0)))
+      def findChangelogs(f: java.io.File): Seq[java.io.File] =
+        if (!f.isDirectory) { if (f.getName.endsWith(".changelog")) Seq(f) else Nil }
+        else f.listFiles().toSeq.flatMap(findChangelogs)
+      val stateDir = new java.io.File(s"$ckpt/state")
+      val changelogs = findChangelogs(stateDir)
+      assert(changelogs.nonEmpty,
+        s"no .changelog files under $stateDir — changelog checkpointing did not engage")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
