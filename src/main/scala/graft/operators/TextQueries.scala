@@ -966,6 +966,76 @@ object TextQueries {
           max(when(col("leg") === "sem", col("r"))).as("sem_rank"),
           sum(expr("1000000L div (60 + r)")).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    },
+
+    // TextRank keyword extraction (Mihalcea & Tarau '04) — the text pipe
+    // composed with the graph machinery: adjacent non-stopword tokens form
+    // an undirected co-occurrence graph (window 2), and 3 integer PageRank
+    // rounds (q80's exact µ-unit arithmetic — floor-divided contributions,
+    // BIGINT sums, no float anywhere) rank the corpus' keywords. Scale
+    // shape = q80's: the pair explode is row-local; the distinct edge set
+    // shuffles 2-token keys once; each round is one equi-join of the
+    // cached doubled edge list against the |V|-bounded size-switched score
+    // frame + a partial-aggregated sum. The oracle unrolls the same 3
+    // rounds as chained CTEs.
+    q("q211_textrank_keywords",
+      "TextRank: 3 integer PageRank rounds over the window-2 co-occurrence graph, top 20")(
+      {
+        def iter(prev: String, next: String) =
+          s"""$next AS (
+             |  SELECT n.tok, CAST(150000 + (850000 * COALESCE(s.m, 0)) // 1000000 AS BIGINT) AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.v AS tok, CAST(sum(r.rank // d.deg) AS BIGINT) AS m
+             |    FROM e JOIN $prev r ON e.u = r.tok JOIN deg d ON e.u = d.tok
+             |    GROUP BY e.v) s ON n.tok = s.tok)""".stripMargin
+        s"""WITH t AS (SELECT list_filter(str_split(text, ' '),
+           |                  x -> x NOT IN (${inListSql(markers.flatMap(_._2))})) AS w
+           |           FROM documents),
+           |pr AS (SELECT w[i] AS a, w[i + 1] AS b
+           |       FROM t, unnest(range(1, len(w))) AS r(i)),
+           |e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+           |       FROM pr WHERE a <> b),
+           |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           |nodes AS (SELECT DISTINCT u AS tok FROM e),
+           |deg AS (SELECT u AS tok, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+           |r0 AS (SELECT tok, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+           |${(0 until 3).map(i => iter(s"r$i", s"r${i + 1}")).mkString(",\n")}
+           |SELECT tok, rank FROM r3 ORDER BY rank DESC, tok LIMIT 20""".stripMargin
+      }
+    ) { (s, dir) =>
+      val stop = markers.flatMap(_._2)
+      val t = Tables.fanout(s, dir, "documents")
+        .select(filter(tokens(col("text")),
+          x => !x.isin(stop.map(_.asInstanceOf[Any]): _*)).as("w"))
+        .filter(size(col("w")) >= 2)
+      val pr = t.select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val e0 = pr.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(true) // re-joined every round (deg + 3 iterations)
+      val nodes = e.select(col("u").as("tok")).distinct().cache()
+      val nV = nodes.count() // score frames are |V|-bounded — one size switch
+      val deg = e.groupBy(col("u").as("tok")).agg(count(lit(1)).as("deg"))
+      val contribBase = e.join(
+          GraphQueries.maybeBroadcast(deg.select(col("tok").as("u"), col("deg")), nV), "u")
+        .localCheckpoint(true) // (u, v, deg) re-joined per round
+      var rank = nodes.select(col("tok").as("rtok"), lit(1000000L).as("pr"))
+      for (_ <- 1 to 3) {
+        val m = contribBase.join(
+            GraphQueries.maybeBroadcast(rank, nV), col("u") === col("rtok"))
+          .select(col("v").as("tok"), expr("pr div deg").as("contrib"))
+          .groupBy("tok").agg(sum(col("contrib")).as("m"))
+        rank = nodes.join(GraphQueries.maybeBroadcast(m, nV), Seq("tok"), "left")
+          .select(col("tok").as("rtok"),
+            expr("150000L + (850000L * coalesce(m, 0L)) div 1000000L").as("pr"))
+          .localCheckpoint(true) // truncate per-round lineage (NOTES.md)
+      }
+      rank.select(col("rtok").as("tok"), col("pr").as("rank"))
+        .orderBy(col("rank").desc, col("tok")).limit(20)
     }
   )
 }
