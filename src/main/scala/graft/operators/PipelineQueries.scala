@@ -1857,6 +1857,80 @@ object PipelineQueries {
           least(lit(64), col("n") - col("s")).cast("long").as("n_tok"),
           md5Long(array_join(slice(col("w"), col("s") + 1, lit(64)), " ")).as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // The dataset card — the corpus-level report every published training
+    // set ships: per source and for the whole corpus, document and token
+    // counts, exact vocabulary size, type-token ratio, and length
+    // percentiles. Percentiles come from the (source, len) HISTOGRAM, not
+    // a row sort: cumulative counts over ≤|len-domain| metadata rows give
+    // the exact discrete p50/p90 (min len with 2·cum ≥ n / 10·cum ≥ 9·n) —
+    // integer arithmetic only, q194's bins-not-rows discipline, no
+    // interpolated-quantile float contract anywhere. Scale shape: one
+    // token explode feeding two partial-aggregated counts (the vocab
+    // distinct collapses (source, tok) map-side), one doc-level scan for
+    // the histogram; every downstream frame is metadata-sized.
+    q("q212_dataset_card",
+      "dataset card: per-source + global docs/tokens/vocab/TTR and histogram-exact p50/p90 lengths")(
+      """WITH d AS (SELECT source, len(str_split(text, ' ')) AS n_tok FROM documents),
+        |tk AS (SELECT source, unnest(str_split(text, ' ')) AS tok FROM documents),
+        |a1 AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY source
+        |       UNION ALL
+        |       SELECT '_all', CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT) FROM d),
+        |a2 AS (SELECT source AS src, CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+        |       FROM tk GROUP BY source
+        |       UNION ALL SELECT '_all', CAST(count(DISTINCT tok) AS BIGINT) FROM tk),
+        |hist AS (SELECT source AS src, n_tok AS len, CAST(count(*) AS BIGINT) AS c
+        |         FROM d GROUP BY source, n_tok
+        |         UNION ALL
+        |         SELECT '_all', n_tok, CAST(count(*) AS BIGINT) FROM d GROUP BY n_tok),
+        |cum AS (SELECT src, len,
+        |               CAST(sum(c) OVER (PARTITION BY src ORDER BY len
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |               CAST(sum(c) OVER (PARTITION BY src) AS BIGINT) AS n
+        |        FROM hist),
+        |pct AS (SELECT src, CAST(min(CASE WHEN 2 * cum >= n THEN len END) AS BIGINT) AS p50_len,
+        |               CAST(min(CASE WHEN 10 * cum >= 9 * n THEN len END) AS BIGINT) AS p90_len
+        |        FROM cum GROUP BY src)
+        |SELECT a1.src AS source, n_docs, n_tokens, vocab,
+        |       CAST(1000 * vocab // n_tokens AS BIGINT) AS ttr_milli, p50_len, p90_len
+        |FROM a1 JOIN a2 USING (src) JOIN pct USING (src)
+        |ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.fanout(s, dir, "documents")
+        .select(col("source"), col("text"))
+      val d = docs.select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .cache() // a1 both arms + histogram both arms
+      val tk = docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .cache() // vocab both arms
+      val a1 = d.groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"))
+        .select(col("source").as("src"), col("n_docs"), col("n_tokens"))
+        .unionAll(d.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .select(lit("_all").as("src"), col("n_docs"), col("n_tokens")))
+      val a2 = tk.groupBy("source").agg(countDistinct(col("tok")).as("vocab"))
+        .select(col("source").as("src"), col("vocab"))
+        .unionAll(tk.agg(countDistinct(col("tok")).as("vocab"))
+          .select(lit("_all").as("src"), col("vocab")))
+      val hist = d.groupBy("source", "n_tok").agg(count(lit(1)).as("c"))
+        .select(col("source").as("src"), col("n_tok").as("len"), col("c"))
+        .unionAll(d.groupBy("n_tok").agg(count(lit(1)).as("c"))
+          .select(lit("_all").as("src"), col("n_tok").as("len"), col("c")))
+      val wCum = Window.partitionBy(col("src")).orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("src"))
+      val pct = hist
+        .select(col("src"), col("len"), sum(col("c")).over(wCum).as("cum"),
+          sum(col("c")).over(wAll).as("n"))
+        .groupBy("src")
+        .agg(min(when(lit(2) * col("cum") >= col("n"), col("len"))).as("p50_len"),
+          min(when(lit(10) * col("cum") >= lit(9) * col("n"), col("len"))).as("p90_len"))
+      a1.join(a2, "src").join(pct, "src")
+        .select(col("src").as("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+          expr("CAST(1000 * vocab div n_tokens AS BIGINT)").as("ttr_milli"),
+          col("p50_len"), col("p90_len"))
+        .orderBy("source")
     }
   )
 }
