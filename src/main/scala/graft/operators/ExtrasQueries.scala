@@ -1058,6 +1058,57 @@ object ExtrasQueries {
         .orderBy("m1", "m2")
     },
 
+    // Image dedup GROUPS — the multimodal twin of q34g/q34h's document
+    // dedup: q151's banded-aHash Hamming ≤ 3 pairs (candidate volume scales
+    // with duplicate density, never n²) fed into the O(log² n) large-star/
+    // small-star contraction, then one grouped pass per component. The
+    // component label IS the canonical keeper (StarContraction's min-id
+    // contract), so the output is exactly a dedup decision: keep
+    // `component`, drop the other `n_members − 1` images. The oracle
+    // derives the same groups independently — brute-force Hamming pairs +
+    // a recursive-CTE transitive closure with min-label components — so
+    // the banding, the contraction, and the canonical rule are all
+    // cross-checked at once.
+    q("q213_image_dedup_groups",
+      "image near-dup groups: banded aHash pairs → star-contraction CC → keeper + size")(
+      s"""${aHashCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p AS (SELECT a.media_id AS m1, b.media_id AS m2
+         |      FROM ah a JOIN ah b ON a.media_id < b.media_id
+         |      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+         |e AS (SELECT m1 AS a, m2 AS b FROM p UNION SELECT m2, m1 FROM p),
+         |tc AS (SELECT a, b FROM e
+         |       UNION
+         |       SELECT tc.a, e.b FROM tc JOIN e ON tc.b = e.a WHERE tc.a <> e.b),
+         |comp AS (SELECT a AS m, least(a, min(b)) AS comp FROM tc GROUP BY a)
+         |SELECT comp AS component, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(max(m) AS BIGINT) AS max_member
+         |FROM comp GROUP BY comp ORDER BY component""".stripMargin
+    ) { (s, dir) =>
+      val ah = graft.multimodal.Multimodal.bmpAHashQuery(s, dir)
+        .select(col("media_id"), col("ahash_hi").as("hi"), col("ahash_lo").as("lo"))
+        .cache() // both band legs
+      def bands(m: String, hi: String, lo: String) = ah.select(
+        col("media_id").as(m), col("hi").as(hi), col("lo").as(lo),
+        explode(array(
+          struct(lit(0).as("bi"), expr("shiftright(hi, 16) & 65535").as("bv")),
+          struct(lit(1).as("bi"), expr("hi & 65535").as("bv")),
+          struct(lit(2).as("bi"), expr("shiftright(lo, 16) & 65535").as("bv")),
+          struct(lit(3).as("bi"), expr("lo & 65535").as("bv")))).as("b"))
+        .select(col(m), col(hi), col(lo), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      val dist = bit_count(col("h1").bitwiseXOR(col("h2"))) +
+        bit_count(col("l1").bitwiseXOR(col("l2")))
+      val pairs = bands("m1", "h1", "l1")
+        .join(bands("m2", "h2", "l2"), Seq("bi", "bv"))
+        .filter(col("m1") < col("m2"))
+        .select("m1", "m2", "h1", "l1", "h2", "l2").distinct()
+        .filter(dist <= 3)
+        .select(col("m1").as("d1"), col("m2").as("d2"))
+      StarContraction.components(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+        .orderBy("component")
+    },
+
     // Ingest throughput proxy: the full reference pipeline (parse → dispatch
     // → derive → proto encode) over wire lines synthesized from every event
     // row ×3 — Bench times this as the single-node throughput headline
