@@ -17,14 +17,14 @@ object TextQueries {
     * rule (max marker-hit count, priority order en>fr>es>de>zh on ties) is
     * the deterministic n-gram-style heuristic; quality is not the point —
     * identical classification in both engines is. */
-  private[operators] val markers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is"),
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "es" -> Seq("el", "los", "las", "y", "es"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
 
-  private[operators] def inListSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private[graft] def inListSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   /** q76's oracle: the same 3 BPE iterations unrolled as chained CTEs
     * (declared before `all` — object vals initialize in order). */

@@ -494,6 +494,105 @@ object StreamingQueries {
         .select("doc_id", "h").orderBy("doc_id")
     },
 
+    // The q208 curation funnel ON THE STREAM — arriving docs run the same
+    // gates incrementally: stateless langid (q36b marker rule) and quality
+    // (q36c score ≥ 0.5) filters, row-local decontamination against the
+    // BROADCAST holdout 8-shingle set (a 1-row collected array here — the
+    // production shape is a broadcast Bloom filter, q59; membership is a
+    // row-local arrays_overlap either way, no stream-side shuffle), then
+    // keyed keep-first exact dedup (q62's one-long-per-hash state). Stream
+    // stage order is decon→dedup (a stream cannot re-admit a doc a later
+    // stage would have preferred), and the oracle mirrors THAT order; the
+    // corpus has no exact dups so the q208 report numbers still agree.
+    // Output: the per-source survivor report maintained incrementally.
+    q("q214_stream_curation",
+      "streaming curation funnel: stateless gates + broadcast decon + keep-first dedup state")(
+      s"""WITH base AS (SELECT doc_id, text, source, n_chars,
+         |                     str_split(text, ' ') AS w,
+         |                     ${graft.functions.PortableHash.md5LongSql("text")} % 100 AS b,
+         |                     CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+         |                     length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
+         |              FROM documents),
+         |s1 AS (SELECT * FROM (
+         |         SELECT *,
+         |${graft.operators.TextQueries.markers.map { case (l, ws) =>
+             s"           len(list_filter(w, x -> x IN (${graft.operators.TextQueries.inListSql(ws)}))) AS n_$l"
+           }.mkString(",\n")}
+         |         FROM base)
+         |       WHERE n_en >= n_fr AND n_en >= n_es AND n_en >= n_de AND n_en >= n_zh),
+         |s2 AS (SELECT * FROM s1
+         |       WHERE least(n_tok / 100.0, 1.0) * (1.0 - n_punct * 1.0 / n_chars) >= 0.5),
+         |hold AS (SELECT DISTINCT unnest(list_transform(list_distinct(${graft.functions.PortableHash.shinglesSql("w", 8)}),
+         |                                               g -> ${graft.functions.PortableHash.md5LongSql("g")})) AS h
+         |         FROM base WHERE b >= 90 AND len(w) >= 8),
+         |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (
+         |         SELECT doc_id FROM
+         |           (SELECT doc_id, unnest(list_transform(list_distinct(${graft.functions.PortableHash.shinglesSql("w", 8)}),
+         |                                                 g -> ${graft.functions.PortableHash.md5LongSql("g")})) AS h
+         |            FROM s2 WHERE len(w) >= 8) sh
+         |         JOIN hold USING (h))),
+         |s4 AS (SELECT * FROM (
+         |         SELECT *, row_number() OVER (
+         |           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |           ORDER BY doc_id) AS rn
+         |         FROM s3)
+         |       WHERE rn = 1)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM s4 GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.PortableHash.{md5Long, shingles}
+      val markers = graft.operators.TextQueries.markers
+      // static holdout shingle set, collapsed to ONE broadcastable array row
+      val holdArr = graft.Tables(s, dir, "documents")
+        .select(split(col("text"), " ").as("w"), (md5Long(col("text")) % 100).as("b"))
+        .filter(col("b") >= 90 && size(col("w")) >= 8)
+        .select(explode(transform(array_distinct(shingles(col("w"), 8)),
+          g => md5Long(g))).as("h"))
+        .distinct()
+        .agg(sort_array(collect_list(col("h"))).as("hold"))
+      val base = docsStream(s, dir)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+          split(col("text"), " ").as("w"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val withScores = markers.foldLeft(base) { case (df, (l, ws)) =>
+        df.withColumn(s"n_$l",
+          size(filter(col("w"), x => x.isin(ws.map(_.asInstanceOf[Any]): _*))))
+      }
+      val s1 = withScores.filter(col("n_en") >= col("n_fr") && col("n_en") >= col("n_es")
+        && col("n_en") >= col("n_de") && col("n_en") >= col("n_zh"))
+      val nPunct = length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+      val s2 = s1.withColumn("n_punct", nPunct)
+        .filter(least(col("n_tok") / 100.0, lit(1.0))
+          * (lit(1.0) - col("n_punct") * lit(1.0) / col("n_chars")) >= 0.5)
+      val s3 = s2.crossJoin(holdArr) // stream × 1-row broadcast membership set
+        .withColumn("sh", when(size(col("w")) >= 8,
+          transform(array_distinct(shingles(col("w"), 8)), g => md5Long(g)))
+          .otherwise(array().cast("array<bigint>")))
+        .filter(!arrays_overlap(col("sh"), col("hold")))
+      val kept = s3
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("h"))
+        .as[(Long, String, Long, String)]
+        .groupByKey(_._4)
+        .flatMapGroupsWithState[Long, (Long, String, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (h: String, rows: Iterator[(Long, String, Long, String)], state: GroupState[Long]) =>
+            if (state.getOption.isEmpty) {
+              val first = rows.minBy(_._1)
+              state.update(first._1)
+              Iterator((first._1, first._2, first._3))
+            } else Iterator.empty
+        }
+        .toDF("doc_id", "source", "n_tok")
+      runToMemory(s, kept)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source")
+    },
+
     // q75's count-min sketch maintained ON THE STREAM: the 4×256 grid lives
     // as keyed state (key = (row, cell), value = running BIGINT counter —
     // ≤1024 entries total, a bounded-state structure by construction, which
