@@ -1931,6 +1931,61 @@ object PipelineQueries {
           expr("CAST(1000 * vocab div n_tokens AS BIGINT)").as("ttr_milli"),
           col("p50_len"), col("p90_len"))
         .orderBy("source")
+    },
+
+    // Preference-pair mining — the DPO/RLHF-style construction: within
+    // each (source, length-bucket) stratum, pair the highest-quality doc
+    // (chosen) with the lowest (rejected), so a reward/preference model
+    // trains on quality contrast while length and domain are CONTROLLED
+    // (the classic confound in preference data). Quality = q36c's score
+    // floored to exact milli; argmax/argmin fold into ONE BIGINT encoding
+    // smilli·100000 + (99999 − doc_id) so plain max()/min() — identical
+    // both engines — carry the winner and its id with a deterministic
+    // tie-break (q183's mode-encoding discipline; margin 0 pairs are the
+    // all-tied strata, kept to show the rule). Scale shape: one scan
+    // computing the score, one partial-aggregated (source, bucket) pass —
+    // never a per-stratum sort; output is |strata|-bounded.
+    q("q215_preference_pairs",
+      "DPO-style pairs: per (source, length-bucket) chosen=max vs rejected=min quality")(
+      """WITH m AS (SELECT doc_id, source,
+        |                  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+        |                  length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+        |                  n_chars
+        |           FROM documents),
+        |sc AS (SELECT doc_id, source, n_tok // 20 AS bucket,
+        |              CAST(floor(1000 * least(n_tok / 100.0, 1.0) *
+        |                         (1.0 - n_punct * 1.0 / n_chars)) AS BIGINT) AS smilli
+        |       FROM m),
+        |enc AS (SELECT source, bucket,
+        |               CAST(count(*) AS BIGINT) AS n,
+        |               max(smilli * 100000 + (99999 - doc_id)) AS mx,
+        |               min(smilli * 100000 + (99999 - doc_id)) AS mn
+        |        FROM sc GROUP BY source, bucket HAVING count(*) >= 2)
+        |SELECT source, CAST(bucket AS BIGINT) AS bucket, n,
+        |       CAST(99999 - (mx % 100000) AS BIGINT) AS chosen,
+        |       CAST(99999 - (mn % 100000) AS BIGINT) AS rejected,
+        |       CAST(mx // 100000 - mn // 100000 AS BIGINT) AS margin_milli
+        |FROM enc ORDER BY source, bucket""".stripMargin
+    ) { (s, dir) =>
+      val nPunct = length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+      val sc = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          nPunct.as("n_punct"), col("n_chars"))
+        .select(col("doc_id"), col("source"), expr("n_tok div 20").as("bucket"),
+          floor(lit(1000) * least(col("n_tok") / 100.0, lit(1.0))
+            * (lit(1.0) - col("n_punct") * lit(1.0) / col("n_chars")))
+            .cast("long").as("smilli"))
+      val e = col("smilli") * 100000L + (lit(99999L) - col("doc_id"))
+      sc.groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n"), max(e).as("mx"), min(e).as("mn"))
+        .filter(col("n") >= 2)
+        .select(col("source"), col("bucket").cast("long").as("bucket"), col("n"),
+          (lit(99999L) - (col("mx") % 100000L)).cast("long").as("chosen"),
+          (lit(99999L) - (col("mn") % 100000L)).cast("long").as("rejected"),
+          expr("CAST(mx div 100000 - mn div 100000 AS BIGINT)").as("margin_milli"))
+        .orderBy("source", "bucket")
     }
   )
 }
