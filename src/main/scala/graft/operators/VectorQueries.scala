@@ -1534,6 +1534,79 @@ object VectorQueries {
           expr("m div 1000").cast("long").as("major_cnt"),
           expr("(1000 * (m div 1000)) div sz").cast("long").as("purity_milli"))
         .orderBy("cent")
+    },
+
+    // PERSISTED ANN index + partition-pruned search — the storage half of
+    // the IVF story (q160b's layout-loop discipline applied to vectors):
+    // the k-means assignment is WRITTEN as a parquet index partitioned by
+    // centroid id, and the search reads it back with `cent IN (probes)` —
+    // a PARTITION filter, so only the probed centroids' files are opened
+    // (VectorIndexPruningSpec pins PartitionFilters on the scan). Results
+    // are q35g's exact 2-probe top-3 — the oracle re-derives them from the
+    // Lloyd chain alone, which also proves the index round-trips the
+    // assignment losslessly. At fixture scale K=8 so pruning is mild; at
+    // production K (thousands of lists), 2·|queries| probed partitions vs
+    // K is the entire IVF query-time win, and this layout is how the index
+    // survives across jobs instead of being recomputed per query.
+    q("q216_vector_index_readback",
+      "write the IVF index partitioned by centroid, search via partition-pruned read-back")(
+      s"""$kmeansCte,
+         |p AS (SELECT vec_id AS qid, cent FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent) AS rn
+         |         FROM s$KmeansIters)
+         |      WHERE rn <= 2 AND vec_id < 10),
+         |cand AS (SELECT DISTINCT p.qid, m.vec_id AS cid
+         |         FROM p JOIN a$KmeansIters m ON m.cent = p.cent AND m.vec_id <> p.qid),
+         |sc AS (SELECT cand.qid, cand.cid,
+         |              list_dot_product(q.e, c.e) / (nq.nrm * nc.nrm) AS cs
+         |       FROM cand JOIN v q ON q.vec_id = cand.qid
+         |            JOIN v c ON c.vec_id = cand.cid
+         |            JOIN n nq ON nq.vec_id = cand.qid
+         |            JOIN n nc ON nc.vec_id = cand.cid)
+         |SELECT qid, cid, round(cs, 4) + 0 AS cos, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM sc)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    ) { (s, dir) =>
+      indexReadbackSearch(s, dir)
     }
   )
+
+  /** q216's body, callable from VectorIndexPruningSpec so the spec pins the
+    * SAME plan the registry runs. Writes the index (idempotent overwrite,
+    * path keyed by the fixture leaf — q160b's rerun contract), reads it
+    * back partition-pruned, and returns the 2-probe top-3. */
+  def indexReadbackSearch(s: SparkSession, dir: String): DataFrame = {
+    val v = withNorm(Tables.fanout(s, dir, "embeddings"))
+    val (scores, assign) = kmeansScoresAndAssign(v)
+    val outDir = s"/tmp/graft_layout/${new java.io.File(dir).getName}/ivf_index"
+    // the index rows: (cid, cent, raw float embedding) — norms are
+    // recomputed on read (cheaper than persisting; keeps the index pure
+    // data), partitioned by the coarse quantizer cell
+    assign.select(col("vec_id").as("cid"), col("cent"),
+        col("e").as("me"), col("nrm").as("mn"))
+      .write.mode("overwrite").partitionBy("cent").parquet(outDir)
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent"))
+    val probes = scores
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2 && col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("cent"))
+      .cache() // probe list + the IN-list collect below
+    // the probed cells as a LITERAL partition filter — this is what makes
+    // the scan open only those directories (bounded by 2·|queries| ≤ 20)
+    val probedCells = probes.select(col("cent")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val members = s.read.parquet(outDir)
+      .filter(col("cent").isin(probedCells: _*))
+    val queries = v.select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("qcs").desc, col("cid"))
+    probes.join(members, Seq("cent"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("me"), col("mn")).distinct()
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("qcs", dot(col("qe"), col("me")) / (col("qn") * col("mn")))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), round(col("qcs"), 4).as("cos"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
 }

@@ -50,6 +50,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q113_semdedup" -> "K=8 centroid grid × vectors (cluster assignment)",
     "q206_knn_classifier" -> "100-row held-out query frame broadcast × train corpus (bounded eval slice)",
     "q207_cluster_purity" -> "K=8 Lloyd-centroid grid × vectors (q35f's assignment shape)",
+    "q216_vector_index_readback" -> "K=8 Lloyd-centroid grid × vectors (q35f's assignment shape, feeding the persisted index)",
     "q40_pipeline_throughput" -> "deliberate ×3 bench fan-out of the wire-line fixture",
     "q99_assoc_rules" -> "1-row basket-count frame × itemset supports",
     "q154_chi2_independence" -> "1-row n/dof frames × the ≤10-cell contingency table",
