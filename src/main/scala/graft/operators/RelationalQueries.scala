@@ -1235,6 +1235,134 @@ object RelationalQueries {
           round(sum(round(col("value"), 4)
             .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("sv"))
         .orderBy("k")
+    },
+
+    // AQE automatic skew split — the PRINCIPLED twin of q177's manual
+    // salting, exactly as q196 (catalog-stats CBO) is the principled twin
+    // of q103's hand hint: at 100 TB you don't hand-salt every hot join,
+    // you let the runtime re-planner split skewed shuffle partitions from
+    // MEASURED map-output sizes. The fixture funnels every user_id NOT
+    // divisible by 3 into key 0 (two thirds of the fact under one key),
+    // the dim is forced off the broadcast path so the join is a genuine
+    // shuffle SMJ, and the skew thresholds are scaled to the fixture so
+    // OptimizeSkewedJoin fires at every sf (production keeps the 256 MB
+    // defaults — same plan machinery, bigger numbers).
+    // forceOptimizeSkewedJoin is on because the post-join same-key
+    // aggregate would otherwise veto the split (splitting un-hashes the
+    // join output, costing the agg one extra exchange — the right trade
+    // when one partition holds two thirds of the data). The split is
+    // OUTPUT-INVISIBLE, so the oracle is the plain unsalted join — the
+    // hash match proves AQE's re-plan is pure partitioning;
+    // RuntimeReplanSpec pins `skew=true` on the executed SMJ so the
+    // demonstration can't silently degrade to an unsplit join.
+    q("q217_aqe_skew_split",
+      "AQE skew-join: runtime split of a hot shuffle partition (oracle = plain join)")(
+      """WITH f AS (SELECT CASE WHEN user_id % 3 <> 0 THEN 0 ELSE user_id END AS k,
+        |                  value FROM events),
+        |dim AS (SELECT DISTINCT CASE WHEN user_id % 3 <> 0 THEN 0 ELSE user_id END AS k
+        |        FROM events),
+        |d2 AS (SELECT k, 'grp-' || CAST(k AS VARCHAR) AS label FROM dim)
+        |SELECT f.k, d2.label, count(*) AS n,
+        |       round(CAST(sum(CAST(round(f.value, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS sv
+        |FROM f JOIN d2 ON f.k = d2.k
+        |GROUP BY f.k, d2.label ORDER BY f.k""".stripMargin
+    ) { (s, dir) =>
+      val confs = Map(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1", // dim off the BHJ path
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+        // fixture-scaled detection: hot partition ~7 KB at sf0.001; the
+        // median partition is a few hundred bytes, so factor 2 + 1 KB
+        // floor detects the manufactured key everywhere
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b")
+      val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      // materialize UNDER the skew confs (q196's discipline); 11–1001
+      // aggregated rows come back
+      try aqeSkewFrame(s, dir).localCheckpoint(true)
+      finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+
+    // Optimizer-INJECTED runtime Bloom filter — the principled twin of
+    // q59's hand-built 4096-bit filter: Spark's InjectRuntimeFilter sees a
+    // selective predicate on one join side and plants a
+    // BloomFilterAggregate subquery whose bloom_filter_might_contain()
+    // gates the OTHER side's scan, so the big fact never shuffles rows
+    // whose keys can't match. At 100 TB this is the difference between
+    // shuffling all of lineitem and shuffling the ~20% that joins urgent
+    // orders — with zero user code. Broadcast is disabled (a BHJ wouldn't
+    // need the filter) and the application-side floor is dropped to the
+    // fixture scale; production keeps the 10 GB default. The filter is
+    // advisory-only (false positives just shuffle, never emit), so the
+    // oracle is the plain join; RuntimeReplanSpec pins the injected
+    // might_contain(bloom_filter_agg(...)) in the executed plan.
+    q("q218_runtime_bloom_join",
+      "optimizer-injected Bloom runtime filter prunes the fact side of a selective join")(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      val confs = Map(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        // fixture-scaled: any application-side scan qualifies (prod: 10 GB)
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+      val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try runtimeBloomFrame(s, dir).localCheckpoint(true)
+      finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
   )
+
+  /** q217's join frame, factored out so RuntimeReplanSpec can materialize
+    * it under the same confs and assert `skew=true` on the executed SMJ. */
+  private[graft] def aqeSkewFrame(s: SparkSession, dir: String): DataFrame = {
+    // repartition(32) first: a skewed REDUCE partition can only be split
+    // along its MAP outputs, and the fixture parquet reads in one split —
+    // on a real cluster the fact arrives from thousands of map tasks and
+    // this round-robin exchange is unnecessary
+    val fact = Tables(s, dir, "events").repartition(32).select(
+      when(col("user_id") % 3 =!= 0, lit(0L))
+        .otherwise(col("user_id")).as("k"),
+      col("value"))
+    // the dim is materialized (≤501 rows) so its join input is a plain
+    // scan→exchange: OptimizeSkewedJoin only matches SMJ(Sort(stage),
+    // Sort(stage)), and the distinct's post-shuffle final aggregate would
+    // otherwise sit between the Sort and the stage and silently veto the
+    // split on BOTH sides
+    val dim = fact.select(col("k")).distinct()
+      .select(col("k"), concat(lit("grp-"), col("k").cast("string")).as("label"))
+      .localCheckpoint(true)
+    fact.join(dim, Seq("k"))
+      .groupBy("k", "label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("value"), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("sv"))
+      .orderBy("k")
+  }
+
+  /** q218's join frame, factored out so RuntimeReplanSpec can materialize
+    * it under the same confs and assert the injected might_contain
+    * Bloom gate on the lineitem side. */
+  private[graft] def runtimeBloomFrame(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val ord = Tables(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("l_extendedprice"), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("rev"))
+      .orderBy("l_returnflag")
+  }
 }
