@@ -581,6 +581,79 @@ object DedupQueries {
         .filter(levenshtein(col("n1"), col("n2")) === 1)
         .select("k1", "k2", "n1", "n2")
         .orderBy("k1", "k2").limit(100)
+    },
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+    // MOSS algorithm): hash every positional 3-token gram, slide a window
+    // of w=4 consecutive gram hashes per document, and keep each window's
+    // MINIMUM hash — the selected set is a ~2/(w+1)-density fingerprint
+    // with the winnowing guarantee that any shared run of ≥ w+k-1 = 6
+    // tokens yields at least one shared fingerprint. Distinct from MinHash
+    // (q34b: global per-doc sketch, no positional guarantee) and from q61
+    // (every position, no compression): winnowing is the standard
+    // plagiarism / near-dup signal that scales the q61 idea down to ~25%
+    // of the positions. Pair mining joins on the fingerprint VALUE with a
+    // doc-frequency cap (≤20 docs) so ubiquitous fingerprints — stopword
+    // runs — never enter the join: the bucket fanout is ≤ C(20,2) per
+    // fingerprint, the winnowing twin of q34c's band-bucket bound. Scale
+    // shape: per-doc windows (partitioned by doc_id — never global), all
+    // shuffles carry 8-byte hashes, never text.
+    q("q219_winnow_fingerprints",
+      "winnowing (MOSS) fingerprint pairs: per-window min gram-hash, df-capped join")(
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+         |pos AS (SELECT doc_id,
+         |               unnest(generate_series(0, len(w) - 3)) AS p,
+         |               unnest(${shinglesSql("w", 3)}) AS g
+         |        FROM t WHERE len(w) >= 3),
+         |gh AS (SELECT doc_id, p, ${md5LongSql("g")} AS hv FROM pos),
+         |win AS (SELECT doc_id, p,
+         |               min(hv) OVER (PARTITION BY doc_id ORDER BY p
+         |                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |        FROM gh),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE p >= 3),
+         |df AS (SELECT fp, count(*) AS nd FROM fps GROUP BY fp),
+         |rare AS (SELECT f.doc_id, f.fp FROM fps f JOIN df USING (fp) WHERE nd <= 20),
+         |cnt AS (SELECT doc_id, count(*) AS nf FROM rare GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+         |          FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT p.da, p.db, CAST(p.shared AS BIGINT) AS shared,
+         |       CAST(p.shared * 1000 // least(ca.nf, cb.nf) AS BIGINT) AS overlap_milli
+         |FROM pairs p JOIN cnt ca ON ca.doc_id = p.da
+         |             JOIN cnt cb ON cb.doc_id = p.db
+         |WHERE p.shared >= 5
+         |ORDER BY da, db""".stripMargin
+    ) { (s, dir) =>
+      val t = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+      // positional gram hashes: hashed BEFORE the explode so only 8-byte
+      // values ever shuffle (q61's discipline)
+      val gh = t.select(col("doc_id"),
+        posexplode(transform(shingles(col("w"), 3), g => md5Long(g))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "hv")
+      val wWin = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(-3, 0)
+      val fps = gh
+        .withColumn("fp", min(col("hv")).over(wWin))
+        .filter(col("p") >= 3)
+        .select(col("doc_id"), col("fp")).distinct()
+        .cache() // df cap + both join sides + per-doc counts
+      val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
+      val rare = fps.join(dfreq.filter(col("nd") <= 20), Seq("fp"))
+        .select("doc_id", "fp")
+      val cnt = rare.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      val pairs = rare.select(col("doc_id").as("da"), col("fp"))
+        .join(rare.select(col("doc_id").as("db"), col("fp")), Seq("fp"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+      pairs
+        .join(cnt.select(col("doc_id").as("da"), col("nf").as("na")), Seq("da"))
+        .join(cnt.select(col("doc_id").as("db"), col("nf").as("nb")), Seq("db"))
+        .select(col("da"), col("db"), col("shared").cast("long").as("shared"),
+          expr("shared * 1000 div least(na, nb)").cast("long").as("overlap_milli"))
+        .orderBy("da", "db")
     }
   )
 }

@@ -1986,6 +1986,62 @@ object PipelineQueries {
           (lit(99999L) - (col("mn") % 100000L)).cast("long").as("rejected"),
           expr("CAST(mx div 100000 - mn div 100000 AS BIGINT)").as("margin_milli"))
         .orderBy("source", "bucket")
+    },
+
+    // Balanced output sharding — the "write N equal training files"
+    // operator every 100 TB corpus job ends with: docs ranked by token
+    // count (largest first, two-pass DistributedRank — no global window),
+    // then dealt serpentine across 8 shards (rank r → s = r mod 16, shard
+    // = s if s < 8 else 15-s), so each shard receives one doc from every
+    // size stratum alternating from both ends — the deterministic,
+    // shuffle-free approximation of LPT bin packing (greedy LPT is
+    // inherently sequential; serpentine gets within ~1 stratum of it and
+    // assigns each row independently from its rank). The shards are
+    // actually WRITTEN (partitionBy(shard)) and the report reads them
+    // BACK (q160b's layout-loop discipline), so the balance numbers come
+    // from the files a downstream trainer would read. skew_milli =
+    // shard_tokens × 8000 / corpus_tokens (1000 = perfectly balanced)
+    // makes imbalance a checked quantity: the spread at both fixture
+    // scales stays within a few per mil.
+    q("q220_balanced_shards",
+      "serpentine LPT sharding into 8 written files with read-back balance report")(
+      """WITH d AS (SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_tok FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |             row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS r0
+        |      FROM d),
+        |sh AS (SELECT doc_id, n_tok,
+        |              CASE WHEN r0 % 16 < 8 THEN r0 % 16 ELSE 15 - r0 % 16 END AS shard
+        |       FROM r),
+        |agg AS (SELECT shard, count(*) AS n_docs,
+        |               CAST(sum(n_tok) AS BIGINT) AS tok_sum FROM sh GROUP BY shard),
+        |tot AS (SELECT sum(tok_sum) AS t FROM agg)
+        |SELECT shard, n_docs, tok_sum,
+        |       CAST(tok_sum * 8000 // tot.t AS BIGINT) AS skew_milli
+        |FROM agg, tot ORDER BY shard""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val ranked = DistributedRank.withRowNumber(
+        d, Seq(col("n_tok").desc, col("doc_id")), "rn")
+      val assigned = ranked
+        .withColumn("s0", (col("rn") - 1) % 16)
+        .withColumn("shard",
+          when(col("s0") < 8, col("s0")).otherwise(lit(15) - col("s0")))
+        .select("doc_id", "n_tok", "shard")
+      val outDir = s"/tmp/graft_shards/${new java.io.File(dir).getName}/balanced"
+      assigned.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+      // read BACK from the written layout; the partition column arrives
+      // via directory inference — pin its type with an explicit cast
+      // (q192's lesson)
+      val back = s.read.parquet(outDir)
+        .select(col("doc_id"), col("n_tok"), col("shard").cast("long").as("shard"))
+      val agg = back.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+      val tot = agg.agg(sum(col("tok_sum")).as("t"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("tok_sum"),
+          expr("tok_sum * 8000 div t").cast("long").as("skew_milli"))
+        .orderBy("shard")
     }
   )
 }
