@@ -1036,6 +1036,113 @@ object TextQueries {
       }
       rank.select(col("rtok").as("tok"), col("pr").as("rank"))
         .orderBy(col("rank").desc, col("tok")).limit(20)
+    },
+
+    // Distributed SUFFIX ARRAY + LCP by prefix doubling — the principled
+    // engine under exact-substring dedup (Lee et al. 2022 build suffix
+    // arrays to remove maximal duplicated substrings; q61/q61b/q61c
+    // approximate the extents with fixed shingle ladders). Ranks are
+    // k-truncated at 32 tokens: rank_1 = dense rank of the token, and
+    // five doubling rounds build rank_{2d} as the dense rank of the pair
+    // (rank_d[p], rank_d[p+d]) — each round is one equi-self-join plus
+    // one two-pass DistributedRank over the DISTINCT pairs, so the whole
+    // construction is O(log k) sort/join rounds with no global window and
+    // no text in any shuffle (ranks are 8-byte longs after round 0).
+    // LCP to the suffix-order neighbor then descends the SAME rank ladder
+    // (32,16,8,4,2,1 — greedy binary counting), capped by both suffixes'
+    // remaining lengths because sentinel-padded short windows compare
+    // equal beyond doc end. rep_extent = max LCP with either neighbor is
+    // the per-position maximal-duplicated-extent signal, exact at shingle
+    // resolution 1 up to the 32-token cap. The oracle rebuilds the object
+    // definitionally: DuckDB orders the literal 32-token window LISTS and
+    // counts prefix equality — so the hash match proves five rounds of
+    // doubling reproduce direct lexicographic suffix order exactly.
+    q("q221_suffix_array_lcp",
+      "suffix array + neighbor LCP via 5 prefix-doubling rounds (32-token truncation)")(
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, len(w)::BIGINT AS n, w,
+        |               unnest(generate_series(1, len(w))) AS p FROM t),
+        |sfx AS (SELECT doc_id, n, p, list_slice(w, p, least(p + 31, n)) AS win FROM pos),
+        |sa AS (SELECT doc_id, p, win,
+        |              row_number() OVER (ORDER BY win, doc_id, p) AS sa_rank FROM sfx),
+        |adj AS (SELECT a.doc_id, a.p, a.sa_rank,
+        |               CASE WHEN b.win IS NULL THEN 0
+        |                    ELSE len(list_filter(generate_series(1, least(len(a.win), len(b.win))),
+        |                             i -> a.win[1:i] = b.win[1:i])) END AS lcp_prev
+        |        FROM sa a LEFT JOIN sa b ON b.sa_rank = a.sa_rank - 1),
+        |fin AS (SELECT l.doc_id, l.p, l.sa_rank, l.lcp_prev,
+        |               greatest(l.lcp_prev, coalesce(nx.lcp_prev, 0)) AS rep_extent
+        |        FROM adj l LEFT JOIN adj nx ON nx.sa_rank = l.sa_rank + 1)
+        |SELECT doc_id, p, CAST(sa_rank AS BIGINT) AS sa_rank,
+        |       CAST(lcp_prev AS BIGINT) AS lcp_prev,
+        |       CAST(rep_extent AS BIGINT) AS rep_extent
+        |FROM fin WHERE doc_id < 30 ORDER BY doc_id, p""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n"), posexplode(col("w")))
+        .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("p"),
+          col("col").as("tok"))
+      // rank_1: global dense rank of the token string (two-pass — the
+      // only round that touches text; every later shuffle moves longs)
+      val tokRank = DistributedRank.withRowNumber(
+        toks.select("tok").distinct(), Seq(col("tok")), "r1")
+      var r = toks.join(tokRank, "tok")
+        .select(col("doc_id"), col("n"), col("p"), col("r1").as("r"))
+        .localCheckpoint(true)
+      val ranks = scala.collection.mutable.Map(1 -> r)
+      for (d <- Seq(1, 2, 4, 8, 16)) {
+        // pair (rank_d[p], rank_d[p+d]); 0 = past-end sentinel, below
+        // every real rank — exactly DuckDB's shorter-list-sorts-first
+        val shifted = r.select(col("doc_id"), (col("p") - d).as("p"), col("r").as("r2"))
+        val paired = r.join(shifted, Seq("doc_id", "p"), "left")
+          .select(col("doc_id"), col("n"), col("p"), col("r").as("k1"),
+            coalesce(col("r2"), lit(0L)).as("k2"))
+        val pairRank = DistributedRank.withRowNumber(
+          paired.select("k1", "k2").distinct(), Seq(col("k1"), col("k2")), "nr")
+        r = paired.join(pairRank, Seq("k1", "k2"))
+          .select(col("doc_id"), col("n"), col("p"), col("nr").as("r"))
+          .localCheckpoint(true) // truncate: 5 rounds would quadruple the plan
+        ranks(d * 2) = r
+      }
+      val sa = DistributedRank.withRowNumber(
+        r, Seq(col("r"), col("doc_id"), col("p")), "sa_rank")
+        .localCheckpoint(true)
+      // neighbor in suffix order (equi-join on rank — never a global lag)
+      val prevSfx = sa.select((col("sa_rank") + 1).as("sa_rank"),
+        col("doc_id").as("doc_b"), col("p").as("pb"), col("n").as("nb"))
+      var adj = sa.select(col("doc_id"), col("p"), col("n"), col("sa_rank"))
+        .join(prevSfx, Seq("sa_rank"), "left")
+        .withColumn("l", lit(0L))
+      // greedy binary-counting LCP descent down the rank ladder: equal
+      // rank_d at offset l ⟹ next d tokens (sentinel-padded) match
+      for (d <- Seq(32, 16, 8, 4, 2, 1)) {
+        val ra = ranks(d).select(col("doc_id").as("da"), col("p").as("qa"), col("r").as("ra"))
+        val rb = ranks(d).select(col("doc_id").as("db2"), col("p").as("qb"), col("r").as("rb"))
+        adj = adj
+          .join(ra, col("doc_id") === col("da") && col("qa") === col("p") + col("l"), "left")
+          .join(rb, col("doc_b") === col("db2") && col("qb") === col("pb") + col("l"), "left")
+          .withColumn("l", col("l") +
+            when(col("ra").isNotNull && col("ra") === col("rb"), lit(d.toLong)).otherwise(0L))
+          .drop("da", "qa", "ra", "db2", "qb", "rb")
+        if (d == 8) adj = adj.localCheckpoint(true)
+      }
+      // cap by both remaining lengths: sentinel-padded equality can step
+      // past a doc end when both suffixes end at the same relative offset
+      // cap at 32 too: when neighbors share MORE than the truncation the
+      // descent keeps matching at offsets ≥ 32 (l up to 63) but the
+      // k-truncated object reports exactly the window cap
+      val res = adj.select(col("doc_id"), col("p"), col("sa_rank"),
+        least(col("l"), lit(32L), col("n") - col("p") + 1, col("nb") - col("pb") + 1).as("lcp_prev"))
+        .withColumn("lcp_prev", coalesce(col("lcp_prev"), lit(0L)))
+        .localCheckpoint(true)
+      val nxt = res.select((col("sa_rank") - 1).as("sa_rank"),
+        col("lcp_prev").as("lcp_next"))
+      res.join(nxt, Seq("sa_rank"), "left")
+        .withColumn("rep_extent", greatest(col("lcp_prev"), coalesce(col("lcp_next"), lit(0L))))
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), col("p"), col("sa_rank"), col("lcp_prev"), col("rep_extent"))
+        .orderBy("doc_id", "p")
     }
   )
 }
