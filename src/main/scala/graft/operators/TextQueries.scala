@@ -1143,6 +1143,85 @@ object TextQueries {
         .filter(col("doc_id") < 30)
         .select(col("doc_id"), col("p"), col("sa_rank"), col("lcp_prev"), col("rep_extent"))
         .orderBy("doc_id", "p")
+    },
+
+    // Unigram-style SUBWORD SEGMENTATION by lattice Viterbi — the other
+    // major tokenizer family next to q76's BPE (SentencePiece's unigram
+    // model segments each word by max-sum dynamic programming over a
+    // piece lattice). Pieces are every 1–4-char substring of the vocab,
+    // weighted by CORPUS frequency (the distributed half: one corpus-wide
+    // token count feeds piece weights; the DP itself runs on the DISTINCT
+    // vocab — exactly how production tokenizers split work: corpus-scale
+    // aggregation, vocab-scale lattice, broadcast-scale application).
+    // The DP objective packs two criteria into one integer — weight
+    // min(freq,1e5) − 1e8 per piece: the −1e8 term makes FEWEST pieces
+    // dominate (as the multiplicative log-probs of a real unigram LM do)
+    // and total piece frequency breaks ties among minimal segmentations,
+    // so frequent multi-char chunks win over char spam; n_pieces is
+    // recovered from the score's 1e8 quotient (piece-frequency mass
+    // < 8·1e5 per word, so no interference).
+    // Max-sum over the DAG runs as 8 Bellman relaxation rounds (q204's
+    // machinery on the position lattice); the oracle's recursive CTE
+    // enumerates every segmentation path (≤2^7 per word) and takes the
+    // max, so the hash match proves the relaxation finds the true optimum.
+    q("q222_viterbi_segmentation",
+      "unigram-tokenizer Viterbi: max-frequency subword segmentation over a piece lattice")(
+      """WITH RECURSIVE w0 AS (
+        |  SELECT t AS word, CAST(count(*) AS BIGINT) AS wfreq
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents) GROUP BY t),
+        |si AS (SELECT word, unnest(generate_series(0, length(word)-1)) AS i FROM w0),
+        |subs AS (SELECT word, i, k, substr(word, CAST(i+1 AS INT), CAST(k AS INT)) AS piece
+        |         FROM si CROSS JOIN range(1, 5) AS r(k)
+        |         WHERE i + k <= length(word)),
+        |pf AS (SELECT piece, CAST(sum(wfreq) AS BIGINT) AS f
+        |       FROM subs JOIN w0 USING (word) GROUP BY piece),
+        |edges AS (SELECT s.word, s.i, s.k, least(pf.f, 100000) - 100000000 AS wgt
+        |          FROM subs s JOIN pf USING (piece)),
+        |dp AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS sc FROM w0
+        |       UNION ALL
+        |       SELECT e.word, CAST(dp.pos + e.k AS INT), dp.sc + e.wgt
+        |       FROM dp JOIN edges e ON e.word = dp.word AND e.i = dp.pos),
+        |best AS (SELECT word, max(sc) AS score FROM dp
+        |         WHERE pos = length(word) GROUP BY word)
+        |SELECT w0.word, w0.wfreq, CAST(length(w0.word) AS BIGINT) AS wlen,
+        |       CAST((-b.score + 99999999) // 100000000 AS BIGINT) AS n_pieces,
+        |       b.score
+        |FROM w0 JOIN best b USING (word) ORDER BY word""".stripMargin
+    ) { (s, dir) =>
+      val w0 = Tables.fanout(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wfreq"))
+        .cache() // vocab: piece extraction, weights, and the final join
+      val subs = w0.select(col("word"),
+          explode(expr("""flatten(transform(sequence(0, length(word)-1), i ->
+            filter(transform(sequence(1, 4), k ->
+              struct(i AS i, k AS k, substr(word, i+1, k) AS piece)),
+              x -> x.i + x.k <= length(word))))""")).as("e"))
+        .select(col("word"), col("e.i").cast("long").as("i"),
+          col("e.k").cast("long").as("k"), col("e.piece").as("piece"))
+      val pf = subs.join(w0, "word")
+        .groupBy("piece").agg(sum(col("wfreq")).as("f"))
+      val edges = subs.join(pf, "piece")
+        .select(col("word").as("eword"), col("i"), col("k"),
+          (least(col("f"), lit(100000L)) - 100000000L).as("wgt"))
+        .localCheckpoint(true)
+      var dp = w0.select(col("word"), lit(0L).as("pos"), lit(0L).as("sc"))
+      for (_ <- 1 to 8) { // max word length 8 ⇒ ≤8 lattice edges per path
+        val stepped = dp.join(broadcast(edges),
+            dp("word") === edges("eword") && dp("pos") === edges("i"))
+          .select(dp("word"), (dp("pos") + edges("k")).as("pos"),
+            (dp("sc") + edges("wgt")).as("sc"))
+        dp = dp.unionByName(stepped)
+          .groupBy("word", "pos").agg(max(col("sc")).as("sc"))
+          .localCheckpoint(true) // vocab-scale; truncates the 8-round plan
+      }
+      dp.join(w0, "word")
+        .filter(col("pos") === length(col("word")).cast("long"))
+        .select(col("word"), col("wfreq"),
+          length(col("word")).cast("long").as("wlen"),
+          expr("(-sc + 99999999) div 100000000").cast("long").as("n_pieces"),
+          col("sc").as("score"))
+        .orderBy("word")
     }
   )
 }
