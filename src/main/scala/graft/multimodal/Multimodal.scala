@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing for a training-data pipeline (north-star
@@ -263,6 +264,79 @@ object Multimodal {
         }
       }
       .toDF("media_id", "rw", "rh", "rpx0", "rsum")
+      .orderBy("media_id")
+  }
+
+  /** INTEGRAL IMAGE (summed-area table) as a DISTRIBUTED computation: the
+    * other image ops here are row-local mapPartitions; this one explodes
+    * the decoded pixels into (media_id, y, x, g) ROWS and builds
+    * ii(y,x) = Σ_{y'≤y, x'≤x} g as two cascaded prefix-sum windows —
+    * first along x within (image, row), then along y within (image,
+    * column). Both windows are partitioned (never global), so the same
+    * plan sums a 10⁹-pixel mosaic tile grid across executors — the
+    * summed-area table is the O(1)-box-filter primitive under face
+    * detectors and mean-pooling layers. The emitted box/center sums are
+    * read back from the table via the 4-corner identity
+    * box = ii(y2,x2) − ii(y1−1,x2) − ii(y2,x1−1) + ii(y1−1,x1−1),
+    * while the oracle sums the rectangles DIRECTLY from the synthesis
+    * codes — the hash match proves the integral identity end to end. */
+  def integralImageQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pixels = Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= 1) // 16×0 rejected by the codec
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val w = 16
+          val h = (text.length + w - 1) / w
+          val px = Array.tabulate(h, w) { (y, x) =>
+            val i = y * w + x
+            if (i < text.length) text.charAt(i).toInt & 0xff else 0
+          }
+          val img = BmpCodec.decode(BmpCodec.encode(BmpCodec.Gray(w, h, px)))
+          for (y <- 0 until img.height; x <- 0 until img.width)
+            yield (id, y.toLong, x.toLong, img.gray(y)(x).toLong)
+        }
+      }
+      .toDF("media_id", "y", "x", "g")
+    val wRow = Window.partitionBy(col("media_id"), col("y")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCol = Window.partitionBy(col("media_id"), col("x")).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ii = pixels
+      .withColumn("rowcum", sum(col("g")).over(wRow))
+      .withColumn("ii", sum(col("rowcum")).over(wCol))
+      .select(col("media_id"), col("y"), col("x"), col("ii"))
+      .cache() // five corner lookups below
+    val meta = pixels.groupBy("media_id")
+      .agg((max(col("y")) + 1).as("h"), sum(col("g")).as("total"))
+      .withColumn("y2", least(col("h") - 1, lit(10L)))
+      .withColumn("y1", greatest(col("y2") - 4, lit(0L)))
+      .withColumn("yc", least(col("h") - 1, lit(8L)))
+    def corner(tag: String, yk: org.apache.spark.sql.Column,
+               xk: org.apache.spark.sql.Column)(m: DataFrame): DataFrame = {
+      // fully re-aliased lookup side: ii and meta share pixel lineage, so
+      // an un-aliased media_id would resolve to the SAME attribute
+      val c = ii.select(col("media_id").as(s"_m$tag"), col("y").as(s"_y$tag"),
+        col("x").as(s"_x$tag"), col("ii").as(s"ii_$tag"))
+      m.join(c, col("media_id") === col(s"_m$tag") &&
+          yk === col(s"_y$tag") && xk === col(s"_x$tag"), "left")
+        .drop(s"_m$tag", s"_y$tag", s"_x$tag")
+        .withColumn(s"ii_$tag", coalesce(col(s"ii_$tag"), lit(0L)))
+    }
+    val withCorners = Seq[(String, DataFrame => DataFrame)](
+      ("a", corner("a", col("y2"), lit(10L))),        // ii(y2, x2)
+      ("b", corner("b", col("y1") - 1, lit(10L))),    // ii(y1-1, x2)
+      ("c", corner("c", col("y2"), lit(5L))),         // ii(y2, x1-1)
+      ("d", corner("d", col("y1") - 1, lit(5L))),     // ii(y1-1, x1-1)
+      ("e", corner("e", col("yc"), lit(8L)))          // center prefix sum
+    ).foldLeft(meta) { case (m, (_, f)) => f(m) }
+    withCorners.select(col("media_id"),
+        col("h").cast("long").as("height"),
+        col("total").cast("long").as("total"),
+        col("ii_e").as("center_ii"),
+        (col("ii_a") - col("ii_b") - col("ii_c") + col("ii_d")).as("box5"))
       .orderBy("media_id")
   }
 

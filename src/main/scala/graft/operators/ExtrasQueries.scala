@@ -971,6 +971,41 @@ object ExtrasQueries {
          |FROM r GROUP BY media_id, h ORDER BY media_id""".stripMargin
     }) { (s, dir) => graft.multimodal.Multimodal.bmpResizeQuery(s, dir) },
 
+    // Integral image (summed-area table) as a DISTRIBUTED 2D prefix sum:
+    // decoded pixels become (image, y, x, gray) ROWS and ii(y,x) builds
+    // as two cascaded windows — along x within (image, row), then along y
+    // within (image, column); both partitioned, so the identical plan
+    // handles a mosaic tile grid of any size. The box sum is then read
+    // back from the table via the 4-corner identity while the oracle sums
+    // the same rectangles DIRECTLY from the synthesis codes, so the hash
+    // match proves ii is a correct summed-area table, not just a copied
+    // aggregate. The O(1)-box-lookup is the primitive under Viola-Jones
+    // features and mean pooling.
+    q("q223_integral_image",
+      "summed-area table via cascaded per-row/per-column prefix windows + 4-corner box readback")(
+      """WITH m AS (SELECT doc_id AS media_id, length(text) AS n, text,
+        |                  (length(text) + 15) // 16 AS h
+        |           FROM documents WHERE length(text) >= 1),
+        |px AS (SELECT media_id, n, text, h,
+        |              unnest(generate_series(0, h * 16 - 1)) AS i FROM m),
+        |v AS (SELECT media_id, h, i // 16 AS y, i % 16 AS x,
+        |             CASE WHEN i < n THEN ord(substr(text, CAST(i + 1 AS INT), 1))
+        |                  ELSE 0 END AS g
+        |      FROM px),
+        |meta AS (SELECT media_id, h, least(h - 1, 10) AS y2,
+        |                greatest(least(h - 1, 10) - 4, 0) AS y1,
+        |                least(h - 1, 8) AS yc FROM m),
+        |agg AS (SELECT v.media_id,
+        |               CAST(sum(g) AS BIGINT) AS total,
+        |               CAST(sum(CASE WHEN y <= yc AND x <= 8 THEN g ELSE 0 END) AS BIGINT) AS center_ii,
+        |               CAST(sum(CASE WHEN y BETWEEN y1 AND y2 AND x BETWEEN 6 AND 10
+        |                        THEN g ELSE 0 END) AS BIGINT) AS box5
+        |        FROM v JOIN meta USING (media_id) GROUP BY v.media_id)
+        |SELECT m.media_id, CAST(m.h AS BIGINT) AS height,
+        |       a.total, a.center_ii, a.box5
+        |FROM m JOIN agg a USING (media_id) ORDER BY media_id""".stripMargin
+    ) { (s, dir) => graft.multimodal.Multimodal.integralImageQuery(s, dir) },
+
     // Image near-dup pairs — the visual dedup END of the q121 aHash: 64-bit
     // hashes band into 4×16-bit segments, candidates are the band
     // equi-join, survivors pass exact Hamming ≤ 3. By pigeonhole, ≤ 3
