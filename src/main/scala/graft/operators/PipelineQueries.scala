@@ -817,6 +817,112 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     },
 
+    // Layout-effectiveness comparison — the MEASURED version of the
+    // q74/q160 story: for the same 16-bucket range-partitioned write under
+    // three sort keys (linear l_partkey, z-order, Hilbert), count how many
+    // bucket ENVELOPES each probe in a 3-family workload (pk-band,
+    // sk-band, 2D box — 8 probes each, derived from the column maxima so
+    // the workload scales with the data) would have to open. This is the
+    // number a table-format planner actually optimizes: linear wins its
+    // own column and degrades to full-scan on the other; the
+    // space-filling curves stay balanced on BOTH — and the oracle makes
+    // that a checked, engine-agreed quantity rather than prose. Envelope
+    // building is the q74/q160 shape (row-local keys, one broadcast
+    // maxima row, 16-group aggregates); the probe×envelope product is
+    // 24×48 metadata rows.
+    q("q224_layout_probe_compare",
+      "buckets touched per probe family under linear / z-order / Hilbert layouts")(
+      s"""WITH $hilbertStagesSql,
+         |base AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+         |                CAST($zorderTermsSql AS BIGINT) AS zkey, d16 AS hkey
+         |         FROM h16),
+         |mx AS (SELECT max(pk) AS pmax, max(sk) AS smax,
+         |              max(zkey) AS zmx, max(hkey) AS hmx FROM base),
+         |asg AS (SELECT base.*, (pk * 16) // (pmax + 1) AS lb,
+         |               (zkey * 16) // (zmx + 1) AS zb,
+         |               (hkey * 16) // (hmx + 1) AS hb
+         |        FROM base CROSS JOIN mx),
+         |env AS (
+         |  SELECT 'linear' AS layout, lb AS bucket, min(pk) AS mnp, max(pk) AS mxp,
+         |         min(sk) AS mns, max(sk) AS mxs FROM asg GROUP BY lb
+         |  UNION ALL
+         |  SELECT 'zorder', zb, min(pk), max(pk), min(sk), max(sk) FROM asg GROUP BY zb
+         |  UNION ALL
+         |  SELECT 'hilbert', hb, min(pk), max(pk), min(sk), max(sk) FROM asg GROUP BY hb),
+         |pr AS (
+         |  SELECT i, 'pk_band' AS family,
+         |         i * pmax // 10 AS p1, i * pmax // 10 + pmax // 12 AS p2,
+         |         CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS s2
+         |  FROM mx CROSS JOIN range(8) AS r(i)
+         |  UNION ALL
+         |  SELECT i, 'sk_band', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |         i * smax // 10, i * smax // 10 + smax // 12
+         |  FROM mx CROSS JOIN range(8) AS r(i)
+         |  UNION ALL
+         |  SELECT i, 'box', i * pmax // 10, i * pmax // 10 + pmax // 12,
+         |         ((3 * i) % 8) * smax // 10, ((3 * i) % 8) * smax // 10 + smax // 12
+         |  FROM mx CROSS JOIN range(8) AS r(i)),
+         |tc AS (SELECT pr.family, pr.i, env.layout,
+         |              sum(CASE WHEN (p1 IS NULL OR p1 <= mxp) AND (p2 IS NULL OR p2 >= mnp)
+         |                        AND (s1 IS NULL OR s1 <= mxs) AND (s2 IS NULL OR s2 >= mns)
+         |                   THEN 1 ELSE 0 END) AS touched
+         |       FROM pr CROSS JOIN env GROUP BY pr.family, pr.i, env.layout)
+         |SELECT layout, family,
+         |       CAST(sum(touched) * 1000 // 8 AS BIGINT) AS avg_touched_milli,
+         |       CAST(max(touched) AS BIGINT) AS max_touched
+         |FROM tc GROUP BY layout, family ORDER BY layout, family""".stripMargin
+    ) { (s, dir) =>
+      val zkeyExpr = (0 until 16).map { i =>
+        shiftleft(shiftright(col("pk"), i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(col("sk"), i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _)
+      val base = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .withColumn("zkey", zkeyExpr.cast("long"))
+        .withColumn("hkey", graft.expressions.HilbertFunctions
+          .hilbertIndex(col("pk"), col("sk"), 16))
+        .cache() // maxima + three envelope groupBys
+      val mx = base.agg(max(col("pk")).as("pmax"), max(col("sk")).as("smax"),
+        max(col("zkey")).as("zmx"), max(col("hkey")).as("hmx"))
+      val asg = base.crossJoin(broadcast(mx))
+        .withColumn("lb", expr("(pk * 16) div (pmax + 1)"))
+        .withColumn("zb", expr("(zkey * 16) div (zmx + 1)"))
+        .withColumn("hb", expr("(hkey * 16) div (hmx + 1)"))
+        .cache() // three envelope aggregations
+      def envOf(layout: String, b: String) = asg.groupBy(col(b).as("bucket"))
+        .agg(min(col("pk")).as("mnp"), max(col("pk")).as("mxp"),
+          min(col("sk")).as("mns"), max(col("sk")).as("mxs"))
+        .select(lit(layout).as("layout"), col("bucket"),
+          col("mnp"), col("mxp"), col("mns"), col("mxs"))
+      val env = envOf("linear", "lb")
+        .unionByName(envOf("zorder", "zb"))
+        .unionByName(envOf("hilbert", "hb"))
+      val is = mx.select(col("pmax"), col("smax"),
+        explode(sequence(lit(0L), lit(7L))).as("i"))
+      val nl = lit(null).cast("long")
+      val pr = is.select(col("i"), lit("pk_band").as("family"),
+          expr("i * pmax div 10").as("p1"), expr("i * pmax div 10 + pmax div 12").as("p2"),
+          nl.as("s1"), nl.as("s2"))
+        .unionByName(is.select(col("i"), lit("sk_band").as("family"),
+          nl.as("p1"), nl.as("p2"),
+          expr("i * smax div 10").as("s1"), expr("i * smax div 10 + smax div 12").as("s2")))
+        .unionByName(is.select(col("i"), lit("box").as("family"),
+          expr("i * pmax div 10").as("p1"), expr("i * pmax div 10 + pmax div 12").as("p2"),
+          expr("((3 * i) % 8) * smax div 10").as("s1"),
+          expr("((3 * i) % 8) * smax div 10 + smax div 12").as("s2")))
+      val touchedFlag = (col("p1").isNull || col("p1") <= col("mxp")) &&
+        (col("p2").isNull || col("p2") >= col("mnp")) &&
+        (col("s1").isNull || col("s1") <= col("mxs")) &&
+        (col("s2").isNull || col("s2") >= col("mns"))
+      pr.crossJoin(env)
+        .groupBy("family", "i", "layout")
+        .agg(sum(when(touchedFlag, 1L).otherwise(0L)).as("touched"))
+        .groupBy("layout", "family")
+        .agg(expr("sum(touched) * 1000 div 8").cast("long").as("avg_touched_milli"),
+          max(col("touched")).cast("long").as("max_touched"))
+        .orderBy("layout", "family")
+    },
+
     // Stratified sampling — per-stratum rates keyed on a content hash, so
     // the sample is stable under reruns, repartitions, AND incremental
     // appends (the q50/q51 selection contract, now with a rate per class —

@@ -1183,6 +1183,62 @@ object StreamingQueries {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    },
+
+    // Gap + HARD-CAP sessionization — q180 with the second close condition
+    // every production sessionizer needs (force-close sessions that
+    // outlive the cap even while events keep arriving inside the gap).
+    // Gap/cap are fixture-tuned (12h gap vs the ~7h median per-user
+    // inter-event spacing, 36h cap) so BOTH close conditions shape the
+    // output — q180's 30m gap closes almost every session singleton. The
+    // cap makes the fold ORDER-SENSITIVE, so CappedSessionProcessor keeps
+    // raw pending event times instead of mergeable islands and emits the
+    // provably-stable closed prefix from timers: a session is final once
+    // the watermark passes min(last+gap, start+cap) — the oracle's
+    // recursive CTE replays the identical sequential fold over the full
+    // data and gates on the identical integer close arithmetic. State per
+    // user = open-tail events only (≤ one cap span + gap horizon).
+    q("q225_stream_capped_sessions",
+      "12h-gap sessions force-split at a 36h duration cap (timer-driven, v2 API)")(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS t,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, rn, t, t AS sess_start FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.t,
+        |         CASE WHEN e.t - f.t <= 43200000000
+        |                   AND e.t - f.sess_start <= 129600000000
+        |              THEN f.sess_start ELSE e.t END
+        |  FROM f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1),
+        |g AS (SELECT user_id, sess_start AS start_us, max(t) AS end_us,
+        |             count(*) AS n
+        |      FROM f GROUP BY user_id, sess_start),
+        |wm AS (SELECT (max(t) // 1000) - 600000 AS wm_ms FROM e)
+        |SELECT user_id, start_us, end_us, n FROM g CROSS JOIN wm
+        |WHERE least(end_us + 43200000000, start_us + 129600000000) // 1000 + 1 <= wm_ms
+        |ORDER BY user_id, start_us""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val sess = eventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .select(col("user_id"), unix_micros(col("ts")).as("t"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new CappedSessionProcessor(43200000000L, 129600000000L),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "start_us", "end_us", "n")
+        runToMemory(s, sess).orderBy("user_id", "start_us")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   )
 

@@ -38,6 +38,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q130_skyline" -> "≤parts-row partition-maxima triangular join (DistributedRank prefix scan)",
     "q220_balanced_shards" -> "≤parts-row rank-offset triangular join (DistributedRank) + 1-row corpus-total frame × the 8 shard sums",
     "q221_suffix_array_lcp" -> "≤parts-row rank-offset triangular joins (DistributedRank — one per prefix-doubling round)",
+    "q224_layout_probe_compare" -> "1-row column-maxima frame × the fact scan (q74's shape) + 24-probe × 48-envelope metadata product",
     "q172_exact_auc" -> "≤parts-row rank-offset triangular join (DistributedRank)",
     "q174_exact_average_precision" -> "≤parts-row rank/prefix-sum triangular joins (DistributedRank)",
     "q117_temperature_mix" -> "1-row total-char-mass frame × per-source quota table",
