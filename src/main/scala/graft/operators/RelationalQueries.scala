@@ -1321,6 +1321,60 @@ object RelationalQueries {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
       }
+    },
+
+    // Referential-integrity audit — the constraint suite a pipeline runs
+    // before promoting a snapshot (Deequ-style data quality as a QUERY,
+    // not a framework): for every FK edge of the fixture schema, count
+    // child rows, orphaned child rows (anti-join against the parent key),
+    // parent keys, and how many parent keys are actually referenced. One
+    // anti-join + one distinct-count pair per edge, dims broadcast; at
+    // 100 TB each edge is the standard left-anti shuffle on the key with
+    // the parent side broadcast when it fits — the orphan count is the
+    // gate, the reference coverage is the fact a join-reorderer wants.
+    q("q226_fk_integrity",
+      "per-FK-edge orphan and reference-coverage audit across the fixture schema")(
+      Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey")
+      ).map { case (c, ck, p, pk) =>
+        s"""SELECT '$c.$ck' AS edge,
+           |       (SELECT count(*) FROM $c) AS n_child,
+           |       (SELECT count(*) FROM $c WHERE $ck NOT IN (SELECT $pk FROM $p)) AS n_orphans,
+           |       (SELECT count(DISTINCT $pk) FROM $p) AS parent_keys,
+           |       (SELECT count(DISTINCT $ck) FROM $c
+           |        WHERE $ck IN (SELECT $pk FROM $p)) AS keys_referenced""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+    ) { (s, dir) =>
+      Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey")
+      ).map { case (c, ck, p, pk) =>
+        // one declarative plan per edge (no driver-side counting): a
+        // broadcast left join against the DISTINCT parent keys yields
+        // child count, orphan count, and referenced-key count in one
+        // aggregate; parent cardinality is a 1-row frame joined on
+        val parent = Tables(s, dir, p).select(col(pk).as("pk")).distinct()
+        val childStats = Tables(s, dir, c).select(col(ck).as("k"))
+          .join(broadcast(parent), col("k") === col("pk"), "left_outer")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"),
+            countDistinct(when(col("pk").isNotNull, col("k"))).as("keys_referenced"))
+        val parentKeys = parent.agg(count(lit(1)).as("parent_keys"))
+        childStats.crossJoin(broadcast(parentKeys))
+          .select(lit(s"$c.$ck").as("edge"), col("n_child"), col("n_orphans"),
+            col("parent_keys"), col("keys_referenced"))
+      }.reduce(_ unionByName _).orderBy("edge")
     }
   )
 
