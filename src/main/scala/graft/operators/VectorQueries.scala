@@ -1568,6 +1568,135 @@ object VectorQueries {
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
     ) { (s, dir) =>
       indexReadbackSearch(s, dir)
+    },
+
+    // ANN quality SCORECARD — recall@3 of three index families against the
+    // exact top-3, as an oracle-checked QUERY rather than a spec
+    // assertion: the number a 100 TB retrieval deployment actually tunes
+    // (probes, planes, lists) against, computed by the engine itself so
+    // the quality audit ships with the pipeline. Each method's candidate
+    // generation is the same construction its dedicated query uses (q35c
+    // multi-probe LSH, q35e seed-IVF 2-probe, q35g Lloyd-IVF 2-probe);
+    // hits are the (qid, cid) intersection with the brute-force top-3 and
+    // recall_milli = hits·1000/30 over the 10 query vectors. Both engines
+    // derive every leg independently — the hash match proves the recall
+    // numbers, not just the plumbing.
+    q("q227_ann_scorecard",
+      "recall@3 of LSH / seed-IVF / k-means-IVF vs exact top-3, as one audited query")(
+      s"""$kmeansCte,
+         |${bucketCte.split("\n", 2)(1)},
+         |xs AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |              list_dot_product(q.e, c.e) / (nq.nrm * nc.nrm) AS cs
+         |       FROM v q JOIN n nq ON nq.vec_id = q.vec_id,
+         |            v c JOIN n nc ON nc.vec_id = c.vec_id
+         |       WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |ex AS (SELECT qid, cid FROM (SELECT *, row_number() OVER
+         |         (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM xs) WHERE rn <= 3),
+         |lp AS (SELECT q.vec_id AS qid, xor(q.bucket, r.m) AS pb
+         |       FROM bk q CROSS JOIN range(${1 << NumPlanes}) AS r(m)
+         |       WHERE q.vec_id < 10 AND bit_count(r.m) <= 2),
+         |lsc AS (SELECT DISTINCT lp.qid, c.vec_id AS cid,
+         |              list_dot_product(qv.e, cv.e) / (nq.nrm * nc.nrm) AS cs
+         |        FROM lp JOIN bk c ON c.bucket = lp.pb AND c.vec_id <> lp.qid
+         |             JOIN v qv ON qv.vec_id = lp.qid JOIN v cv ON cv.vec_id = c.vec_id
+         |             JOIN n nq ON nq.vec_id = lp.qid JOIN n nc ON nc.vec_id = c.vec_id),
+         |lt AS (SELECT qid, cid FROM (SELECT *, row_number() OVER
+         |         (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM lsc) WHERE rn <= 3),
+         |ivs AS (SELECT x.vec_id, c.vec_id AS cent,
+         |              row_number() OVER (PARTITION BY x.vec_id
+         |                ORDER BY list_dot_product(x.e, c.e) / (nx.nrm * nc.nrm) DESC,
+         |                         c.vec_id) AS rn
+         |        FROM v x JOIN n nx ON nx.vec_id = x.vec_id,
+         |             v c JOIN n nc ON nc.vec_id = c.vec_id WHERE c.vec_id < $K),
+         |ivm AS (SELECT vec_id AS cid, cent FROM ivs WHERE rn = 1),
+         |ivp AS (SELECT vec_id AS qid, cent FROM ivs WHERE rn <= 2 AND vec_id < 10),
+         |ivc AS (SELECT DISTINCT p.qid, m.cid
+         |        FROM ivp p JOIN ivm m ON m.cent = p.cent AND m.cid <> p.qid),
+         |ivsc AS (SELECT ivc.qid, ivc.cid,
+         |               list_dot_product(q.e, c.e) / (nq.nrm * nc.nrm) AS cs
+         |         FROM ivc JOIN v q ON q.vec_id = ivc.qid JOIN v c ON c.vec_id = ivc.cid
+         |              JOIN n nq ON nq.vec_id = ivc.qid JOIN n nc ON nc.vec_id = ivc.cid),
+         |ivt AS (SELECT qid, cid FROM (SELECT *, row_number() OVER
+         |         (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM ivsc) WHERE rn <= 3),
+         |kp AS (SELECT vec_id AS qid, cent FROM
+         |         (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY cs DESC, cent) AS rn FROM s$KmeansIters)
+         |       WHERE rn <= 2 AND vec_id < 10),
+         |kc AS (SELECT DISTINCT kp.qid, m.vec_id AS cid
+         |       FROM kp JOIN a$KmeansIters m ON m.cent = kp.cent AND m.vec_id <> kp.qid),
+         |ksc AS (SELECT kc.qid, kc.cid,
+         |              list_dot_product(q.e, c.e) / (nq.nrm * nc.nrm) AS cs
+         |        FROM kc JOIN v q ON q.vec_id = kc.qid JOIN v c ON c.vec_id = kc.cid
+         |             JOIN n nq ON nq.vec_id = kc.qid JOIN n nc ON nc.vec_id = kc.cid),
+         |kt AS (SELECT qid, cid FROM (SELECT *, row_number() OVER
+         |         (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM ksc) WHERE rn <= 3),
+         |h AS (SELECT 'ivf_seed' AS method, count(*) AS h3 FROM ivt JOIN ex USING (qid, cid)
+         |      UNION ALL SELECT 'kmeans_ivf', count(*) FROM kt JOIN ex USING (qid, cid)
+         |      UNION ALL SELECT 'lsh', count(*) FROM lt JOIN ex USING (qid, cid))
+         |SELECT method, CAST(h3 AS BIGINT) AS hits3,
+         |       CAST(h3 * 1000 // 30 AS BIGINT) AS recall_milli
+         |FROM h ORDER BY method""".stripMargin
+    ) { (s, dir) =>
+      val v = withNorm(Tables.fanout(s, dir, "embeddings")).cache()
+      val wq = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+      def top3(scored: DataFrame): DataFrame = scored
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+        .select("qid", "cid")
+      val qs = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      val ex = top3(v
+        .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+        .join(broadcast(qs), col("cid") =!= col("qid"))
+        .withColumn("cs", dot(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+        .cache() // one exact leg, three intersections
+      // LSH (q35c's construction)
+      val vb = withBucket(v)
+      val lq = vb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+          col("bucket"), explode(array(probeMasks(2).map(lit): _*)).as("m"))
+        .withColumn("pb", col("m").bitwiseXOR(col("bucket")))
+      val lsh = top3(vb
+        .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"),
+          col("bucket").as("cb"))
+        .join(broadcast(lq), col("cb") === col("pb") && col("cid") =!= col("qid"))
+        .select("qid", "cid", "qe", "ce", "qn", "cn").dropDuplicates(Seq("qid", "cid"))
+        .withColumn("cs", dot(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+      // seed-IVF 2-probe (q35e's construction)
+      val cents = v.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cent"), col("e").as("ce"), col("nrm").as("cn"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent"))
+      val assign = v.join(broadcast(cents))
+        .withColumn("cs", dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("rn", row_number().over(wAssign))
+      val ivMembers = assign.filter(col("rn") === 1)
+        .select(col("vec_id").as("cid"), col("cent"), col("e").as("ce2"), col("nrm").as("cn2"))
+      val ivProbes = assign.filter(col("rn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"), col("cent"))
+      val ivf = top3(ivMembers.join(broadcast(ivProbes), Seq("cent"))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("cs", dot(col("qe"), col("ce2")) / (col("qn") * col("cn2"))))
+      // Lloyd-IVF 2-probe (q35g's construction)
+      val (scores, assignKm) = kmeansScoresAndAssign(v)
+      val kmProbes = scores
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent"))))
+        .filter(col("rn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cent"))
+      val kmMembers = assignKm
+        .select(col("vec_id").as("cid"), col("cent"), col("e").as("ce2"), col("nrm").as("cn2"))
+      val km = top3(kmProbes.join(kmMembers, Seq("cent"))
+        .filter(col("cid") =!= col("qid"))
+        .join(broadcast(qs), Seq("qid"))
+        .withColumn("cs", dot(col("qe"), col("ce2")) / (col("qn") * col("cn2"))))
+      def hits(m: String, f: DataFrame): DataFrame = f
+        .join(ex, Seq("qid", "cid"))
+        .agg(count(lit(1)).as("hits3"))
+        .select(lit(m).as("method"), col("hits3"))
+      hits("ivf_seed", ivf).unionByName(hits("kmeans_ivf", km))
+        .unionByName(hits("lsh", lsh))
+        .select(col("method"), col("hits3").cast("long").as("hits3"),
+          expr("hits3 * 1000 div 30").cast("long").as("recall_milli"))
+        .orderBy("method")
     }
   )
 

@@ -40,6 +40,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q221_suffix_array_lcp" -> "≤parts-row rank-offset triangular joins (DistributedRank — one per prefix-doubling round)",
     "q224_layout_probe_compare" -> "1-row column-maxima frame × the fact scan (q74's shape) + 24-probe × 48-envelope metadata product",
     "q226_fk_integrity" -> "1-row child-stats × 1-row parent-cardinality frames, one pair per FK edge",
+    "q227_ann_scorecard" -> "brute-force exact leg BY DESIGN (q35's 10-query broadcast × corpus) + K=8 centroid grids × vectors",
     "q172_exact_auc" -> "≤parts-row rank-offset triangular join (DistributedRank)",
     "q174_exact_average_precision" -> "≤parts-row rank/prefix-sum triangular joins (DistributedRank)",
     "q117_temperature_mix" -> "1-row total-char-mass frame × per-source quota table",
