@@ -1101,6 +1101,264 @@ object AnalyticsQueries {
           ci.as("ci99"),
           (abs(col("est_cnt") - col("true_cnt")) <= ci).as("within_ci"))
         .orderBy("rf", "ls")
+    },
+
+    // Population-stability-index drift report — the monitoring primitive a
+    // 100 TB feature pipeline runs between every two snapshots: per series,
+    // bin the value distribution (10 fixed-width bins, top bin open), split
+    // the population into reference/current halves (deterministic
+    // event_id parity here; in production: yesterday vs today), and report
+    // PSI = Σ_b (p_cur − p_ref)·ln(p_cur/p_ref) with +1 Laplace smoothing
+    // so empty bins stay finite. Every probability is a ratio of exact
+    // BIGINT counts, and the 10-term sum runs through an ORDERED list fold
+    // (q143's discipline) so both engines add the same doubles in the same
+    // order. Shape: one grouped count + a 10-row-per-series bin spine —
+    // map-side explode, no product, no global window.
+    q("q229_psi_drift", "PSI distribution drift per event_type between event_id-parity halves")(
+      """WITH e AS (SELECT event_type, event_id % 2 AS side,
+        |                  least(CAST(floor(value / 50) AS BIGINT), 9) AS bin
+        |           FROM events),
+        |c AS (SELECT event_type, side, bin, count(*) AS k
+        |      FROM e GROUP BY event_type, side, bin),
+        |t AS (SELECT event_type, unnest(generate_series(0, 9)) AS bin
+        |      FROM (SELECT DISTINCT event_type FROM e)),
+        |f AS (SELECT t.event_type, t.bin,
+        |             coalesce(rr.k, 0) + 1 AS kr, coalesce(u.k, 0) + 1 AS kc
+        |      FROM t LEFT JOIN (SELECT event_type, bin, k FROM c WHERE side = 0) rr
+        |             ON rr.event_type = t.event_type AND rr.bin = t.bin
+        |           LEFT JOIN (SELECT event_type, bin, k FROM c WHERE side = 1) u
+        |             ON u.event_type = t.event_type AND u.bin = t.bin),
+        |g AS (SELECT event_type, CAST(sum(kr) AS BIGINT) AS nr,
+        |             CAST(sum(kc) AS BIGINT) AS nc
+        |      FROM f GROUP BY event_type),
+        |tm AS (SELECT f.event_type, f.bin, g.nr, g.nc,
+        |              (CAST(kc AS DOUBLE) / nc - CAST(kr AS DOUBLE) / nr)
+        |              * ln((CAST(kc AS DOUBLE) / nc) / (CAST(kr AS DOUBLE) / nr)) AS term
+        |       FROM f JOIN g ON g.event_type = f.event_type)
+        |SELECT event_type, CAST(nr - 10 AS BIGINT) AS n_ref, CAST(nc - 10 AS BIGINT) AS n_cur,
+        |       round(list_reduce(list(term ORDER BY bin), (a, b) -> a + b), 6) AS psi
+        |FROM tm GROUP BY event_type, nr, nc ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "events").select(col("event_type"),
+        (col("event_id") % 2).as("side"),
+        least(floor(col("value") / 50).cast("long"), lit(9L)).as("bin"))
+      val c = e.groupBy("event_type", "side", "bin").agg(count(lit(1)).as("k"))
+      val t = e.select("event_type").distinct()
+        .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("bin"))
+      def sideCounts(sd: Int, as: String) = c.filter(col("side") === sd)
+        .select(col("event_type"), col("bin"), col("k").as(as))
+      val f = t.join(sideCounts(0, "rk"), Seq("event_type", "bin"), "left")
+        .join(sideCounts(1, "ck"), Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"),
+          (coalesce(col("rk"), lit(0L)) + 1).as("kr"),
+          (coalesce(col("ck"), lit(0L)) + 1).as("kc"))
+      val g = f.groupBy("event_type").agg(sum(col("kr")).as("nr"), sum(col("kc")).as("nc"))
+      f.join(g, Seq("event_type"))
+        .select(col("event_type"), col("bin"), col("nr"), col("nc"),
+          ((col("kc").cast("double") / col("nc") - col("kr").cast("double") / col("nr"))
+            * log((col("kc").cast("double") / col("nc"))
+              / (col("kr").cast("double") / col("nr")))).as("term"))
+        .groupBy("event_type", "nr", "nc")
+        .agg(sort_array(collect_list(struct(col("bin"), col("term")))).as("tms"))
+        .select(col("event_type"), (col("nr") - 10).as("n_ref"), (col("nc") - 10).as("n_cur"),
+          round(aggregate(col("tms"), lit(0.0), (a, m) => a + m.getField("term")), 6).as("psi"))
+        .orderBy("event_type")
+    },
+
+    // Holt double-exponential smoothing (level + trend, α=β=1/2) over the
+    // zero-filled hourly series — the fixed-step forecaster that q98's
+    // resample feeds. The recurrence is EXACT integer milli-units with
+    // toward-zero halving (Spark `(c - c%2) >> 1` on evens ≡ DuckDB `//`,
+    // both truncate toward zero — q197's verified discipline), so the
+    // 720-step fold produces identical BIGINTs in both engines — no float
+    // drift across 720 iterations, the thing that makes naive smoothing
+    // oracles flap. Spark shape: ONE grouped sorted-array fold per series
+    // (codegen'd higher-order aggregate, no 720-round join chain);
+    // the oracle replays the same recurrence as a recursive CTE. Series
+    // length is bounded by the time span (720 h), never by row count — at
+    // 100 TB the pre-aggregation to hourly counts is the only wide op.
+    q("q230_holt_forecast", "Holt level+trend (α=β=1/2) over zero-filled hourly counts, integer-exact")(
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type, (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) AS hb,
+        |         count(*) AS y
+        |  FROM events GROUP BY event_type, hb),
+        |rr AS (SELECT CAST(min(hb) AS BIGINT) AS lo, CAST(max(hb) AS BIGINT) AS hi FROM b),
+        |spine AS (SELECT t.event_type, g.hb
+        |          FROM (SELECT DISTINCT event_type FROM b) t
+        |          CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM rr), (SELECT hi FROM rr))) AS hb) g),
+        |s AS (SELECT spine.event_type,
+        |             spine.hb - (SELECT lo FROM rr) + 1 AS idx,
+        |             coalesce(b.y, 0) AS y
+        |      FROM spine LEFT JOIN b ON b.event_type = spine.event_type AND b.hb = spine.hb),
+        |h AS (
+        |  SELECT event_type, idx, y * 1000 AS l, CAST(0 AS BIGINT) AS tr
+        |  FROM s WHERE idx = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.idx,
+        |         (n.y * 1000 + h.l + h.tr) // 2,
+        |         (((n.y * 1000 + h.l + h.tr) // 2) - h.l + h.tr) // 2
+        |  FROM h JOIN s n ON n.event_type = h.event_type AND n.idx = h.idx + 1)
+        |SELECT event_type,
+        |       CAST((SELECT hi - lo + 1 FROM rr) AS BIGINT) AS n_hours,
+        |       CAST(l AS BIGINT) AS level_milli, CAST(tr AS BIGINT) AS trend_milli,
+        |       CAST(l + tr AS BIGINT) AS forecast_milli
+        |FROM h WHERE idx = (SELECT hi - lo + 1 FROM rr) ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      // toward-zero halving of a Long column: strip the toward-zero
+      // remainder (Java % has the dividend's sign), then shift the even
+      // result — stays in integer codegen, exact for negatives
+      def half(c: Column): Column = shiftright(c - (c % 2), 1)
+      val b = Tables(s, dir, "events")
+        .selectExpr("event_type", "cast(ts as bigint) div 3600 AS hb")
+        .groupBy("event_type", "hb").agg(count(lit(1)).as("y"))
+        .cache() // bounds + series list + the left join
+      val bounds = b.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+      val spine = b.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), col("lo"), explode(sequence(col("lo"), col("hi"))).as("hb"))
+      val series = spine.join(b, Seq("event_type", "hb"), "left")
+        .select(col("event_type"), (col("hb") - col("lo") + 1).as("idx"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      series.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("idx"), col("y")))).as("sy"),
+          count(lit(1)).as("n_hours"))
+        .select(col("event_type"), col("n_hours"),
+          aggregate(
+            slice(col("sy"), lit(2), size(col("sy")) - 1),
+            named_struct(lit("l"), element_at(col("sy"), 1).getField("y") * 1000L,
+              lit("tr"), lit(0L)),
+            (acc, x) => {
+              val nl = half(x.getField("y") * 1000L + acc.getField("l") + acc.getField("tr"))
+              named_struct(lit("l"), nl,
+                lit("tr"), half(nl - acc.getField("l") + acc.getField("tr")))
+            }).as("st"))
+        .select(col("event_type"), col("n_hours"),
+          col("st.l").as("level_milli"), col("st.tr").as("trend_milli"),
+          (col("st.l") + col("st.tr")).as("forecast_milli"))
+        .orderBy("event_type")
+    },
+
+    // Weight-of-evidence / information-value feature audit — the credit-
+    // scoring-lineage scorecard a feature platform computes per candidate
+    // feature before training: bin the feature (10 fixed-width acctbal
+    // bins), label each customer (placed ≥1 URGENT order), and per bin
+    // report WOE = ln((good_b/G)/(bad_b/B)) with +1 smoothing, plus the
+    // corpus IV = Σ_b (good_b/G − bad_b/B)·WOE_b through an ordered fold.
+    // All ratios come from exact BIGINT counts; the label join is a
+    // broadcast of distinct urgent buyers. The bin spine × 1-row totals
+    // products are metadata-scale (10 rows) — allowlisted in
+    // GlobalPlanGuardSpec like every other scalar-stats frame.
+    q("q232_woe_iv", "weight-of-evidence + IV of acctbal bins vs urgent-buyer label")(
+      """WITH urg AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |lab AS (SELECT c_custkey,
+        |               CAST(floor((c_acctbal + 1000) / 1100) AS BIGINT) AS bin,
+        |               CASE WHEN c_custkey IN (SELECT o_custkey FROM urg) THEN 1 ELSE 0 END AS good
+        |        FROM customer),
+        |c AS (SELECT bin, CAST(sum(good) AS BIGINT) AS g,
+        |             CAST(count(*) - sum(good) AS BIGINT) AS bd
+        |      FROM lab GROUP BY bin),
+        |t AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |f AS (SELECT t.bin, coalesce(c.g, 0) + 1 AS kg, coalesce(c.bd, 0) + 1 AS kb
+        |      FROM t LEFT JOIN c ON c.bin = t.bin),
+        |g AS (SELECT CAST(sum(kg) AS BIGINT) AS tg, CAST(sum(kb) AS BIGINT) AS tb FROM f),
+        |w AS (SELECT f.bin, kg, kb, tg, tb,
+        |             ln((CAST(kg AS DOUBLE) / tg) / (CAST(kb AS DOUBLE) / tb)) AS woe,
+        |             (CAST(kg AS DOUBLE) / tg - CAST(kb AS DOUBLE) / tb)
+        |             * ln((CAST(kg AS DOUBLE) / tg) / (CAST(kb AS DOUBLE) / tb)) AS term
+        |      FROM f CROSS JOIN g)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(kg - 1 AS BIGINT) AS n_good,
+        |       CAST(kb - 1 AS BIGINT) AS n_bad, round(woe, 6) AS woe,
+        |       round((SELECT list_reduce(list(term ORDER BY bin), (a, b) -> a + b) FROM w), 6) AS iv
+        |FROM w ORDER BY bin""".stripMargin
+    ) { (s, dir) =>
+      val urg = Tables(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      val lab = Tables(s, dir, "customer")
+        .join(broadcast(urg), col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(floor((col("c_acctbal") + 1000) / 1100).cast("long").as("bin"),
+          when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("good"))
+      val c = lab.groupBy("bin")
+        .agg(sum(col("good")).as("g"), (count(lit(1)) - sum(col("good"))).as("bd"))
+      val t = s.range(0, 10).toDF("bin")
+      val f = t.join(c, Seq("bin"), "left")
+        .select(col("bin"), (coalesce(col("g"), lit(0L)) + 1).as("kg"),
+          (coalesce(col("bd"), lit(0L)) + 1).as("kb"))
+        .cache() // totals + IV fold + the output rows
+      val g = f.agg(sum(col("kg")).as("tg"), sum(col("kb")).as("tb"))
+      val w = f.crossJoin(broadcast(g))
+        .select(col("bin"), col("kg"), col("kb"),
+          log((col("kg").cast("double") / col("tg"))
+            / (col("kb").cast("double") / col("tb"))).as("woe"),
+          ((col("kg").cast("double") / col("tg") - col("kb").cast("double") / col("tb"))
+            * log((col("kg").cast("double") / col("tg"))
+              / (col("kb").cast("double") / col("tb")))).as("term"))
+      val iv = w.agg(sort_array(collect_list(struct(col("bin"), col("term")))).as("tms"))
+        .select(round(aggregate(col("tms"), lit(0.0), (a, m) => a + m.getField("term")), 6).as("iv"))
+      w.crossJoin(broadcast(iv))
+        .select(col("bin"), (col("kg") - 1).as("n_good"), (col("kb") - 1).as("n_bad"),
+          round(col("woe"), 6).as("woe"), col("iv"))
+        .orderBy("bin")
+    },
+
+    // Lead–lag cross-correlation between two event series — "do clicks
+    // lead purchases, and by how many hours?": Pearson r of (clicks_t,
+    // purchases_{t+lag}) for lags 0..12 over the zero-filled hourly spine.
+    // Every moment (n, Σx, Σy, Σx², Σy², Σxy) is an exact BIGINT per lag,
+    // so r is one deterministic double expression per lag (q100's
+    // discipline). Spark shape: the 13 lags come from a map-side explode
+    // on the x series — the shifted alignment is a plain equi-join on
+    // (hb+lag), never a product — then one grouped aggregation; the hour
+    // spine is time-bounded (720 rows), not data-bounded.
+    q("q234_lag_xcorr", "hourly click→purchase cross-correlation at lags 0..12, exact moments")(
+      """WITH b AS (SELECT (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) AS hb,
+        |                  event_type, count(*) AS y
+        |           FROM events WHERE event_type IN ('click', 'purchase')
+        |           GROUP BY hb, event_type),
+        |rr AS (SELECT CAST(min(hb) AS BIGINT) AS lo, CAST(max(hb) AS BIGINT) AS hi FROM b),
+        |sp AS (SELECT unnest(generate_series((SELECT lo FROM rr), (SELECT hi FROM rr))) AS hb),
+        |x AS (SELECT sp.hb, coalesce(b.y, 0) AS xv
+        |      FROM sp LEFT JOIN b ON b.hb = sp.hb AND b.event_type = 'click'),
+        |y AS (SELECT sp.hb, coalesce(b.y, 0) AS yv
+        |      FROM sp LEFT JOIN b ON b.hb = sp.hb AND b.event_type = 'purchase'),
+        |p AS (SELECT l.lg, x.xv, y.yv
+        |      FROM (SELECT unnest(generate_series(0, 12)) AS lg) l
+        |      CROSS JOIN x JOIN y ON y.hb = x.hb + l.lg),
+        |m AS (SELECT lg, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+        |             CAST(sum(xv * xv) AS BIGINT) AS sxx, CAST(sum(yv * yv) AS BIGINT) AS syy,
+        |             CAST(sum(xv * yv) AS BIGINT) AS sxy
+        |      FROM p GROUP BY lg)
+        |SELECT CAST(lg AS BIGINT) AS lg, n,
+        |       round((n * sxy - sx * sy)
+        |             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+        |FROM m ORDER BY lg""".stripMargin
+    ) { (s, dir) =>
+      val b = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .selectExpr("cast(ts as bigint) div 3600 AS hb", "event_type")
+        .groupBy("hb", "event_type").agg(count(lit(1)).as("y"))
+        .cache() // bounds + two spine joins
+      val bounds = b.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+      val sp = b.select(lit(1).as("one")).limit(1)
+        .crossJoin(broadcast(bounds))
+        .select(explode(sequence(col("lo"), col("hi"))).as("hb"))
+      def series(et: String, as: String) = sp
+        .join(b.filter(col("event_type") === et).select(col("hb"), col("y")), Seq("hb"), "left")
+        .select(col("hb"), coalesce(col("y"), lit(0L)).as(as))
+      val x = series("click", "xv")
+        .select(col("hb"), col("xv"), explode(sequence(lit(0L), lit(12L))).as("lg"))
+      val p = x.join(series("purchase", "yv").withColumnRenamed("hb", "yhb"),
+        col("yhb") === col("hb") + col("lg"))
+      p.groupBy("lg")
+        .agg(count(lit(1)).as("n"), sum(col("xv")).as("sx"), sum(col("yv")).as("sy"),
+          sum(col("xv") * col("xv")).as("sxx"), sum(col("yv") * col("yv")).as("syy"),
+          sum(col("xv") * col("yv")).as("sxy"))
+        .select(col("lg"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6).as("r"))
+        .orderBy("lg")
     }
   )
 }

@@ -1375,8 +1375,113 @@ object RelationalQueries {
           .select(lit(s"$c.$ck").as("edge"), col("n_child"), col("n_orphans"),
             col("parent_keys"), col("keys_referenced"))
       }.reduce(_ unionByName _).orderBy("edge")
+    },
+
+    // Snapshot-versioned table reads (time travel) — the lakehouse read
+    // path under Delta/Iceberg, built from first principles on plain
+    // parquet: commit v0 is a base load, v1 appends a second batch, v2
+    // commits a DELETION VECTOR (a key file, not a rewrite — the merge-on-
+    // read shape). Reading "AS OF v" composes exactly the files ≤ v:
+    // v0 = base; v1 = base ∪ append; v2 = v1 ⟕̸ deletes (broadcast anti-
+    // join on the vector). All three snapshots are audited in one result.
+    // At 100 TB this is why deletes are O(|deleted keys|) not O(table):
+    // the vector rides a broadcast anti-join at read time and compaction
+    // (q179) folds it in asynchronously. The oracle recomputes each
+    // snapshot from the fixture with the same commit predicates — the
+    // hash match proves the version composition, not just the writes.
+    q("q228_time_travel",
+      "snapshot-versioned reads over base/append/deletion-vector commits (time travel)")(
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+        |app AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |del AS (SELECT o_orderkey FROM v1 WHERE o_orderstatus = 'F'),
+        |v2 AS (SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)),
+        |snap AS (
+        |  SELECT 0 AS version, count(*) AS n_rows, count(DISTINCT o_custkey) AS n_cust,
+        |         sum(CAST(round(o_totalprice, 4) AS DECIMAL(28,4))) AS tot FROM base
+        |  UNION ALL
+        |  SELECT 1, count(*), count(DISTINCT o_custkey),
+        |         sum(CAST(round(o_totalprice, 4) AS DECIMAL(28,4))) FROM v1
+        |  UNION ALL
+        |  SELECT 2, count(*), count(DISTINCT o_custkey),
+        |         sum(CAST(round(o_totalprice, 4) AS DECIMAL(28,4))) FROM v2)
+        |SELECT CAST(version AS BIGINT) AS version, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_cust AS BIGINT) AS n_cust,
+        |       round(CAST(tot AS DOUBLE), 4) AS total
+        |FROM snap ORDER BY version""".stripMargin
+    ) { (s, dir) =>
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      // per-application location (q186's concurrency defense), cleaned
+      // before writing so reruns never read a stale commit chain
+      val loc = s"/tmp/graft_tt_${s.sparkContext.applicationId}/$sf"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val orders = Tables(s, dir, "orders")
+      // commit v0: initial load; commit v1: append; commit v2: deletion
+      // vector ONLY (keys, not rewritten data files)
+      orders.filter(col("o_orderkey") % 3 === 0).write.parquet(s"$loc/base")
+      orders.filter(col("o_orderkey") % 3 === 1).write.parquet(s"$loc/append")
+      s.read.parquet(s"$loc/base").unionByName(s.read.parquet(s"$loc/append"))
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")).write.parquet(s"$loc/deletes")
+      // snapshot reads: every version is composed purely from files ≤ v
+      val v0 = s.read.parquet(s"$loc/base")
+      val v1 = v0.unionByName(s.read.parquet(s"$loc/append"))
+      val v2 = v1.join(broadcast(s.read.parquet(s"$loc/deletes")),
+        Seq("o_orderkey"), "left_anti")
+      Seq(0 -> v0, 1 -> v1, 2 -> v2).map { case (v, df) =>
+        df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          round(dsum(col("o_totalprice")), 4).as("total"))
+          .select(lit(v.toLong).as("version"), col("n_rows"), col("n_cust"), col("total"))
+      }.reduce(_ unionByName _).orderBy("version")
+    },
+
+    // Nested-schema pruning — the struct twin of column pruning: the
+    // lineitem row is WRITTEN as two structs plus a payload array, and the
+    // read-back query touches only k.rf and m.price — Spark's nested-
+    // schema pruning (on by default) narrows the parquet ReadSchema to
+    // exactly those two LEAVES, never decoding the sibling fields or the
+    // payload array (NestedPruningSpec pins the scan's readSchema). At
+    // 100 TB nested telemetry/feature records are the norm, and reading
+    // 2 leaves instead of 7 fields + an array is the same 10–100× I/O
+    // lever flat projection pushdown gives — but only if plans keep the
+    // struct access as field extraction, which this query demonstrates.
+    q("q233_nested_pruning",
+      "struct-nested write + leaf-pruned read-back: only k.rf and m.price are scanned")(
+      """SELECT rf, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS rev
+        |FROM (SELECT l_returnflag AS rf, l_extendedprice FROM lineitem)
+        |GROUP BY rf ORDER BY rf""".stripMargin
+    ) { (s, dir) =>
+      nestedPrunedFrame(s, dir)
     }
   )
+
+  /** q233's write + pruned read-back, factored out so NestedPruningSpec can
+    * build the same frame and assert the scan's readSchema holds ONLY the
+    * two touched leaves (k.rf, m.price) — not the sibling fields, not the
+    * payload array. */
+  private[graft] def nestedPrunedFrame(s: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName.replace('.', '_')
+    val loc = s"/tmp/graft_nested_${s.sparkContext.applicationId}/$sf"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    Tables(s, dir, "lineitem")
+      .select(
+        struct(col("l_orderkey").as("okey"), col("l_linenumber").as("line"),
+          col("l_returnflag").as("rf")).as("k"),
+        struct(col("l_extendedprice").as("price"), col("l_quantity").as("qty"),
+          col("l_discount").as("disc"), col("l_tax").as("tax")).as("m"),
+        array(col("l_shipdate").cast("string"), col("l_linestatus")).as("payload"))
+      .write.parquet(loc)
+    s.read.parquet(loc)
+      .groupBy(col("k.rf").as("rf"))
+      .agg(count(lit(1)).as("n"), round(dsum(col("m.price")), 4).as("rev"))
+      .orderBy("rf")
+  }
 
   /** q217's join frame, factored out so RuntimeReplanSpec can materialize
     * it under the same confs and assert `skew=true` on the executed SMJ. */

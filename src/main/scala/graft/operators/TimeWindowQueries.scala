@@ -228,6 +228,54 @@ object TimeWindowQueries {
           last(col("v"), ignoreNulls = true)
             .over(Window.partitionBy("event_type").orderBy("hb")).as("v_ffill"))
         .orderBy("event_type", "bucket")
+    },
+
+    // Time-WEIGHTED average price (TWAP) per (series, 6 h bucket) — the
+    // finance twin of q63's OHLC: each observation holds until the next
+    // observation of the same series, clipped at the bucket end (the last
+    // observation carries to the bucket boundary). Weighting is EXACT
+    // integer arithmetic end to end: µs durations (BIGINT) × 4-decimal
+    // price units (BIGINT) — Σ(vi·dur) ≤ 5.6e6 × 2.16e10 ≈ 1.2e17 per
+    // bucket, 76× inside Long range — so both engines divide identical
+    // integers and the doubles match bit-for-bit. Shape: one lead() per
+    // series partition + a keyed aggregation; at 100 TB the window is
+    // partition-local per series and the aggregate is map-side partial —
+    // no global sort, no product. Irregular ticks are the POINT here:
+    // plain avg() over-weights burst periods; TWAP is the number a
+    // fills/mark-out analysis actually wants.
+    q("q231_twap", "time-weighted average price per (event_type, 6h bucket), exact µs×price integers")(
+      """WITH e AS (SELECT event_type, epoch_us(ts::TIMESTAMP) AS tu,
+        |                  CAST(round(value * 10000) AS BIGINT) AS vi, event_id
+        |           FROM events),
+        |w AS (SELECT event_type, tu, vi, tu // 21600000000 AS bk,
+        |             lead(tu) OVER (PARTITION BY event_type ORDER BY tu, event_id) AS nxt
+        |      FROM e),
+        |d AS (SELECT event_type, bk, vi,
+        |             least(coalesce(nxt, (bk + 1) * 21600000000), (bk + 1) * 21600000000) - tu AS dur
+        |      FROM w)
+        |SELECT event_type, make_timestamp(bk * 21600000000) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(dur) AS BIGINT) AS held_us,
+        |       round(CAST(sum(vi * dur) AS DOUBLE) / (10000.0 * CAST(sum(dur) AS DOUBLE)), 4) AS twap
+        |FROM d GROUP BY event_type, bk ORDER BY event_type, bucket""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Tables(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("tu"),
+          round(col("value") * 10000).cast("long").as("vi"), col("event_id"))
+        .withColumn("bk", expr("tu div 21600000000"))
+        .withColumn("nxt", lead(col("tu"), 1).over(
+          Window.partitionBy("event_type").orderBy("tu", "event_id")))
+      val end = (col("bk") + 1) * 21600000000L
+      w.select(col("event_type"), col("bk"), col("vi"),
+        (least(coalesce(col("nxt"), end), end) - col("tu")).as("dur"))
+        .groupBy("event_type", "bk")
+        .agg(count(lit(1)).as("n"), sum(col("dur")).as("held_us"),
+          round(sum(col("vi") * col("dur")).cast("double")
+            / (lit(10000.0) * sum(col("dur")).cast("double")), 4).as("twap"))
+        .select(col("event_type"), timestamp_micros(col("bk") * 21600000000L).as("bucket"),
+          col("n"), col("held_us"), col("twap"))
+        .orderBy("event_type", "bucket")
     }
   )
 }

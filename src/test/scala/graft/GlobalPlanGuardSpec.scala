@@ -64,7 +64,10 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q188_heavy_hitters" -> "1-row total-token-count scalar × the ≤63-row verified-candidate counts",
     "q190b_kmv_intersection" -> "1-row × 1-row KMV sketch frames (64-element arrays)",
     "q190c_kmv_difference" -> "1-row × 1-row KMV sketch frames (64-element arrays)",
-    "q195_pca_power" -> "1-row norm and eigenvalue scalars × the 64-row component frame (post-checkpoint final round)")
+    "q195_pca_power" -> "1-row norm and eigenvalue scalars × the 64-row component frame (post-checkpoint final round)",
+    "q230_holt_forecast" -> "1-row hour-bounds frame × series keys (q98's spine shape)",
+    "q232_woe_iv" -> "1-row class-totals and 1-row IV scalars × the 10-bin spine",
+    "q234_lag_xcorr" -> "1-row hour-bounds frame × the 1-row spine seed")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.
