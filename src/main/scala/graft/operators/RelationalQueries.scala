@@ -1456,6 +1456,85 @@ object RelationalQueries {
         |GROUP BY rf ORDER BY rf""".stripMargin
     ) { (s, dir) =>
       nestedPrunedFrame(s, dir)
+    },
+
+    // CDC log apply (latest-wins materialization) — the third leg of the
+    // mutation family after SCD2 history (q81) and two-table MERGE (q82):
+    // replay an ordered insert/update/delete change log and materialize
+    // the CURRENT table state. The log is the events stream recast as CDC
+    // ops (signup→I, error→D, else U per entity); apply = one row_number
+    // per key by (ts, event_id) DESC — the newest op wins, a trailing
+    // delete removes the key — plus per-key op counts from the same
+    // grouped pass. At 100 TB this is the standard CDC-compaction shape:
+    // one hash shuffle on the key, no sort of the full log, and the
+    // arbitrarily-long history collapses map-side into (1 winner + 3
+    // counters) per key before the exchange.
+    q("q237_cdc_apply",
+      "latest-wins CDC apply: insert/update/delete log → current state + op audit")(
+      """WITH log AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM log),
+        |audit AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ops,
+        |         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+        |  FROM log GROUP BY user_id)
+        |SELECT r.user_id, r.op AS last_op, round(r.value, 4) AS val, a.n_ops, a.n_deletes
+        |FROM ranked r JOIN audit a ON a.user_id = r.user_id
+        |WHERE r.rn = 1 AND r.op <> 'D'
+        |ORDER BY r.user_id""".stripMargin
+    ) { (s, dir) =>
+      val log = Tables(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"), col("value"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      val ranked = log.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+      val audit = log.groupBy("user_id").agg(count(lit(1)).as("n_ops"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"))
+      ranked.join(audit, Seq("user_id"))
+        .filter(col("op") =!= "D")
+        .select(col("user_id"), col("op").as("last_op"), r4(col("value")).as("val"),
+          col("n_ops"), col("n_deletes"))
+        .orderBy("user_id")
+    },
+
+    // Multi-format federated scan — one declarative plan over a lake that
+    // mixes parquet, CSV, and JSONL: the fixture is sliced three ways by
+    // format, written, and read back through three format-specific readers
+    // (explicit schemas — no inference pass at 100 TB) into ONE union
+    // lineage whose aggregate must equal the single-source truth. The
+    // union is format-transparent to Catalyst: partial aggregation runs
+    // inside each branch before the one exchange, so adding a legacy CSV
+    // feed to a parquet lake costs its own scan, not a second pipeline.
+    // Doubles survive the text round-trips exactly (shortest-repr
+    // printing parses back to the same bit pattern in both engines).
+    q("q238_multiformat_union",
+      "parquet ∪ CSV ∪ JSONL slices of one table re-aggregated to the single-source truth")(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS sv
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val loc = s"/tmp/graft_fed_${s.sparkContext.applicationId}/$sf"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val e = Tables(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+      e.filter(col("event_id") % 3 === 0).write.parquet(s"$loc/pq")
+      e.filter(col("event_id") % 3 === 1).write.option("header", "true").csv(s"$loc/csv")
+      e.filter(col("event_id") % 3 === 2).write.json(s"$loc/jsonl")
+      val schema = "event_id BIGINT, event_type STRING, value DOUBLE"
+      s.read.parquet(s"$loc/pq")
+        .unionByName(s.read.schema(schema).option("header", "true").csv(s"$loc/csv"))
+        .unionByName(s.read.schema(schema).json(s"$loc/jsonl"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(dsum(col("value")), 4).as("sv"))
+        .orderBy("event_type")
     }
   )
 

@@ -1222,6 +1222,102 @@ object TextQueries {
           expr("(-sc + 99999999) div 100000000").cast("long").as("n_pieces"),
           col("sc").as("score"))
         .orderBy("word")
+    },
+
+    // WordPiece greedy encoding — the BERT-family tokenizer, completing
+    // the trio with BPE (q76, merge-rule replay) and unigram Viterbi
+    // (q222, optimal lattice path): vocab = the 64 highest-frequency
+    // pieces per position class (word-initial vs '##' continuation, the
+    // WordPiece split) plus every single char; encoding walks each word
+    // LONGEST-MATCH-FIRST — at position p take the longest vocab piece,
+    // advance, mark continuations '##'. The walk is a bounded fold: the
+    // per-position longest-match table collapses to one array per word
+    // (length ≤ 8), and an 8-step codegen'd aggregate follows the jumps —
+    // no 8-round join chain, no recursion in the engine. The oracle
+    // replays the same walk as a recursive CTE; the hash match proves the
+    // greedy path, piece marks, and vocab cut agree exactly. Everything
+    // is vocab-scale after the one corpus token count — at 100 TB the
+    // corpus shuffles (word, freq) pairs once and never again.
+    q("q235_wordpiece_encode",
+      "WordPiece greedy longest-match encoding with a 64-piece-per-class vocab")(
+      """WITH RECURSIVE w0 AS (
+        |  SELECT t AS word, CAST(count(*) AS BIGINT) AS wfreq
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents) GROUP BY t),
+        |si AS (SELECT word, unnest(generate_series(0, length(word)-1)) AS i FROM w0),
+        |subs AS (SELECT word, i, k, substr(word, CAST(i+1 AS INT), CAST(k AS INT)) AS piece
+        |         FROM si CROSS JOIN range(1, 5) AS r(k)
+        |         WHERE i + k <= length(word)),
+        |occ AS (SELECT piece, i > 0 AS cont, CAST(sum(wfreq) AS BIGINT) AS f
+        |        FROM subs JOIN w0 USING (word) GROUP BY piece, cont),
+        |vset AS (SELECT piece, cont FROM (
+        |           SELECT piece, cont, length(piece) AS pl,
+        |                  row_number() OVER (PARTITION BY cont ORDER BY f DESC, piece) AS rn
+        |           FROM occ)
+        |         WHERE rn <= 64 OR pl = 1),
+        |lm AS (SELECT s.word, s.i, CAST(max(s.k) AS BIGINT) AS l
+        |       FROM subs s JOIN vset v ON v.piece = s.piece AND v.cont = (s.i > 0)
+        |       GROUP BY s.word, s.i),
+        |walk AS (
+        |  SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np,
+        |         CAST('' AS VARCHAR) AS enc
+        |  FROM w0
+        |  UNION ALL
+        |  SELECT k.word, k.pos + lm.l, k.np + 1,
+        |         k.enc || CASE WHEN k.pos = 0 THEN '' ELSE ' ##' END
+        |               || substr(k.word, CAST(k.pos + 1 AS INT), CAST(lm.l AS INT))
+        |  FROM walk k JOIN lm ON lm.word = k.word AND lm.i = k.pos
+        |  WHERE k.pos < length(k.word)),
+        |done AS (SELECT word, np AS n_pieces, enc FROM walk WHERE pos = length(word)),
+        |top AS (SELECT word, wfreq FROM w0 ORDER BY wfreq DESC, word LIMIT 50)
+        |SELECT t.word, t.wfreq, d.n_pieces, d.enc AS encoded
+        |FROM top t JOIN done d USING (word)
+        |ORDER BY t.wfreq DESC, t.word""".stripMargin
+    ) { (s, dir) =>
+      val w0 = Tables.fanout(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wfreq"))
+        .cache() // piece stats + top-50 + the walk join
+      val subs = w0.select(col("word"),
+          explode(expr("""flatten(transform(sequence(0, length(word)-1), i ->
+            filter(transform(sequence(1, 4), k ->
+              struct(i AS i, k AS k, substr(word, i+1, k) AS piece)),
+              x -> x.i + x.k <= length(word))))""")).as("e"))
+        .select(col("word"), col("e.i").cast("long").as("i"),
+          col("e.k").cast("long").as("k"), col("e.piece").as("piece"))
+      val occ = subs.join(w0, "word")
+        .groupBy(col("piece"), (col("i") > 0).as("cont"))
+        .agg(sum(col("wfreq")).as("f"))
+      // vocab budget: 64 pieces per position class + all single chars —
+      // the piece table is vocab-scale, so the 2-partition rank window is
+      // metadata work, never corpus work
+      val vset = occ.withColumn("rn", row_number().over(
+          Window.partitionBy("cont").orderBy(col("f").desc, col("piece"))))
+        .filter(col("rn") <= 64 || length(col("piece")) === 1)
+        .select(col("piece"), col("cont"))
+      val lm = subs.join(vset,
+          subs("piece") === vset("piece") && vset("cont") === (subs("i") > 0))
+        .groupBy("word", "i").agg(max(col("k")).as("l"))
+      val arr = lm.groupBy("word")
+        .agg(sort_array(collect_list(struct(col("i"), col("l")))).as("ls"))
+      val top = w0.orderBy(col("wfreq").desc, col("word")).limit(50)
+      top.join(arr, "word")
+        .select(col("word"), col("wfreq"),
+          aggregate(sequence(lit(1), lit(8)),
+            named_struct(lit("pos"), lit(0L), lit("np"), lit(0L), lit("enc"), lit("")),
+            (acc, _) => {
+              val pos = acc.getField("pos")
+              val l = element_at(col("ls"), (pos + 1).cast("int")).getField("l")
+              val piece = col("word").substr((pos + 1).cast("int"), l.cast("int"))
+              when(pos < length(col("word")).cast("long"),
+                named_struct(lit("pos"), pos + l,
+                  lit("np"), acc.getField("np") + 1,
+                  lit("enc"), when(pos === 0, piece)
+                    .otherwise(concat(acc.getField("enc"), lit(" ##"), piece))))
+                .otherwise(acc)
+            }).as("st"))
+        .select(col("word"), col("wfreq"), col("st.np").as("n_pieces"),
+          col("st.enc").as("encoded"))
+        .orderBy(col("wfreq").desc, col("word"))
     }
   )
 }

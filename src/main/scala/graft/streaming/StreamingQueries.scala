@@ -953,6 +953,98 @@ object StreamingQueries {
       runToMemory(s, agg).orderBy("event_type", "ws")
     },
 
+    // Streaming distribution-drift monitor — q229's PSI run as a REAL
+    // watermarked streaming execution: the live stream's per-(12 h window,
+    // series) value histogram is compared against a STATIC reference
+    // distribution (the event_id-parity-0 snapshot, computed batch-side
+    // and broadcast), and each closed window emits its PSI. The streaming
+    // leg is a plain watermarked windowed count per (window, series, bin)
+    // — algebraic state, bounded by windows × series × 10 bins — and the
+    // PSI finalize (bin spine, +1 smoothing, ordered-fold sum) runs over
+    // the finalized sink, exactly the shape a production monitor has:
+    // heavy counting inside the engine, metadata-scale scoring after the
+    // watermark seals each window. Append mode ⇒ only windows whose end
+    // ≤ max(ts)−10 min surface (q29's finalization rule, the oracle's
+    // HAVING twin).
+    q("q236_stream_psi",
+      "streaming PSI drift per (12h window, event_type) vs a broadcast reference histogram")(
+      """WITH cur AS (SELECT make_timestamp((CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 43200)
+        |                    * 43200 * 1000000) AS ws,
+        |                    event_type, least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+        |                    count(*) AS k
+        |             FROM events GROUP BY ws, event_type, bin),
+        |live AS (SELECT DISTINCT ws, event_type FROM cur
+        |         WHERE ws + INTERVAL 12 HOUR <=
+        |               (SELECT max(ts::TIMESTAMP) - INTERVAL 10 MINUTE FROM events)),
+        |refc AS (SELECT event_type, least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+        |                count(*) AS k
+        |         FROM events WHERE event_id % 2 = 0 GROUP BY event_type, bin),
+        |bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |rf AS (SELECT t.event_type, b.bin, coalesce(refc.k, 0) + 1 AS kr
+        |       FROM (SELECT DISTINCT event_type FROM refc) t
+        |       CROSS JOIN bins b
+        |       LEFT JOIN refc ON refc.event_type = t.event_type AND refc.bin = b.bin),
+        |rt AS (SELECT event_type, CAST(sum(kr) AS BIGINT) AS nr FROM rf GROUP BY event_type),
+        |cf AS (SELECT live.ws, live.event_type, b.bin, coalesce(cur.k, 0) + 1 AS kc
+        |       FROM live CROSS JOIN bins b
+        |       LEFT JOIN cur ON cur.ws = live.ws AND cur.event_type = live.event_type
+        |                    AND cur.bin = b.bin),
+        |ct AS (SELECT ws, event_type, CAST(sum(kc) AS BIGINT) AS nc
+        |       FROM cf GROUP BY ws, event_type),
+        |tm AS (SELECT cf.ws, cf.event_type, cf.bin, ct.nc, rt.nr,
+        |              (CAST(kc AS DOUBLE) / ct.nc - CAST(kr AS DOUBLE) / rt.nr)
+        |              * ln((CAST(kc AS DOUBLE) / ct.nc) / (CAST(kr AS DOUBLE) / rt.nr)) AS term
+        |       FROM cf JOIN ct ON ct.ws = cf.ws AND ct.event_type = cf.event_type
+        |            JOIN rf ON rf.event_type = cf.event_type AND rf.bin = cf.bin
+        |            JOIN rt ON rt.event_type = cf.event_type)
+        |SELECT ws, event_type, CAST(nc - 10 AS BIGINT) AS n_cur,
+        |       round(list_reduce(list(term ORDER BY bin), (a, b) -> a + b), 6) AS psi
+        |FROM tm GROUP BY ws, event_type, nc
+        |ORDER BY ws, event_type""".stripMargin
+    ) { (s, dir) =>
+      val binOf = least(floor(col("value") / 50).cast("long"), lit(9L))
+      // static reference histogram (+1-smoothed over the full 10-bin
+      // spine), batch-side — broadcasts against the finalized windows
+      val refc = graft.Tables(s, dir, "events")
+        .filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type"), binOf.as("bin")).agg(count(lit(1)).as("k"))
+      val rf = refc.select("event_type").distinct()
+        .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("bin"))
+        .join(refc, Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"), (coalesce(col("k"), lit(0L)) + 1).as("kr"))
+      val rt = rf.groupBy("event_type").agg(sum(col("kr")).as("nr"))
+      // REAL streaming leg: watermarked windowed histogram counts
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "12 hours"), col("event_type"), binOf.as("bin"))
+        .agg(count(lit(1)).as("k"))
+        .select(col("window.start").as("ws"), col("event_type"), col("bin"), col("k"))
+      val sink = runToMemory(s, agg)
+      // finalize over the sealed windows: spine, smoothing, ordered fold.
+      // The spine side re-aliases its columns — both join inputs descend
+      // from the same memory-sink view, whose attribute ids would
+      // otherwise conflict in the self-join.
+      val cf = sink.select(col("ws").as("sws"), col("event_type").as("sty")).distinct()
+        .select(col("sws"), col("sty"), explode(sequence(lit(0L), lit(9L))).as("sbin"))
+        .join(sink, col("sws") === col("ws") && col("sty") === col("event_type")
+          && col("sbin") === col("bin"), "left")
+        .select(col("sws").as("ws"), col("sty").as("event_type"), col("sbin").as("bin"),
+          (coalesce(col("k"), lit(0L)) + 1).as("kc"))
+      val ct = cf.groupBy("ws", "event_type").agg(sum(col("kc")).as("nc"))
+      cf.join(ct, Seq("ws", "event_type"))
+        .join(broadcast(rf), Seq("event_type", "bin"))
+        .join(broadcast(rt), Seq("event_type"))
+        .select(col("ws"), col("event_type"), col("bin"), col("nc"), col("nr"),
+          ((col("kc").cast("double") / col("nc") - col("kr").cast("double") / col("nr"))
+            * log((col("kc").cast("double") / col("nc"))
+              / (col("kr").cast("double") / col("nr")))).as("term"))
+        .groupBy("ws", "event_type", "nc")
+        .agg(sort_array(collect_list(struct(col("bin"), col("term")))).as("tms"))
+        .select(col("ws"), col("event_type"), (col("nc") - 10).as("n_cur"),
+          round(aggregate(col("tms"), lit(0.0), (a, m) => a + m.getField("term")), 6).as("psi"))
+        .orderBy("ws", "event_type")
+    },
+
     // Streaming IVF centroid assignment — the vector-index INGEST path run
     // on the stream (new embeddings routed to their coarse cell as they
     // arrive, the maintenance half of q35d/q35e's build-then-search). The
