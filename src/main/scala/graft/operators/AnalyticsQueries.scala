@@ -1359,6 +1359,113 @@ object AnalyticsQueries {
             / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
               * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6).as("r"))
         .orderBy("lg")
+    },
+
+    // Join-size estimation from count sketches — the cardinality-
+    // estimation primitive a cost-based planner needs BEFORE running a
+    // join: |A ⋈ B| on a key equals the inner product of the two key-
+    // frequency vectors, estimated here as min over 2 salted CMS rows
+    // (portable md5 hashes) of Σ_b cntA[b]·cntB[b]. The bucket count is
+    // the whole design: collision noise adds ≈ |A|·|B|/w, so w must be
+    // sized ≫ |A|·|B|/|A⋈B| — 2²⁰ here puts the noise near 10% of the
+    // true size (w=256 would drown the signal 500×). Each side still
+    // collapses to ≤ min(n, w) sketch rows via one partial-aggregated
+    // count — the join is SIZED without being RUN, and at 100 TB the
+    // sketch is megabytes against a multi-billion-row join. The exact
+    // join count rides along as the audit; err_milli is the oracle-
+    // checked estimator quality. All arithmetic is BIGINT — both engines
+    // hash, bucket, and multiply identically.
+    q("q239_join_size_sketch",
+      "CMS inner-product estimate of |orders ⋈ lineitem| vs the exact join count")(
+      s"""WITH ca AS (SELECT r, ${md5LongSql("'j' || r || ':' || o_orderkey")} % 1048576 AS b,
+         |                   CAST(count(*) AS BIGINT) AS c
+         |            FROM orders CROSS JOIN (VALUES (0), (1)) AS sa(r)
+         |            GROUP BY r, b),
+         |cb AS (SELECT r, ${md5LongSql("'j' || r || ':' || l_orderkey")} % 1048576 AS b,
+         |              CAST(count(*) AS BIGINT) AS c
+         |       FROM lineitem CROSS JOIN (VALUES (0), (1)) AS sb(r)
+         |       GROUP BY r, b),
+         |ip AS (SELECT ca.r, CAST(sum(ca.c * cb.c) AS BIGINT) AS est
+         |       FROM ca JOIN cb ON cb.r = ca.r AND cb.b = ca.b
+         |       GROUP BY ca.r),
+         |tru AS (SELECT CAST(count(*) AS BIGINT) AS n
+         |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+         |SELECT tru.n AS true_size, CAST(min(ip.est) AS BIGINT) AS est_size,
+         |       CAST(abs(min(ip.est) - tru.n) * 1000 // tru.n AS BIGINT) AS err_milli
+         |FROM ip CROSS JOIN tru GROUP BY tru.n""".stripMargin
+    ) { (s, dir) =>
+      def sketch(df: org.apache.spark.sql.DataFrame, key: String) = df
+        .select(explode(array(lit(0), lit(1))).as("r"), col(key).as("k"))
+        .groupBy(col("r"),
+          (md5Long(concat(lit("j"), col("r").cast("string"), lit(":"),
+            col("k").cast("string"))) % 1048576).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val ca = sketch(Tables(s, dir, "orders"), "o_orderkey")
+      val cb = sketch(Tables(s, dir, "lineitem"), "l_orderkey")
+      val ip = ca.join(cb.withColumnRenamed("c", "c2"), Seq("r", "b"))
+        .groupBy("r").agg(sum(col("c") * col("c2")).as("est"))
+      val tru = Tables(s, dir, "orders").join(Tables(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      ip.crossJoin(broadcast(tru))
+        .groupBy("n").agg(min(col("est")).as("est_size"))
+        .select(col("n").as("true_size"), col("est_size"),
+          expr("CAST(abs(est_size - n) * 1000 div n AS BIGINT)").as("err_milli"))
+    },
+
+    // Time-horizon conversion funnel — ClickHouse's windowFunnel as one
+    // declarative plan: did signup → click → purchase happen IN ORDER
+    // within 24 h of the user's first signup? The chain is the greedy
+    // earliest-step construction (first signup, first click ≥ it, first
+    // purchase ≥ that click), which is optimal for the ∃-chain question:
+    // an earlier click can only widen the purchase window. Every step is
+    // an equi-join on user_id with a range predicate + a min — three
+    // partial-aggregated passes over the user partition, no window over
+    // raw events, no product; timestamps compare at exact µs. The funnel
+    // report is one row of BIGINT stage counts.
+    q("q241_window_funnel",
+      "ordered signup→click→purchase funnel within 24h of first signup (greedy-exact)")(
+      """WITH s AS (SELECT user_id, min(ts::TIMESTAMP) AS st
+        |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT s.user_id, min(e.ts::TIMESTAMP) AS ct
+        |      FROM s JOIN events e ON e.user_id = s.user_id
+        |           AND e.event_type = 'click' AND e.ts::TIMESTAMP >= s.st
+        |      GROUP BY s.user_id),
+        |p AS (SELECT c.user_id, min(e.ts::TIMESTAMP) AS pt
+        |      FROM c JOIN events e ON e.user_id = c.user_id
+        |           AND e.event_type = 'purchase' AND e.ts::TIMESTAMP >= c.ct
+        |      GROUP BY c.user_id),
+        |j AS (SELECT s.user_id, s.st, c.ct, p.pt
+        |      FROM s LEFT JOIN c ON c.user_id = s.user_id
+        |             LEFT JOIN p ON p.user_id = s.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_signup,
+        |       CAST(sum(CASE WHEN ct IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chain_click,
+        |       CAST(sum(CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chain_full,
+        |       CAST(sum(CASE WHEN ct IS NOT NULL AND ct <= st + INTERVAL 24 HOUR
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_click24,
+        |       CAST(sum(CASE WHEN pt IS NOT NULL AND pt <= st + INTERVAL 24 HOUR
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase24
+        |FROM j""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+        .cache() // three stage scans
+      val sg = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("st"))
+      val ck = sg.join(ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts")), Seq("user_id"))
+        .filter(col("cts") >= col("st"))
+        .groupBy("user_id").agg(min(col("cts")).as("ct"))
+      val pu = ck.join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts")), Seq("user_id"))
+        .filter(col("pts") >= col("ct"))
+        .groupBy("user_id").agg(min(col("pts")).as("pt"))
+      val horizon = col("st") + expr("INTERVAL 24 HOURS")
+      sg.join(ck, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_signup"),
+          sum(when(col("ct").isNotNull, 1L).otherwise(0L)).as("n_chain_click"),
+          sum(when(col("pt").isNotNull, 1L).otherwise(0L)).as("n_chain_full"),
+          sum(when(col("ct").isNotNull && col("ct") <= horizon, 1L).otherwise(0L)).as("n_click24"),
+          sum(when(col("pt").isNotNull && col("pt") <= horizon, 1L).otherwise(0L)).as("n_purchase24"))
     }
   )
 }

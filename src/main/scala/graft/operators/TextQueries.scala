@@ -1226,9 +1226,11 @@ object TextQueries {
 
     // WordPiece greedy encoding — the BERT-family tokenizer, completing
     // the trio with BPE (q76, merge-rule replay) and unigram Viterbi
-    // (q222, optimal lattice path): vocab = the 64 highest-frequency
+    // (q222, optimal lattice path): vocab = the 32 highest-frequency
     // pieces per position class (word-initial vs '##' continuation, the
-    // WordPiece split) plus every single char; encoding walks each word
+    // WordPiece split — a budget tight enough that the cut BITES: most
+    // 4-grams miss it and match lengths genuinely vary) plus every
+    // single char as the fallback floor; encoding walks each word
     // LONGEST-MATCH-FIRST — at position p take the longest vocab piece,
     // advance, mark continuations '##'. The walk is a bounded fold: the
     // per-position longest-match table collapses to one array per word
@@ -1239,7 +1241,7 @@ object TextQueries {
     // is vocab-scale after the one corpus token count — at 100 TB the
     // corpus shuffles (word, freq) pairs once and never again.
     q("q235_wordpiece_encode",
-      "WordPiece greedy longest-match encoding with a 64-piece-per-class vocab")(
+      "WordPiece greedy longest-match encoding with a 32-piece-per-class vocab")(
       """WITH RECURSIVE w0 AS (
         |  SELECT t AS word, CAST(count(*) AS BIGINT) AS wfreq
         |  FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents) GROUP BY t),
@@ -1253,7 +1255,7 @@ object TextQueries {
         |           SELECT piece, cont, length(piece) AS pl,
         |                  row_number() OVER (PARTITION BY cont ORDER BY f DESC, piece) AS rn
         |           FROM occ)
-        |         WHERE rn <= 64 OR pl = 1),
+        |         WHERE rn <= 32 OR pl = 1),
         |lm AS (SELECT s.word, s.i, CAST(max(s.k) AS BIGINT) AS l
         |       FROM subs s JOIN vset v ON v.piece = s.piece AND v.cont = (s.i > 0)
         |       GROUP BY s.word, s.i),
@@ -1290,12 +1292,16 @@ object TextQueries {
       // vocab budget: 64 pieces per position class + all single chars —
       // the piece table is vocab-scale, so the 2-partition rank window is
       // metadata work, never corpus work
+      // fresh aliases (vp, vc): vset descends from subs, so joining on
+      // vset("piece") would resolve BOTH sides to the same attribute — a
+      // trivially-true predicate, silently turning the vocab lookup into
+      // a class-only match (Spark warns but proceeds)
       val vset = occ.withColumn("rn", row_number().over(
           Window.partitionBy("cont").orderBy(col("f").desc, col("piece"))))
-        .filter(col("rn") <= 64 || length(col("piece")) === 1)
-        .select(col("piece"), col("cont"))
+        .filter(col("rn") <= 32 || length(col("piece")) === 1)
+        .select(col("piece").as("vp"), col("cont").as("vc"))
       val lm = subs.join(vset,
-          subs("piece") === vset("piece") && vset("cont") === (subs("i") > 0))
+          subs("piece") === col("vp") && col("vc") === (subs("i") > 0))
         .groupBy("word", "i").agg(max(col("k")).as("l"))
       val arr = lm.groupBy("word")
         .agg(sort_array(collect_list(struct(col("i"), col("l")))).as("ls"))

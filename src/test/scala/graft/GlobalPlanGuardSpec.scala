@@ -67,7 +67,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q195_pca_power" -> "1-row norm and eigenvalue scalars × the 64-row component frame (post-checkpoint final round)",
     "q230_holt_forecast" -> "1-row hour-bounds frame × series keys (q98's spine shape)",
     "q232_woe_iv" -> "1-row class-totals and 1-row IV scalars × the 10-bin spine",
-    "q234_lag_xcorr" -> "1-row hour-bounds frame × the 1-row spine seed")
+    "q234_lag_xcorr" -> "1-row hour-bounds frame × the 1-row spine seed",
+    "q239_join_size_sketch" -> "2-row sketch inner products × the 1-row exact-count audit frame")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.
