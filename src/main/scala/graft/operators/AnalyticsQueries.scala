@@ -1466,6 +1466,116 @@ object AnalyticsQueries {
           sum(when(col("pt").isNotNull, 1L).otherwise(0L)).as("n_chain_full"),
           sum(when(col("ct").isNotNull && col("ct") <= horizon, 1L).otherwise(0L)).as("n_click24"),
           sum(when(col("pt").isNotNull && col("pt") <= horizon, 1L).otherwise(0L)).as("n_purchase24"))
+    },
+
+    // Watermark-sizing report — the out-of-orderness audit that answers
+    // the ONE question every streaming deployment must answer before
+    // picking withWatermark's delay: how late do events actually arrive?
+    // The fixture feed is perfectly ordered, so a deterministic transport
+    // delay (md5(event_id) mod 600 s) models the shuffled arrival; per
+    // series, lateness = running max of EVENT time along ARRIVAL order
+    // minus own event time (exactly the definition Spark's watermark
+    // tracks), and the report gives p50/p95/p99/max lateness in whole
+    // seconds from an integer histogram (q194's bins-not-rows discipline
+    // — quantiles come from cumulated bin counts, never a sort of raw
+    // events). Reading it: a 10-minute watermark (q29/q193's setting)
+    // covers p99 here; max tells you what it drops.
+    q("q242_lateness_report",
+      "per-series arrival-lateness percentiles under a deterministic transport delay")(
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS et,
+         |                  epoch_us(ts::TIMESTAMP)
+         |                  + (${md5LongSql("'d:' || event_id")} % 600) * 1000000 AS at
+         |           FROM events),
+         |l AS (SELECT event_type,
+         |             greatest(max(et) OVER (PARTITION BY event_type ORDER BY at, event_id
+         |                                    ROWS UNBOUNDED PRECEDING) - et, 0) // 1000000 AS late_s
+         |      FROM e),
+         |h AS (SELECT event_type, late_s, count(*) AS k FROM l GROUP BY event_type, late_s),
+         |c AS (SELECT event_type, late_s, k,
+         |             sum(k) OVER (PARTITION BY event_type ORDER BY late_s
+         |                          ROWS UNBOUNDED PRECEDING) AS cum,
+         |             sum(k) OVER (PARTITION BY event_type) AS n
+         |      FROM h)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN late_s > 0 THEN k ELSE 0 END) AS BIGINT) AS n_late,
+         |       CAST(min(CASE WHEN cum * 2 >= n THEN late_s END) AS BIGINT) AS p50_late_s,
+         |       CAST(min(CASE WHEN cum * 20 >= 19 * n THEN late_s END) AS BIGINT) AS p95_late_s,
+         |       CAST(min(CASE WHEN cum * 100 >= 99 * n THEN late_s END) AS BIGINT) AS p99_late_s,
+         |       CAST(max(late_s) AS BIGINT) AS max_late_s
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "events").select(col("event_type"), col("event_id"),
+        us(col("ts")).as("et"),
+        (us(col("ts")) + (md5Long(concat(lit("d:"), col("event_id").cast("string")))
+          % 600) * 1000000L).as("at"))
+      val l = e.select(col("event_type"),
+        greatest(max(col("et")).over(
+          Window.partitionBy("event_type").orderBy("at", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("et"),
+          lit(0L)).as("late_us"))
+        .select(col("event_type"), (col("late_us") / 1000000L).cast("long").as("late_s"))
+      val h = l.groupBy("event_type", "late_s").agg(count(lit(1)).as("k"))
+      val c = h.select(col("event_type"), col("late_s"), col("k"),
+        sum(col("k")).over(Window.partitionBy("event_type").orderBy("late_s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        sum(col("k")).over(Window.partitionBy("event_type")).as("n"))
+      c.groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          sum(when(col("late_s") > 0, col("k")).otherwise(0L)).as("n_late"),
+          min(when(col("cum") * 2 >= col("n"), col("late_s"))).as("p50_late_s"),
+          min(when(col("cum") * 20 >= col("n") * 19, col("late_s"))).as("p95_late_s"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("late_s"))).as("p99_late_s"),
+          max(col("late_s")).as("max_late_s"))
+        .orderBy("event_type")
+    },
+
+    // "Also bought" recommendations by association lift — per anchor part,
+    // the top-3 co-purchased parts ranked by lift = P(a,b)/(P(a)·P(b)) in
+    // exact integer micro-units (q99's association-rule machinery turned
+    // into the per-item recommendation table a retail surface serves).
+    // Basket pairs come from a self-join on the order key — bounded by
+    // (basket size)² per order, never corpus² — supports are one grouped
+    // count, and the per-anchor rank is a partitioned window over the
+    // co-occurrence table. The 1-row basket-count frame broadcasts
+    // (allowlisted scalar product, q99's own shape).
+    q("q244_also_bought",
+      "per-part top-3 co-purchased recommendations by exact integer lift")(
+      """WITH bl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nb FROM bl),
+        |s AS (SELECT p, CAST(count(*) AS BIGINT) AS sp FROM bl GROUP BY p),
+        |co AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c
+        |       FROM bl a JOIN bl b ON b.o = a.o AND b.p <> a.p
+        |       GROUP BY a.p, b.p),
+        |lf AS (SELECT co.pa, co.pb, co.c,
+        |              CAST(co.c * n.nb * 1000000 // (sa.sp * sb.sp) AS BIGINT) AS lift_micro
+        |       FROM co CROSS JOIN n
+        |            JOIN s sa ON sa.p = co.pa JOIN s sb ON sb.p = co.pb),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY pa
+        |                ORDER BY lift_micro DESC, c DESC, pb) AS rn
+        |      FROM lf)
+        |SELECT pa, pb, c AS n_co, lift_micro, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY pa, rn LIMIT 150""".stripMargin
+    ) { (s, dir) =>
+      val bl = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .cache() // basket count + supports + the pair join
+      val n = bl.agg(countDistinct(col("o")).as("nb"))
+      val sup = bl.groupBy("p").agg(count(lit(1)).as("sp"))
+      val co = bl.select(col("o"), col("p").as("pa"))
+        .join(bl.select(col("o"), col("p").as("pb")), Seq("o"))
+        .filter(col("pa") =!= col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      co.crossJoin(broadcast(n))
+        .join(broadcast(sup.select(col("p").as("pa"), col("sp").as("sa"))), Seq("pa"))
+        .join(broadcast(sup.select(col("p").as("pb"), col("sp").as("sb"))), Seq("pb"))
+        .select(col("pa"), col("pb"), col("c"),
+          expr("CAST(c * nb * 1000000 div (sa * sb) AS BIGINT)").as("lift_micro"))
+        .withColumn("rn", row_number().over(Window.partitionBy("pa")
+          .orderBy(col("lift_micro").desc, col("c").desc, col("pb"))))
+        .filter(col("rn") <= 3)
+        .select(col("pa"), col("pb"), col("c").as("n_co"), col("lift_micro"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("pa", "rn").limit(150)
     }
   )
 }

@@ -654,6 +654,77 @@ object DedupQueries {
         .select(col("da"), col("db"), col("shared").cast("long").as("shared"),
           expr("shared * 1000 div least(na, nb)").cast("long").as("overlap_milli"))
         .orderBy("da", "db")
+    },
+
+    // LSH dedup quality scorecard — q227's ANN-recall discipline applied
+    // to the MinHash family: precision AND recall of the q34c band-join
+    // candidates against the EXACT Jaccard ≥ 0.5 pair set, as one
+    // oracle-checked query. The truth leg is the shared-shingle equi-
+    // self-join (q34a's scalable shape, never all-pairs) with the
+    // threshold kept in integers (J ≥ ½ ⇔ 3·common ≥ n_a + n_b — no
+    // float boundary flips); the candidate leg is q34c's 4×4 banding
+    // verbatim. These two numbers ARE the (bands × rows) tuning loop a
+    // 100 TB dedup runs: recall tells you what the bands miss, precision
+    // what the verifier must re-check — computed by the engine itself,
+    // hash-verified against the oracle.
+    q("q245_lsh_scorecard",
+      "precision/recall of MinHash LSH band candidates vs exact Jaccard≥0.5 truth")(
+      s"""$sigCte,
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |                 string_agg(mh, ',' ORDER BY j) AS bsig
+         |          FROM sig GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |           FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+         |           GROUP BY a.doc_id, b.doc_id),
+         |truth AS (SELECT d1, d2 FROM common
+         |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+         |          WHERE 3 * c >= ca.n + cb.n),
+         |m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |             (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         |             (SELECT CAST(count(*) AS BIGINT)
+         |              FROM cand JOIN truth USING (d1, d2)) AS n_hit)
+         |SELECT n_truth, n_cand, n_hit,
+         |       CAST(n_hit * 1000 // greatest(n_truth, 1) AS BIGINT) AS recall_milli,
+         |       CAST(n_hit * 1000 // greatest(n_cand, 1) AS BIGINT) AS precision_milli
+         |FROM m""".stripMargin
+    ) { (s, dir) =>
+      val agg = udaf(new MinHashAggregator)
+      val toks = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
+        .cache() // signature agg + truth self-join + per-doc counts
+      val docs = sh.withColumn("h1v", h1(col("s")))
+        .groupBy("doc_id").agg(agg(col("h1v")).as("sig"))
+      val bands = docs.select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b.toLong).as("band"),
+          concat_ws(",", (0 until 4).map(k =>
+            element_at(col("sig"), b * 4 + k + 1).cast("string")): _*).as("bsig"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val truth = sh.select(col("doc_id").as("d1"), col("s"))
+        .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
+        .filter(col("c") * 3 >= col("na") + col("nb"))
+        .select(col("d1"), col("d2"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nHit = cand.join(truth, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
+      nTruth.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          expr("CAST(n_hit * 1000 div greatest(n_truth, 1) AS BIGINT)").as("recall_milli"),
+          expr("CAST(n_hit * 1000 div greatest(n_cand, 1) AS BIGINT)").as("precision_milli"))
     }
   )
 }

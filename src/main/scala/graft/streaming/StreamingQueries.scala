@@ -1045,6 +1045,82 @@ object StreamingQueries {
         .orderBy("ws", "event_type")
     },
 
+    // Streaming conversion-funnel state machine — q241's greedy
+    // signup→click→purchase chain run per user ON THE STREAM: keyed state
+    // is the 3-slot machine (first signup, first click ≥ it, first
+    // purchase ≥ that click), advanced in three ordered passes per batch
+    // (min-signup, then min-qualifying-click, then min-qualifying-
+    // purchase — pass separation makes same-microsecond ties within a
+    // batch order-independent, where a single greedy sweep would depend
+    // on event_id interleave). Slots only ever FILL, so min-per-slot over
+    // the per-batch emissions is replay-stable (q32's sink discipline),
+    // and the funnel report is one batch aggregate over final states.
+    // State: three longs per user, forever-bounded; the 24 h horizon is
+    // applied at report time, exactly like the batch twin.
+    q("q243_stream_funnel",
+      "streaming per-user funnel state machine (greedy chain, 24h horizon report)")(
+      """WITH s AS (SELECT user_id, min(ts::TIMESTAMP) AS st
+        |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT s.user_id, min(e.ts::TIMESTAMP) AS ct
+        |      FROM s JOIN events e ON e.user_id = s.user_id
+        |           AND e.event_type = 'click' AND e.ts::TIMESTAMP >= s.st
+        |      GROUP BY s.user_id),
+        |p AS (SELECT c.user_id, min(e.ts::TIMESTAMP) AS pt
+        |      FROM c JOIN events e ON e.user_id = c.user_id
+        |           AND e.event_type = 'purchase' AND e.ts::TIMESTAMP >= c.ct
+        |      GROUP BY c.user_id),
+        |j AS (SELECT s.user_id, s.st, c.ct, p.pt
+        |      FROM s LEFT JOIN c ON c.user_id = s.user_id
+        |             LEFT JOIN p ON p.user_id = s.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_signup,
+        |       CAST(sum(CASE WHEN ct IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chain_click,
+        |       CAST(sum(CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chain_full,
+        |       CAST(sum(CASE WHEN ct IS NOT NULL AND ct <= st + INTERVAL 24 HOUR
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_click24,
+        |       CAST(sum(CASE WHEN pt IS NOT NULL AND pt <= st + INTERVAL 24 HOUR
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase24
+        |FROM j""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val NONE = Long.MinValue
+      val ev = eventsStream(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"),
+          col("event_id"))
+        .as[(Long, String, Long, Long)]
+      val states = ev.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long),
+          (Long, Option[Long], Option[Long], Option[Long])](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, String, Long, Long)],
+           state: GroupState[(Long, Long, Long)]) =>
+            var (st, ct, pt) = state.getOption.getOrElse((NONE, NONE, NONE))
+            val evs = rows.toSeq.sortBy(r => (r._3, r._4))
+            evs.foreach { case (_, et, tu, _) =>
+              if (et == "signup" && st == NONE) st = tu
+            }
+            evs.foreach { case (_, et, tu, _) =>
+              if (et == "click" && st != NONE && ct == NONE && tu >= st) ct = tu
+            }
+            evs.foreach { case (_, et, tu, _) =>
+              if (et == "purchase" && ct != NONE && pt == NONE && tu >= ct) pt = tu
+            }
+            state.update((st, ct, pt))
+            def opt(x: Long): Option[Long] = if (x == NONE) None else Some(x)
+            Iterator((uid, opt(st), opt(ct), opt(pt)))
+        }
+        .toDF("user_id", "stu", "ctu", "ptu")
+      val sink = runToMemory(s, states)
+      val fin = sink.groupBy("user_id")
+        .agg(min(col("stu")).as("stu"), min(col("ctu")).as("ctu"), min(col("ptu")).as("ptu"))
+        .filter(col("stu").isNotNull)
+      val horizon = col("stu") + 86400000000L
+      fin.agg(count(lit(1)).as("n_signup"),
+        sum(when(col("ctu").isNotNull, 1L).otherwise(0L)).as("n_chain_click"),
+        sum(when(col("ptu").isNotNull, 1L).otherwise(0L)).as("n_chain_full"),
+        sum(when(col("ctu").isNotNull && col("ctu") <= horizon, 1L).otherwise(0L)).as("n_click24"),
+        sum(when(col("ptu").isNotNull && col("ptu") <= horizon, 1L).otherwise(0L)).as("n_purchase24"))
+    },
+
     // Streaming IVF centroid assignment — the vector-index INGEST path run
     // on the stream (new embeddings routed to their coarse cell as they
     // arrive, the maintenance half of q35d/q35e's build-then-search). The

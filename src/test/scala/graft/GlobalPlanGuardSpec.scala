@@ -68,7 +68,9 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q230_holt_forecast" -> "1-row hour-bounds frame × series keys (q98's spine shape)",
     "q232_woe_iv" -> "1-row class-totals and 1-row IV scalars × the 10-bin spine",
     "q234_lag_xcorr" -> "1-row hour-bounds frame × the 1-row spine seed",
-    "q239_join_size_sketch" -> "2-row sketch inner products × the 1-row exact-count audit frame")
+    "q239_join_size_sketch" -> "2-row sketch inner products × the 1-row exact-count audit frame",
+    "q244_also_bought" -> "1-row basket-count frame × the co-occurrence table (q99's shape)",
+    "q245_lsh_scorecard" -> "1-row × 1-row × 1-row scorecard-count frames")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.
