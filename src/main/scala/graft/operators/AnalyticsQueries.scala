@@ -1576,6 +1576,76 @@ object AnalyticsQueries {
         .select(col("pa"), col("pb"), col("c").as("n_co"), col("lift_micro"),
           col("rn").cast("long").as("rn"))
         .orderBy("pa", "rn").limit(150)
+    },
+
+    // RFM segmentation — the classic marketing partition (recency /
+    // frequency / monetary quintiles) with every boundary histogram-exact:
+    // per-user R (whole days since last event vs the corpus max), F
+    // (event count), and M (4-dp value units, binned ×50 for the
+    // histogram) are integers; each dimension's quintile score is the
+    // user's strict percentile rank (below·5 // n, capped at 4) computed
+    // from a per-dim value histogram via a dim-keyed triangular join —
+    // bins², never users², and NO global window (the trap ntile() would
+    // plan). Scores land back on users through three broadcast-able
+    // histogram joins; the report is the 5×5×5 cell census. Lower R score
+    // = more recent, lower F/M = lighter — documented, not normalized.
+    q("q246_rfm_segments",
+      "recency/frequency/monetary quintile census with histogram-exact boundaries")(
+      s"""WITH mx AS (SELECT max(epoch_us(ts::TIMESTAMP)) AS mt FROM events),
+         |u AS (SELECT user_id,
+         |             CAST((mx.mt - max(epoch_us(ts::TIMESTAMP))) // 86400000000 AS BIGINT) AS rv,
+         |             CAST(count(*) AS BIGINT) AS fv,
+         |             CAST(sum(CAST(round(value * 10000) AS BIGINT)) // 500000 AS BIGINT) AS mv
+         |      FROM events CROSS JOIN mx GROUP BY user_id, mx.mt),
+         |dims AS (SELECT user_id, 'r' AS dim, rv AS val FROM u
+         |         UNION ALL SELECT user_id, 'f', fv FROM u
+         |         UNION ALL SELECT user_id, 'm', mv FROM u),
+         |h AS (SELECT dim, val, CAST(count(*) AS BIGINT) AS k FROM dims GROUP BY dim, val),
+         |c AS (SELECT a.dim, a.val,
+         |             CAST(sum(CASE WHEN b.val < a.val THEN b.k ELSE 0 END) AS BIGINT) AS below
+         |      FROM h a JOIN h b ON b.dim = a.dim
+         |      GROUP BY a.dim, a.val),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM u),
+         |q AS (SELECT dim, val, least(below * 5 // nu, 4) AS sc FROM c CROSS JOIN n),
+         |sc AS (SELECT d.user_id,
+         |              max(CASE WHEN d.dim = 'r' THEN q.sc END) AS r_sc,
+         |              max(CASE WHEN d.dim = 'f' THEN q.sc END) AS f_sc,
+         |              max(CASE WHEN d.dim = 'm' THEN q.sc END) AS m_sc
+         |       FROM dims d JOIN q ON q.dim = d.dim AND q.val = d.val
+         |       GROUP BY d.user_id)
+         |SELECT CAST(r_sc AS BIGINT) AS r_sc, CAST(f_sc AS BIGINT) AS f_sc,
+         |       CAST(m_sc AS BIGINT) AS m_sc, CAST(count(*) AS BIGINT) AS n_users
+         |FROM sc GROUP BY r_sc, f_sc, m_sc ORDER BY r_sc, f_sc, m_sc""".stripMargin
+    ) { (s, dir) =>
+      val mx = Tables(s, dir, "events").agg(max(us(col("ts"))).as("mt"))
+      val u = Tables(s, dir, "events")
+        .crossJoin(broadcast(mx))
+        .groupBy("user_id", "mt")
+        .agg(max(us(col("ts"))).as("lt"), count(lit(1)).as("fv"),
+          sum(round(col("value") * 10000).cast("long")).as("mu"))
+        .select(col("user_id"),
+          expr("(mt - lt) div 86400000000").as("rv"), col("fv"),
+          expr("mu div 500000").as("mv"))
+        .cache() // three dim projections + the user count
+      val dims = u.select(col("user_id"), lit("r").as("dim"), col("rv").as("val"))
+        .unionAll(u.select(col("user_id"), lit("f").as("dim"), col("fv").as("val")))
+        .unionAll(u.select(col("user_id"), lit("m").as("dim"), col("mv").as("val")))
+      val h = dims.groupBy("dim", "val").agg(count(lit(1)).as("k"))
+      val c = h.select(col("dim"), col("val").as("aval"))
+        .join(h.select(col("dim"), col("val").as("bval"), col("k")), Seq("dim"))
+        .groupBy("dim", "aval")
+        .agg(sum(when(col("bval") < col("aval"), col("k")).otherwise(0L)).as("below"))
+      val n = u.agg(count(lit(1)).as("nu"))
+      val q245q = c.crossJoin(broadcast(n))
+        .select(col("dim"), col("aval").as("val"),
+          least(expr("below * 5 div nu"), lit(4L)).as("sc"))
+      dims.join(broadcast(q245q), Seq("dim", "val"))
+        .groupBy("user_id")
+        .agg(max(when(col("dim") === "r", col("sc"))).as("r_sc"),
+          max(when(col("dim") === "f", col("sc"))).as("f_sc"),
+          max(when(col("dim") === "m", col("sc"))).as("m_sc"))
+        .groupBy("r_sc", "f_sc", "m_sc").agg(count(lit(1)).as("n_users"))
+        .orderBy("r_sc", "f_sc", "m_sc")
     }
   )
 }
