@@ -1646,6 +1646,122 @@ object AnalyticsQueries {
           max(when(col("dim") === "m", col("sc"))).as("m_sc"))
         .groupBy("r_sc", "f_sc", "m_sc").agg(count(lit(1)).as("n_users"))
         .orderBy("r_sc", "f_sc", "m_sc")
+    },
+
+    // Rolling-origin backtest of the q230 forecaster — the evaluation half
+    // every forecasting deployment needs: replay the same integer Holt
+    // recurrence, but BEFORE each update score the one-step-ahead forecast
+    // (level+trend) against the arriving hour, accumulating |error| in
+    // exact milli-units inside the same fold (error uses the PRE-update
+    // state — the out-of-sample discipline). One pass, zero extra
+    // shuffles vs q230; MAE lands as integer division over n−1 forecasts.
+    // The oracle's recursive CTE carries the same 3-slot accumulator.
+    q("q247_holt_backtest",
+      "one-step-ahead Holt backtest: integer MAE over the zero-filled hourly series")(
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type, (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) AS hb,
+        |         count(*) AS y
+        |  FROM events GROUP BY event_type, hb),
+        |rr AS (SELECT CAST(min(hb) AS BIGINT) AS lo, CAST(max(hb) AS BIGINT) AS hi FROM b),
+        |spine AS (SELECT t.event_type, g.hb
+        |          FROM (SELECT DISTINCT event_type FROM b) t
+        |          CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM rr), (SELECT hi FROM rr))) AS hb) g),
+        |s AS (SELECT spine.event_type,
+        |             spine.hb - (SELECT lo FROM rr) + 1 AS idx,
+        |             coalesce(b.y, 0) AS y
+        |      FROM spine LEFT JOIN b ON b.event_type = spine.event_type AND b.hb = spine.hb),
+        |h AS (
+        |  SELECT event_type, idx, y * 1000 AS l, CAST(0 AS BIGINT) AS tr,
+        |         CAST(0 AS BIGINT) AS sae
+        |  FROM s WHERE idx = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.idx,
+        |         (n.y * 1000 + h.l + h.tr) // 2,
+        |         (((n.y * 1000 + h.l + h.tr) // 2) - h.l + h.tr) // 2,
+        |         h.sae + abs(h.l + h.tr - n.y * 1000)
+        |  FROM h JOIN s n ON n.event_type = h.event_type AND n.idx = h.idx + 1)
+        |SELECT event_type,
+        |       CAST((SELECT hi - lo + 1 FROM rr) AS BIGINT) AS n_hours,
+        |       CAST(sae AS BIGINT) AS sae_milli,
+        |       CAST(sae // ((SELECT hi - lo FROM rr)) AS BIGINT) AS mae_milli
+        |FROM h WHERE idx = (SELECT hi - lo + 1 FROM rr) ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      def half(c: Column): Column = shiftright(c - (c % 2), 1)
+      val b = Tables(s, dir, "events")
+        .selectExpr("event_type", "cast(ts as bigint) div 3600 AS hb")
+        .groupBy("event_type", "hb").agg(count(lit(1)).as("y"))
+        .cache()
+      val bounds = b.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+      val spine = b.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), col("lo"), explode(sequence(col("lo"), col("hi"))).as("hb"))
+      val series = spine.join(b, Seq("event_type", "hb"), "left")
+        .select(col("event_type"), (col("hb") - col("lo") + 1).as("idx"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      series.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("idx"), col("y")))).as("sy"),
+          count(lit(1)).as("n_hours"))
+        .select(col("event_type"), col("n_hours"),
+          aggregate(
+            slice(col("sy"), lit(2), size(col("sy")) - 1),
+            named_struct(lit("l"), element_at(col("sy"), 1).getField("y") * 1000L,
+              lit("tr"), lit(0L), lit("sae"), lit(0L)),
+            (acc, x) => {
+              val ym = x.getField("y") * 1000L
+              val err = abs(acc.getField("l") + acc.getField("tr") - ym)
+              val nl = half(ym + acc.getField("l") + acc.getField("tr"))
+              named_struct(lit("l"), nl,
+                lit("tr"), half(nl - acc.getField("l") + acc.getField("tr")),
+                lit("sae"), acc.getField("sae") + err)
+            }).as("st"))
+        .select(col("event_type"), col("n_hours"),
+          col("st.sae").as("sae_milli"),
+          (col("st.sae") / (col("n_hours") - 1)).cast("long").as("mae_milli"))
+        .orderBy("event_type")
+    },
+
+    // k-anonymity audit — the privacy-governance gate a training-data
+    // pipeline runs before release: group the table by its quasi-
+    // identifiers (nation × market segment × coarse balance bin) and
+    // report, for each policy threshold k, how many equivalence classes
+    // and how many INDIVIDUALS sit in classes smaller than k (the
+    // re-identification risk mass a k-anonymization must suppress or
+    // generalize away). Group sizes collapse to a size histogram first —
+    // the k-grid explodes map-side over ≤|distinct sizes| rows, so the
+    // audit costs one grouped count regardless of table width.
+    q("q248_k_anonymity",
+      "per-threshold k-anonymity risk report over (nation, segment, balance-bin)")(
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |                  CAST(floor((c_acctbal + 1000) / 500) AS BIGINT) AS bb,
+        |                  count(*) AS sz
+        |           FROM customer GROUP BY c_nationkey, c_mktsegment, bb),
+        |sh AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_g FROM g GROUP BY sz),
+        |tot AS (SELECT CAST(sum(sz * n_g) AS BIGINT) AS nu,
+        |               CAST(sum(n_g) AS BIGINT) AS ng FROM sh),
+        |ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+        |SELECT CAST(ks.k AS BIGINT) AS k, tot.ng AS n_groups,
+        |       CAST(coalesce(sum(CASE WHEN sh.sz < ks.k THEN sh.n_g END), 0) AS BIGINT) AS risky_groups,
+        |       CAST(coalesce(sum(CASE WHEN sh.sz < ks.k THEN sh.sz * sh.n_g END), 0) AS BIGINT) AS risky_users,
+        |       CAST(coalesce(sum(CASE WHEN sh.sz < ks.k THEN sh.sz * sh.n_g END), 0) * 1000
+        |            // tot.nu AS BIGINT) AS risky_milli
+        |FROM ks CROSS JOIN sh CROSS JOIN tot
+        |GROUP BY ks.k, tot.ng, tot.nu ORDER BY k""".stripMargin
+    ) { (s, dir) =>
+      val g = Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor((col("c_acctbal") + 1000) / 500).cast("long").as("bb"))
+        .agg(count(lit(1)).as("sz"))
+      val sh = g.groupBy("sz").agg(count(lit(1)).as("n_g")).cache()
+      val tot = sh.agg(sum(col("sz") * col("n_g")).as("nu"), sum(col("n_g")).as("ng"))
+      sh.select(col("sz"), col("n_g"),
+          explode(array(lit(2L), lit(5L), lit(10L), lit(20L))).as("k"))
+        .crossJoin(broadcast(tot))
+        .groupBy("k", "ng", "nu")
+        .agg(coalesce(sum(when(col("sz") < col("k"), col("n_g"))), lit(0L)).as("risky_groups"),
+          coalesce(sum(when(col("sz") < col("k"), col("sz") * col("n_g"))), lit(0L)).as("risky_users"))
+        .select(col("k"), col("ng").as("n_groups"), col("risky_groups"), col("risky_users"),
+          expr("CAST(risky_users * 1000 div nu AS BIGINT)").as("risky_milli"))
+        .orderBy("k")
     }
   )
 }
