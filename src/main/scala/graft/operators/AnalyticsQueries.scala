@@ -1762,6 +1762,71 @@ object AnalyticsQueries {
         .select(col("k"), col("ng").as("n_groups"), col("risky_groups"), col("risky_users"),
           expr("CAST(risky_users * 1000 div nu AS BIGINT)").as("risky_milli"))
         .orderBy("k")
+    },
+
+    // Trailing-window anomaly detection, integer-exact: score each hour's
+    // event count against its OWN trailing 24 h (mean ± 3σ) — but the
+    // 3σ rule needs no sqrt and no floats: y is anomalous iff
+    // (n·y − Σy)² > 9·(n·Σy² − (Σy)²), the z²>9 inequality cleared of
+    // divisions, so both engines compare identical BIGINTs and the flag
+    // set is hash-exact (a float z-score would waver at the boundary).
+    // The window is ROWS 24-PRECEDING-to-1-PRECEDING over the zero-filled
+    // hourly spine (q247's shape) — self-exclusion keeps the spike out of
+    // its own baseline. At 100 TB: one partitioned window pass over
+    // (series key, hour) counts — bins, not raw events; the monitor costs
+    // the same grouped count the ingest already runs.
+    q("q250_anomaly_hours",
+      "trailing-24h 3-sigma anomaly flags per event_type, sqrt-free integer z-test")(
+      """WITH b AS (
+        |  SELECT event_type, (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) AS hb,
+        |         count(*) AS y
+        |  FROM events GROUP BY event_type, hb),
+        |rr AS (SELECT CAST(min(hb) AS BIGINT) AS lo, CAST(max(hb) AS BIGINT) AS hi FROM b),
+        |spine AS (SELECT t.event_type, g.hb
+        |          FROM (SELECT DISTINCT event_type FROM b) t
+        |          CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM rr), (SELECT hi FROM rr))) AS hb) g),
+        |s AS (SELECT spine.event_type,
+        |             spine.hb - (SELECT lo FROM rr) + 1 AS idx,
+        |             coalesce(b.y, 0) AS y
+        |      FROM spine LEFT JOIN b ON b.event_type = spine.event_type AND b.hb = spine.hb),
+        |w AS (SELECT event_type, idx, y,
+        |             count(*) OVER win AS n, sum(y) OVER win AS s1, sum(y*y) OVER win AS s2
+        |      FROM s
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY idx
+        |                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT event_type, y,
+        |             CASE WHEN (24*y - s1)*(24*y - s1) > 9*(24*s2 - s1*s1)
+        |                  THEN 1 ELSE 0 END AS flag
+        |      FROM w WHERE n = 24)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+        |       CAST(sum(flag) AS BIGINT) AS n_anom,
+        |       CAST(max(CASE WHEN flag = 1 THEN y END) AS BIGINT) AS max_anom_y
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val b = Tables(s, dir, "events")
+        .selectExpr("event_type", "cast(ts as bigint) div 3600 AS hb")
+        .groupBy("event_type", "hb").agg(count(lit(1)).as("y"))
+        .cache()
+      val bounds = b.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+      val spine = b.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), col("lo"), explode(sequence(col("lo"), col("hi"))).as("hb"))
+      val series = spine.join(b, Seq("event_type", "hb"), "left")
+        .select(col("event_type"), (col("hb") - col("lo") + 1).as("idx"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val win = Window.partitionBy("event_type").orderBy("idx").rowsBetween(-24, -1)
+      val dev = lit(24L) * col("y") - col("s1")
+      series.select(col("event_type"), col("y"),
+          count(lit(1)).over(win).as("n"), sum(col("y")).over(win).as("s1"),
+          sum(col("y") * col("y")).over(win).as("s2"))
+        .filter(col("n") === 24)
+        .select(col("event_type"), col("y"),
+          when(dev * dev > lit(9L) * (lit(24L) * col("s2") - col("s1") * col("s1")), 1L)
+            .otherwise(0L).as("flag"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_scored"), sum(col("flag")).as("n_anom"),
+          max(when(col("flag") === 1L, col("y"))).as("max_anom_y"))
+        .orderBy("event_type")
     }
   )
 }

@@ -1535,6 +1535,57 @@ object RelationalQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(dsum(col("value")), 4).as("sv"))
         .orderBy("event_type")
+    },
+
+    // Incremental materialized-view maintenance — the lakehouse refresh
+    // pattern that makes 100 TB aggregation affordable: the monthly sales
+    // rollup is MATERIALIZED once over the base epoch (orders before
+    // 1997-01-01, written to parquet and read back — the query never
+    // touches those base rows again), then a delta batch (the 1997+
+    // orders) arrives and the view is refreshed by aggregating ONLY the
+    // delta and merging it into the stored view with a full-outer
+    // combine of algebraic partials (count→sum, sum→sum, min→least,
+    // max→greatest; money in exact integer cents so the merge is
+    // bit-stable). Refresh cost is |delta| + |touched groups| — never a
+    // base rescan; the oracle recomputes the rollup from scratch over
+    // the whole table, proving merge(view, Δ) ≡ full recompute. Exactly-
+    // mergeable metrics only by design — a distinct-count column would
+    // break the algebra, which is what the q187 HLL-sketch rollup is for.
+    q("q249_incremental_mv",
+      "incremental materialized-view refresh: merge(delta agg, stored view) ≡ full recompute")(
+      """SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM orders GROUP BY mon ORDER BY mon""".stripMargin
+    ) { (s, dir) =>
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val loc = s"/tmp/graft_mv_${s.sparkContext.applicationId}/$sf"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      def rollup(df: DataFrame): DataFrame = df
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents).as("sum_cents"),
+          min(cents).as("min_cents"), max(cents).as("max_cents"))
+      val orders = Tables(s, dir, "orders")
+      val cutoff = "1997-01-01"
+      // ingest-time materialization: the view parquet IS the base state
+      rollup(orders.filter(col("o_orderdate") < cutoff)).write.parquet(s"$loc/view_v1")
+      val view = s.read.parquet(s"$loc/view_v1")
+      val delta = rollup(orders.filter(col("o_orderdate") >= cutoff))
+      // algebraic merge: both sides are already one row per group, so the
+      // full-outer join is group-cardinality work, not data-cardinality;
+      // least/greatest skip NULLs, so one-sided groups pass through intact
+      view.join(delta, view("mon") === delta("mon"), "full_outer")
+        .select(coalesce(view("mon"), delta("mon")).as("mon"),
+          (coalesce(view("n_orders"), lit(0L)) + coalesce(delta("n_orders"), lit(0L))).as("n_orders"),
+          (coalesce(view("sum_cents"), lit(0L)) + coalesce(delta("sum_cents"), lit(0L))).as("sum_cents"),
+          least(view("min_cents"), delta("min_cents")).as("min_cents"),
+          greatest(view("max_cents"), delta("max_cents")).as("max_cents"))
+        .orderBy("mon")
     }
   )
 
