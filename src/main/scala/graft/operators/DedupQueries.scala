@@ -725,6 +725,78 @@ object DedupQueries {
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           expr("CAST(n_hit * 1000 div greatest(n_truth, 1) AS BIGINT)").as("recall_milli"),
           expr("CAST(n_hit * 1000 div greatest(n_cand, 1) AS BIGINT)").as("precision_milli"))
+    },
+
+    // Cross-source contamination matrix — WHERE the duplicates flow from:
+    // the exact Jaccard ≥ ½ near-dup pairs (q245's truth leg: shared-
+    // shingle equi-join, integer threshold 3c ≥ na+nb, never all-pairs)
+    // labeled with each side's source and rolled up to an UNORDERED
+    // source-pair census — n_pairs, distinct docs involved, and the
+    // involved-docs share of the two sources' doc pool in permille. The
+    // report a curation team reads before choosing which feed to gate:
+    // a hot off-diagonal cell means one source is re-hosting another's
+    // content and its dedup must run CROSS-source, not per-source. At
+    // 100 TB the pair volume is bounded by the shingle join (8-byte
+    // keys) and the matrix itself is |sources|² metadata.
+    q("q251_contamination_matrix",
+      "source×source near-dup census: pairs, docs involved, contaminated permille")(
+      s"""$shingleCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |           FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+         |           GROUP BY a.doc_id, b.doc_id),
+         |truth AS (SELECT d1, d2 FROM common
+         |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+         |          WHERE 3 * c >= ca.n + cb.n),
+         |lab AS (SELECT least(da.source, db.source) AS sa,
+         |               greatest(da.source, db.source) AS sb, t.d1, t.d2
+         |        FROM truth t JOIN documents da ON da.doc_id = t.d1
+         |                     JOIN documents db ON db.doc_id = t.d2),
+         |cell AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_pairs FROM lab GROUP BY sa, sb),
+         |docs AS (SELECT sa, sb, d1 AS d FROM lab UNION SELECT sa, sb, d2 FROM lab),
+         |dd AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_docs FROM docs GROUP BY sa, sb),
+         |srcn AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY source)
+         |SELECT cell.sa, cell.sb, cell.n_pairs, dd.n_docs,
+         |       CAST(dd.n_docs * 1000 //
+         |            (CASE WHEN cell.sa = cell.sb THEN na.nd ELSE na.nd + nb.nd END) AS BIGINT)
+         |         AS contaminated_milli
+         |FROM cell JOIN dd ON dd.sa = cell.sa AND dd.sb = cell.sb
+         |JOIN srcn na ON na.source = cell.sa
+         |JOIN srcn nb ON nb.source = cell.sb
+         |ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val docsT = Tables.fanout(s, dir, "documents")
+      val sh = docsT.select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
+        .cache() // truth self-join + per-doc shingle counts
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val truth = sh.select(col("doc_id").as("d1"), col("s"))
+        .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
+        .filter(col("c") * 3 >= col("na") + col("nb"))
+        .select(col("d1"), col("d2"))
+      val lbl = docsT.select(col("doc_id"), col("source"))
+      val lab = truth
+        .join(broadcast(lbl.select(col("doc_id").as("d1"), col("source").as("s1"))), Seq("d1"))
+        .join(broadcast(lbl.select(col("doc_id").as("d2"), col("source").as("s2"))), Seq("d2"))
+        .select(least(col("s1"), col("s2")).as("sa"),
+          greatest(col("s1"), col("s2")).as("sb"), col("d1"), col("d2"))
+        .cache() // pair census + distinct-doc census
+      val cell = lab.groupBy("sa", "sb").agg(count(lit(1)).as("n_pairs"))
+      val dd = lab.select(col("sa"), col("sb"), col("d1").as("d"))
+        .union(lab.select(col("sa"), col("sb"), col("d2").as("d"))).distinct()
+        .groupBy("sa", "sb").agg(count(lit(1)).as("n_docs"))
+      val srcn = docsT.groupBy("source").agg(count(lit(1)).as("nd"))
+      cell.join(dd, Seq("sa", "sb"))
+        .join(broadcast(srcn.select(col("source").as("sa"), col("nd").as("nda"))), Seq("sa"))
+        .join(broadcast(srcn.select(col("source").as("sb"), col("nd").as("ndb"))), Seq("sb"))
+        .select(col("sa"), col("sb"), col("n_pairs"), col("n_docs"),
+          expr("CAST(n_docs * 1000 div (CASE WHEN sa = sb THEN nda ELSE nda + ndb END) AS BIGINT)")
+            .as("contaminated_milli"))
+        .orderBy("sa", "sb")
     }
   )
 }

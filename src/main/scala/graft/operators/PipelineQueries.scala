@@ -2148,6 +2148,88 @@ object PipelineQueries {
         .select(col("shard"), col("n_docs"), col("tok_sum"),
           expr("tok_sum * 8000 div t").cast("long").as("skew_milli"))
         .orderBy("shard")
+    },
+
+    // Token-budget mixture solver — exact water-filling: given per-source
+    // token capacities c_s (one corpus pass), integer target weights w_s
+    // (policy: 1–4 by source index here), and a budget B = 60% of the
+    // corpus, find the unique λ with Σ min(λ·w_s, c_s) = B and allocate
+    // min(λ·w_s, c_s) tokens to each source — sources whose capacity
+    // can't honor their target weight saturate, the slack redistributes
+    // to the rest in proportion. λ is RATIONAL; the whole computation
+    // stays in BIGINTs: sources sort by the exact ratio key c·(12/w)
+    // (w ∈ 1..4 divides 12), prefix sums come from a |sources|²
+    // triangular comparison (q246's discipline — never a global window),
+    // and the prefix-saturation test is the cross-multiplied
+    // (B − C_{i−1})·w_i ≥ c_i·W_rem — no float boundary anywhere, proven
+    // against an exact-rational reference. At 100 TB the corpus pass is
+    // the only data-scale work; the solve runs on the |sources|-row
+    // frame (cross-mult products ≤ c_total·w_max ≈ 4·10¹⁷ at 10¹⁴
+    // tokens — inside Long). This is the planner that turns "sample
+    // sources at 30/30/20/20" into exact per-source token quotas
+    // BEFORE the mixing job runs (q50/q51 then execute the mix).
+    q("q252_mixture_waterfill",
+      "exact water-filling token allocator: budgeted mixture quotas per source")(
+      """WITH c AS (SELECT source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w,
+        |                  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS cap
+        |           FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(cap) AS BIGINT) AS tc, CAST(sum(w) AS BIGINT) AS tw FROM c),
+        |k AS (SELECT c.*, cap * (12 // w) AS rkey FROM c),
+        |o AS (SELECT a.source, a.w, a.cap,
+        |             CAST(sum(CASE WHEN b.rkey < a.rkey OR (b.rkey = a.rkey AND b.source <= a.source)
+        |                      THEN b.cap ELSE 0 END) AS BIGINT) AS ck,
+        |             CAST(sum(CASE WHEN b.rkey < a.rkey OR (b.rkey = a.rkey AND b.source <= a.source)
+        |                      THEN b.w ELSE 0 END) AS BIGINT) AS cw
+        |      FROM k a CROSS JOIN k b GROUP BY a.source, a.w, a.cap),
+        |bud AS (SELECT tc * 6 // 10 AS b, tw FROM tot),
+        |f AS (SELECT o.*, bud.b, bud.tw,
+        |             CASE WHEN (bud.b - (ck - cap)) * w >= cap * (bud.tw - cw + w)
+        |                  THEN 1 ELSE 0 END AS sat
+        |      FROM o CROSS JOIN bud),
+        |sagg AS (SELECT CAST(coalesce(sum(CASE WHEN sat = 1 THEN cap END), 0) AS BIGINT) AS csat,
+        |                CAST(coalesce(sum(CASE WHEN sat = 1 THEN w END), 0) AS BIGINT) AS wsat
+        |         FROM f)
+        |SELECT f.source, CAST(f.w AS BIGINT) AS w, f.cap AS cap_tokens,
+        |       CAST(CASE WHEN sat = 1 THEN cap
+        |                 ELSE (b - csat) * w // greatest(tw - wsat, 1) END AS BIGINT) AS alloc_tokens,
+        |       CAST(sat AS BIGINT) AS saturated
+        |FROM f CROSS JOIN sagg ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val c = Tables.fanout(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(tokens(col("text")))).cast("long").as("cap"))
+        .select(col("source"),
+          (substring(col("source"), 4, 8).cast("long") % 4 + 1).as("w"), col("cap"))
+      val k = c.select(col("source"), col("w"), col("cap"),
+        (col("cap") * (lit(12L) / col("w")).cast("long")).as("rkey"))
+        .cache() // both arms of the |sources|² triangular comparison
+      val o = k.select(col("source"), col("w"), col("cap"), col("rkey"))
+        .crossJoin(broadcast(k.select(col("rkey").as("brk"), col("source").as("bsrc"),
+          col("cap").as("bcap"), col("w").as("bw"))))
+        .groupBy("source", "w", "cap")
+        .agg(sum(when(col("brk") < col("rkey") ||
+            (col("brk") === col("rkey") && col("bsrc") <= col("source")),
+            col("bcap")).otherwise(0L)).as("ck"),
+          sum(when(col("brk") < col("rkey") ||
+            (col("brk") === col("rkey") && col("bsrc") <= col("source")),
+            col("bw")).otherwise(0L)).as("cw"))
+      val bud = k.agg((sum(col("cap")) * 6 / 10).cast("long").as("b"),
+        sum(col("w")).as("tw"))
+      val f = o.crossJoin(broadcast(bud))
+        .select(col("source"), col("w"), col("cap"), col("b"), col("tw"),
+          when((col("b") - (col("ck") - col("cap"))) * col("w") >=
+            col("cap") * (col("tw") - col("cw") + col("w")), 1L).otherwise(0L).as("sat"))
+        .cache() // saturated-prefix totals + the final projection
+      val sagg = f.agg(
+        coalesce(sum(when(col("sat") === 1L, col("cap"))), lit(0L)).as("csat"),
+        coalesce(sum(when(col("sat") === 1L, col("w"))), lit(0L)).as("wsat"))
+      f.crossJoin(broadcast(sagg))
+        .select(col("source"), col("w"), col("cap").as("cap_tokens"),
+          when(col("sat") === 1L, col("cap"))
+            .otherwise(expr("(b - csat) * w div greatest(tw - wsat, 1)"))
+            .cast("long").as("alloc_tokens"),
+          col("sat").as("saturated"))
+        .orderBy("source")
     }
   )
 }

@@ -74,7 +74,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q246_rfm_segments" -> "1-row max-ts anchor × events; 1-row user-count scalar × the per-dim histograms",
     "q247_holt_backtest" -> "1-row hour-bounds frame × series keys (q98's spine shape)",
     "q248_k_anonymity" -> "1-row population-totals frame × the ≤|sizes|×4 threshold grid",
-    "q250_anomaly_hours" -> "1-row hour-bounds frame × series keys (q247's spine shape)")
+    "q250_anomaly_hours" -> "1-row hour-bounds frame × series keys (q247's spine shape)",
+    "q252_mixture_waterfill" -> "|sources|² triangular comparison + 1-row budget/saturated-prefix scalars")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.
