@@ -24,6 +24,39 @@ object AnalyticsQueries {
 
   private def us(c: Column): Column = unix_micros(c)
 
+  /** q250's trailing-24h 3σ finalize, shared with the streaming twin
+    * (q253): takes per-(event_type, hour-bucket) counts, zero-fills the
+    * hour spine, scores each full window with the integer z²>9 test, and
+    * rolls up per series. Input columns: event_type, hb (hour bucket), y. */
+  private[graft] def anomalyReport(b0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = b0.cache() // bounds + type list + spine left-join
+    val bounds = b.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+    // the spine side re-aliases its columns (fresh exprIds): all three
+    // frames descend from the same input, which for a memory-sink-backed
+    // b (q253) would otherwise make the left-join self-conflicting
+    val spine = b.select(col("event_type").as("sty")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("sty"), col("lo"), explode(sequence(col("lo"), col("hi"))).as("shb"))
+    val series = spine.join(b,
+        col("sty") === col("event_type") && col("shb") === col("hb"), "left")
+      .select(col("sty").as("event_type"), (col("shb") - col("lo") + 1).as("idx"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val win = Window.partitionBy("event_type").orderBy("idx").rowsBetween(-24, -1)
+    val dev = lit(24L) * col("y") - col("s1")
+    series.select(col("event_type"), col("y"),
+        count(lit(1)).over(win).as("n"), sum(col("y")).over(win).as("s1"),
+        sum(col("y") * col("y")).over(win).as("s2"))
+      .filter(col("n") === 24)
+      .select(col("event_type"), col("y"),
+        when(dev * dev > lit(9L) * (lit(24L) * col("s2") - col("s1") * col("s1")), 1L)
+          .otherwise(0L).as("flag"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"), sum(col("flag")).as("n_anom"),
+        max(when(col("flag") === 1L, col("y"))).as("max_anom_y"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
 
     // Gaps-and-islands: split each user's event stream into activity
@@ -1803,30 +1836,9 @@ object AnalyticsQueries {
         |       CAST(max(CASE WHEN flag = 1 THEN y END) AS BIGINT) AS max_anom_y
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
     ) { (s, dir) =>
-      val b = Tables(s, dir, "events")
+      anomalyReport(Tables(s, dir, "events")
         .selectExpr("event_type", "cast(ts as bigint) div 3600 AS hb")
-        .groupBy("event_type", "hb").agg(count(lit(1)).as("y"))
-        .cache()
-      val bounds = b.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
-      val spine = b.select("event_type").distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col("event_type"), col("lo"), explode(sequence(col("lo"), col("hi"))).as("hb"))
-      val series = spine.join(b, Seq("event_type", "hb"), "left")
-        .select(col("event_type"), (col("hb") - col("lo") + 1).as("idx"),
-          coalesce(col("y"), lit(0L)).as("y"))
-      val win = Window.partitionBy("event_type").orderBy("idx").rowsBetween(-24, -1)
-      val dev = lit(24L) * col("y") - col("s1")
-      series.select(col("event_type"), col("y"),
-          count(lit(1)).over(win).as("n"), sum(col("y")).over(win).as("s1"),
-          sum(col("y") * col("y")).over(win).as("s2"))
-        .filter(col("n") === 24)
-        .select(col("event_type"), col("y"),
-          when(dev * dev > lit(9L) * (lit(24L) * col("s2") - col("s1") * col("s1")), 1L)
-            .otherwise(0L).as("flag"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_scored"), sum(col("flag")).as("n_anom"),
-          max(when(col("flag") === 1L, col("y"))).as("max_anom_y"))
-        .orderBy("event_type")
+        .groupBy("event_type", "hb").agg(count(lit(1)).as("y")))
     }
   )
 }

@@ -1407,6 +1407,59 @@ object StreamingQueries {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    },
+
+    // Streaming anomaly monitor — q250's trailing-24h 3σ detector with
+    // the hourly counting done by a REAL watermarked streaming execution
+    // (q236's monitor shape): the stream emits each (1 h window, series)
+    // count once its window seals, and the sqrt-free integer z²>9 scoring
+    // runs over the sealed sink — heavy counting in the engine, metadata-
+    // scale scoring after the watermark. Only sealed hours are scored
+    // (window end ≤ max event time − 10 min, the oracle's WHERE twin), so
+    // the report is a prefix of the batch twin's and replay-stable: a
+    // sealed hour's count can never change. Scoring is byte-identical to
+    // q250 — both call the same finalize.
+    q("q253_stream_anomaly",
+      "streaming trailing-24h 3-sigma anomaly report over watermark-sealed hourly counts")(
+      """WITH mx AS (SELECT max(ts::TIMESTAMP) AS mt FROM events),
+        |b AS (
+        |  SELECT event_type, (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) AS hb,
+        |         count(*) AS y
+        |  FROM events GROUP BY event_type, hb),
+        |sb AS (SELECT b.event_type, b.hb, b.y FROM b CROSS JOIN mx
+        |       WHERE make_timestamp(hb * 3600 * 1000000) + INTERVAL 1 HOUR
+        |             <= mt - INTERVAL 10 MINUTE),
+        |rr AS (SELECT CAST(min(hb) AS BIGINT) AS lo, CAST(max(hb) AS BIGINT) AS hi FROM sb),
+        |spine AS (SELECT t.event_type, g.hb
+        |          FROM (SELECT DISTINCT event_type FROM sb) t
+        |          CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM rr), (SELECT hi FROM rr))) AS hb) g),
+        |s AS (SELECT spine.event_type,
+        |             spine.hb - (SELECT lo FROM rr) + 1 AS idx,
+        |             coalesce(sb.y, 0) AS y
+        |      FROM spine LEFT JOIN sb ON sb.event_type = spine.event_type AND sb.hb = spine.hb),
+        |w AS (SELECT event_type, idx, y,
+        |             count(*) OVER win AS n, sum(y) OVER win AS s1, sum(y*y) OVER win AS s2
+        |      FROM s
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY idx
+        |                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT event_type, y,
+        |             CASE WHEN (24*y - s1)*(24*y - s1) > 9*(24*s2 - s1*s1)
+        |                  THEN 1 ELSE 0 END AS flag
+        |      FROM w WHERE n = 24)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+        |       CAST(sum(flag) AS BIGINT) AS n_anom,
+        |       CAST(max(CASE WHEN flag = 1 THEN y END) AS BIGINT) AS max_anom_y
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val cnt = eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+        .select(col("event_type"),
+          unix_micros(col("window.start")).as("wus"), col("y"))
+      val sink = runToMemory(s, cnt)
+      graft.operators.AnalyticsQueries.anomalyReport(
+        sink.select(col("event_type"), expr("wus div 3600000000").as("hb"), col("y")))
     }
   )
 
