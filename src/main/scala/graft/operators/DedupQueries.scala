@@ -797,6 +797,81 @@ object DedupQueries {
           expr("CAST(n_docs * 1000 div (CASE WHEN sa = sb THEN nda ELSE nda + ndb END) AS BIGINT)")
             .as("contaminated_milli"))
         .orderBy("sa", "sb")
+    },
+
+    // Contrastive-pair mining — the training-pair generator a retrieval/
+    // embedding model needs from a raw corpus: each anchor that HAS a
+    // near-duplicate (exact J ≥ ½, q245's truth leg) pairs with its
+    // smallest-id duplicate as the POSITIVE, and with its two nearest
+    // same-source length-neighbors that are NOT duplicates of it as HARD
+    // NEGATIVES (same domain, similar length — the confusable docs a
+    // random negative would never surface). Fully deterministic: distance
+    // = |Δ n_chars|, doc_id tiebreak. At 100 TB the negative candidates
+    // come from an equi-join on (source) — production would add a length
+    // bucket to the join key to cap the per-anchor fan-in; the window
+    // ranks per anchor over that bounded candidate set, and the dup
+    // exclusion is an 8-byte-pair anti-join.
+    q("q254_contrastive_pairs",
+      "anchor/positive/hard-negative triples: near-dup positives, length-neighbor negatives")(
+      s"""$shingleCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |           FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+         |           GROUP BY a.doc_id, b.doc_id),
+         |truth AS (SELECT d1, d2 FROM common
+         |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+         |          WHERE 3 * c >= ca.n + cb.n),
+         |anch AS (SELECT d1 AS a, min(d2) AS pos FROM truth GROUP BY d1),
+         |dup AS (SELECT d1 AS a, d2 AS b FROM truth
+         |        UNION ALL SELECT d2, d1 FROM truth),
+         |meta AS (SELECT doc_id, source, n_chars FROM documents),
+         |candp AS (SELECT anch.a, anch.pos, m2.doc_id AS neg,
+         |                 abs(m2.n_chars - m1.n_chars) AS dist
+         |          FROM anch JOIN meta m1 ON m1.doc_id = anch.a
+         |               JOIN meta m2 ON m2.source = m1.source AND m2.doc_id <> anch.a
+         |          WHERE NOT EXISTS (SELECT 1 FROM dup
+         |                            WHERE dup.a = anch.a AND dup.b = m2.doc_id)),
+         |rk AS (SELECT a, pos, neg,
+         |              row_number() OVER (PARTITION BY a ORDER BY dist, neg) AS r
+         |       FROM candp)
+         |SELECT a AS anchor_id, pos AS pos_id,
+         |       max(CASE WHEN r = 1 THEN neg END) AS neg1_id,
+         |       max(CASE WHEN r = 2 THEN neg END) AS neg2_id
+         |FROM rk WHERE r <= 2 GROUP BY a, pos ORDER BY anchor_id""".stripMargin
+    ) { (s, dir) =>
+      val docsT = Tables.fanout(s, dir, "documents")
+      val sh = docsT.select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
+        .cache() // truth self-join + per-doc shingle counts
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val truth = sh.select(col("doc_id").as("d1"), col("s"))
+        .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
+        .filter(col("c") * 3 >= col("na") + col("nb"))
+        .select(col("d1"), col("d2"))
+        .cache() // anchors + both directions of the dup exclusion
+      val anch = truth.groupBy(col("d1").as("a")).agg(min(col("d2")).as("pos"))
+      val dup = truth.select(col("d1").as("a"), col("d2").as("b"))
+        .unionAll(truth.select(col("d2").as("a"), col("d1").as("b")))
+      val meta = docsT.select(col("doc_id"), col("source"), col("n_chars"))
+      val candp = anch
+        .join(broadcast(meta.select(col("doc_id").as("a"), col("source"),
+          col("n_chars").as("ac"))), Seq("a"))
+        .join(broadcast(meta.select(col("doc_id").as("neg"), col("source"),
+          col("n_chars").as("nc"))), Seq("source"))
+        .filter(col("neg") =!= col("a"))
+        .join(dup.select(col("a"), col("b").as("neg")), Seq("a", "neg"), "left_anti")
+        .select(col("a"), col("pos"), col("neg"), abs(col("nc") - col("ac")).as("dist"))
+      val w = Window.partitionBy("a").orderBy("dist", "neg")
+      candp.select(col("a"), col("pos"), col("neg"), row_number().over(w).as("r"))
+        .filter(col("r") <= 2)
+        .groupBy(col("a").as("anchor_id"), col("pos").as("pos_id"))
+        .agg(max(when(col("r") === 1, col("neg"))).as("neg1_id"),
+          max(when(col("r") === 2, col("neg"))).as("neg2_id"))
+        .orderBy("anchor_id")
     }
   )
 }
