@@ -107,4 +107,22 @@ class StateMetricsSpec extends AnyFunSuite {
     assert(totals.last == groups - emitted,
       s"post-flush state ${totals.last} != $groups - $emitted")
   }
+
+  test("q253 streaming-anomaly state drains to the unsealed (window, type) groups") {
+    val ev = graft.Tables(spark, dir, "events")
+    val hourly = ev.select(date_trunc("hour", col("ts")).as("ws"), col("event_type")).distinct()
+    val groups = hourly.count()
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // sealed = window end ≤ final watermark (max event time − 10 min) —
+    // the same rule the q253 oracle states in SQL
+    val sealedG = hourly
+      .filter(unix_micros(col("ws")) + 3600000000L <= maxUs - 600000000L).count()
+    val (reportRows, totals) = measure("q253_stream_anomaly")
+    assert(totals.size >= 2, s"expected data + flush batches, got $totals")
+    assert(totals.head == groups, s"pre-flush state ${totals.head} != $groups groups")
+    assert(totals.last == groups - sealedG,
+      s"post-flush state ${totals.last} != $groups - $sealedG unsealed groups")
+    // the report itself is one row per series regardless of hours
+    assert(reportRows == ev.select("event_type").distinct().count())
+  }
 }
