@@ -1839,6 +1839,181 @@ object AnalyticsQueries {
       anomalyReport(Tables(s, dir, "events")
         .selectExpr("event_type", "cast(ts as bigint) div 3600 AS hb")
         .groupBy("event_type", "hb").agg(count(lit(1)).as("y")))
+    },
+
+    // A/B experiment report with an exact integer significance gate. Two
+    // arms over the same hash split (60-bit md5 of the salted user id —
+    // rerun/append-stable assignment, the property product experiments
+    // require): the NULL arm measures the real (effect-free) metric and
+    // must NOT fire — a harness that finds effects in an A/A split is
+    // broken; the UPLIFT arm injects a deterministic +20% treatment on B
+    // and must fire. The metric is self-calibrating (converted = above
+    // the corpus median purchase count, median histogram-exact via the
+    // q246 triangular discipline), and the two-proportion z² test is
+    // cleared of all division: significant ⇔ 10000·(ca·nb − cb·na)²·n >
+    // 38415·na·nb·c·(n−c) (z² > 3.8415, p < 0.05), evaluated in
+    // DECIMAL so the cross-products survive any cohort size — no float
+    // boundary can flip the verdict between engines. At 100 TB:
+    // assignment and conversion are map-side over the user rollup; the
+    // test runs on a 2×2 table.
+    q("q255_ab_test",
+      "A/B harness: null arm must not fire, injected +20% uplift must; integer z² gate")(
+      s"""WITH u AS (SELECT user_id,
+         |                  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS np
+         |           FROM events GROUP BY user_id),
+         |h AS (SELECT np AS v, CAST(count(*) AS BIGINT) AS k FROM u GROUP BY np),
+         |cum AS (SELECT a.v, CAST(sum(b.k) AS BIGINT) AS cm
+         |        FROM h a JOIN h b ON b.v <= a.v GROUP BY a.v),
+         |nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+         |m AS (SELECT CAST(min(v) AS BIGINT) AS med FROM cum CROSS JOIN nu WHERE 2 * cm >= n),
+         |v AS (SELECT user_id, np,
+         |             ${md5LongSql("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS vb
+         |      FROM u),
+         |arms AS (
+         |  SELECT 'null' AS arm, vb, CASE WHEN np > med THEN 1 ELSE 0 END AS cv
+         |  FROM v CROSS JOIN m
+         |  UNION ALL
+         |  SELECT 'uplift', vb,
+         |         CASE WHEN (CASE WHEN vb = 1 THEN np * 6 // 5 ELSE np END) > med
+         |              THEN 1 ELSE 0 END
+         |  FROM v CROSS JOIN m),
+         |agg AS (SELECT arm,
+         |               CAST(sum(CASE WHEN vb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |               CAST(sum(CASE WHEN vb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |               CAST(sum(CASE WHEN vb = 0 THEN cv ELSE 0 END) AS BIGINT) AS ca,
+         |               CAST(sum(CASE WHEN vb = 1 THEN cv ELSE 0 END) AS BIGINT) AS cb
+         |        FROM arms GROUP BY arm)
+         |SELECT arm, na, nb, ca, cb,
+         |       CAST(cb * na * 1000 // greatest(ca * nb, 1) AS BIGINT) AS lift_milli,
+         |       CAST(CASE WHEN 10000 * CAST(ca*nb - cb*na AS HUGEINT)
+         |                        * CAST(ca*nb - cb*na AS HUGEINT) * (na+nb)
+         |                  > 38415 * CAST(na AS HUGEINT) * nb * (ca+cb) * (na+nb-ca-cb)
+         |            THEN 1 ELSE 0 END AS BIGINT) AS significant
+         |FROM agg ORDER BY arm""".stripMargin
+    ) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val u = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .cache() // histogram + assignment + both arms
+      val h = u.groupBy(col("np").as("v")).agg(count(lit(1)).as("k"))
+      val cum = h.select(col("v").as("av"))
+        .join(h.select(col("v").as("bv"), col("k")), col("bv") <= col("av"))
+        .groupBy("av").agg(sum(col("k")).as("cm"))
+      val nu = u.agg(count(lit(1)).as("n"))
+      val med = cum.crossJoin(broadcast(nu)).filter(col("cm") * 2 >= col("n"))
+        .agg(min(col("av")).as("med"))
+      val v = u.select(col("user_id"), col("np"),
+        (md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2).as("vb"))
+      val arms = v.crossJoin(broadcast(med))
+        .select(lit("null").as("arm"), col("vb"),
+          when(col("np") > col("med"), 1L).otherwise(0L).as("cv"))
+        .unionAll(v.crossJoin(broadcast(med))
+          .select(lit("uplift").as("arm"), col("vb"),
+            when(when(col("vb") === 1L, expr("np * 6 div 5")).otherwise(col("np"))
+              > col("med"), 1L).otherwise(0L).as("cv")))
+      val agg2 = arms.groupBy("arm")
+        .agg(sum(when(col("vb") === 0L, 1L).otherwise(0L)).as("na"),
+          sum(when(col("vb") === 1L, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("vb") === 0L, col("cv")).otherwise(0L)).as("ca"),
+          sum(when(col("vb") === 1L, col("cv")).otherwise(0L)).as("cb"))
+      val diff = (col("ca") * col("nb") - col("cb") * col("na")).cast(d38)
+      agg2.select(col("arm"), col("na"), col("nb"), col("ca"), col("cb"),
+          expr("CAST(cb * na * 1000 div greatest(ca * nb, 1) AS BIGINT)").as("lift_milli"),
+          when(lit(10000).cast(d38) * diff * diff * (col("na") + col("nb")).cast(d38)
+            > lit(38415).cast(d38) * col("na").cast(d38) * col("nb").cast(d38)
+              * (col("ca") + col("cb")).cast(d38)
+              * (col("na") + col("nb") - col("ca") - col("cb")).cast(d38), 1L)
+            .otherwise(0L).as("significant"))
+        .orderBy("arm")
+    },
+
+    // Kaplan–Meier survival curve — time-to-first-error per user under a
+    // per-user consent window ((id mod 7)+1 days: deterministic staggered
+    // right-censoring, the shape every retention/reliability analysis
+    // has): a user DIES in the 12 h bin of their first error if it lands
+    // inside their consent window, else is CENSORED when consent ends.
+    // The 14-bin (death, censor) histogram is the only data-scale
+    // output; the KM product Π(1 − d_b/n_b) runs as one ordered fold
+    // over it (q143's discipline — both engines multiply the same IEEE
+    // doubles in the same bin order), with censors leaving the risk set
+    // at bin END (deaths-before-censors convention, stated here because
+    // the estimate depends on it). At 100 TB: one grouped pass to
+    // per-user (entry, first-error), one to the histogram — the curve
+    // itself is metadata.
+    q("q256_kaplan_meier",
+      "KM survival of time-to-first-error under staggered consent censoring, 12h bins")(
+      """WITH RECURSIVE u AS (SELECT user_id, min(ts::TIMESTAMP) AS t0,
+        |                  min(CASE WHEN event_type = 'error' THEN ts::TIMESTAMP END) AS te,
+        |                  (user_id % 7 + 1) AS cd
+        |           FROM events GROUP BY user_id),
+        |ev AS (SELECT user_id,
+        |              CASE WHEN te IS NOT NULL AND epoch_us(te) - epoch_us(t0) < cd * 86400000000
+        |                   THEN (epoch_us(te) - epoch_us(t0)) // 43200000000 + 1 END AS db,
+        |              cd * 2 AS cb2 FROM u),
+        |bins AS (SELECT unnest(generate_series(1, 14)) AS b),
+        |dh AS (SELECT db AS b, CAST(count(*) AS BIGINT) AS d FROM ev
+        |       WHERE db IS NOT NULL GROUP BY db),
+        |ch AS (SELECT cb2 AS b, CAST(count(*) AS BIGINT) AS c FROM ev
+        |       WHERE db IS NULL GROUP BY cb2),
+        |hist AS (SELECT bins.b, coalesce(dh.d, 0) AS d, coalesce(ch.c, 0) AS c
+        |         FROM bins LEFT JOIN dh ON dh.b = bins.b LEFT JOIN ch ON ch.b = bins.b),
+        |nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |r AS (SELECT h.b, nu.n AS n_risk, h.d, h.c,
+        |             1.0 - h.d / CAST(nu.n AS DOUBLE) AS surv
+        |      FROM hist h CROSS JOIN nu WHERE h.b = 1
+        |      UNION ALL
+        |      SELECT h.b, r.n_risk - r.d - r.c, h.d, h.c,
+        |             r.surv * (1 - h.d / CAST(greatest(r.n_risk - r.d - r.c, 1) AS DOUBLE))
+        |      FROM r JOIN hist h ON h.b = r.b + 1)
+        |SELECT CAST(b AS BIGINT) AS bin, n_risk, d AS n_deaths, c AS n_censored,
+        |       round(surv, 6) AS surv
+        |FROM r ORDER BY bin""".stripMargin
+    ) { (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(us(col("ts"))).as("t0"),
+          min(when(col("event_type") === "error", us(col("ts")))).as("te"))
+        .select(col("user_id"), col("t0"), col("te"),
+          (col("user_id") % 7 + 1).as("cd"))
+        .select(col("user_id"), col("cd"),
+          when(col("te").isNotNull && col("te") - col("t0") < col("cd") * 86400000000L,
+            expr("(te - t0) div 43200000000") + 1).as("db"))
+        .cache() // death histogram + censor histogram + user count
+      val dh = u.filter(col("db").isNotNull)
+        .groupBy(col("db").as("b")).agg(count(lit(1)).as("d"))
+      val ch = u.filter(col("db").isNull)
+        .groupBy((col("cd") * 2).as("b")).agg(count(lit(1)).as("c"))
+      val hist = s.range(1, 15).select(col("id").as("b"))
+        .join(dh, Seq("b"), "left").join(ch, Seq("b"), "left")
+        .select(col("b"), coalesce(col("d"), lit(0L)).as("d"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val nu = u.agg(count(lit(1)).as("n"))
+      // the whole curve folds out of the 14-row histogram in one pass:
+      // acc = (risk set, running product, emitted rows)
+      hist.agg(sort_array(collect_list(struct(col("b"), col("d"), col("c")))).as("hs"))
+        .crossJoin(broadcast(nu))
+        .select(aggregate(col("hs"),
+          named_struct(lit("n"), col("n"), lit("s"), lit(1.0),
+            lit("out"), expr("CAST(array() AS ARRAY<STRUCT<bin BIGINT, n_risk BIGINT, n_deaths BIGINT, n_censored BIGINT, surv DOUBLE>>)")),
+          (acc, x) => {
+            val n = acc.getField("n")
+            val term = lit(1.0) - x.getField("d").cast("double") /
+              greatest(n, lit(1L)).cast("double")
+            val sNew = acc.getField("s") * term
+            named_struct(lit("n"), n - x.getField("d") - x.getField("c"),
+              lit("s"), sNew,
+              lit("out"), concat(acc.getField("out"), array(named_struct(
+                lit("bin"), x.getField("b"), lit("n_risk"), n,
+                lit("n_deaths"), x.getField("d"),
+                lit("n_censored"), x.getField("c"),
+                lit("surv"), round(sNew, 6)))))
+          }).as("st"))
+        .select(explode(col("st.out")).as("r"))
+        .select(col("r.bin").as("bin"), col("r.n_risk").as("n_risk"),
+          col("r.n_deaths").as("n_deaths"), col("r.n_censored").as("n_censored"),
+          col("r.surv").as("surv"))
+        .orderBy("bin")
     }
   )
 }

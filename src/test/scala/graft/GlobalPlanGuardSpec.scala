@@ -75,7 +75,9 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q247_holt_backtest" -> "1-row hour-bounds frame × series keys (q98's spine shape)",
     "q248_k_anonymity" -> "1-row population-totals frame × the ≤|sizes|×4 threshold grid",
     "q250_anomaly_hours" -> "1-row hour-bounds frame × series keys (q247's spine shape)",
-    "q252_mixture_waterfill" -> "|sources|² triangular comparison + 1-row budget/saturated-prefix scalars")
+    "q252_mixture_waterfill" -> "|sources|² triangular comparison + 1-row budget/saturated-prefix scalars",
+    "q255_ab_test" -> "≤|np values|² median triangular + 1-row user-count/median scalars × the user rollup",
+    "q256_kaplan_meier" -> "1-row user-count scalar × the 14-bin histogram fold")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.
