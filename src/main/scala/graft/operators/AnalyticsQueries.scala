@@ -2014,6 +2014,91 @@ object AnalyticsQueries {
           col("r.n_deaths").as("n_deaths"), col("r.n_censored").as("n_censored"),
           col("r.surv").as("surv"))
         .orderBy("bin")
+    },
+
+    // Two-sample Kolmogorov–Smirnov test, exact in integers — the
+    // UNBINNED complement to the q229 PSI monitor: D = max |F₁ − F₂| is
+    // computed as max |c₁·N₂ − c₂·N₁| over the value spine (cross-
+    // multiplied empirical CDFs — no float CDF ever exists), and the
+    // α=0.05 verdict is the cleared inequality 10⁴·D_cross² >
+    // 18442·N₁·N₂·(N₁+N₂) in DECIMAL. Same harness discipline as q255:
+    // the NULL arm (event-id-parity halves of the same distribution)
+    // must stay quiet, the injected ×1.1 scale shift must fire — and
+    // both verdicts land within ~15% of the critical value, so a float
+    // boundary here would be a real cross-engine risk. Values quantize
+    // to deci-units first: the CDFs walk a ≤|value range|·10-bin
+    // histogram, so the cumulative windows are partitioned (arm, grp)
+    // over BINS — bounded by value resolution, never by row count
+    // (q194's discipline). At 100 TB: one grouped count to the
+    // histogram; everything after is metadata.
+    q("q257_ks_test",
+      "exact two-sample KS: null halves stay quiet, injected 10% scale shift fires")(
+      """WITH s0 AS (SELECT event_id % 2 AS grp, CAST(round(value * 10) AS BIGINT) AS v10
+        |            FROM events),
+        |samp AS (
+        |  SELECT 'null' AS arm, grp, v10 FROM s0
+        |  UNION ALL
+        |  SELECT 'shift', grp, CASE WHEN grp = 1 THEN v10 * 11 // 10 ELSE v10 END FROM s0),
+        |hist AS (SELECT arm, grp, v10, CAST(count(*) AS BIGINT) AS k
+        |         FROM samp GROUP BY arm, grp, v10),
+        |spine AS (SELECT DISTINCT arm, v10 FROM hist),
+        |g AS (SELECT spine.arm, spine.v10, gg.grp, coalesce(hist.k, 0) AS k
+        |      FROM spine CROSS JOIN (SELECT unnest([0, 1]) AS grp) gg
+        |      LEFT JOIN hist ON hist.arm = spine.arm AND hist.grp = gg.grp
+        |                    AND hist.v10 = spine.v10),
+        |cum AS (SELECT arm, v10, grp,
+        |               CAST(sum(k) OVER (PARTITION BY arm, grp ORDER BY v10
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |        FROM g),
+        |w AS (SELECT arm, v10,
+        |             max(CASE WHEN grp = 0 THEN c END) AS c1,
+        |             max(CASE WHEN grp = 1 THEN c END) AS c2
+        |      FROM cum GROUP BY arm, v10),
+        |nn AS (SELECT arm, max(c1) AS n1, max(c2) AS n2 FROM w GROUP BY arm),
+        |d AS (SELECT w.arm, CAST(max(abs(w.c1 * nn.n2 - w.c2 * nn.n1)) AS BIGINT) AS d_cross
+        |      FROM w JOIN nn ON nn.arm = w.arm GROUP BY w.arm)
+        |SELECT d.arm, nn.n1, nn.n2, d.d_cross,
+        |       CAST(d_cross * 1000 // (nn.n1 * nn.n2) AS BIGINT) AS d_milli,
+        |       CAST(CASE WHEN 10000 * CAST(d_cross AS HUGEINT) * d_cross
+        |                  > 18442 * CAST(nn.n1 AS HUGEINT) * nn.n2 * (nn.n1 + nn.n2)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM d JOIN nn ON nn.arm = d.arm ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val s0 = Tables(s, dir, "events")
+        .select((col("event_id") % 2).as("grp"),
+          round(col("value") * 10).cast("long").as("v10"))
+      val samp = s0.select(lit("null").as("arm"), col("grp"), col("v10"))
+        .unionAll(s0.select(lit("shift").as("arm"), col("grp"),
+          when(col("grp") === 1L, expr("v10 * 11 div 10")).otherwise(col("v10")).as("v10")))
+      val hist = samp.groupBy("arm", "grp", "v10").agg(count(lit(1)).as("k"))
+        .cache() // spine + the grouped left-join
+      val g = hist.select(col("arm").as("sarm"), col("v10").as("sv")).distinct()
+        .select(col("sarm"), col("sv"), explode(array(lit(0L), lit(1L))).as("sgrp"))
+        .join(hist, col("sarm") === col("arm") && col("sgrp") === col("grp")
+          && col("sv") === col("v10"), "left")
+        .select(col("sarm").as("arm"), col("sv").as("v10"), col("sgrp").as("grp"),
+          coalesce(col("k"), lit(0L)).as("k"))
+      val win = Window.partitionBy("arm", "grp").orderBy("v10")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = g.select(col("arm"), col("v10"), col("grp"),
+          sum(col("k")).over(win).as("c"))
+        .groupBy("arm", "v10")
+        .agg(max(when(col("grp") === 0L, col("c"))).as("c1"),
+          max(when(col("grp") === 1L, col("c"))).as("c2"))
+        .cache() // totals + the max-deviation scan
+      val nn = w.groupBy("arm").agg(max(col("c1")).as("n1"), max(col("c2")).as("n2"))
+      val d = w.join(nn, Seq("arm"))
+        .groupBy("arm")
+        .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_cross"))
+      d.join(nn, Seq("arm"))
+        .select(col("arm"), col("n1"), col("n2"), col("d_cross"),
+          expr("CAST(d_cross * 1000 div (n1 * n2) AS BIGINT)").as("d_milli"),
+          when(lit(10000).cast(d38) * col("d_cross").cast(d38) * col("d_cross").cast(d38)
+            > lit(18442).cast(d38) * col("n1").cast(d38) * col("n2").cast(d38)
+              * (col("n1") + col("n2")).cast(d38), 1L)
+            .otherwise(0L).as("significant"))
+        .orderBy("arm")
     }
   )
 }
