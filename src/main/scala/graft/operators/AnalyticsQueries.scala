@@ -2099,6 +2099,135 @@ object AnalyticsQueries {
               * (col("n1") + col("n2")).cast(d38), 1L)
             .otherwise(0L).as("significant"))
         .orderBy("arm")
+    },
+
+    // Log-rank test — the survival twin of the q255/q257 significance
+    // harness: do two cohorts (stable hash split) share a hazard curve?
+    // Same two-arm discipline: the NULL arm compares the real (identical)
+    // time-to-first-error under q256's consent censoring and must stay
+    // quiet; the HAZARD arm halves cohort B's failure times and must
+    // fire. O₁/E₁/V accumulate over the 14-bin death/censor histogram in
+    // one ordered fold; each term is ONE division of two exactly-
+    // representable integer products (E₁ += d·n₁/n; V += d·n₁·n₂·(n−d)
+    // / (n²·(n−1)), numerators ≤ N⁴ < 2⁵³), so both engines sum
+    // identical doubles in identical order and χ² = (O₁−E₁)²/V is
+    // bit-reproducible — the q143 discipline applied to a statistic.
+    // At 100 TB the histogram is the only data-scale artifact (one
+    // grouped pass per arm); the test itself is 14 rows of metadata.
+    q("q258_logrank",
+      "log-rank survival test: null cohorts stay quiet, halved failure times fire")(
+      s"""WITH RECURSIVE u AS (SELECT user_id, epoch_us(min(ts::TIMESTAMP)) AS t0,
+         |                  epoch_us(min(CASE WHEN event_type = 'error' THEN ts::TIMESTAMP END)) AS te,
+         |                  (user_id % 7 + 1) AS cd,
+         |                  ${md5LongSql("'lrk:' || CAST(user_id AS VARCHAR)")} % 2 AS g
+         |           FROM events GROUP BY user_id),
+         |arms AS (
+         |  SELECT 'null' AS arm, u.*, te - t0 AS d0 FROM u
+         |  UNION ALL
+         |  SELECT 'hazard', u.*, CASE WHEN g = 1 THEN (te - t0) // 2 ELSE te - t0 END FROM u),
+         |ev AS (SELECT arm, g,
+         |              CASE WHEN d0 IS NOT NULL AND d0 < cd * 86400000000
+         |                   THEN d0 // 43200000000 + 1 END AS db,
+         |              cd * 2 AS cb2
+         |       FROM arms),
+         |hist AS (SELECT arm, coalesce(db, cb2) AS b,
+         |                CAST(sum(CASE WHEN db IS NOT NULL AND g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |                CAST(sum(CASE WHEN db IS NOT NULL AND g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         |                CAST(sum(CASE WHEN db IS NULL AND g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |                CAST(sum(CASE WHEN db IS NULL AND g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |         FROM ev GROUP BY arm, coalesce(db, cb2)),
+         |hx AS (SELECT hist.*, row_number() OVER (PARTITION BY arm ORDER BY b) AS i,
+         |              count(*) OVER (PARTITION BY arm) AS ni
+         |       FROM hist),
+         |nn AS (SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |              CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |       FROM u),
+         |r AS (SELECT hx.arm, hx.i, hx.ni,
+         |             nn.n1 - hx.d1 - hx.c1 AS n1, nn.n2 - hx.d2 - hx.c2 AS n2,
+         |             CAST(hx.d1 AS BIGINT) AS o1,
+         |             CASE WHEN hx.d1 + hx.d2 > 0 AND nn.n1 + nn.n2 > 1
+         |                  THEN CAST((hx.d1 + hx.d2) * nn.n1 AS DOUBLE) / (nn.n1 + nn.n2)
+         |                  ELSE 0.0 END AS e1,
+         |             CASE WHEN hx.d1 + hx.d2 > 0 AND nn.n1 + nn.n2 > 1
+         |                  THEN CAST((hx.d1 + hx.d2) * nn.n1 * nn.n2
+         |                            * (nn.n1 + nn.n2 - hx.d1 - hx.d2) AS DOUBLE)
+         |                       / CAST((nn.n1 + nn.n2) * (nn.n1 + nn.n2) * (nn.n1 + nn.n2 - 1) AS DOUBLE)
+         |                  ELSE 0.0 END AS v
+         |      FROM hx CROSS JOIN nn WHERE hx.i = 1
+         |      UNION ALL
+         |      SELECT h.arm, h.i, h.ni,
+         |             r.n1 - h.d1 - h.c1, r.n2 - h.d2 - h.c2,
+         |             r.o1 + h.d1,
+         |             r.e1 + CASE WHEN h.d1 + h.d2 > 0 AND r.n1 + r.n2 > 1
+         |                    THEN CAST((h.d1 + h.d2) * r.n1 AS DOUBLE) / (r.n1 + r.n2)
+         |                    ELSE 0.0 END,
+         |             r.v + CASE WHEN h.d1 + h.d2 > 0 AND r.n1 + r.n2 > 1
+         |                   THEN CAST((h.d1 + h.d2) * r.n1 * r.n2
+         |                             * (r.n1 + r.n2 - h.d1 - h.d2) AS DOUBLE)
+         |                        / CAST((r.n1 + r.n2) * (r.n1 + r.n2) * (r.n1 + r.n2 - 1) AS DOUBLE)
+         |                   ELSE 0.0 END
+         |      FROM r JOIN hx h ON h.arm = r.arm AND h.i = r.i + 1)
+         |SELECT arm, o1, round(e1, 4) AS e1, round(v, 4) AS v,
+         |       round((o1 - e1) * (o1 - e1) / v, 4) AS chi2,
+         |       CAST(CASE WHEN (o1 - e1) * (o1 - e1) / v > 3.8415 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS significant
+         |FROM r WHERE i = ni ORDER BY arm""".stripMargin
+    ) { (s, dir) =>
+      val u = Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(us(col("ts"))).as("t0"),
+          min(when(col("event_type") === "error", us(col("ts")))).as("te"))
+        .select(col("user_id"), col("t0"), col("te"),
+          (col("user_id") % 7 + 1).as("cd"),
+          (md5Long(concat(lit("lrk:"), col("user_id").cast("string"))) % 2).as("g"))
+        .cache() // both arms + the cohort sizes
+      val arms = u.select(lit("null").as("arm"), col("g"), col("cd"),
+          (col("te") - col("t0")).as("d0"))
+        .unionAll(u.select(lit("hazard").as("arm"), col("g"), col("cd"),
+          when(col("g") === 1L, expr("(te - t0) div 2")).otherwise(col("te") - col("t0")).as("d0")))
+      val ev = arms.select(col("arm"), col("g"),
+        when(col("d0").isNotNull && col("d0") < col("cd") * 86400000000L,
+          expr("d0 div 43200000000") + 1).as("db"),
+        (col("cd") * 2).as("cb2"))
+      val hist = ev.groupBy(col("arm"), coalesce(col("db"), col("cb2")).as("b"))
+        .agg(sum(when(col("db").isNotNull && col("g") === 0L, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("db").isNotNull && col("g") === 1L, 1L).otherwise(0L)).as("d2"),
+          sum(when(col("db").isNull && col("g") === 0L, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("db").isNull && col("g") === 1L, 1L).otherwise(0L)).as("c2"))
+      val nn = u.agg(sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n2"))
+      // ordered fold per arm over the ≤14-bin histogram: state =
+      // (remaining n1, n2, O1, E1, V), each term one exact-int division
+      hist.groupBy("arm")
+        .agg(sort_array(collect_list(struct(col("b"), col("d1"), col("d2"),
+          col("c1"), col("c2")))).as("hs"))
+        .crossJoin(broadcast(nn))
+        .select(col("arm"), aggregate(col("hs"),
+          named_struct(lit("n1"), col("n1"), lit("n2"), col("n2"),
+            lit("o1"), lit(0L), lit("e1"), lit(0.0), lit("v"), lit(0.0)),
+          (acc, x) => {
+            val n1 = acc.getField("n1"); val n2 = acc.getField("n2")
+            val nb = n1 + n2
+            val db = x.getField("d1") + x.getField("d2")
+            val live = db > lit(0L) && nb > lit(1L)
+            val eTerm = when(live, (db * n1).cast("double") / nb).otherwise(lit(0.0))
+            val vTerm = when(live,
+              (db * n1 * n2 * (nb - db)).cast("double")
+                / (nb * nb * (nb - 1)).cast("double")).otherwise(lit(0.0))
+            named_struct(
+              lit("n1"), n1 - x.getField("d1") - x.getField("c1"),
+              lit("n2"), n2 - x.getField("d2") - x.getField("c2"),
+              lit("o1"), acc.getField("o1") + x.getField("d1"),
+              lit("e1"), acc.getField("e1") + eTerm,
+              lit("v"), acc.getField("v") + vTerm)
+          }).as("st"))
+        .select(col("arm"), col("st.o1").as("o1"),
+          round(col("st.e1"), 4).as("e1"), round(col("st.v"), 4).as("v"),
+          round((col("st.o1") - col("st.e1")) * (col("st.o1") - col("st.e1"))
+            / col("st.v"), 4).as("chi2"),
+          when((col("st.o1") - col("st.e1")) * (col("st.o1") - col("st.e1"))
+            / col("st.v") > 3.8415, 1L).otherwise(0L).as("significant"))
+        .orderBy("arm")
     }
   )
 }
