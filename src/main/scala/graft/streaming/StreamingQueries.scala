@@ -1460,6 +1460,94 @@ object StreamingQueries {
       val sink = runToMemory(s, cnt)
       graft.operators.AnalyticsQueries.anomalyReport(
         sink.select(col("event_type"), expr("wus div 3600000000").as("hb"), col("y")))
+    },
+
+    // Streaming KS drift monitor — q257's EXACT two-sample test run per
+    // sealed 12 h window against a broadcast reference distribution
+    // (q236's monitor shape with q257's integer verdict): the stream
+    // counts a deci-quantized value histogram per (window, bin) — state
+    // bounded by open windows × value bins, never rows — and once the
+    // watermark seals a window, its empirical CDF walks the union value
+    // spine against the reference's: D_cross = max |c_ref·N_w − c_w·N_ref|
+    // with the α=0.05 verdict cleared to DECIMAL. ~5% of stationary
+    // windows SHOULD fire at α=0.05 — the flagged count is itself the
+    // monitor's calibration check, and every per-window D is hash-exact
+    // against the oracle. Cumulative windows partition by ws over BINS
+    // (q194's discipline).
+    q("q259_stream_ks_drift",
+      "streaming per-window exact KS vs broadcast reference, integer verdicts")(
+      """WITH ref AS (SELECT CAST(round(value * 10) AS BIGINT) AS v10,
+        |                    CAST(count(*) AS BIGINT) AS kr
+        |             FROM events WHERE event_id % 2 = 0 GROUP BY v10),
+        |nr AS (SELECT CAST(sum(kr) AS BIGINT) AS n1 FROM ref),
+        |cur AS (SELECT make_timestamp((CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 43200)
+        |                 * 43200 * 1000000) AS ws,
+        |               CAST(round(value * 10) AS BIGINT) AS v10, CAST(count(*) AS BIGINT) AS k
+        |        FROM events GROUP BY ws, v10),
+        |live AS (SELECT DISTINCT ws FROM cur
+        |         WHERE ws + INTERVAL 12 HOUR <=
+        |               (SELECT max(ts::TIMESTAMP) - INTERVAL 10 MINUTE FROM events)),
+        |spine AS (SELECT live.ws, u.v10
+        |          FROM live CROSS JOIN (SELECT v10 FROM ref UNION SELECT v10 FROM cur) u),
+        |g AS (SELECT spine.ws, spine.v10, coalesce(ref.kr, 0) AS kr, coalesce(cur.k, 0) AS k
+        |      FROM spine LEFT JOIN ref ON ref.v10 = spine.v10
+        |           LEFT JOIN cur ON cur.ws = spine.ws AND cur.v10 = spine.v10),
+        |cum AS (SELECT ws, v10,
+        |               CAST(sum(kr) OVER win AS BIGINT) AS cr,
+        |               CAST(sum(k) OVER win AS BIGINT) AS cw
+        |        FROM g WINDOW win AS (PARTITION BY ws ORDER BY v10 ROWS UNBOUNDED PRECEDING)),
+        |n2 AS (SELECT ws, max(cw) AS n2 FROM cum GROUP BY ws),
+        |d AS (SELECT cum.ws, CAST(max(abs(cum.cr * n2.n2 - cum.cw * nr.n1)) AS BIGINT) AS d_cross
+        |      FROM cum JOIN n2 ON n2.ws = cum.ws CROSS JOIN nr GROUP BY cum.ws)
+        |SELECT d.ws, nr.n1, n2.n2, d.d_cross,
+        |       CAST(d_cross * 1000 // (nr.n1 * n2.n2) AS BIGINT) AS d_milli,
+        |       CAST(CASE WHEN 10000 * CAST(d_cross AS HUGEINT) * d_cross
+        |                  > 18442 * CAST(nr.n1 AS HUGEINT) * n2.n2 * (nr.n1 + n2.n2)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM d JOIN n2 ON n2.ws = d.ws CROSS JOIN nr ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val v10 = round(col("value") * 10).cast("long")
+      // static reference histogram, batch-side — broadcasts against the
+      // sealed windows
+      val ref = graft.Tables(s, dir, "events")
+        .filter(col("event_id") % 2 === 0)
+        .groupBy(v10.as("v10")).agg(count(lit(1)).as("kr"))
+        .cache() // spine union + the cum join
+      val nr = ref.agg(sum(col("kr")).as("n1"))
+      // REAL streaming leg: watermarked per-(12h window, deci-bin) counts
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "12 hours"), v10.as("v10"))
+        .agg(count(lit(1)).as("k"))
+        .select(col("window.start").as("ws"), col("v10"), col("k"))
+      val sink = runToMemory(s, agg)
+      // finalize over the sealed sink: union value spine, one cum window
+      // per (ws) over bins, cross-multiplied CDF deviation
+      val spine = sink.select(col("ws").as("sws")).distinct()
+        .crossJoin(ref.select(col("v10").as("sv"))
+          .union(sink.select(col("v10").as("sv"))).distinct())
+      val g = spine
+        .join(ref, col("sv") === col("v10"), "left").drop("v10")
+        .join(sink, col("sws") === col("ws") && col("sv") === sink("v10"), "left")
+        .select(col("sws").as("ws"), col("sv").as("vb"),
+          coalesce(col("kr"), lit(0L)).as("kr"), coalesce(col("k"), lit(0L)).as("k"))
+      val win = org.apache.spark.sql.expressions.Window.partitionBy("ws").orderBy("vb")
+        .rowsBetween(Long.MinValue, 0)
+      val cum = g.select(col("ws"), col("vb"),
+          sum(col("kr")).over(win).as("cr"), sum(col("k")).over(win).as("cw"))
+        .cache() // per-window totals + the max-deviation scan
+      val n2 = cum.groupBy("ws").agg(max(col("cw")).as("n2"))
+      cum.join(n2, Seq("ws")).crossJoin(broadcast(nr))
+        .groupBy("ws", "n1", "n2")
+        .agg(max(abs(col("cr") * col("n2") - col("cw") * col("n1"))).as("d_cross"))
+        .select(col("ws"), col("n1"), col("n2"), col("d_cross"),
+          expr("CAST(d_cross * 1000 div (n1 * n2) AS BIGINT)").as("d_milli"),
+          when(lit(10000).cast(d38) * col("d_cross").cast(d38) * col("d_cross").cast(d38)
+            > lit(18442).cast(d38) * col("n1").cast(d38) * col("n2").cast(d38)
+              * (col("n1") + col("n2")).cast(d38), 1L)
+            .otherwise(0L).as("significant"))
+        .orderBy("ws")
     }
   )
 
