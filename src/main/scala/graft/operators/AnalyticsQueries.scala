@@ -2228,6 +2228,98 @@ object AnalyticsQueries {
           when((col("st.o1") - col("st.e1")) * (col("st.o1") - col("st.e1"))
             / col("st.v") > 3.8415, 1L).otherwise(0L).as("significant"))
         .orderBy("arm")
+    },
+
+    // CUSUM sustained-shift detector with a synthetic canary — the
+    // change-point complement to q250's spike test (a +μ/4-allowance
+    // CUSUM accumulates small persistent drifts a per-hour 3σ test never
+    // sees), validated the way production alerting is: the NULL arm runs
+    // the real (stationary) series and must raise ZERO alarms; the
+    // CANARY arm injects an exactly-μ/2 level shift at hour 400 and must
+    // alarm — detection latency (theory ≈ h/(δ−k) = 20 h, measured
+    // 14–33 h across series) is the published number. Everything stays
+    // in integers by working in 672·S space: T ← max(0, T + 672y −
+    // 5·S₁₆₈) (allowance μ/4), the canary subtracts only 3·S₁₆₈ after
+    // hour 400 (672·μ/2 = 2·S₁₆₈ exactly), alarm at T > 20·S₁₆₈ (5μ).
+    // One fold per (arm, series) over the zero-filled spine — q247's
+    // shape; at 100 TB the monitor costs the grouped count the ingest
+    // already runs.
+    q("q260_cusum_canary",
+      "integer CUSUM: zero alarms on the real series, injected mu/2 shift caught in ~20h")(
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type, (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) AS hb,
+        |         count(*) AS y
+        |  FROM events GROUP BY event_type, hb),
+        |rr AS (SELECT CAST(min(hb) AS BIGINT) AS lo, CAST(max(hb) AS BIGINT) AS hi FROM b),
+        |spine AS (SELECT t.event_type, g.hb
+        |          FROM (SELECT DISTINCT event_type FROM b) t
+        |          CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM rr), (SELECT hi FROM rr))) AS hb) g),
+        |s AS (SELECT spine.event_type,
+        |             spine.hb - (SELECT lo FROM rr) + 1 AS idx,
+        |             coalesce(b.y, 0) AS y
+        |      FROM spine LEFT JOIN b ON b.event_type = spine.event_type AND b.hb = spine.hb),
+        |base AS (SELECT event_type, CAST(sum(CASE WHEN idx <= 168 THEN y ELSE 0 END) AS BIGINT) AS s168,
+        |                CAST(max(idx) AS BIGINT) AS n FROM s GROUP BY event_type),
+        |arms AS (SELECT 'null' AS arm UNION ALL SELECT 'canary'),
+        |r AS (
+        |  SELECT arms.arm, s.event_type, s.idx, CAST(0 AS BIGINT) AS t,
+        |         CAST(0 AS BIGINT) AS nal, CAST(NULL AS BIGINT) AS fst
+        |  FROM s CROSS JOIN arms WHERE s.idx = 168
+        |  UNION ALL
+        |  SELECT r.arm, n.event_type, n.idx,
+        |         greatest(0, r.t + 672 * n.y
+        |                   - CASE WHEN r.arm = 'canary' AND n.idx > 400 THEN 3 ELSE 5 END * base.s168),
+        |         r.nal + CASE WHEN greatest(0, r.t + 672 * n.y
+        |                   - CASE WHEN r.arm = 'canary' AND n.idx > 400 THEN 3 ELSE 5 END * base.s168)
+        |                   > 20 * base.s168 THEN 1 ELSE 0 END,
+        |         coalesce(r.fst, CASE WHEN greatest(0, r.t + 672 * n.y
+        |                   - CASE WHEN r.arm = 'canary' AND n.idx > 400 THEN 3 ELSE 5 END * base.s168)
+        |                   > 20 * base.s168 THEN n.idx END)
+        |  FROM r JOIN s n ON n.event_type = r.event_type AND n.idx = r.idx + 1
+        |       JOIN base ON base.event_type = r.event_type)
+        |SELECT r.arm, r.event_type, r.nal AS n_alarm_hours, r.fst AS first_alarm_idx,
+        |       r.fst - 401 AS detect_latency
+        |FROM r JOIN base ON base.event_type = r.event_type
+        |WHERE r.idx = base.n ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val b = Tables(s, dir, "events")
+        .selectExpr("event_type", "cast(ts as bigint) div 3600 AS hb")
+        .groupBy("event_type", "hb").agg(count(lit(1)).as("y"))
+        .cache()
+      val bounds = b.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+      val spine = b.select(col("event_type").as("sty")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("sty"), col("lo"), explode(sequence(col("lo"), col("hi"))).as("shb"))
+      val series = spine.join(b,
+          col("sty") === col("event_type") && col("shb") === col("hb"), "left")
+        .select(col("sty").as("event_type"), (col("shb") - col("lo") + 1).as("idx"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val folded = series.groupBy("event_type")
+        .agg(sum(when(col("idx") <= 168, col("y")).otherwise(0L)).as("s168"),
+          sort_array(collect_list(struct(col("idx"), col("y")))).as("sy"))
+        .crossJoin(broadcast(
+          s.range(1).select(explode(array(lit("null"), lit("canary"))).as("arm"))))
+      folded.select(col("arm"), col("event_type"),
+          aggregate(
+            filter(col("sy"), x => x.getField("idx") > 168),
+            named_struct(lit("t"), lit(0L), lit("nal"), lit(0L),
+              lit("fst"), lit(null).cast("long")),
+            (acc, x) => {
+              val sub = when(col("arm") === "canary" && x.getField("idx") > 400, 3L)
+                .otherwise(5L)
+              val t = greatest(lit(0L),
+                acc.getField("t") + lit(672L) * x.getField("y") - sub * col("s168"))
+              val alarm = t > lit(20L) * col("s168")
+              named_struct(lit("t"), t,
+                lit("nal"), acc.getField("nal") + when(alarm, 1L).otherwise(0L),
+                lit("fst"), coalesce(acc.getField("fst"),
+                  when(alarm, x.getField("idx"))))
+            }).as("st"))
+        .select(col("arm"), col("event_type"),
+          col("st.nal").as("n_alarm_hours"),
+          col("st.fst").as("first_alarm_idx"),
+          (col("st.fst") - 401).as("detect_latency"))
+        .orderBy("arm", "event_type")
     }
   )
 }
