@@ -1797,6 +1797,52 @@ object AnalyticsQueries {
         .orderBy("k")
     },
 
+    // l-diversity audit — k-anonymity's necessary complement (q248 bounds
+    // class SIZE; this bounds sensitive-value VARIETY): a class of 50
+    // people who all share one market segment leaks the segment even
+    // though k=50 passes. QI classes here are (nation × balance-bin),
+    // the SENSITIVE attribute is the segment; per policy l the report
+    // counts classes whose distinct-segment count falls short and the
+    // individuals inside them. Same scale discipline as q248: classes
+    // collapse to an (l-value, size) census first, so the policy grid
+    // explodes over ≤|distinct (ld, sz)| rows — one grouped count plus a
+    // distinct-count, metadata after that.
+    q("q261_l_diversity",
+      "per-threshold l-diversity risk over (nation, balance-bin) vs segment variety")(
+      """WITH g AS (SELECT c_nationkey,
+        |                  CAST(floor((c_acctbal + 1000) / 500) AS BIGINT) AS bb,
+        |                  CAST(count(*) AS BIGINT) AS sz,
+        |                  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS ld
+        |           FROM customer GROUP BY c_nationkey, bb),
+        |sh AS (SELECT ld, sz, CAST(count(*) AS BIGINT) AS n_g FROM g GROUP BY ld, sz),
+        |tot AS (SELECT CAST(sum(sz * n_g) AS BIGINT) AS nu,
+        |               CAST(sum(n_g) AS BIGINT) AS ng FROM sh),
+        |ls AS (SELECT unnest([2, 3, 5]) AS l)
+        |SELECT CAST(ls.l AS BIGINT) AS l, tot.ng AS n_groups,
+        |       CAST(coalesce(sum(CASE WHEN sh.ld < ls.l THEN sh.n_g END), 0) AS BIGINT) AS risky_groups,
+        |       CAST(coalesce(sum(CASE WHEN sh.ld < ls.l THEN sh.sz * sh.n_g END), 0) AS BIGINT) AS risky_users,
+        |       CAST(coalesce(sum(CASE WHEN sh.ld < ls.l THEN sh.sz * sh.n_g END), 0) * 1000
+        |            // tot.nu AS BIGINT) AS risky_milli
+        |FROM ls CROSS JOIN sh CROSS JOIN tot
+        |GROUP BY ls.l, tot.ng, tot.nu ORDER BY l""".stripMargin
+    ) { (s, dir) =>
+      val g = Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"),
+          floor((col("c_acctbal") + 1000) / 500).cast("long").as("bb"))
+        .agg(count(lit(1)).as("sz"), countDistinct(col("c_mktsegment")).as("ld"))
+      val sh = g.groupBy("ld", "sz").agg(count(lit(1)).as("n_g")).cache()
+      val tot = sh.agg(sum(col("sz") * col("n_g")).as("nu"), sum(col("n_g")).as("ng"))
+      sh.select(col("ld"), col("sz"), col("n_g"),
+          explode(array(lit(2L), lit(3L), lit(5L))).as("l"))
+        .crossJoin(broadcast(tot))
+        .groupBy("l", "ng", "nu")
+        .agg(coalesce(sum(when(col("ld") < col("l"), col("n_g"))), lit(0L)).as("risky_groups"),
+          coalesce(sum(when(col("ld") < col("l"), col("sz") * col("n_g"))), lit(0L)).as("risky_users"))
+        .select(col("l"), col("ng").as("n_groups"), col("risky_groups"), col("risky_users"),
+          expr("CAST(risky_users * 1000 div nu AS BIGINT)").as("risky_milli"))
+        .orderBy("l")
+    },
+
     // Trailing-window anomaly detection, integer-exact: score each hour's
     // event count against its OWN trailing 24 h (mean ± 3σ) — but the
     // 3σ rule needs no sqrt and no floats: y is anomalous iff

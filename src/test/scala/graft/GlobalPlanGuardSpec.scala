@@ -74,6 +74,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q246_rfm_segments" -> "1-row max-ts anchor × events; 1-row user-count scalar × the per-dim histograms",
     "q247_holt_backtest" -> "1-row hour-bounds frame × series keys (q98's spine shape)",
     "q248_k_anonymity" -> "1-row population-totals frame × the ≤|sizes|×4 threshold grid",
+    "q261_l_diversity" -> "1-row population-totals frame × the ≤|(ld,sz)|×3 threshold grid (q248's shape)",
     "q250_anomaly_hours" -> "1-row hour-bounds frame × series keys (q247's spine shape)",
     "q252_mixture_waterfill" -> "|sources|² triangular comparison + 1-row budget/saturated-prefix scalars",
     "q255_ab_test" -> "≤|np values|² median triangular + 1-row user-count/median scalars × the user rollup",
