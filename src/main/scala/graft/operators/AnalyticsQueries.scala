@@ -2366,6 +2366,73 @@ object AnalyticsQueries {
           col("st.fst").as("first_alarm_idx"),
           (col("st.fst") - 401).as("detect_latency"))
         .orderBy("arm", "event_type")
+    },
+
+    // Isotonic regression (PAV) calibration — the monotone-fit step that
+    // turns a raw score→rate curve into a usable calibrator. Instead of
+    // the sequential pool-adjacent-violators loop, the fit uses PAV's
+    // CLOSED FORM: fitted(i) = max_{j≤i} min_{k≥i} avg(y over bins
+    // j..k) — three nested ranges over the BIN histogram (bins³ ≤ 1000
+    // rows of metadata), fully declarative in both engines, provably
+    // equal to the pooled solution. Each interval average is one
+    // division of exact integer sums, so min/max compare identical
+    // doubles. The input relation is a REAL noisy monotone curve built
+    // from the corpus's own functional dependency (token count vs
+    // n_chars) plus deterministic hash jitter on the feature and 10%
+    // hash label noise — raw rates violate monotonicity at both fixture
+    // scales, so the pooling genuinely bites. At 100 TB: one grouped
+    // pass to the 10-bin histogram; the fit is metadata.
+    q("q262_isotonic_calibration",
+      "PAV monotone calibration via the max-min closed form over score bins")(
+      s"""WITH d AS (SELECT n_chars
+         |                  + ${md5LongSql("'j:' || CAST(doc_id AS VARCHAR)")} % 161 - 80 AS xj,
+         |                  CASE WHEN (CASE WHEN len(str_split(text, ' ')) > 55 THEN 1 ELSE 0 END)
+         |                       + (CASE WHEN ${md5LongSql("'n:' || CAST(doc_id AS VARCHAR)")} % 10 = 0
+         |                          THEN 1 ELSE 0 END) = 1
+         |                  THEN 1 ELSE 0 END AS y
+         |           FROM documents),
+         |h AS (SELECT greatest(least(CAST(floor((xj - 150) / 40) AS BIGINT), 9), 0) AS bin,
+         |             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+         |      FROM d GROUP BY 1),
+         |iv AS (SELECT a.bin AS j, b.bin AS k,
+         |              CAST(sum(c.s) AS DOUBLE) / sum(c.n) AS a
+         |       FROM h a JOIN h b ON a.bin <= b.bin
+         |            JOIN h c ON c.bin BETWEEN a.bin AND b.bin
+         |       GROUP BY a.bin, b.bin),
+         |inner_min AS (SELECT h.bin AS i, iv.j, min(iv.a) AS mn
+         |              FROM h JOIN iv ON iv.j <= h.bin AND iv.k >= h.bin
+         |              GROUP BY h.bin, iv.j),
+         |fit AS (SELECT i, max(mn) AS f FROM inner_min GROUP BY i)
+         |SELECT h.bin, h.n, h.s, round(CAST(h.s AS DOUBLE) / h.n, 4) AS rate,
+         |       round(fit.f, 4) AS fitted
+         |FROM h JOIN fit ON fit.i = h.bin ORDER BY h.bin""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables.fanout(s, dir, "documents")
+        .select(
+          (col("n_chars")
+            + md5Long(concat(lit("j:"), col("doc_id").cast("string"))) % 161 - 80).as("xj"),
+          when(when(size(split(col("text"), " ")) > 55, 1L).otherwise(0L)
+            + when(md5Long(concat(lit("n:"), col("doc_id").cast("string"))) % 10 === 0, 1L)
+              .otherwise(0L) === 1L, 1L).otherwise(0L).as("y"))
+      val h = d.groupBy(
+          greatest(least(floor((col("xj") - 150) / 40).cast("long"), lit(9L)), lit(0L)).as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+        .cache() // three arms of the bins³ interval build + the output join
+      val iv = h.select(col("bin").as("j"), col("n").as("jn"))
+        .join(h.select(col("bin").as("k")), col("j") <= col("k"))
+        .join(h.select(col("bin").as("cb"), col("n").as("cn"), col("s").as("cs")),
+          col("cb") >= col("j") && col("cb") <= col("k"))
+        .groupBy("j", "k")
+        .agg((sum(col("cs")).cast("double") / sum(col("cn"))).as("a"))
+      val innerMin = h.select(col("bin").as("i"))
+        .join(iv, col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("i", "j").agg(min(col("a")).as("mn"))
+      val fit = innerMin.groupBy("i").agg(max(col("mn")).as("f"))
+      h.join(fit, col("bin") === col("i"))
+        .select(col("bin"), col("n"), col("s"),
+          round(col("s").cast("double") / col("n"), 4).as("rate"),
+          round(col("f"), 4).as("fitted"))
+        .orderBy("bin")
     }
   )
 }

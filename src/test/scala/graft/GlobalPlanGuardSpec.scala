@@ -80,7 +80,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q255_ab_test" -> "≤|np values|² median triangular + 1-row user-count/median scalars × the user rollup",
     "q256_kaplan_meier" -> "1-row user-count scalar × the 14-bin histogram fold",
     "q258_logrank" -> "1-row cohort-sizes scalar × the 2-arm 14-bin histogram folds",
-    "q260_cusum_canary" -> "1-row hour-bounds frame × series keys (q247's spine) + 2-row arm grid × the per-series folds")
+    "q260_cusum_canary" -> "1-row hour-bounds frame × series keys (q247's spine) + 2-row arm grid × the per-series folds",
+    "q262_isotonic_calibration" -> "bins³ interval ranges over the 10-row score histogram (PAV closed form)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.
