@@ -2433,6 +2433,140 @@ object AnalyticsQueries {
           round(col("s").cast("double") / col("n"), 4).as("rate"),
           round(col("f"), 4).as("fitted"))
         .orderBy("bin")
+    },
+
+    // Spearman rank correlation, exact in integers — the robust twin of
+    // Pearson (q100): average ranks over tied values are half-integers,
+    // so the whole computation runs in DOUBLED rank space (2r = 2·below
+    // + ties + 1, an integer from the value histogram — q246's
+    // triangular discipline, never a per-row rank window), and ρ is
+    // published as the exact integer 10⁶·(1 − 6Σd²/(n(n²−1))) over the
+    // 4×-scaled Σd². Two pairs prove discrimination: chars↔tokens is a
+    // functional dependency (ρ ≈ 0.998) while chars↔hash-noise must
+    // land at ≈ 0. At 100 TB: two value histograms + one row-level
+    // lookup join per pair — rank tables are value-cardinality, the
+    // data-scale work is one grouped count.
+    q("q263_spearman",
+      "exact integer Spearman: functional pair near 1, hash-noise pair near 0")(
+      s"""WITH src AS (SELECT CAST(n_chars AS BIGINT) AS x,
+         |                    CAST(len(str_split(text, ' ')) AS BIGINT) AS y,
+         |                    ${md5LongSql("'sp:' || CAST(doc_id AS VARCHAR)")} % 1000 AS z
+         |             FROM documents),
+         |p AS (SELECT 'chars_tokens' AS pair, x AS a, y AS b FROM src
+         |      UNION ALL SELECT 'chars_noise', x, z FROM src),
+         |ha AS (SELECT pair, a AS v, CAST(count(*) AS BIGINT) AS k FROM p GROUP BY pair, a),
+         |hb AS (SELECT pair, b AS v, CAST(count(*) AS BIGINT) AS k FROM p GROUP BY pair, b),
+         |ra AS (SELECT x.pair, x.v,
+         |              2 * CAST(coalesce(sum(CASE WHEN y.v < x.v THEN y.k END), 0) AS BIGINT)
+         |                + x.k + 1 AS r2
+         |       FROM ha x JOIN ha y ON y.pair = x.pair GROUP BY x.pair, x.v, x.k),
+         |rb AS (SELECT x.pair, x.v,
+         |              2 * CAST(coalesce(sum(CASE WHEN y.v < x.v THEN y.k END), 0) AS BIGINT)
+         |                + x.k + 1 AS r2
+         |       FROM hb x JOIN hb y ON y.pair = x.pair GROUP BY x.pair, x.v, x.k),
+         |j AS (SELECT p.pair, ra.r2 - rb.r2 AS dd
+         |      FROM p JOIN ra ON ra.pair = p.pair AND ra.v = p.a
+         |             JOIN rb ON rb.pair = p.pair AND rb.v = p.b),
+         |agg AS (SELECT pair, CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(dd * dd) AS BIGINT) AS sd2 FROM j GROUP BY pair)
+         |SELECT pair, n, sd2,
+         |       CAST(1000000 - 3000000 * CAST(sd2 AS HUGEINT) // (2 * n * (n*n - 1)) AS BIGINT)
+         |         AS rho_micro
+         |FROM agg ORDER BY pair""".stripMargin
+    ) { (s, dir) =>
+      val src = Tables.fanout(s, dir, "documents")
+        .select(col("n_chars").as("x"),
+          size(split(col("text"), " ")).cast("long").as("y"),
+          (md5Long(concat(lit("sp:"), col("doc_id").cast("string"))) % 1000).as("z"))
+      val p = src.select(lit("chars_tokens").as("pair"), col("x").as("a"), col("y").as("b"))
+        .unionAll(src.select(lit("chars_noise").as("pair"), col("x").as("a"), col("z").as("b")))
+        .cache() // two histograms + the rank lookup join
+      def rank2(side: String): org.apache.spark.sql.DataFrame = {
+        val h = p.groupBy(col("pair"), col(side).as("v")).agg(count(lit(1)).as("k"))
+        h.select(col("pair"), col("v").as("xv"), col("k").as("xk"))
+          .join(h.select(col("pair"), col("v").as("yv"), col("k").as("yk")), Seq("pair"))
+          .groupBy(col("pair"), col("xv"), col("xk"))
+          .agg(coalesce(sum(when(col("yv") < col("xv"), col("yk"))), lit(0L)).as("below"))
+          .select(col("pair"), col("xv").as("v"),
+            (col("below") * 2 + col("xk") + 1).as("r2"))
+      }
+      val j = p
+        .join(rank2("a").select(col("pair"), col("v").as("a"), col("r2").as("r2a")),
+          Seq("pair", "a"))
+        .join(rank2("b").select(col("pair"), col("v").as("b"), col("r2").as("r2b")),
+          Seq("pair", "b"))
+        .select(col("pair"), (col("r2a") - col("r2b")).as("dd"))
+      j.groupBy("pair")
+        .agg(count(lit(1)).as("n"), sum(col("dd") * col("dd")).as("sd2"))
+        .select(col("pair"), col("n"), col("sd2"),
+          (lit(1000000L) - (lit(3000000L).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("sd2").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            / (lit(2L) * col("n") * (col("n") * col("n") - 1))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("long")).cast("long").as("rho_micro"))
+        .orderBy("pair")
+    },
+
+    // Mann–Whitney U — the rank-based two-sample test that sees median/
+    // stochastic-dominance shifts the mean-based z² (q255) can miss, and
+    // KS's (q257) distribution-free sibling for location alternatives.
+    // Everything derives from the per-(arm, value) histogram: the
+    // doubled rank-sum 2R₁ = Σ k₁·(2·below + ties + 1) needs only a
+    // cumulative window over BINS, U follows arithmetically, and the
+    // normal-approximation verdict is the cleared inequality
+    // 3·10⁴·(2R₁ − n₁(n₁+1) − n₁n₂)² > 38415·n₁n₂(n₁+n₂+1) in DECIMAL
+    // (untied-σ approximation, stated; the margins here are ~10×). Null
+    // arm quiet, injected ×1.1 scale shift fires, both scales.
+    q("q264_mann_whitney",
+      "exact-rank Mann-Whitney U: null halves quiet, 10% scale shift fires")(
+      """WITH s0 AS (SELECT event_id % 2 AS grp, CAST(round(value * 10) AS BIGINT) AS v10
+        |            FROM events),
+        |samp AS (SELECT 'null' AS arm, grp, v10 FROM s0
+        |         UNION ALL
+        |         SELECT 'shift', grp, CASE WHEN grp = 1 THEN v10 * 11 // 10 ELSE v10 END FROM s0),
+        |h AS (SELECT arm, v10,
+        |             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+        |      FROM samp GROUP BY arm, v10),
+        |cum AS (SELECT arm, v10, k1, k2,
+        |               CAST(coalesce(sum(k1 + k2) OVER (PARTITION BY arm ORDER BY v10
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+        |        FROM h),
+        |agg AS (SELECT arm, CAST(sum(k1) AS BIGINT) AS n1, CAST(sum(k2) AS BIGINT) AS n2,
+        |               CAST(sum(k1 * (2 * below + (k1 + k2) + 1)) AS BIGINT) AS r1x2
+        |        FROM cum GROUP BY arm)
+        |SELECT arm, n1, n2,
+        |       CAST((r1x2 - n1 * (n1 + 1)) // 2 AS BIGINT) AS u,
+        |       CAST(CASE WHEN 30000 * CAST(r1x2 - n1*(n1+1) - n1*n2 AS HUGEINT)
+        |                        * (r1x2 - n1*(n1+1) - n1*n2)
+        |                  > 38415 * CAST(n1 AS HUGEINT) * n2 * (n1 + n2 + 1)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM agg ORDER BY arm""".stripMargin
+    ) { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val s0 = Tables(s, dir, "events")
+        .select((col("event_id") % 2).as("grp"),
+          round(col("value") * 10).cast("long").as("v10"))
+      val samp = s0.select(lit("null").as("arm"), col("grp"), col("v10"))
+        .unionAll(s0.select(lit("shift").as("arm"), col("grp"),
+          when(col("grp") === 1L, expr("v10 * 11 div 10")).otherwise(col("v10")).as("v10")))
+      val h = samp.groupBy("arm", "v10")
+        .agg(sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("k1"),
+          sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("k2"))
+      val win = Window.partitionBy("arm").orderBy("v10").rowsBetween(Long.MinValue, -1)
+      val agg2 = h.select(col("arm"), col("k1"), col("k2"),
+          coalesce(sum(col("k1") + col("k2")).over(win), lit(0L)).as("below"))
+        .groupBy("arm")
+        .agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"),
+          sum(col("k1") * (col("below") * 2 + col("k1") + col("k2") + 1)).as("r1x2"))
+      val dd = (col("r1x2") - col("n1") * (col("n1") + 1) - col("n1") * col("n2")).cast(d38)
+      agg2.select(col("arm"), col("n1"), col("n2"),
+          expr("CAST((r1x2 - n1 * (n1 + 1)) div 2 AS BIGINT)").as("u"),
+          when(lit(30000).cast(d38) * dd * dd
+            > lit(38415).cast(d38) * col("n1").cast(d38) * col("n2").cast(d38)
+              * (col("n1") + col("n2") + 1).cast(d38), 1L)
+            .otherwise(0L).as("significant"))
+        .orderBy("arm")
     }
   )
 }
