@@ -2567,6 +2567,297 @@ object AnalyticsQueries {
               * (col("n1") + col("n2") + 1).cast(d38), 1L)
             .otherwise(0L).as("significant"))
         .orderBy("arm")
+    },
+
+    // Theil–Sen robust trend — the breakdown-point-resistant slope the
+    // stats family (q255/q257/q263/q264) still lacked: the LOWER MEDIAN of
+    // all pairwise slopes of the hourly deci-value series per event_type,
+    // against an OLS slope on the same series. Validation is the family's
+    // contamination discipline run in reverse: a 5%-of-hours ×10 outlier
+    // arm (hash-chosen hours, deterministic) must move OLS by orders of
+    // magnitude while Theil–Sen barely shifts — the robustness IS the
+    // checked quantity, not prose. Everything stays integer-exact: slopes
+    // quantize to milli-units via truncating division ((1000·Δy) div Δt —
+    // Spark `div` ≡ DuckDB `//` toward zero), and the median comes from
+    // the (arm, series, slope) HISTOGRAM with a cumulative below-count
+    // window, so the rank layer is slope-cardinality metadata, never a
+    // global sort (q263/q264's rank-space lesson). Scale shape: the pair
+    // join is per-(arm, series) on hour indices — (time bins)², pure
+    // metadata regardless of row count; the hourly fold is the grouped
+    // count the ingest already runs. OLS in the same pass: (1000·(n·Σty −
+    // Σt·Σy)) div (n·Σt² − (Σt)²) in DECIMAL — one truncating division,
+    // no float anywhere.
+    q("q265_theil_sen",
+      "Theil-Sen milli-slope vs OLS: 5% x10 outlier hours barely move the median")(
+      s"""WITH b AS (SELECT event_type,
+         |                  (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) AS hb,
+         |                  CAST(sum(CAST(round(value * 10) AS BIGINT)) AS BIGINT) AS y
+         |           FROM events GROUP BY event_type, hb),
+         |lo AS (SELECT CAST(min(hb) AS BIGINT) AS lo FROM b),
+         |s0 AS (SELECT event_type, hb - (SELECT lo FROM lo) + 1 AS t, y FROM b),
+         |s AS (SELECT 'clean' AS arm, event_type, t, y FROM s0
+         |      UNION ALL
+         |      SELECT 'outlier', event_type, t,
+         |             CASE WHEN ${md5LongSql("'ts:' || event_type || ':' || CAST(t AS VARCHAR)")} % 20 = 0
+         |                  THEN y * 10 ELSE y END
+         |      FROM s0),
+         |pr AS (SELECT a.arm, a.event_type,
+         |              (1000 * (b.y - a.y)) // (b.t - a.t) AS sm
+         |       FROM s a JOIN s b ON b.arm = a.arm AND b.event_type = a.event_type
+         |                        AND b.t > a.t),
+         |h AS (SELECT arm, event_type, sm, CAST(count(*) AS BIGINT) AS k
+         |      FROM pr GROUP BY arm, event_type, sm),
+         |c AS (SELECT arm, event_type, sm, k,
+         |             CAST(coalesce(sum(k) OVER (PARTITION BY arm, event_type ORDER BY sm
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+         |             CAST(sum(k) OVER (PARTITION BY arm, event_type) AS BIGINT) AS np
+         |      FROM h),
+         |med AS (SELECT arm, event_type, sm AS ts_slope_milli
+         |        FROM c WHERE below < (np + 1) // 2 AND (np + 1) // 2 <= below + k),
+         |ols AS (SELECT arm, event_type, CAST(count(*) AS BIGINT) AS n,
+         |               CAST((1000 * (count(*) * CAST(sum(t * y) AS HUGEINT)
+         |                             - CAST(sum(t) AS HUGEINT) * sum(y)))
+         |                    // (count(*) * CAST(sum(t * t) AS HUGEINT)
+         |                       - CAST(sum(t) AS HUGEINT) * sum(t)) AS BIGINT) AS ols_slope_milli
+         |        FROM s GROUP BY arm, event_type)
+         |SELECT ols.arm, ols.event_type, ols.n, med.ts_slope_milli, ols.ols_slope_milli
+         |FROM ols JOIN med ON med.arm = ols.arm AND med.event_type = ols.event_type
+         |ORDER BY 1, 2""".stripMargin
+    ) { (sp, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val b = Tables(sp, dir, "events")
+        .selectExpr("event_type", "cast(ts as bigint) div 3600 AS hb",
+          "cast(round(value * 10) as bigint) AS dy")
+        .groupBy("event_type", "hb").agg(sum(col("dy")).as("y"))
+      val lo = b.agg(min(col("hb")).as("lo"))
+      val s0 = b.crossJoin(broadcast(lo))
+        .select(col("event_type"), (col("hb") - col("lo") + 1).as("t"), col("y"))
+      val s = s0.select(lit("clean").as("arm"), col("event_type"), col("t"), col("y"))
+        .unionAll(s0.select(lit("outlier").as("arm"), col("event_type"), col("t"),
+          when(md5Long(concat(lit("ts:"), col("event_type"), lit(":"),
+            col("t").cast("string"))) % 20 === 0, col("y") * 10)
+            .otherwise(col("y")).as("y")))
+        .cache() // pair join (both legs) + OLS fold
+      val pr = s.select(col("arm"), col("event_type"), col("t").as("t1"), col("y").as("y1"))
+        .join(s.select(col("arm"), col("event_type"), col("t").as("t2"), col("y").as("y2")),
+          Seq("arm", "event_type"))
+        .filter(col("t2") > col("t1"))
+        .select(col("arm"), col("event_type"),
+          expr("(1000 * (y2 - y1)) div (t2 - t1)").as("sm"))
+      val h = pr.groupBy("arm", "event_type", "sm").agg(count(lit(1)).as("k"))
+      val wBelow = Window.partitionBy("arm", "event_type").orderBy("sm")
+        .rowsBetween(Long.MinValue, -1)
+      val wAll = Window.partitionBy("arm", "event_type")
+      val med = h.select(col("arm"), col("event_type"), col("sm"), col("k"),
+          coalesce(sum(col("k")).over(wBelow), lit(0L)).as("below"),
+          sum(col("k")).over(wAll).as("np"))
+        .withColumn("medpos", expr("(np + 1) div 2"))
+        .filter(col("below") < col("medpos") &&
+          col("medpos") <= col("below") + col("k"))
+        .select(col("arm"), col("event_type"), col("sm").as("ts_slope_milli"))
+      val ols = s.groupBy("arm", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("t") * col("y")).as("sty"),
+          sum(col("t")).as("st"), sum(col("y")).as("sy"),
+          sum(col("t") * col("t")).as("stt"))
+        .select(col("arm"), col("event_type"), col("n"),
+          expr("cast((1000 * (n * cast(sty as decimal(38,0)) - cast(st as decimal(38,0)) * sy)) div (n * cast(stt as decimal(38,0)) - cast(st as decimal(38,0)) * st) as bigint)")
+            .as("ols_slope_milli"))
+      ols.join(med, Seq("arm", "event_type"))
+        .select(col("arm"), col("event_type"), col("n"),
+          col("ts_slope_milli"), col("ols_slope_milli"))
+        .orderBy("arm", "event_type")
+    },
+
+    // Benford first-digit audit — the forensic data-quality gate (fraud /
+    // synthetic-data detection) over a money column, run with the stats
+    // family's two-arm discipline: the QUIET arm is Benford BY
+    // CONSTRUCTION (inverse-CDF on the same 10⁻⁵-quantized digit
+    // probabilities the test uses — digit d·10^k + r with r < 10^k keeps
+    // the planted leading digit exactly, all integer hashes), so its χ²
+    // sits at the df=8 mean; the totalprice arm fires hard (an
+    // order-total is a bounded sum, not a multiplicative process — the
+    // audit DETECTING that is the point). No float anywhere: probabilities
+    // are integer 10⁻⁵ literals (they sum to exactly 100000), the leading
+    // digit is the first character of the integer-cents decimal string,
+    // and each χ² term is ONE truncating division (10⁶·(10⁵·obs − N·p)²
+    // in 38-digit space over 10⁵·N·p) summed over the fixed 9-digit
+    // spine — missing digits are zero-filled by the spine join, never
+    // dropped. Scale shape: one grouped count per arm + an 18-row
+    // metadata join; the audit costs a single scan regardless of table
+    // width.
+    q("q266_benford_audit",
+      "Benford first-digit chi2: synthetic Benford arm quiet, totalprice fires")(
+      s"""WITH p AS (SELECT * FROM (VALUES (1, 30103), (2, 17609), (3, 12494),
+         |                                 (4, 9691), (5, 7918), (6, 6695),
+         |                                 (7, 5799), (8, 5115), (9, 4576))
+         |                AS t(digit, prob)),
+         |syn AS (SELECT CASE WHEN u < 30103 THEN 1 WHEN u < 47712 THEN 2
+         |                    WHEN u < 60206 THEN 3 WHEN u < 69897 THEN 4
+         |                    WHEN u < 77815 THEN 5 WHEN u < 84510 THEN 6
+         |                    WHEN u < 90309 THEN 7 WHEN u < 95424 THEN 8
+         |                    ELSE 9 END AS d,
+         |               CASE k WHEN 0 THEN 1 WHEN 1 THEN 10 WHEN 2 THEN 100
+         |                      ELSE 1000 END AS pw,
+         |               r
+         |        FROM (SELECT ${md5LongSql("'bf:' || CAST(o_orderkey AS VARCHAR)")} % 100000 AS u,
+         |                     ${md5LongSql("'bk:' || CAST(o_orderkey AS VARCHAR)")} % 4 AS k,
+         |                     ${md5LongSql("'br:' || CAST(o_orderkey AS VARCHAR)")} AS r
+         |              FROM orders)),
+         |v AS (SELECT 'benford_synth' AS arm,
+         |             CAST(d * pw + (r % pw) AS BIGINT) AS cents FROM syn
+         |      UNION ALL
+         |      SELECT 'totalprice', CAST(round(o_totalprice * 100) AS BIGINT) FROM orders),
+         |obs AS (SELECT arm, CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |               CAST(count(*) AS BIGINT) AS obs
+         |        FROM v GROUP BY arm, digit),
+         |spine AS (SELECT a.arm, p.digit, p.prob FROM (SELECT DISTINCT arm FROM v) a
+         |          CROSS JOIN p),
+         |f AS (SELECT spine.arm, CAST(spine.digit AS BIGINT) AS digit,
+         |             CAST(spine.prob AS BIGINT) AS prob, coalesce(obs.obs, 0) AS obs
+         |      FROM spine LEFT JOIN obs ON obs.arm = spine.arm AND obs.digit = spine.digit),
+         |n AS (SELECT arm, CAST(sum(obs) AS BIGINT) AS n FROM f GROUP BY arm),
+         |dev AS (SELECT f.arm, f.digit, f.obs,
+         |               CAST((n.n * f.prob) // 100000 AS BIGINT) AS exp_cnt,
+         |               CAST((1000000 * (100000 * CAST(f.obs AS HUGEINT) - CAST(n.n AS HUGEINT) * f.prob)
+         |                             * (100000 * CAST(f.obs AS HUGEINT) - CAST(n.n AS HUGEINT) * f.prob))
+         |                    // (100000 * CAST(n.n AS HUGEINT) * f.prob) AS BIGINT) AS dev_micro
+         |        FROM f JOIN n ON n.arm = f.arm),
+         |tot AS (SELECT arm, CAST(sum(dev_micro) AS BIGINT) AS chi2_micro FROM dev GROUP BY arm)
+         |SELECT dev.arm, dev.digit, dev.obs, dev.exp_cnt, dev.dev_micro, tot.chi2_micro,
+         |       CAST(CASE WHEN tot.chi2_micro > 15507000 THEN 1 ELSE 0 END AS BIGINT) AS significant
+         |FROM dev JOIN tot ON tot.arm = dev.arm
+         |ORDER BY 1, 2""".stripMargin
+    ) { (sp, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val orders = Tables(sp, dir, "orders")
+      def h(tag: String) =
+        md5Long(concat(lit(tag), col("o_orderkey").cast("string")))
+      val syn = orders.select((h("bf:") % 100000).as("u"), (h("bk:") % 4).as("k"),
+          h("br:").as("r"))
+        .select(
+          when(col("u") < 30103, 1).when(col("u") < 47712, 2)
+            .when(col("u") < 60206, 3).when(col("u") < 69897, 4)
+            .when(col("u") < 77815, 5).when(col("u") < 84510, 6)
+            .when(col("u") < 90309, 7).when(col("u") < 95424, 8)
+            .otherwise(9).as("d"),
+          when(col("k") === 0, 1L).when(col("k") === 1, 10L)
+            .when(col("k") === 2, 100L).otherwise(1000L).as("pw"),
+          col("r"))
+      val v = syn.select(lit("benford_synth").as("arm"),
+          (col("d") * col("pw") + col("r") % col("pw")).cast("long").as("cents"))
+        .unionAll(orders.select(lit("totalprice").as("arm"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")))
+        .cache() // obs histogram + arm spine
+      val obs = v.groupBy(col("arm"),
+          substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+        .agg(count(lit(1)).as("obs"))
+      val probs = sp.range(1).select(explode(array(
+        Seq((1, 30103), (2, 17609), (3, 12494), (4, 9691), (5, 7918),
+          (6, 6695), (7, 5799), (8, 5115), (9, 4576)).map { case (dg, pr) =>
+          struct(lit(dg.toLong).as("digit"), lit(pr.toLong).as("prob"))
+        }: _*)).as("x"))
+        .select(col("x.digit").as("digit"), col("x.prob").as("prob"))
+      val spine = v.select(col("arm")).distinct().crossJoin(broadcast(probs))
+      val f = spine.join(obs, Seq("arm", "digit"), "left")
+        .select(col("arm"), col("digit"), col("prob"),
+          coalesce(col("obs"), lit(0L)).as("obs"))
+      val n = f.groupBy("arm").agg(sum(col("obs")).as("n"))
+      val dev = f.join(n, Seq("arm"))
+        .select(col("arm"), col("digit"), col("obs"),
+          expr("cast((n * prob) div 100000 as bigint)").as("exp_cnt"),
+          expr(("cast((1000000 * (100000 * cast(obs as decimal(38,0)) - cast(n as decimal(38,0)) * prob)"
+            + " * (100000 * cast(obs as decimal(38,0)) - cast(n as decimal(38,0)) * prob))"
+            + " div (100000 * cast(n as decimal(38,0)) * prob) as bigint)")).as("dev_micro"))
+      val tot = dev.groupBy("arm").agg(sum(col("dev_micro")).as("chi2_micro"))
+      dev.join(tot, Seq("arm"))
+        .select(col("arm"), col("digit"), col("obs"), col("exp_cnt"), col("dev_micro"),
+          col("chi2_micro"),
+          when(col("chi2_micro") > 15507000L, 1L).otherwise(0L).as("significant"))
+        .orderBy("arm", "digit")
+    },
+
+    // Split-conformal prediction intervals — distribution-free uncertainty
+    // calibration for any point predictor, the modern gate on "is this
+    // model's confidence honest" before its outputs feed a training-data
+    // filter. Three hash-disjoint splits of lineitem: TRAIN fits the
+    // ratio-through-origin price predictor (two broadcast scalars —
+    // deliberately crude; conformal wraps ANY scorer), CALIBRATION takes
+    // the ceil((1−α)(n+1))-th smallest nonconformity score (|cents
+    // residual| in whole dollars — quantizing the score keeps the
+    // histogram value-domain-bounded at any corpus size, and ANY
+    // measurable score preserves the coverage theorem), TEST measures
+    // realized coverage. The guarantee P(covered) ≥ 1−α is
+    // finite-sample and assumption-free under exchangeability — the
+    // hash split provides it — and ConformalSpec asserts the measured
+    // permille at both α's and both fixture scales. All integer: the
+    // quantile is a (alpha, score)-histogram rank walk (q263's rank-space
+    // lesson — cumulative window over ≤ dollar-range bins, partitioned by
+    // α), the rank is ((100−α)·(n+1)+99)//100, coverage is one truncating
+    // division. Scale shape: one scan per split, two broadcast scalars,
+    // a 2-row broadcast of thresholds back onto the test scan.
+    q("q267_conformal",
+      "split-conformal |residual| intervals: per-alpha qhat + held-out coverage")(
+      s"""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+         |                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+         |                   ${md5LongSql("'cp:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} % 10 AS u
+         |            FROM lineitem),
+         |tr AS (SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+         |       FROM li WHERE u < 5),
+         |sc AS (SELECT li.u, abs(li.y - (li.x * tr.sy) // tr.sx) // 100 AS s
+         |       FROM li CROSS JOIN tr WHERE li.u >= 5),
+         |alphas AS (SELECT * FROM (VALUES (5), (10)) AS t(alpha_pct)),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM sc WHERE u < 8),
+         |h AS (SELECT a.alpha_pct, sc.s, CAST(count(*) AS BIGINT) AS k
+         |      FROM sc CROSS JOIN alphas a WHERE sc.u < 8 GROUP BY a.alpha_pct, sc.s),
+         |c AS (SELECT alpha_pct, s, k,
+         |             CAST(coalesce(sum(k) OVER (PARTITION BY alpha_pct ORDER BY s
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+         |      FROM h),
+         |qh AS (SELECT c.alpha_pct, c.s AS qhat_dollars
+         |       FROM c CROSS JOIN nc
+         |       WHERE c.below < ((100 - c.alpha_pct) * (nc.n_cal + 1) + 99) // 100
+         |         AND ((100 - c.alpha_pct) * (nc.n_cal + 1) + 99) // 100 <= c.below + c.k),
+         |tst AS (SELECT qh.alpha_pct, qh.qhat_dollars,
+         |               CAST(count(*) AS BIGINT) AS n_test,
+         |               CAST(sum(CASE WHEN sc.s <= qh.qhat_dollars THEN 1 ELSE 0 END) AS BIGINT) AS covered
+         |        FROM sc CROSS JOIN qh WHERE sc.u >= 8
+         |        GROUP BY qh.alpha_pct, qh.qhat_dollars)
+         |SELECT CAST(t.alpha_pct AS BIGINT) AS alpha_pct, nc.n_cal, t.n_test,
+         |       t.qhat_dollars, t.covered,
+         |       CAST((1000 * t.covered) // t.n_test AS BIGINT) AS coverage_permille
+         |FROM tst t CROSS JOIN nc ORDER BY 1""".stripMargin
+    ) { (sp, dir) =>
+      val li = Tables(sp, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"),
+          (md5Long(concat(lit("cp:"), col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))) % 10).as("u"))
+      val tr = li.filter(col("u") < 5).agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      val sc = li.filter(col("u") >= 5).crossJoin(broadcast(tr))
+        .select(col("u"),
+          expr("abs(y - (x * sy) div sx) div 100").as("s"))
+        .cache() // calibration histogram + test coverage
+      val alphas = sp.range(1).select(explode(array(lit(5L), lit(10L))).as("alpha_pct"))
+      val nc = sc.filter(col("u") < 8).agg(count(lit(1)).as("n_cal"))
+      val h = sc.filter(col("u") < 8).crossJoin(broadcast(alphas))
+        .groupBy("alpha_pct", "s").agg(count(lit(1)).as("k"))
+      val wBelow = Window.partitionBy("alpha_pct").orderBy("s")
+        .rowsBetween(Long.MinValue, -1)
+      val qh = h.select(col("alpha_pct"), col("s"), col("k"),
+          coalesce(sum(col("k")).over(wBelow), lit(0L)).as("below"))
+        .crossJoin(broadcast(nc))
+        .withColumn("rnk", expr("((100 - alpha_pct) * (n_cal + 1) + 99) div 100"))
+        .filter(col("below") < col("rnk") && col("rnk") <= col("below") + col("k"))
+        .select(col("alpha_pct"), col("s").as("qhat_dollars"))
+      val tst = sc.filter(col("u") >= 8).crossJoin(broadcast(qh))
+        .groupBy("alpha_pct", "qhat_dollars")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("s") <= col("qhat_dollars"), 1L).otherwise(0L)).as("covered"))
+      tst.crossJoin(broadcast(nc))
+        .select(col("alpha_pct"), col("n_cal"), col("n_test"), col("qhat_dollars"),
+          col("covered"),
+          expr("cast((1000 * covered) div n_test as bigint)").as("coverage_permille"))
+        .orderBy("alpha_pct")
     }
   )
 }

@@ -81,7 +81,10 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q256_kaplan_meier" -> "1-row user-count scalar × the 14-bin histogram fold",
     "q258_logrank" -> "1-row cohort-sizes scalar × the 2-arm 14-bin histogram folds",
     "q260_cusum_canary" -> "1-row hour-bounds frame × series keys (q247's spine) + 2-row arm grid × the per-series folds",
-    "q262_isotonic_calibration" -> "bins³ interval ranges over the 10-row score histogram (PAV closed form)")
+    "q262_isotonic_calibration" -> "bins³ interval ranges over the 10-row score histogram (PAV closed form)",
+    "q265_theil_sen" -> "1-row global-min-hour scalar × hourly bins (pair join itself is (arm, series) equi)",
+    "q266_benford_audit" -> "9-row digit-probability grid × 2-arm spine (pure metadata)",
+    "q267_conformal" -> "1-row train-ratio scalars × cal/test scan + 2-row alpha/threshold/count frames")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral pins for the round-6 statistical-harness additions — the
+  * oracle proves Spark ≡ DuckDB on these, but the DISCRIMINATION claims
+  * (robust estimator resists contamination, quiet arm stays quiet,
+  * conformal coverage lands at 1−α) live here so a fixture regeneration
+  * or a constant drift can't silently hollow them out. */
+class StatsHarnessSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q265 Theil-Sen: outlier contamination moves OLS far more than the median slope") {
+    val rows = SparkEntry.queries("q265_theil_sen")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(3), r.getLong(4))).toMap
+    val series = rows.keys.map(_._2).toSeq.distinct
+    assert(series.size >= 3)
+    var tsShift = 0L; var olsShift = 0L
+    series.foreach { et =>
+      val (tsC, olsC) = rows(("clean", et))
+      val (tsO, olsO) = rows(("outlier", et))
+      val dTs = math.abs(tsO - tsC); val dOls = math.abs(olsO - olsC)
+      assert(dTs <= dOls, s"$et: Theil-Sen shifted $dTs > OLS $dOls under contamination")
+      tsShift += dTs; olsShift += dOls
+    }
+    // 5% x10 outliers: the pairwise-slope median barely moves, OLS flies
+    assert(olsShift > 3 * tsShift,
+      s"contamination resistance collapsed: ts=$tsShift ols=$olsShift")
+  }
+
+  test("q266 Benford: synthetic Benford arm quiet, totalprice arm fires") {
+    val rows = SparkEntry.queries("q266_benford_audit")(spark, dir).collect()
+    assert(rows.length == 18) // 2 arms x full 9-digit spine
+    val byArm = rows.groupBy(_.getString(0))
+      .map { case (a, rs) => a -> (rs.head.getLong(5), rs.head.getLong(6)) }
+    val (chiSyn, sigSyn) = byArm("benford_synth")
+    val (chiTp, sigTp) = byArm("totalprice")
+    assert(sigSyn == 0L && chiSyn < 15507000L, s"synthetic arm fired: chi2_micro=$chiSyn")
+    assert(sigTp == 1L && chiTp > 10L * 15507000L, s"totalprice arm too quiet: $chiTp")
+  }
+
+  test("q267 conformal coverage lands at 1-alpha at both fixture scales") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q267_conformal")(spark, d).collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(5))).toMap
+      val (q5, cov5) = rows(5L)
+      val (q10, cov10) = rows(10L)
+      // marginal guarantee >= 1-alpha; finite-sample noise a few permille
+      assert(cov5 >= 930 && cov5 <= 985, s"$d alpha=5%: coverage $cov5")
+      assert(cov10 >= 880 && cov10 <= 940, s"$d alpha=10%: coverage $cov10")
+      assert(q5 >= q10, s"$d: qhat not monotone in confidence: $q5 < $q10")
+    }
+  }
+}
