@@ -2858,6 +2858,225 @@ object AnalyticsQueries {
           col("covered"),
           expr("cast((1000 * covered) div n_test as bigint)").as("coverage_permille"))
         .orderBy("alpha_pct")
+    },
+
+    // First-order Markov next-event model with a TEMPORAL holdout — the
+    // sequence-model eval harness: train transition counts on the first
+    // 80% of the time range, predict argmax-next per previous type
+    // (count-desc, label-asc tiebreak), measure top-1 accuracy on the
+    // held-out tail. Two arms prove the harness DISCRIMINATES: the real
+    // event stream's types are sequence-independent, so its accuracy must
+    // sit at the modal-next share (the measured null); the planted arm
+    // rewrites 80% of transitions (hash-chosen) into self-loops, which
+    // the model must learn and exploit to ≥ ~0.75 top-1. All integer:
+    // epoch-second cut at lo + 4(hi−lo)/5, accuracy one truncating
+    // division. Scale shape: transitions from a per-user lag window
+    // (partitioned by user — bounded state), the model is a
+    // |types|²-row metadata frame broadcast back onto the test scan; the
+    // per-arm rollup rides the same grouped pass.
+    q("q268_markov_holdout",
+      "temporal-holdout next-event accuracy: planted self-loop arm fires, real arm at modal share")(
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |                  CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS t
+         |           FROM events),
+         |bounds AS (SELECT CAST(min(t) AS BIGINT) AS lo, CAST(max(t) AS BIGINT) AS hi FROM e),
+         |tr0 AS (SELECT user_id, event_id, t, event_type AS prev,
+         |               lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nxt
+         |        FROM e),
+         |tr AS (SELECT t, prev, nxt,
+         |              ${md5LongSql("'mk:' || CAST(event_id AS VARCHAR)")} % 10 AS u
+         |       FROM tr0 WHERE nxt IS NOT NULL),
+         |arms AS (SELECT 'real' AS arm, t, prev, nxt FROM tr
+         |         UNION ALL
+         |         SELECT 'planted', t, prev, CASE WHEN u < 8 THEN prev ELSE nxt END FROM tr),
+         |split AS (SELECT a.arm, a.prev, a.nxt,
+         |                 CASE WHEN a.t < b.lo + ((b.hi - b.lo) * 4) // 5
+         |                      THEN 'train' ELSE 'test' END AS part
+         |          FROM arms a CROSS JOIN bounds b),
+         |cnt AS (SELECT arm, prev, nxt, CAST(count(*) AS BIGINT) AS c
+         |        FROM split WHERE part = 'train' GROUP BY arm, prev, nxt),
+         |model AS (SELECT arm, prev, nxt AS pred_next, c
+         |          FROM (SELECT arm, prev, nxt, c,
+         |                       row_number() OVER (PARTITION BY arm, prev
+         |                                          ORDER BY c DESC, nxt) AS rn
+         |                FROM cnt) WHERE rn = 1),
+         |ntr AS (SELECT arm, prev, CAST(sum(c) AS BIGINT) AS n_train FROM cnt GROUP BY arm, prev),
+         |ev AS (SELECT s.arm, s.prev, CAST(count(*) AS BIGINT) AS n_test,
+         |              CAST(sum(CASE WHEN s.nxt = m.pred_next THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |       FROM split s JOIN model m ON m.arm = s.arm AND m.prev = s.prev
+         |       WHERE s.part = 'test' GROUP BY s.arm, s.prev),
+         |per AS (SELECT ev.arm, ev.prev, m.pred_next, ntr.n_train, ev.n_test, ev.hits
+         |        FROM ev JOIN model m ON m.arm = ev.arm AND m.prev = ev.prev
+         |               JOIN ntr ON ntr.arm = ev.arm AND ntr.prev = ev.prev),
+         |tot AS (SELECT arm, '__all' AS prev, '-' AS pred_next,
+         |               CAST(sum(n_train) AS BIGINT) AS n_train,
+         |               CAST(sum(n_test) AS BIGINT) AS n_test,
+         |               CAST(sum(hits) AS BIGINT) AS hits
+         |        FROM per GROUP BY arm)
+         |SELECT arm, prev, pred_next, n_train, n_test, hits,
+         |       CAST((1000 * hits) // n_test AS BIGINT) AS acc_permille
+         |FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+         |ORDER BY 1, 2""".stripMargin
+    ) { (sp, dir) =>
+      val e = Tables(sp, dir, "events")
+        .selectExpr("user_id", "event_id", "event_type", "cast(ts as bigint) AS t")
+      val bounds = e.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      val wSeq = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val tr = e.select(col("event_id"), col("t"), col("event_type").as("prev"),
+          lead(col("event_type"), 1).over(wSeq).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .withColumn("u", md5Long(concat(lit("mk:"), col("event_id").cast("string"))) % 10)
+      val arms = tr.select(lit("real").as("arm"), col("t"), col("prev"), col("nxt"))
+        .unionAll(tr.select(lit("planted").as("arm"), col("t"), col("prev"),
+          when(col("u") < 8, col("prev")).otherwise(col("nxt")).as("nxt")))
+      val split = arms.crossJoin(broadcast(bounds))
+        .withColumn("part",
+          when(col("t") < col("lo") + expr("((hi - lo) * 4) div 5"), "train")
+            .otherwise("test"))
+        .cache() // model fit + holdout eval
+      val cnt = split.filter(col("part") === "train")
+        .groupBy("arm", "prev", "nxt").agg(count(lit(1)).as("c"))
+      val wTop = Window.partitionBy("arm", "prev").orderBy(col("c").desc, col("nxt"))
+      val model = cnt.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+        .select(col("arm"), col("prev"), col("nxt").as("pred_next"))
+      val ntr = cnt.groupBy("arm", "prev").agg(sum(col("c")).as("n_train"))
+      val ev = split.filter(col("part") === "test")
+        .join(broadcast(model), Seq("arm", "prev"))
+        .groupBy("arm", "prev", "pred_next")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("nxt") === col("pred_next"), 1L).otherwise(0L)).as("hits"))
+      val per = ev.join(broadcast(ntr), Seq("arm", "prev"))
+        .select(col("arm"), col("prev"), col("pred_next"), col("n_train"),
+          col("n_test"), col("hits"))
+      val tot = per.groupBy("arm")
+        .agg(sum(col("n_train")).as("n_train"), sum(col("n_test")).as("n_test"),
+          sum(col("hits")).as("hits"))
+        .select(col("arm"), lit("__all").as("prev"), lit("-").as("pred_next"),
+          col("n_train"), col("n_test"), col("hits"))
+      per.unionAll(tot)
+        .withColumn("acc_permille", expr("cast((1000 * hits) div n_test as bigint)"))
+        .orderBy("arm", "prev")
+    },
+
+    // Algebraic k-fold cross-validation — k-fold CV WITHOUT k training
+    // scans: the ratio predictor's train statistics are plain sums, so
+    // each fold's leave-one-fold-out fit is (SX − sx_f, SY − sy_f) —
+    // per-fold partial sums from ONE grouped pass, totals from the 5-row
+    // rollup, and scoring joins each row to its own fold's complement
+    // scalars via a 5-row broadcast. The per-fold MAE spread is the
+    // variance estimate a model-selection gate actually consumes. All
+    // integer: fold = md5 % 5, predictions and MAE in truncating cents.
+    // Scale shape: two scans total (stats + scoring) regardless of k —
+    // the pattern that makes CV affordable at 100 TB, vs k re-scans.
+    q("q269_kfold_cv",
+      "5-fold CV of the ratio predictor via total-minus-fold algebra, two scans total")(
+      s"""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+         |                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+         |                   ${md5LongSql("'cv:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} % 5 AS f
+         |            FROM lineitem),
+         |fs AS (SELECT f, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |              CAST(count(*) AS BIGINT) AS n
+         |       FROM li GROUP BY f),
+         |tot AS (SELECT CAST(sum(sx) AS BIGINT) AS tx, CAST(sum(sy) AS BIGINT) AS ty FROM fs),
+         |sc AS (SELECT li.f, abs(li.y - (li.x * (tot.ty - fs.sy)) // (tot.tx - fs.sx)) AS ae
+         |       FROM li JOIN fs ON fs.f = li.f CROSS JOIN tot),
+         |per AS (SELECT f, CAST(count(*) AS BIGINT) AS n_test,
+         |               CAST(sum(ae) // count(*) AS BIGINT) AS mae_cents
+         |        FROM sc GROUP BY f)
+         |SELECT CAST(f AS BIGINT) AS fold, n_test, mae_cents FROM per
+         |UNION ALL
+         |SELECT -1, CAST(sum(n_test) AS BIGINT),
+         |       CAST(max(mae_cents) - min(mae_cents) AS BIGINT) FROM per
+         |ORDER BY 1""".stripMargin
+    ) { (sp, dir) =>
+      val li = Tables(sp, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"),
+          (md5Long(concat(lit("cv:"), col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))) % 5).as("f"))
+      val fs = li.groupBy("f")
+        .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"), count(lit(1)).as("n"))
+      val tot = fs.agg(sum(col("sx")).as("tx"), sum(col("sy")).as("ty"))
+      val sc = li.join(broadcast(fs), Seq("f")).crossJoin(broadcast(tot))
+        .select(col("f"), expr("abs(y - (x * (ty - sy)) div (tx - sx))").as("ae"))
+      val per = sc.groupBy("f")
+        .agg(count(lit(1)).as("n_test"),
+          expr("cast(sum(ae) div count(*) as bigint)").as("mae_cents"))
+      per.select(col("f").cast("long").as("fold"), col("n_test"), col("mae_cents"))
+        .unionAll(per.agg(sum(col("n_test")).as("n_test"),
+            (max(col("mae_cents")) - min(col("mae_cents"))).as("mae_cents"))
+          .select(lit(-1L).as("fold"), col("n_test"), col("mae_cents")))
+        .orderBy("fold")
+    },
+
+    // Poisson bootstrap confidence intervals — THE scalable bootstrap:
+    // resampling-with-replacement is a shuffle-killer, but giving every
+    // row an independent Poisson(1) weight per replicate approximates the
+    // multinomial bootstrap and collapses to B partial sums that merge
+    // map-side (one scan, B·|series| rows after combine — no resample
+    // materialization ever exists). Weights come from the integer
+    // inverse-CDF of Poisson(1) on 10⁻⁵-quantized hash draws (capped at
+    // 7, tail mass < 10⁻⁵ — stated approximation, like the quantized
+    // Benford probs), so both engines draw IDENTICAL weights. The 90% CI
+    // is the 2nd/31st smallest of the B=32 replicate milli-means — an
+    // exact rank pick over a 32-row-per-series metadata frame.
+    q("q270_poisson_bootstrap",
+      "Poisson(1)-weighted bootstrap: 32 replicate means -> exact 90% CI per series")(
+      s"""WITH e AS (SELECT event_id, event_type,
+         |                  CAST(round(value * 1000) AS BIGINT) AS y
+         |           FROM events),
+         |fan AS (SELECT e.event_type, e.y, r.rep,
+         |               ${md5LongSql("'bs:' || CAST(e.event_id AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)")} % 100000 AS u
+         |        FROM e CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS rep) r),
+         |w AS (SELECT event_type, y, rep,
+         |             CASE WHEN u < 36788 THEN 0 WHEN u < 73576 THEN 1
+         |                  WHEN u < 91970 THEN 2 WHEN u < 98101 THEN 3
+         |                  WHEN u < 99634 THEN 4 WHEN u < 99941 THEN 5
+         |                  WHEN u < 99992 THEN 6 ELSE 7 END AS wt
+         |      FROM fan),
+         |reps AS (SELECT event_type, rep,
+         |                CAST(sum(wt * y) // sum(wt) AS BIGINT) AS mean_milli
+         |         FROM w GROUP BY event_type, rep),
+         |rk AS (SELECT event_type, mean_milli,
+         |              row_number() OVER (PARTITION BY event_type ORDER BY mean_milli) AS rn
+         |       FROM reps),
+         |ci AS (SELECT event_type,
+         |              CAST(max(CASE WHEN rn = 2 THEN mean_milli END) AS BIGINT) AS ci_lo_milli,
+         |              CAST(max(CASE WHEN rn = 31 THEN mean_milli END) AS BIGINT) AS ci_hi_milli
+         |       FROM rk GROUP BY event_type),
+         |full0 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |                 CAST(sum(y) // count(*) AS BIGINT) AS mean_milli
+         |          FROM e GROUP BY event_type)
+         |SELECT f.event_type, f.n, f.mean_milli, c.ci_lo_milli, c.ci_hi_milli
+         |FROM full0 f JOIN ci c ON c.event_type = f.event_type
+         |ORDER BY 1""".stripMargin
+    ) { (sp, dir) =>
+      val e = Tables(sp, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 1000).cast("long").as("y"))
+      val reps = sp.range(1).select(explode(sequence(lit(0), lit(31))).as("rep"))
+      val fan = e.crossJoin(broadcast(reps))
+        .withColumn("u", md5Long(concat(lit("bs:"), col("event_id").cast("string"),
+          lit(":"), col("rep").cast("string"))) % 100000)
+        .withColumn("wt",
+          when(col("u") < 36788, 0L).when(col("u") < 73576, 1L)
+            .when(col("u") < 91970, 2L).when(col("u") < 98101, 3L)
+            .when(col("u") < 99634, 4L).when(col("u") < 99941, 5L)
+            .when(col("u") < 99992, 6L).otherwise(7L))
+      val repMeans = fan.groupBy("event_type", "rep")
+        .agg(expr("cast(sum(wt * y) div sum(wt) as bigint)").as("mean_milli"))
+      val wRk = Window.partitionBy("event_type").orderBy("mean_milli")
+      val ci = repMeans.withColumn("rn", row_number().over(wRk))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === 2, col("mean_milli"))).cast("long").as("ci_lo_milli"),
+          max(when(col("rn") === 31, col("mean_milli"))).cast("long").as("ci_hi_milli"))
+      val full0 = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(y) div count(*) as bigint)").as("mean_milli"))
+      full0.join(ci, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("mean_milli"),
+          col("ci_lo_milli"), col("ci_hi_milli"))
+        .orderBy("event_type")
     }
   )
 }

@@ -84,7 +84,10 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q262_isotonic_calibration" -> "bins³ interval ranges over the 10-row score histogram (PAV closed form)",
     "q265_theil_sen" -> "1-row global-min-hour scalar × hourly bins (pair join itself is (arm, series) equi)",
     "q266_benford_audit" -> "9-row digit-probability grid × 2-arm spine (pure metadata)",
-    "q267_conformal" -> "1-row train-ratio scalars × cal/test scan + 2-row alpha/threshold/count frames")
+    "q267_conformal" -> "1-row train-ratio scalars × cal/test scan + 2-row alpha/threshold/count frames",
+    "q268_markov_holdout" -> "1-row time-bounds frame × the transition stream (temporal split cut)",
+    "q269_kfold_cv" -> "1-row grand-total frame × the scoring scan (fold complements via 5-row equi broadcast)",
+    "q270_poisson_bootstrap" -> "32-row replicate grid × the event scan (deliberate bootstrap fan-out, collapses map-side)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

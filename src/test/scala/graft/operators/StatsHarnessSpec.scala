@@ -53,4 +53,33 @@ class StatsHarnessSpec extends AnyFunSuite {
       assert(q5 >= q10, s"$d: qhat not monotone in confidence: $q5 < $q10")
     }
   }
+
+  test("q268 Markov holdout: planted self-loops learned, real arm stays at modal share") {
+    val rows = SparkEntry.queries("q268_markov_holdout")(spark, dir).collect()
+      .filter(_.getString(1) == "__all")
+      .map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(rows("planted") >= 700, s"planted arm too weak: ${rows("planted")}")
+    // 5 independent types: top-1 accuracy must hover near the 200-permille modal share
+    assert(rows("real") >= 120 && rows("real") <= 320, s"real arm off modal share: ${rows("real")}")
+    assert(rows("planted") >= rows("real") + 300)
+  }
+
+  test("q269 k-fold CV: fold MAEs agree within a few percent (spread row)") {
+    val rows = SparkEntry.queries("q269_kfold_cv")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (_, spread) = rows(-1L)
+    val maes = rows.filter(_._1 >= 0).values.map(_._2)
+    assert(maes.size == 5 && maes.forall(_ > 0))
+    assert(spread * 10 < maes.min, s"fold spread $spread vs min MAE ${maes.min}")
+  }
+
+  test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
+    val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
+    assert(rows.length >= 3)
+    rows.foreach { r =>
+      val (mean, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo <= mean && mean <= hi, s"${r.getString(0)}: CI [$lo,$hi] misses mean $mean")
+      assert(hi > lo, s"${r.getString(0)}: degenerate CI")
+    }
+  }
 }
