@@ -3077,6 +3077,76 @@ object AnalyticsQueries {
         .select(col("event_type"), col("n"), col("mean_milli"),
           col("ci_lo_milli"), col("ci_hi_milli"))
         .orderBy("event_type")
+    },
+
+    // t-closeness — completes the privacy-audit trio (q248 k-anonymity,
+    // q261 l-diversity): a class can be k-anonymous AND l-diverse while
+    // its sensitive-value DISTRIBUTION still leaks (all its balances in
+    // the top decile, say). For an ordered sensitive attribute the earth-
+    // mover distance folds to (1/(m−1))·Σ|cumP − cumQ|, and clearing the
+    // denominators makes it exact: Σ_j |cp_j·N − cq_j·n_c| over the
+    // zero-filled 10-bin spine (missing bins MUST contribute — the spine
+    // join is correctness, not cosmetics), verdict 10·score > 2·(m−1)·
+    // n_c·N at t = 0.2. Scale shape: one grouped count per (class, bin),
+    // a classes × 10-bin metadata spine, one broadcast global-histogram
+    // row — the audit costs the grouped count regardless of table width.
+    q("q272_t_closeness",
+      "per-class EMD of the balance-decile distribution vs global, t=0.2 verdict")(
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+        |                  least(greatest(CAST(floor((c_acctbal + 1000) / 1100) AS BIGINT), 0), 9) AS sb
+        |           FROM customer),
+        |cb AS (SELECT c_nationkey, c_mktsegment, sb, CAST(count(*) AS BIGINT) AS k
+        |       FROM c GROUP BY 1, 2, 3),
+        |cls AS (SELECT c_nationkey, c_mktsegment, CAST(sum(k) AS BIGINT) AS n_c FROM cb GROUP BY 1, 2),
+        |gb AS (SELECT sb, CAST(sum(k) AS BIGINT) AS gk FROM cb GROUP BY sb),
+        |tot AS (SELECT CAST(sum(gk) AS BIGINT) AS n FROM gb),
+        |bins AS (SELECT unnest(generate_series(0, 9)) AS sb),
+        |spine AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_c, bins.sb
+        |          FROM cls CROSS JOIN bins),
+        |cum AS (SELECT s.c_nationkey, s.c_mktsegment, s.n_c, s.sb,
+        |               CAST(sum(coalesce(cb.k, 0)) OVER (PARTITION BY s.c_nationkey, s.c_mktsegment
+        |                    ORDER BY s.sb) AS BIGINT) AS cp,
+        |               CAST(sum(coalesce(gb.gk, 0)) OVER (PARTITION BY s.c_nationkey, s.c_mktsegment
+        |                    ORDER BY s.sb) AS BIGINT) AS cq
+        |        FROM spine s
+        |        LEFT JOIN cb ON cb.c_nationkey = s.c_nationkey
+        |                    AND cb.c_mktsegment = s.c_mktsegment AND cb.sb = s.sb
+        |        LEFT JOIN gb ON gb.sb = s.sb),
+        |sc AS (SELECT cum.c_nationkey, cum.c_mktsegment, cum.n_c,
+        |              CAST(sum(abs(cp * tot.n - cq * cum.n_c)) AS BIGINT) AS score
+        |       FROM cum CROSS JOIN tot GROUP BY 1, 2, 3),
+        |fin AS (SELECT sc.c_nationkey, sc.c_mktsegment, sc.n_c AS n, tot.n AS nn, sc.score FROM sc CROSS JOIN tot)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |       CAST((1000000 * score) // (9 * n * nn) AS BIGINT) AS emd_micro,
+        |       CAST(CASE WHEN 10 * score > 2 * 9 * n * nn THEN 1 ELSE 0 END AS BIGINT) AS violates_t20
+        |FROM fin ORDER BY 1, 2""".stripMargin
+    ) { (sp, dir) =>
+      val c = Tables(sp, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          least(greatest(floor((col("c_acctbal") + 1000) / 1100).cast("long"), lit(0L)),
+            lit(9L)).as("sb"))
+      val cb = c.groupBy("c_nationkey", "c_mktsegment", "sb").agg(count(lit(1)).as("k"))
+        .cache() // class totals + global histogram + spine join
+      val cls = cb.groupBy("c_nationkey", "c_mktsegment").agg(sum(col("k")).as("n_c"))
+      val gb = cb.groupBy("sb").agg(sum(col("k")).as("gk"))
+      val tot = gb.agg(sum(col("gk")).as("nn"))
+      val bins = sp.range(1).select(explode(sequence(lit(0L), lit(9L))).as("sb"))
+      val spine = cls.crossJoin(broadcast(bins))
+      val wCum = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("sb")
+      val cum = spine
+        .join(cb, Seq("c_nationkey", "c_mktsegment", "sb"), "left")
+        .join(broadcast(gb), Seq("sb"), "left")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_c"), col("sb"),
+          sum(coalesce(col("k"), lit(0L))).over(wCum).as("cp"),
+          sum(coalesce(col("gk"), lit(0L))).over(wCum).as("cq"))
+      cum.crossJoin(broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "n_c", "nn")
+        .agg(sum(abs(col("cp") * col("nn") - col("cq") * col("n_c"))).as("score"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_c").as("n"),
+          expr("cast((1000000 * score) div (9 * n_c * nn) as bigint)").as("emd_micro"),
+          when(lit(10L) * col("score") > lit(18L) * col("n_c") * col("nn"), 1L)
+            .otherwise(0L).as("violates_t20"))
+        .orderBy("c_nationkey", "c_mktsegment")
     }
   )
 }

@@ -2230,6 +2230,92 @@ object PipelineQueries {
             .cast("long").as("alloc_tokens"),
           col("sat").as("saturated"))
         .orderBy("source")
+    },
+
+    // Exact Shapley data valuation of source groups for vocabulary
+    // coverage — "what is each source really worth to the corpus" with
+    // the one attribution rule that is efficient, symmetric, and
+    // additive-null. The trick that makes EXACT Shapley feasible at
+    // 100 TB: the coalition value v(S) = |distinct shingles covered by
+    // ∪S| is fully determined by the WHICH-GROUPS-HAVE-IT bitmask
+    // histogram — one corpus scan reduces the data to ≤ 2^k counts, and
+    // every one of the 2^k coalitions (k = 5 groups → 32) evaluates from
+    // that histogram: v(S) = T − Σ_{mask ∩ S = ∅} h(mask). Shapley then
+    // folds over the 32×5 (coalition, group) metadata grid with the
+    // closed-form weights |S|!(k−1−|S|)!, kept integer by publishing
+    // 120·φ (5! = 120): 120·φ_i = Σ_{S∌i} w(|S|)·(v(S∪i) − v(S)),
+    // w = [24, 6, 4, 6, 24]. Efficiency (Σφ = v(full)) is asserted in
+    // StatsHarnessSpec — the axioms are the test. Everything after the
+    // scan is ≤ 32-row frames; the scan shuffles (shingle-hash, group)
+    // pairs, never text.
+    q("q273_shapley_sources",
+      "exact Shapley value of 5 source groups for 3-shingle vocabulary coverage")(
+      s"""WITH d AS (SELECT doc_id, text,
+         |                  CAST(substr(source, 4) AS BIGINT) % 5 AS grp FROM documents),
+         |toks AS (SELECT grp, str_split(text, ' ') AS t FROM d),
+         |sh AS (SELECT DISTINCT grp, ${md5LongSql("g")} AS h
+         |       FROM (SELECT grp, unnest(${shinglesSql("t", 3)}) AS g FROM toks)),
+         |msk AS (SELECT h, CAST(sum(DISTINCT (1 << grp)) AS BIGINT) AS m FROM sh GROUP BY h),
+         |hist AS (SELECT m, CAST(count(*) AS BIGINT) AS cnt FROM msk GROUP BY m),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM hist),
+         |coal AS (SELECT unnest(generate_series(0, 31)) AS s),
+         |cv AS (SELECT coal.s, tot.t - CAST(coalesce(sum(CASE WHEN (hist.m & coal.s) = 0
+         |                                                THEN hist.cnt END), 0) AS BIGINT) AS v
+         |       FROM coal CROSS JOIN tot LEFT JOIN hist ON true
+         |       GROUP BY coal.s, tot.t),
+         |grps AS (SELECT unnest(generate_series(0, 4)) AS i),
+         |shap AS (SELECT g.i,
+         |                CAST(sum((CASE bit_count(a.s) WHEN 0 THEN 24 WHEN 1 THEN 6
+         |                          WHEN 2 THEN 4 WHEN 3 THEN 6 ELSE 24 END)
+         |                         * (b.v - a.v)) AS BIGINT) AS phi_x120
+         |         FROM grps g JOIN cv a ON (a.s & (1 << g.i)) = 0
+         |              JOIN cv b ON b.s = (a.s | (1 << g.i))
+         |         GROUP BY g.i),
+         |nd AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY grp),
+         |own AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY grp)
+         |SELECT CAST(nd.grp AS BIGINT) AS grp, nd.n_docs, own.n_shingles,
+         |       shap.phi_x120,
+         |       CAST((SELECT v FROM cv WHERE s = 31) AS BIGINT) AS v_full
+         |FROM nd JOIN own ON own.grp = nd.grp JOIN shap ON shap.i = nd.grp
+         |ORDER BY 1""".stripMargin
+    ) { (sp, dir) =>
+      import graft.functions.PortableHash.{md5Long, shingles}
+      val d = Tables(sp, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          (substring(col("source"), 4, 10).cast("long") % 5).as("grp"))
+      val sh = d.select(col("grp"),
+          explode(shingles(split(col("text"), " "), 3)).as("g"))
+        .select(col("grp"), md5Long(col("g")).as("h")).distinct()
+        .cache() // mask rollup + per-group shingle counts
+      val msk = sh.groupBy("h")
+        .agg(sum_distinct(expr("shiftleft(cast(1 as bigint), cast(grp as int))")).as("m"))
+      val hist = msk.groupBy("m").agg(count(lit(1)).as("cnt"))
+      val tot = hist.agg(sum(col("cnt")).as("t"))
+      val coal = sp.range(1).select(explode(sequence(lit(0L), lit(31L))).as("s"))
+      val cv = coal.crossJoin(broadcast(tot)).crossJoin(broadcast(hist))
+        .groupBy("s", "t")
+        .agg(coalesce(sum(when(expr("(m & s) = 0"), col("cnt"))), lit(0L)).as("miss"))
+        .select(col("s"), (col("t") - col("miss")).as("v"))
+        .cache() // a-leg, b-leg, v_full
+      val grps = sp.range(1).select(explode(sequence(lit(0L), lit(4L))).as("i"))
+      val shap = grps.crossJoin(broadcast(cv.select(col("s").as("sa"), col("v").as("va"))))
+        .filter(expr("(sa & shiftleft(cast(1 as bigint), cast(i as int))) = 0"))
+        .withColumn("sb", expr("sa | shiftleft(cast(1 as bigint), cast(i as int))"))
+        .join(broadcast(cv.select(col("s").as("sb"), col("v").as("vb"))), Seq("sb"))
+        .groupBy("i")
+        .agg(sum((when(expr("bit_count(sa)") === 0, 24L)
+          .when(expr("bit_count(sa)") === 1, 6L)
+          .when(expr("bit_count(sa)") === 2, 4L)
+          .when(expr("bit_count(sa)") === 3, 6L).otherwise(24L))
+          * (col("vb") - col("va"))).as("phi_x120"))
+      val nd = d.groupBy("grp").agg(count(lit(1)).as("n_docs"))
+      val own = sh.groupBy("grp").agg(count(lit(1)).as("n_shingles"))
+      val vFull = cv.filter(col("s") === 31L).select(col("v").as("v_full"))
+      nd.join(own, Seq("grp")).join(shap, col("grp") === col("i"))
+        .crossJoin(broadcast(vFull))
+        .select(col("grp").cast("long").as("grp"), col("n_docs"), col("n_shingles"),
+          col("phi_x120"), col("v_full"))
+        .orderBy("grp")
     }
   )
 }

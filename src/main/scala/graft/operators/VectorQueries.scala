@@ -1697,6 +1697,67 @@ object VectorQueries {
         .select(col("method"), col("hits3").cast("long").as("hits3"),
           expr("hits3 * 1000 div 30").cast("long").as("recall_milli"))
         .orderBy("method")
+    },
+
+    // Embedding-dimension ablation — the Matryoshka question: how much
+    // recall does truncating the vector to its first d dimensions cost?
+    // Exact brute-force top-10 under each truncation (64 = the ground
+    // truth; 32/16/8 the candidates), recall@10 against the full-dim
+    // ranking as ONE oracle-checked scorecard. This is the measurement a
+    // 100 TB deployment runs before shipping truncated embeddings to cut
+    // index storage 2–8×: the cost curve, engine-agreed, not prose. The
+    // cosine runs the codegen CosineSimilarity expression over SLICED
+    // float arrays (slice-then-cast ≡ cast-then-slice, so DuckDB's double
+    // fold stays bit-identical — q35's parity argument verbatim). Scale
+    // shape: deliberate 10-query × 4-dim broadcast against the corpus
+    // (q35's brute-force-by-design allowance); candidate volume is
+    // 40 × n, never n².
+    q("q271_dim_ablation",
+      "Matryoshka recall: exact top-10 at 64/32/16/8 dims vs the full-dim truth")(
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |dims AS (SELECT unnest([64, 32, 16, 8]) AS d),
+        |sl AS (SELECT dims.d, v.vec_id, v.e[1:dims.d] AS ed FROM v CROSS JOIN dims),
+        |n AS (SELECT d, vec_id, sqrt(list_dot_product(ed, ed)) AS nrm FROM sl),
+        |s AS (SELECT q.d, q.vec_id AS qid, c.vec_id AS cid,
+        |             list_dot_product(q.ed, c.ed) / (nq.nrm * nc.nrm) AS cs
+        |      FROM sl q JOIN n nq ON nq.d = q.d AND nq.vec_id = q.vec_id,
+        |           sl c JOIN n nc ON nc.d = c.d AND nc.vec_id = c.vec_id
+        |      WHERE c.d = q.d AND q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT d, qid, cid,
+        |             row_number() OVER (PARTITION BY d, qid ORDER BY cs DESC, cid) AS rn
+        |      FROM s),
+        |top AS (SELECT d, qid, cid FROM r WHERE rn <= 10),
+        |truth AS (SELECT qid, cid FROM top WHERE d = 64),
+        |hits AS (SELECT top.d,
+        |                CAST(sum(CASE WHEN truth.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits10
+        |         FROM top LEFT JOIN truth ON truth.qid = top.qid AND truth.cid = top.cid
+        |         GROUP BY top.d)
+        |SELECT CAST(d AS BIGINT) AS dims, hits10,
+        |       CAST((1000 * hits10) // 100 AS BIGINT) AS recall_milli
+        |FROM hits ORDER BY dims DESC""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables.fanout(s, dir, "embeddings")
+      val dims = s.range(1).select(explode(array(lit(64), lit(32), lit(16), lit(8))).as("d"))
+      val sl = emb.crossJoin(broadcast(dims))
+        .select(col("d"), col("vec_id"), slice(col("embedding"), lit(1), col("d")).as("ed"))
+      val qs = sl.filter(col("vec_id") < 10)
+        .select(col("d"), col("vec_id").as("qid"), col("ed").as("qe"))
+      val top = sl.select(col("d"), col("vec_id").as("cid"), col("ed").as("ce"))
+        .join(broadcast(qs), Seq("d"))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("cs", graft.expressions.VectorFunctions.cosine(col("qe"), col("ce")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("d", "qid").orderBy(col("cs").desc, col("cid"))))
+        .filter(col("rn") <= 10)
+        .select(col("d"), col("qid"), col("cid"))
+        .cache() // ground-truth leg + per-dim legs
+      val truth = top.filter(col("d") === 64)
+        .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      top.join(truth, Seq("qid", "cid"), "left")
+        .groupBy("d").agg(sum(coalesce(col("hit"), lit(0L))).as("hits10"))
+        .select(col("d").cast("long").as("dims"), col("hits10"),
+          expr("cast((1000 * hits10) div 100 as bigint)").as("recall_milli"))
+        .orderBy(col("dims").desc)
     }
   )
 

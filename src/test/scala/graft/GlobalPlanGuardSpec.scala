@@ -87,7 +87,10 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q267_conformal" -> "1-row train-ratio scalars × cal/test scan + 2-row alpha/threshold/count frames",
     "q268_markov_holdout" -> "1-row time-bounds frame × the transition stream (temporal split cut)",
     "q269_kfold_cv" -> "1-row grand-total frame × the scoring scan (fold complements via 5-row equi broadcast)",
-    "q270_poisson_bootstrap" -> "32-row replicate grid × the event scan (deliberate bootstrap fan-out, collapses map-side)")
+    "q270_poisson_bootstrap" -> "32-row replicate grid × the event scan (deliberate bootstrap fan-out, collapses map-side)",
+    "q271_dim_ablation" -> "brute-force ablation BY DESIGN: 4-dim grid × 10-query broadcast × corpus (q35's allowance)",
+    "q272_t_closeness" -> "10-bin sensitive spine × class list + 1-row global-total frame (pure metadata)",
+    "q273_shapley_sources" -> "32-coalition × ≤32-mask-histogram grids + 1-row totals (post-scan metadata)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

@@ -73,6 +73,30 @@ class StatsHarnessSpec extends AnyFunSuite {
     assert(spread * 10 < maes.min, s"fold spread $spread vs min MAE ${maes.min}")
   }
 
+  test("q271 dim ablation: full-dim leg is its own truth, recall monotone in dims") {
+    val rows = SparkEntry.queries("q271_dim_ablation")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(64L) == 1000L, s"ground-truth leg must self-recall: ${rows(64L)}")
+    assert(rows(64L) >= rows(32L) && rows(32L) >= rows(16L) && rows(16L) >= rows(8L),
+      s"recall not monotone in dims: $rows")
+  }
+
+  test("q272 t-closeness flags skewed classes at sf0.01 and stays in [0, 1] EMD") {
+    val rows = SparkEntry.queries("q272_t_closeness")(spark, dir).collect()
+    assert(rows.length == 125)
+    assert(rows.map(_.getLong(3)).forall(e => e >= 0 && e <= 1000000))
+    assert(rows.map(_.getLong(4)).sum >= 1, "no class violated t=0.2 at sf0.01")
+  }
+
+  test("q273 Shapley satisfies the efficiency axiom exactly") {
+    val rows = SparkEntry.queries("q273_shapley_sources")(spark, dir).collect()
+    assert(rows.length == 5)
+    val phiSum = rows.map(_.getLong(3)).sum
+    val vFull = rows.head.getLong(4)
+    assert(phiSum == 120L * vFull, s"sum(phi_x120)=$phiSum != 120*v_full=${120L * vFull}")
+    assert(rows.map(_.getLong(3)).forall(_ > 0), "a contributing source valued <= 0")
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
