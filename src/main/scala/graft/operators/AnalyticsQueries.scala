@@ -3147,6 +3147,80 @@ object AnalyticsQueries {
           when(lit(10L) * col("score") > lit(18L) * col("n_c") * col("nn"), 1L)
             .otherwise(0L).as("violates_t20"))
         .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // Permutation feature importance — the model-agnostic attribution
+    // every feature-engineering loop runs: break one feature's joint
+    // with the rest (permute it), re-score, and read the output flip
+    // rate. The distributed permutation is the whole trick: a CYCLIC
+    // SHIFT inside bounded hash buckets (lead + wrap to first_value over
+    // the same window) is a genuine permutation computed by a
+    // partition-local window — no global shuffle of positions, and the
+    // bucket count should scale with n (8 here; the window never sees
+    // more than a bucket). Validation is the family's two-arm rule:
+    // permuting the two features the quality gate actually reads flips
+    // a measurable share of decisions, permuting the noise feature the
+    // gate ignores flips EXACTLY zero — the null-importance arm. All
+    // integer; one scan, three windows over the same bucket order.
+    q("q275_permutation_importance",
+      "gate flip-rate under per-feature cyclic-shift permutation; noise feature flips zero")(
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS f1,
+         |                  CAST(len(str_split(text, ' ')) AS BIGINT) AS f2,
+         |                  ${md5LongSql("'nz:' || CAST(doc_id AS VARCHAR)")} % 1000 AS f3,
+         |                  ${md5LongSql("'pb:' || CAST(doc_id AS VARCHAR)")} % 8 AS b,
+         |                  ${md5LongSql("'po:' || CAST(doc_id AS VARCHAR)")} AS r
+         |           FROM documents),
+         |p AS (SELECT doc_id, f1, f2, f3,
+         |             coalesce(lead(f1) OVER wbr, first_value(f1) OVER wbr) AS p1,
+         |             coalesce(lead(f2) OVER wbr, first_value(f2) OVER wbr) AS p2,
+         |             coalesce(lead(f3) OVER wbr, first_value(f3) OVER wbr) AS p3
+         |      FROM d WINDOW wbr AS (PARTITION BY b ORDER BY r, doc_id)),
+         |g AS (SELECT doc_id,
+         |             CASE WHEN f1 >= 300 AND f2 >= 50 THEN 1 ELSE 0 END AS g0,
+         |             CASE WHEN p1 >= 300 AND f2 >= 50 THEN 1 ELSE 0 END AS gc,
+         |             CASE WHEN f1 >= 300 AND p2 >= 50 THEN 1 ELSE 0 END AS gt,
+         |             CASE WHEN f1 >= 300 AND f2 >= 50 AND p3 IS NOT NULL THEN 1 ELSE 0 END AS gn
+         |      FROM p),
+         |arms AS (SELECT 'chars' AS feature, g0, gc AS gp FROM g
+         |         UNION ALL SELECT 'noise', g0, gn FROM g
+         |         UNION ALL SELECT 'tokens', g0, gt FROM g)
+         |SELECT feature, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN gp <> g0 THEN 1 ELSE 0 END) AS BIGINT) AS flips,
+         |       CAST((1000 * sum(CASE WHEN gp = g0 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         |         AS agree_permille
+         |FROM arms GROUP BY feature ORDER BY feature""".stripMargin
+    ) { (sp, dir) =>
+      val d = Tables(sp, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("f1"),
+          size(split(col("text"), " ")).cast("long").as("f2"),
+          (md5Long(concat(lit("nz:"), col("doc_id").cast("string"))) % 1000).as("f3"),
+          (md5Long(concat(lit("pb:"), col("doc_id").cast("string"))) % 8).as("b"),
+          md5Long(concat(lit("po:"), col("doc_id").cast("string"))).as("r"))
+      val wbr = Window.partitionBy("b").orderBy("r", "doc_id")
+      def perm(c: String) =
+        coalesce(lead(col(c), 1).over(wbr), first(col(c)).over(wbr))
+      val p = d.select(col("doc_id"), col("f1"), col("f2"), col("f3"),
+        perm("f1").as("p1"), perm("f2").as("p2"), perm("f3").as("p3"))
+      def gate(c1: Column, c2: Column) =
+        when(c1 >= 300 && c2 >= 50, 1L).otherwise(0L)
+      val g = p.select(col("doc_id"),
+          gate(col("f1"), col("f2")).as("g0"),
+          gate(col("p1"), col("f2")).as("gc"),
+          gate(col("f1"), col("p2")).as("gt"),
+          // the permuted noise flows through but cannot change the verdict
+          // (never null by construction) — the null-importance arm
+          when(col("f1") >= 300 && col("f2") >= 50 && col("p3").isNotNull, 1L)
+            .otherwise(0L).as("gn"))
+        .cache() // three arms off one window pass
+      val arms = g.select(lit("chars").as("feature"), col("g0"), col("gc").as("gp"))
+        .unionAll(g.select(lit("noise").as("feature"), col("g0"), col("gn").as("gp")))
+        .unionAll(g.select(lit("tokens").as("feature"), col("g0"), col("gt").as("gp")))
+      arms.groupBy("feature")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("gp") =!= col("g0"), 1L).otherwise(0L)).as("flips"),
+          expr("cast((1000 * sum(case when gp = g0 then 1 else 0 end)) div count(*) as bigint)")
+            .as("agree_permille"))
+        .orderBy("feature")
     }
   )
 }

@@ -1324,6 +1324,67 @@ object TextQueries {
         .select(col("word"), col("wfreq"), col("st.np").as("n_pieces"),
           col("st.enc").as("encoded"))
         .orderBy(col("wfreq").desc, col("word"))
+    },
+
+    // Heaps-law vocabulary growth — the coverage diagnostic a corpus
+    // curator reads before deciding whether MORE data still buys new
+    // vocabulary: per corpus decile (doc_id order), token volume, NEW
+    // types (tokens whose FIRST occurrence lands in that decile), the
+    // cumulative vocabulary, and the running type-token ratio. The whole
+    // curve costs one scan: first occurrence is min(doc_id) per token
+    // hash — an algebraic aggregate — so "new types per decile" is a
+    // 10-row histogram of that min, and the cumulative folds over a
+    // 10×10 triangular metadata join (deliberately NOT a window — the
+    // global-cum window would be a single-task funnel; the triangular
+    // join keeps GlobalPlanGuard's empty gwin allowlist intact). TTR
+    // publishes micro-exact via truncating division.
+    q("q274_heaps_curve",
+      "3-shingle vocabulary growth by corpus decile: new types, cumulative vocab, running TTR")(
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM d),
+         |tok AS (SELECT doc_id, unnest(${shinglesSql("t", 3)}) AS w FROM d),
+         |f AS (SELECT ${md5LongSql("w")} AS h, CAST(min(doc_id) AS BIGINT) AS fd
+         |      FROM tok GROUP BY h),
+         |nt AS (SELECT (f.fd * 10) // mx.n AS dec, CAST(count(*) AS BIGINT) AS new_types
+         |       FROM f CROSS JOIN mx GROUP BY 1),
+         |tv AS (SELECT (tok.doc_id * 10) // mx.n AS dec, CAST(count(*) AS BIGINT) AS units
+         |       FROM tok CROSS JOIN mx GROUP BY 1),
+         |spine AS (SELECT unnest(generate_series(0, 9)) AS dec),
+         |base AS (SELECT CAST(spine.dec AS BIGINT) AS dec,
+         |                coalesce(tv.units, 0) AS units, coalesce(nt.new_types, 0) AS new_types
+         |         FROM spine LEFT JOIN tv ON tv.dec = spine.dec
+         |                    LEFT JOIN nt ON nt.dec = spine.dec),
+         |cum AS (SELECT a.dec, a.units, a.new_types,
+         |               CAST(sum(b.new_types) AS BIGINT) AS cum_types,
+         |               CAST(sum(b.units) AS BIGINT) AS cum_units
+         |        FROM base a JOIN base b ON b.dec <= a.dec
+         |        GROUP BY a.dec, a.units, a.new_types)
+         |SELECT dec, units, new_types, cum_types, cum_units,
+         |       CAST((1000000 * cum_types) // cum_units AS BIGINT) AS ttr_micro
+         |FROM cum ORDER BY dec""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), split(col("text"), " ").as("t"))
+      val mx = d.agg((max(col("doc_id")) + 1).as("n"))
+      val tok = d.select(col("doc_id"), explode(shingles(col("t"), 3)).as("w"))
+        .cache() // min-doc + volume
+      val f = tok.groupBy(md5Long(col("w")).as("h")).agg(min(col("doc_id")).as("fd"))
+      val nt = f.crossJoin(broadcast(mx))
+        .groupBy(expr("(fd * 10) div n").as("dec")).agg(count(lit(1)).as("new_types"))
+      val tv = tok.crossJoin(broadcast(mx))
+        .groupBy(expr("(doc_id * 10) div n").as("dec")).agg(count(lit(1)).as("units"))
+      val spine = s.range(1).select(explode(sequence(lit(0L), lit(9L))).as("dec"))
+      val base = spine.join(tv, Seq("dec"), "left").join(nt, Seq("dec"), "left")
+        .select(col("dec"), coalesce(col("units"), lit(0L)).as("units"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+      val a = base.select(col("dec"), col("units"), col("new_types"))
+      val b = base.select(col("dec").as("bdec"), col("units").as("bunits"),
+        col("new_types").as("bnew"))
+      a.join(b, col("bdec") <= col("dec"))
+        .groupBy("dec", "units", "new_types")
+        .agg(sum(col("bnew")).as("cum_types"), sum(col("bunits")).as("cum_units"))
+        .select(col("dec"), col("units"), col("new_types"), col("cum_types"), col("cum_units"),
+          expr("cast((1000000 * cum_types) div cum_units as bigint)").as("ttr_micro"))
+        .orderBy("dec")
     }
   )
 }

@@ -90,7 +90,9 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q270_poisson_bootstrap" -> "32-row replicate grid × the event scan (deliberate bootstrap fan-out, collapses map-side)",
     "q271_dim_ablation" -> "brute-force ablation BY DESIGN: 4-dim grid × 10-query broadcast × corpus (q35's allowance)",
     "q272_t_closeness" -> "10-bin sensitive spine × class list + 1-row global-total frame (pure metadata)",
-    "q273_shapley_sources" -> "32-coalition × ≤32-mask-histogram grids + 1-row totals (post-scan metadata)")
+    "q273_shapley_sources" -> "32-coalition × ≤32-mask-histogram grids + 1-row totals (post-scan metadata)",
+    "q274_heaps_curve" -> "1-row corpus-size scalar × scans + 10×10 decile triangular cum (replaces a global-cum window)",
+    "q275_permutation_importance" -> "no products expected; bucket-local cyclic-shift windows only")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

@@ -97,6 +97,25 @@ class StatsHarnessSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).forall(_ > 0), "a contributing source valued <= 0")
   }
 
+  test("q274 Heaps curve: cumulative vocabulary monotone, new types decay, volume conserved") {
+    val rows = SparkEntry.queries("q274_heaps_curve")(spark, dir).collect()
+    assert(rows.length == 10)
+    val cum = rows.map(_.getLong(3))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a }, "cum_types not monotone")
+    assert(rows.head.getLong(2) > 2 * rows.last.getLong(2),
+      s"no saturation: first-decile new=${rows.head.getLong(2)} last=${rows.last.getLong(2)}")
+    assert(rows.last.getLong(4) == rows.map(_.getLong(1)).sum, "unit volume not conserved")
+  }
+
+  test("q275 permutation importance: gate features flip, noise feature flips exactly zero") {
+    val rows = SparkEntry.queries("q275_permutation_importance")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (n, _) = rows("chars")
+    assert(rows("chars")._2 * 20 > n, s"chars flips too rare: ${rows("chars")._2}/$n")
+    assert(rows("tokens")._2 * 20 > n, s"tokens flips too rare: ${rows("tokens")._2}/$n")
+    assert(rows("noise")._2 == 0L, s"noise feature flipped ${rows("noise")._2} decisions")
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
