@@ -2316,6 +2316,42 @@ object PipelineQueries {
         .select(col("grp").cast("long").as("grp"), col("n_docs"), col("n_shingles"),
           col("phi_x120"), col("v_full"))
         .orderBy("grp")
+    },
+
+    // Bloom-sidecar point lookup — file skipping on a column the LAYOUT
+    // cannot help with. q160b's envelopes prune range predicates on the
+    // sort columns; a point lookup on a different high-cardinality column
+    // (here l_orderkey, with the table bucketed by l_partkey) sees every
+    // envelope span the whole domain. The lakehouse answer is a per-file
+    // Bloom filter sidecar (Parquet bloom metadata / Iceberg-Delta column
+    // stats — public formats, rebuilt here as a typed Aggregator since
+    // Spark's BloomFilterAggregate is optimizer-reserved): fixed 32 KiB
+    // bit array per bucket, OR-merged map-side, probed at plan time to
+    // turn dead buckets into a static partition filter — their files
+    // never open, and BloomSidecarSpec pins both the no-false-negative
+    // law and the measured skip rate. The query result is
+    // layout-invariant (the probe order's lineitems), so the oracle is
+    // the plain filter; the only driver-side steps are the ≤16-row
+    // sidecar probe and the 1-row probe-key scalar — manifest-file scale.
+    q("q276_bloom_sidecar_lookup",
+      "write bloom-sidecar'd layout, point-read a non-layout key through file skipping")(
+      """SELECT l_linenumber, l_partkey, l_suppkey,
+        |       round(l_quantity, 4) + 0 AS qty, l_returnflag
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+        |ORDER BY l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      val outDir = s"/tmp/graft_layout/${new java.io.File(dir).getName}/bloomsidecar"
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      BloomSidecar.write(li, pmod(col("l_partkey"), lit(16)), "l_orderkey", outDir)
+      // 1-row scalar: the probe key (bounded driver step, stated above)
+      val probe = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+      BloomSidecar.readPoint(s, outDir, "l_orderkey", probe)
+        .select(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          round(col("l_quantity"), 4).as("qty"), col("l_returnflag"))
+        .orderBy("l_linenumber")
     }
   )
 }
