@@ -3221,6 +3221,169 @@ object AnalyticsQueries {
           expr("cast((1000 * sum(case when gp = g0 then 1 else 0 end)) div count(*) as bigint)")
             .as("agree_permille"))
         .orderBy("feature")
+    },
+
+    // Autocorrelation function + Ljung–Box portmanteau — the time-series
+    // diagnostic that decides whether a monitor can assume independent
+    // hours (q250's 3σ does) or must whiten first. The real hourly count
+    // series IS the null arm (the fixture has no daily cycle — measured,
+    // hour-of-day totals are flat), and the effect arm plants a full-μ
+    // spike on every 24th hour, which must light lag 24 and fire the Q
+    // test (μ/2 was measured too weak against Poisson noise at sf0.01).
+    // Exactness: residuals are pre-cleared to z_t = n·y_t − S (integer,
+    // Σz = 0 by construction), each lag's numerator Σ z_t·z_{t+k} comes
+    // from an equi-join of the series against itself on idx+k over a
+    // 24-row lag grid (no window, (bins × lags) metadata volume), and
+    // both the published r_micro and the Q statistic are truncating
+    // integer divisions — Q sums PER-LAG floored terms in 38-digit space
+    // (bias < 24 milli, order-free integer addition, both engines
+    // identical). Scale: the series is time-bounded metadata; the only
+    // data-sized work is the grouped hourly count the ingest already runs.
+    q("q277_acf_ljungbox",
+      "integer ACF lags 1-24 + Ljung-Box: white-noise arm quiet, planted daily cycle fires")(
+      """WITH b AS (SELECT (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) AS hb,
+        |                  CAST(count(*) AS BIGINT) AS y
+        |           FROM events GROUP BY hb),
+        |rr AS (SELECT CAST(min(hb) AS BIGINT) AS lo, CAST(max(hb) AS BIGINT) AS hi FROM b),
+        |spine AS (SELECT g.hb FROM (SELECT unnest(generate_series((SELECT lo FROM rr),
+        |                                                          (SELECT hi FROM rr))) AS hb) g),
+        |s0 AS (SELECT spine.hb - (SELECT lo FROM rr) AS idx, coalesce(b.y, 0) AS y
+        |       FROM spine LEFT JOIN b ON b.hb = spine.hb),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM s0),
+        |arms AS (SELECT 'null' AS arm, idx, y FROM s0
+        |         UNION ALL
+        |         SELECT 'planted', idx,
+        |                y + CASE WHEN idx % 24 = 0 THEN (SELECT s // n FROM ns) ELSE 0 END
+        |         FROM s0),
+        |st AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+        |       FROM arms GROUP BY arm),
+        |z AS (SELECT a.arm, a.idx, st.n, st.n * a.y - st.s AS z
+        |      FROM arms a JOIN st ON st.arm = a.arm),
+        |den AS (SELECT arm, CAST(max(n) AS BIGINT) AS n, CAST(sum(z * z) AS BIGINT) AS den
+        |        FROM z GROUP BY arm),
+        |lags AS (SELECT unnest(generate_series(1, 24)) AS k),
+        |num AS (SELECT a.arm, l.k, CAST(sum(a.z * b.z) AS BIGINT) AS num
+        |        FROM z a CROSS JOIN lags l
+        |             JOIN z b ON b.arm = a.arm AND b.idx = a.idx + l.k
+        |        GROUP BY a.arm, l.k),
+        |r AS (SELECT num.arm, CAST(num.k AS BIGINT) AS lag, den.n,
+        |             CAST((1000000 * CAST(num.num AS HUGEINT)) // den.den AS BIGINT) AS r_micro
+        |      FROM num JOIN den ON den.arm = num.arm),
+        |qs AS (SELECT arm, CAST(sum((1000 * n * (n + 2) * CAST(r_micro AS HUGEINT) * r_micro)
+        |                            // ((n - lag) * 1000000000000)) AS BIGINT) AS q_milli
+        |       FROM r GROUP BY arm)
+        |SELECT r.arm, r.lag, r.r_micro, qs.q_milli,
+        |       CAST(CASE WHEN qs.q_milli > 36415 THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM r JOIN qs ON qs.arm = r.arm
+        |ORDER BY 1, 2""".stripMargin
+    ) { (sp, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val b = Tables(sp, dir, "events")
+        .selectExpr("cast(ts as bigint) div 3600 AS hb")
+        .groupBy("hb").agg(count(lit(1)).as("y"))
+      val bounds = b.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+      val s0 = sp.range(1).select(col("id"))
+        .crossJoin(broadcast(bounds))
+        .select(explode(sequence(col("lo"), col("hi"))).as("shb"), col("lo"))
+        .join(b, col("shb") === col("hb"), "left")
+        .select((col("shb") - col("lo")).as("idx"), coalesce(col("y"), lit(0L)).as("y"))
+      val ns = s0.agg(count(lit(1)).as("nn"), sum(col("y")).as("ss"))
+      val arms = s0.select(lit("null").as("arm"), col("idx"), col("y"))
+        .unionAll(s0.crossJoin(broadcast(ns))
+          .select(lit("planted").as("arm"), col("idx"),
+            (col("y") + when(col("idx") % 24 === 0, expr("ss div nn"))
+              .otherwise(0L)).as("y")))
+      val st = arms.groupBy("arm").agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      val z = arms.join(broadcast(st), Seq("arm"))
+        .select(col("arm"), col("idx"), col("n"),
+          (col("n") * col("y") - col("s")).as("z"))
+        .cache() // both legs of the lag join + the denominator
+      val den = z.groupBy("arm").agg(max(col("n")).as("n"), sum(col("z") * col("z")).as("den"))
+      val lags = sp.range(1).select(explode(sequence(lit(1L), lit(24L))).as("k"))
+      val num = z.select(col("arm"), col("idx"), col("z"))
+        .crossJoin(broadcast(lags))
+        .join(z.select(col("arm"), col("idx").as("bidx"), col("z").as("bz")),
+          Seq("arm"))
+        .filter(col("bidx") === col("idx") + col("k"))
+        .groupBy(col("arm"), col("k").as("lag"))
+        .agg(sum(col("z") * col("bz")).as("num"))
+      val r = num.join(broadcast(den), Seq("arm"))
+        .select(col("arm"), col("lag"), col("n"),
+          expr("cast((1000000 * cast(num as decimal(38,0))) div den as bigint)").as("r_micro"))
+      val qs = r.groupBy("arm")
+        .agg(sum(expr("(1000 * n * (n + 2) * cast(r_micro as decimal(38,0)) * r_micro)"
+          + " div ((n - lag) * 1000000000000)")).cast("long").as("q_milli"))
+      r.join(qs, Seq("arm"))
+        .select(col("arm"), col("lag"), col("r_micro"), col("q_milli"),
+          when(col("q_milli") > 36415L, 1L).otherwise(0L).as("significant"))
+        .orderBy("arm", "lag")
+    },
+
+    // Leave-one-out target encoding — the leakage law, measured. Encoding
+    // a category by its target mean INCLUDING the row's own label leaks
+    // that label into the feature: on a pure-noise target over small
+    // categories the full-mean encoding correlates with the label it is
+    // supposed to predict, while the LOO encoding (S − y_i)/(n − 1) is
+    // exactly orthogonal in expectation. Both arms run on a coin-flip
+    // target (md5 parity) over ~5-member hash categories — the worst
+    // case — and publish the signed scaled Pearson² between label and
+    // encoding, cleared to integers: r²_signed_micro = sign(cov)·10⁶·
+    // cov²/(varx·vary) with cov/var the standard n-cleared sums, one
+    // truncating division in 38-digit space. The full arm must show a
+    // LARGE positive value (the leak ≈ 1/n_cat), the LOO arm ~0 — the
+    // pair is the spec. Scale shape: one grouped pass for category sums,
+    // a broadcast-join back, one moment rollup per arm.
+    q("q278_loo_target_encoding",
+      "target-encoding leakage audit: full-mean arm leaks on a noise target, LOO arm doesn't")(
+      s"""WITH e AS (SELECT event_id,
+         |                  ${md5LongSql("'cat:' || CAST(user_id AS VARCHAR)")} % 2000 AS cat,
+         |                  ${md5LongSql("'y:' || CAST(event_id AS VARCHAR)")} % 2 AS y
+         |           FROM events),
+         |cs AS (SELECT cat, CAST(count(*) AS BIGINT) AS n_cat, CAST(sum(y) AS BIGINT) AS s_cat
+         |       FROM e GROUP BY cat),
+         |enc AS (SELECT e.y,
+         |               (1000 * cs.s_cat) // cs.n_cat AS enc_full,
+         |               (1000 * (cs.s_cat - e.y)) // (cs.n_cat - 1) AS enc_loo
+         |        FROM e JOIN cs ON cs.cat = e.cat WHERE cs.n_cat >= 2),
+         |arms AS (SELECT 'full' AS arm, y, enc_full AS x FROM enc
+         |         UNION ALL SELECT 'loo', y, enc_loo FROM enc),
+         |m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum(y * y) AS BIGINT) AS syy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         |             CAST(sum(x * y) AS BIGINT) AS sxy
+         |      FROM arms GROUP BY arm)
+         |SELECT arm, n,
+         |       CAST(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END
+         |            * ((1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+         |                        * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
+         |               // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+         |                  * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)))
+         |         AS BIGINT) AS r2_signed_micro
+         |FROM m ORDER BY arm""".stripMargin
+    ) { (sp, dir) =>
+      val e = Tables(sp, dir, "events")
+        .select(col("event_id"),
+          (md5Long(concat(lit("cat:"), col("user_id").cast("string"))) % 2000).as("cat"),
+          (md5Long(concat(lit("y:"), col("event_id").cast("string"))) % 2).as("y"))
+      val cs = e.groupBy("cat").agg(count(lit(1)).as("n_cat"), sum(col("y")).as("s_cat"))
+      val enc = e.join(broadcast(cs), Seq("cat")).filter(col("n_cat") >= 2)
+        .select(col("y"),
+          expr("(1000 * s_cat) div n_cat").as("enc_full"),
+          expr("(1000 * (s_cat - y)) div (n_cat - 1)").as("enc_loo"))
+      val arms = enc.select(lit("full").as("arm"), col("y"), col("enc_full").as("x"))
+        .unionAll(enc.select(lit("loo").as("arm"), col("y"), col("enc_loo").as("x")))
+      val m = arms.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"), sum(col("x")).as("sx"),
+          sum(col("y") * col("y")).as("syy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+      m.select(col("arm"), col("n"),
+          (when(col("n") * col("sxy") - col("sx") * col("sy") >= 0, 1L).otherwise(-1L)
+            * expr(("(1000000 * (cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy)"
+              + " * (cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy))"
+              + " div ((cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)"
+              + " * (cast(n as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy))")))
+            .cast("long").as("r2_signed_micro"))
+        .orderBy("arm")
     }
   )
 }

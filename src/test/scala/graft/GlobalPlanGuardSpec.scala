@@ -92,7 +92,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q272_t_closeness" -> "10-bin sensitive spine × class list + 1-row global-total frame (pure metadata)",
     "q273_shapley_sources" -> "32-coalition × ≤32-mask-histogram grids + 1-row totals (post-scan metadata)",
     "q274_heaps_curve" -> "1-row corpus-size scalar × scans + 10×10 decile triangular cum (replaces a global-cum window)",
-    "q275_permutation_importance" -> "no products expected; bucket-local cyclic-shift windows only")
+    "q275_permutation_importance" -> "no products expected; bucket-local cyclic-shift windows only",
+    "q277_acf_ljungbox" -> "1-row hour-bounds/series-stats frames × time-bounded spine + 24-row lag grid (q260's spine shape)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

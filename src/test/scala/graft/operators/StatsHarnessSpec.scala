@@ -116,6 +116,27 @@ class StatsHarnessSpec extends AnyFunSuite {
     assert(rows("noise")._2 == 0L, s"noise feature flipped ${rows("noise")._2} decisions")
   }
 
+  test("q277 ACF/Ljung-Box: white-noise arm quiet, planted daily cycle lights lag 24") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q277_acf_ljungbox")(spark, d).collect()
+      val byArm = rows.groupBy(_.getString(0))
+      assert(byArm("null").head.getLong(4) == 0L, s"$d: null arm fired Ljung-Box")
+      assert(byArm("planted").head.getLong(4) == 1L, s"$d: planted cycle missed")
+      val r24p = byArm("planted").find(_.getLong(1) == 24L).get.getLong(2)
+      val r24n = byArm("null").find(_.getLong(1) == 24L).get.getLong(2)
+      assert(r24p > 250000, s"$d: planted lag-24 too weak: $r24p")
+      assert(math.abs(r24n) < 100000, s"$d: null lag-24 structure: $r24n")
+    }
+  }
+
+  test("q278 LOO encoding: full-mean arm leaks on a noise target, LOO arm near zero") {
+    val rows = SparkEntry.queries("q278_loo_target_encoding")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows("full") > 5000, s"full-mean leak invisible: ${rows("full")}")
+    assert(math.abs(rows("loo")) < rows("full") / 10,
+      s"LOO not leak-free: loo=${rows("loo")} full=${rows("full")}")
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
