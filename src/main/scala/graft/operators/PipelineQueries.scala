@@ -2352,6 +2352,121 @@ object PipelineQueries {
         .select(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           round(col("l_quantity"), 4).as("qty"), col("l_returnflag"))
         .orderBy("l_linenumber")
+    },
+
+    // Greedy set-cover source SELECTION — q273's twin question: Shapley
+    // says what each source group is worth; "which 3 groups should I
+    // license for maximum vocabulary coverage" is maximum-coverage, and
+    // the greedy algorithm carries the classic (1 − 1/e) guarantee
+    // against the best size-3 coalition. Same scale trick as q273: the
+    // ONE corpus scan collapses to the ≤2⁵-row which-groups-have-it
+    // bitmask histogram, each greedy round's gains fold over that
+    // histogram, and OPT₃ is computed EXACTLY from the same coalition
+    // table (all C(5,3) values) — so the approximation-ratio law
+    // 100·greedy₃ ≥ 63·OPT₃ is a CHECKED output column, not prose
+    // (StatsHarnessSpec re-asserts it). Three unrolled rounds; argmax
+    // tiebreaks to the smallest group id in both engines.
+    q("q280_greedy_set_cover",
+      "greedy 3-source max-coverage from the bitmask histogram, ratio vs exact OPT3")(
+      s"""WITH d AS (SELECT doc_id, text,
+         |                  CAST(substr(source, 4) AS BIGINT) % 5 AS grp FROM documents),
+         |toks AS (SELECT grp, str_split(text, ' ') AS t FROM d),
+         |sh AS (SELECT DISTINCT grp, ${md5LongSql("g")} AS h
+         |       FROM (SELECT grp, unnest(${shinglesSql("t", 3)}) AS g FROM toks)),
+         |msk AS (SELECT h, CAST(sum(DISTINCT (1 << grp)) AS BIGINT) AS m FROM sh GROUP BY h),
+         |hist AS (SELECT m, CAST(count(*) AS BIGINT) AS cnt FROM msk GROUP BY m),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM hist),
+         |gr AS (SELECT unnest(generate_series(0, 4)) AS gi),
+         |r1 AS (SELECT gr.gi, CAST(coalesce(sum(CASE WHEN (hist.m & (1 << gr.gi)) <> 0
+         |                                        THEN hist.cnt END), 0) AS BIGINT) AS gain
+         |       FROM gr LEFT JOIN hist ON true GROUP BY gr.gi),
+         |p1 AS (SELECT gi AS g1, gain AS gain1 FROM r1 ORDER BY gain DESC, gi LIMIT 1),
+         |r2 AS (SELECT gr.gi, CAST(coalesce(sum(CASE WHEN (hist.m & (1 << gr.gi)) <> 0
+         |                                         AND (hist.m & (1 << p1.g1)) = 0
+         |                                        THEN hist.cnt END), 0) AS BIGINT) AS gain
+         |       FROM gr CROSS JOIN p1 LEFT JOIN hist ON true
+         |       WHERE gr.gi <> p1.g1 GROUP BY gr.gi),
+         |p2 AS (SELECT gi AS g2, gain AS gain2 FROM r2 ORDER BY gain DESC, gi LIMIT 1),
+         |r3 AS (SELECT gr.gi, CAST(coalesce(sum(CASE WHEN (hist.m & (1 << gr.gi)) <> 0
+         |                                         AND (hist.m & ((1 << p1.g1) | (1 << p2.g2))) = 0
+         |                                        THEN hist.cnt END), 0) AS BIGINT) AS gain
+         |       FROM gr CROSS JOIN p1 CROSS JOIN p2 LEFT JOIN hist ON true
+         |       WHERE gr.gi <> p1.g1 AND gr.gi <> p2.g2 GROUP BY gr.gi),
+         |p3 AS (SELECT gi AS g3, gain AS gain3 FROM r3 ORDER BY gain DESC, gi LIMIT 1),
+         |coal AS (SELECT unnest(generate_series(0, 31)) AS s),
+         |cv AS (SELECT coal.s, tot.t - CAST(coalesce(sum(CASE WHEN (hist.m & coal.s) = 0
+         |                                                THEN hist.cnt END), 0) AS BIGINT) AS v
+         |       FROM coal CROSS JOIN tot LEFT JOIN hist ON true
+         |       GROUP BY coal.s, tot.t),
+         |o3 AS (SELECT CAST(max(v) AS BIGINT) AS opt3 FROM cv WHERE bit_count(s) = 3),
+         |steps AS (SELECT 1 AS step, p1.g1 AS grp, p1.gain1 AS gain, p1.gain1 AS cum
+         |          FROM p1
+         |          UNION ALL
+         |          SELECT 2, p2.g2, p2.gain2, p1.gain1 + p2.gain2 FROM p1 CROSS JOIN p2
+         |          UNION ALL
+         |          SELECT 3, p3.g3, p3.gain3, p1.gain1 + p2.gain2 + p3.gain3
+         |          FROM p1 CROSS JOIN p2 CROSS JOIN p3)
+         |SELECT CAST(step AS BIGINT) AS step, CAST(grp AS BIGINT) AS grp, gain,
+         |       CAST(cum AS BIGINT) AS cum_cover, o3.opt3,
+         |       CAST((1000 * cum) // o3.opt3 AS BIGINT) AS ratio_permille
+         |FROM steps CROSS JOIN o3 ORDER BY step""".stripMargin
+    ) { (sp, dir) =>
+      import graft.functions.PortableHash.{md5Long, shingles}
+      val d = Tables(sp, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          (substring(col("source"), 4, 10).cast("long") % 5).as("grp"))
+      val sh = d.select(col("grp"),
+          explode(shingles(split(col("text"), " "), 3)).as("g"))
+        .select(col("grp"), md5Long(col("g")).as("h")).distinct()
+      val msk = sh.groupBy("h")
+        .agg(sum_distinct(expr("shiftleft(cast(1 as bigint), cast(grp as int))")).as("m"))
+      val hist = msk.groupBy("m").agg(count(lit(1)).as("cnt")).cache() // rounds + cv
+      val tot = hist.agg(sum(col("cnt")).as("t"))
+      val gr = sp.range(1).select(explode(sequence(lit(0L), lit(4L))).as("gi"))
+      val r1 = gr.crossJoin(broadcast(hist))
+        .groupBy("gi")
+        .agg(coalesce(sum(when(
+          expr("(m & shiftleft(cast(1 as bigint), cast(gi as int))) <> 0"), col("cnt"))),
+          lit(0L)).as("gain"))
+      val p1 = r1.orderBy(col("gain").desc, col("gi")).limit(1)
+        .select(col("gi").as("g1"), col("gain").as("gain1"))
+      // rounds 2/3 thread the earlier picks as 1-row broadcasts
+      val r2 = gr.crossJoin(broadcast(p1)).filter(col("gi") =!= col("g1"))
+        .crossJoin(broadcast(hist))
+        .groupBy("gi", "g1", "gain1")
+        .agg(coalesce(sum(when(
+          expr("(m & shiftleft(cast(1 as bigint), cast(gi as int))) <> 0") &&
+            expr("(m & shiftleft(cast(1 as bigint), cast(g1 as int))) = 0"), col("cnt"))),
+          lit(0L)).as("gain"))
+      val p2b = r2.orderBy(col("gain").desc, col("gi")).limit(1)
+        .select(col("g1"), col("gain1"), col("gi").as("g2"), col("gain").as("gain2"))
+      val r3 = gr.crossJoin(broadcast(p2b))
+        .filter(col("gi") =!= col("g1") && col("gi") =!= col("g2"))
+        .crossJoin(broadcast(hist))
+        .groupBy("gi", "g1", "gain1", "g2", "gain2")
+        .agg(coalesce(sum(when(
+          expr("(m & shiftleft(cast(1 as bigint), cast(gi as int))) <> 0") &&
+            expr("(m & (shiftleft(cast(1 as bigint), cast(g1 as int)) | shiftleft(cast(1 as bigint), cast(g2 as int)))) = 0"),
+          col("cnt"))), lit(0L)).as("gain"))
+      val p3 = r3.orderBy(col("gain").desc, col("gi")).limit(1)
+        .select(col("g1"), col("gain1"), col("g2"), col("gain2"),
+          col("gi").as("g3"), col("gain").as("gain3"))
+      val coal = sp.range(1).select(explode(sequence(lit(0L), lit(31L))).as("s"))
+      val cv = coal.crossJoin(broadcast(tot)).crossJoin(broadcast(hist))
+        .groupBy("s", "t")
+        .agg(coalesce(sum(when(expr("(m & s) = 0"), col("cnt"))), lit(0L)).as("miss"))
+        .select(col("s"), (col("t") - col("miss")).as("v"))
+      val o3 = cv.filter(expr("bit_count(s) = 3")).agg(max(col("v")).as("opt3"))
+      val steps = p3.select(lit(1L).as("step"), col("g1").cast("long").as("grp"),
+          col("gain1").as("gain"), col("gain1").as("cum_cover"))
+        .unionAll(p3.select(lit(2L), col("g2").cast("long"), col("gain2"),
+          (col("gain1") + col("gain2")).as("cum")))
+        .unionAll(p3.select(lit(3L), col("g3").cast("long"), col("gain3"),
+          (col("gain1") + col("gain2") + col("gain3")).as("cum")))
+      steps.crossJoin(broadcast(o3))
+        .select(col("step"), col("grp"), col("gain"), col("cum_cover"), col("opt3"),
+          expr("cast((1000 * cum_cover) div opt3 as bigint)").as("ratio_permille"))
+        .orderBy("step")
     }
   )
 }

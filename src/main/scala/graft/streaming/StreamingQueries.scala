@@ -1548,6 +1548,72 @@ object StreamingQueries {
               * (col("n1") + col("n2")).cast(d38), 1L)
             .otherwise(0L).as("significant"))
         .orderBy("ws")
+    },
+
+    // Rotating-Bloom streaming dedup — the BOUNDED-STATE answer to the
+    // "keyed dedup state grows with key cardinality forever" risk that
+    // q181's TTL closed for counters: instead of one state entry per
+    // seen key (q62), each shard keeps TWO fixed 4096-bit Bloom
+    // generations; an arrival is admitted iff neither generation knows
+    // its hash, and when the live generation reaches capacity C the old
+    // one is dropped — O(shards · mBits) state TOTAL, forever, at the
+    // documented price: no false re-admissions within the last ~C..2C
+    // inserts per shard (the guaranteed dedup horizon), arbitrary
+    // re-admissions beyond it, and a tiny fp chance of dropping a
+    // unique. The stream replays every doc plus a LATE re-arrival of
+    // every third doc; at sf0.01 the horizon covers the whole corpus
+    // (exact behavior — zero re-admissions), at sf0.1 rotation kicks in
+    // and only horizon-aged re-arrivals sneak back — which
+    // StreamBloomDedupSpec pins against an independently computed
+    // insert-rank bound. Arrival order inside a shard-batch is made
+    // deterministic by folding in arrival-key order (the group iterator
+    // is sorted — bounded by shard size here; a 100 TB deployment sizes
+    // shard count ∝ throughput and uses ListState to avoid the sort
+    // buffer). No oracle: approximate-by-design (rows-only + spec laws).
+    graft.Registry.rowsOnly("q279_stream_bloom_dedup",
+      "bounded-state streaming dedup: two rotating Bloom generations per shard") { (s, dir) =>
+      import s.implicits._
+      val Shards = 8; val Cap = 256; val MBits = 4096; val K = 4
+      import graft.functions.{BloomAggregator, PortableHash}
+      val base = docsStream(s, dir)
+        .select(col("doc_id"), PortableHash.md5Long(col("text")).as("h"))
+      val arrivals = base.select(col("doc_id").as("ak"), col("h"), lit(0L).as("is_re"))
+        .unionByName(base.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000L).as("ak"), col("h"), lit(1L).as("is_re")))
+        .withColumn("shard", pmod(col("h"), lit(Shards.toLong)))
+      type St = (Array[Long], Array[Long], Long)
+      implicit val stEnc: org.apache.spark.sql.Encoder[St] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Array[Long], Long)]()
+      val accepted = arrivals.as[(Long, Long, Long, Long)]
+        .groupByKey(_._4)
+        .flatMapGroupsWithState[St, (Long, Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (shard: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[St]) =>
+            var (g0, g1, c0) = state.getOption
+              .getOrElse((new Array[Long](MBits / 64), new Array[Long](MBits / 64), 0L))
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+            // deterministic fold: arrival-key order within the micro-batch
+            rows.toSeq.sortBy(_._1).foreach { case (ak, h, isRe, sh) =>
+              val seen = BloomAggregator.mightContain(g0.toSeq, h, K) ||
+                BloomAggregator.mightContain(g1.toSeq, h, K)
+              if (!seen) {
+                out += ((sh, ak, h, isRe))
+                var j = 0
+                while (j < K) {
+                  val p = BloomAggregator.bitPos(h, j, MBits)
+                  g0(p >>> 6) |= 1L << (p & 63); j += 1
+                }
+                c0 += 1
+                if (c0 >= Cap) { g1 = g0; g0 = new Array[Long](MBits / 64); c0 = 0 }
+              }
+            }
+            state.update((g0, g1, c0))
+            out.iterator
+        }
+        .toDF("shard", "ak", "h", "is_re")
+      runToMemory(s, accepted)
+        .select(col("shard"), col("ak"), col("is_re"))
+        .orderBy("shard", "ak")
     }
   )
 
