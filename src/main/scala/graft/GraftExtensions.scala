@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bounded time-range joins → equi-join on (key, time-bin) instead of
     // BroadcastNestedLoopJoin (see RangeBinJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
+    // conf-gated materialized-view substitution for lineitem aggregates
+    // (see MvAggRewrite; sessions built without extensions get it via
+    // spark.experimental.extraOptimizations in q281's body)
+    e.injectOptimizerRule(_ => graft.plans.MvAggRewrite)
     // native per-key top-k: logical node → partial/final heap SparkPlans
     // (see TopKPerKey; sessions built without extensions get the strategy
     // injected on first TopKPerKey.topK call)

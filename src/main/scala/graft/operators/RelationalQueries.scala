@@ -1586,6 +1586,51 @@ object RelationalQueries {
           least(view("min_cents"), delta("min_cents")).as("min_cents"),
           greatest(view("max_cents"), delta("max_cents")).as("max_cents"))
         .orderBy("mon")
+    },
+
+    // Materialized-view SUBSTITUTION — q249 maintains a view, this one
+    // makes the optimizer USE one: MvAggRewrite (a conf-gated
+    // Rule[LogicalPlan]) recognizes an aggregate over the base lineitem
+    // scan whose grouping is a subset of the view's (l_returnflag,
+    // l_linestatus) dims and whose measures the view carries, and swaps
+    // the fact scan for a rollup over the |dims|-row view — count(*)
+    // becomes sum(cnt), the DECIMAL(28,4) quantity sum becomes
+    // sum(qty4_sum), exact by algebra (no float reassociation). The
+    // grouping here is a STRICT subset (l_returnflag only), so the
+    // rewrite must genuinely re-aggregate, not copy. The oracle computes
+    // from the base table — the hash match proves the substituted plan
+    // returns byte-identical results — and MvRewriteSpec pins the plan
+    // side: flag on → the executed plan scans the view parquet and never
+    // touches lineitem; flag off → base scan. The body materializes
+    // eagerly (localCheckpoint) and then clears the conf so no later
+    // registry query can be silently rewritten.
+    q("q281_mv_substitution",
+      "optimizer rewrites a coarser lineitem aggregate onto the materialized view")(
+      """SELECT l_returnflag,
+        |       round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      val d28 = org.apache.spark.sql.types.DecimalType(28, 4)
+      val mvDir = s"/tmp/graft_layout/${new java.io.File(dir).getName}/mv_lineitem"
+      // the rule matches the raw relation, so read the file directly
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(round(col("l_quantity"), 4).cast(d28)).as("qty4_sum"),
+          count(lit(1)).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(mvDir)
+      if (!s.experimental.extraOptimizations.contains(graft.plans.MvAggRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.MvAggRewrite
+      s.conf.set("spark.graft.mv.path", mvDir)
+      s.conf.set("spark.graft.mv.enabled", "true")
+      try {
+        li.groupBy("l_returnflag")
+          .agg(round(sum(round(col("l_quantity"), 4).cast(d28)).cast("double"), 4).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .localCheckpoint(true) // run the substituted plan NOW, inside the gate
+          .orderBy("l_returnflag")
+      } finally s.conf.set("spark.graft.mv.enabled", "false")
     }
   )
 
