@@ -50,6 +50,15 @@ class BloomSidecarSpec extends AnyFunSuite {
     assert(avg <= 1.0, s"absent-key average live buckets $avg — fp rate off")
   }
 
+  test("merge is the union build: bloom(A) OR bloom(B) == bloom(A ++ B)") {
+    val agg = new BloomAggregator(1024, BloomSidecar.K)
+    val a = (1L to 200L).foldLeft(agg.zero)(agg.reduce)
+    val b = (150L to 400L).foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(a.clone(), b)
+    val direct = ((1L to 200L) ++ (150L to 400L)).foldLeft(agg.zero)(agg.reduce)
+    assert(merged.toSeq == direct.toSeq, "OR-merge diverged from the union build")
+  }
+
   test("mightContain is pure arithmetic shared by build and probe") {
     val words = new Array[Long](BloomSidecar.MBits / 64)
     val agg = new graft.functions.BloomAggregator(BloomSidecar.MBits, BloomSidecar.K)

@@ -58,6 +58,20 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(!paths.exists(_.contains("mv_lineitem")))
   }
 
+  test("gate on: unsupported aggregates and non-dim groupings are left alone") {
+    // avg is not in the view's contract; user_id-style grouping is not a dim
+    val avgQ = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag").agg(avg(col("l_quantity")).as("a"))
+    val otherDim = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+    Seq(avgQ, otherDim).foreach { q =>
+      val paths = withGate(on = true)(scanPaths(q))
+      assert(paths.exists(_.endsWith("lineitem.parquet")) &&
+        !paths.exists(_.contains("mv_lineitem")),
+        s"rewrite fired on an unsupported shape: $paths")
+    }
+  }
+
   test("substituted and base plans return identical rows") {
     val on = withGate(on = true)(query().collect().map(_.toString).toSeq)
     val off = withGate(on = false)(query().collect().map(_.toString).toSeq)
