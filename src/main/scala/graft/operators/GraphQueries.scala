@@ -119,7 +119,14 @@ object GraphQueries {
     * each round reads its predecessor once but the final round is read
     * by the projection; inlining 3 chained mode-aggregations is already
     * quadratic in plan text). */
-  private val lpaSql: String = {
+  private val lpaSql: String =
+    s"""$lpaSqlPrefix
+       |SELECT node, CAST(lab AS BIGINT) AS community FROM l3 ORDER BY node""".stripMargin
+
+  /** lpaSql's CTE chain (raw → e0/e → l0..l3) without the final SELECT, so
+    * q282's modularity oracle can extend it. Lazy: lpaSql above references
+    * it during object init. */
+  private lazy val lpaSqlPrefix: String = {
     def round(i: Int) =
       s"""l$i AS MATERIALIZED (
          |  SELECT node, $LpaC - 1 - (m % $LpaC) AS lab FROM (
@@ -134,8 +141,35 @@ object GraphQueries {
        |                    FROM raw WHERE a <> b),
        |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
        |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM e),
-       |${(1 to 3).map(round).mkString(",\n")}
-       |SELECT node, CAST(lab AS BIGINT) AS community FROM l3 ORDER BY node""".stripMargin
+       |${(1 to 3).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** q183's graph + 3 label-propagation rounds, shared with q282:
+    * returns (undirected edge list e0, doubled edge list e, final labels). */
+  private def lpGraph(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val e0 = Tables.fanout(s, dir, "lineitem")
+      .filter(col("l_quantity") < 2)
+      .select((col("l_partkey") % 9973).as("a"), (col("l_suppkey") % 9973).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true) // re-joined every round
+    var lab = e.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint(true)
+    val nV = lab.count() // label frame is |V|-bounded every round
+    for (_ <- 1 to 3) {
+      lab = e.join(maybeBroadcast(lab.select(col("node").as("v"), col("lab")), nV), "v")
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u"))
+        .agg(max(col("cnt") * LpaC + (lit(LpaC) - 1 - col("lab"))).as("m"))
+        .select(col("u").as("node"), (lit(LpaC) - 1 - (col("m") % LpaC)).as("lab"))
+        .localCheckpoint(true)
+    }
+    (e0.localCheckpoint(true), e, lab)
   }
 
   val all: Seq[Q] = Seq(
@@ -445,26 +479,7 @@ object GraphQueries {
       "3-round deterministic mode-label propagation over the sparse part-supplier graph")(
       lpaSql
     ) { (s, dir) =>
-      val e0 = Tables.fanout(s, dir, "lineitem")
-        .filter(col("l_quantity") < 2)
-        .select((col("l_partkey") % 9973).as("a"), (col("l_suppkey") % 9973).as("b"))
-        .filter(col("a") =!= col("b"))
-        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-        .distinct()
-      val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint(true) // re-joined every round
-      var lab = e.select(col("u").as("node")).distinct()
-        .select(col("node"), col("node").as("lab"))
-        .localCheckpoint(true)
-      val nV = lab.count() // label frame is |V|-bounded every round
-      for (_ <- 1 to 3) {
-        lab = e.join(maybeBroadcast(lab.select(col("node").as("v"), col("lab")), nV), "v")
-          .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("u"))
-          .agg(max(col("cnt") * LpaC + (lit(LpaC) - 1 - col("lab"))).as("m"))
-          .select(col("u").as("node"), (lit(LpaC) - 1 - (col("m") % LpaC)).as("lab"))
-          .localCheckpoint(true)
-      }
+      val (_, _, lab) = lpGraph(s, dir)
       lab.select(col("node"), col("lab").cast("long").as("community")).orderBy("node")
     },
 
@@ -576,6 +591,127 @@ object GraphQueries {
         .groupBy(col("cu").as("u"), col("cw").as("w"))
         .agg(countDistinct(col("via")).as("common_n"))
         .orderBy(col("common_n").desc, col("u"), col("w")).limit(20)
+    },
+
+    // Modularity — the gate that says whether detected communities are
+    // REAL: Q = Σ_c [e_c/m − (d_c/2m)²], cleared to integers as 4m²·Q =
+    // Σ_c [4m·e_c − d_c²] and published as q_micro by one truncating
+    // division (edge counts and degree sums are exact ints — no float
+    // anywhere). Four arms make it a measurement with a verdict:
+    //  - planted/true: a synthesized caveman graph (every edge inside a
+    //    40-node block) scored with its true blocks → Q near its
+    //    theoretical 1 − Σ(d_c/2m)² ≈ 0.99 — the metric's positive pole;
+    //  - planted/rnd and real/rnd: hash-random labels of the same
+    //    cardinalities → Q ≈ 0, the null pole;
+    //  - real/lp: q183's 3-round LP labels on the real co-occurrence
+    //    graph score BELOW random (min-id LP grows giant labels, and the
+    //    mod-9973 co-occurrence graph has no modular structure to find) —
+    //    which is the AUDIT's honest verdict: a community gate keyed on
+    //    Q > 0 would reject shipping these labels. Spec-pinned at both
+    //    poles. Scale shape: LP rounds are q183's; the audit itself is
+    //    two |V|-row label joins onto each edge list and a per-community
+    //    rollup — community-cardinality work, never |V|².
+    q("q282_modularity",
+      "integer modularity: planted blocks ~0.99, random ~0, LP on the real graph below 0")(
+      {
+        import graft.functions.PortableHash.md5LongSql
+        def h(tag: String) =
+          md5LongSql(s"'$tag:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")
+        s"""${lpaSqlPrefix},
+           |pe0 AS MATERIALIZED (
+           |  SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v FROM (
+           |    SELECT ${h("pu")} % 4000 AS u0,
+           |           ((${h("pu")} % 4000) // 40) * 40 + ${h("pv")} % 40 AS v0
+           |    FROM lineitem) WHERE u0 <> v0),
+           |edges AS (SELECT 'real' AS g, u, v FROM e0
+           |          UNION ALL SELECT 'planted', u, v FROM pe0),
+           |mm AS (SELECT g, CAST(count(*) AS BIGINT) AS m FROM edges GROUP BY g),
+           |deg AS (SELECT g, node, CAST(count(*) AS BIGINT) AS d FROM
+           |          (SELECT g, u AS node FROM edges UNION ALL SELECT g, v FROM edges)
+           |        GROUP BY g, node),
+           |nc AS (SELECT CAST(count(DISTINCT lab) AS BIGINT) AS k FROM l3),
+           |pn AS (SELECT DISTINCT node FROM
+           |         (SELECT u AS node FROM pe0 UNION ALL SELECT v FROM pe0)),
+           |labs AS (SELECT 'real' AS g, 'lp' AS lb, node, CAST(lab AS BIGINT) AS lab FROM l3
+           |         UNION ALL
+           |         SELECT 'real', 'rnd', node,
+           |                ${md5LongSql("'md:' || CAST(node AS VARCHAR)")} % (SELECT k FROM nc)
+           |         FROM l3
+           |         UNION ALL SELECT 'planted', 'true', node, node // 40 FROM pn
+           |         UNION ALL
+           |         SELECT 'planted', 'rnd', node,
+           |                ${md5LongSql("'md:' || CAST(node AS VARCHAR)")} % 100 FROM pn),
+           |ce AS (SELECT a.g, a.lb, a.lab, CAST(count(*) AS BIGINT) AS ec
+           |       FROM edges JOIN labs a ON a.g = edges.g AND a.node = edges.u
+           |                  JOIN labs b ON b.g = a.g AND b.lb = a.lb
+           |                             AND b.node = edges.v AND b.lab = a.lab
+           |       GROUP BY a.g, a.lb, a.lab),
+           |cd AS (SELECT labs.g, labs.lb, labs.lab, CAST(sum(deg.d) AS BIGINT) AS dc
+           |       FROM labs JOIN deg ON deg.g = labs.g AND deg.node = labs.node
+           |       GROUP BY labs.g, labs.lb, labs.lab),
+           |sc AS (SELECT cd.g, cd.lb, CAST(count(*) AS BIGINT) AS n_comms,
+           |              CAST(sum(4 * mm.m * coalesce(ce.ec, 0) - cd.dc * cd.dc) AS BIGINT)
+           |                AS q_scaled,
+           |              CAST(max(mm.m) AS BIGINT) AS m
+           |       FROM cd LEFT JOIN ce ON ce.g = cd.g AND ce.lb = cd.lb AND ce.lab = cd.lab
+           |            JOIN mm ON mm.g = cd.g
+           |       GROUP BY cd.g, cd.lb)
+           |SELECT g AS graph, lb AS labeling, n_comms, m, q_scaled,
+           |       CAST((1000000 * q_scaled) // (4 * m * m) AS BIGINT) AS q_micro
+           |FROM sc ORDER BY 1, 2""".stripMargin
+      }
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val (e0, _, lab) = lpGraph(s, dir)
+      def hl(tag: String) = md5Long(concat(lit(s"$tag:"),
+        col("l_orderkey").cast("string"), lit(":"), col("l_linenumber").cast("string")))
+      val pe = Tables.fanout(s, dir, "lineitem")
+        .select((hl("pu") % 4000).as("u0"), (hl("pv") % 40).as("r"))
+        .select(col("u0"), (expr("(u0 div 40) * 40") + col("r")).as("v0"))
+        .filter(col("u0") =!= col("v0"))
+        .select(least(col("u0"), col("v0")).as("u"), greatest(col("u0"), col("v0")).as("v"))
+        .distinct()
+      val edges = e0.select(lit("real").as("g"), col("u"), col("v"))
+        .unionAll(pe.select(lit("planted").as("g"), col("u"), col("v")))
+        .localCheckpoint(true) // label joins + degree + m
+      val mm = edges.groupBy("g").agg(count(lit(1)).as("m"))
+      val deg = edges.select(col("g"), col("u").as("node"))
+        .unionAll(edges.select(col("g"), col("v").as("node")))
+        .groupBy("g", "node").agg(count(lit(1)).as("d"))
+      val nc = lab.agg(countDistinct(col("lab")).as("k"))
+      val pn = edges.filter(col("g") === "planted")
+        .select(col("u").as("node")).unionAll(
+          edges.filter(col("g") === "planted").select(col("v").as("node")))
+        .distinct()
+      val rndLab = (c: org.apache.spark.sql.Column) =>
+        md5Long(concat(lit("md:"), c.cast("string")))
+      val labs = lab.select(lit("real").as("g"), lit("lp").as("lb"), col("node"),
+          col("lab").cast("long").as("lab"))
+        .unionAll(lab.crossJoin(broadcast(nc))
+          .select(lit("real").as("g"), lit("rnd").as("lb"), col("node"),
+            (rndLab(col("node")) % col("k")).as("lab")))
+        .unionAll(pn.select(lit("planted").as("g"), lit("true").as("lb"), col("node"),
+          expr("node div 40").as("lab")))
+        .unionAll(pn.select(lit("planted").as("g"), lit("rnd").as("lb"), col("node"),
+          (rndLab(col("node")) % 100).as("lab")))
+        .localCheckpoint(true) // |V|-bounded (mod-9973/4000 vertex spaces)
+      val ce = edges
+        .join(labs.select(col("g"), col("lb"), col("node").as("u"), col("lab")), Seq("g", "u"))
+        .join(labs.select(col("g"), col("lb"), col("node").as("v"), col("lab")),
+          Seq("g", "lb", "v", "lab"))
+        .groupBy("g", "lb", "lab").agg(count(lit(1)).as("ec"))
+      val cd = labs.join(deg, Seq("g", "node")).groupBy("g", "lb", "lab")
+        .agg(sum(col("d")).as("dc"))
+      cd.join(ce, Seq("g", "lb", "lab"), "left").join(broadcast(mm), Seq("g"))
+        .groupBy("g", "lb")
+        .agg(count(lit(1)).as("n_comms"),
+          sum(lit(4L) * col("m") * coalesce(col("ec"), lit(0L))
+            - col("dc") * col("dc")).as("q_scaled"),
+          max(col("m")).as("m"))
+        .select(col("g").as("graph"), col("lb").as("labeling"), col("n_comms"), col("m"),
+          col("q_scaled"),
+          expr("cast((1000000 * q_scaled) div (4 * m * m) as bigint)").as("q_micro"))
+        .orderBy("graph", "labeling")
     }
   )
 }

@@ -94,7 +94,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q274_heaps_curve" -> "1-row corpus-size scalar × scans + 10×10 decile triangular cum (replaces a global-cum window)",
     "q275_permutation_importance" -> "no products expected; bucket-local cyclic-shift windows only",
     "q277_acf_ljungbox" -> "1-row hour-bounds/series-stats frames × time-bounded spine + 24-row lag grid (q260's spine shape)",
-    "q280_greedy_set_cover" -> "5-group/32-coalition grids × the ≤32-row mask histogram + 1-row pick/total frames (q273's lattice)")
+    "q280_greedy_set_cover" -> "5-group/32-coalition grids × the ≤32-row mask histogram + 1-row pick/total frames (q273's lattice)",
+    "q282_modularity" -> "1-row community-count scalar × the |V|-bounded label frame (random-null label draw)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

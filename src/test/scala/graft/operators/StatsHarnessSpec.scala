@@ -137,6 +137,17 @@ class StatsHarnessSpec extends AnyFunSuite {
       s"LOO not leak-free: loo=${rows("loo")} full=${rows("full")}")
   }
 
+  test("q282 modularity: planted blocks near the 0.99 theoretical pole, randoms near zero") {
+    val rows = SparkEntry.queries("q282_modularity")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    assert(rows(("planted", "true")) > 950000, s"planted pole: ${rows(("planted", "true"))}")
+    assert(math.abs(rows(("planted", "rnd"))) < 20000, s"planted null: ${rows(("planted", "rnd"))}")
+    assert(math.abs(rows(("real", "rnd"))) < 20000, s"real null: ${rows(("real", "rnd"))}")
+    // the audit's verdict on this fixture: LP labels carry no modular
+    // structure (giant min-id labels score at or below random)
+    assert(rows(("real", "lp")) < 20000, s"real/lp unexpectedly modular: ${rows(("real", "lp"))}")
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
