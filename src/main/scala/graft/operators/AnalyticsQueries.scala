@@ -3384,6 +3384,95 @@ object AnalyticsQueries {
               + " * (cast(n as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy))")))
             .cast("long").as("r2_signed_micro"))
         .orderBy("arm")
+    },
+
+    // Weighted median — the robust center the unweighted median (q78)
+    // cannot give when rows carry different mass: per returnflag, the
+    // price at which HALF THE SHIPPED QUANTITY sits below. Same
+    // rank-space discipline as q263/q265: one (flag, cents) histogram of
+    // integer weight sums, a cumulative below-weight window over
+    // value-domain-bounded bins (partitioned by flag), and the pick is
+    // the bin where the cumulative crosses ceil(W/2) — all integer, no
+    // global sort, no per-row window.
+    q("q284_weighted_median",
+      "quantity-weighted median price per returnflag from the weight histogram")(
+      """WITH h AS (SELECT l_returnflag,
+        |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |                  CAST(sum(CAST(round(l_quantity, 4) * 10000 AS BIGINT)) AS BIGINT) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, cents, w,
+        |             CAST(coalesce(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+        |             CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |      FROM h)
+        |SELECT l_returnflag, tw AS total_weight, cents AS wmedian_cents
+        |FROM c WHERE below < (tw + 1) // 2 AND (tw + 1) // 2 <= below + w
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (sp, dir) =>
+      val h = Tables(sp, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .agg(sum((round(col("l_quantity"), 4) * 10000).cast("long")).as("w"))
+      val wBelow = Window.partitionBy("l_returnflag").orderBy("cents")
+        .rowsBetween(Long.MinValue, -1)
+      val wAll = Window.partitionBy("l_returnflag")
+      h.select(col("l_returnflag"), col("cents"), col("w"),
+          coalesce(sum(col("w")).over(wBelow), lit(0L)).as("below"),
+          sum(col("w")).over(wAll).as("tw"))
+        .withColumn("medpos", expr("(tw + 1) div 2"))
+        .filter(col("below") < col("medpos") && col("medpos") <= col("below") + col("w"))
+        .select(col("l_returnflag"), col("tw").as("total_weight"),
+          col("cents").as("wmedian_cents"))
+        .orderBy("l_returnflag")
+    },
+
+    // Wilson lower-bound ranking — "sort by average rating" is wrong at
+    // small n; the 95% Wilson score interval's LOWER bound is the
+    // standard fix (how to rank items with few observations without
+    // letting 1-for-1 beat 96-for-100). Per part: n lineitems, r
+    // returned ('R'); rank by the Wilson bound of the return RATE.
+    // Float lesson (measured): the "identical expression tree" double
+    // formulation diverged between engines in the 6th decimal — DuckDB
+    // contracts multiply-adds — so the bound is cleared to INTEGERS with
+    // exact rational z = 196/100, z² = 38416/10⁴: multiplying num and
+    // den by 10⁴·n gives lb = (10⁴rn + 19208n − 98·√U) / (10⁴n² +
+    // 38416n) with U = (4·10⁴·r(n−r) + 38416·n)·n an exact integer, and
+    // √U replaced by the FLOOR isqrt — exact and engine-identical for
+    // U < 2⁵² (a correctly-rounded double sqrt of an integer cannot
+    // cross the next integer: the true gap ≥ 1/2k ≫ ulp), deterministic
+    // micro-bias < 1e-4 stated. Scale shape: one grouped count + a
+    // per-row closed form + top-k.
+    q("q285_wilson_ranking",
+      "top-20 parts by Wilson 95% lower bound of return rate (integer isqrt form)")(
+      """WITH s AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |           FROM lineitem GROUP BY l_partkey),
+        |w AS (SELECT l_partkey, n, r,
+        |             (1000000 * r) // n AS phat_micro,
+        |             CAST(floor(sqrt(CAST((40000 * r * (n - r) + 38416 * n) * n AS DOUBLE)))
+        |                  AS BIGINT) AS isq
+        |      FROM s WHERE n >= 5)
+        |SELECT l_partkey, n, r, CAST(phat_micro AS BIGINT) AS phat_micro,
+        |       CAST((1000000 * (10000 * r * n + 19208 * n - 98 * isq))
+        |            // (10000 * n * n + 38416 * n) AS BIGINT) AS lb_micro
+        |FROM w ORDER BY lb_micro DESC, l_partkey LIMIT 20""".stripMargin
+    ) { (sp, dir) =>
+      val s0 = Tables(sp, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+        .filter(col("n") >= 5)
+      val w = s0
+        .withColumn("phat_micro", expr("(1000000 * r) div n"))
+        .withColumn("isq", expr(
+          "cast(floor(sqrt(cast((40000 * r * (n - r) + 38416 * n) * n as double))) as bigint)"))
+        .withColumn("lb_micro", expr(
+          "cast((1000000 * (10000 * r * n + 19208 * n - 98 * isq))"
+            + " div (10000 * n * n + 38416 * n) as bigint)"))
+      w.orderBy(col("lb_micro").desc, col("l_partkey"))
+        .select(col("l_partkey"), col("n"), col("r"),
+          col("phat_micro").cast("long").as("phat_micro"), col("lb_micro"))
+        .limit(20)
     }
   )
 }

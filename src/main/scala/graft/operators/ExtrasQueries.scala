@@ -731,6 +731,46 @@ object ExtrasQueries {
         .orderBy("l_linestatus")
     },
 
+    // UNPIVOT / melt — q46's inverse and the wide→long reshape every
+    // feature pipeline needs before per-measure processing: the four
+    // lineitem measure columns melt to (id, measure, val) ROWS via the
+    // native Dataset.unpivot (Spark 3.4+ public API — no stack() string
+    // templating), then one grouped pass per measure proves the reshape
+    // end-to-end at data scale. Scale shape: unpivot is a row-local 4×
+    // fan-out (no shuffle of its own); the rollup is the usual partial
+    // agg. The oracle derives each measure's aggregate directly — the
+    // hash match pins Spark's unpivot variable naming and value mapping.
+    q("q283_unpivot", "melt 4 lineitem measures to rows via Dataset.unpivot + per-measure rollup")(
+      """WITH m AS (
+        |  SELECT 'l_discount' AS measure, CAST(count(*) AS BIGINT) AS n,
+        |         round(CAST(sum(CAST(round(l_discount, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS total
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+        |         round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 4)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+        |         round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE), 4)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', CAST(count(*) AS BIGINT),
+        |         round(CAST(sum(CAST(round(l_tax, 4) AS DECIMAL(28,4))) AS DOUBLE), 4)
+        |  FROM lineitem)
+        |SELECT measure, n, total FROM m ORDER BY measure""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("val"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double"), 4).as("total"))
+        .orderBy("measure")
+    },
+
     // P15 dead-letter routing, oracle-checked end-to-end: wire lines are
     // synthesized with deterministic fault injection (every 23rd line
     // malformed JSON, every 29th a schema-mismatched tick, every 31st an

@@ -148,6 +148,16 @@ class StatsHarnessSpec extends AnyFunSuite {
     assert(rows(("real", "lp")) < 20000, s"real/lp unexpectedly modular: ${rows(("real", "lp"))}")
   }
 
+  test("q285 Wilson ranking: shrinkage below phat everywhere, and it genuinely reorders") {
+    val rows = SparkEntry.queries("q285_wilson_ranking")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getLong(4) < r.getLong(3),
+      s"lb >= phat for part ${r.getLong(0)}"))
+    val phats = rows.map(_.getLong(3))
+    assert(phats.zip(phats.tail).exists { case (a, b) => a < b },
+      "Wilson order identical to naive phat order — no shrinkage visible")
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
