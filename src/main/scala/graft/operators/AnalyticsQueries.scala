@@ -3473,6 +3473,66 @@ object AnalyticsQueries {
         .select(col("l_partkey"), col("n"), col("r"),
           col("phat_micro").cast("long").as("phat_micro"), col("lb_micro"))
         .limit(20)
+    },
+
+    // Poisson dispersion index — the assumption audit UNDER the anomaly
+    // monitors: q250's 3σ and q260's CUSUM both size their thresholds as
+    // if hourly counts were Poisson (variance ≈ mean). D = s²/ȳ measures
+    // that directly, integer-cleared: D_milli = 1000·(n·Σy² − S²) //
+    // ((n−1)·S) — one grouped pass per series over the zero-filled hour
+    // spine, no float. Arms per series: the real counts (D ≈ 1, the
+    // monitors' license) and a BURSTY arm that doubles a hash-chosen
+    // half of the hours — overdispersion a Poisson monitor under-alarms
+    // on, which must push D well above 1 (spec-pinned discrimination).
+    q("q287_dispersion_index",
+      "variance-to-mean per series: real hours near Poisson 1.0, bursty arm far above")(
+      s"""WITH b AS (SELECT event_type,
+         |                  (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) AS hb,
+         |                  CAST(count(*) AS BIGINT) AS y
+         |           FROM events GROUP BY event_type, hb),
+         |rr AS (SELECT CAST(min(hb) AS BIGINT) AS lo, CAST(max(hb) AS BIGINT) AS hi FROM b),
+         |spine AS (SELECT t.event_type, g.hb
+         |          FROM (SELECT DISTINCT event_type FROM b) t
+         |          CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM rr),
+         |                                                    (SELECT hi FROM rr))) AS hb) g),
+         |s AS (SELECT spine.event_type, spine.hb, coalesce(b.y, 0) AS y
+         |      FROM spine LEFT JOIN b ON b.event_type = spine.event_type AND b.hb = spine.hb),
+         |arms AS (SELECT 'real' AS arm, event_type, y FROM s
+         |         UNION ALL
+         |         SELECT 'bursty', event_type,
+         |                y * CASE WHEN ${md5LongSql("'bu:' || event_type || ':' || CAST(hb AS VARCHAR)")} % 2 = 0
+         |                         THEN 2 ELSE 1 END
+         |         FROM s),
+         |m AS (SELECT arm, event_type, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy
+         |      FROM arms GROUP BY arm, event_type)
+         |SELECT arm, event_type, n, sy AS total,
+         |       CAST((1000 * (n * CAST(syy AS HUGEINT) - CAST(sy AS HUGEINT) * sy))
+         |            // ((n - 1) * CAST(sy AS HUGEINT)) AS BIGINT) AS dispersion_milli
+         |FROM m ORDER BY 1, 2""".stripMargin
+    ) { (sp, dir) =>
+      val b = Tables(sp, dir, "events")
+        .selectExpr("event_type", "cast(ts as bigint) div 3600 AS hb")
+        .groupBy("event_type", "hb").agg(count(lit(1)).as("y"))
+      val bounds = b.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+      val spine = b.select(col("event_type").as("sty")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("sty"), explode(sequence(col("lo"), col("hi"))).as("shb"))
+      val s = spine.join(b,
+          col("sty") === col("event_type") && col("shb") === col("hb"), "left")
+        .select(col("sty").as("event_type"), col("shb").as("hb"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val arms = s.select(lit("real").as("arm"), col("event_type"), col("y"))
+        .unionAll(s.select(lit("bursty").as("arm"), col("event_type"),
+          (col("y") * when(md5Long(concat(lit("bu:"), col("event_type"), lit(":"),
+            col("hb").cast("string"))) % 2 === 0, 2L).otherwise(1L)).as("y")))
+      arms.groupBy("arm", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("arm"), col("event_type"), col("n"), col("sy").as("total"),
+          expr(("cast((1000 * (n * cast(syy as decimal(38,0)) - cast(sy as decimal(38,0)) * sy))"
+            + " div ((n - 1) * cast(sy as decimal(38,0))) as bigint)")).as("dispersion_milli"))
+        .orderBy("arm", "event_type")
     }
   )
 }

@@ -1385,6 +1385,77 @@ object TextQueries {
         .select(col("dec"), col("units"), col("new_types"), col("cum_types"), col("cum_units"),
           expr("cast((1000000 * cum_types) div cum_units as bigint)").as("ttr_micro"))
         .orderBy("dec")
+    },
+
+    // Good–Turing unseen-mass estimate, VALIDATED against reality — the
+    // estimator under every smoothed language model (Good 1953, public
+    // literature): the probability that the NEXT observation is a
+    // never-seen type is ≈ N₁/N (singleton count over total
+    // occurrences). q274's curve gives the held-out truth for free:
+    // train on the first 8 corpus deciles, then measure what fraction
+    // of decile-8/9 shingle occurrences are genuinely novel. The output
+    // carries both numbers plus the N_r frequency-of-frequencies spine
+    // the estimator reads — all integer micro-units (counts and
+    // truncating divisions only), and the spec asserts the estimate
+    // lands within a factor-band of the measured rate (an estimator
+    // audit, not a tautology: N₁/N is computed from TRAIN alone).
+    // Scale shape: two grouped passes over (shingle-hash) keys + an
+    // anti-join of test types vs the train vocabulary — 8-byte keys,
+    // never text; the N_r table is ≤ max-frequency rows.
+    q("q286_good_turing",
+      "Good-Turing N1/N unseen-mass estimate vs the measured novel-occurrence rate")(
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM d),
+         |tok AS (SELECT doc_id, ${md5LongSql("w")} AS h FROM
+         |          (SELECT doc_id, unnest(${shinglesSql("t", 3)}) AS w FROM d)),
+         |tr AS (SELECT h, CAST(count(*) AS BIGINT) AS c
+         |       FROM tok CROSS JOIN mx WHERE (doc_id * 10) // mx.n < 8 GROUP BY h),
+         |nr AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM tr WHERE c <= 3 GROUP BY c),
+         |ntr AS (SELECT CAST(sum(c) AS BIGINT) AS n_occ,
+         |               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |        FROM tr),
+         |te AS (SELECT tok.h FROM tok CROSS JOIN mx WHERE (doc_id * 10) // mx.n >= 8),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS test_occ,
+         |              CAST(sum(CASE WHEN tr.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel_occ
+         |       FROM te LEFT JOIN tr ON tr.h = te.h)
+         |SELECT * FROM (
+         |  SELECT 'a_gt_unseen_micro' AS metric,
+         |         CAST((1000000 * n1) // n_occ AS BIGINT) AS value FROM ntr
+         |  UNION ALL
+         |  SELECT 'b_actual_unseen_micro', CAST((1000000 * novel_occ) // test_occ AS BIGINT) FROM tt
+         |  UNION ALL
+         |  SELECT 'c_train_occ', n_occ FROM ntr
+         |  UNION ALL
+         |  SELECT 'd_test_occ', test_occ FROM tt
+         |  UNION ALL
+         |  SELECT 'n_r=' || CAST(r AS VARCHAR), n_r FROM nr)
+         |ORDER BY metric""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), split(col("text"), " ").as("t"))
+      val mx = d.agg((max(col("doc_id")) + 1).as("n"))
+      val tok = d.select(col("doc_id"), explode(shingles(col("t"), 3)).as("w"))
+        .select(col("doc_id"), md5Long(col("w")).as("h"))
+        .crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 10) div n").as("dec"), col("h"))
+        .cache() // train histogram + test leg
+      val tr = tok.filter(col("dec") < 8).groupBy("h").agg(count(lit(1)).as("c"))
+        .cache() // N_r spine + totals + the anti-join side
+      val nr = tr.filter(col("c") <= 3).groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+      val ntr = tr.agg(sum(col("c")).as("n_occ"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"))
+      val tt = tok.filter(col("dec") >= 8).select(col("h"))
+        .join(tr.select(col("h"), lit(1L).as("seen")), Seq("h"), "left")
+        .agg(count(lit(1)).as("test_occ"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("novel_occ"))
+      ntr.select(lit("a_gt_unseen_micro").as("metric"),
+          expr("cast((1000000 * n1) div n_occ as bigint)").as("value"))
+        .unionAll(tt.select(lit("b_actual_unseen_micro").as("metric"),
+          expr("cast((1000000 * novel_occ) div test_occ as bigint)").as("value")))
+        .unionAll(ntr.select(lit("c_train_occ").as("metric"), col("n_occ").as("value")))
+        .unionAll(tt.select(lit("d_test_occ").as("metric"), col("test_occ").as("value")))
+        .unionAll(nr.select(concat(lit("n_r="), col("r").cast("string")).as("metric"),
+          col("n_r").as("value")))
+        .orderBy("metric")
     }
   )
 }

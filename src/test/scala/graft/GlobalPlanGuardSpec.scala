@@ -95,7 +95,9 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q275_permutation_importance" -> "no products expected; bucket-local cyclic-shift windows only",
     "q277_acf_ljungbox" -> "1-row hour-bounds/series-stats frames × time-bounded spine + 24-row lag grid (q260's spine shape)",
     "q280_greedy_set_cover" -> "5-group/32-coalition grids × the ≤32-row mask histogram + 1-row pick/total frames (q273's lattice)",
-    "q282_modularity" -> "1-row community-count scalar × the |V|-bounded label frame (random-null label draw)")
+    "q282_modularity" -> "1-row community-count scalar × the |V|-bounded label frame (random-null label draw)",
+    "q286_good_turing" -> "1-row corpus-size scalar × the shingle stream (decile split cut)",
+    "q287_dispersion_index" -> "1-row hour-bounds frame × series keys (q247's spine shape)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

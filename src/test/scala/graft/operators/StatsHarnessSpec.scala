@@ -158,6 +158,27 @@ class StatsHarnessSpec extends AnyFunSuite {
       "Wilson order identical to naive phat order — no shrinkage visible")
   }
 
+  test("q286 Good-Turing estimate lands in a 1.5x band of the measured novel rate, both scales") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q286_good_turing")(spark, d).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (gt, actual) = (rows("a_gt_unseen_micro"), rows("b_actual_unseen_micro"))
+      assert(actual > 0 && gt > 0)
+      assert(gt * 2 > actual && gt < actual * 2,
+        s"$d: GT estimate $gt vs measured $actual — outside the band")
+    }
+  }
+
+  test("q287 dispersion: real hourly counts near Poisson 1.0, bursty arm far above") {
+    val rows = SparkEntry.queries("q287_dispersion_index")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4))
+    val (bursty, real) = rows.partition(_._1._1 == "bursty")
+    assert(real.forall { case (_, d) => d >= 850 && d <= 1150 },
+      s"real series not Poisson-like: ${real.toMap}")
+    assert(bursty.forall { case (_, d) => d >= 1500 },
+      s"bursty overdispersion invisible: ${bursty.toMap}")
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
