@@ -3533,6 +3533,128 @@ object AnalyticsQueries {
           expr(("cast((1000 * (n * cast(syy as decimal(38,0)) - cast(sy as decimal(38,0)) * sy))"
             + " div ((n - 1) * cast(sy as decimal(38,0))) as bigint)")).as("dispersion_milli"))
         .orderBy("arm", "event_type")
+    },
+
+    // Capture–recapture (Lincoln–Petersen) — estimate a population you
+    // cannot afford to enumerate from TWO independent samples and their
+    // overlap: N̂ = n₁·n₂/m. At 100 TB this is how you size a dedup or
+    // join before running it (two cheap hash-samples, one tiny
+    // intersection) — and here the truth is known, so the estimator is
+    // AUDITED: err_permille against the real table count, at two
+    // sampling rates. All integer (hash membership, counts, one
+    // truncating division per arm); the two samples are independent by
+    // construction (disjoint hash salts). Scale shape: one scan
+    // computing both memberships + a 2-row rollup.
+    q("q288_capture_recapture",
+      "Lincoln-Petersen population estimate from two hash samples, audited vs the true count")(
+      s"""WITH d AS (SELECT o_orderkey AS id,
+         |                  CASE WHEN ${md5LongSql("'cr1:' || CAST(o_orderkey AS VARCHAR)")} % 1000 < 100 THEN 1 ELSE 0 END AS s1a,
+         |                  CASE WHEN ${md5LongSql("'cr2:' || CAST(o_orderkey AS VARCHAR)")} % 1000 < 100 THEN 1 ELSE 0 END AS s2a,
+         |                  CASE WHEN ${md5LongSql("'cr3:' || CAST(o_orderkey AS VARCHAR)")} % 1000 < 300 THEN 1 ELSE 0 END AS s1b,
+         |                  CASE WHEN ${md5LongSql("'cr4:' || CAST(o_orderkey AS VARCHAR)")} % 1000 < 300 THEN 1 ELSE 0 END AS s2b
+         |           FROM orders),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS true_n,
+         |             CAST(sum(s1a) AS BIGINT) AS n1a, CAST(sum(s2a) AS BIGINT) AS n2a,
+         |             CAST(sum(s1a * s2a) AS BIGINT) AS ma,
+         |             CAST(sum(s1b) AS BIGINT) AS n1b, CAST(sum(s2b) AS BIGINT) AS n2b,
+         |             CAST(sum(s1b * s2b) AS BIGINT) AS mb
+         |      FROM d),
+         |arms AS (SELECT '10pct' AS arm, n1a AS n1, n2a AS n2, ma AS overlap, true_n FROM m
+         |         UNION ALL SELECT '30pct', n1b, n2b, mb, true_n FROM m)
+         |SELECT arm, n1, n2, overlap,
+         |       CAST((n1 * n2) // overlap AS BIGINT) AS est_total, true_n,
+         |       CAST((1000 * abs((n1 * n2) // overlap - true_n)) // true_n AS BIGINT)
+         |         AS err_permille
+         |FROM arms ORDER BY arm""".stripMargin
+    ) { (sp, dir) =>
+      def mem(tag: String, pm: Int) =
+        when(md5Long(concat(lit(tag), col("o_orderkey").cast("string"))) % 1000 < pm, 1L)
+          .otherwise(0L)
+      val m = Tables(sp, dir, "orders")
+        .select(mem("cr1:", 100).as("s1a"), mem("cr2:", 100).as("s2a"),
+          mem("cr3:", 300).as("s1b"), mem("cr4:", 300).as("s2b"))
+        .agg(count(lit(1)).as("true_n"),
+          sum(col("s1a")).as("n1a"), sum(col("s2a")).as("n2a"),
+          sum(col("s1a") * col("s2a")).as("ma"),
+          sum(col("s1b")).as("n1b"), sum(col("s2b")).as("n2b"),
+          sum(col("s1b") * col("s2b")).as("mb"))
+      val arms = m.select(lit("10pct").as("arm"), col("n1a").as("n1"), col("n2a").as("n2"),
+          col("ma").as("overlap"), col("true_n"))
+        .unionAll(m.select(lit("30pct").as("arm"), col("n1b"), col("n2b"),
+          col("mb"), col("true_n")))
+      arms.select(col("arm"), col("n1"), col("n2"), col("overlap"),
+          expr("cast((n1 * n2) div overlap as bigint)").as("est_total"), col("true_n"),
+          expr("cast((1000 * abs((n1 * n2) div overlap - true_n)) div true_n as bigint)")
+            .as("err_permille"))
+        .orderBy("arm")
+    },
+
+    // Delete-one-group jackknife — standard-error bands for ANY plug-in
+    // statistic at one-scan cost: the corpus tokens-per-char ratio's 32
+    // leave-one-group-out replicates come from total-minus-group sums
+    // (q269's algebra — per-group partials + a broadcast total, never 32
+    // scans), and the jackknife variance (G−1)/G·Σ(θ₍₋g₎ − θ̄)² folds
+    // over the 32-row replicate frame. Everything integer: θ in micro
+    // units, the variance in micro² with one truncating division, the
+    // SE via the exact floor-isqrt (q285's trick, engine-identical below
+    // 2⁵²). The audit: a half-vs-half split difference must sit within
+    // a few jackknife SEs — the SE is VALIDATED against an independent
+    // perturbation, not just computed.
+    q("q290_jackknife_se",
+      "leave-one-group-out jackknife SE of the tokens-per-char ratio, one scan")(
+      s"""WITH d AS (SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS tok,
+         |                  CAST(n_chars AS BIGINT) AS ch,
+         |                  ${md5LongSql("'jk:' || CAST(doc_id AS VARCHAR)")} % 32 AS g,
+         |                  ${md5LongSql("'jh:' || CAST(doc_id AS VARCHAR)")} % 2 AS h
+         |           FROM documents),
+         |gs AS (SELECT g, CAST(sum(tok) AS BIGINT) AS t, CAST(sum(ch) AS BIGINT) AS c
+         |       FROM d GROUP BY g),
+         |tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt, CAST(sum(c) AS BIGINT) AS tc,
+         |               CAST(count(*) AS BIGINT) AS gn FROM gs),
+         |reps AS (SELECT gs.g, (1000000 * (tot.tt - gs.t)) // (tot.tc - gs.c) AS th
+         |         FROM gs CROSS JOIN tot),
+         |jm AS (SELECT CAST(sum(th) AS BIGINT) AS sth, CAST(count(*) AS BIGINT) AS gn FROM reps),
+         |vr AS (SELECT CAST(((jm.gn - 1) * (jm.gn * CAST(sum(reps.th * reps.th) AS HUGEINT)
+         |                                   - CAST(jm.sth AS HUGEINT) * jm.sth))
+         |                   // (jm.gn * jm.gn) AS BIGINT) AS v
+         |       FROM reps CROSS JOIN jm GROUP BY jm.gn, jm.sth),
+         |hs AS (SELECT CAST((1000000 * sum(CASE WHEN h = 0 THEN tok ELSE 0 END))
+         |                   // sum(CASE WHEN h = 0 THEN ch ELSE 0 END) AS BIGINT) AS th0,
+         |              CAST((1000000 * sum(CASE WHEN h = 1 THEN tok ELSE 0 END))
+         |                   // sum(CASE WHEN h = 1 THEN ch ELSE 0 END) AS BIGINT) AS th1
+         |       FROM d)
+         |SELECT CAST((1000000 * tot.tt) // tot.tc AS BIGINT) AS theta_micro,
+         |       CAST(floor(sqrt(CAST(vr.v AS DOUBLE))) AS BIGINT) AS se_micro,
+         |       CAST(abs(hs.th0 - hs.th1) AS BIGINT) AS half_gap_micro,
+         |       tot.gn AS n_groups
+         |FROM tot CROSS JOIN vr CROSS JOIN hs""".stripMargin
+    ) { (sp, dir) =>
+      val d = Tables(sp, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("tok"),
+          col("n_chars").as("ch"),
+          (md5Long(concat(lit("jk:"), col("doc_id").cast("string"))) % 32).as("g"),
+          (md5Long(concat(lit("jh:"), col("doc_id").cast("string"))) % 2).as("h"))
+        .cache() // group sums + half split
+      val gs = d.groupBy("g").agg(sum(col("tok")).as("t"), sum(col("ch")).as("c"))
+      val tot = gs.agg(sum(col("t")).as("tt"), sum(col("c")).as("tc"),
+        count(lit(1)).as("gn"))
+      val reps = gs.crossJoin(broadcast(tot))
+        .select(expr("(1000000 * (tt - t)) div (tc - c)").as("th"))
+      val jm = reps.agg(sum(col("th")).as("sth"), count(lit(1)).as("gn2"),
+        sum(col("th") * col("th")).as("sthh"))
+      val vr = jm.select(expr(
+        ("cast(((gn2 - 1) * (gn2 * cast(sthh as decimal(38,0)) - cast(sth as decimal(38,0)) * sth))"
+          + " div (gn2 * gn2) as bigint)")).as("v"))
+      val hs = d.agg(
+        expr("cast((1000000 * sum(case when h = 0 then tok else 0 end))"
+          + " div sum(case when h = 0 then ch else 0 end) as bigint)").as("th0"),
+        expr("cast((1000000 * sum(case when h = 1 then tok else 0 end))"
+          + " div sum(case when h = 1 then ch else 0 end) as bigint)").as("th1"))
+      tot.crossJoin(broadcast(vr)).crossJoin(broadcast(hs))
+        .select(expr("cast((1000000 * tt) div tc as bigint)").as("theta_micro"),
+          expr("cast(floor(sqrt(cast(v as double))) as bigint)").as("se_micro"),
+          abs(col("th0") - col("th1")).cast("long").as("half_gap_micro"),
+          col("gn").as("n_groups"))
     }
   )
 }

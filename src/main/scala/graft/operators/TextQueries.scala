@@ -1456,6 +1456,52 @@ object TextQueries {
         .unionAll(nr.select(concat(lit("n_r="), col("r").cast("string")).as("metric"),
           col("n_r").as("value")))
         .orderBy("metric")
+    },
+
+    // Chao1 richness — q286's sibling question: not "how much of the
+    // NEXT sample is new" but "how many types exist that we have not
+    // seen at all": Ŝ = S_obs + n₁²/(2n₂) (Chao 1984, public
+    // literature). Audited against ground truth the corpus itself
+    // provides: train on the first TWO deciles only, compare the
+    // estimate to the realized full-corpus richness — the estimate must
+    // land strictly closer to the truth than the naive S_obs
+    // (improvement law, spec-pinned at both scales). All integer: three
+    // counts and one truncating division. Scale shape: one train
+    // histogram over 8-byte shingle hashes + one full-corpus distinct.
+    q("q289_chao1_richness",
+      "Chao1 unseen-species estimate from a 20% prefix vs realized corpus richness")(
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM d),
+         |tok AS (SELECT doc_id, ${md5LongSql("w")} AS h FROM
+         |          (SELECT doc_id, unnest(${shinglesSql("t", 3)}) AS w FROM d)),
+         |tr AS (SELECT h, CAST(count(*) AS BIGINT) AS c
+         |       FROM tok CROSS JOIN mx WHERE (doc_id * 10) // mx.n < 2 GROUP BY h),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS s_obs,
+         |              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |              CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |       FROM tr),
+         |fu AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS true_richness FROM tok)
+         |SELECT st.s_obs, st.n1, st.n2,
+         |       CAST(st.s_obs + (st.n1 * st.n1) // (2 * st.n2) AS BIGINT) AS chao1,
+         |       fu.true_richness
+         |FROM st CROSS JOIN fu""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), split(col("text"), " ").as("t"))
+      val mx = d.agg((max(col("doc_id")) + 1).as("n"))
+      val tok = d.select(col("doc_id"), explode(shingles(col("t"), 3)).as("w"))
+        .select(col("doc_id"), md5Long(col("w")).as("h"))
+        .crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 10) div n").as("dec"), col("h"))
+        .cache() // train histogram + full distinct
+      val st = tok.filter(col("dec") < 2).groupBy("h").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("s_obs"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      val fu = tok.agg(countDistinct(col("h")).as("true_richness"))
+      st.crossJoin(broadcast(fu))
+        .select(col("s_obs"), col("n1"), col("n2"),
+          expr("cast(s_obs + (n1 * n1) div (2 * n2) as bigint)").as("chao1"),
+          col("true_richness"))
     }
   )
 }

@@ -97,7 +97,9 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q280_greedy_set_cover" -> "5-group/32-coalition grids × the ≤32-row mask histogram + 1-row pick/total frames (q273's lattice)",
     "q282_modularity" -> "1-row community-count scalar × the |V|-bounded label frame (random-null label draw)",
     "q286_good_turing" -> "1-row corpus-size scalar × the shingle stream (decile split cut)",
-    "q287_dispersion_index" -> "1-row hour-bounds frame × series keys (q247's spine shape)")
+    "q287_dispersion_index" -> "1-row hour-bounds frame × series keys (q247's spine shape)",
+    "q289_chao1_richness" -> "1-row corpus-size scalar × the shingle stream + 1-row estimate frames",
+    "q290_jackknife_se" -> "1-row total/variance/half-split frames × the 32-row replicate fold")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

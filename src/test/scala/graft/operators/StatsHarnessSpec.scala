@@ -179,6 +179,32 @@ class StatsHarnessSpec extends AnyFunSuite {
       s"bursty overdispersion invisible: ${bursty.toMap}")
   }
 
+  test("q288 capture-recapture lands near truth, denser sampling lands nearer") {
+    val rows = SparkEntry.queries("q288_capture_recapture")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(6)).toMap
+    assert(rows("10pct") <= 150, s"10% arm err ${rows("10pct")} permille")
+    assert(rows("30pct") <= 50, s"30% arm err ${rows("30pct")} permille")
+    assert(rows("30pct") <= rows("10pct"), "denser sampling did not improve the estimate")
+  }
+
+  test("q289 Chao1 beats naive S_obs at both scales (improvement law)") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val r = SparkEntry.queries("q289_chao1_richness")(spark, d).collect().head
+      val (sObs, chao1, truth) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      assert(chao1 > sObs, s"$d: no unseen mass added")
+      assert(math.abs(chao1 - truth) < math.abs(sObs - truth),
+        s"$d: chao1=$chao1 not closer to $truth than s_obs=$sObs")
+      assert(chao1 < 2 * truth, s"$d: chao1 wild: $chao1 vs $truth")
+    }
+  }
+
+  test("q290 jackknife SE brackets an independent half-split perturbation") {
+    val r = SparkEntry.queries("q290_jackknife_se")(spark, dir).collect().head
+    val (theta, se, halfGap) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(se > 0 && se * 20 < theta, s"SE implausible: $se vs theta $theta")
+    assert(halfGap < 6 * se, s"half-split gap $halfGap outside 6 jackknife SEs ($se)")
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
