@@ -1856,6 +1856,56 @@ object ExtrasQueries {
         k = 3)
         .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))
         .orderBy(col("o_custkey"), col("price").desc, col("o_orderkey"))
+    },
+
+    // Collation-aware join — Spark 4's string collations as a JOIN KEY
+    // (UTF8_LCASE), not a lower() rewrite: the engine hashes and
+    // compares under the collation, which is the first-class path for
+    // case-insensitive entity matching (ICU-backed, and at 100 TB the
+    // collated hash join shuffles exactly like a binary one). The probe
+    // side is the customer names case-MANGLED by hash (upper or lower
+    // per row), with a 10% negative control ('#X' suffix) that must NOT
+    // match — so the measured match rate is ~900 permille by
+    // construction, and the oracle (lower()-normalized equality, the
+    // pre-collation idiom) must agree exactly.
+    q("q291_collation_join",
+      "UTF8_LCASE collated join key: case-mangled probes match, controls don't")({
+      import graft.functions.PortableHash.md5LongSql
+      s"""WITH p AS (SELECT c_custkey,
+         |                  CASE WHEN ${md5LongSql("'cm:' || CAST(c_custkey AS VARCHAR)")} % 10 = 0
+         |                       THEN c_name || '#X'
+         |                       WHEN ${md5LongSql("'cu:' || CAST(c_custkey AS VARCHAR)")} % 2 = 0
+         |                       THEN upper(c_name) ELSE lower(c_name) END AS p_name
+         |           FROM customer),
+         |j AS (SELECT p.c_custkey, CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM p LEFT JOIN customer c ON lower(c.c_name) = lower(p.p_name)),
+         |cn AS (SELECT c_custkey, c_nationkey FROM customer)
+         |SELECT cn.c_nationkey, CAST(count(*) AS BIGINT) AS n_probes,
+         |       CAST(sum(j.hit) AS BIGINT) AS n_matched,
+         |       CAST((1000 * sum(j.hit)) // count(*) AS BIGINT) AS match_permille
+         |FROM j JOIN cn ON cn.c_custkey = j.c_custkey
+         |GROUP BY cn.c_nationkey ORDER BY cn.c_nationkey""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val cust = Tables(s, dir, "customer")
+      val p = cust.select(col("c_custkey"),
+        when(md5Long(concat(lit("cm:"), col("c_custkey").cast("string"))) % 10 === 0,
+          concat(col("c_name"), lit("#X")))
+          .when(md5Long(concat(lit("cu:"), col("c_custkey").cast("string"))) % 2 === 0,
+            upper(col("c_name")))
+          .otherwise(lower(col("c_name"))).as("p_name"))
+      // the join key is the COLLATED string — no lower() on the Spark side
+      val j = p.join(
+        cust.select(col("c_custkey").as("m_custkey"), col("c_name")),
+        expr("collate(c_name, 'UTF8_LCASE') = collate(p_name, 'UTF8_LCASE')"), "left")
+        .select(col("c_custkey"),
+          when(col("m_custkey").isNull, 0L).otherwise(1L).as("hit"))
+      j.join(cust.select(col("c_custkey"), col("c_nationkey")), Seq("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_probes"), sum(col("hit")).as("n_matched"))
+        .select(col("c_nationkey"), col("n_probes"), col("n_matched"),
+          expr("cast((1000 * n_matched) div n_probes as bigint)").as("match_permille"))
+        .orderBy("c_nationkey")
     }
   )
 }

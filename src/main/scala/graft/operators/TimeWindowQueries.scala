@@ -276,6 +276,48 @@ object TimeWindowQueries {
         .select(col("event_type"), timestamp_micros(col("bk") * 21600000000L).as("bucket"),
           col("n"), col("held_us"), col("twap"))
         .orderBy("event_type", "bucket")
+    },
+
+    // B28 extension — DYNAMIC gap session windows (Spark's per-row gap
+    // overload of session_window, public 3.2+ API): a purchase keeps the
+    // session alive 30 minutes, everything else 10 — the "engagement
+    // depends on what the user did" sessionization real funnels need.
+    // Merge semantics differ subtly from the fixed-gap case: each event
+    // extends the session to ts + ITS OWN gap, sessions merge while the
+    // next event starts no later than the RUNNING MAX of prior ends, and
+    // the session end is that running max (not last-event + gap). The
+    // oracle reproduces exactly that with a running-max window + island
+    // construction — the hash match pins Spark's dynamic-gap semantics,
+    // not just the row counts. Scale shape: one partitioned sort per
+    // user, no global window.
+    q("q292_dynamic_session_gap",
+      "per-row-gap session windows: purchases extend 30m, others 10m")(
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS t,
+        |                  CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+        |                       ELSE INTERVAL 10 MINUTE END AS g
+        |           FROM events),
+        |m AS (SELECT user_id, t, g,
+        |             max(t + g) OVER (PARTITION BY user_id ORDER BY t
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |      FROM e),
+        |b AS (SELECT user_id, t, g,
+        |             CASE WHEN pe IS NULL OR t > pe THEN 1 ELSE 0 END AS brk
+        |      FROM m),
+        |gi AS (SELECT user_id, t, g,
+        |              sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |       FROM b)
+        |SELECT user_id, min(t) AS s, max(t + g) AS e, count(*) AS n
+        |FROM gi GROUP BY user_id, sid ORDER BY user_id, s""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"),
+            when(col("event_type") === "purchase", "30 minutes").otherwise("10 minutes")))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("s"),
+          col("session_window.end").as("e"), col("n"))
+        .orderBy("user_id", "s")
     }
   )
 }
