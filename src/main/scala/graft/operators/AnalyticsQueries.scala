@@ -3655,6 +3655,141 @@ object AnalyticsQueries {
           expr("cast(floor(sqrt(cast(v as double))) as bigint)").as("se_micro"),
           abs(col("th0") - col("th1")).cast("long").as("half_gap_micro"),
           col("gn").as("n_groups"))
+    },
+
+    // Difference-in-differences — the workhorse causal estimator when
+    // randomization isn't available: (treated-post − treated-pre) −
+    // (control-post − control-pre) cancels both the group gap and the
+    // common time trend. Groups by user-hash, periods by the time-range
+    // midpoint, outcome in deci-units; each of the four cell means
+    // publishes as ONE truncating milli division, and the DiD is their
+    // alternating sum (deterministic bias ≤ 4 milli, identical both
+    // engines). Two arms: the raw stream (true effect ZERO — the
+    // placebo/A-A arm every DiD pipeline must pass) and a planted +50
+    // deci lift on treated-post rows only, which the estimator must
+    // recover as ≈ +50000 milli (spec-pinned with noise margins). Scale
+    // shape: one grouped pass to 2×2×2 cells — the estimator is
+    // metadata arithmetic after a single scan.
+    q("q293_diff_in_diff",
+      "2x2 DiD: placebo arm near zero, planted +50-deci lift recovered")(
+      s"""WITH e AS (SELECT CAST(round(value * 10) AS BIGINT) AS y,
+         |                  CASE WHEN ${md5LongSql("'tg:' || CAST(user_id AS VARCHAR)")} % 2 = 0
+         |                       THEN 1 ELSE 0 END AS treated,
+         |                  CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS t
+         |           FROM events),
+         |cut AS (SELECT (min(t) + max(t)) // 2 AS c FROM e),
+         |cells AS (SELECT 'null' AS arm, e.treated,
+         |                 CASE WHEN e.t >= cut.c THEN 1 ELSE 0 END AS post, e.y
+         |          FROM e CROSS JOIN cut
+         |          UNION ALL
+         |          SELECT 'planted', e.treated,
+         |                 CASE WHEN e.t >= cut.c THEN 1 ELSE 0 END,
+         |                 e.y + CASE WHEN e.treated = 1 AND e.t >= cut.c THEN 50 ELSE 0 END
+         |          FROM e CROSS JOIN cut),
+         |m AS (SELECT arm, treated, post, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(y) AS BIGINT) AS s FROM cells GROUP BY arm, treated, post),
+         |w AS (SELECT arm,
+         |             CAST(max(CASE WHEN treated = 1 AND post = 1 THEN (1000 * s) // n END) AS BIGINT) AS m11,
+         |             CAST(max(CASE WHEN treated = 1 AND post = 0 THEN (1000 * s) // n END) AS BIGINT) AS m10,
+         |             CAST(max(CASE WHEN treated = 0 AND post = 1 THEN (1000 * s) // n END) AS BIGINT) AS m01,
+         |             CAST(max(CASE WHEN treated = 0 AND post = 0 THEN (1000 * s) // n END) AS BIGINT) AS m00,
+         |             CAST(sum(n) AS BIGINT) AS n
+         |      FROM m GROUP BY arm)
+         |SELECT arm, n, m11, m10, m01, m00,
+         |       CAST(m11 - m10 - m01 + m00 AS BIGINT) AS did_milli
+         |FROM w ORDER BY arm""".stripMargin
+    ) { (sp, dir) =>
+      val e = Tables(sp, dir, "events")
+        .select(round(col("value") * 10).cast("long").as("y"),
+          when(md5Long(concat(lit("tg:"), col("user_id").cast("string"))) % 2 === 0, 1L)
+            .otherwise(0L).as("treated"),
+          expr("cast(ts as bigint)").as("t"))
+      val cut = e.agg(expr("(min(t) + max(t)) div 2").as("c"))
+      val base = e.crossJoin(broadcast(cut))
+        .withColumn("post", when(col("t") >= col("c"), 1L).otherwise(0L))
+      val cells = base.select(lit("null").as("arm"), col("treated"), col("post"), col("y"))
+        .unionAll(base.select(lit("planted").as("arm"), col("treated"), col("post"),
+          (col("y") + when(col("treated") === 1 && col("post") === 1, 50L).otherwise(0L))
+            .as("y")))
+      val m = cells.groupBy("arm", "treated", "post")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      def cell(tr: Int, po: Int) =
+        max(when(col("treated") === tr && col("post") === po,
+          expr("(1000 * s) div n"))).cast("long")
+      m.groupBy("arm")
+        .agg(cell(1, 1).as("m11"), cell(1, 0).as("m10"),
+          cell(0, 1).as("m01"), cell(0, 0).as("m00"), sum(col("n")).as("n"))
+        .select(col("arm"), col("n"), col("m11"), col("m10"), col("m01"), col("m00"),
+          (col("m11") - col("m10") - col("m01") + col("m00")).cast("long").as("did_milli"))
+        .orderBy("arm")
+    },
+
+    // NDCG@10 — the graded-relevance ranking metric (Järvelin &
+    // Kekäläinen, public literature) completing the retrieval-eval kit
+    // (exact AUC q172, AP q174, recall scorecards): discounts 1/log₂(i+1)
+    // enter as EXACT micro-unit literals (a 10-row table — no float log
+    // anywhere), DCG is one grouped integer dot product over the top-10
+    // window, ideal DCG re-ranks the same candidates by relevance, and
+    // NDCG publishes as one truncating milli division. Two ranker arms
+    // give the metric its poles: an oracle ranker (score = rel·1000 +
+    // hash noise) must hit NDCG ≈ 1000, the random ranker floats at the
+    // corpus's relevance base rate — both against the SAME graded
+    // relevance (hash-derived, 0–3). Scale shape: per-query candidate
+    // sets are disjoint doc_id slices; two row_number windows per
+    // (arm, query) partition; everything else is a 20-row rollup.
+    q("q294_ndcg",
+      "exact integer NDCG@10 per query: oracle ranker ~1000, random ranker at base rate")(
+      s"""WITH cand AS (SELECT doc_id, doc_id % 10 AS qid,
+         |                     ${md5LongSql("'rel:' || CAST(doc_id AS VARCHAR)")} % 4 AS rel,
+         |                     ${md5LongSql("'rs:' || CAST(doc_id AS VARCHAR)")} % 1000 AS noise
+         |              FROM documents),
+         |arms AS (SELECT 'a_oracle' AS arm, qid, doc_id, rel, rel * 1000 + noise AS score FROM cand
+         |         UNION ALL SELECT 'b_random', qid, doc_id, rel, noise FROM cand),
+         |disc AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
+         |                               (4, 430677), (5, 386853), (6, 356207),
+         |                               (7, 333333), (8, 315465), (9, 301030),
+         |                               (10, 289065)) AS t(pos, d)),
+         |rk AS (SELECT arm, qid, rel,
+         |              row_number() OVER (PARTITION BY arm, qid ORDER BY score DESC, doc_id) AS pos
+         |       FROM arms),
+         |ik AS (SELECT arm, qid, rel,
+         |              row_number() OVER (PARTITION BY arm, qid ORDER BY rel DESC, doc_id) AS pos
+         |       FROM arms),
+         |dcg AS (SELECT arm, qid, CAST(sum(rel * disc.d) AS BIGINT) AS dcg
+         |        FROM rk JOIN disc ON disc.pos = rk.pos GROUP BY arm, qid),
+         |idcg AS (SELECT arm, qid, CAST(sum(rel * disc.d) AS BIGINT) AS idcg
+         |         FROM ik JOIN disc ON disc.pos = ik.pos GROUP BY arm, qid)
+         |SELECT dcg.arm, CAST(dcg.qid AS BIGINT) AS qid, dcg.dcg, idcg.idcg,
+         |       CAST((1000 * dcg.dcg) // idcg.idcg AS BIGINT) AS ndcg_milli
+         |FROM dcg JOIN idcg ON idcg.arm = dcg.arm AND idcg.qid = dcg.qid
+         |ORDER BY 1, 2""".stripMargin
+    ) { (sp, dir) =>
+      val cand = Tables(sp, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 10).as("qid"),
+          (md5Long(concat(lit("rel:"), col("doc_id").cast("string"))) % 4).as("rel"),
+          (md5Long(concat(lit("rs:"), col("doc_id").cast("string"))) % 1000).as("noise"))
+      val arms = cand.select(lit("a_oracle").as("arm"), col("qid"), col("doc_id"), col("rel"),
+          (col("rel") * 1000 + col("noise")).as("score"))
+        .unionAll(cand.select(lit("b_random").as("arm"), col("qid"), col("doc_id"),
+          col("rel"), col("noise").as("score")))
+        .cache() // ranked leg + ideal leg
+      val disc = sp.range(1).select(explode(array(
+        Seq((1, 1000000L), (2, 630930L), (3, 500000L), (4, 430677L), (5, 386853L),
+          (6, 356207L), (7, 333333L), (8, 315465L), (9, 301030L), (10, 289065L))
+          .map { case (p, d) => struct(lit(p).as("pos"), lit(d).as("d")) }: _*)).as("x"))
+        .select(col("x.pos").as("pos"), col("x.d").as("d"))
+      val wScore = Window.partitionBy("arm", "qid").orderBy(col("score").desc, col("doc_id"))
+      val wIdeal = Window.partitionBy("arm", "qid").orderBy(col("rel").desc, col("doc_id"))
+      val dcg = arms.withColumn("pos", row_number().over(wScore))
+        .join(broadcast(disc), Seq("pos"))
+        .groupBy("arm", "qid").agg(sum(col("rel") * col("d")).as("dcg"))
+      val idcg = arms.withColumn("pos", row_number().over(wIdeal))
+        .join(broadcast(disc), Seq("pos"))
+        .groupBy("arm", "qid").agg(sum(col("rel") * col("d")).as("idcg"))
+      dcg.join(idcg, Seq("arm", "qid"))
+        .select(col("arm"), col("qid").cast("long").as("qid"), col("dcg"), col("idcg"),
+          expr("cast((1000 * dcg) div idcg as bigint)").as("ndcg_milli"))
+        .orderBy("arm", "qid")
     }
   )
 }

@@ -99,7 +99,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q286_good_turing" -> "1-row corpus-size scalar × the shingle stream (decile split cut)",
     "q287_dispersion_index" -> "1-row hour-bounds frame × series keys (q247's spine shape)",
     "q289_chao1_richness" -> "1-row corpus-size scalar × the shingle stream + 1-row estimate frames",
-    "q290_jackknife_se" -> "1-row total/variance/half-split frames × the 32-row replicate fold")
+    "q290_jackknife_se" -> "1-row total/variance/half-split frames × the 32-row replicate fold",
+    "q293_diff_in_diff" -> "1-row time-midpoint scalar × the event scan (period split cut)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

@@ -205,6 +205,27 @@ class StatsHarnessSpec extends AnyFunSuite {
     assert(halfGap < 6 * se, s"half-split gap $halfGap outside 6 jackknife SEs ($se)")
   }
 
+  test("q293 DiD recovers the planted lift EXACTLY as planted-minus-placebo") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q293_diff_in_diff")(spark, d).collect()
+        .map(r => r.getString(0) -> r.getLong(6)).toMap
+      // +50 deci on treated-post shifts m11 by exactly 50000 milli: the
+      // recovery is an algebraic identity, not an approximation
+      assert(rows("planted") - rows("null") == 50000L,
+        s"$d: planted=${rows("planted")} null=${rows("null")}")
+      assert(math.abs(rows("null")) < 30000, s"$d: placebo DiD too large: ${rows("null")}")
+    }
+  }
+
+  test("q294 NDCG: oracle ranker at 1000 for every query, random ranker well below") {
+    val rows = SparkEntry.queries("q294_ndcg")(spark, dir).collect()
+    val (oracle, random) = rows.partition(_.getString(0) == "a_oracle")
+    assert(oracle.length == 10 && random.length == 10)
+    assert(oracle.forall(_.getLong(4) == 1000L), "oracle ranker not ideal somewhere")
+    val avgRandom = random.map(_.getLong(4)).sum / 10
+    assert(avgRandom < 850, s"random ranker suspiciously good: $avgRandom")
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
