@@ -3790,6 +3790,125 @@ object AnalyticsQueries {
         .select(col("arm"), col("qid").cast("long").as("qid"), col("dcg"), col("idcg"),
           expr("cast((1000 * dcg) div idcg as bigint)").as("ndcg_milli"))
         .orderBy("arm", "qid")
+    },
+
+    // Markov removal-effect attribution — the principled alternative to
+    // q140's last-touch: model user journeys as a first-order chain with
+    // absorbing CONV/NULL states, compute the conversion probability
+    // from START, then re-compute with each channel REMOVED (its visits
+    // no longer convert — v(channel) ≡ 0); the relative drop is the
+    // channel's credit. The 100 TB trick: ONE scan builds the
+    // transition-count table and everything after is |states|²
+    // METADATA — the absorbing-chain value function is an exact integer
+    // fixed point, vₖ(s) = (Σ_t c(s,t)·wₖ₋₁(t) + c(s,CONV)·10⁶) // C(s),
+    // iterated 12 rounds per (arm, state) over a ≤30-row frame (no
+    // linear solver, no floats; monotone convergence, both engines run
+    // the identical recursion so the oracle unrolls the same 12 rounds).
+    // Path semantics pinned in the transition CTE: journeys end at the
+    // FIRST purchase (→CONV) or at sequence end (→NULL); START feeds
+    // the first pre-purchase event, or CONV directly when the journey
+    // opens with a purchase.
+    q("q295_markov_attribution",
+      "absorbing-chain conversion value + per-channel removal effects, 12 exact rounds")(
+      """WITH e AS (SELECT user_id, event_type,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts, event_id) AS rn
+        |           FROM events),
+        |fp AS (SELECT user_id, min(CASE WHEN event_type = 'purchase' THEN rn END) AS f
+        |       FROM e GROUP BY user_id),
+        |pre AS (SELECT e.user_id, e.event_type, e.rn, fp.f
+        |        FROM e JOIN fp ON fp.user_id = e.user_id
+        |        WHERE fp.f IS NULL OR e.rn < fp.f),
+        |chain AS (SELECT user_id, event_type AS s,
+        |                 lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nx,
+        |                 rn, f,
+        |                 max(rn) OVER (PARTITION BY user_id) AS lastrn
+        |          FROM pre),
+        |edges AS (
+        |  SELECT 'START' AS s, CASE WHEN f = 1 THEN 'CONV' ELSE event_type END AS t
+        |  FROM (SELECT fp.user_id, fp.f, e.event_type
+        |        FROM fp LEFT JOIN e ON e.user_id = fp.user_id AND e.rn = 1)
+        |  UNION ALL
+        |  SELECT s, nx FROM chain WHERE nx IS NOT NULL
+        |  UNION ALL
+        |  SELECT s, CASE WHEN f IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+        |  FROM chain WHERE rn = lastrn),
+        |trans AS (SELECT s, t, CAST(count(*) AS BIGINT) AS c FROM edges GROUP BY s, t),
+        |tots AS (SELECT s, CAST(sum(c) AS BIGINT) AS tot FROM trans GROUP BY s),
+        |tr AS (SELECT trans.s, trans.t, trans.c, tots.tot
+        |       FROM trans JOIN tots ON tots.s = trans.s),
+        |arms AS (SELECT unnest(['base', 'click', 'error', 'signup', 'view']) AS arm),
+        |v0 AS (SELECT a.arm, tots.s, CAST(0 AS BIGINT) AS v FROM tots CROSS JOIN arms a),
+        |""".stripMargin +
+        (1 to 12).map { k =>
+          s"""v$k AS MATERIALIZED (
+             |  SELECT a.arm, tr.s,
+             |         CAST(sum(tr.c * CASE WHEN tr.t = 'CONV' THEN 1000000
+             |                              WHEN tr.t = 'NULL' THEN 0
+             |                              WHEN tr.t = a.arm THEN 0
+             |                              ELSE coalesce(p.v, 0) END) // max(tr.tot) AS BIGINT) AS v
+             |  FROM tr CROSS JOIN arms a
+             |       LEFT JOIN v${k - 1} p ON p.arm = a.arm AND p.s = tr.t
+             |  GROUP BY a.arm, tr.s)""".stripMargin
+        }.mkString(",\n") +
+        """
+          |SELECT v.arm, v.v AS conv_micro,
+          |       CAST(CASE WHEN v.arm = 'base' THEN 0
+          |            ELSE (1000 * (b.v - v.v)) // b.v END AS BIGINT) AS removal_permille
+          |FROM v12 v JOIN (SELECT v FROM v12 WHERE arm = 'base' AND s = 'START') b ON true
+          |WHERE v.s = 'START'
+          |ORDER BY v.arm""".stripMargin
+    ) { (sp, dir) =>
+      val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val e = Tables(sp, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(wSeq))
+      val fp = e.groupBy("user_id")
+        .agg(min(when(col("event_type") === "purchase", col("rn"))).as("f"))
+      val pre = e.join(fp, Seq("user_id"))
+        .filter(col("f").isNull || col("rn") < col("f"))
+      val wPre = Window.partitionBy("user_id").orderBy("rn")
+      val chain = pre.select(col("user_id"), col("event_type").as("s"),
+        lead(col("event_type"), 1).over(wPre).as("nx"), col("rn"), col("f"),
+        max(col("rn")).over(Window.partitionBy("user_id")).as("lastrn"))
+      val startEdges = fp
+        .join(e.filter(col("rn") === 1).select(col("user_id"), col("event_type")),
+          Seq("user_id"), "left")
+        .select(lit("START").as("s"),
+          when(col("f") === 1, "CONV").otherwise(col("event_type")).as("t"))
+      val edges = startEdges
+        .unionAll(chain.filter(col("nx").isNotNull).select(col("s"), col("nx").as("t")))
+        .unionAll(chain.filter(col("rn") === col("lastrn"))
+          .select(col("s"), when(col("f").isNotNull, "CONV").otherwise("NULL").as("t")))
+      val trans = edges.groupBy("s", "t").agg(count(lit(1)).as("c"))
+      val tots = trans.groupBy("s").agg(sum(col("c")).as("tot"))
+      val tr = trans.join(tots, Seq("s")).localCheckpoint(true) // 12 rounds re-join this
+      val arms = sp.range(1).select(explode(array(
+        lit("base"), lit("click"), lit("error"), lit("signup"), lit("view"))).as("arm"))
+      var v = tots.crossJoin(arms).select(col("arm"), col("s"), lit(0L).as("v"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 12) {
+        v = tr.crossJoin(broadcast(arms))
+          .join(broadcast(v.select(col("arm"), col("s").as("t"), col("v"))),
+            Seq("arm", "t"), "left")
+          .groupBy("arm", "s")
+          .agg(sum(col("c") * when(col("t") === "CONV", 1000000L)
+            .when(col("t") === "NULL", 0L)
+            .when(col("t") === col("arm"), 0L)
+            .otherwise(coalesce(col("v"), lit(0L)))).as("num"),
+            max(col("tot")).as("tt"))
+          .select(col("arm"), col("s"), expr("cast(num div tt as bigint)").as("v"))
+          .localCheckpoint(true)
+      }
+      val base = v.filter(col("arm") === "base" && col("s") === "START")
+        .select(col("v").as("bv"))
+      v.filter(col("s") === "START")
+        .crossJoin(broadcast(base))
+        .select(col("arm"), col("v").as("conv_micro"),
+          when(col("arm") === "base", 0L)
+            .otherwise(expr("(1000 * (bv - v)) div bv")).cast("long")
+            .as("removal_permille"))
+        .orderBy("arm")
     }
   )
 }

@@ -100,7 +100,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q287_dispersion_index" -> "1-row hour-bounds frame × series keys (q247's spine shape)",
     "q289_chao1_richness" -> "1-row corpus-size scalar × the shingle stream + 1-row estimate frames",
     "q290_jackknife_se" -> "1-row total/variance/half-split frames × the 32-row replicate fold",
-    "q293_diff_in_diff" -> "1-row time-midpoint scalar × the event scan (period split cut)")
+    "q293_diff_in_diff" -> "1-row time-midpoint scalar × the event scan (period split cut)",
+    "q295_markov_attribution" -> "5-arm grid × the ≤30-row transition table + 1-row base-value frame (post-scan metadata)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

@@ -226,6 +226,19 @@ class StatsHarnessSpec extends AnyFunSuite {
     assert(avgRandom < 850, s"random ranker suspiciously good: $avgRandom")
   }
 
+  test("q295 Markov attribution: removals all hurt, symmetrically on an iid stream") {
+    val rows = SparkEntry.queries("q295_markov_attribution")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (baseConv, _) = rows("base")
+    assert(baseConv > 800000 && baseConv <= 1000000, s"base conversion $baseConv")
+    val removals = rows.filterNot(_._1 == "base").values.map(_._2)
+    assert(removals.forall(r => r > 300 && r < 600),
+      s"removal effects out of band: $rows")
+    // the fixture's channels are iid => near-symmetric credit
+    assert(removals.max - removals.min < 100,
+      s"asymmetric credit on an iid stream: $rows")
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
