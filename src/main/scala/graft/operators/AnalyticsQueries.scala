@@ -3909,6 +3909,147 @@ object AnalyticsQueries {
             .otherwise(expr("(1000 * (bv - v)) div bv")).cast("long")
             .as("removal_permille"))
         .orderBy("arm")
+    },
+
+    // Off-policy evaluation (IPS + SNIPS) — score a NEW policy from data
+    // logged under an OLD one, the primitive behind every recommender /
+    // bandit iteration that cannot afford an online test. Synthetic
+    // bandit with KNOWN ground truth: uniform-1/5 logging policy,
+    // deterministic context reward (r = 1 iff action = context mod 5),
+    // so every target policy's true value is computable and the
+    // estimators are AUDITED, not just computed: the optimal policy
+    // (true 1000 milli), the worst (true 0), and a half-mixed one
+    // (true ≈ 500). IPS = Σ 1[a=π(x)]·r·5 / n (importance weight 1/p =
+    // 5 exactly — integer); SNIPS normalizes by the realized weight sum
+    // (lower variance, small bias — both published). All integer milli
+    // divisions; one scan, three policies as conditional sums.
+    q("q296_offpolicy_eval",
+      "IPS + SNIPS off-policy estimates vs known true policy values")(
+      s"""WITH b AS (SELECT user_id % 10 AS c,
+         |                  ${md5LongSql("'ac:' || CAST(event_id AS VARCHAR)")} % 5 AS a
+         |           FROM events),
+         |r AS (SELECT c, a, CASE WHEN a = c % 5 THEN 1 ELSE 0 END AS rew FROM b),
+         |pol AS (SELECT r.c, r.a, r.rew, p.pol,
+         |               CASE p.pol WHEN 'a_opt' THEN r.c % 5
+         |                          WHEN 'b_bad' THEN (r.c + 1) % 5
+         |                          ELSE CASE WHEN r.c % 2 = 0 THEN r.c % 5
+         |                                    ELSE (r.c + 1) % 5 END END AS pa
+         |        FROM r CROSS JOIN (SELECT unnest(['a_opt', 'b_bad', 'c_mixed']) AS pol) p),
+         |m AS (SELECT pol, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(CASE WHEN a = pa THEN 5 * rew ELSE 0 END) AS BIGINT) AS wsum_r,
+         |             CAST(sum(CASE WHEN a = pa THEN 5 ELSE 0 END) AS BIGINT) AS wsum,
+         |             CAST(sum(CASE WHEN pa = c % 5 THEN 1 ELSE 0 END) AS BIGINT) AS true_hits
+         |      FROM pol GROUP BY pol)
+         |SELECT pol AS policy, n,
+         |       CAST((1000 * wsum_r) // n AS BIGINT) AS ips_milli,
+         |       CAST((1000 * wsum_r) // greatest(wsum, 1) AS BIGINT) AS snips_milli,
+         |       CAST((1000 * true_hits) // n AS BIGINT) AS true_milli
+         |FROM m ORDER BY policy""".stripMargin
+    ) { (sp, dir) =>
+      val b = Tables(sp, dir, "events")
+        .select((col("user_id") % 10).as("c"),
+          (md5Long(concat(lit("ac:"), col("event_id").cast("string"))) % 5).as("a"))
+        .withColumn("rew", when(col("a") === col("c") % 5, 1L).otherwise(0L))
+      val pols = sp.range(1).select(explode(array(
+        lit("a_opt"), lit("b_bad"), lit("c_mixed"))).as("pol"))
+      val pol = b.crossJoin(broadcast(pols))
+        .withColumn("pa",
+          when(col("pol") === "a_opt", col("c") % 5)
+            .when(col("pol") === "b_bad", (col("c") + 1) % 5)
+            .otherwise(when(col("c") % 2 === 0, col("c") % 5).otherwise((col("c") + 1) % 5)))
+      pol.groupBy("pol")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a") === col("pa"), lit(5L) * col("rew")).otherwise(0L)).as("wsum_r"),
+          sum(when(col("a") === col("pa"), 5L).otherwise(0L)).as("wsum"),
+          sum(when(col("pa") === col("c") % 5, 1L).otherwise(0L)).as("true_hits"))
+        .select(col("pol").as("policy"), col("n"),
+          expr("cast((1000 * wsum_r) div n as bigint)").as("ips_milli"),
+          expr("cast((1000 * wsum_r) div greatest(wsum, 1) as bigint)").as("snips_milli"),
+          expr("cast((1000 * true_hits) div n as bigint)").as("true_milli"))
+        .orderBy("policy")
+    },
+
+    // Bootstrap CI on an A/B DIFFERENCE — q270's Poisson machinery
+    // pointed at the question experiments actually ask: is the lift's
+    // interval clear of zero? Per replicate, BOTH arms' weighted means
+    // come from the same map-side-combined pass and the replicate
+    // statistic is their difference; the 90% CI is the exact 2nd/31st
+    // rank pick. Two scenarios: a hash A/A split (CI must straddle 0 —
+    // the bootstrap's false-positive guard) and a planted +60-deci
+    // treatment. Because the lift is a constant shift of one arm, each
+    // replicate's difference moves by EXACTLY 60000 milli (the weighted
+    // mean of y+60 is the mean of y plus 60, exactly, in integer
+    // arithmetic) — so planted CI ≡ A/A CI + 60000, an identity the
+    // spec asserts, and 60000 clears the measured A/A band at both
+    // scales. Integer throughout; identical hash weights both engines.
+    q("q297_bootstrap_ab_diff",
+      "Poisson-bootstrap 90% CI of the A/B mean difference: A/A straddles 0, planted lift clears it")(
+      s"""WITH e AS (SELECT event_id, CAST(round(value * 10) AS BIGINT) AS y,
+         |                  ${md5LongSql("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS grp
+         |           FROM events),
+         |sc AS (SELECT 'aa' AS scen, event_id, grp, y FROM e
+         |       UNION ALL
+         |       SELECT 'planted', event_id, grp, y + CASE WHEN grp = 1 THEN 60 ELSE 0 END
+         |       FROM e),
+         |fan AS (SELECT sc.scen, sc.grp, sc.y, r.rep,
+         |               ${md5LongSql("'bs:' || CAST(sc.event_id AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)")} % 100000 AS u
+         |        FROM sc CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS rep) r),
+         |w AS (SELECT scen, grp, y, rep,
+         |             CASE WHEN u < 36788 THEN 0 WHEN u < 73576 THEN 1
+         |                  WHEN u < 91970 THEN 2 WHEN u < 98101 THEN 3
+         |                  WHEN u < 99634 THEN 4 WHEN u < 99941 THEN 5
+         |                  WHEN u < 99992 THEN 6 ELSE 7 END AS wt
+         |      FROM fan),
+         |reps AS (SELECT scen, rep,
+         |                CAST((1000 * sum(CASE WHEN grp = 1 THEN wt * y ELSE 0 END))
+         |                     // greatest(sum(CASE WHEN grp = 1 THEN wt ELSE 0 END), 1)
+         |                   - (1000 * sum(CASE WHEN grp = 0 THEN wt * y ELSE 0 END))
+         |                     // greatest(sum(CASE WHEN grp = 0 THEN wt ELSE 0 END), 1) AS BIGINT)
+         |                  AS diff_milli
+         |         FROM w GROUP BY scen, rep),
+         |rk AS (SELECT scen, diff_milli,
+         |              row_number() OVER (PARTITION BY scen ORDER BY diff_milli) AS rn
+         |       FROM reps)
+         |SELECT scen,
+         |       CAST(max(CASE WHEN rn = 2 THEN diff_milli END) AS BIGINT) AS ci_lo_milli,
+         |       CAST(max(CASE WHEN rn = 31 THEN diff_milli END) AS BIGINT) AS ci_hi_milli,
+         |       CAST(CASE WHEN max(CASE WHEN rn = 2 THEN diff_milli END) > 0
+         |                   OR max(CASE WHEN rn = 31 THEN diff_milli END) < 0
+         |            THEN 1 ELSE 0 END AS BIGINT) AS significant
+         |FROM rk GROUP BY scen ORDER BY scen""".stripMargin
+    ) { (sp, dir) =>
+      val e = Tables(sp, dir, "events")
+        .select(col("event_id"), round(col("value") * 10).cast("long").as("y"),
+          (md5Long(concat(lit("ab:"), col("user_id").cast("string"))) % 2).as("grp"))
+      val sc = e.select(lit("aa").as("scen"), col("event_id"), col("grp"), col("y"))
+        .unionAll(e.select(lit("planted").as("scen"), col("event_id"), col("grp"),
+          (col("y") + when(col("grp") === 1, 60L).otherwise(0L)).as("y")))
+      val reps32 = sp.range(1).select(explode(sequence(lit(0), lit(31))).as("rep"))
+      val w = sc.crossJoin(broadcast(reps32))
+        .withColumn("u", md5Long(concat(lit("bs:"), col("event_id").cast("string"),
+          lit(":"), col("rep").cast("string"))) % 100000)
+        .withColumn("wt",
+          when(col("u") < 36788, 0L).when(col("u") < 73576, 1L)
+            .when(col("u") < 91970, 2L).when(col("u") < 98101, 3L)
+            .when(col("u") < 99634, 4L).when(col("u") < 99941, 5L)
+            .when(col("u") < 99992, 6L).otherwise(7L))
+      val reps = w.groupBy("scen", "rep")
+        .agg(sum(when(col("grp") === 1, col("wt") * col("y")).otherwise(0L)).as("s1"),
+          sum(when(col("grp") === 1, col("wt")).otherwise(0L)).as("w1"),
+          sum(when(col("grp") === 0, col("wt") * col("y")).otherwise(0L)).as("s0"),
+          sum(when(col("grp") === 0, col("wt")).otherwise(0L)).as("w0"))
+        .select(col("scen"),
+          expr("cast((1000 * s1) div greatest(w1, 1) - (1000 * s0) div greatest(w0, 1) as bigint)")
+            .as("diff_milli"))
+      val wRk = Window.partitionBy("scen").orderBy("diff_milli")
+      reps.withColumn("rn", row_number().over(wRk))
+        .groupBy("scen")
+        .agg(max(when(col("rn") === 2, col("diff_milli"))).cast("long").as("ci_lo_milli"),
+          max(when(col("rn") === 31, col("diff_milli"))).cast("long").as("ci_hi_milli"))
+        .select(col("scen"), col("ci_lo_milli"), col("ci_hi_milli"),
+          when(col("ci_lo_milli") > 0 || col("ci_hi_milli") < 0, 1L)
+            .otherwise(0L).as("significant"))
+        .orderBy("scen")
     }
   )
 }

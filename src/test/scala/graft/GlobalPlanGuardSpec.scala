@@ -101,7 +101,9 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q289_chao1_richness" -> "1-row corpus-size scalar × the shingle stream + 1-row estimate frames",
     "q290_jackknife_se" -> "1-row total/variance/half-split frames × the 32-row replicate fold",
     "q293_diff_in_diff" -> "1-row time-midpoint scalar × the event scan (period split cut)",
-    "q295_markov_attribution" -> "5-arm grid × the ≤30-row transition table + 1-row base-value frame (post-scan metadata)")
+    "q295_markov_attribution" -> "5-arm grid × the ≤30-row transition table + 1-row base-value frame (post-scan metadata)",
+    "q296_offpolicy_eval" -> "3-policy grid × the logged-bandit scan (conditional sums per policy)",
+    "q297_bootstrap_ab_diff" -> "32-row replicate grid × the event scan (q270's bootstrap fan-out)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

@@ -239,6 +239,31 @@ class StatsHarnessSpec extends AnyFunSuite {
       s"asymmetric credit on an iid stream: $rows")
   }
 
+  test("q296 off-policy eval: SNIPS audits exactly, IPS unbiased, ordering preserved") {
+    val rows = SparkEntry.queries("q296_offpolicy_eval")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (ipsOpt, snipsOpt, trueOpt) = rows("a_opt")
+    assert(trueOpt == 1000L && snipsOpt == 1000L, s"optimal policy: $rows")
+    assert(math.abs(ipsOpt - 1000) < 150, s"IPS far from truth: $ipsOpt")
+    assert(rows("b_bad") == ((0L, 0L, 0L)), s"bad policy nonzero: ${rows("b_bad")}")
+    val (ipsM, snipsM, trueM) = rows("c_mixed")
+    assert(math.abs(ipsM - trueM) < 150 && math.abs(snipsM - trueM) < 100,
+      s"mixed policy estimates off: $rows")
+  }
+
+  test("q297 bootstrap A/B diff: A/A straddles zero, planted CI is the exact +60000 shift") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q297_bootstrap_ab_diff")(spark, d).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val (aaLo, aaHi, aaSig) = rows("aa")
+      val (pLo, pHi, pSig) = rows("planted")
+      assert(aaLo <= 0 && aaHi >= 0 && aaSig == 0L, s"$d: A/A fired: $rows")
+      assert(pLo == aaLo + 60000 && pHi == aaHi + 60000,
+        s"$d: shift identity broken: $rows")
+      assert(pSig == 1L && pLo > 0, s"$d: planted lift not detected: $rows")
+    }
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
