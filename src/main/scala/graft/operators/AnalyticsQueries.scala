@@ -4050,6 +4050,134 @@ object AnalyticsQueries {
           when(col("ci_lo_milli") > 0 || col("ci_hi_milli") < 0, 1L)
             .otherwise(0L).as("significant"))
         .orderBy("scen")
+    },
+
+    // CUPED — the variance-reduction method every experimentation
+    // platform runs (Deng et al. 2013, public literature): adjust the
+    // post-period metric by θ·(pre-period covariate) and the experiment
+    // needs a fraction of the traffic for the same power. The covariate
+    // only helps when user behavior PERSISTS across periods, so a
+    // hash-derived per-user rate multiplier (×1..5) is planted into the
+    // metric on BOTH sides of the time split — the documented
+    // construction (the fixture's raw values are iid, the q282 lesson:
+    // only built dependencies carry signal). Everything integer: user
+    // means in truncating milli, θ = (1000·(nΣXY − ΣXΣY)) //
+    // (nΣX² − (ΣX)²) in 38-digit space, adjusted metric Y − θX//1000,
+    // variances cleared the same way, and the planted +30-deci lift
+    // shifts the naive lift EXACTLY (constant per-row shift of one
+    // group's post rows). Output: θ, naive vs CUPED lift, and the
+    // variance-reduction permille — the number that justifies the
+    // method. Scale shape: one scan → per-(user, period) partials →
+    // user-level frame → three moment rollups.
+    q("q298_cuped",
+      "CUPED adjusted lift + variance reduction from a persistent-user covariate")(
+      s"""WITH e AS (SELECT user_id, CAST(round(value * 10) AS BIGINT) AS y0,
+         |                  CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS t
+         |           FROM events),
+         |cut AS (SELECT (min(t) + max(t)) // 2 AS c FROM e),
+         |r AS (SELECT user_id,
+         |             y0 * (1 + ${md5LongSql("'um:' || CAST(user_id AS VARCHAR)")} % 5) AS y,
+         |             CASE WHEN t >= cut.c THEN 1 ELSE 0 END AS post,
+         |             CASE WHEN ${md5LongSql("'cg:' || CAST(user_id AS VARCHAR)")} % 2 = 0
+         |                  THEN 1 ELSE 0 END AS g
+         |      FROM e CROSS JOIN cut),
+         |arms AS (SELECT 'null' AS arm, user_id, g, post, y FROM r
+         |         UNION ALL
+         |         SELECT 'planted', user_id, g, post,
+         |                y + CASE WHEN g = 1 AND post = 1 THEN 30 ELSE 0 END FROM r),
+         |u AS (SELECT arm, user_id, max(g) AS g,
+         |             CAST((1000 * sum(CASE WHEN post = 0 THEN y END))
+         |                  // count(CASE WHEN post = 0 THEN 1 END) AS BIGINT) AS x,
+         |             CAST((1000 * sum(CASE WHEN post = 1 THEN y END))
+         |                  // count(CASE WHEN post = 1 THEN 1 END) AS BIGINT) AS yy
+         |      FROM arms GROUP BY arm, user_id
+         |      HAVING count(CASE WHEN post = 0 THEN 1 END) > 0
+         |         AND count(CASE WHEN post = 1 THEN 1 END) > 0),
+         |th AS (SELECT arm,
+         |              CAST((1000 * (count(*) * CAST(sum(x * yy) AS HUGEINT)
+         |                            - CAST(sum(x) AS HUGEINT) * sum(yy)))
+         |                   // (count(*) * CAST(sum(x * x) AS HUGEINT)
+         |                      - CAST(sum(x) AS HUGEINT) * sum(x)) AS BIGINT) AS theta
+         |       FROM u GROUP BY arm),
+         |adj AS (SELECT u.arm, u.g, u.yy, u.yy - (th.theta * u.x) // 1000 AS yc
+         |        FROM u JOIN th ON th.arm = u.arm),
+         |agg AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |               CAST((sum(CASE WHEN g = 1 THEN yy END) // count(CASE WHEN g = 1 THEN 1 END))
+         |                  - (sum(CASE WHEN g = 0 THEN yy END) // count(CASE WHEN g = 0 THEN 1 END))
+         |                 AS BIGINT) AS lift_naive_milli,
+         |               CAST((sum(CASE WHEN g = 1 THEN yc END) // count(CASE WHEN g = 1 THEN 1 END))
+         |                  - (sum(CASE WHEN g = 0 THEN yc END) // count(CASE WHEN g = 0 THEN 1 END))
+         |                 AS BIGINT) AS lift_cuped_milli,
+         |               CAST((count(*) * CAST(sum(yy * yy) AS HUGEINT)
+         |                     - CAST(sum(yy) AS HUGEINT) * sum(yy)) // (count(*) * (count(*) - 1))
+         |                 AS BIGINT) AS var_y,
+         |               CAST((count(*) * CAST(sum(yc * yc) AS HUGEINT)
+         |                     - CAST(sum(yc) AS HUGEINT) * sum(yc)) // (count(*) * (count(*) - 1))
+         |                 AS BIGINT) AS var_yc
+         |        FROM adj GROUP BY arm)
+         |SELECT agg.arm, agg.n_users, th.theta AS theta_milli,
+         |       agg.lift_naive_milli, agg.lift_cuped_milli,
+         |       CAST((1000 * (agg.var_y - agg.var_yc)) // agg.var_y AS BIGINT)
+         |         AS var_reduction_permille
+         |FROM agg JOIN th ON th.arm = agg.arm ORDER BY agg.arm""".stripMargin
+    ) { (sp, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = Tables(sp, dir, "events")
+        .select(col("user_id"), round(col("value") * 10).cast("long").as("y0"),
+          expr("cast(ts as bigint)").as("t"))
+      val cut = e.agg(expr("(min(t) + max(t)) div 2").as("c"))
+      val r = e.crossJoin(broadcast(cut))
+        .select(col("user_id"),
+          (col("y0") * (lit(1L) + md5Long(concat(lit("um:"),
+            col("user_id").cast("string"))) % 5)).as("y"),
+          when(col("t") >= col("c"), 1L).otherwise(0L).as("post"),
+          when(md5Long(concat(lit("cg:"), col("user_id").cast("string"))) % 2 === 0, 1L)
+            .otherwise(0L).as("g"))
+      val arms = r.select(lit("null").as("arm"), col("user_id"), col("g"), col("post"), col("y"))
+        .unionAll(r.select(lit("planted").as("arm"), col("user_id"), col("g"), col("post"),
+          (col("y") + when(col("g") === 1 && col("post") === 1, 30L).otherwise(0L)).as("y")))
+      val u = arms.groupBy("arm", "user_id")
+        .agg(max(col("g")).as("g"),
+          sum(when(col("post") === 0, col("y"))).as("sx"),
+          count(when(col("post") === 0, 1)).as("nx"),
+          sum(when(col("post") === 1, col("y"))).as("sy"),
+          count(when(col("post") === 1, 1)).as("ny"))
+        .filter(col("nx") > 0 && col("ny") > 0)
+        .select(col("arm"), col("g"),
+          expr("cast((1000 * sx) div nx as bigint)").as("x"),
+          expr("cast((1000 * sy) div ny as bigint)").as("yy"))
+        .cache() // theta fit + adjusted rollup
+      val th = u.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("x") * col("yy")).as("sxy"),
+          sum(col("x")).as("sx"), sum(col("yy")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("arm"),
+          expr(("cast((1000 * (n * cast(sxy as decimal(38,0)) - cast(sx as decimal(38,0)) * sy))"
+            + " div (n * cast(sxx as decimal(38,0)) - cast(sx as decimal(38,0)) * sx) as bigint)"))
+            .as("theta"))
+      val adj = u.join(broadcast(th), Seq("arm"))
+        .select(col("arm"), col("g"), col("yy"),
+          (col("yy") - expr("(theta * x) div 1000")).as("yc"))
+      val agg2 = adj.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          expr("cast((sum(case when g = 1 then yy end) div count(case when g = 1 then 1 end))"
+            + " - (sum(case when g = 0 then yy end) div count(case when g = 0 then 1 end)) as bigint)")
+            .as("lift_naive_milli"),
+          expr("cast((sum(case when g = 1 then yc end) div count(case when g = 1 then 1 end))"
+            + " - (sum(case when g = 0 then yc end) div count(case when g = 0 then 1 end)) as bigint)")
+            .as("lift_cuped_milli"),
+          expr(("cast((count(*) * cast(sum(yy * yy) as decimal(38,0))"
+            + " - cast(sum(yy) as decimal(38,0)) * sum(yy)) div (count(*) * (count(*) - 1)) as bigint)"))
+            .as("var_y"),
+          expr(("cast((count(*) * cast(sum(yc * yc) as decimal(38,0))"
+            + " - cast(sum(yc) as decimal(38,0)) * sum(yc)) div (count(*) * (count(*) - 1)) as bigint)"))
+            .as("var_yc"))
+      agg2.join(th, Seq("arm"))
+        .select(col("arm"), col("n_users"), col("theta").as("theta_milli"),
+          col("lift_naive_milli"), col("lift_cuped_milli"),
+          expr("cast((1000 * (var_y - var_yc)) div var_y as bigint)")
+            .as("var_reduction_permille"))
+        .orderBy("arm")
     }
   )
 }

@@ -264,6 +264,22 @@ class StatsHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("q298 CUPED: strong covariate found, big variance cut, lift preserved exactly") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q298_cuped")(spark, d).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      val (thN, naiveN, cupedN, redN) = rows("null")
+      val (thP, naiveP, cupedP, redP) = rows("planted")
+      assert(thN > 700 && thN < 1100, s"$d: theta off: $thN")
+      assert(redN > 600 && redN < 900 && redP > 600, s"$d: variance cut off: $redN/$redP")
+      // constant +30-deci shift of treated-post rows moves the naive lift exactly
+      assert(naiveP - naiveN == 30000L, s"$d: naive shift ${naiveP - naiveN}")
+      assert(math.abs((cupedP - cupedN) - 30000L) < 500,
+        s"$d: CUPED distorted the effect: ${cupedP - cupedN}")
+    }
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
