@@ -4178,6 +4178,196 @@ object AnalyticsQueries {
           expr("cast((1000 * (var_y - var_yc)) div var_y as bigint)")
             .as("var_reduction_permille"))
         .orderBy("arm")
+    },
+
+    // Sample-ratio mismatch — the gate every experiment readout runs
+    // FIRST: if the randomization didn't deliver the designed split,
+    // every downstream lift is suspect. χ² for a 50:50 design folds to
+    // (n₁−n₀)²/n, cleared to 1000·(n₁−n₀)² // n milli against the
+    // 3841-milli critical value — pure integer, unit = DISTINCT users
+    // (the randomization unit, not events). Two arms: the fair hash
+    // split (must pass) and a 30%/70% assignment (must fire at
+    // both scales; the fixture has only 150 randomization UNITS at
+    // sf0.01 — a 2-point bias is statistically invisible there, so the
+    // planted fault is sized to the unit count, the q260 lesson on the
+    // randomization axis).
+    q("q299_srm_gate",
+      "sample-ratio-mismatch chi-square on distinct users: fair split passes, 48% bias fires")(
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |a AS (SELECT 'biased' AS arm,
+         |             CASE WHEN ${md5LongSql("'sr:' || CAST(user_id AS VARCHAR)")} % 1000 < 300
+         |                  THEN 1 ELSE 0 END AS g
+         |      FROM u
+         |      UNION ALL
+         |      SELECT 'fair', CASE WHEN ${md5LongSql("'cg:' || CAST(user_id AS VARCHAR)")} % 2 = 0
+         |                          THEN 1 ELSE 0 END
+         |      FROM u),
+         |m AS (SELECT arm, CAST(sum(g) AS BIGINT) AS n1,
+         |             CAST(sum(1 - g) AS BIGINT) AS n0 FROM a GROUP BY arm)
+         |SELECT arm, n0, n1,
+         |       CAST((1000 * (n1 - n0) * (n1 - n0)) // (n1 + n0) AS BIGINT) AS chi2_milli,
+         |       CAST(CASE WHEN (1000 * (n1 - n0) * (n1 - n0)) // (n1 + n0) > 3841
+         |            THEN 1 ELSE 0 END AS BIGINT) AS srm_detected
+         |FROM m ORDER BY arm""".stripMargin
+    ) { (sp, dir) =>
+      val u = Tables(sp, dir, "events").select(col("user_id")).distinct()
+      def g(tag: String, cond: Column => Column) = cond(
+        md5Long(concat(lit(tag), col("user_id").cast("string"))))
+      val a = u.select(lit("biased").as("arm"),
+          when(g("sr:", h => h % 1000 < 300), 1L).otherwise(0L).as("g"))
+        .unionAll(u.select(lit("fair").as("arm"),
+          when(g("cg:", h => h % 2 === 0), 1L).otherwise(0L).as("g")))
+      a.groupBy("arm").agg(sum(col("g")).as("n1"), sum(lit(1L) - col("g")).as("n0"))
+        .select(col("arm"), col("n0"), col("n1"),
+          expr("cast((1000 * (n1 - n0) * (n1 - n0)) div (n1 + n0) as bigint)").as("chi2_milli"),
+          when(expr("(1000 * (n1 - n0) * (n1 - n0)) div (n1 + n0)") > 3841, 1L)
+            .otherwise(0L).as("srm_detected"))
+        .orderBy("arm")
+    },
+
+    // The composed experiment READOUT — the capstone that proves the
+    // experimentation family composes into the one table a decision
+    // meeting actually reads, in ONE lineage: SRM gate on the
+    // randomization units (q299), naive lift, CUPED θ/adjusted lift/
+    // variance cut (q298's machinery verbatim, planted +200-deci
+    // experiment — sized so the verdict clears critical against the
+    // residual between-user variance at BOTH unit counts), and the
+    // final z² significance of the CUPED lift
+    // using its own reduced variance — every number integer-cleared,
+    // every stage feeding the next without a re-scan (user-level frame
+    // built once). Output is the (metric, value) report. The verdict
+    // chain is the point: srm_pass must be 1 BEFORE the significant
+    // flag means anything, and with the variance cut the planted lift
+    // is significant where the naive one at sf0.01 would not be.
+    q("q300_experiment_readout",
+      "one-lineage experiment report: SRM gate, naive + CUPED lift, variance cut, z2 verdict")(
+      s"""WITH e AS (SELECT user_id, CAST(round(value * 10) AS BIGINT) AS y0,
+         |                  CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS t
+         |           FROM events),
+         |cut AS (SELECT (min(t) + max(t)) // 2 AS c FROM e),
+         |r AS (SELECT user_id,
+         |             y0 * (1 + ${md5LongSql("'um:' || CAST(user_id AS VARCHAR)")} % 5) AS y,
+         |             CASE WHEN t >= cut.c THEN 1 ELSE 0 END AS post,
+         |             CASE WHEN ${md5LongSql("'cg:' || CAST(user_id AS VARCHAR)")} % 2 = 0
+         |                  THEN 1 ELSE 0 END AS g
+         |      FROM e CROSS JOIN cut),
+         |rx AS (SELECT user_id, g, post,
+         |              y + CASE WHEN g = 1 AND post = 1 THEN 200 ELSE 0 END AS y FROM r),
+         |u AS (SELECT user_id, max(g) AS g,
+         |             CAST((1000 * sum(CASE WHEN post = 0 THEN y END))
+         |                  // count(CASE WHEN post = 0 THEN 1 END) AS BIGINT) AS x,
+         |             CAST((1000 * sum(CASE WHEN post = 1 THEN y END))
+         |                  // count(CASE WHEN post = 1 THEN 1 END) AS BIGINT) AS yy
+         |      FROM rx GROUP BY user_id
+         |      HAVING count(CASE WHEN post = 0 THEN 1 END) > 0
+         |         AND count(CASE WHEN post = 1 THEN 1 END) > 0),
+         |srm AS (SELECT CAST(sum(g) AS BIGINT) AS n1, CAST(sum(1 - g) AS BIGINT) AS n0 FROM u),
+         |th AS (SELECT CAST((1000 * (count(*) * CAST(sum(x * yy) AS HUGEINT)
+         |                            - CAST(sum(x) AS HUGEINT) * sum(yy)))
+         |                   // (count(*) * CAST(sum(x * x) AS HUGEINT)
+         |                      - CAST(sum(x) AS HUGEINT) * sum(x)) AS BIGINT) AS theta
+         |       FROM u),
+         |adj AS (SELECT u.g, u.yy, u.yy - (th.theta * u.x) // 1000 AS yc
+         |        FROM u CROSS JOIN th),
+         |agg AS (SELECT CAST(sum(CASE WHEN g = 1 THEN yy END) // sum(CASE WHEN g = 1 THEN 1 END)
+         |                  - sum(CASE WHEN g = 0 THEN yy END) // sum(CASE WHEN g = 0 THEN 1 END)
+         |                 AS BIGINT) AS lift_naive,
+         |               CAST(sum(CASE WHEN g = 1 THEN yc END) // sum(CASE WHEN g = 1 THEN 1 END)
+         |                  - sum(CASE WHEN g = 0 THEN yc END) // sum(CASE WHEN g = 0 THEN 1 END)
+         |                 AS BIGINT) AS lift_cuped,
+         |               CAST((count(*) * CAST(sum(yy * yy) AS HUGEINT)
+         |                     - CAST(sum(yy) AS HUGEINT) * sum(yy)) // (count(*) * (count(*) - 1))
+         |                 AS BIGINT) AS var_y,
+         |               CAST((count(*) * CAST(sum(yc * yc) AS HUGEINT)
+         |                     - CAST(sum(yc) AS HUGEINT) * sum(yc)) // (count(*) * (count(*) - 1))
+         |                 AS BIGINT) AS var_yc
+         |        FROM adj)
+         |SELECT * FROM (
+         |  SELECT 'a_srm_chi2_milli' AS metric,
+         |         CAST((1000 * (n1 - n0) * (n1 - n0)) // (n1 + n0) AS BIGINT) AS value FROM srm
+         |  UNION ALL
+         |  SELECT 'b_srm_pass', CAST(CASE WHEN (1000 * (n1 - n0) * (n1 - n0)) // (n1 + n0) <= 3841
+         |                            THEN 1 ELSE 0 END AS BIGINT) FROM srm
+         |  UNION ALL SELECT 'c_lift_naive_milli', lift_naive FROM agg
+         |  UNION ALL SELECT 'd_theta_milli', theta FROM th
+         |  UNION ALL SELECT 'e_lift_cuped_milli', lift_cuped FROM agg
+         |  UNION ALL
+         |  SELECT 'f_var_reduction_permille',
+         |         CAST((1000 * (var_y - var_yc)) // var_y AS BIGINT) FROM agg
+         |  UNION ALL
+         |  SELECT 'g_z2_cuped_milli',
+         |         CAST((1000 * (srm.n1 * srm.n0 // (srm.n1 + srm.n0)) * agg.lift_cuped * agg.lift_cuped)
+         |              // agg.var_yc AS BIGINT)
+         |  FROM agg CROSS JOIN srm
+         |  UNION ALL
+         |  SELECT 'h_significant',
+         |         CAST(CASE WHEN (1000 * (srm.n1 * srm.n0 // (srm.n1 + srm.n0))
+         |                         * agg.lift_cuped * agg.lift_cuped) // agg.var_yc > 3841
+         |              THEN 1 ELSE 0 END AS BIGINT)
+         |  FROM agg CROSS JOIN srm)
+         |ORDER BY metric""".stripMargin
+    ) { (sp, dir) =>
+      val e = Tables(sp, dir, "events")
+        .select(col("user_id"), round(col("value") * 10).cast("long").as("y0"),
+          expr("cast(ts as bigint)").as("t"))
+      val cut = e.agg(expr("(min(t) + max(t)) div 2").as("c"))
+      val rx = e.crossJoin(broadcast(cut))
+        .select(col("user_id"),
+          (col("y0") * (lit(1L) + md5Long(concat(lit("um:"),
+            col("user_id").cast("string"))) % 5)).as("y"),
+          when(col("t") >= col("c"), 1L).otherwise(0L).as("post"),
+          when(md5Long(concat(lit("cg:"), col("user_id").cast("string"))) % 2 === 0, 1L)
+            .otherwise(0L).as("g"))
+        .select(col("user_id"), col("g"), col("post"),
+          (col("y") + when(col("g") === 1 && col("post") === 1, 200L).otherwise(0L)).as("y"))
+      val u = rx.groupBy("user_id")
+        .agg(max(col("g")).as("g"),
+          sum(when(col("post") === 0, col("y"))).as("sx"),
+          count(when(col("post") === 0, 1)).as("nx"),
+          sum(when(col("post") === 1, col("y"))).as("sy"),
+          count(when(col("post") === 1, 1)).as("ny"))
+        .filter(col("nx") > 0 && col("ny") > 0)
+        .select(col("g"), expr("cast((1000 * sx) div nx as bigint)").as("x"),
+          expr("cast((1000 * sy) div ny as bigint)").as("yy"))
+        .cache() // srm + theta + adjusted rollup, one user frame
+      val srm = u.agg(sum(col("g")).as("n1"), sum(lit(1L) - col("g")).as("n0"))
+      val th = u.agg(count(lit(1)).as("n"), sum(col("x") * col("yy")).as("sxy"),
+          sum(col("x")).as("sx"), sum(col("yy")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(expr(("cast((1000 * (n * cast(sxy as decimal(38,0)) - cast(sx as decimal(38,0)) * sy))"
+          + " div (n * cast(sxx as decimal(38,0)) - cast(sx as decimal(38,0)) * sx) as bigint)"))
+          .as("theta"))
+      val adj = u.crossJoin(broadcast(th))
+        .select(col("g"), col("yy"), (col("yy") - expr("(theta * x) div 1000")).as("yc"))
+      val agg3 = adj.agg(
+        expr("cast(sum(case when g = 1 then yy end) div sum(case when g = 1 then 1 end)"
+          + " - sum(case when g = 0 then yy end) div sum(case when g = 0 then 1 end) as bigint)")
+          .as("lift_naive"),
+        expr("cast(sum(case when g = 1 then yc end) div sum(case when g = 1 then 1 end)"
+          + " - sum(case when g = 0 then yc end) div sum(case when g = 0 then 1 end) as bigint)")
+          .as("lift_cuped"),
+        expr(("cast((count(*) * cast(sum(yy * yy) as decimal(38,0))"
+          + " - cast(sum(yy) as decimal(38,0)) * sum(yy)) div (count(*) * (count(*) - 1)) as bigint)"))
+          .as("var_y"),
+        expr(("cast((count(*) * cast(sum(yc * yc) as decimal(38,0))"
+          + " - cast(sum(yc) as decimal(38,0)) * sum(yc)) div (count(*) * (count(*) - 1)) as bigint)"))
+          .as("var_yc"))
+      val all3 = agg3.crossJoin(broadcast(srm)).crossJoin(broadcast(th))
+      def row(name: String, v: Column) = all3.select(lit(name).as("metric"), v.cast("long").as("value"))
+      row("a_srm_chi2_milli", expr("(1000 * (n1 - n0) * (n1 - n0)) div (n1 + n0)"))
+        .unionAll(row("b_srm_pass",
+          when(expr("(1000 * (n1 - n0) * (n1 - n0)) div (n1 + n0)") <= 3841, 1L).otherwise(0L)))
+        .unionAll(row("c_lift_naive_milli", col("lift_naive")))
+        .unionAll(row("d_theta_milli", col("theta")))
+        .unionAll(row("e_lift_cuped_milli", col("lift_cuped")))
+        .unionAll(row("f_var_reduction_permille",
+          expr("(1000 * (var_y - var_yc)) div var_y")))
+        .unionAll(row("g_z2_cuped_milli",
+          expr("(1000 * (n1 * n0 div (n1 + n0)) * lift_cuped * lift_cuped) div var_yc")))
+        .unionAll(row("h_significant",
+          when(expr("(1000 * (n1 * n0 div (n1 + n0)) * lift_cuped * lift_cuped) div var_yc")
+            > 3841, 1L).otherwise(0L)))
+        .orderBy("metric")
     }
   )
 }

@@ -104,7 +104,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q295_markov_attribution" -> "5-arm grid × the ≤30-row transition table + 1-row base-value frame (post-scan metadata)",
     "q296_offpolicy_eval" -> "3-policy grid × the logged-bandit scan (conditional sums per policy)",
     "q297_bootstrap_ab_diff" -> "32-row replicate grid × the event scan (q270's bootstrap fan-out)",
-    "q298_cuped" -> "1-row time-midpoint scalar × the event scan + 1-row theta frame × the user rollup")
+    "q298_cuped" -> "1-row time-midpoint scalar × the event scan + 1-row theta frame × the user rollup",
+    "q300_experiment_readout" -> "1-row midpoint/theta/srm/moment frames chained over one user rollup (q298's shape)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

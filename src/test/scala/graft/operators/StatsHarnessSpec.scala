@@ -280,6 +280,26 @@ class StatsHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("q299 SRM gate: fair split passes, planted 30/70 assignment fires, both scales") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q299_srm_gate")(spark, d).collect()
+        .map(r => r.getString(0) -> r.getLong(4)).toMap
+      assert(rows("fair") == 0L, s"$d: fair split flagged")
+      assert(rows("biased") == 1L, s"$d: biased assignment missed")
+    }
+  }
+
+  test("q300 readout: SRM passes, variance cut holds, verdict significant, both scales") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q300_experiment_readout")(spark, d).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("b_srm_pass") == 1L, s"$d: SRM gate failed")
+      assert(rows("f_var_reduction_permille") > 600, s"$d: variance cut ${rows("f_var_reduction_permille")}")
+      assert(rows("g_z2_cuped_milli") > 3841 && rows("h_significant") == 1L,
+        s"$d: planted experiment not significant: $rows")
+    }
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
