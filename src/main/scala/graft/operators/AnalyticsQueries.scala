@@ -4368,6 +4368,167 @@ object AnalyticsQueries {
           when(expr("(1000 * (n1 * n0 div (n1 + n0)) * lift_cuped * lift_cuped) div var_yc")
             > 3841, 1L).otherwise(0L)))
         .orderBy("metric")
+    },
+
+    // Qini curve — uplift-model evaluation: when a treatment only helps
+    // SOME users, targeting by predicted uplift beats targeting anyone,
+    // and the Qini curve measures by how much. Synthetic ground truth
+    // (the family's discipline): conversion = deterministic hash draw
+    // whose rate is base 30% but 70% for TREATED users in the
+    // responsive half of segments — so per-user true uplift is known.
+    // Two scorers: the oracle (true segment uplift + hash noise) and a
+    // pure-noise ranker. Qini@decile = cum_treated_conv −
+    // cum_control_conv·(cum_treated/cum_control), integer-cleared with
+    // one truncating division per decile; the oracle curve must
+    // dominate the random one early and both meet at decile 10
+    // (endpoint identity — same population). Deciles come from the
+    // score histogram rank walk, never a global sort.
+    q("q301_qini_curve",
+      "uplift Qini by score decile: oracle scorer dominates early, curves meet at the end")(
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |b AS (SELECT user_id,
+         |             CASE WHEN ${md5LongSql("'qt:' || CAST(user_id AS VARCHAR)")} % 2 = 0
+         |                  THEN 1 ELSE 0 END AS tr,
+         |             CASE WHEN ${md5LongSql("'qs:' || CAST(user_id AS VARCHAR)")} % 2 = 0
+         |                  THEN 1 ELSE 0 END AS responsive,
+         |             ${md5LongSql("'qc:' || CAST(user_id AS VARCHAR)")} % 100 AS draw,
+         |             ${md5LongSql("'qn:' || CAST(user_id AS VARCHAR)")} % 100 AS noise
+         |      FROM u),
+         |o AS (SELECT user_id, tr, responsive,
+         |             CASE WHEN draw < 30 + CASE WHEN tr = 1 AND responsive = 1 THEN 40 ELSE 0 END
+         |                  THEN 1 ELSE 0 END AS conv,
+         |             responsive * 1000 + noise AS s_oracle,
+         |             noise AS s_random
+         |      FROM b),
+         |arms AS (SELECT 'a_oracle' AS arm, user_id, tr, conv, s_oracle AS s FROM o
+         |         UNION ALL SELECT 'b_random', user_id, tr, conv, s_random FROM o),
+         |rk AS (SELECT arm, tr, conv, s,
+         |              ntile(10) OVER (PARTITION BY arm ORDER BY s DESC, user_id) AS dec
+         |       FROM arms),
+         |d AS (SELECT arm, dec, CAST(sum(tr) AS BIGINT) AS nt,
+         |             CAST(sum(1 - tr) AS BIGINT) AS nc,
+         |             CAST(sum(tr * conv) AS BIGINT) AS ct,
+         |             CAST(sum((1 - tr) * conv) AS BIGINT) AS cc
+         |      FROM rk GROUP BY arm, dec),
+         |c AS (SELECT arm, dec,
+         |             CAST(sum(nt) OVER w AS BIGINT) AS cnt, CAST(sum(nc) OVER w AS BIGINT) AS cnc,
+         |             CAST(sum(ct) OVER w AS BIGINT) AS cct, CAST(sum(cc) OVER w AS BIGINT) AS ccc
+         |      FROM d WINDOW w AS (PARTITION BY arm ORDER BY dec
+         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT arm, CAST(dec AS BIGINT) AS dec, cct, ccc,
+         |       CAST(1000 * cct - (1000 * ccc * cnt) // greatest(cnc, 1) AS BIGINT)
+         |         AS qini_milli
+         |FROM c ORDER BY arm, dec""".stripMargin
+    ) { (sp, dir) =>
+      val u = Tables(sp, dir, "events").select(col("user_id")).distinct()
+      def h(tag: String) = md5Long(concat(lit(tag), col("user_id").cast("string")))
+      val o = u.select(col("user_id"),
+          when(h("qt:") % 2 === 0, 1L).otherwise(0L).as("tr"),
+          when(h("qs:") % 2 === 0, 1L).otherwise(0L).as("responsive"),
+          (h("qc:") % 100).as("draw"), (h("qn:") % 100).as("noise"))
+        .select(col("user_id"), col("tr"), col("responsive"),
+          when(col("draw") < lit(30L) +
+            when(col("tr") === 1 && col("responsive") === 1, 40L).otherwise(0L), 1L)
+            .otherwise(0L).as("conv"),
+          (col("responsive") * 1000 + col("noise")).as("s_oracle"),
+          col("noise").as("s_random"))
+      val arms = o.select(lit("a_oracle").as("arm"), col("user_id"), col("tr"),
+          col("conv"), col("s_oracle").as("s"))
+        .unionAll(o.select(lit("b_random").as("arm"), col("user_id"), col("tr"),
+          col("conv"), col("s_random").as("s")))
+      val rk = arms.withColumn("dec",
+        ntile(10).over(Window.partitionBy("arm").orderBy(col("s").desc, col("user_id"))))
+      val d = rk.groupBy("arm", "dec")
+        .agg(sum(col("tr")).as("nt"), sum(lit(1L) - col("tr")).as("nc"),
+          sum(col("tr") * col("conv")).as("ct"),
+          sum((lit(1L) - col("tr")) * col("conv")).as("cc"))
+      val wCum = Window.partitionBy("arm").orderBy("dec")
+        .rowsBetween(Long.MinValue, 0)
+      d.select(col("arm"), col("dec").cast("long").as("dec"),
+          sum(col("nt")).over(wCum).as("cnt"), sum(col("nc")).over(wCum).as("cnc"),
+          sum(col("ct")).over(wCum).as("cct"), sum(col("cc")).over(wCum).as("ccc"))
+        .select(col("arm"), col("dec"), col("cct"), col("ccc"),
+          expr("cast(1000 * cct - (1000 * ccc * cnt) div greatest(cnc, 1) as bigint)")
+            .as("qini_milli"))
+        .orderBy("arm", "dec")
+    },
+
+    // SPRT — Wald's sequential test, the early-stopping design that
+    // decides with a FRACTION of the fixed-n sample: cumulative
+    // log-likelihood ratio against H0: p=0.5 vs H1: p=0.7, stop when it
+    // exits (−ln19, +ln19) for α=β=0.05 (H1 sized so E[N] ≈ 35 fits the
+    // fixture's 150 randomization units). LLR increments are integer
+    // micro LITERALS (ln 1.4 → 336472, ln 0.6 → −510826 — quantized
+    // constants, the q294 discount idiom), so the fold is exact integer
+    // addition. Scale discipline: the walk is folded at BLOCK resolution
+    // — blocks are HASH-VALUE RANGES (≈10 users each; no global
+    // row_number — a folded-away constant partition IS a single-task
+    // funnel, measured), per-block sums from one grouped pass, the
+    // cumulative over the ≤|users|/10-block spine; DistributedRank is
+    // the row-exact alternative, stated — so the decision index is
+    // block-granular, which is how a streaming deployment would check
+    // anyway. Null coin must accept H0, planted 60% coin must reject,
+    // and BOTH must decide far earlier than the fixed-n design
+    // (n_blocks·100 ≪ the q255-style fixed sample) — the method's whole
+    // point, spec-pinned.
+    q("q302_sprt",
+      "block-resolution Wald SPRT: null accepts H0, planted 60% coin rejects, both early")(
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |s AS (SELECT ${md5LongSql("'so:' || CAST(user_id AS VARCHAR)")} % 1000000 AS ord,
+         |             CASE WHEN ${md5LongSql("'sc:' || CAST(user_id AS VARCHAR)")} % 100 < 50
+         |                  THEN 1 ELSE 0 END AS y_null,
+         |             CASE WHEN ${md5LongSql("'sc:' || CAST(user_id AS VARCHAR)")} % 100 < 70
+         |                  THEN 1 ELSE 0 END AS y_alt
+         |      FROM u),
+         |nb AS (SELECT greatest(count(*) // 10, 1) AS nb FROM s),
+         |arms AS (SELECT 'null' AS arm, (s.ord * nb.nb) // 1000000 AS blk, y_null AS y
+         |         FROM s CROSS JOIN nb
+         |         UNION ALL
+         |         SELECT 'planted', (s.ord * nb.nb) // 1000000, y_alt FROM s CROSS JOIN nb),
+         |b AS (SELECT arm, blk, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS k
+         |      FROM arms GROUP BY arm, blk),
+         |c AS (SELECT arm, blk, n, k,
+         |             CAST(sum(336472 * k - 510826 * (n - k)) OVER w AS BIGINT) AS llr,
+         |             CAST(sum(n) OVER w AS BIGINT) AS cn
+         |      FROM b WINDOW w AS (PARTITION BY arm ORDER BY blk
+         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |dec AS (SELECT arm, min(CASE WHEN llr >= 2944439 OR llr <= -2944439 THEN blk END) AS dblk
+         |        FROM c GROUP BY arm),
+         |fin AS (SELECT c.arm, c.cn, c.llr
+         |        FROM c JOIN dec ON dec.arm = c.arm AND c.blk = dec.dblk)
+         |SELECT arm, cn AS n_samples, llr AS llr_micro,
+         |       CAST(CASE WHEN llr >= 2944439 THEN 1 ELSE 0 END AS BIGINT) AS reject_h0
+         |FROM fin ORDER BY arm""".stripMargin
+    ) { (sp, dir) =>
+      val u = Tables(sp, dir, "events").select(col("user_id")).distinct()
+      def h(tag: String) = md5Long(concat(lit(tag), col("user_id").cast("string")))
+      val s = u.select((h("so:") % 1000000).as("ord"),
+        when(h("sc:") % 100 < 50, 1L).otherwise(0L).as("y_null"),
+        when(h("sc:") % 100 < 70, 1L).otherwise(0L).as("y_alt"))
+      // arrival order = hash-value order, blocked by VALUE RANGE so no
+      // global row_number (a folded-away constant partition would be a
+      // single-task funnel — measured; block sizes are ~Poisson(10),
+      // which the per-block (n, k) fold handles exactly)
+      val nb = s.agg(greatest(expr("count(*) div 10"), lit(1L)).as("nb"))
+      val sb = s.crossJoin(broadcast(nb))
+        .withColumn("blk", expr("(ord * nb) div 1000000"))
+      val arms = sb.select(lit("null").as("arm"), col("blk"), col("y_null").as("y"))
+        .unionAll(sb.select(lit("planted").as("arm"), col("blk"), col("y_alt").as("y")))
+      val b = arms.groupBy("arm", "blk").agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+      val wCum = Window.partitionBy("arm").orderBy("blk").rowsBetween(Long.MinValue, 0)
+      val c = b.select(col("arm"), col("blk"), col("n"), col("k"),
+        sum(lit(336472L) * col("k") - lit(510826L) * (col("n") - col("k"))).over(wCum)
+          .as("llr"),
+        sum(col("n")).over(wCum).as("cn"))
+      val dec = c.groupBy("arm")
+        .agg(min(when(col("llr") >= 2944439L || col("llr") <= -2944439L, col("blk")))
+          .as("dblk"))
+        .select(col("arm").as("darm"), col("dblk"))
+      c.join(broadcast(dec), col("arm") === col("darm") && col("blk") === col("dblk"))
+        .select(col("arm"), col("cn").cast("long").as("n_samples"),
+          col("llr").as("llr_micro"),
+          when(col("llr") >= 2944439L, 1L).otherwise(0L).as("reject_h0"))
+        .orderBy("arm")
     }
   )
 }

@@ -300,6 +300,31 @@ class StatsHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("q301 Qini: oracle dominates every interior decile, curves meet exactly at the end") {
+    val rows = SparkEntry.queries("q301_qini_curve")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    (1 to 9).foreach { d =>
+      assert(rows(("a_oracle", d.toLong)) >= rows(("b_random", d.toLong)),
+        s"random above oracle at decile $d")
+    }
+    assert(rows(("a_oracle", 10L)) == rows(("b_random", 10L)),
+      "endpoint identity broken: same population must meet")
+    assert(rows(("a_oracle", 5L)) > rows(("b_random", 5L)) * 6 / 5,
+      s"oracle targeting gain invisible at the half-way decile")
+  }
+
+  test("q302 SPRT: correct decisions, and both arms stop far before the fixed-n sample") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q302_sprt")(spark, d).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+      val (nNull, rejNull) = rows("null")
+      val (nAlt, rejAlt) = rows("planted")
+      assert(rejNull == 0L, s"$d: null coin rejected H0")
+      assert(rejAlt == 1L, s"$d: 70% coin not detected")
+      assert(nNull <= 100 && nAlt <= 100, s"$d: not early: null=$nNull alt=$nAlt")
+    }
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
