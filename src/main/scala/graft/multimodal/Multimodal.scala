@@ -406,6 +406,53 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** REAL pixel augmentation through the BMP codec (q303): the two
+    * deterministic transforms every vision pipeline applies — horizontal
+    * FLIP and center CROP — on actual decoded pixels, with q163's
+    * doubled-round-trip discipline: synthesize the 16×h grayscale BMP
+    * (q70's construction), decode through the real container parse, flip
+    * each row, crop to the center 8 columns, then RE-ENCODE the 8×h
+    * result and decode it AGAIN so the emitted stats prove the codec
+    * handles the new geometry. px0 (= the ORIGINAL (0,11) pixel — the
+    * flip moves it there) and pxlast (= original (h−1,4)) pin the index
+    * arithmetic of both transforms; the crop's column set {4..11} is
+    * flip-symmetric so the mean must equal the unflipped center-crop
+    * mean — the oracle checks exactly that from the synthesis text.
+    * Row-local map stage at any scale. */
+  def bmpAugmentQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = 16
+          val h = (text.length + w - 1) / w
+          val px = Array.tabulate(h, w) { (y, x) =>
+            val i = y * w + x
+            if (i < text.length) text.charAt(i).toInt & 0xff else 0
+          }
+          val img = BmpCodec.decode(BmpCodec.encode(BmpCodec.Gray(w, h, px)))
+          // flip horizontally, crop to the center 8 columns (4..11)
+          val aug = Array.tabulate(img.height, 8) { (y, x) =>
+            img.gray(y)(img.width - 1 - (x + 4))
+          }
+          val rt = BmpCodec.decode(BmpCodec.encode(BmpCodec.Gray(8, img.height, aug)))
+          var sum = 0L
+          rt.gray.foreach(row => row.foreach(sum += _))
+          (id, BmpCodec.encode(BmpCodec.Gray(8, rt.height, aug)).length.toLong,
+            rt.width.toLong, rt.height.toLong,
+            rt.gray(0)(0).toLong, rt.gray(rt.height - 1)(7).toLong,
+            sum.toDouble / (rt.width * rt.height))
+        }
+      }
+      .toDF("media_id", "n_bytes", "width", "height", "px0", "pxlast", "mean_raw")
+      .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+        col("px0"), col("pxlast"), round(col("mean_raw"), 4).as("mean_gray"))
+      .orderBy("media_id")
+  }
+
   /** The registered rows-only query: full decode→features→resize chain. */
   def featuresQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -1906,6 +1906,36 @@ object ExtrasQueries {
         .select(col("c_nationkey"), col("n_probes"), col("n_matched"),
           expr("cast((1000 * n_matched) div n_probes as bigint)").as("match_permille"))
         .orderBy("c_nationkey")
-    }
+    },
+
+    // Image augmentation through the REAL codec — horizontal flip +
+    // center crop on decoded pixels with the q163 doubled round-trip
+    // (see Multimodal.bmpAugmentQuery). px0/pxlast pin the flip and
+    // crop index arithmetic against the synthesis text; the mean checks
+    // the flip-symmetric column set; n_bytes = 54 + 24·h pins the
+    // re-encoded 8-wide geometry (24-byte stride, no padding).
+    q("q303_image_augment",
+      "flip + center-crop augmentation via real BMP decode/encode round trips")(
+      """WITH m AS (SELECT doc_id AS media_id, length(text) AS n, text,
+        |                  (length(text) + 15) // 16 AS h
+        |           FROM documents WHERE length(text) >= 1),
+        |px AS (SELECT media_id, n, h, text,
+        |              unnest(generate_series(0, h * 8 - 1)) AS j FROM m),
+        |v AS (SELECT media_id, n, h, text,
+        |             (j // 8) * 16 + (j % 8) + 4 AS i FROM px),
+        |agg AS (SELECT media_id,
+        |               CAST(sum(CASE WHEN i < n THEN ord(substr(text, CAST(i + 1 AS INT), 1))
+        |                        ELSE 0 END) AS BIGINT) AS s
+        |        FROM v GROUP BY media_id)
+        |SELECT m.media_id, CAST(54 + 24 * m.h AS BIGINT) AS n_bytes,
+        |       CAST(8 AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+        |       CAST(CASE WHEN 11 < m.n THEN ord(substr(m.text, 12, 1)) ELSE 0 END AS BIGINT) AS px0,
+        |       CAST(CASE WHEN (m.h - 1) * 16 + 4 < m.n
+        |            THEN ord(substr(m.text, CAST((m.h - 1) * 16 + 5 AS INT), 1))
+        |            ELSE 0 END AS BIGINT) AS pxlast,
+        |       round(CAST(agg.s AS DOUBLE) / (8 * m.h), 4) + 0 AS mean_gray
+        |FROM m JOIN agg ON agg.media_id = m.media_id
+        |ORDER BY m.media_id""".stripMargin
+    ) { (s, dir) => graft.multimodal.Multimodal.bmpAugmentQuery(s, dir) }
   )
 }
