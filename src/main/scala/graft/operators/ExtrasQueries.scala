@@ -1936,6 +1936,61 @@ object ExtrasQueries {
         |       round(CAST(agg.s AS DOUBLE) / (8 * m.h), 4) + 0 AS mean_gray
         |FROM m JOIN agg ON agg.media_id = m.media_id
         |ORDER BY m.media_id""".stripMargin
-    ) { (s, dir) => graft.multimodal.Multimodal.bmpAugmentQuery(s, dir) }
+    ) { (s, dir) => graft.multimodal.Multimodal.bmpAugmentQuery(s, dir) },
+
+    // SQL-defined scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`,
+    // public API) — the B38 surface extended to DECLARATIVE functions:
+    // unlike a Scala/Python UDF the body is pure SQL, so the analyzer
+    // INLINES it into the plan and codegen/pushdown see straight through
+    // (no black box at any scale — the reason SQL UDFs are the right
+    // default for shared business logic). The function wraps the repo's
+    // canonical exact-decimal quantity term; the oracle inlines the same
+    // expression, so the hash match proves the registered function IS
+    // the expression. Session-scoped TEMPORARY; re-registration guarded
+    // with OR REPLACE for rerun safety.
+    q("q304_sql_udf",
+      "CREATE FUNCTION quantity term inlined by the analyzer, summed per returnflag")(
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_qty4(q DOUBLE) " +
+        "RETURNS DECIMAL(28,4) RETURN CAST(round(q, 4) AS DECIMAL(28,4))")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("li_q304")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |       round(CAST(sum(graft_qty4(l_quantity)) AS DOUBLE), 4) AS qty
+          |FROM li_q304 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // SQL pipe syntax (Spark 4 `|>` operators, public API) — the linear
+    // query form: each stage consumes the previous result top-to-bottom,
+    // which is how the DataFrame API already reads and how analysts
+    // increasingly write SQL. The pipeline filters, EXTENDs the exact
+    // decimal term, AGGREGATEs per group, and orders — and must produce
+    // byte-identical results to the nested classic-SQL oracle, proving
+    // the pipe stages lower onto the same plan.
+    q("q305_pipe_syntax",
+      "|> WHERE / EXTEND / AGGREGATE / ORDER BY pipeline over lineitem")(
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS qty,
+        |       round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 4) AS base
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("li_q305")
+      s.sql(
+        """FROM li_q305
+          ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          ||> EXTEND CAST(round(l_quantity, 4) AS DECIMAL(28,4)) AS qd,
+          |          CAST(round(l_extendedprice, 4) AS DECIMAL(28,4)) AS pd
+          ||> AGGREGATE count(*) AS n,
+          |             round(CAST(sum(qd) AS DOUBLE), 4) AS qty,
+          |             round(CAST(sum(pd) AS DOUBLE), 4) AS base
+          |   GROUP BY l_returnflag
+          ||> SELECT l_returnflag, n, qty, base
+          ||> ORDER BY l_returnflag""".stripMargin)
+    }
   )
 }
