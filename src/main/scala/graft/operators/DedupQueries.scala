@@ -872,6 +872,70 @@ object DedupQueries {
         .agg(max(when(col("r") === 1, col("neg"))).as("neg1_id"),
           max(when(col("r") === 2, col("neg"))).as("neg2_id"))
         .orderBy("anchor_id")
+    },
+
+    // Leakage-free train/test split — the decontamination family's
+    // capstone: a doc-hash split puts the two halves of a near-dup pair
+    // on OPPOSITE sides (the eval sees paraphrases of training data —
+    // silent leakage), so the unit of randomization must be the NEAR-DUP
+    // CLUSTER, not the document. Both splits run side by side and the
+    // audit column IS the leak: the naive arm's cross-split near-dup
+    // pairs (measured > 0 on this corpus), the cluster arm's EXACTLY 0 —
+    // structural, because both endpoints share a component and therefore
+    // a side (spec re-asserts, and the oracle re-derives components with
+    // its own recursive-CTE closure, so the zero is cross-checked, not
+    // assumed). Scale shape: q34g's machinery — exact-Jaccard edges,
+    // O(log² n) star contraction, then ONE hash of the component id;
+    // split sizes stay balanced because clusters are small.
+    q("q307_leakage_free_split",
+      "near-dup-cluster randomization: naive split leaks pairs across sides, cluster split leaks zero")(
+      s"""$ccComponentsCte,
+         |assign AS (SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS comp
+         |           FROM (SELECT doc_id FROM documents) d
+         |           LEFT JOIN comp ON comp.doc_id = d.doc_id),
+         |sides AS (SELECT doc_id,
+         |                 ${md5LongSql("'sp:' || CAST(doc_id AS VARCHAR)")} % 2 AS naive_side,
+         |                 ${md5LongSql("'sp:' || CAST(comp AS VARCHAR)")} % 2 AS cluster_side
+         |          FROM assign),
+         |arms AS (SELECT 'a_naive' AS arm, doc_id, naive_side AS side FROM sides
+         |         UNION ALL SELECT 'b_cluster', doc_id, cluster_side FROM sides),
+         |xp AS (SELECT a.arm, CAST(count(*) AS BIGINT) AS cross_pairs
+         |       FROM edges e JOIN arms a ON a.doc_id = e.d1
+         |                    JOIN arms b ON b.arm = a.arm AND b.doc_id = e.d2
+         |       WHERE a.side <> b.side GROUP BY a.arm),
+         |sz AS (SELECT arm, CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |              CAST(sum(side) AS BIGINT) AS n_test
+         |       FROM arms GROUP BY arm)
+         |SELECT sz.arm, sz.n_train, sz.n_test, coalesce(xp.cross_pairs, 0) AS cross_pairs
+         |FROM sz LEFT JOIN xp ON xp.arm = sz.arm ORDER BY sz.arm""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val edges = jaccardEdges(s, dir).localCheckpoint(true) // CC + both audits
+      val comp = graft.operators.StarContraction.components(edges)
+      val assign = Tables(s, dir, "documents").select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("comp"))
+      val sides = assign.select(col("doc_id"),
+          (md5Long(concat(lit("sp:"), col("doc_id").cast("string"))) % 2).as("naive_side"),
+          (md5Long(concat(lit("sp:"), col("comp").cast("string"))) % 2).as("cluster_side"))
+      val arms = sides.select(lit("a_naive").as("arm"), col("doc_id"),
+          col("naive_side").as("side"))
+        .unionAll(sides.select(lit("b_cluster").as("arm"), col("doc_id"),
+          col("cluster_side").as("side")))
+        .cache() // sizes + both edge-endpoint joins
+      val xp = edges
+        .join(arms.select(col("arm"), col("doc_id").as("d1"), col("side").as("s1")), Seq("d1"))
+        .join(arms.select(col("arm"), col("doc_id").as("d2"), col("side").as("s2")),
+          Seq("arm", "d2"))
+        .filter(col("s1") =!= col("s2"))
+        .groupBy("arm").agg(count(lit(1)).as("cross_pairs"))
+      arms.groupBy("arm")
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_train"),
+          sum(col("side")).as("n_test"))
+        .join(xp, Seq("arm"), "left")
+        .select(col("arm"), col("n_train"), col("n_test"),
+          coalesce(col("cross_pairs"), lit(0L)).as("cross_pairs"))
+        .orderBy("arm")
     }
   )
 }

@@ -1502,6 +1502,51 @@ object TextQueries {
         .select(col("s_obs"), col("n1"), col("n2"),
           expr("cast(s_obs + (n1 * n1) div (2 * n2) as bigint)").as("chao1"),
           col("true_richness"))
+    },
+
+    // Content drift — the drift monitors (PSI q229, KS q257/q259) watch
+    // statistics; this watches WHAT IS WRITTEN: exact shingle-set Jaccard
+    // between consecutive corpus deciles. A pipeline ingesting shifting
+    // sources sees this curve sag long before summary stats move. Exact
+    // and cheap: distinct (shingle-hash, decile) pairs from one scan,
+    // consecutive-decile intersections from a self-equi-join on the
+    // 8-byte hash, per-decile vocabulary from a grouped count — Jaccard
+    // folds to one truncating milli division per pair. On this corpus
+    // the curve is FLAT (uniform synthesis — the measured null); the
+    // spec pins flatness, so a regenerated drifting fixture would show
+    // up as a failing pin, not silent prose.
+    q("q306_content_drift",
+      "exact shingle Jaccard between consecutive corpus deciles: the content-drift curve")(
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM d),
+         |sh AS (SELECT DISTINCT (doc_id * 10) // mx.n AS dec, ${md5LongSql("w")} AS h
+         |       FROM (SELECT doc_id, unnest(${shinglesSql("t", 3)}) AS w FROM d)
+         |       CROSS JOIN mx),
+         |vc AS (SELECT dec, CAST(count(*) AS BIGINT) AS nv FROM sh GROUP BY dec),
+         |ix AS (SELECT a.dec, CAST(count(*) AS BIGINT) AS inter
+         |       FROM sh a JOIN sh b ON b.h = a.h AND b.dec = a.dec + 1
+         |       GROUP BY a.dec)
+         |SELECT ix.dec, va.nv AS n_a, vb.nv AS n_b, ix.inter,
+         |       CAST((1000 * ix.inter) // (va.nv + vb.nv - ix.inter) AS BIGINT) AS jaccard_milli
+         |FROM ix JOIN vc va ON va.dec = ix.dec JOIN vc vb ON vb.dec = ix.dec + 1
+         |ORDER BY ix.dec""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), split(col("text"), " ").as("t"))
+      val mx = d.agg((max(col("doc_id")) + 1).as("n"))
+      val sh = d.select(col("doc_id"), explode(shingles(col("t"), 3)).as("w"))
+        .crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 10) div n").as("dec"), md5Long(col("w")).as("h"))
+        .distinct()
+        .cache() // vocabulary counts + the consecutive-pair join (both legs)
+      val vc = sh.groupBy("dec").agg(count(lit(1)).as("nv"))
+      val ix = sh.select(col("dec"), col("h"))
+        .join(sh.select((col("dec") - 1).as("dec"), col("h")), Seq("dec", "h"))
+        .groupBy("dec").agg(count(lit(1)).as("inter"))
+      ix.join(vc.select(col("dec"), col("nv").as("n_a")), Seq("dec"))
+        .join(vc.select((col("dec") - 1).as("dec"), col("nv").as("n_b")), Seq("dec"))
+        .select(col("dec"), col("n_a"), col("n_b"), col("inter"),
+          expr("cast((1000 * inter) div (n_a + n_b - inter) as bigint)").as("jaccard_milli"))
+        .orderBy("dec")
     }
   )
 }

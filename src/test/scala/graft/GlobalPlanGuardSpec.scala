@@ -106,7 +106,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q297_bootstrap_ab_diff" -> "32-row replicate grid × the event scan (q270's bootstrap fan-out)",
     "q298_cuped" -> "1-row time-midpoint scalar × the event scan + 1-row theta frame × the user rollup",
     "q300_experiment_readout" -> "1-row midpoint/theta/srm/moment frames chained over one user rollup (q298's shape)",
-    "q302_sprt" -> "2-row decision frame × the ≤|users|/10 block walk (user-count metadata)")
+    "q302_sprt" -> "2-row decision frame × the ≤|users|/10 block walk (user-count metadata)",
+    "q306_content_drift" -> "1-row corpus-size scalar × the shingle stream (decile assignment)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

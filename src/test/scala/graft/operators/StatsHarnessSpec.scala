@@ -325,6 +325,28 @@ class StatsHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("q306 content drift: consecutive-decile Jaccard is flat on the uniform corpus") {
+    val rows = SparkEntry.queries("q306_content_drift")(spark, dir).collect()
+    assert(rows.length == 9)
+    val j = rows.map(_.getLong(4))
+    assert(j.forall(_ > 0))
+    assert(j.max - j.min < math.max(j.max / 3, 10),
+      s"drift curve not flat on a uniform corpus: ${j.toSeq}")
+  }
+
+  test("q307 leakage-free split: naive split leaks near-dup pairs, cluster split leaks zero") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q307_leakage_free_split")(spark, d).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val (nt, ns, leakNaive) = rows("a_naive")
+      val (ct, cs, leakCluster) = rows("b_cluster")
+      assert(leakNaive > 0, s"$d: naive split shows no leakage to catch")
+      assert(leakCluster == 0L, s"$d: cluster split leaked $leakCluster pairs")
+      assert(math.abs(ct - cs) * 5 < ct + cs, s"$d: cluster split unbalanced: $ct/$cs")
+      assert(nt + ns == ct + cs)
+    }
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
