@@ -4529,6 +4529,78 @@ object AnalyticsQueries {
           col("llr").as("llr_micro"),
           when(col("llr") >= 2944439L, 1L).otherwise(0L).as("reject_h0"))
         .orderBy("arm")
+    },
+
+    // Neyman allocation — the survey-design answer to "which strata get
+    // the sample budget": n_h ∝ N_h·σ_h, which halves the estimator
+    // variance vs proportional allocation exactly when stratum spreads
+    // differ. The integer key: N_h·σ_h = √(N_h·Σy² − (Σy)²) = isqrt(A_h)
+    // — ONE exact integer per stratum from one grouped scan (dollars
+    // quantization keeps every sum in 38-digit space). A_h here reaches
+    // ~2·10²⁰, past q285's 2⁵² floor-sqrt validity bound, so the seed
+    // isqrt gets a ±1 integer-compare clamp ((s0±1)² vs A in
+    // DECIMAL/HUGEINT) — exact for any A below 2¹²⁴ in both engines.
+    // Strata = quantity deciles of lineitem. The fixture's extendedprice
+    // is statistically INDEPENDENT of quantity (measured: per-stratum σ
+    // flat at ~30k dollars, Neyman ≡ proportional, ratio 999 — the
+    // recurring fixture lesson, cf. q197/q262/q282), so the
+    // heteroscedasticity is PLANTED constructively: y = price×(h+1)
+    // scales stratum h's spread by h+1, the gradient a real survey
+    // meets. The published ratio_permille = n·N²·V_neyman / n·N²·V_prop
+    // = (ΣW)² / (N·Σ(A_h/N_h)) ≤ 1000 by Cauchy–Schwarz — the variance
+    // saving as a checked column, not prose. Scale shape: one grouped
+    // scan → 5-row stratum frame → 1-row totals broadcast.
+    q("q309_neyman_allocation",
+      "Neyman vs proportional stratified sampling allocation with exact-isqrt stratum weights")(
+      """WITH l0 AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS p,
+        |                   (CAST(floor(l_quantity) AS BIGINT) - 1) // 10 AS stratum
+        |            FROM lineitem),
+        |li AS (SELECT stratum, p * (stratum + 1) AS yd FROM l0),
+        |gs AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(yd) AS BIGINT) AS s1,
+        |              CAST(sum(CAST(yd AS HUGEINT) * yd) AS HUGEINT) AS s2
+        |       FROM li GROUP BY stratum),
+        |aa AS (SELECT stratum, n, CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS a
+        |       FROM gs),
+        |sq AS (SELECT stratum, n, a, CAST(floor(sqrt(CAST(a AS DOUBLE))) AS BIGINT) AS s0
+        |       FROM aa),
+        |ww AS (SELECT stratum, n, a,
+        |              CASE WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1) <= a THEN s0 + 1
+        |                   WHEN CAST(s0 AS HUGEINT) * s0 > a THEN s0 - 1
+        |                   ELSE s0 END AS w
+        |       FROM sq),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(w) AS BIGINT) AS tw,
+        |               CAST(sum(a // n) AS HUGEINT) AS sad FROM ww)
+        |SELECT ww.stratum, ww.n AS n_rows, ww.w // ww.n AS sd_dollars,
+        |       (1000 * ww.w) // tot.tw AS n_neyman,
+        |       (1000 * ww.n) // tot.tn AS n_prop,
+        |       CAST((1000 * CAST(tot.tw AS HUGEINT) * tot.tw)
+        |            // (CAST(tot.tn AS HUGEINT) * tot.sad) AS BIGINT) AS ratio_permille
+        |FROM ww CROSS JOIN tot ORDER BY ww.stratum""".stripMargin
+    ) { (sp, dir) =>
+      val li = Tables(sp, dir, "lineitem").select(
+        expr("cast(floor(l_extendedprice) as bigint)").as("p"),
+        expr("(cast(floor(l_quantity) as bigint) - 1) div 10").as("stratum"))
+        .select(col("stratum"), expr("p * (stratum + 1)").as("yd"))
+      val gs = li.groupBy("stratum").agg(count(lit(1)).as("n"),
+        sum(col("yd")).as("s1"),
+        sum(expr("cast(yd * yd as decimal(38,0))")).as("s2"))
+      val ww = gs
+        .withColumn("a", expr("cast(n as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1"))
+        .withColumn("s0", expr("cast(floor(sqrt(cast(a as double))) as bigint)"))
+        .withColumn("w", expr(
+          "case when cast(s0 + 1 as decimal(38,0)) * (s0 + 1) <= a then s0 + 1 " +
+            "when cast(s0 as decimal(38,0)) * s0 > a then s0 - 1 else s0 end"))
+      val tot = ww.agg(sum(col("n")).as("tn"), sum(col("w")).as("tw"),
+        sum(expr("a div n")).as("sad"))
+      ww.crossJoin(broadcast(tot))
+        .select(col("stratum"), col("n").as("n_rows"),
+          expr("w div n").as("sd_dollars"),
+          expr("(1000 * w) div tw").as("n_neyman"),
+          expr("(1000 * n) div tn").as("n_prop"),
+          expr("cast((1000 * cast(tw as decimal(38,0)) * tw)" +
+            " div (cast(tn as decimal(38,0)) * sad) as bigint)").as("ratio_permille"))
+        .orderBy("stratum")
     }
   )
 }

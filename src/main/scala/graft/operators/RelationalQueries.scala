@@ -1631,6 +1631,59 @@ object RelationalQueries {
           .localCheckpoint(true) // run the substituted plan NOW, inside the gate
           .orderBy("l_returnflag")
       } finally s.conf.set("spark.graft.mv.enabled", "false")
+    },
+
+    // Snapshot diff — the audit twin of time travel (q228) and CDC apply
+    // (q237): given two table versions, classify every key as insert /
+    // delete / update / same. The 100 TB discipline is in WHAT shuffles:
+    // each side projects to (key, 8-byte md5 fingerprint of the compared
+    // payload) BEFORE the full-outer join, so the diff of an arbitrarily
+    // wide table moves 16 bytes per row through the exchange; the wide
+    // rows are only re-fetched (by key, for the changed keys) if a caller
+    // drills in. Versions are derived from deterministic predicates
+    // (v2 drops key%4=0, adds key%4=3, rewrites the status of key%5=0) so
+    // the oracle reproduces both sides exactly; the class histogram plus
+    // min/max key per class is the whole-table reconciliation report.
+    q("q308_snapshot_diff",
+      "full-outer fingerprint diff of two table versions: insert/delete/update/same audit")(
+      {
+        import graft.functions.PortableHash.md5LongSql
+        s"""WITH v1 AS (SELECT o_orderkey AS k,
+           |                   ${md5LongSql("'fp:' || o_orderstatus")} AS fp
+           |            FROM orders WHERE o_orderkey % 4 < 3),
+           |v2 AS (SELECT o_orderkey AS k,
+           |              ${md5LongSql(
+                "'fp:' || (CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END)")} AS fp
+           |       FROM orders WHERE o_orderkey % 4 > 0),
+           |d AS (SELECT coalesce(v1.k, v2.k) AS k,
+           |             CASE WHEN v1.k IS NULL THEN 'insert'
+           |                  WHEN v2.k IS NULL THEN 'delete'
+           |                  WHEN v1.fp <> v2.fp THEN 'update'
+           |                  ELSE 'same' END AS change_type
+           |      FROM v1 FULL OUTER JOIN v2 ON v2.k = v1.k)
+           |SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+           |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin
+      }
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val orders = Tables(s, dir, "orders")
+      val v1 = orders.filter(col("o_orderkey") % 4 < 3)
+        .select(col("o_orderkey").as("k"),
+          md5Long(concat(lit("fp:"), col("o_orderstatus"))).as("fp1"))
+      val v2 = orders.filter(col("o_orderkey") % 4 > 0)
+        .select(col("o_orderkey").as("k"),
+          md5Long(concat(lit("fp:"),
+            when(col("o_orderkey") % 5 === 0, "X").otherwise(col("o_orderstatus")))).as("fp2"))
+      v1.join(v2, Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("fp1").isNull, "insert")
+            .when(col("fp2").isNull, "delete")
+            .when(col("fp1") =!= col("fp2"), "update")
+            .otherwise("same").as("change_type"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .orderBy("change_type")
     }
   )
 

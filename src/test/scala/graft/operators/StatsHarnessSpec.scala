@@ -347,6 +347,35 @@ class StatsHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("q309 Neyman: allocation tracks the planted dispersion gradient and beats proportional") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q309_neyman_allocation")(spark, d).collect()
+        .sortBy(_.getLong(0))
+      assert(rows.length == 5)
+      val ney = rows.map(_.getLong(3))
+      // σ_h ∝ h+1 by construction → the allocation must be strictly increasing
+      assert(ney.sliding(2).forall(p => p(0) < p(1)), s"$d: not monotone: ${ney.toSeq}")
+      // floored shares still exhaust the budget to within one unit per stratum
+      assert(ney.sum >= 995 && ney.sum <= 1000, s"$d: budget ${ney.sum}")
+      // Cauchy-Schwarz strictly: Neyman variance genuinely below proportional
+      // (theory for sd ∝ 1..5 with equal N_h: (Σσ)²/(5Σσ²) = 225/275 ≈ 0.818)
+      val ratio = rows.head.getLong(5)
+      assert(ratio < 900 && ratio > 700, s"$d: ratio_permille $ratio")
+    }
+  }
+
+  test("q308 snapshot diff: class counts obey the version-predicate algebra") {
+    val rows = SparkEntry.queries("q308_snapshot_diff")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // v1 = keys %4<3, v2 = keys %4>0: the %4=0 class deletes, %4=3 inserts —
+    // equal-sized residue classes, so inserts == deletes exactly
+    assert(rows("insert") == rows("delete"))
+    // updates are the %5=0 keys inside the %4∈{1,2} overlap: 2/4 · 1/5 of keyspace
+    val overlap = rows("update") + rows("same")
+    assert(math.abs(rows("update") * 10 - overlap * 2) <= 10,
+      s"update share off: ${rows("update")} of $overlap")
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
