@@ -406,6 +406,50 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Voice-activity segmentation through the REAL WAV codec (q310): the
+    * audio-pipeline primitive that turns a clip into SEGMENTS — frame the
+    * PCM into 80-sample frames, flag a frame active iff its exact integer
+    * energy Σs² clears the threshold (71500·65536 ≈ the corpus's median
+    * frame energy, so both classes are genuinely populated), then merge
+    * consecutive active frames into segments with a per-clip sequential
+    * fold. Everything is row-local — decode, framing, thresholding, and
+    * the island merge all happen inside one map over clips, so the
+    * operator is embarrassingly parallel at any corpus size (the
+    * gaps-and-islands WINDOW formulation would shuffle frames for no
+    * reason; a clip's frames are already adjacent in its own payload). */
+  val VadEnergyThreshold: Long = 71500L * 65536L
+
+  def vadSegmentsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val samples = text.map(ch => ((ch.toInt - 96) * 256).toShort).toArray
+          val s = WavCodec.decode(WavCodec.encode(8000, samples)).samples
+          val nf = s.length / 80
+          var f = 0
+          var nSpeech = 0L; var nSeg = 0L; var cur = 0L; var best = 0L
+          while (f < nf) {
+            var e = 0L
+            var j = f * 80
+            while (j < (f + 1) * 80) { e += s(j).toLong * s(j); j += 1 }
+            if (e >= VadEnergyThreshold) {
+              nSpeech += 1
+              if (cur == 0) nSeg += 1
+              cur += 1
+              if (cur > best) best = cur
+            } else cur = 0
+            f += 1
+          }
+          (id, nf.toLong, nSpeech, nSeg, best)
+        }
+      }
+      .toDF("media_id", "n_frames", "n_speech", "n_segments", "max_segment")
+      .orderBy("media_id")
+  }
+
   /** REAL pixel augmentation through the BMP codec (q303): the two
     * deterministic transforms every vision pipeline applies — horizontal
     * FLIP and center CROP — on actual decoded pixels, with q163's

@@ -906,6 +906,41 @@ object ExtrasQueries {
         |FROM m ORDER BY media_id""".stripMargin
     ) { (s, dir) => graft.multimodal.Multimodal.audioFramesQuery(s, dir) },
 
+    // Voice-activity segmentation — q136's frame energies turned into
+    // SEGMENTS: threshold each 80-sample frame's exact integer energy at
+    // the corpus-median level (71500·65536 — measured, so both classes
+    // genuinely occur), merge consecutive active frames per clip. The
+    // island merge is a row-local sequential fold inside the same map
+    // that decodes the real RIFF container (a window formulation would
+    // shuffle frames that are already adjacent in the clip's own bytes);
+    // the oracle folds the identical recurrence through a list_reduce
+    // with (current, best) packed into one integer accumulator.
+    q("q310_vad_segments",
+      "voice-activity segments per clip: energy threshold + island merge via real WAV decode")(
+      s"""WITH m AS (SELECT doc_id AS media_id, length(text) AS n,
+         |        list_transform(regexp_split_to_array(text, ''),
+         |                       c -> CAST((unicode(c) - 96) * 256 AS BIGINT)) AS smp
+         |        FROM documents),
+         |fr AS (SELECT media_id, n // 80 AS nf,
+         |        list_transform(generate_series(1, n // 80),
+         |          f -> list_reduce(list_transform(smp[(f-1)*80+1 : f*80], x -> x * x),
+         |                           (a, b) -> a + b)) AS en
+         |       FROM m)
+         |SELECT media_id, CAST(nf AS BIGINT) AS n_frames,
+         |  CAST(len(list_filter(en, x -> x >= ${graft.multimodal.Multimodal.VadEnergyThreshold})) AS BIGINT) AS n_speech,
+         |  CAST(len(list_filter(generate_series(1, nf),
+         |    i -> en[i] >= ${graft.multimodal.Multimodal.VadEnergyThreshold}
+         |         AND (i = 1 OR en[i-1] < ${graft.multimodal.Multimodal.VadEnergyThreshold}))) AS BIGINT) AS n_segments,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(en, x -> CASE WHEN x >= ${graft.multimodal.Multimodal.VadEnergyThreshold}
+         |                                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |    (acc, fl) -> CASE WHEN fl = 1
+         |                 THEN ((acc // 100000) + 1) * 100000
+         |                      + greatest(acc % 100000, (acc // 100000) + 1)
+         |                 ELSE acc % 100000 END) % 100000 AS BIGINT) AS max_segment
+         |FROM fr ORDER BY media_id""".stripMargin
+    ) { (s, dir) => graft.multimodal.Multimodal.vadSegmentsQuery(s, dir) },
+
     // Order-book depth — the FX-domain query a consumer of the reference
     // would actually run: 3-level ask ladders synthesized onto the wire,
     // parsed back through the REAL ingest pipeline (to_json → OandaPipeline

@@ -34,6 +34,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("q310 VAD: both classes populated, island laws hold per clip at both scales") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = Multimodal.vadSegmentsQuery(spark, d).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val (nf, ns) = (rows.map(_._1).sum, rows.map(_._2).sum)
+      // the median threshold must genuinely split the corpus's frames
+      assert(ns > nf / 4 && ns < 3 * nf / 4, s"$d: degenerate split $ns/$nf")
+      rows.foreach { case (f, s, seg, mx) =>
+        assert(s <= f && seg <= s && mx <= s, s"$d: island law violated ($f,$s,$seg,$mx)")
+        // a clip's longest run times its segment count bounds its active frames
+        assert(seg == 0 || mx * seg >= s, s"$d: max run $mx × $seg segments < $s active")
+      }
+    }
+  }
+
   test("resize halves image dims only") {
     val f = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, dir))
     val r = Multimodal.resizeHalf(f)
