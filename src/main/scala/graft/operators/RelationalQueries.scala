@@ -1684,6 +1684,40 @@ object RelationalQueries {
         .groupBy("change_type")
         .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"), max(col("k")).as("max_key"))
         .orderBy("change_type")
+    },
+
+    // Exchange reuse — the last un-demonstrated member of Spark's
+    // runtime-optimization family (DPP q192, AQE skew q217, runtime
+    // Bloom q218, CBO q196, MV rewrite q281): the per-order quantity
+    // rollup feeds BOTH the row stream and its own global mean, and the
+    // identical aggregation subtree appears under two plan branches —
+    // Spark's ReuseExchange/stage-reuse rule computes the shuffle ONCE
+    // and wires the second consumer to the same materialized stage
+    // (PlanShapeSpec pins a ReusedExchange/StageReuse node in the
+    // executed plan). At 100 TB this is the difference between one and
+    // two full shuffles of the fact table for every "compare each group
+    // to the global statistic" query. The comparison itself is cleared
+    // to integers (oq·n_orders > total_qty — no mean division).
+    q("q311_exchange_reuse",
+      "above-average-order classification: one shuffle feeds both the rows and the global mean")(
+      """WITH g AS (SELECT l_orderkey,
+        |                  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS oq
+        |           FROM lineitem GROUP BY l_orderkey),
+        |m AS (SELECT CAST(sum(oq) AS BIGINT) AS tq, CAST(count(*) AS BIGINT) AS no FROM g)
+        |SELECT CASE WHEN g.oq * m.no > m.tq THEN 'above' ELSE 'at_or_below' END AS cls,
+        |       CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(g.oq) AS BIGINT) AS qty_sum
+        |FROM g CROSS JOIN m GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val g = Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(expr("cast(floor(l_quantity) as bigint)")).as("oq"))
+      val m = g.agg(sum(col("oq")).as("tq"), count(lit(1)).as("no"))
+      g.crossJoin(broadcast(m))
+        .select(when(col("oq") * col("no") > col("tq"), "above")
+          .otherwise("at_or_below").as("cls"), col("oq"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_orders"), sum(col("oq")).as("qty_sum"))
+        .orderBy("cls")
     }
   )
 

@@ -108,7 +108,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q300_experiment_readout" -> "1-row midpoint/theta/srm/moment frames chained over one user rollup (q298's shape)",
     "q302_sprt" -> "2-row decision frame × the ≤|users|/10 block walk (user-count metadata)",
     "q306_content_drift" -> "1-row corpus-size scalar × the shingle stream (decile assignment)",
-    "q309_neyman_allocation" -> "1-row allocation-totals frame × the 5-row stratum frame (pure metadata)")
+    "q309_neyman_allocation" -> "1-row allocation-totals frame × the 5-row stratum frame (pure metadata)",
+    "q311_exchange_reuse" -> "1-row global-mean frame × the per-order rollup (the reused exchange's second consumer)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

@@ -79,6 +79,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q311 the per-order rollup's exchange is computed once and reused") {
+    val df = SparkEntry.queries("q311_exchange_reuse")(spark, dir)
+    df.collect() // run so AQE finalizes its stages (reuse is a runtime decision)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+      || plan.contains("(reused)"), plan)
+  }
+
   test("q92 fuzzy join stays an equi-join on the variant (no nested loop)") {
     val plan = executedPlan("q92_fuzzy_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
