@@ -72,7 +72,7 @@ object PipelineQueries {
     * Driver-held O(d)=3 model state; one partial-aggregated scan per epoch.
     * Scala Long `/` truncates toward zero — identical to Spark `div` and
     * DuckDB `//`. */
-  private def trainLogreg(d: DataFrame): (Long, Long, Long) = {
+  private def trainLogreg(d: DataFrame, lr: Long = 2L): (Long, Long, Long) = {
     var (w0, w1, w2) = (0L, 0L, 0L)
     for (_ <- 1 to 4) {
       val sig = sigSql(w0, w1, w2)
@@ -82,9 +82,9 @@ object PipelineQueries {
         sum(expr(s"(y - $sig) * x2")).as("e2"),
         count(lit(1)).as("n")).head() // 1-row gradient frame
       val n = r.getLong(3)
-      w0 += 2 * (r.getLong(0) / n)
-      w1 += 2 * (r.getLong(1) / n / 1000000L)
-      w2 += 2 * (r.getLong(2) / n / 1000000L)
+      w0 += lr * (r.getLong(0) / n)
+      w1 += lr * (r.getLong(1) / n / 1000000L)
+      w2 += lr * (r.getLong(2) / n / 1000000L)
     }
     (w0, w1, w2)
   }
@@ -93,15 +93,16 @@ object PipelineQueries {
     * over `d` with the previous weights (`prev`), then the weight update.
     * min() over the cross-joined scalars ≙ "the" constant; `//` truncates
     * toward zero exactly like Spark `div` and Scala Long division. */
-  private def logregStepSql(prev: String, g: String, w: String): String =
+  private def logregStepSql(prev: String, g: String, w: String,
+      lr: Long = 2L, d: String = "d", nn: String = "nn"): String =
     s"""$g AS (SELECT min(w0) AS w0, min(w1) AS w1, min(w2) AS w2, min(n) AS n,
        |  sum(y - s) AS e0, sum((y - s) * x1) AS e1, sum((y - s) * x2) AS e2
        |  FROM (SELECT y, x1, x2, w0, w1, w2, n,
        |        least(greatest(500000 + ((w0*1000000 + w1*x1 + w2*x2) // 1000000), 0), 1000000) AS s
-       |        FROM d, $prev, nn)),
-       |$w AS (SELECT w0 + 2*(e0 // n) AS w0,
-       |               w1 + 2*(e1 // n // 1000000) AS w1,
-       |               w2 + 2*(e2 // n // 1000000) AS w2 FROM $g)""".stripMargin
+       |        FROM $d, $prev, $nn)),
+       |$w AS (SELECT w0 + $lr*(e0 // n) AS w0,
+       |               w1 + $lr*(e1 // n // 1000000) AS w1,
+       |               w2 + $lr*(e2 // n // 1000000) AS w2 FROM $g)""".stripMargin
   private val numPat = "[0-9]{3,}"
 
   /** q74's 16-bit × 2 z-order interleave as DuckDB SQL (declared before
@@ -1809,6 +1810,74 @@ object PipelineQueries {
           expr("CAST((tp + tn) * 1000 div n_test AS BIGINT)").as("acc_milli"))
     },
 
+    // Hyperparameter grid search — the model-selection step the trainer
+    // family (q197 train, q198 ranking, q200 calibration, q201 holdout)
+    // still lacked: a THREE-way split (train sp≥2 / val sp=1 / test sp=0),
+    // one 4-epoch integer-GD model per learning rate in {1,2,4}, selection
+    // by VALIDATION accuracy (tiebreak: smaller lr), test reported per arm
+    // for transparency but the winner flag is val-only — the hygiene that
+    // keeps the test shard out of every selection decision. 100 TB shape:
+    // the grid shares ONE cached feature scan; each arm is 4 partial-
+    // aggregated gradient scans + two 1-row eval frames; the model state
+    // is 3 driver-held longs per arm (the q197 contract), and the winner
+    // pick is a 3-row metadata fold. The oracle unrolls all three CTE
+    // chains with the SAME step text, so every weight hash-matches.
+    q("q313_lr_grid_search",
+      "learning-rate grid over the integer GD trainer: val-selected winner, per-arm test report")(
+      {
+        val arms = Seq(("a", 1L), ("b", 2L), ("c", 4L))
+        val chains = arms.map { case (p, lr) =>
+          s"""${p}_w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2),
+             |${(0 until 4).map(i => logregStepSql(s"${p}_w$i", s"${p}_g${i + 1}", s"${p}_w${i + 1}",
+                lr, "dtr", "nn")).mkString(",\n")},
+             |${p}_val AS (SELECT CAST($lr AS BIGINT) AS lr, min(w0) AS w0, min(w1) AS w1, min(w2) AS w2,
+             |  sum(CASE WHEN (((w0*1000000 + w1*x1 + w2*x2) // 1000000) >= 0) = (y > 0)
+             |           THEN 1 ELSE 0 END) AS val_correct, count(*) AS val_n
+             |  FROM dval, ${p}_w4),
+             |${p}_test AS (SELECT sum(CASE WHEN (((w0*1000000 + w1*x1 + w2*x2) // 1000000) >= 0) = (y > 0)
+             |                    THEN 1 ELSE 0 END) AS test_correct, count(*) AS test_n
+             |  FROM dtest, ${p}_w4),
+             |arm_$p AS (SELECT lr, w0, w1, w2, val_correct, val_n, test_correct, test_n
+             |           FROM ${p}_val, ${p}_test)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${logregFeatureCtesSql(withSplit = true)},
+           |dtr AS (SELECT x1, x2, y FROM f WHERE sp >= 2),
+           |nn AS (SELECT count(*) AS n FROM dtr),
+           |dval AS (SELECT x1, x2, y FROM f WHERE sp = 1),
+           |dtest AS (SELECT x1, x2, y FROM f WHERE sp = 0),
+           |$chains,
+           |arms AS (SELECT * FROM arm_a UNION ALL SELECT * FROM arm_b UNION ALL SELECT * FROM arm_c),
+           |best AS (SELECT max(1000000 * val_correct - lr) AS bk FROM arms)
+           |SELECT arms.lr, CAST(w0 AS BIGINT) AS w0, CAST(w1 AS BIGINT) AS w1,
+           |       CAST(w2 AS BIGINT) AS w2,
+           |       CAST(val_correct AS BIGINT) AS val_correct, CAST(val_n AS BIGINT) AS val_n,
+           |       CAST(test_correct AS BIGINT) AS test_correct, CAST(test_n AS BIGINT) AS test_n,
+           |       CAST(CASE WHEN 1000000 * val_correct - lr = bk THEN 1 ELSE 0 END AS BIGINT) AS is_winner
+           |FROM arms, best ORDER BY arms.lr""".stripMargin
+      }
+    ) { (s, dir) =>
+      val f = logregFeatures(s, dir).cache() // 3 arms × (12 gradient + 2 eval) scans
+      val tr = f.filter(col("sp") >= 2).select("x1", "x2", "y")
+      val arms = Seq(1L, 2L, 4L).map { lr =>
+        val (w0, w1, w2) = trainLogreg(tr, lr)
+        val score = s"CASE WHEN (((CAST($w0 AS BIGINT)*1000000 + CAST($w1 AS BIGINT)*x1 " +
+          s"+ CAST($w2 AS BIGINT)*x2) div 1000000) >= 0) = (y > 0) THEN 1 ELSE 0 END"
+        val v = f.filter(col("sp") === 1).select(expr(score).as("c"))
+          .agg(sum(col("c")).as("val_correct"), count(lit(1)).as("val_n"))
+        val t = f.filter(col("sp") === 0).select(expr(score).as("c"))
+          .agg(sum(col("c")).as("test_correct"), count(lit(1)).as("test_n"))
+        v.crossJoin(t).select(lit(lr).as("lr"), lit(w0).as("w0"), lit(w1).as("w1"),
+          lit(w2).as("w2"), col("val_correct").cast("long").as("val_correct"),
+          col("val_n"), col("test_correct").cast("long").as("test_correct"), col("test_n"))
+      }.reduce(_ unionByName _)
+      val best = arms.agg(max(expr("1000000 * val_correct - lr")).as("bk"))
+      arms.crossJoin(broadcast(best))
+        .select(col("lr"), col("w0"), col("w1"), col("w2"), col("val_correct"),
+          col("val_n"), col("test_correct"), col("test_n"),
+          when(expr("1000000 * val_correct - lr = bk"), 1L).otherwise(0L).as("is_winner"))
+        .orderBy("lr")
+    },
+
     // The full curation funnel as ONE lineage — the flagship composition
     // of the pipeline's standalone stages, each reusing its twin's EXACT
     // predicate so the funnel is consistent with q36b/q36c/q33/q52-q61/q60:
@@ -2467,6 +2536,64 @@ object PipelineQueries {
         .select(col("step"), col("grp"), col("gain"), col("cum_cover"), col("opt3"),
           expr("cast((1000 * cum_cover) div opt3 as bigint)").as("ratio_permille"))
         .orderBy("step")
+    },
+
+    // Missing-data repair — the feature-cleaning twin of winsorization
+    // (q89): a deterministic 10% of lineitem prices go missing (hash of
+    // the row key, so the oracle knows the ground truth), and each group's
+    // hole is filled with the (l_returnflag, l_linestatus) LOWER MEDIAN,
+    // computed from the dollar-value HISTOGRAM (q263's rank-space
+    // discipline — the cumulative window walks value bins, never rows).
+    // Because the truth is known, the report carries the quantity real
+    // imputation audits can't have: bias_dollars = Σ(imputed − true) per
+    // group — median imputation's systematic error, measured. 100 TB
+    // shape: one grouped histogram + a value-cardinality-bounded window
+    // + one grouped audit pass; nothing row-ordered.
+    q("q312_median_impute",
+      "group-median imputation of a 10% planted-missing price column with exact bias audit")(
+      s"""WITH l AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+         |                  CAST(floor(l_extendedprice) AS BIGINT) AS yd,
+         |                  ${md5LongSql(
+              "'na:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} % 10 = 0 AS miss
+         |           FROM lineitem),
+         |h AS (SELECT rf, ls, yd, CAST(count(*) AS BIGINT) AS c
+         |      FROM l WHERE NOT miss GROUP BY rf, ls, yd),
+         |cum AS (SELECT rf, ls, yd,
+         |               sum(c) OVER (PARTITION BY rf, ls ORDER BY yd) AS cm,
+         |               sum(c) OVER (PARTITION BY rf, ls) AS tot FROM h),
+         |med AS (SELECT rf, ls, min(yd) AS med FROM cum WHERE cm >= (tot + 1) // 2
+         |        GROUP BY rf, ls),
+         |g AS (SELECT rf, ls, CAST(count(*) AS BIGINT) AS n_rows,
+         |             CAST(sum(CASE WHEN miss THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+         |             CAST(sum(CASE WHEN miss THEN yd ELSE 0 END) AS BIGINT) AS mts
+         |      FROM l GROUP BY rf, ls)
+         |SELECT g.rf AS l_returnflag, g.ls AS l_linestatus, g.n_rows, g.n_missing,
+         |       CAST(med.med AS BIGINT) AS median_dollars,
+         |       CAST(g.n_missing * med.med - g.mts AS BIGINT) AS bias_dollars
+         |FROM g JOIN med ON med.rf = g.rf AND med.ls = g.ls
+         |ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val l = graft.Tables(s, dir, "lineitem").select(
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        expr("cast(floor(l_extendedprice) as bigint)").as("yd"),
+        (md5Long(concat(lit("na:"), col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))) % 10 === 0).as("miss"))
+      val h = l.filter(!col("miss")).groupBy("rf", "ls", "yd")
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("rf", "ls").orderBy("yd")
+      val wAll = Window.partitionBy("rf", "ls")
+      val med = h.select(col("rf"), col("ls"), col("yd"),
+          sum(col("c")).over(wCum).as("cm"), sum(col("c")).over(wAll).as("tot"))
+        .filter(expr("cm >= (tot + 1) div 2"))
+        .groupBy("rf", "ls").agg(min(col("yd")).as("med"))
+      val g = l.groupBy("rf", "ls").agg(count(lit(1)).as("n_rows"),
+        sum(when(col("miss"), 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("miss"), col("yd")).otherwise(0L)).as("mts"))
+      g.join(med, Seq("rf", "ls"))
+        .select(col("rf").as("l_returnflag"), col("ls").as("l_linestatus"),
+          col("n_rows"), col("n_missing"), col("med").as("median_dollars"),
+          (col("n_missing") * col("med") - col("mts")).as("bias_dollars"))
+        .orderBy("l_returnflag", "l_linestatus")
     }
   )
 }

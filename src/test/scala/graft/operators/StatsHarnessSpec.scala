@@ -376,6 +376,33 @@ class StatsHarnessSpec extends AnyFunSuite {
       s"update share off: ${rows("update")} of $overlap")
   }
 
+  test("q313 grid search: selection is by validation accuracy and the grid discriminates") {
+    val rows = SparkEntry.queries("q313_lr_grid_search")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(8))).toMap
+    assert(rows.keySet == Set(1L, 2L, 4L))
+    val winners = rows.filter(_._2._2 == 1L)
+    assert(winners.size == 1)
+    val (wlr, (wval, _)) = winners.head
+    // the flag must match the val-argmax (tiebreak smaller lr)
+    assert(rows.values.forall(_._1 <= wval))
+    // lr=1 is genuinely undertrained at 4 epochs (NOTES: slope-1 needs 8+)
+    assert(rows(1L)._1 < wval, s"grid degenerate: ${rows.toSeq.sortBy(_._1)}")
+    assert(wlr != 1L)
+  }
+
+  test("q312 imputation: planted missingness is ~10% and median bias is small per group") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q312_median_impute")(spark, d).collect()
+      assert(rows.length == 6)
+      rows.foreach { r =>
+        val (n, miss, bias) = (r.getLong(2), r.getLong(3), r.getLong(5))
+        assert(miss * 10 > n * 8 / 10 && miss * 10 < n * 12 / 10, s"$d: miss rate $miss/$n")
+        // median ≈ mean on this corpus: per-hole bias well under the ~30k spread
+        assert(math.abs(bias) < miss * 5000L, s"$d: bias $bias over $miss holes")
+      }
+    }
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
