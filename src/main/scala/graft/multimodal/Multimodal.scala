@@ -367,6 +367,59 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** REAL-codec video chain (q315): synthesize a 16×4 grayscale video per
+    * doc — frame f's pixels are chars [64f, 64f+64) of the text, zero-
+    * padded, up to 4 frames — encode it as an uncompressed-DIB RIFF AVI
+    * ([[AviCodec]]) and DECODE IT BACK through the actual container walk
+    * (magics, hdrl/strl headers, movi chunk list, per-frame bottom-up row
+    * flip). This retires the video-codec stub for the decode path: the
+    * container is real; only inter-frame COMPRESSION stays out of scope
+    * (no H.264 lib offline — [[FakeCodec]] remains solely behind the
+    * legacy q39/q47/q153 oracles). Features are integer-exact, including
+    * the one only video has: MOTION = Σ|frame_f − frame_{f−1}| over
+    * aligned pixels. px0/px_last pin the frame order and the row flip;
+    * n_bytes pins the container size law 232 + 216·nf. Row-local map. */
+  def videoFeaturesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val n = text.length
+          val nf = math.min(4, math.max(1, (n + 63) / 64))
+          val src = Array.tabulate(nf, 4, 16) { (f, y, x) =>
+            val i = f * 64 + y * 16 + x
+            if (i < n) text.charAt(i).toInt & 0xff else 0
+          }
+          val bytes = AviCodec.encode(AviCodec.Video(16, 4, 5, src))
+          val dec = AviCodec.decode(bytes) // real parse: magics, chunk walk
+          var sum = 0L; var motion = 0L
+          var f = 0
+          while (f < dec.frames.length) {
+            var y = 0
+            while (y < 4) {
+              var x = 0
+              while (x < 16) {
+                val p = dec.frames(f)(y)(x)
+                sum += p
+                if (f > 0) motion += math.abs(p - dec.frames(f - 1)(y)(x))
+                x += 1
+              }
+              y += 1
+            }
+            f += 1
+          }
+          (id, bytes.length.toLong, dec.frames.length.toLong, dec.fps.toLong,
+            dec.frames(0)(0)(0).toLong, dec.frames(nf - 1)(3)(15).toLong,
+            sum, motion)
+        }
+      }
+      .toDF("media_id", "n_bytes", "n_frames", "fps", "px0", "px_last",
+        "sum_gray", "motion")
+      .orderBy("media_id")
+  }
+
   /** Frame-level audio analysis through the REAL WAV codec (q69's synth +
     * container parse): whole-clip zero-crossing count plus the peak
     * 80-sample-frame energy — the speech/music front-end primitives (ZCR,

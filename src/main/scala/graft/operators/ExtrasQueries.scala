@@ -906,6 +906,41 @@ object ExtrasQueries {
         |FROM m ORDER BY media_id""".stripMargin
     ) { (s, dir) => graft.multimodal.Multimodal.audioFramesQuery(s, dir) },
 
+    // Video through a REAL container codec — retires the last stub: an
+    // uncompressed-DIB RIFF AVI is written and parsed from the public
+    // spec (AviCodec: magics, hdrl/strl headers, movi chunk walk with the
+    // odd-size skip law, per-frame bottom-up row flip), completing the
+    // real-codec trio with WAV (q69) and BMP (q70). Only inter-frame
+    // COMPRESSION stays out of scope (no H.264 lib in this environment).
+    // The oracle models the synthesis arithmetic — px0/px_last pin frame
+    // order + row flip, n_bytes pins the 232 + 216·nf container size law,
+    // and MOTION (Σ|frame_f − frame_{f−1}|) is the genuinely-video
+    // feature. AviCodecSpec golden-tests the container itself.
+    q("q315_video_decode",
+      "real AVI (RIFF, uncompressed DIB) encode→decode→features incl. inter-frame motion")(
+      """WITH m AS (SELECT doc_id AS media_id, length(text) AS n,
+        |        list_transform(regexp_split_to_array(text, ''),
+        |                       c -> CAST(unicode(c) AS BIGINT)) AS codes
+        |        FROM documents),
+        |p AS (SELECT media_id, n, codes,
+        |             least(4, greatest(1, (n + 63) // 64)) AS nf FROM m)
+        |SELECT media_id,
+        |  CAST(232 + nf * 216 AS BIGINT) AS n_bytes,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(5 AS BIGINT) AS fps,
+        |  CAST(codes[1] AS BIGINT) AS px0,
+        |  CAST(CASE WHEN nf * 64 <= n THEN codes[nf * 64] ELSE 0 END AS BIGINT) AS px_last,
+        |  CAST(list_reduce(list_transform(generate_series(1, nf * 64),
+        |       i -> CASE WHEN i <= n THEN codes[i] ELSE 0 END), (a, b) -> a + b)
+        |       AS BIGINT) AS sum_gray,
+        |  CAST(CASE WHEN nf = 1 THEN 0 ELSE
+        |       list_reduce(list_transform(generate_series(65, nf * 64),
+        |       i -> abs((CASE WHEN i <= n THEN codes[i] ELSE 0 END)
+        |              - (CASE WHEN i - 64 <= n THEN codes[i - 64] ELSE 0 END))),
+        |       (a, b) -> a + b) END AS BIGINT) AS motion
+        |FROM p ORDER BY media_id""".stripMargin
+    ) { (s, dir) => graft.multimodal.Multimodal.videoFeaturesQuery(s, dir) },
+
     // Voice-activity segmentation — q136's frame energies turned into
     // SEGMENTS: threshold each 80-sample frame's exact integer energy at
     // the corpus-median level (71500·65536 — measured, so both classes
@@ -1487,6 +1522,39 @@ object ExtrasQueries {
       Seq("orders", "customer", "nation").foreach(t =>
         Tables(s, dir, t).createOrReplaceTempView(t))
       s.sql(ExtrasQueries.hintSql)
+    },
+
+    // The full join-strategy matrix — q103 demonstrates the BROADCAST
+    // hint; this runs the SAME orders⋈customer join under all three
+    // strategy hints (BROADCAST / SHUFFLE_HASH / MERGE) and publishes one
+    // identical aggregate row per arm — the equality of the three rows IS
+    // the demonstration (physical strategy must never change results),
+    // and PlanShapeSpec pins that the planner actually honored each hint
+    // (BroadcastHashJoin + ShuffledHashJoin + SortMergeJoin all present;
+    // at this fixture size the unhinted pick would be broadcast for every
+    // arm). The 100 TB reading: broadcast = no shuffle but O(|dim|)
+    // memory per executor; shuffled hash = one shuffle each side, build
+    // the smaller; sort-merge = the spill-safe default for fact-fact —
+    // the hint surface is how users arbitrate when stats can't.
+    q("q314_join_strategy_matrix",
+      "one join, three hinted physical strategies: identical aggregates per arm")(
+      Seq("a_broadcast", "b_shuffle_hash", "c_merge").map { lbl =>
+        s"""SELECT '$lbl' AS strategy, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev_dollars,
+           |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+           |FROM orders JOIN customer ON c_custkey = o_custkey""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY strategy")
+    ) { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      Seq("a_broadcast" -> "broadcast", "b_shuffle_hash" -> "shuffle_hash",
+        "c_merge" -> "merge").map { case (lbl, h) =>
+        o.join(c.hint(h), o("o_custkey") === c("c_custkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(floor(o_totalprice) as bigint)")).as("rev_dollars"),
+            countDistinct(col("c_mktsegment")).as("n_segments"))
+          .select(lit(lbl).as("strategy"), col("n"), col("rev_dollars"), col("n_segments"))
+      }.reduce(_ unionByName _).orderBy("strategy")
     },
 
     // Parameterized SQL — named parameter markers bound at execution,

@@ -87,6 +87,13 @@ class PlanShapeSpec extends AnyFunSuite {
       || plan.contains("(reused)"), plan)
   }
 
+  test("q314 every join-strategy hint reaches its arm's physical plan") {
+    val plan = executedPlan("q314_join_strategy_matrix")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q92 fuzzy join stays an equi-join on the variant (no nested loop)") {
     val plan = executedPlan("q92_fuzzy_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
