@@ -2094,6 +2094,46 @@ object ExtrasQueries {
           |   GROUP BY l_returnflag
           ||> SELECT l_returnflag, n, qty, base
           ||> ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // SQL scripting (Spark 4's BEGIN…END compound statements) — the third
+    // Spark-4 SQL surface next to SQL UDFs (q304) and pipes (q305):
+    // DECLARE session variables, a WHILE loop doubling a quantity cap
+    // until it covers ≥90% of lineitem, then the per-flag report under
+    // the found cap. The oracle is the DECLARATIVE twin — it derives the
+    // same cap from a powers-of-two grid in one pass — and the hash match
+    // proves procedure ≡ set logic. That is also the honest 100 TB note:
+    // each WHILE probe is a full scan (7 probes here), so at scale the
+    // cap belongs in one histogram pass (exactly what the oracle does);
+    // the script surface is for orchestration, not for replacing
+    // aggregation. Total row count is hoisted into a DECLARE so the loop
+    // condition scans once, not twice, per probe.
+    q("q316_sql_scripting",
+      "BEGIN/DECLARE/WHILE script doubles a cap to 90% coverage; oracle derives it declaratively")(
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM lineitem),
+        |pw AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS cap),
+        |cov AS (SELECT pw.cap, CAST(count(*) AS BIGINT) AS n
+        |        FROM pw JOIN lineitem ON l_quantity < pw.cap GROUP BY pw.cap),
+        |sel AS (SELECT CAST(min(cap) AS BIGINT) AS cap FROM cov, tot WHERE 10 * n >= 9 * t)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, sel.cap
+        |FROM lineitem, sel WHERE l_quantity < sel.cap
+        |GROUP BY l_returnflag, sel.cap ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("li_q316")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      try s.sql(
+        """BEGIN
+          |  DECLARE cap INT DEFAULT 1;
+          |  DECLARE t BIGINT DEFAULT 0;
+          |  SET t = (SELECT count(*) FROM li_q316);
+          |  WHILE (SELECT 10 * count(*) FROM li_q316 WHERE l_quantity < cap) < 9 * t DO
+          |    SET cap = cap * 2;
+          |  END WHILE;
+          |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, CAST(cap AS BIGINT) AS cap
+          |  FROM li_q316 WHERE l_quantity < cap
+          |  GROUP BY l_returnflag, cap ORDER BY l_returnflag;
+          |END""".stripMargin)
+      finally s.conf.set("spark.sql.scripting.enabled", "false")
     }
   )
 }
