@@ -4601,6 +4601,61 @@ object AnalyticsQueries {
           expr("cast((1000 * cast(tw as decimal(38,0)) * tw)" +
             " div (cast(tn as decimal(38,0)) * sad) as bigint)").as("ratio_permille"))
         .orderBy("stratum")
+    },
+
+    // Distribution-free CI for the median — the order-statistic result
+    // every robust pipeline metric should ship with: P(X_(r_lo) ≤ median
+    // ≤ X_(r_hi)) ≈ 95% with r_lo/r_hi = n/2 ∓ 0.98√n, NO distributional
+    // assumption (binomial/normal rank approximation; √n via the exact
+    // floor isqrt, so the ranks are engine-identical integers). The
+    // order statistics themselves come from the deci-quantized value
+    // HISTOGRAM (q257's bins): one grouped count, one value-bounded
+    // cumulative window, one conditional-min pass — ranks are walked,
+    // rows are never sorted. The CI complements q267 (conformal,
+    // prediction) and q270 (bootstrap, mean): this one is for quantiles,
+    // exact ranks, zero resampling. Spec pins lo ≤ med ≤ hi and the
+    // 1/√n width shrink from sf0.01 to sf0.1.
+    q("q317_median_ci",
+      "95% order-statistic CI for each series median via exact integer ranks on the value histogram")(
+      """WITH d AS (SELECT event_type AS et, CAST(floor(value * 10) AS BIGINT) AS x FROM events),
+        |h AS (SELECT et, x, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY et, x),
+        |cum AS (SELECT et, x, sum(c) OVER (PARTITION BY et ORDER BY x) AS cm FROM h),
+        |st AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS s
+        |       FROM d GROUP BY et),
+        |rk AS (SELECT et, n,
+        |              greatest(1, (50 * n - 98 * s) // 100) AS r_lo,
+        |              (n + 1) // 2 AS r_med,
+        |              least(n, (50 * n + 98 * s + 99) // 100 + 1) AS r_hi
+        |       FROM st)
+        |SELECT rk.et AS event_type, rk.n, CAST(rk.r_lo AS BIGINT) AS rank_lo,
+        |       CAST(rk.r_hi AS BIGINT) AS rank_hi,
+        |       CAST(min(CASE WHEN cm >= r_lo THEN x END) AS BIGINT) AS lo_deci,
+        |       CAST(min(CASE WHEN cm >= r_med THEN x END) AS BIGINT) AS med_deci,
+        |       CAST(min(CASE WHEN cm >= r_hi THEN x END) AS BIGINT) AS hi_deci
+        |FROM cum JOIN rk ON rk.et = cum.et
+        |GROUP BY rk.et, rk.n, rk.r_lo, rk.r_med, rk.r_hi
+        |ORDER BY rk.et""".stripMargin
+    ) { (sp, dir) =>
+      val d = Tables(sp, dir, "events")
+        .select(col("event_type").as("et"), expr("cast(floor(value * 10) as bigint)").as("x"))
+      val h = d.groupBy("et", "x").agg(count(lit(1)).as("c"))
+      val cum = h.select(col("et"), col("x"),
+        sum(col("c")).over(Window.partitionBy("et").orderBy("x")).as("cm"))
+      val rk = d.groupBy("et").agg(count(lit(1)).as("n"))
+        .withColumn("s", expr("cast(floor(sqrt(cast(n as double))) as bigint)"))
+        .select(col("et"), col("n"),
+          expr("greatest(1L, (50 * n - 98 * s) div 100)").as("r_lo"),
+          expr("(n + 1) div 2").as("r_med"),
+          expr("least(n, (50 * n + 98 * s + 99) div 100 + 1)").as("r_hi"))
+      cum.join(rk, Seq("et"))
+        .groupBy("et", "n", "r_lo", "r_med", "r_hi")
+        .agg(min(when(col("cm") >= col("r_lo"), col("x"))).as("lo_deci"),
+          min(when(col("cm") >= col("r_med"), col("x"))).as("med_deci"),
+          min(when(col("cm") >= col("r_hi"), col("x"))).as("hi_deci"))
+        .select(col("et").as("event_type"), col("n"), col("r_lo").as("rank_lo"),
+          col("r_hi").as("rank_hi"), col("lo_deci"), col("med_deci"), col("hi_deci"))
+        .orderBy("event_type")
     }
   )
 }

@@ -403,6 +403,22 @@ class StatsHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("q317 median CI: order holds and width shrinks like 1/sqrt(n) across scales") {
+    def widths(d: String) = SparkEntry.queries("q317_median_ci")(spark, d).collect()
+      .map { r =>
+        val (lo, med, hi) = (r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(lo <= med && med <= hi, s"$d: order violated ($lo,$med,$hi)")
+        r.getString(0) -> (hi - lo)
+      }.toMap
+    val w1 = widths("/root/testdata/sf0.01")
+    val w2 = widths("/root/testdata/sf0.1")
+    w1.keys.foreach { et =>
+      // 10× the rows → ~1/√10 ≈ 0.32 of the width (allow 0.2–0.55)
+      assert(w2(et) * 100 < w1(et) * 55 && w2(et) * 100 > w1(et) * 20,
+        s"$et: width ${w1(et)} → ${w2(et)} not a √n shrink")
+    }
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
