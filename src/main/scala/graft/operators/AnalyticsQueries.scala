@@ -4656,6 +4656,50 @@ object AnalyticsQueries {
         .select(col("et").as("event_type"), col("n"), col("r_lo").as("rank_lo"),
           col("r_hi").as("rank_hi"), col("lo_deci"), col("med_deci"), col("hi_deci"))
         .orderBy("event_type")
+    },
+
+    // Golden-record survivorship — the MDM merge q237's latest-wins CDC
+    // doesn't cover: CDC picks ONE newest op per key; survivorship picks
+    // the newest value PER FIELD and pivots them into one golden row per
+    // entity (a user's latest click value may be older than their latest
+    // view value — each attribute survives independently). One window
+    // partitioned by (user, field) ranks candidates with the full
+    // (ts, event_id) tiebreak, one grouped pivot builds the record; at
+    // 100 TB that is a single hash shuffle on the entity key and the
+    // per-field history collapses map-side. Doubles round to the 4-dp
+    // grid before the pivot (FIXTURES contract).
+    q("q318_survivorship",
+      "golden record per user: newest value per field (click/view/purchase) + audit counts")(
+      """WITH r AS (SELECT user_id, event_type, round(value, 4) AS v, ts,
+        |                  row_number() OVER (PARTITION BY user_id, event_type
+        |                                     ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events),
+        |g AS (SELECT user_id,
+        |             max(CASE WHEN event_type = 'click' AND rn = 1 THEN v END) AS last_click,
+        |             max(CASE WHEN event_type = 'view' AND rn = 1 THEN v END) AS last_view,
+        |             max(CASE WHEN event_type = 'purchase' AND rn = 1 THEN v END) AS last_purchase,
+        |             max(ts) AS last_seen,
+        |             CAST(count(*) AS BIGINT) AS n_events,
+        |             CAST(count(DISTINCT event_type) AS BIGINT) AS n_fields
+        |      FROM r GROUP BY user_id)
+        |SELECT user_id, last_click, last_view, last_purchase,
+        |       last_seen::TIMESTAMP AS last_seen, n_events, n_fields
+        |FROM g ORDER BY user_id""".stripMargin
+    ) { (sp, dir) =>
+      val r = Tables(sp, dir, "events")
+        .select(col("user_id"), col("event_type"), round(col("value"), 4).as("v"),
+          col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "event_type")
+            .orderBy(col("ts").desc, col("event_id").desc)))
+      r.groupBy("user_id")
+        .agg(max(when(col("event_type") === "click" && col("rn") === 1, col("v"))).as("last_click"),
+          max(when(col("event_type") === "view" && col("rn") === 1, col("v"))).as("last_view"),
+          max(when(col("event_type") === "purchase" && col("rn") === 1, col("v"))).as("last_purchase"),
+          max(col("ts")).as("last_seen"),
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_fields"))
+        .orderBy("user_id")
     }
   )
 }

@@ -419,6 +419,19 @@ class StatsHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("q319 CE: the 2-D histogram beats independence on the correlated conjunction") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val err = SparkEntry.queries("q319_cardinality_estimation")(spark, d).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(err("a_true") == 0L)
+      // independence under-counts the planted correlation ~7× (≈860‰);
+      // the coarse misaligned 2-D cell stays within ~300‰
+      assert(err("c_indep") > 700, s"$d: indep err ${err("c_indep")}")
+      assert(err("b_hist2d") < 350, s"$d: hist2d err ${err("b_hist2d")}")
+      assert(err("b_hist2d") * 2 < err("c_indep"))
+    }
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
