@@ -4700,6 +4700,101 @@ object AnalyticsQueries {
           count(lit(1)).as("n_events"),
           countDistinct(col("event_type")).as("n_fields"))
         .orderBy("user_id")
+    },
+
+    // Time-decay multi-touch attribution — the third attribution model
+    // next to last-touch (q140) and Markov removal effect (q295): every
+    // click/view in the 7 days before a purchase earns credit halved per
+    // elapsed day, as EXACT integers (weight = 256 >> days — power-of-two
+    // decay needs no float exponential), published both raw and
+    // per-conversion-normalized (1000·w // journey total, so each
+    // conversion distributes ≤1000 milli across its touches). Join shape:
+    // purchases ⋈ touches on the USER key with a µs-interval predicate —
+    // per-user journeys are short, so the pair fan-out is bounded by
+    // touches-per-user × conversions-per-user, never |events|².
+    q("q320_time_decay_attribution",
+      "7-day half-per-day decay credit per channel, integer 256>>days weights")(
+      """WITH p AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS pus, event_id AS pid
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus, event_type AS channel
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT t.channel, p.pid,
+        |             (256 >> CAST((p.pus - t.tus) // 86400000000 AS INT)) AS w
+        |      FROM p JOIN t ON t.user_id = p.user_id
+        |                   AND t.tus < p.pus AND p.pus - t.tus < 604800000000),
+        |tot AS (SELECT pid, CAST(sum(w) AS BIGINT) AS tw FROM j GROUP BY pid)
+        |SELECT j.channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum(j.w) AS BIGINT) AS credit_raw,
+        |       CAST(sum((1000 * j.w) // tot.tw) AS BIGINT) AS credit_norm_milli
+        |FROM j JOIN tot USING (pid) GROUP BY j.channel ORDER BY j.channel""".stripMargin
+    ) { (sp, dir) =>
+      val ev = Tables(sp, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), us(col("ts")).as("pus"), col("event_id").as("pid"))
+      val t = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), us(col("ts")).as("tus"), col("event_type").as("channel"))
+      val j = p.join(t, Seq("user_id"))
+        .filter(col("tus") < col("pus") && col("pus") - col("tus") < 604800000000L)
+        .select(col("channel"), col("pid"),
+          expr("shiftright(256L, cast((pus - tus) div 86400000000 as int))").as("w"))
+        .cache() // journey totals + the channel rollup
+      val tot = j.groupBy("pid").agg(sum(col("w")).as("tw"))
+      j.join(tot, Seq("pid"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"), sum(col("w")).as("credit_raw"),
+          sum(expr("(1000 * w) div tw")).as("credit_norm_milli"))
+        .orderBy("channel")
+    },
+
+    // k-anonymity REPAIR — the audits (q248/q261/q272) measure risk;
+    // this walks the generalization lattice and picks the minimal
+    // coarsening that satisfies k=25: L0 (nation, segment, balance-bin)
+    // → L1 drop the bin → L2 nation only → L3 global. Every level's
+    // class sizes roll up ALGEBRAICALLY from the L0 frame (a child
+    // class partitions its parent), so the whole lattice costs one scan
+    // plus metadata rollups — never four scans. The chosen level is the
+    // first whose MINIMUM class clears k; on this fixture the choice
+    // moves DOWN the lattice as data grows (more rows ⇒ less
+    // generalization needed — spec-pinned across the two scales), which
+    // is the operational point of the repair.
+    q("q321_anonymize_repair",
+      "minimal generalization level achieving k=25 over the (nation, segment, balance) lattice")(
+      """WITH l0 AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |                   CAST(floor((c_acctbal + 1000) / 500) AS BIGINT) AS bb,
+        |                   CAST(count(*) AS BIGINT) AS sz
+        |            FROM customer GROUP BY nk, seg, bb),
+        |l1 AS (SELECT nk, seg, CAST(sum(sz) AS BIGINT) AS sz FROM l0 GROUP BY nk, seg),
+        |l2 AS (SELECT nk, CAST(sum(sz) AS BIGINT) AS sz FROM l1 GROUP BY nk),
+        |l3 AS (SELECT CAST(sum(sz) AS BIGINT) AS sz FROM l2),
+        |lv AS (SELECT 0 AS level, CAST(min(sz) AS BIGINT) AS min_size,
+        |              CAST(count(*) AS BIGINT) AS n_classes FROM l0
+        |       UNION ALL SELECT 1, CAST(min(sz) AS BIGINT), CAST(count(*) AS BIGINT) FROM l1
+        |       UNION ALL SELECT 2, CAST(min(sz) AS BIGINT), CAST(count(*) AS BIGINT) FROM l2
+        |       UNION ALL SELECT 3, CAST(min(sz) AS BIGINT), CAST(count(*) AS BIGINT) FROM l3),
+        |ch AS (SELECT min(level) AS cl FROM lv WHERE min_size >= 25)
+        |SELECT CAST(lv.level AS BIGINT) AS level, lv.min_size, lv.n_classes,
+        |       CAST(CASE WHEN lv.level = ch.cl THEN 1 ELSE 0 END AS BIGINT) AS chosen
+        |FROM lv CROSS JOIN ch ORDER BY lv.level""".stripMargin
+    ) { (sp, dir) =>
+      val l0 = Tables(sp, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          expr("cast(floor((c_acctbal + 1000) / 500) as bigint)").as("bb"))
+        .agg(count(lit(1)).as("sz"))
+        .cache() // the three algebraic rollups below
+      val l1 = l0.groupBy("nk", "seg").agg(sum(col("sz")).as("sz"))
+      val l2 = l1.groupBy("nk").agg(sum(col("sz")).as("sz"))
+      val l3 = l2.agg(sum(col("sz")).as("sz"))
+      def lv(level: Int, df: org.apache.spark.sql.DataFrame) = df
+        .agg(min(col("sz")).cast("long").as("min_size"),
+          count(lit(1)).as("n_classes"))
+        .select(lit(level.toLong).as("level"), col("min_size"), col("n_classes"))
+      val levels = lv(0, l0).unionByName(lv(1, l1)).unionByName(lv(2, l2))
+        .unionByName(lv(3, l3))
+      val ch = levels.filter(col("min_size") >= 25).agg(min(col("level")).as("cl"))
+      levels.crossJoin(broadcast(ch))
+        .select(col("level"), col("min_size"), col("n_classes"),
+          when(col("level") === col("cl"), 1L).otherwise(0L).as("chosen"))
+        .orderBy("level")
     }
   )
 }

@@ -432,6 +432,32 @@ class StatsHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("q321 repair: lattice is monotone and more data needs less generalization") {
+    def levels(d: String) = SparkEntry.queries("q321_anonymize_repair")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    def chosen(rows: Array[(Long, Long, Long)]) = {
+      val mins = rows.sortBy(_._1).map(_._2)
+      assert(mins.sliding(2).forall(p => p(0) <= p(1)), s"lattice not monotone: ${mins.toSeq}")
+      val ch = rows.filter(_._3 == 1L)
+      assert(ch.length == 1 && ch.head._2 >= 25)
+      // minimality: every finer level must fail k
+      rows.filter(_._1 < ch.head._1).foreach(r => assert(r._2 < 25))
+      ch.head._1
+    }
+    val c1 = chosen(levels("/root/testdata/sf0.01"))
+    val c2 = chosen(levels("/root/testdata/sf0.1"))
+    assert(c2 <= c1, s"10× the rows should not need MORE generalization ($c1 → $c2)")
+  }
+
+  test("q320 attribution: per-conversion normalized credit sums to ≤1000 milli each") {
+    val rows = SparkEntry.queries("q320_time_decay_attribution")(spark, dir).collect()
+    assert(rows.length == 2)
+    val norm = rows.map(_.getLong(3)).sum
+    val nConv = rows.map(_.getLong(1)).sum // touches, not conversions — bound only
+    assert(norm > 0 && rows.forall(_.getLong(2) > 0))
+    assert(norm <= nConv * 1000)
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
