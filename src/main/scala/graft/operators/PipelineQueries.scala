@@ -2594,6 +2594,108 @@ object PipelineQueries {
           col("n_rows"), col("n_missing"), col("med").as("median_dollars"),
           (col("n_missing") * col("med") - col("mts")).as("bias_dollars"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Resharding cost — what each partitioning scheme pays when the shard
+    // count grows 8 → 9, measured on the customer key universe: naive
+    // mod reassigns ~8/9 of all keys (every co-located dataset re-shuffles
+    // nearly in full), RENDEZVOUS (highest-random-weight: shard =
+    // argmax_s h(key,s)) and a 16-vnode CONSISTENT-HASH RING both move
+    // only the ~1/9 the new shard must own — the minimal-movement
+    // property that makes stateful services and bucketed layouts
+    // re-scalable. Everything is md5 arithmetic so both engines draw
+    // identical assignments; the ring's wrap-around is branch-free
+    // (min_by over vpos + 2⁶⁰·[vpos < keypos]). The report also carries
+    // the balance price: max shard share, where the 144-vnode ring is
+    // visibly lumpier than rendezvous' near-uniform split. Plan shape:
+    // the key scan crossJoins only broadcast 9-row / 144-row grids.
+    q("q322_resharding",
+      "8→9 shard growth: moved keys and balance under mod / rendezvous / vnode-ring schemes")(
+      {
+        val big = "1152921504606846976" // 2^60 — past every 60-bit md5 position
+        s"""WITH k AS (SELECT c_custkey AS id,
+           |                  ${md5LongSql("'k:' || CAST(c_custkey AS VARCHAR)")} AS kh
+           |           FROM customer),
+           |s9 AS (SELECT unnest(generate_series(0, 8)) AS s),
+           |vn AS (SELECT s9.s, v.v,
+           |              ${md5LongSql(
+                "'vn:' || CAST(s9.s AS VARCHAR) || ':' || CAST(v.v AS VARCHAR)")} AS vpos
+           |       FROM s9 CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS v) v),
+           |rh AS (SELECT k.id, s9.s,
+           |              ${md5LongSql(
+                "'rz:' || CAST(k.id AS VARCHAR) || ':' || CAST(s9.s AS VARCHAR)")} AS h
+           |       FROM k CROSS JOIN s9),
+           |r8 AS (SELECT id, max_by(s, h) AS sh FROM rh WHERE s < 8 GROUP BY id),
+           |r9 AS (SELECT id, max_by(s, h) AS sh FROM rh GROUP BY id),
+           |g8 AS (SELECT k.id, min_by(vn.s,
+           |              vn.vpos + CASE WHEN vn.vpos < k.kh THEN $big ELSE 0 END) AS sh
+           |       FROM k CROSS JOIN vn WHERE vn.s < 8 GROUP BY k.id),
+           |g9 AS (SELECT k.id, min_by(vn.s,
+           |              vn.vpos + CASE WHEN vn.vpos < k.kh THEN $big ELSE 0 END) AS sh
+           |       FROM k CROSS JOIN vn GROUP BY k.id),
+           |m AS (SELECT id, kh % 8 AS s8, kh % 9 AS s9 FROM k),
+           |mv AS (SELECT 'a_mod' AS scheme, CAST(count(*) AS BIGINT) AS n,
+           |              CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS moved
+           |       FROM m
+           |       UNION ALL SELECT 'b_rendezvous', CAST(count(*) AS BIGINT),
+           |              CAST(sum(CASE WHEN r8.sh <> r9.sh THEN 1 ELSE 0 END) AS BIGINT)
+           |       FROM r8 JOIN r9 USING (id)
+           |       UNION ALL SELECT 'c_ring', CAST(count(*) AS BIGINT),
+           |              CAST(sum(CASE WHEN g8.sh <> g9.sh THEN 1 ELSE 0 END) AS BIGINT)
+           |       FROM g8 JOIN g9 USING (id)),
+           |asg AS (SELECT 'a_mod' AS scheme, s9 AS sh FROM m
+           |        UNION ALL SELECT 'b_rendezvous', sh FROM r9
+           |        UNION ALL SELECT 'c_ring', sh FROM g9),
+           |sc AS (SELECT scheme, sh, CAST(count(*) AS BIGINT) AS c FROM asg GROUP BY scheme, sh),
+           |mx AS (SELECT scheme, CAST(max(c) AS BIGINT) AS mc FROM sc GROUP BY scheme)
+           |SELECT mv.scheme, mv.n AS n_keys,
+           |       CAST((1000 * mv.moved) // mv.n AS BIGINT) AS moved_permille,
+           |       CAST((1000 * mx.mc) // mv.n AS BIGINT) AS max_share_permille
+           |FROM mv JOIN mx USING (scheme) ORDER BY mv.scheme""".stripMargin
+      }
+    ) { (s, dir) =>
+      val big = 1152921504606846976L
+      val k = graft.Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          md5Long(concat(lit("k:"), col("c_custkey").cast("string"))).as("kh"))
+        .cache() // four assignment passes + the mod frame
+      val s9 = s.range(1).select(explode(sequence(lit(0L), lit(8L))).as("s"))
+      val vn = s9.crossJoin(s.range(1).select(explode(sequence(lit(0L), lit(15L))).as("v")))
+        .select(col("s"), md5Long(concat(lit("vn:"), col("s").cast("string"), lit(":"),
+          col("v").cast("string"))).as("vpos"))
+        .localCheckpoint(true) // 144-row grid, broadcast below
+      val rh = k.crossJoin(broadcast(s9))
+        .select(col("id"), col("s"), md5Long(concat(lit("rz:"), col("id").cast("string"),
+          lit(":"), col("s").cast("string"))).as("h"))
+      val r8 = rh.filter(col("s") < 8).groupBy("id").agg(expr("max_by(s, h)").as("sh"))
+      val r9 = rh.groupBy("id").agg(expr("max_by(s, h)").as("sh"))
+      def ring(grid: DataFrame) = k.crossJoin(broadcast(grid))
+        .groupBy("id")
+        .agg(expr(s"min_by(s, vpos + CASE WHEN vpos < kh THEN ${big}L ELSE 0L END)").as("sh"))
+      val g8 = ring(vn.filter(col("s") < 8))
+      val g9 = ring(vn)
+      val m = k.select(col("id"), (col("kh") % 8).as("s8"), (col("kh") % 9).as("s9c"))
+      val mv = m.agg(count(lit(1)).as("n"),
+          sum(when(col("s8") =!= col("s9c"), 1L).otherwise(0L)).as("moved"))
+          .select(lit("a_mod").as("scheme"), col("n"), col("moved"))
+        .unionByName(r8.join(r9.withColumnRenamed("sh", "sh9"), Seq("id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("sh") =!= col("sh9"), 1L).otherwise(0L)).as("moved"))
+          .select(lit("b_rendezvous").as("scheme"), col("n"), col("moved")))
+        .unionByName(g8.join(g9.withColumnRenamed("sh", "sh9"), Seq("id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("sh") =!= col("sh9"), 1L).otherwise(0L)).as("moved"))
+          .select(lit("c_ring").as("scheme"), col("n"), col("moved")))
+      val asg = m.select(lit("a_mod").as("scheme"), col("s9c").as("sh"))
+        .unionByName(r9.select(lit("b_rendezvous").as("scheme"), col("sh")))
+        .unionByName(g9.select(lit("c_ring").as("scheme"), col("sh")))
+      val mx = asg.groupBy("scheme", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("scheme").agg(max(col("c")).as("mc"))
+      mv.join(mx, Seq("scheme"))
+        .select(col("scheme"), col("n").as("n_keys"),
+          expr("(1000 * moved) div n").as("moved_permille"),
+          expr("(1000 * mc) div n").as("max_share_permille"))
+        .orderBy("scheme")
     }
   )
 }

@@ -458,6 +458,20 @@ class StatsHarnessSpec extends AnyFunSuite {
     assert(norm <= nConv * 1000)
   }
 
+  test("q322 resharding: minimal-movement schemes move ~1/9, mod moves ~8/9") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q322_resharding")(spark, d).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(rows("a_mod")._1 > 800, s"$d: mod moved ${rows("a_mod")._1}")
+      assert(rows("b_rendezvous")._1 < 200, s"$d: rendezvous moved ${rows("b_rendezvous")._1}")
+      assert(rows("c_ring")._1 < 250, s"$d: ring moved ${rows("c_ring")._1}")
+      // balance price: the 16-vnode ring is lumpier than rendezvous
+      assert(rows("c_ring")._2 >= rows("b_rendezvous")._2, s"$d: $rows")
+      // everyone's max share stays a sane multiple of the ideal 111‰
+      rows.values.foreach { case (_, share) => assert(share < 300) }
+    }
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
