@@ -1769,6 +1769,67 @@ object RelationalQueries {
       e.select(col("method"), col("est_n"), col("tr").as("true_n"),
           expr("cast((1000 * abs(est_n - tr)) div tr as bigint)").as("err_permille"))
         .orderBy("method")
+    },
+
+    // Data-contract expectation suite — the declarative gate a dataset
+    // passes before anything downstream consumes it, as ONE query: six
+    // rule families (range, not-null, uniqueness, referential integrity,
+    // enum domain, positivity) each reduced to (checked, violations,
+    // pass) by a scalar aggregate; the FK rule broadcasts the distinct
+    // parent keys (q226's shape). One rule is deliberately written
+    // against a stale sample — quantity ≤ 45 — and the suite CATCHES it
+    // (~10% violations, pass = 0): a contract report where everything is
+    // green demonstrates nothing. 100 TB shape: every rule is a partial
+    // aggregate over one scan of its table; the two lineitem rule groups
+    // share a scan per branch and nothing is row-ordered.
+    q("q323_data_contract",
+      "six-rule expectation suite with per-rule verdicts; the stale range rule must fail")(
+      """WITH li AS (SELECT l_quantity, l_shipdate, l_extendedprice, l_orderkey FROM lineitem),
+        |ok AS (SELECT DISTINCT o_orderkey FROM orders),
+        |r1 AS (SELECT 'r1_quantity_le_45' AS rule, CAST(count(*) AS BIGINT) AS n_checked,
+        |              CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |       FROM li),
+        |r2 AS (SELECT 'r2_shipdate_not_null', CAST(count(*) AS BIGINT),
+        |              CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM li),
+        |r3 AS (SELECT 'r3_orderkey_unique', CAST(count(*) AS BIGINT),
+        |              CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+        |r4 AS (SELECT 'r4_fk_orders', CAST(count(*) AS BIGINT),
+        |              CAST(sum(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |       FROM li LEFT JOIN ok ON ok.o_orderkey = li.l_orderkey),
+        |r5 AS (SELECT 'r5_status_enum', CAST(count(*) AS BIGINT),
+        |              CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+        |       FROM orders),
+        |r6 AS (SELECT 'r6_price_positive', CAST(count(*) AS BIGINT),
+        |              CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM li),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |      UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6)
+        |SELECT rule, n_checked, n_violations,
+        |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM u ORDER BY rule""".stripMargin
+    ) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val orders = Tables(s, dir, "orders")
+      val ok = orders.select(col("o_orderkey")).distinct()
+      def rule(name: String, df: DataFrame, viol: Column) = df
+        .agg(count(lit(1)).as("n_checked"), sum(viol).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_checked"), col("n_violations"))
+      val r4 = li.select(col("l_orderkey"))
+        .join(broadcast(ok.withColumnRenamed("o_orderkey", "pk")),
+          col("l_orderkey") === col("pk"), "left_outer")
+      Seq(
+        rule("r1_quantity_le_45", li, when(col("l_quantity") > 45, 1L).otherwise(0L)),
+        rule("r2_shipdate_not_null", li, when(col("l_shipdate").isNull, 1L).otherwise(0L)),
+        orders.agg(count(lit(1)).as("n_checked"),
+            (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+          .select(lit("r3_orderkey_unique").as("rule"), col("n_checked"), col("n_violations")),
+        rule("r4_fk_orders", r4, when(col("pk").isNull, 1L).otherwise(0L)),
+        rule("r5_status_enum", orders,
+          when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)),
+        rule("r6_price_positive", li, when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+      ).reduce(_ unionByName _)
+        .select(col("rule"), col("n_checked"), col("n_violations"),
+          when(col("n_violations") === 0, 1L).otherwise(0L).as("pass"))
+        .orderBy("rule")
     }
   )
 
