@@ -4795,6 +4795,206 @@ object AnalyticsQueries {
         .select(col("level"), col("min_size"), col("n_classes"),
           when(col("level") === col("cl"), 1L).otherwise(0L).as("chosen"))
         .orderBy("level")
+    },
+
+    // Benjamini–Hochberg FDR over EXACT binomial p-values — the
+    // multiple-comparisons layer q255's single z² gate doesn't have:
+    // when one readout runs m tests (24 segments here), per-test α=0.05
+    // rejects ~m·α nulls; BH's step-up (reject ranks ≤ max{r : p_(r) ≤
+    // r·α/m}) controls the EXPECTED false-discovery fraction instead.
+    // Everything is engine-identical integers: each segment's test is a
+    // fixed n=20 chronological sample (first-20 by (ts, event_id) — the
+    // engine side runs it through the native TopKPerKey partial-heap
+    // operator, so at 100 TB the sample is bounded at k rows per key on
+    // BOTH sides of the shuffle, never a per-segment window sort), the
+    // two-sided sign-test p-value is the exact binomial tail
+    // 2·Σ_{i≤min(k,n−k)} C(20,i) in units of 2⁻²⁰ (C(n,i) via
+    // factorial(20), exact in 64 bits in both engines), and the BH
+    // condition p·m·20 ≤ r·2²⁰ is a pure integer comparison (α = 1/20).
+    // Four segments carry a planted p=0.95 effect (hash-Bernoulli, so
+    // ground truth is known); the null segments test value-above-global-
+    // deci-median (the q317 histogram walk). StatsHarnessSpec pins
+    // planted⊆rejected and zero null rejections at both scales.
+    q("q324_bh_fdr",
+      "BH step-up over exact binomial sign tests: 4 planted segments reject, nulls don't")(
+      s"""WITH d AS (SELECT event_id, ts, CAST(floor(value * 10) AS BIGINT) AS x,
+         |                  ${md5LongSql("'seg:' || CAST(event_id AS VARCHAR)")} % 24 AS seg
+         |           FROM events),
+         |h AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY x),
+         |cum AS (SELECT x, sum(c) OVER (ORDER BY x) AS cm FROM h),
+         |nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         |med AS (SELECT CAST(min(x) AS BIGINT) AS t FROM cum CROSS JOIN nu WHERE 2 * cm >= n),
+         |samp AS (SELECT seg, event_id, x,
+         |                row_number() OVER (PARTITION BY seg ORDER BY ts, event_id) AS rn
+         |         FROM d QUALIFY rn <= 20),
+         |ind AS (SELECT seg,
+         |               CASE WHEN seg < 4
+         |                    THEN CASE WHEN ${md5LongSql("'bh:' || CAST(event_id AS VARCHAR)")} % 20 < 19
+         |                              THEN 1 ELSE 0 END
+         |                    ELSE CASE WHEN x > med.t THEN 1 ELSE 0 END END AS i
+         |        FROM samp CROSS JOIN med),
+         |tests AS (SELECT seg, CAST(sum(i) AS BIGINT) AS k,
+         |                 least(CAST(sum(i) AS BIGINT), 20 - CAST(sum(i) AS BIGINT)) AS kmin
+         |          FROM ind GROUP BY seg),
+         |pv AS (SELECT seg, k,
+         |              least(2 * CAST(list_sum(list_transform(generate_series(0, CAST(kmin AS INT)),
+         |                    i -> CAST(factorial(20) // (factorial(CAST(i AS INT))
+         |                              * factorial(CAST(20 - i AS INT))) AS BIGINT))) AS BIGINT),
+         |                    1048576) AS p_num
+         |       FROM tests),
+         |rk AS (SELECT seg, k, CAST(p_num AS BIGINT) AS p_num,
+         |              row_number() OVER (ORDER BY p_num, seg) AS r,
+         |              CAST(count(*) OVER () AS BIGINT) AS m
+         |       FROM pv),
+         |ku AS (SELECT COALESCE(max(r), 0) AS kmax
+         |       FROM rk WHERE p_num * m * 20 <= r * 1048576)
+         |SELECT seg, k AS k_above, p_num, CAST(r AS BIGINT) AS p_rank,
+         |       CAST(CASE WHEN r <= kmax THEN 1 ELSE 0 END AS BIGINT) AS rejected,
+         |       CAST(CASE WHEN seg < 4 THEN 1 ELSE 0 END AS BIGINT) AS planted
+         |FROM rk CROSS JOIN ku ORDER BY seg""".stripMargin
+    ) { (sp, dir) =>
+      val d = Tables(sp, dir, "events")
+        .select(col("event_id"), col("ts"),
+          expr("cast(floor(value * 10) as bigint)").as("x"),
+          (md5Long(concat(lit("seg:"), col("event_id").cast("string"))) % 24).as("seg"))
+      // global deci-median via the bounded-histogram triangular cum
+      // (q255's shape: ≤|deci values|² pairs, never a global window)
+      val h = d.groupBy("x").agg(count(lit(1)).as("c"))
+      val hb = h.select(col("x").as("xb"), col("c").as("cb"))
+      val cum = h.join(hb, col("xb") <= col("x"))
+        .groupBy("x").agg(sum(col("cb")).as("cm"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val med = cum.crossJoin(broadcast(n)).filter(col("cm") * 2 >= col("n"))
+        .agg(min(col("x")).as("t"))
+      // bounded chronological sample: native heap top-k per segment key
+      val samp = graft.plans.TopKPerKey.topK(d,
+        keys = Seq(col("seg")), order = Seq(col("ts"), col("event_id")), k = 20)
+      val ind = samp.crossJoin(broadcast(med))
+        .select(col("seg"),
+          when(col("seg") < 4,
+            when(md5Long(concat(lit("bh:"), col("event_id").cast("string"))) % 20 < 19, 1L)
+              .otherwise(0L))
+            .otherwise(when(col("x") > col("t"), 1L).otherwise(0L)).as("i"))
+      val tests = ind.groupBy("seg").agg(sum(col("i")).as("k"))
+        .withColumn("kmin", least(col("k"), lit(20L) - col("k")))
+      val pv = tests.select(col("seg"), col("k"),
+        least(expr("2 * aggregate(sequence(0L, kmin), 0L, (a, i) -> " +
+          "a + factorial(20) div (factorial(cast(i as int)) * factorial(cast(20 - i as int))))"),
+          lit(1048576L)).as("p_num"))
+      // BH rank over the m=24 test rows: triangular count (m² pairs on a
+      // segment-count-bounded frame) instead of a global row_number window
+      val pvb = pv.select(col("seg").as("segb"), col("p_num").as("pb"))
+      val rk = pv.join(pvb,
+          col("pb") < col("p_num") || (col("pb") === col("p_num") && col("segb") <= col("seg")))
+        .groupBy("seg", "k", "p_num").agg(count(lit(1)).as("r"))
+      val m = pv.agg(count(lit(1)).as("m"))
+      val rkm = rk.crossJoin(broadcast(m))
+      val ku = rkm.filter(col("p_num") * col("m") * 20 <= col("r") * 1048576L)
+        .agg(coalesce(max(col("r")), lit(0L)).as("kmax"))
+      rkm.crossJoin(broadcast(ku))
+        .select(col("seg"), col("k").as("k_above"), col("p_num"),
+          col("r").as("p_rank"),
+          when(col("r") <= col("kmax"), 1L).otherwise(0L).as("rejected"),
+          when(col("seg") < 4, 1L).otherwise(0L).as("planted"))
+        .orderBy("seg")
+    },
+
+    // One-level CART: the decision stump every gradient-boosting round
+    // and every "which feature explains this label" triage starts with.
+    // The label carries a PLANTED rule (y = (qty>30) XOR 15% hash noise
+    // — ground truth stays known, the q312/q319 discipline) and the
+    // stump must FIND it among three candidate features, two of them
+    // null. Search is histogram-based, the 100 TB shape: one grouped
+    // count per (feature, value, label) — never a per-row sort — then a
+    // per-feature cumulative window over the ≤50-value histogram gives
+    // every split's left/right class counts at once. Split score is the
+    // weighted Gini numerator nL1·nL0/nL + nR1·nR0/nR compared on the
+    // exact common-denominator integer grid ·10⁹ (DECIMAL/HUGEINT cross
+    // products — no float ever orders candidates), argmin tiebroken by
+    // (feature, value). Output: per-feature best split + the global
+    // chosen row; acc_permille is the majority-vote stump's training
+    // accuracy (≈850‰ on the planted rule = 1 − noise, vs ≈570‰ for the
+    // null features). StatsHarnessSpec pins feature/threshold recovery
+    // at both scales.
+    q("q325_decision_stump",
+      "histogram Gini stump recovers the planted (quantity>30) rule among null features")(
+      s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+         |                  CAST(floor(l_discount * 100) AS BIGINT) AS disc,
+         |                  CAST(day(l_shipdate) AS BIGINT) AS dom,
+         |                  CASE WHEN (l_quantity > 30) <>
+         |                    (${md5LongSql("'ds:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} % 100 < 15)
+         |                       THEN 1 ELSE 0 END AS y
+         |           FROM lineitem),
+         |t AS (SELECT 'quantity' AS f, qty AS v, y FROM b
+         |      UNION ALL SELECT 'discount_centi', disc, y FROM b
+         |      UNION ALL SELECT 'ship_dom', dom, y FROM b),
+         |c AS (SELECT f, v, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS c1
+         |      FROM t GROUP BY f, v),
+         |tot AS (SELECT f, CAST(sum(c) AS BIGINT) AS n, CAST(sum(c1) AS BIGINT) AS n1
+         |        FROM c GROUP BY f),
+         |cu AS (SELECT f, v, CAST(sum(c) OVER (PARTITION BY f ORDER BY v) AS BIGINT) AS nl,
+         |              CAST(sum(c1) OVER (PARTITION BY f ORDER BY v) AS BIGINT) AS nl1 FROM c),
+         |cand AS (SELECT cu.f, cu.v, cu.nl, cu.nl1,
+         |                CAST(tot.n - cu.nl AS BIGINT) AS nr,
+         |                CAST(tot.n1 - cu.nl1 AS BIGINT) AS nr1, tot.n, tot.n1
+         |         FROM cu JOIN tot USING (f) WHERE tot.n - cu.nl > 0),
+         |sc AS (SELECT f, v, nl, nr, n, n1,
+         |              CAST((CAST(nl1 AS HUGEINT) * (nl - nl1) * nr
+         |                  + CAST(nr1 AS HUGEINT) * (nr - nr1) * nl) * 1000000000
+         |                  // (CAST(nl AS HUGEINT) * nr) AS BIGINT) AS wg_nano,
+         |              CAST(greatest(nl1, nl - nl1) + greatest(nr1, nr - nr1) AS BIGINT) AS n_correct
+         |       FROM cand),
+         |best AS (SELECT f, v, nl, nr, wg_nano, n_correct, n, n1,
+         |                row_number() OVER (PARTITION BY f ORDER BY wg_nano, v) AS rf,
+         |                row_number() OVER (ORDER BY wg_nano, f, v) AS rg
+         |         FROM sc)
+         |SELECT f AS feature, CAST(v AS BIGINT) AS threshold, nl AS n_left, nr AS n_right,
+         |       wg_nano,
+         |       CAST(CAST(n1 AS HUGEINT) * (n - n1) * 1000000000 // n AS BIGINT) AS root_nano,
+         |       CAST(n_correct * 1000 // n AS BIGINT) AS acc_permille,
+         |       CAST(CASE WHEN rg = 1 THEN 1 ELSE 0 END AS BIGINT) AS chosen
+         |FROM best WHERE rf = 1 ORDER BY feature""".stripMargin
+    ) { (sp, dir) =>
+      val b = Tables(sp, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("qty"),
+          expr("cast(floor(l_discount * 100) as bigint)").as("disc"),
+          expr("cast(day(l_shipdate) as bigint)").as("dom"),
+          when((col("l_quantity") > 30) =!=
+            (md5Long(concat(lit("ds:"), col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string"))) % 100 < 15), 1L).otherwise(0L).as("y"))
+      val t = b.select(lit("quantity").as("f"), col("qty").as("v"), col("y"))
+        .unionByName(b.select(lit("discount_centi").as("f"), col("disc").as("v"), col("y")))
+        .unionByName(b.select(lit("ship_dom").as("f"), col("dom").as("v"), col("y")))
+      val c = t.groupBy("f", "v").agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+      val tot = c.groupBy("f").agg(sum(col("c")).as("n"), sum(col("c1")).as("n1"))
+      val wf = Window.partitionBy("f").orderBy("v")
+      val cu = c.select(col("f"), col("v"),
+        sum(col("c")).over(wf).as("nl"), sum(col("c1")).over(wf).as("nl1"))
+      val cand = cu.join(tot, Seq("f"))
+        .withColumn("nr", col("n") - col("nl"))
+        .withColumn("nr1", col("n1") - col("nl1"))
+        .filter(col("nr") > 0)
+      val sc2 = cand.select(col("f"), col("v"), col("nl"), col("nr"), col("n"), col("n1"),
+        expr("cast((cast(nl1 as decimal(38,0)) * (nl - nl1) * nr" +
+          " + cast(nr1 as decimal(38,0)) * (nr - nr1) * nl) * 1000000000" +
+          " div (cast(nl as decimal(38,0)) * nr) as bigint)").as("wg_nano"),
+        expr("greatest(nl1, nl - nl1) + greatest(nr1, nr - nr1)").as("n_correct"))
+      // per-feature argmin stays a PARTITIONED window (≤50 candidate
+      // values per feature); the global winner is a 1-row argmin frame
+      // broadcast back — no unpartitioned window anywhere
+      val best = sc2.select(col("*"),
+        row_number().over(Window.partitionBy("f").orderBy("wg_nano", "v")).as("rf"))
+        .filter(col("rf") === 1)
+      val win = sc2.agg(min(struct(col("wg_nano"), col("f"), col("v"))).as("w"))
+        .select(col("w.f").as("wf"), col("w.v").as("wv"))
+      best.crossJoin(broadcast(win))
+        .select(col("f").as("feature"), col("v").as("threshold"),
+          col("nl").as("n_left"), col("nr").as("n_right"), col("wg_nano"),
+          expr("cast(cast(n1 as decimal(38,0)) * (n - n1) * 1000000000 div n as bigint)")
+            .as("root_nano"),
+          expr("n_correct * 1000 div n").as("acc_permille"),
+          when(col("f") === col("wf") && col("v") === col("wv"), 1L).otherwise(0L).as("chosen"))
+        .orderBy("feature")
     }
   )
 }

@@ -112,7 +112,9 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q311_exchange_reuse" -> "1-row global-mean frame × the per-order rollup (the reused exchange's second consumer)",
     "q313_lr_grid_search" -> "1-row val × 1-row test eval frames per arm + 1-row best-key frame × the 3-row grid",
     "q321_anonymize_repair" -> "1-row chosen-level frame × the 4-row lattice report (pure metadata)",
-    "q322_resharding" -> "9-row shard grid and 144-row vnode grid × the key scan (broadcast assignment fan-out)")
+    "q322_resharding" -> "9-row shard grid and 144-row vnode grid × the key scan (broadcast assignment fan-out)",
+    "q324_bh_fdr" -> "≤|deci values|² median triangular (q255's shape) + 24² BH rank triangular + 1-row median/m/kmax scalars",
+    "q325_decision_stump" -> "1-row global-argmin frame × the ≤93-row per-feature best-split table")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

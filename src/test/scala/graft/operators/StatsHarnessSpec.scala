@@ -449,6 +449,43 @@ class StatsHarnessSpec extends AnyFunSuite {
     assert(c2 <= c1, s"10× the rows should not need MORE generalization ($c1 → $c2)")
   }
 
+  test("q324 BH-FDR: planted segments all reject, no null segment rejects") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q324_bh_fdr")(spark, d).collect()
+      assert(rows.length == 24)
+      rows.foreach { r =>
+        val (pNum, rejected, planted) = (r.getLong(2), r.getLong(4), r.getLong(5))
+        assert(pNum >= 2L && pNum <= 1048576L, s"$d: p_num $pNum out of [2/2^20, 1]")
+        if (planted == 1L) assert(rejected == 1L, s"$d: planted seg ${r.getLong(0)} not rejected")
+        else assert(rejected == 0L, s"$d: null seg ${r.getLong(0)} falsely rejected (p=$pNum/2^20)")
+      }
+      // step-up coherence: rejected set is exactly a prefix of the p-rank order
+      val rejRanks = rows.filter(_.getLong(4) == 1L).map(_.getLong(3)).sorted
+      assert(rejRanks.sameElements(1L to rejRanks.length.toLong))
+    }
+  }
+
+  test("q325 stump: recovers the planted (quantity > 30) rule among null features") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q325_decision_stump")(spark, d).collect()
+      assert(rows.length == 3)
+      val chosen = rows.filter(_.getLong(7) == 1L)
+      assert(chosen.length == 1)
+      assert(chosen.head.getString(0) == "quantity" && chosen.head.getLong(1) == 30L,
+        s"$d: chose ${chosen.head.getString(0)}@${chosen.head.getLong(1)}")
+      // planted rule: stump accuracy ≈ 1 − 15% noise; null features near coin-flip+base
+      assert(chosen.head.getLong(6) > 800L, s"$d: acc ${chosen.head.getLong(6)}")
+      rows.filterNot(_.getString(0) == "quantity").foreach { r =>
+        assert(r.getLong(6) < 650L, s"$d: null feature ${r.getString(0)} acc ${r.getLong(6)}")
+        assert(r.getLong(4) > chosen.head.getLong(4),
+          s"$d: null feature ${r.getString(0)} scored below the planted split")
+      }
+      // gain sanity: the chosen split's impurity is far under the root's
+      assert(chosen.head.getLong(4) * 3 < rows.head.getLong(5) * 2,
+        s"$d: wg ${chosen.head.getLong(4)} vs root ${rows.head.getLong(5)}")
+    }
+  }
+
   test("q320 attribution: per-conversion normalized credit sums to ≤1000 milli each") {
     val rows = SparkEntry.queries("q320_time_decay_attribution")(spark, dir).collect()
     assert(rows.length == 2)
