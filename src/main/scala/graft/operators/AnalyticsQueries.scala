@@ -4995,6 +4995,93 @@ object AnalyticsQueries {
           expr("n_correct * 1000 div n").as("acc_permille"),
           when(col("f") === col("wf") && col("v") === col("wv"), 1L).otherwise(0L).as("chosen"))
         .orderBy("feature")
+    },
+
+    // Rank-1 ALS — distributed matrix factorization, THE canonical Spark
+    // ML workload (MLlib's own recommender is ALS): customers × parts
+    // with summed quantity as the implicit rating. Rank 1 makes each
+    // half-step a CLOSED FORM — u_i = S·Σ_j r_ij·v_j / (Σ_j v_j²/S + λS)
+    // — so the whole trainer is alternating grouped aggregates in 2²⁰
+    // fixed-point (every product, floor-div, and λ=0.1·S term is the
+    // same integer in both engines; sums ride DECIMAL(38)/HUGEINT so no
+    // width divergence). Two full rounds, then the training SSE at
+    // rounds 0 (predict 0) / 1 / 2 — monotone convergence (1000‰ → ~230‰
+    // → strictly less) IS the oracle-checked demonstration, the q197
+    // integer-GD discipline applied to factorization. At 100 TB: each
+    // half-step is ONE shuffle keyed by the side being solved (the
+    // classic ALS layout); factor frames are |users|/|items|-sized
+    // equi-join sides, never broadcast-mandatory; nothing driver-side.
+    q("q326_als_rank1",
+      "rank-1 ALS in 2^20 fixed point: training SSE drops monotonically over 2 rounds")(
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS it, CAST(sum(l_quantity) AS BIGINT) AS r
+        |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |           GROUP BY u, it),
+        |u1 AS (SELECT u, CAST((1048576 * sum(r * 1048576))
+        |                    // (sum(CAST(1048576 AS BIGINT) * 1048576) // 1048576 + 104858)
+        |                  AS BIGINT) AS uf
+        |       FROM r GROUP BY u),
+        |v1 AS (SELECT it, CAST((1048576 * sum(u1.uf * r.r))
+        |                     // (sum(u1.uf * u1.uf) // 1048576 + 104858) AS BIGINT) AS vf
+        |       FROM r JOIN u1 USING (u) GROUP BY it),
+        |u2 AS (SELECT u, CAST((1048576 * sum(r.r * v1.vf))
+        |                    // (sum(v1.vf * v1.vf) // 1048576 + 104858) AS BIGINT) AS uf
+        |       FROM r JOIN v1 USING (it) GROUP BY u),
+        |v2 AS (SELECT it, CAST((1048576 * sum(u2.uf * r.r))
+        |                     // (sum(u2.uf * u2.uf) // 1048576 + 104858) AS BIGINT) AS vf
+        |       FROM r JOIN u2 USING (u) GROUP BY it),
+        |s0 AS (SELECT CAST(sum(CAST(r * 1048576 AS HUGEINT) * (r * 1048576))
+        |                 // (CAST(1048576 AS HUGEINT) * 1048576) AS BIGINT) AS sse FROM r),
+        |s1 AS (SELECT CAST(sum(CAST(e AS HUGEINT) * e)
+        |                 // (CAST(1048576 AS HUGEINT) * 1048576) AS BIGINT) AS sse
+        |       FROM (SELECT r.r * 1048576 - (u1.uf * v1.vf) // 1048576 AS e
+        |             FROM r JOIN u1 USING (u) JOIN v1 USING (it)) q),
+        |s2 AS (SELECT CAST(sum(CAST(e AS HUGEINT) * e)
+        |                 // (CAST(1048576 AS HUGEINT) * 1048576) AS BIGINT) AS sse
+        |       FROM (SELECT r.r * 1048576 - (u2.uf * v2.vf) // 1048576 AS e
+        |             FROM r JOIN u2 USING (u) JOIN v2 USING (it)) q)
+        |SELECT CAST(rnd AS BIGINT) AS round, sse,
+        |       CAST(sse * 1000 // (SELECT sse FROM s0) AS BIGINT) AS of_round0_permille
+        |FROM (SELECT 0 AS rnd, sse FROM s0 UNION ALL SELECT 1, sse FROM s1
+        |      UNION ALL SELECT 2, sse FROM s2) z
+        |ORDER BY round""".stripMargin
+    ) { (sp, dir) =>
+      val r = Tables(sp, dir, "lineitem")
+        .join(Tables(sp, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("it"))
+        .agg(sum(col("l_quantity")).cast("long").as("r"))
+        .cache() // 4 half-steps + 3 SSE legs off one ratings shuffle
+      // DECIMAL(38) sums mirror DuckDB's automatic HUGEINT widening
+      val u1 = r.groupBy("u").agg(
+        expr("cast((1048576 * sum(cast(r as decimal(38,0)) * 1048576))" +
+          " div (sum(cast(1048576 as decimal(38,0)) * 1048576) div 1048576 + 104858)" +
+          " as bigint)").as("uf"))
+        .cache() // v1 step + s1 leg
+      val v1 = r.join(u1, Seq("u")).groupBy("it").agg(
+        expr("cast((1048576 * sum(cast(uf as decimal(38,0)) * r))" +
+          " div (sum(cast(uf as decimal(38,0)) * uf) div 1048576 + 104858) as bigint)").as("vf"))
+        .cache() // u2 step + s1 leg
+      val u2 = r.join(v1, Seq("it")).groupBy("u").agg(
+        expr("cast((1048576 * sum(cast(r as decimal(38,0)) * vf))" +
+          " div (sum(cast(vf as decimal(38,0)) * vf) div 1048576 + 104858) as bigint)").as("uf"))
+        .cache() // v2 step + s2 leg
+      val v2 = r.join(u2, Seq("u")).groupBy("it").agg(
+        expr("cast((1048576 * sum(cast(uf as decimal(38,0)) * r))" +
+          " div (sum(cast(uf as decimal(38,0)) * uf) div 1048576 + 104858) as bigint)").as("vf"))
+      def sse(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.agg(expr("cast(sum(cast(e as decimal(38,0)) * e)" +
+          " div (cast(1048576 as decimal(38,0)) * 1048576) as bigint)").as("sse"))
+      val s0 = sse(r.select(expr("r * 1048576").as("e")))
+      val s1 = sse(r.join(u1, Seq("u")).join(v1, Seq("it"))
+        .select(expr("r * 1048576 - (uf * vf) div 1048576").as("e")))
+      val s2 = sse(r.join(u2, Seq("u")).join(v2, Seq("it"))
+        .select(expr("r * 1048576 - (uf * vf) div 1048576").as("e")))
+      val rounds = s0.select(lit(0L).as("round"), col("sse"))
+        .unionByName(s1.select(lit(1L).as("round"), col("sse")))
+        .unionByName(s2.select(lit(2L).as("round"), col("sse")))
+      rounds.crossJoin(broadcast(s0.select(col("sse").as("sse0"))))
+        .select(col("round"), col("sse"),
+          expr("sse * 1000 div sse0").as("of_round0_permille"))
+        .orderBy("round")
     }
   )
 }

@@ -486,6 +486,30 @@ class StatsHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("q326 ALS: training SSE strictly improves and then never regresses") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val sse = SparkEntry.queries("q326_als_rank1")(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sse.keySet == Set(0L, 1L, 2L))
+      // round 1 must cut the predict-zero baseline hard; round 2 monotone
+      assert(sse(1L) * 3 < sse(0L), s"$d: round 1 ${sse(1L)} vs baseline ${sse(0L)}")
+      assert(sse(2L) <= sse(1L), s"$d: ALS regressed ${sse(1L)} → ${sse(2L)}")
+      assert(sse(2L) > 0L, s"$d: degenerate zero SSE")
+    }
+  }
+
+  test("q327 KN: smoothing covers every held-out trigram, raw MLE only a third") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val r = SparkEntry.queries("q327_kneser_ney")(spark, d).collect().head
+      val (mleCov, knCov) = (r.getLong(3), r.getLong(4))
+      assert(knCov == 1000L, s"$d: KN coverage $knCov permille")
+      assert(mleCov < 500L, s"$d: MLE coverage $mleCov — train slice no longer sparse")
+      // probability mass sanity: both averages in (0, 1e6)
+      assert(r.getLong(5) > 0L && r.getLong(5) < 1000000L)
+      assert(r.getLong(6) > 0L && r.getLong(6) < 1000000L)
+    }
+  }
+
   test("q320 attribution: per-conversion normalized credit sums to ≤1000 milli each") {
     val rows = SparkEntry.queries("q320_time_decay_attribution")(spark, dir).collect()
     assert(rows.length == 2)
