@@ -564,4 +564,109 @@ object Multimodal {
         round(element_at(col("histogram"), 7), 4).as("hist6"))
       .orderBy("media_id")
   }
+
+  /** Sobel edge extraction through the REAL BMP codec (q328): synthesize
+    * the 16×h grayscale BMP (q70's construction), decode through the
+    * container parse, and convolve the 3×3 Sobel pair over every INTERIOR
+    * pixel (1 ≤ y ≤ h−2, 1 ≤ x ≤ 14; every fixture doc has h ≥ 3).
+    * Gradient magnitude is the L1 form |gx|+|gy| — integer-exact, no
+    * sqrt — so the per-image edge census (count over threshold 300, total
+    * and max magnitude) is bit-identical to the oracle's replay of the
+    * synthesis arithmetic. Row-local end to end: decode + convolution is
+    * one map over clips, embarrassingly parallel at any corpus size. */
+  def sobelQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = 16
+          val h = (text.length + w - 1) / w
+          val px = Array.tabulate(h, w) { (y, x) =>
+            val i = y * w + x
+            if (i < text.length) text.charAt(i).toInt & 0xff else 0
+          }
+          val img = BmpCodec.decode(BmpCodec.encode(BmpCodec.Gray(w, h, px)))
+          val g = img.gray
+          var nInt = 0L; var total = 0L; var mx = 0L; var edges = 0L
+          var y = 1
+          while (y < img.height - 1) {
+            var x = 1
+            while (x < img.width - 1) {
+              val gx = (g(y - 1)(x + 1) + 2 * g(y)(x + 1) + g(y + 1)(x + 1)) -
+                (g(y - 1)(x - 1) + 2 * g(y)(x - 1) + g(y + 1)(x - 1))
+              val gy = (g(y + 1)(x - 1) + 2 * g(y + 1)(x) + g(y + 1)(x + 1)) -
+                (g(y - 1)(x - 1) + 2 * g(y - 1)(x) + g(y - 1)(x + 1))
+              val mag = math.abs(gx).toLong + math.abs(gy)
+              nInt += 1; total += mag
+              if (mag > mx) mx = mag
+              if (mag > 300) edges += 1
+              x += 1
+            }
+            y += 1
+          }
+          (id, img.height.toLong, nInt, total, mx, edges,
+            if (nInt > 0) edges * 1000 / nInt else 0L)
+        }
+      }
+      .toDF("media_id", "height", "n_interior", "total_mag", "max_mag",
+        "edge_count", "edge_permille")
+      .orderBy("media_id")
+  }
+
+  /** Integer DFT tables for the spectral-bin query (q329): 40-sample
+    * frames at 8 kHz, bins k ∈ {1,2,5,10} ≙ 200/400/1000/2000 Hz.
+    * round-half-up at scale 1024; computed ONCE here and injected into
+    * the oracle SQL as literals, so both engines consume the identical
+    * integer table and the whole spectral estimate stays exact. */
+  val dftBins: Seq[Int] = Seq(1, 2, 5, 10)
+  private def dftTab(fn: Double => Double, k: Int): Array[Long] =
+    Array.tabulate(40)(t => math.floor(fn(2 * math.Pi * k * t / 40) * 1024 + 0.5).toLong)
+  val dftCos: Map[Int, Array[Long]] = dftBins.map(k => k -> dftTab(math.cos, k)).toMap
+  val dftSin: Map[Int, Array[Long]] = dftBins.map(k => k -> dftTab(math.sin, k)).toMap
+  def dftTabSql(k: Int, cos: Boolean): String =
+    (if (cos) dftCos(k) else dftSin(k)).mkString("[", ",", "]")
+
+  /** Fixed-bin spectral energy through the REAL WAV codec (q329): the
+    * Goertzel-style narrowband analysis an audio curation pipeline uses
+    * for tone/hum detection — per 40-sample frame, the DFT projection
+    * X_k = Σ s_t·cos_k[t], Y_k = Σ s_t·sin_k[t] on the shared integer
+    * table, per-clip energy Σ_f (X²+Y²) ≫ 2²⁰. All products stay under
+    * 2⁶³ (|s|≤6656, |c|≤1024, 40 terms, ≤13 frames). Row-local like the
+    * other codec queries; the 4-bin spectrum is 32 bytes/clip. */
+  def spectralQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val samples = text.map(ch => ((ch.toInt - 96) * 256).toShort).toArray
+          val pcm = WavCodec.decode(WavCodec.encode(8000, samples)) // real parse
+          val s = pcm.samples
+          val nf = s.length / 40
+          val e = dftBins.map { k =>
+            val ct = dftCos(k); val st = dftSin(k)
+            var tot = 0L
+            var f = 0
+            while (f < nf) {
+              var x = 0L; var yAcc = 0L
+              var t = 0
+              while (t < 40) {
+                val v = s(f * 40 + t).toLong
+                x += v * ct(t); yAcc += v * st(t)
+                t += 1
+              }
+              tot += x * x + yAcc * yAcc
+              f += 1
+            }
+            k -> tot / 1048576L
+          }.toMap
+          (id, s.length.toLong, nf.toLong, e(1), e(2), e(5), e(10))
+        }
+      }
+      .toDF("media_id", "n_samples", "n_frames", "e200", "e400", "e1000", "e2000")
+      .orderBy("media_id")
+  }
 }

@@ -2134,6 +2134,70 @@ object ExtrasQueries {
           |  GROUP BY l_returnflag, cap ORDER BY l_returnflag;
           |END""".stripMargin)
       finally s.conf.set("spark.sql.scripting.enabled", "false")
-    }
+    },
+
+    // Sobel edge census through the REAL BMP codec — the convolution
+    // member of the image family (q70 decode, q121 aHash, q163 resize,
+    // q303 augment): 3×3 Sobel pair over every interior pixel, L1
+    // magnitude |gx|+|gy| (no sqrt — integer-exact), per-image edge
+    // count/total/max at threshold 300 (~12% of interior pixels on this
+    // corpus, and every image clears it at least once). The oracle
+    // replays the synthesis arithmetic over the char codes with the same
+    // zero-padded tail; the Spark side must round-trip the actual
+    // container (row flip included) to agree. Row-local at any scale.
+    q("q328_sobel_edges",
+      "Sobel |gx|+|gy| edge census per image via real BMP decode, integer-exact")({
+      def P(i: String) = s"COALESCE(codes[($i)+1], 0)"
+      val y = "(1 + j // 14)"; val x = "(1 + j % 14)"
+      def pix(dy: Int, dx: Int) = P(s"($y+($dy))*16 + $x+($dx)")
+      val gx = s"((${pix(-1, 1)} + 2*${pix(0, 1)} + ${pix(1, 1)})" +
+        s" - (${pix(-1, -1)} + 2*${pix(0, -1)} + ${pix(1, -1)}))"
+      val gy = s"((${pix(1, -1)} + 2*${pix(1, 0)} + ${pix(1, 1)})" +
+        s" - (${pix(-1, -1)} + 2*${pix(-1, 0)} + ${pix(-1, 1)}))"
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |        list_transform(regexp_split_to_array(text, ''), c -> unicode(c)) AS codes,
+         |        (length(text) + 15) // 16 AS h
+         |        FROM documents),
+         |e AS (SELECT media_id, h,
+         |        list_transform(generate_series(0, (h - 2) * 14 - 1),
+         |                       j -> CAST(abs($gx) + abs($gy) AS BIGINT)) AS mags
+         |      FROM m)
+         |SELECT media_id, CAST(h AS BIGINT) AS height,
+         |       CAST(len(mags) AS BIGINT) AS n_interior,
+         |       CAST(list_sum(mags) AS BIGINT) AS total_mag,
+         |       CAST(list_max(mags) AS BIGINT) AS max_mag,
+         |       CAST(len(list_filter(mags, v -> v > 300)) AS BIGINT) AS edge_count,
+         |       CAST(len(list_filter(mags, v -> v > 300)) * 1000 // len(mags) AS BIGINT)
+         |         AS edge_permille
+         |FROM e ORDER BY media_id""".stripMargin
+    }) { (s, dir) => graft.multimodal.Multimodal.sobelQuery(s, dir) },
+
+    // Fixed-bin integer DFT through the REAL WAV codec — the narrowband
+    // spectral member of the audio family (q69 decode, q136 ZCR/energy,
+    // q310 VAD): per 40-sample frame the projections X_k=Σs·cos_k,
+    // Y_k=Σs·sin_k on a SHARED integer cosine table (scale 1024,
+    // half-up, computed once in Multimodal.dftTabSql and injected into
+    // this SQL — both engines consume identical literals, so the whole
+    // spectrum is exact). Bins 200/400/1000/2000 Hz; per-clip energy
+    // Σ_f(X²+Y²)≫2²⁰ bounded under 2⁶³ by construction. The tone/hum
+    // detector shape an audio curation pipeline runs per clip.
+    q("q329_spectral_bins",
+      "4-bin integer DFT energies per clip via real WAV decode and a shared cos table")({
+      import graft.multimodal.Multimodal.dftTabSql
+      def ek(k: Int) =
+        s"CAST(list_sum(list_transform(generate_series(1, CAST(nf AS INT)), f -> " +
+          s"CAST(list_sum(list_transform(generate_series(1, 40), t -> smp[(f-1)*40+t] * (${dftTabSql(k, cos = true)})[t])) AS BIGINT)" +
+          s" * list_sum(list_transform(generate_series(1, 40), t -> smp[(f-1)*40+t] * (${dftTabSql(k, cos = true)})[t]))" +
+          s" + CAST(list_sum(list_transform(generate_series(1, 40), t -> smp[(f-1)*40+t] * (${dftTabSql(k, cos = false)})[t])) AS BIGINT)" +
+          s" * list_sum(list_transform(generate_series(1, 40), t -> smp[(f-1)*40+t] * (${dftTabSql(k, cos = false)})[t])))) // 1048576 AS BIGINT)"
+      s"""WITH m AS (SELECT doc_id AS media_id, length(text) AS n,
+         |        list_transform(regexp_split_to_array(text, ''),
+         |                       c -> CAST((unicode(c) - 96) * 256 AS BIGINT)) AS smp,
+         |        length(text) // 40 AS nf
+         |        FROM documents)
+         |SELECT media_id, CAST(n AS BIGINT) AS n_samples, CAST(nf AS BIGINT) AS n_frames,
+         |       ${ek(1)} AS e200, ${ek(2)} AS e400, ${ek(5)} AS e1000, ${ek(10)} AS e2000
+         |FROM m ORDER BY media_id""".stripMargin
+    }) { (s, dir) => graft.multimodal.Multimodal.spectralQuery(s, dir) }
   )
 }

@@ -49,6 +49,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("q328 Sobel: every image has a real edge, census laws hold at both scales") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = Multimodal.sobelQuery(spark, d).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (h, nInt, total, mx, edges) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(nInt == (h - 2) * 14, s"$d: interior count $nInt for height $h")
+        assert(mx > 100, s"$d: flat image (max $mx) — synthesis drifted")
+        assert(edges < nInt, s"$d: edge census degenerate ($edges/$nInt)")
+        assert(total >= mx && total <= nInt * mx, s"$d: magnitude sum out of bounds")
+      }
+      // corpus-level: nearly every image clears the 300 threshold, yet
+      // edges stay a clear minority of interior pixels
+      val withEdge = rows.count(_.getLong(5) >= 1L)
+      assert(withEdge * 100 >= rows.length * 95, s"$d: only $withEdge/${rows.length} with edges")
+      val permille = rows.map(_.getLong(6)).sum / rows.length
+      assert(permille > 30 && permille < 400, s"$d: mean edge share $permille permille")
+    }
+  }
+
+  test("q329 spectral: per-clip DFT energies are consistent with frame count") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = Multimodal.spectralQuery(spark, d).collect()
+      rows.foreach { r =>
+        val (n, nf) = (r.getLong(1), r.getLong(2))
+        assert(nf == n / 40, s"$d: frame count $nf for $n samples")
+        Seq(3, 4, 5, 6).foreach(i => assert(r.getLong(i) >= 0L))
+        // alternating letter/space text is high-frequency: the 2 kHz bin
+        // must carry real mass somewhere in the corpus
+      }
+      assert(rows.map(_.getLong(6)).max > rows.map(_.getLong(3)).max / 10,
+        s"$d: 2 kHz bin empty — synthesis or table drifted")
+    }
+  }
+
   test("resize halves image dims only") {
     val f = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, dir))
     val r = Multimodal.resizeHalf(f)
