@@ -712,6 +712,91 @@ object GraphQueries {
           col("q_scaled"),
           expr("cast((1000000 * q_scaled) div (4 * m * m) as bigint)").as("q_micro"))
         .orderBy("graph", "labeling")
+    },
+
+    // Critical-path / CPM longest path over a LAYERED task DAG — the
+    // scheduling-analytics member the SSSP family lacks (q122/q204 are
+    // min-plus; this is MAX-plus, and max-plus has no Dijkstra: the
+    // correct distributed shape is level-synchronous relaxation, one
+    // bounded round per layer). The DAG is synthesized with known
+    // structure: 8 layers (p_partkey mod 8), every node in layer ℓ<7
+    // fans out 2 hash-chosen edges into layer ℓ+1, node cost = centi
+    // retail price. L(v) = w(v) + max over predecessors of L(u),
+    // seeded at layer 0 — exactly 7 relaxation rounds, each ONE
+    // equi-join on the frontier + ONE partial-aggregated max per
+    // target, regardless of data size (the layer count bounds rounds,
+    // not |V|). The report pins per-layer reachability and the
+    // strictly-growing critical length; the argmax endpoint tiebreaks
+    // to min node id so the row is deterministic.
+    q("q330_critical_path",
+      "CPM longest path over an 8-layer synthesized DAG: 7 max-plus relaxation rounds")({
+      val md5e = "(('0x' || substr(md5('cp:' || CAST(n.pk AS VARCHAR) || " +
+        "':' || CAST(ks.k AS VARCHAR)), 1, 15))::BIGINT)"
+      val lcte = ("l0 AS (SELECT pk AS node, w AS l FROM nodes WHERE layer = 0)" +:
+        (1 to 7).map(r =>
+          s"l$r AS (SELECT e.v AS node, n.w + max(p.l) AS l " +
+            s"FROM l${r - 1} p JOIN edges e ON e.u = p.node AND e.lv = $r " +
+            s"JOIN nodes n ON n.pk = e.v GROUP BY e.v, n.w)")).mkString(",\n")
+      val lall = (0 to 7).map(r => s"SELECT $r AS layer, node, l FROM l$r")
+        .mkString(" UNION ALL ")
+      s"""WITH nodes AS (SELECT p_partkey AS pk, p_partkey % 8 AS layer,
+         |                      CAST(round(p_retailprice * 100) AS BIGINT) AS w
+         |               FROM part),
+         |cnt AS (SELECT layer, CAST(count(*) AS BIGINT) AS c FROM nodes GROUP BY layer),
+         |edges AS (SELECT n.pk AS u, n.layer + 1 AS lv,
+         |                 8 * ($md5e % c.c) + n.layer + 1 AS v
+         |          FROM nodes n JOIN cnt c ON c.layer = n.layer + 1
+         |          CROSS JOIN (SELECT unnest([1, 2]) AS k) ks
+         |          WHERE n.layer < 7),
+         |$lcte,
+         |lall AS ($lall),
+         |mx AS (SELECT layer, CAST(count(*) AS BIGINT) AS n_reached,
+         |              CAST(max(l) AS BIGINT) AS max_len
+         |       FROM lall GROUP BY layer),
+         |nn AS (SELECT layer, CAST(count(*) AS BIGINT) AS n_nodes FROM nodes GROUP BY layer),
+         |ep AS (SELECT a.layer, CAST(min(a.node) AS BIGINT) AS critical_node
+         |       FROM lall a JOIN mx ON mx.layer = a.layer AND a.l = mx.max_len
+         |       GROUP BY a.layer)
+         |SELECT CAST(nn.layer AS BIGINT) AS layer, nn.n_nodes, mx.n_reached,
+         |       mx.max_len, ep.critical_node
+         |FROM nn JOIN mx USING (layer) JOIN ep USING (layer) ORDER BY nn.layer""".stripMargin
+    }) { (sp, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val nodes = Tables(sp, dir, "part")
+        .select(col("p_partkey").as("pk"), (col("p_partkey") % 8).as("layer"),
+          expr("cast(round(p_retailprice * 100) as bigint)").as("w"))
+        .cache() // edge build + 7 relaxation joins + the per-layer report
+      val cnt = nodes.groupBy("layer").agg(count(lit(1)).as("c"))
+      val edges = nodes.filter(col("layer") < 7)
+        .join(broadcast(cnt.select((col("layer") - 1).as("layer"), col("c"))), Seq("layer"))
+        .select(col("pk").as("u"), (col("layer") + 1).as("lv"), col("c"),
+          explode(array(lit(1), lit(2))).as("k"))
+        .select(col("u"), col("lv"),
+          (lit(8) * (md5Long(concat(lit("cp:"), col("u").cast("string"), lit(":"),
+            col("k").cast("string"))) % col("c")) + col("lv")).as("v"))
+        .cache() // 7 per-round frontier joins
+      var frontier = nodes.filter(col("layer") === 0)
+        .select(col("pk").as("node"), col("w").as("l"))
+      var all = frontier.select(lit(0L).as("layer"), col("node"), col("l"))
+      for (r <- 1 to 7) {
+        frontier = frontier
+          .join(edges.filter(col("lv") === r), col("node") === col("u"))
+          .groupBy(col("v")).agg(max(col("l")).as("ml"))
+          .join(nodes.select(col("pk").as("v"), col("w")), Seq("v"))
+          .select(col("v").as("node"), (col("w") + col("ml")).as("l"))
+        all = all.unionByName(frontier.select(lit(r.toLong).as("layer"), col("node"), col("l")))
+      }
+      val mx = all.groupBy("layer")
+        .agg(count(lit(1)).as("n_reached"), max(col("l")).as("max_len"))
+      val nn = nodes.groupBy("layer").agg(count(lit(1)).as("n_nodes"))
+        .select(col("layer").cast("long").as("layer"), col("n_nodes"))
+      val ep = all.join(mx.select(col("layer"), col("max_len").as("l")), Seq("layer", "l"))
+        .groupBy("layer").agg(min(col("node")).as("critical_node"))
+      nn.join(mx.select(col("layer").cast("long").as("layer"), col("n_reached"),
+          col("max_len")), Seq("layer"))
+        .join(ep.select(col("layer").cast("long").as("layer"), col("critical_node")),
+          Seq("layer"))
+        .orderBy("layer")
     }
   )
 }

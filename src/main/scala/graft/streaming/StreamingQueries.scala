@@ -1614,6 +1614,52 @@ object StreamingQueries {
       runToMemory(s, accepted)
         .select(col("shard"), col("ak"), col("is_re"))
         .orderBy("shard", "ak")
+    },
+
+    // Multi-source watermark law: two watermarked branches UNIONed before
+    // a windowed aggregation. Branch A is the live event stream; branch B
+    // replays the error events DELAYED two hours (ts − 2h — a lagging
+    // upstream). Each branch carries its own EventTimeWatermark node, and
+    // Spark's global watermark is the MIN across them (default
+    // multipleWatermarkPolicy) — so append mode flushes only windows
+    // closed by the SLOWER branch: every emitted window end ≤
+    // max(shifted B ts) − 10min, hours beyond that stay open even though
+    // branch A has long passed them. That min() is THE correctness
+    // property that keeps a 100 TB multi-source pipeline from emitting
+    // windows a lagging source could still fill; the oracle's HAVING
+    // gate is the same law in batch form (LEAST over both branch maxima).
+    q("q331_stream_union_watermark",
+      "union of two watermarked streams: the lagging branch gates the append flush")(
+      """WITH a AS (SELECT ts::TIMESTAMP AS t, 'live' AS src FROM events
+        |           WHERE event_type <> 'error'),
+        |b AS (SELECT ts::TIMESTAMP - INTERVAL 2 HOUR AS t, 'delayed' AS src FROM events
+        |      WHERE event_type = 'error'),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |wm AS (SELECT LEAST((SELECT max(t) FROM a), (SELECT max(t) FROM b))
+        |              - INTERVAL 10 MINUTE AS w)
+        |SELECT make_timestamp((CAST(floor(epoch(t)) AS BIGINT) // 3600) * 3600 * 1000000) AS ws,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (WHERE src = 'live') AS BIGINT) AS n_live,
+        |       CAST(count(*) FILTER (WHERE src = 'delayed') AS BIGINT) AS n_delayed
+        |FROM u CROSS JOIN wm
+        |GROUP BY ws HAVING ws + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        |ORDER BY ws""".stripMargin
+    ) { (s, dir) =>
+      withShufflePartitions(s, 8) {
+        val a = eventsStream(s, dir).filter(col("event_type") =!= "error")
+          .select(col("ts").as("t"), lit("live").as("src"))
+          .withWatermark("t", "10 minutes")
+        val b = eventsStream(s, dir).filter(col("event_type") === "error")
+          .select((col("ts") - expr("INTERVAL 2 HOURS")).as("t"), lit("delayed").as("src"))
+          .withWatermark("t", "10 minutes")
+        val agg = a.unionByName(b)
+          .groupBy(window(col("t"), "1 hour"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("src") === "live", 1L).otherwise(0L)).as("n_live"),
+            sum(when(col("src") === "delayed", 1L).otherwise(0L)).as("n_delayed"))
+          .select(col("window.start").as("ws"), col("n"), col("n_live"), col("n_delayed"))
+        runToMemory(s, agg).orderBy("ws")
+      }
     }
   )
 

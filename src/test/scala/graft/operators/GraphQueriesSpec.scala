@@ -14,6 +14,26 @@ class GraphQueriesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("q330 critical path: lengths grow strictly per layer, reach stays bounded") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = graft.SparkEntry.queries("q330_critical_path")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(rows.map(_._1).sameElements(0L to 7L))
+      // layer 0 seeds everything; later layers lose only unreferenced nodes
+      assert(rows.head._3 == rows.head._2, s"$d: layer-0 reach ${rows.head._3}")
+      rows.foreach { case (l, n, reached, _) =>
+        assert(reached <= n && reached * 2 > n, s"$d: layer $l reach $reached/$n")
+      }
+      // max-plus law: adding a layer can only lengthen the critical path,
+      // and each step adds at least one positive node cost
+      rows.sliding(2).foreach { p =>
+        assert(p(1)._4 > p(0)._4, s"$d: critical length not increasing at layer ${p(1)._1}")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   // q80's per-iteration joins live inside eagerly-checkpointed lineage
   // (invisible in the final plan), so the broadcast-arm pin rides q138 and
   // q111, whose half-round/adjacency joins stay in the plan tree

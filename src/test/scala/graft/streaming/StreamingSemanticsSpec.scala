@@ -46,6 +46,40 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(!rows.contains("2024-01-01 09:00:00.0"))
   }
 
+  test("q331 union watermark: the lagging branch gates the flush until it catches up") {
+    implicit val sqlCtx = spark.sqlContext
+    val fast = MemoryStream[(Timestamp, Double)]
+    val slow = MemoryStream[(Timestamp, Double)]
+    val agg = fast.toDF().toDF("ts", "v").withWatermark("ts", "10 minutes")
+      .unionByName(slow.toDF().toDF("ts", "v").withWatermark("ts", "10 minutes"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val ckpt = Files.createTempDirectory("graft-union-wm").toString
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("union_wm").start()
+    try {
+      // batch 1: fast source races to 06:00, slow source sits at 01:30 —
+      // global watermark = min(06:00, 01:30) − 10m = 01:20, so ONLY hour 00
+      // closes (hour 01 end 02:00 > 01:20)
+      fast.addData((ts("2024-01-01 00:10:00"), 1.0), (ts("2024-01-01 06:00:00"), 2.0))
+      slow.addData((ts("2024-01-01 00:20:00"), 3.0), (ts("2024-01-01 01:30:00"), 4.0))
+      q.processAllAvailable()
+      val flushed1 = spark.table("union_wm").collect().map(_.getTimestamp(0)).sorted
+      assert(flushed1.length == 1 && flushed1.head == ts("2024-01-01 00:00:00"),
+        s"min-watermark violated: ${flushed1.toSeq}")
+      // batch 2: the slow branch catches up to 06:00 → watermark 05:50
+      // closes hour 01 (the only other populated window ending ≤ 05:50;
+      // hour 06 itself stays open)
+      slow.addData((ts("2024-01-01 06:00:00"), 5.0))
+      q.processAllAvailable()
+      val flushed2 = spark.table("union_wm").collect().map(_.getTimestamp(0)).sorted
+      assert(flushed2.length == 2 && flushed2.last == ts("2024-01-01 01:00:00"),
+        s"catch-up flush wrong: ${flushed2.toSeq}")
+    } finally q.stop()
+  }
+
   test("B30 streaming dropDuplicates within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp)]
