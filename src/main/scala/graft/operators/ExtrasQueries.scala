@@ -2198,6 +2198,70 @@ object ExtrasQueries {
          |SELECT media_id, CAST(n AS BIGINT) AS n_samples, CAST(nf AS BIGINT) AS n_frames,
          |       ${ek(1)} AS e200, ${ek(2)} AS e400, ${ek(5)} AS e1000, ${ek(10)} AS e2000
          |FROM m ORDER BY media_id""".stripMargin
-    }) { (s, dir) => graft.multimodal.Multimodal.spectralQuery(s, dir) }
+    }) { (s, dir) => graft.multimodal.Multimodal.spectralQuery(s, dir) },
+
+    // Jaro–Winkler fuzzy matching through a NEW native codegen expression
+    // (the third custom Expression after CosineSimilarity/HilbertIndex,
+    // B38 surface): Spark has no jaro function, DuckDB has a native one —
+    // so the oracle is a true CROSS-IMPLEMENTATION check of the
+    // expression, value-for-value at round-4, over all 64² probe×dict
+    // pairs. Probes are the 64 distinct part names with one hash-chosen
+    // adjacent transposition (the error class Jaro is built for);
+    // matching recovers the source name for ≥60/64 probes with a strict
+    // margin over the runner-up (spec-pinned — the remainder are
+    // genuinely confusable: 'cold bolt' mangled to 'ocld bolt' IS closer
+    // to 'old bolt', and the matcher says so). The 64×64 product is
+    // bounded metadata (big-dictionary ER blocks first — q92/q165); at
+    // 100 TB the expression runs inside whole-stage codegen as one
+    // static call per pair, no UDF serialization.
+    q("q332_jaro_winkler",
+      "codegen Jaro-Winkler recovers transposed part names; oracle is DuckDB's native fn")(
+      """WITH dict AS (SELECT DISTINCT p_name AS name FROM part),
+        |pr AS (SELECT name AS src,
+        |              CAST((('0x' || substr(md5('jw:' || name), 1, 15))::BIGINT)
+        |                   % (length(name) - 2) + 1 AS INT) AS i
+        |       FROM dict),
+        |probes AS (SELECT src,
+        |                  substr(src, 1, i - 1) || substr(src, i + 1, 1)
+        |                  || substr(src, i, 1) || substr(src, i + 2) AS probe
+        |           FROM pr),
+        |scored AS (SELECT p.src, p.probe, d.name AS cand,
+        |                  jaro_winkler_similarity(p.probe, d.name) AS jw
+        |           FROM probes p CROSS JOIN dict d),
+        |rk AS (SELECT src, probe, cand, jw,
+        |              row_number() OVER (PARTITION BY src ORDER BY jw DESC, cand) AS rn
+        |       FROM scored)
+        |SELECT a.src, a.probe, a.cand AS best, round(a.jw, 4) AS jw_best,
+        |       round(b.jw, 4) AS jw_runner,
+        |       CAST(CASE WHEN a.cand = a.src THEN 1 ELSE 0 END AS BIGINT) AS self_match
+        |FROM rk a JOIN rk b ON b.src = a.src AND b.rn = 2
+        |WHERE a.rn = 1 ORDER BY a.src""".stripMargin
+    ) { (s, dir) =>
+      import graft.expressions.JaroWinkler.jaroWinkler
+      import graft.functions.PortableHash.md5Long
+      val dict = Tables(s, dir, "part").select(col("p_name").as("name")).distinct()
+        .cache() // probe build + candidate side
+      val probes = dict
+        .select(col("name").as("src"),
+          (md5Long(concat(lit("jw:"), col("name"))) % (length(col("name")) - 2) + 1)
+            .cast("int").as("i"))
+        .select(col("src"),
+          concat(expr("substr(src, 1, i - 1)"), expr("substr(src, i + 1, 1)"),
+            expr("substr(src, i, 1)"), expr("substr(src, i + 2)")).as("probe"))
+      val scored = probes.crossJoin(dict)
+        .select(col("src"), col("probe"), col("name").as("cand"),
+          jaroWinkler(col("probe"), col("name")).as("jw"))
+      val rk = scored.select(col("*"),
+        row_number().over(
+          Window.partitionBy("src").orderBy(col("jw").desc, col("cand"))).as("rn"))
+        .cache() // best + runner legs
+      rk.filter(col("rn") === 1)
+        .join(rk.filter(col("rn") === 2)
+          .select(col("src"), col("jw").as("jw2")), Seq("src"))
+        .select(col("src"), col("probe"), col("cand").as("best"),
+          round(col("jw"), 4).as("jw_best"), round(col("jw2"), 4).as("jw_runner"),
+          when(col("cand") === col("src"), 1L).otherwise(0L).as("self_match"))
+        .orderBy("src")
+    }
   )
 }

@@ -2696,6 +2696,73 @@ object PipelineQueries {
           expr("(1000 * moved) div n").as("moved_permille"),
           expr("(1000 * mc) div n").as("max_share_permille"))
         .orderBy("scheme")
+    },
+
+    // Quantile REGRESSION — the pinball-loss trainer that completes the
+    // q197/q313 integer-GD suite with an asymmetric objective: fit
+    // y ≈ w0 + w1·x (extendedprice centi vs quantity) at τ = 0.5 and 0.9
+    // by full-batch subgradient descent, 16 epochs, lr (10⁶, 2¹⁴) per
+    // parameter. Everything is the q197 contract: the SCAN is
+    // distributed (one partial-aggregated pass per epoch over the cached
+    // features), the O(2) model is driver-held, and every update is
+    // exact integer arithmetic — subgradient τd−10·I(y<ŷ), truncating
+    // division identical in Scala `/`, Spark `div`, DuckDB `//`. The
+    // oracle unrolls all 32 epoch CTEs. Output = the full per-epoch
+    // PINBALL LOSS trajectory (loss_deci is 10× the loss, evaluated at
+    // the pre-update state; w0/w1 are post-update) — monotone decrease
+    // and the τ-ordering of the two fitted lines are spec-pinned. The
+    // median arm is robust regression; the 0.9 arm is the SLA-style
+    // upper-band fit a cost/latency pipeline actually ships.
+    q("q333_quantile_regression",
+      "pinball-GD quantile regression at tau 0.5/0.9: 16-epoch loss trajectories, integer-exact")({
+      def arm(td: Int): String = {
+        val steps = (1 to 16).map { i =>
+          s"""a${td}_g$i AS (SELECT min(w0) AS w0, min(w1) AS w1, min(n) AS n,
+             |  sum($td - 10 * (CASE WHEN y < w0 + w1 * x THEN 1 ELSE 0 END)) AS e0,
+             |  sum(x * ($td - 10 * (CASE WHEN y < w0 + w1 * x THEN 1 ELSE 0 END))) AS e1,
+             |  sum((y - w0 - w1 * x) * ($td - 10 * (CASE WHEN y - w0 - w1 * x < 0 THEN 1 ELSE 0 END))) AS loss
+             |  FROM d, a${td}_w${i - 1}, nn),
+             |a${td}_w$i AS (SELECT w0 + (1000000 * e0) // (10 * n) AS w0,
+             |               w1 + (16384 * e1) // (10 * n) AS w1, loss FROM a${td}_g$i)""".stripMargin
+        }
+        s"a${td}_w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS loss),\n" +
+          steps.mkString(",\n")
+      }
+      val rows = for (td <- Seq(5, 9); i <- 1 to 16)
+        yield s"SELECT CAST($td AS BIGINT) AS tau_deci, CAST($i AS BIGINT) AS epoch, " +
+          s"CAST(loss AS BIGINT) AS loss_deci, CAST(w0 AS BIGINT) AS w0, " +
+          s"CAST(w1 AS BIGINT) AS w1 FROM a${td}_w$i"
+      s"""WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+         |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+         |           FROM lineitem),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         |${arm(5)},
+         |${arm(9)}
+         |${rows.mkString("", " UNION ALL ", "")}
+         |ORDER BY tau_deci, epoch""".stripMargin
+    }) { (sp, dir) =>
+      import sp.implicits._
+      val d = Tables(sp, dir, "lineitem")
+        .select(expr("cast(l_quantity as bigint)").as("x"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("y"))
+        .cache() // 32 gradient scans (16 per arm)
+      val out = for (td <- Seq(5, 9)) yield {
+        var (w0, w1) = (0L, 0L)
+        (1 to 16).map { i =>
+          val r = d.select(
+            sum(expr(s"$td - 10 * (CASE WHEN y < $w0 + $w1 * x THEN 1 ELSE 0 END)")).as("e0"),
+            sum(expr(s"x * ($td - 10 * (CASE WHEN y < $w0 + $w1 * x THEN 1 ELSE 0 END))")).as("e1"),
+            sum(expr(s"(y - $w0 - $w1 * x) * ($td - 10 * " +
+              s"(CASE WHEN y - $w0 - $w1 * x < 0 THEN 1 ELSE 0 END))")).as("loss"),
+            count(lit(1)).as("n")).head()
+          val n = r.getLong(3)
+          w0 += (1000000L * r.getLong(0)) / (10L * n)
+          w1 += (16384L * r.getLong(1)) / (10L * n)
+          (td.toLong, i.toLong, r.getLong(2), w0, w1)
+        }
+      }
+      out.flatten.toDF("tau_deci", "epoch", "loss_deci", "w0", "w1")
+        .orderBy("tau_deci", "epoch")
     }
   )
 }

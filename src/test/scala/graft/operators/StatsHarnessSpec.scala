@@ -510,6 +510,28 @@ class StatsHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("q333 quantile regression: pinball loss falls monotonically, arms stay ordered") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q333_quantile_regression")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(rows.length == 32)
+      Seq(5L, 9L).foreach { td =>
+        val arm = rows.filter(_._1 == td).sortBy(_._2)
+        // loss_deci at epoch i is evaluated at the pre-update state: the
+        // trajectory must never increase and must end well below start
+        arm.map(_._3).sliding(2).foreach(p =>
+          assert(p(1) <= p(0), s"$d tau=$td: loss rose ${p(0)} → ${p(1)}"))
+        assert(arm.last._3 * 10 < arm.head._3 * 7, s"$d tau=$td: weak drop")
+        // the fitted band has positive level and slope by the end
+        assert(arm.last._4 > 0 && arm.last._5 > 0, s"$d tau=$td: degenerate fit")
+      }
+      // quantile ordering: the 0.9 band sits strictly above the median fit
+      val f5 = rows.filter(r => r._1 == 5L && r._2 == 16L).head
+      val f9 = rows.filter(r => r._1 == 9L && r._2 == 16L).head
+      assert(f9._4 > f5._4 && f9._5 > f5._5, s"$d: bands crossed ($f5 vs $f9)")
+    }
+  }
+
   test("q320 attribution: per-conversion normalized credit sums to ≤1000 milli each") {
     val rows = SparkEntry.queries("q320_time_decay_attribution")(spark, dir).collect()
     assert(rows.length == 2)
