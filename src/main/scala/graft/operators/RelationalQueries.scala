@@ -1830,6 +1830,85 @@ object RelationalQueries {
         .select(col("rule"), col("n_checked"), col("n_violations"),
           when(col("n_violations") === 0, 1L).otherwise(0L).as("pass"))
         .orderBy("rule")
+    },
+
+    // Right-to-be-forgotten erasure cascade — the governance verb the
+    // audit family (q226 FK integrity, q248 k-anonymity, q323 contract)
+    // checks but never EXECUTES: ~2% of customers (hash-chosen, so the
+    // subject set is deterministic) are erased, and the deletion
+    // CASCADES along the FK chain customer → orders → lineitem, plus
+    // the events of those users (events.user_id shares the custkey
+    // space). Every kept frame is a LEFT ANTI join against a
+    // subject/erased-key set — the 100 TB shape: the subject list is
+    // the small side (broadcast), facts never shuffle wide — and the
+    // orphans_after column is a real post-erasure audit ON THE KEPT
+    // ROWS (a semi-join count that must come back 0 for every table),
+    // not an assumption. One row per table: before/erased/after/orphans.
+    q("q334_gdpr_erasure",
+      "2% subject erasure cascaded customer→orders→lineitem→events, audited orphan-free")(
+      s"""WITH subj AS (SELECT c_custkey AS ck FROM customer
+         |              WHERE ${graft.functions.PortableHash.md5LongSql("'gdpr:' || CAST(c_custkey AS VARCHAR)")} % 50 = 0),
+         |eo AS (SELECT o_orderkey AS ok FROM orders WHERE o_custkey IN (SELECT ck FROM subj)),
+         |kc AS (SELECT count(*) AS k FROM customer WHERE c_custkey NOT IN (SELECT ck FROM subj)),
+         |ko AS (SELECT count(*) AS k,
+         |              sum(CASE WHEN o_custkey IN (SELECT ck FROM subj) THEN 1 ELSE 0 END) AS orph
+         |       FROM orders WHERE o_custkey NOT IN (SELECT ck FROM subj)),
+         |kl AS (SELECT count(*) AS k,
+         |              sum(CASE WHEN l_orderkey IN (SELECT ok FROM eo) THEN 1 ELSE 0 END) AS orph
+         |       FROM lineitem WHERE l_orderkey NOT IN (SELECT ok FROM eo)),
+         |ke AS (SELECT count(*) AS k,
+         |              sum(CASE WHEN user_id IN (SELECT ck FROM subj) THEN 1 ELSE 0 END) AS orph
+         |       FROM events WHERE user_id NOT IN (SELECT ck FROM subj))
+         |SELECT tbl, CAST(n_before AS BIGINT) AS n_before,
+         |       CAST(n_before - n_after AS BIGINT) AS n_erased,
+         |       CAST(n_after AS BIGINT) AS n_after,
+         |       CAST(orphans AS BIGINT) AS orphans_after
+         |FROM (
+         |  SELECT 'customer' AS tbl, (SELECT count(*) FROM customer) AS n_before,
+         |         (SELECT k FROM kc) AS n_after, 0 AS orphans
+         |  UNION ALL SELECT 'orders', (SELECT count(*) FROM orders),
+         |         (SELECT k FROM ko), (SELECT COALESCE(orph, 0) FROM ko)
+         |  UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+         |         (SELECT k FROM kl), (SELECT COALESCE(orph, 0) FROM kl)
+         |  UNION ALL SELECT 'events', (SELECT count(*) FROM events),
+         |         (SELECT k FROM ke), (SELECT COALESCE(orph, 0) FROM ke)) z
+         |ORDER BY tbl""".stripMargin
+    ) { (sp, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val cust = Tables(sp, dir, "customer")
+      val subj = cust
+        .filter(md5Long(concat(lit("gdpr:"), col("c_custkey").cast("string"))) % 50 === 0)
+        .select(col("c_custkey").as("ck"))
+        .cache() // 3 anti joins + 3 audits + erased-order derivation
+      val orders = Tables(sp, dir, "orders")
+      val eo = orders.join(broadcast(subj), col("o_custkey") === col("ck"), "left_semi")
+        .select(col("o_orderkey").as("ok"))
+        .cache() // lineitem anti join + audit
+      def report(tbl: String, before: DataFrame, kept: DataFrame,
+          orphans: DataFrame): DataFrame =
+        before.agg(count(lit(1)).as("n_before"))
+          .crossJoin(kept.agg(count(lit(1)).as("n_after")))
+          .crossJoin(orphans.agg(count(lit(1)).as("orphans_after")))
+          .select(lit(tbl).as("tbl"), col("n_before"),
+            (col("n_before") - col("n_after")).as("n_erased"),
+            col("n_after"), col("orphans_after"))
+      val kc = cust.join(broadcast(subj), col("c_custkey") === col("ck"), "left_anti")
+      val ko = orders.join(broadcast(subj), col("o_custkey") === col("ck"), "left_anti")
+        .cache() // kept count + orphan audit
+      val kl = Tables(sp, dir, "lineitem")
+        .join(broadcast(eo), col("l_orderkey") === col("ok"), "left_anti")
+        .cache()
+      val ke = Tables(sp, dir, "events")
+        .join(broadcast(subj), col("user_id") === col("ck"), "left_anti")
+        .cache()
+      report("customer", cust, kc, kc.limit(0))
+        .unionByName(report("orders", orders, ko,
+          ko.join(broadcast(subj), col("o_custkey") === col("ck"), "left_semi")))
+        .unionByName(report("lineitem", Tables(sp, dir, "lineitem"), kl,
+          kl.join(broadcast(eo), col("l_orderkey") === col("ok"), "left_semi")))
+        .unionByName(report("events", Tables(sp, dir, "events"), ke,
+          ke.join(broadcast(subj), col("user_id") === col("ck"), "left_semi")))
+        .orderBy("tbl")
     }
   )
 

@@ -1637,6 +1637,77 @@ object TextQueries {
           expr("kn_covered * 1000 div n_eval").as("kn_cov_permille"),
           expr("sm div n_eval").as("mle_avg_micro"),
           expr("sk div n_eval").as("kn_avg_micro"))
+    },
+
+    // Positional PHRASE search — the proximity operator q88's inverted
+    // index (term presence) and q110's BM25 (bag of words) can't answer:
+    // "these three tokens, adjacent, in order". Postings carry POSITIONS
+    // (term, doc, pos — the real search-engine posting shape), and a
+    // phrase match is the classic positional join: postings(t1) ⋈
+    // postings(t2) on (doc, pos+1) ⋈ postings(t3) on (doc, pos+2).
+    // Probes are the corpus's own top-3 trigrams (counted off the
+    // shingle stream — no join needed for counting; the positional join
+    // is reserved for MATCHING, which is where it earns its keep). At
+    // 100 TB postings shuffle by term, so each probe touches only its
+    // three term slices — the inverted-index probe path, not a scan.
+    // Output: per phrase the doc-frequency, total hits, and top-3 docs.
+    q("q335_phrase_search",
+      "positional trigram phrase match via (doc, pos+k) postings joins; top-3 corpus phrases")(
+      s"""WITH tok AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         |post AS (SELECT doc_id,
+         |                unnest(list_transform(generate_series(1, len(toks)),
+         |                       i -> struct_pack(pos := i, w := toks[i])), recursive := true)
+         |         FROM tok),
+         |tri AS (SELECT g AS ph, CAST(count(*) AS BIGINT) AS n
+         |        FROM (SELECT unnest(${shinglesSql("toks", 3)}) AS g
+         |              FROM tok WHERE len(toks) >= 3)
+         |        GROUP BY g),
+         |top3 AS (SELECT ph FROM tri ORDER BY n DESC, ph LIMIT 3),
+         |hits AS (SELECT t.ph, a.doc_id, CAST(count(*) AS BIGINT) AS hits
+         |         FROM top3 t
+         |         JOIN post a ON a.w = split_part(t.ph, ' ', 1)
+         |         JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |                    AND b.w = split_part(t.ph, ' ', 2)
+         |         JOIN post c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+         |                    AND c.w = split_part(t.ph, ' ', 3)
+         |         GROUP BY t.ph, a.doc_id),
+         |rk AS (SELECT ph, doc_id, hits,
+         |              row_number() OVER (PARTITION BY ph ORDER BY hits DESC, doc_id) AS rn,
+         |              CAST(count(*) OVER (PARTITION BY ph) AS BIGINT) AS n_docs,
+         |              CAST(sum(hits) OVER (PARTITION BY ph) AS BIGINT) AS n_hits
+         |       FROM hits)
+         |SELECT ph AS phrase, n_docs, n_hits, CAST(rn AS BIGINT) AS rank, doc_id, hits
+         |FROM rk WHERE rn <= 3 ORDER BY phrase, rank""".stripMargin
+    ) { (s, dir) =>
+      val tok = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .cache() // shingle counting + postings
+      val post = tok.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
+        .cache() // three probe legs
+      val top3 = tok.filter(size(col("toks")) >= 3)
+        .select(explode(shingles(col("toks"), 3)).as("ph"))
+        .groupBy("ph").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ph")).limit(3)
+        .select(col("ph"),
+          split_part(col("ph"), lit(" "), lit(1)).as("w1"),
+          split_part(col("ph"), lit(" "), lit(2)).as("w2"),
+          split_part(col("ph"), lit(" "), lit(3)).as("w3"))
+      val hits = broadcast(top3)
+        .join(post.select(col("doc_id"), col("pos"), col("w").as("w1")), Seq("w1"))
+        .join(post.select(col("doc_id"), (col("pos") - 1).as("pos"), col("w").as("w2")),
+          Seq("doc_id", "pos", "w2"))
+        .join(post.select(col("doc_id"), (col("pos") - 2).as("pos"), col("w").as("w3")),
+          Seq("doc_id", "pos", "w3"))
+        .groupBy("ph", "doc_id").agg(count(lit(1)).as("hits"))
+      val wp = Window.partitionBy("ph")
+      hits.select(col("ph"), col("doc_id"), col("hits"),
+          row_number().over(wp.orderBy(col("hits").desc, col("doc_id"))).as("rn"),
+          count(lit(1)).over(wp).as("n_docs"),
+          sum(col("hits")).over(wp).as("n_hits"))
+        .filter(col("rn") <= 3)
+        .select(col("ph").as("phrase"), col("n_docs"), col("n_hits"),
+          col("rn").cast("long").as("rank"), col("doc_id"), col("hits"))
+        .orderBy("phrase", "rank")
     }
   )
 }

@@ -116,6 +116,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q324_bh_fdr" -> "≤|deci values|² median triangular (q255's shape) + 24² BH rank triangular + 1-row median/m/kmax scalars",
     "q326_als_rank1" -> "1-row round-0 SSE scalar × the 3-row round report",
     "q332_jaro_winkler" -> "64-row mangled-probe frame × 64-row name dictionary (bounded metadata pairs)",
+    "q334_gdpr_erasure" -> "1-row before/kept/orphan count scalars chained per table (12 1-row frames)",
     "q327_kneser_ney" -> "1-row trigram-type-count frame × the eval trigram stream (q72's vocab-scalar shape)",
     "q325_decision_stump" -> "1-row global-argmin frame × the ≤93-row per-feature best-split table")
 

@@ -9,6 +9,44 @@ class PipelineQueriesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.01"
 
+  test("q334 erasure: every table loses subjects, every kept frame audits orphan-free") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q334_gdpr_erasure")(spark, d).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(rows.keySet == Set("customer", "orders", "lineitem", "events"))
+      rows.foreach { case (t, (before, erased, after, orphans)) =>
+        assert(erased > 0, s"$d/$t: nothing erased — subject hash drifted")
+        assert(before == erased + after, s"$d/$t: counts do not reconcile")
+        assert(orphans == 0, s"$d/$t: $orphans orphans survived the cascade")
+      }
+      // the subject rate is the designed ~2% of customers
+      val (cb, ce, _, _) = rows("customer")
+      assert(ce * 100 >= cb && ce * 100 <= cb * 3, s"$d: subject rate $ce/$cb")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q335 phrase search: positional matches are internally consistent") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q335_phrase_search")(spark, d).collect()
+      val phrases = rows.map(_.getString(0)).distinct
+      assert(phrases.length == 3, s"$d: ${phrases.toSeq}")
+      phrases.foreach { p =>
+        val pr = rows.filter(_.getString(0) == p).sortBy(_.getLong(3))
+        assert(pr.map(_.getLong(3)).sameElements(1L to pr.length.toLong))
+        val (nDocs, nHits) = (pr.head.getLong(1), pr.head.getLong(2))
+        assert(nHits >= nDocs && nDocs >= pr.length,
+          s"$d/$p: hits $nHits docs $nDocs rows ${pr.length}")
+        // ranked doc hit counts are non-increasing
+        pr.map(_.getLong(5)).sliding(2).foreach(w =>
+          if (w.length == 2) assert(w(0) >= w(1), s"$d/$p: rank order broken"))
+        assert(p.split(" ").length == 3, s"$d: phrase '$p' is not a trigram")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q52 decontamination joins hash keys with a broadcast benchmark side") {
     val df = SparkEntry.queries("q52_decontaminate")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
