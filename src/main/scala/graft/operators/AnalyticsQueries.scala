@@ -5082,6 +5082,253 @@ object AnalyticsQueries {
         .select(col("round"), col("sse"),
           expr("sse * 1000 div sse0").as("of_round0_permille"))
         .orderBy("round")
+    },
+
+    // q337: Kaplan–Meier survival curve with right-censoring — per market
+    // segment, "customer lifetime" = first→last order date, bucketed to
+    // years and capped at 8 buckets; a customer whose last order is >365
+    // days before the corpus's max date is an EVENT (churn), otherwise
+    // right-CENSORED at its observed duration (at risk through its bucket,
+    // never an event — the distinction survival analysis exists for).
+    // S(t_k) = Π_{j≤k} (n_j − d_j)/n_j carried in exact milli units by a
+    // truncating integer recurrence: Spark folds each segment's sorted
+    // 8-bucket array with the aggregate() higher-order function; the
+    // oracle runs the SAME recurrence as a DuckDB recursive CTE, so the
+    // product trajectory is bit-equal, not float-close. Scale shape: one
+    // shuffle by custkey (per-customer min/max), one by (seg, bucket);
+    // the risk-set suffix sum and the KM fold run on the |seg|×8
+    // histogram — metadata, never row-scale. The 8-bucket cap is the
+    // state bound: arbitrary horizons re-bucket, they don't grow state.
+    q("q337_kaplan_meier",
+      "per-segment Kaplan-Meier churn curve, exact milli recurrence, censoring-aware")(
+      """WITH RECURSIVE
+        |life AS (SELECT o_custkey AS ck, min(o_orderdate::DATE) AS fd,
+        |                max(o_orderdate::DATE) AS ld
+        |         FROM orders GROUP BY ck),
+        |gm AS (SELECT max(o_orderdate::DATE) AS m FROM orders),
+        |obs AS (SELECT c.c_mktsegment AS seg,
+        |               LEAST(CAST(date_diff('day', l.fd, l.ld) AS BIGINT) // 365,
+        |                     7) AS b,
+        |               CASE WHEN date_diff('day', l.ld, (SELECT m FROM gm)) > 365
+        |                    THEN 1 ELSE 0 END AS ev
+        |        FROM life l JOIN customer c ON c.c_custkey = l.ck),
+        |cnt AS (SELECT seg, b, CAST(sum(ev) AS BIGINT) AS d,
+        |               CAST(sum(1 - ev) AS BIGINT) AS cens
+        |        FROM obs GROUP BY seg, b),
+        |spine AS (SELECT seg, b
+        |          FROM (SELECT DISTINCT seg FROM obs) s,
+        |               (SELECT unnest(generate_series(0, 7)) AS b) t),
+        |base AS (SELECT sp.seg, CAST(sp.b AS BIGINT) AS b,
+        |                COALESCE(c.d, 0) AS d, COALESCE(c.cens, 0) AS cens
+        |         FROM spine sp LEFT JOIN cnt c ON c.seg = sp.seg AND c.b = sp.b),
+        |risk AS (SELECT seg, b, d, cens,
+        |                CAST(sum(d + cens) OVER (PARTITION BY seg ORDER BY b DESC)
+        |                     AS BIGINT) AS n
+        |         FROM base),
+        |km(seg, b, s) AS (
+        |  SELECT seg, CAST(-1 AS BIGINT), CAST(1000 AS BIGINT)
+        |  FROM (SELECT DISTINCT seg FROM obs) z
+        |  UNION ALL
+        |  SELECT r.seg, km.b + 1,
+        |         CASE WHEN r.n > 0 THEN km.s * (r.n - r.d) // r.n ELSE km.s END
+        |  FROM km JOIN risk r ON r.seg = km.seg AND r.b = km.b + 1
+        |  WHERE km.b < 7)
+        |SELECT r.seg, r.b, r.n AS n_risk, r.d AS n_event, r.cens AS n_censored,
+        |       k.s AS s_milli
+        |FROM risk r JOIN km k ON k.seg = r.seg AND k.b = r.b
+        |ORDER BY r.seg, r.b""".stripMargin
+    ) { (sp, dir) =>
+      val orders = Tables(sp, dir, "orders")
+      val life = orders.groupBy(col("o_custkey").as("ck"))
+        .agg(min(col("o_orderdate").cast("date")).as("fd"),
+          max(col("o_orderdate").cast("date")).as("ld"))
+      val gm = orders.agg(max(col("o_orderdate").cast("date")).as("m"))
+      val obs = life
+        .join(Tables(sp, dir, "customer"), col("c_custkey") === col("ck"))
+        .crossJoin(broadcast(gm))
+        .select(col("c_mktsegment").as("seg"),
+          expr("least(cast(datediff(ld, fd) as bigint) div 365, 7)").as("b"),
+          when(datediff(col("m"), col("ld")) > 365, 1L).otherwise(0L).as("ev"))
+        .cache() // counts leg + segment spine leg
+      val cnt = obs.groupBy("seg", "b")
+        .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("cens"))
+      val spine = obs.select("seg").distinct()
+        .select(col("seg"), explode(sequence(lit(0L), lit(7L))).as("b"))
+      val base = spine.join(cnt, Seq("seg", "b"), "left")
+        .select(col("seg"), col("b"),
+          coalesce(col("d"), lit(0L)).as("d"),
+          coalesce(col("cens"), lit(0L)).as("cens"))
+      val risk = base.select(col("seg"), col("b"), col("d"), col("cens"),
+        sum(col("d") + col("cens")).over(
+          Window.partitionBy("seg").orderBy(col("b").desc)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)).as("n"))
+      // per-segment KM fold: 8 sorted buckets, truncating milli product —
+      // `bs` is first-field-b structs so array_sort orders by bucket
+      risk.groupBy("seg")
+        .agg(collect_list(struct(col("b"), col("n"), col("d"), col("cens"))).as("bs"))
+        .select(col("seg"), explode(expr(
+          """aggregate(
+            |  array_sort(bs),
+            |  named_struct('s', cast(1000 as bigint),
+            |    'out', cast(array() as
+            |      array<struct<b: bigint, n: bigint, d: bigint,
+            |                   cens: bigint, s: bigint>>)),
+            |  (acc, x) -> named_struct(
+            |    's', if(x.n > 0, acc.s * (x.n - x.d) div x.n, acc.s),
+            |    'out', concat(acc.out, array(named_struct(
+            |      'b', x.b, 'n', x.n, 'd', x.d, 'cens', x.cens,
+            |      's', if(x.n > 0, acc.s * (x.n - x.d) div x.n, acc.s))))),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+        .select(col("seg"), col("r.b").as("b"), col("r.n").as("n_risk"),
+          col("r.d").as("n_event"), col("r.cens").as("n_censored"),
+          col("r.s").as("s_milli"))
+        .orderBy("seg", "b")
+    },
+
+    // q338: lag-k autocorrelation (ACF, lags 1–7) of the daily revenue
+    // series, exact to the milli. A weekly cycle is PLANTED (dow-0 days
+    // carry a 2x multiplier — the q324/q325 planted-signal
+    // discipline) so the estimator has a truth to find: r₇ must spike
+    // above r₁..r₆ (spec-pinned), which a flat random series would
+    // never show. Mean-centering never leaves integers: z_t = N·y_t − S
+    // (the N-scaled residual), r_k = Σ z_t·z_{t−k} / Σ z², carried as
+    // DECIMAL(38)/HUGEINT products with a sign-safe truncating milli
+    // division (num may be negative; both engines truncate the ABS then
+    // re-sign, so floor-vs-trunc divergence can't bite). Lag pairing is
+    // an equi-join on calendar day index (di = di − k), so calendar
+    // gaps skip pairs instead of misaligning them — no global-order
+    // window anywhere. Scale: one date shuffle reduces the fact table
+    // to a ~2400-row daily series; the 7-lag expansion and joins are
+    // metadata ops.
+    q("q338_autocorrelation",
+      "exact milli ACF lags 1-7 of daily revenue; planted weekly cycle spikes r7")(
+      """WITH d0 AS (SELECT min(o_orderdate::DATE) AS d0 FROM orders),
+        |daily AS (SELECT date_diff('day', (SELECT d0 FROM d0), o_orderdate::DATE) AS di,
+        |                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y0
+        |          FROM orders GROUP BY di),
+        |pl AS (SELECT di, CAST(y0 * (10 + CASE WHEN di % 7 = 0 THEN 10 ELSE 0 END)
+        |                       AS BIGINT) AS y
+        |       FROM daily),
+        |st AS (SELECT count(*) AS nn, CAST(sum(y) AS BIGINT) AS s1 FROM pl),
+        |z AS (SELECT di, (SELECT nn FROM st) * y - (SELECT s1 FROM st) AS z FROM pl),
+        |den AS (SELECT sum(CAST(z AS HUGEINT) * z) AS den FROM z),
+        |acf AS (SELECT k.lag AS lag, count(*) AS n_pairs,
+        |               sum(CAST(a.z AS HUGEINT) * b.z) AS num
+        |        FROM (SELECT unnest(generate_series(1, 7)) AS lag) k
+        |        JOIN z a ON TRUE
+        |        JOIN z b ON b.di = a.di - k.lag
+        |        GROUP BY k.lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |       CAST(CASE WHEN num < 0
+        |                 THEN -((-num) * 1000 // (SELECT den FROM den))
+        |                 ELSE num * 1000 // (SELECT den FROM den) END
+        |            AS BIGINT) AS r_milli
+        |FROM acf ORDER BY lag""".stripMargin
+    ) { (sp, dir) =>
+      val o = Tables(sp, dir, "orders")
+      val mn = o.agg(min(col("o_orderdate").cast("date")).as("d0"))
+      val daily = o.crossJoin(broadcast(mn))
+        .select(
+          datediff(col("o_orderdate").cast("date"), col("d0")).cast("long").as("di"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("c"))
+        .groupBy("di").agg(sum(col("c")).as("y0"))
+        .select(col("di"),
+          (col("y0") * (lit(10L) +
+            when(col("di") % 7 === 0, 10L).otherwise(0L))).as("y"))
+      val st = daily.agg(count(lit(1)).as("nn"), sum(col("y")).as("s1"))
+      val z = daily.crossJoin(broadcast(st))
+        .select(col("di"), (col("nn") * col("y") - col("s1")).as("z"))
+        .cache() // denominator + 7-lag join legs off one ~2400-row frame
+      val den = z.agg(expr("sum(cast(z as decimal(38,0)) * z)").as("den"))
+      val lhs = z.select(col("di"), col("z"),
+          explode(sequence(lit(1L), lit(7L))).as("lag"))
+        .select(col("lag"), (col("di") - col("lag")).as("dj"), col("z"))
+      val rhs = z.select(col("di").as("dj"), col("z").as("zp"))
+      lhs.join(rhs, Seq("dj"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(cast(z as decimal(38,0)) * zp)").as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("lag"), col("n_pairs"),
+          expr("cast(case when num < 0 then -cast(((-num) * 1000) div den as bigint)" +
+            " else cast((num * 1000) div den as bigint) end as bigint)").as("r_milli"))
+        .orderBy("lag")
+    },
+
+    // q339: additive seasonal decomposition (STL-lite) of the daily
+    // order-count series — trend is a CENTERED 7-day moving average,
+    // the seasonal component is the per-day-of-week mean of the
+    // detrended residual. Everything stays integer: the trend rides
+    // 7-scaled (T7 = window sum, detrended = 7·y − T7) so the /7 never
+    // happens, and the final per-dow mean divides once, sign-safely, in
+    // milli units. The MA is built WITHOUT a global-order window (the
+    // guard forbids single-task windows): the zero-filled day spine
+    // expands to its −3..+3 offsets (7× a ~2400-row metadata frame) and
+    // one equi-join + group-by sums each centered window — the 1-D twin
+    // of q336's 3×3 cell expansion. A +5 bump is planted on dow 3; the
+    // decomposition must hand it back (spec: dow-3 seasonal positive,
+    // largest; others near zero). Scale: one date shuffle reduces the
+    // fact to the daily series; spine, MA join, and dow means are
+    // metadata ops.
+    q("q339_seasonal_decomposition",
+      "centered-7d-MA additive decomposition recovers a planted dow-3 bump, exact milli")(
+      """WITH d0 AS (SELECT min(o_orderdate::DATE) AS d0,
+        |                   max(o_orderdate::DATE) AS d1 FROM orders),
+        |cnt AS (SELECT date_diff('day', (SELECT d0 FROM d0), o_orderdate::DATE) AS di,
+        |               count(*) AS n
+        |        FROM orders GROUP BY di),
+        |spine AS (SELECT unnest(generate_series(0,
+        |                   date_diff('day', (SELECT d0 FROM d0), (SELECT d1 FROM d0))))
+        |                 AS di),
+        |y AS (SELECT s.di,
+        |             CAST(COALESCE(c.n, 0) + CASE WHEN s.di % 7 = 3 THEN 5 ELSE 0 END
+        |                  AS BIGINT) AS y
+        |      FROM spine s LEFT JOIN cnt c ON c.di = s.di),
+        |ma AS (SELECT t.di, sum(y.y) AS t7
+        |       FROM (SELECT di FROM y) t
+        |       JOIN (SELECT unnest(generate_series(-3, 3)) AS off) o ON TRUE
+        |       JOIN y ON y.di = t.di + o.off
+        |       GROUP BY t.di HAVING count(*) = 7),
+        |detr AS (SELECT y.di % 7 AS dow, 7 * y.y - ma.t7 AS d7
+        |         FROM y JOIN ma ON ma.di = y.di),
+        |agg AS (SELECT dow, count(*) AS n_days, sum(CAST(d7 AS HUGEINT)) AS num
+        |        FROM detr GROUP BY dow)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(n_days AS BIGINT) AS n_days,
+        |       CAST(CASE WHEN num < 0
+        |                 THEN -((-num) * 1000 // (n_days * 7))
+        |                 ELSE num * 1000 // (n_days * 7) END AS BIGINT) AS s_milli
+        |FROM agg ORDER BY dow""".stripMargin
+    ) { (sp, dir) =>
+      val o = Tables(sp, dir, "orders")
+      val bounds = o.agg(min(col("o_orderdate").cast("date")).as("d0"),
+        max(col("o_orderdate").cast("date")).as("d1"))
+      val cnt = o.crossJoin(broadcast(bounds))
+        .select(datediff(col("o_orderdate").cast("date"), col("d0"))
+          .cast("long").as("di"))
+        .groupBy("di").agg(count(lit(1)).as("n"))
+      val spine = bounds
+        .select(explode(sequence(lit(0L),
+          datediff(col("d1"), col("d0")).cast("long"))).as("di"))
+      val y = spine.join(cnt, Seq("di"), "left")
+        .select(col("di"),
+          (coalesce(col("n"), lit(0L)) +
+            when(col("di") % 7 === 3, 5L).otherwise(0L)).as("y"))
+        .cache() // spine-offset MA join (both sides) + detrended join
+      val ma = y.select(col("di"), explode(sequence(lit(-3L), lit(3L))).as("off"))
+        .select((col("di") + col("off")).as("dj"), col("di"))
+        .join(y.select(col("di").as("dj"), col("y")), Seq("dj"))
+        .groupBy("di").agg(sum(col("y")).as("t7"), count(lit(1)).as("w"))
+        .filter(col("w") === 7) // interior days only: full centered window
+      y.join(ma, Seq("di"))
+        .select((col("di") % 7).as("dow"), (lit(7L) * col("y") - col("t7")).as("d7"))
+        .groupBy("dow")
+        .agg(count(lit(1)).as("n_days"),
+          expr("sum(cast(d7 as decimal(38,0)))").as("num"))
+        .select(col("dow"), col("n_days"),
+          expr("cast(case when num < 0 then -cast(((-num) * 1000) div (n_days * 7) as bigint)" +
+            " else cast((num * 1000) div (n_days * 7) as bigint) end as bigint)")
+            .as("s_milli"))
+        .orderBy("dow")
     }
   )
 }

@@ -2262,6 +2262,71 @@ object ExtrasQueries {
           round(col("jw"), 4).as("jw_best"), round(col("jw2"), 4).as("jw_runner"),
           when(col("cand") === col("src"), 1L).otherwise(0L).as("self_match"))
         .orderBy("src")
+    },
+
+    // q336: grid-cell spatial radius join — the geospatial twin of q189's
+    // ε-grid DBSCAN candidate generation. Points live on a 10000×10000
+    // integer grid (hash-derived coordinates, so both engines agree
+    // bit-for-bit); the task is "all pairs within radius R=150". The
+    // engine NEVER forms the n² product: each point maps to a cell of
+    // side R, the LEFT side expands to its 3×3 neighbor cells (a 9×
+    // blow-up of POINTS, not pairs), and candidates come from one
+    // equi-join on the cell key — any true pair is ≤1 cell apart, and
+    // each unordered pair is emitted exactly once (only the left side
+    // expands; a<b dedups the mirror). The DuckDB oracle is the O(n²)
+    // brute force, so the hash check PROVES blocking completeness: the
+    // carried n_pairs column would differ on any missed pair, not just
+    // on a top-20 change. At 100 TB the join shuffles by cell id and the
+    // work is density-bounded (points per cell ~ R²·density) — the same
+    // guarantee as q189; skewed hot cells would salt via SkewTools.
+    q("q336_geo_cell_join",
+      "radius-150 spatial self-join via 3x3 neighbor-cell blocking; brute-force oracle")(
+      s"""WITH pts AS (
+         |  SELECT c_custkey AS id,
+         |         ${graft.functions.PortableHash.md5LongSql("'geox:' || CAST(c_custkey AS VARCHAR)")} % 10000 AS x,
+         |         ${graft.functions.PortableHash.md5LongSql("'geoy:' || CAST(c_custkey AS VARCHAR)")} % 10000 AS y
+         |  FROM customer
+         |  WHERE ${graft.functions.PortableHash.md5LongSql("'geo:' || CAST(c_custkey AS VARCHAR)")} % 4 = 0),
+         |pairs AS (
+         |  SELECT a.id AS a, b.id AS b,
+         |         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+         |  FROM pts a JOIN pts b ON a.id < b.id
+         |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 22500),
+         |tot AS (SELECT count(*) AS n_pairs FROM pairs)
+         |SELECT a, b, CAST(d2 AS BIGINT) AS d2, CAST(n_pairs AS BIGINT) AS n_pairs
+         |FROM pairs CROSS JOIN tot
+         |ORDER BY d2, a, b LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      def h(tag: String) =
+        md5Long(concat(lit(tag + ":"), col("c_custkey").cast("string")))
+      val pts = Tables(s, dir, "customer")
+        .filter(h("geo") % 4 === 0)
+        .select(col("c_custkey").as("id"),
+          (h("geox") % 10000).as("x"), (h("geoy") % 10000).as("y"))
+        .select(col("id"), col("x"), col("y"),
+          expr("x div 150").as("cx"), expr("y div 150").as("cy"))
+        .cache() // expanded left + plain right off one hash pass
+      val left = pts.select(
+          col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
+          explode(expr(
+            "flatten(transform(sequence(-1, 1), dx -> " +
+              "transform(sequence(-1, 1), dy -> " +
+              "struct(cx + dx AS jx, cy + dy AS jy))))")).as("c"))
+        .select(col("a"), col("ax"), col("ay"),
+          col("c.jx").as("jx"), col("c.jy").as("jy"))
+      val right = pts.select(col("id").as("b"), col("x").as("bx"),
+        col("y").as("by"), col("cx").as("jx"), col("cy").as("jy"))
+      val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by"))
+      val pairs = left.join(right, Seq("jx", "jy"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), d2.as("d2"))
+        .filter(col("d2") <= 22500)
+        .cache() // top-20 leg + completeness count leg
+      pairs.crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+        .orderBy(col("d2"), col("a"), col("b"))
+        .limit(20)
     }
   )
 }

@@ -555,6 +555,35 @@ class StatsHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("q338 ACF: planted weekly cycle spikes r7 far above lags 1-6") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q338_autocorrelation")(spark, d).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows.keySet == (1L to 7L).toSet)
+      val r7 = rows(7L)._2
+      val offCycle = (1L to 6L).map(k => math.abs(rows(k)._2))
+      assert(r7 > 0, s"$d: r7=$r7 not positive")
+      assert(r7 > 3 * offCycle.max,
+        s"$d: r7=$r7 does not dominate off-cycle lags ${offCycle.mkString(",")}")
+      // near-complete calendar: each extra lag loses at most a few pairs
+      (1L to 6L).foreach(k => assert(rows(k)._1 - rows(k + 1)._1 <= 3))
+    }
+  }
+
+  test("q339 seasonal decomposition hands back the planted dow-3 bump") {
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val rows = SparkEntry.queries("q339_seasonal_decomposition")(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(rows.keySet == (0L to 6L).toSet)
+      val s3 = rows(3L)
+      val others = (0L to 6L).filter(_ != 3L).map(k => math.abs(rows(k)))
+      // +5/day plant, centered MA absorbs 1/7: expect ≈ 5·6/7·1000 ≈ 4286
+      assert(s3 > 3000 && s3 < 4800, s"$d: dow-3 seasonal $s3 off the plant")
+      assert(s3 > 2 * others.max,
+        s"$d: planted dow does not dominate: s3=$s3 others=${others.mkString(",")}")
+    }
+  }
+
   test("q270 Poisson bootstrap: CI brackets the full-sample mean per series") {
     val rows = SparkEntry.queries("q270_poisson_bootstrap")(spark, dir).collect()
     assert(rows.length >= 3)
