@@ -2327,6 +2327,271 @@ object ExtrasQueries {
       pairs.crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
         .orderBy(col("d2"), col("a"), col("b"))
         .limit(20)
-    }
+    },
+
+    // q340: predicate bitmap-index boolean algebra — the Druid/Pinot
+    // "evaluate the filter on the index, never the rows" shape, and the
+    // multi-predicate extension of q126's membership overlap. Three row
+    // predicates over orders are packed into 63-bit BIGINT word bitmaps
+    // keyed by o_orderkey div 63 (bit 63 stays clear — DuckDB's shift is
+    // overflow-checked there, q59's lesson) in ONE pass: a single
+    // groupBy(word) carries all three bitmaps AND the direct per-word
+    // predicate counts, so there is exactly one shuffle and its width is
+    // |rows|/63 words. All boolean combinations (AND, OR, XOR, A∖B, B∖A)
+    // are then map-side word ops + popcount. The output carries, per
+    // predicate pair, BOTH the bitmap-derived counts and the direct row
+    // counts plus the inclusion-exclusion residual (|A∪B|−|A|−|B|+|A∩B|,
+    // constant 0) — the hash check proves the index is LOSSLESS, not just
+    // that both engines ran the same algebra. At 100 TB: predicates are
+    // evaluated once at the scan, the index is 8 bytes per 63 rows, and
+    // every subsequent boolean query over these predicates touches words
+    // only — the standard OLAP secondary-index contract.
+    q("q340_bitmap_predicate_algebra",
+      "3-predicate bitmap index: one-pass build, AND/OR/XOR/diff popcounts, lossless vs direct")(
+      """WITH r AS (
+        |  SELECT o_orderkey // 63 AS w,
+        |         1::BIGINT << CAST(o_orderkey % 63 AS INT) AS m,
+        |         (o_orderstatus = 'F') AS pa,
+        |         (left(o_orderpriority, 1) IN ('1', '2')) AS pb,
+        |         (o_totalprice > 150000.0) AS pc
+        |  FROM orders),
+        |b AS (
+        |  SELECT w,
+        |         bit_or(CASE WHEN pa THEN m ELSE 0 END) AS ba,
+        |         bit_or(CASE WHEN pb THEN m ELSE 0 END) AS bb,
+        |         bit_or(CASE WHEN pc THEN m ELSE 0 END) AS bc,
+        |         sum(CASE WHEN pa THEN 1 ELSE 0 END) AS da,
+        |         sum(CASE WHEN pb THEN 1 ELSE 0 END) AS db,
+        |         sum(CASE WHEN pc THEN 1 ELSE 0 END) AS dc
+        |  FROM r GROUP BY w),
+        |t AS (
+        |  SELECT
+        |    CAST(sum(bit_count(ba & bb)) AS BIGINT) AS and_ab,
+        |    CAST(sum(bit_count(ba | bb)) AS BIGINT) AS or_ab,
+        |    CAST(sum(bit_count(xor(ba, bb))) AS BIGINT) AS xor_ab,
+        |    CAST(sum(bit_count(ba & ~bb)) AS BIGINT) AS lo_ab,
+        |    CAST(sum(bit_count(bb & ~ba)) AS BIGINT) AS ro_ab,
+        |    CAST(sum(bit_count(ba & bc)) AS BIGINT) AS and_ac,
+        |    CAST(sum(bit_count(ba | bc)) AS BIGINT) AS or_ac,
+        |    CAST(sum(bit_count(xor(ba, bc))) AS BIGINT) AS xor_ac,
+        |    CAST(sum(bit_count(ba & ~bc)) AS BIGINT) AS lo_ac,
+        |    CAST(sum(bit_count(bc & ~ba)) AS BIGINT) AS ro_ac,
+        |    CAST(sum(bit_count(bb & bc)) AS BIGINT) AS and_bc,
+        |    CAST(sum(bit_count(bb | bc)) AS BIGINT) AS or_bc,
+        |    CAST(sum(bit_count(xor(bb, bc))) AS BIGINT) AS xor_bc,
+        |    CAST(sum(bit_count(bb & ~bc)) AS BIGINT) AS lo_bc,
+        |    CAST(sum(bit_count(bc & ~bb)) AS BIGINT) AS ro_bc,
+        |    CAST(sum(da) AS BIGINT) AS ta, CAST(sum(db) AS BIGINT) AS tb,
+        |    CAST(sum(dc) AS BIGINT) AS tc
+        |  FROM b)
+        |SELECT 'a_b' AS pair, and_ab AS n_and, or_ab AS n_or, xor_ab AS n_xor,
+        |       lo_ab AS n_left_only, ro_ab AS n_right_only,
+        |       ta AS n_left_direct, tb AS n_right_direct,
+        |       or_ab - ta - tb + and_ab AS incl_excl_residual
+        |FROM t
+        |UNION ALL
+        |SELECT 'a_c', and_ac, or_ac, xor_ac, lo_ac, ro_ac, ta, tc,
+        |       or_ac - ta - tc + and_ac FROM t
+        |UNION ALL
+        |SELECT 'b_c', and_bc, or_bc, xor_bc, lo_bc, ro_bc, tb, tc,
+        |       or_bc - tb - tc + and_bc FROM t
+        |ORDER BY pair""".stripMargin
+    ) { (s, dir) =>
+      val r = Tables(s, dir, "orders").select(
+        expr("o_orderkey div 63").as("w"),
+        expr("shiftleft(1L, cast(o_orderkey % 63 as int))").as("m"),
+        (col("o_orderstatus") === "F").as("pa"),
+        expr("left(o_orderpriority, 1)").isin("1", "2").as("pb"),
+        (col("o_totalprice") > 150000.0).as("pc"))
+      val b = r.groupBy("w").agg(
+        expr("bit_or(if(pa, m, 0L))").as("ba"),
+        expr("bit_or(if(pb, m, 0L))").as("bb"),
+        expr("bit_or(if(pc, m, 0L))").as("bc"),
+        sum(when(col("pa"), 1L).otherwise(0L)).as("da"),
+        sum(when(col("pb"), 1L).otherwise(0L)).as("db"),
+        sum(when(col("pc"), 1L).otherwise(0L)).as("dc"))
+      // all pairwise combos in one global agg over the word frame; ^ is
+      // XOR in Spark SQL but POWER in DuckDB (oracle uses xor(a, b))
+      def pc2(e: String, as: String) =
+        sum(bit_count(expr(e))).cast("long").as(as)
+      val t = b.agg(
+        pc2("ba & bb", "and_ab"), pc2("ba | bb", "or_ab"),
+        pc2("ba ^ bb", "xor_ab"), pc2("ba & ~bb", "lo_ab"),
+        pc2("bb & ~ba", "ro_ab"),
+        pc2("ba & bc", "and_ac"), pc2("ba | bc", "or_ac"),
+        pc2("ba ^ bc", "xor_ac"), pc2("ba & ~bc", "lo_ac"),
+        pc2("bc & ~ba", "ro_ac"),
+        pc2("bb & bc", "and_bc"), pc2("bb | bc", "or_bc"),
+        pc2("bb ^ bc", "xor_bc"), pc2("bb & ~bc", "lo_bc"),
+        pc2("bc & ~bb", "ro_bc"),
+        sum(col("da")).cast("long").as("ta"),
+        sum(col("db")).cast("long").as("tb"),
+        sum(col("dc")).cast("long").as("tc"))
+      t.selectExpr(
+        """stack(3,
+          |  'a_b', and_ab, or_ab, xor_ab, lo_ab, ro_ab, ta, tb,
+          |         or_ab - ta - tb + and_ab,
+          |  'a_c', and_ac, or_ac, xor_ac, lo_ac, ro_ac, ta, tc,
+          |         or_ac - ta - tc + and_ac,
+          |  'b_c', and_bc, or_bc, xor_bc, lo_bc, ro_bc, tb, tc,
+          |         or_bc - tb - tc + and_bc)
+          |AS (pair, n_and, n_or, n_xor, n_left_only, n_right_only,
+          |    n_left_direct, n_right_direct, incl_excl_residual)""".stripMargin)
+        .orderBy("pair")
+    },
+
+    // q341: columnar encoding advisor — the parquet-writer "pick an
+    // encoding per column chunk" decision, run as a query. Orders rows are
+    // grouped into 4096-key pages (pg = o_orderkey div 4096, the row-group
+    // analogue); within each page, in key order, the model prices four
+    // encodings with EXACT integer byte formulas:
+    //   plain = 8/value (ints) or Σ(4+len) (strings)
+    //   rle   = runs × (value + 4-byte runlen); runs counted via lag()
+    //   dict  = per-page entry bytes + ⌈n·idxbits/8⌉, idxbits =
+    //           bitwidth(ndv−1) via length(bin(·)) — identical both engines
+    //   delta = 8-byte base + ⌈(n−1)·maxwidth/8⌉ over zigzag'd lag deltas
+    //           (ints only; 2|d|+sign keeps widths sign-free)
+    // and reports, per column, total bytes under each model plus the
+    // chosen encoding (fixed rle→dict→delta→plain tie order). The fixture
+    // spans the real decision space: o_orderstatus (3 NDV strings) lands
+    // dict/rle, o_custkey (dense keys) delta, cents (wide deltas) plain —
+    // the spec pins that at least two different winners appear. Scale
+    // shape: ONE exchange keyed pg feeds both the run/delta window and the
+    // (pg, v) distinct rollup (same key prefix, co-partitioned); everything
+    // after runs on |pages|×|columns| rows — at 100 TB this is precisely
+    // the per-row-group metadata pass a lakehouse writer already does.
+    q("q341_encoding_advisor",
+      "per-column RLE/dict/delta/plain byte models over 4096-key pages; argmin encoding")(
+      EncodingAdvisor.oracleSql
+    ) { (s, dir) => EncodingAdvisor(s, dir) }
   )
+}
+
+/** q341's shared column-model machinery: one SQL template + one Spark leg
+  * per analyzed column, kept textually parallel so the integer byte
+  * formulas stay in lockstep. Ints price all four encodings; strings skip
+  * delta (NULL) and carry 4-byte length prefixes in plain/rle/dict entry
+  * costs. See q341's doc comment for the formulas. */
+private[operators] object EncodingAdvisor {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** (name, DuckDB value expr over orders, Spark value expr, isString) */
+  private val cols: Seq[(String, String, String, Boolean)] = Seq(
+    ("cents", "CAST(round(o_totalprice * 100) AS BIGINT)",
+      "cast(round(o_totalprice * 100) as bigint)", false),
+    ("days", "CAST(date_diff('day', DATE '1992-01-01', o_orderdate::DATE) AS BIGINT)",
+      "cast(datediff(cast(o_orderdate as date), date'1992-01-01') as bigint)", false),
+    ("o_custkey", "o_custkey", "o_custkey", false),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus", true))
+
+  private def legSql(name: String, vExpr: String, isString: Boolean): String = {
+    val plainV = if (isString) "4 + length(v)" else "8"
+    val entryV = if (isString) "4 + length(v)" else "8"
+    s"""w_$name AS (
+       |  SELECT pg, v,
+       |         CASE WHEN lag(v) OVER win IS NULL OR v <> lag(v) OVER win
+       |              THEN 1 ELSE 0 END AS nr,
+       |         ${if (isString) "CAST(NULL AS BIGINT)"
+                  else s"""CASE WHEN lag(v) OVER win IS NULL THEN NULL
+       |              ELSE CAST(length(bin(2 * abs(v - lag(v) OVER win) +
+       |                   CASE WHEN v < lag(v) OVER win THEN 1 ELSE 0 END)) AS BIGINT)
+       |              END"""} AS zbits
+       |  FROM (SELECT o_orderkey // 4096 AS pg, o_orderkey AS k, $vExpr AS v
+       |        FROM orders)
+       |  WINDOW win AS (PARTITION BY pg ORDER BY k)),
+       |p_$name AS (
+       |  SELECT pg, CAST(count(*) AS BIGINT) AS n, CAST(sum(nr) AS BIGINT) AS runs,
+       |         CAST(sum(nr * ($plainV + 4)) AS BIGINT) AS rleb,
+       |         CAST(sum($plainV) AS BIGINT) AS plainb,
+       |         CAST(coalesce(max(zbits), 0) AS BIGINT) AS dbits
+       |  FROM w_$name GROUP BY pg),
+       |d_$name AS (
+       |  SELECT pg, CAST(count(*) AS BIGINT) AS ndv,
+       |         CAST(sum($entryV) AS BIGINT) AS entryb
+       |  FROM (SELECT DISTINCT pg, v FROM w_$name) GROUP BY pg),
+       |c_$name AS (
+       |  SELECT '$name' AS col_name,
+       |         CAST(count(*) AS BIGINT) AS n_pages,
+       |         CAST(sum(n) AS BIGINT) AS n_values,
+       |         CAST(sum(runs) AS BIGINT) AS n_runs,
+       |         CAST(sum(plainb) AS BIGINT) AS plain_b,
+       |         CAST(sum(rleb) AS BIGINT) AS rle_b,
+       |         CAST(sum(entryb +
+       |              (n * (CASE WHEN ndv > 1 THEN length(bin(ndv - 1)) ELSE 0 END)
+       |               + 7) // 8) AS BIGINT) AS dict_b,
+       |         ${if (isString) "CAST(NULL AS BIGINT)"
+                  else "CAST(sum(8 + ((n - 1) * dbits + 7) // 8) AS BIGINT)"} AS delta_b
+       |  FROM p_$name JOIN d_$name USING (pg))""".stripMargin
+  }
+
+  val oracleSql: String = {
+    val legs = cols.map { case (n, v, _, s) => legSql(n, v, s) }.mkString(",\n")
+    val union = cols.map { case (n, _, _, _) => s"SELECT * FROM c_$n" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH $legs
+       |SELECT col_name, n_pages, n_values, n_runs, plain_b, rle_b, dict_b, delta_b,
+       |       CASE WHEN rle_b <= dict_b AND rle_b <= coalesce(delta_b, plain_b)
+       |                 AND rle_b <= plain_b THEN 'rle'
+       |            WHEN dict_b <= coalesce(delta_b, plain_b) AND dict_b <= plain_b
+       |                 THEN 'dict'
+       |            WHEN coalesce(delta_b, plain_b + 1) <= plain_b THEN 'delta'
+       |            ELSE 'plain' END AS best
+       |FROM ($union)
+       |ORDER BY col_name""".stripMargin
+  }
+
+  private def leg(s: SparkSession, orders: DataFrame,
+                  name: String, vExpr: String, isString: Boolean): DataFrame = {
+    val win = Window.partitionBy("pg").orderBy("k")
+    val plainV = if (isString) "4 + length(v)" else "8"
+    val base = orders.selectExpr(
+      "o_orderkey div 4096 as pg", "o_orderkey as k", s"$vExpr as v")
+    val w = base
+      .withColumn("lv", lag("v", 1).over(win))
+      .withColumn("nr", when(col("lv").isNull || col("v") =!= col("lv"), 1L)
+        .otherwise(0L))
+      .withColumn("zbits",
+        if (isString) lit(null).cast("long")
+        else when(col("lv").isNull, lit(null).cast("long"))
+          .otherwise(length(bin(
+            lit(2) * abs(col("v") - col("lv")) +
+              when(col("v") < col("lv"), 1L).otherwise(0L))).cast("long")))
+    val p = w.groupBy("pg").agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("nr")).cast("long").as("runs"),
+      sum(col("nr") * (expr(plainV) + lit(4))).cast("long").as("rleb"),
+      sum(expr(plainV)).cast("long").as("plainb"),
+      coalesce(max(col("zbits")), lit(0L)).as("dbits"))
+    val d = w.select("pg", "v").distinct().groupBy("pg").agg(
+      count(lit(1)).cast("long").as("ndv"),
+      sum(expr(plainV)).cast("long").as("entryb"))
+    p.join(d, Seq("pg")).agg(
+      count(lit(1)).cast("long").as("n_pages"),
+      sum(col("n")).cast("long").as("n_values"),
+      sum(col("runs")).cast("long").as("n_runs"),
+      sum(col("plainb")).cast("long").as("plain_b"),
+      sum(col("rleb")).cast("long").as("rle_b"),
+      sum(col("entryb") +
+        expr("(n * (case when ndv > 1 then length(bin(ndv - 1)) else 0 end) + 7) div 8"))
+        .cast("long").as("dict_b"),
+      (if (isString) first(lit(null).cast("long"))
+       else sum(expr("8 + ((n - 1) * dbits + 7) div 8")).cast("long")).as("delta_b"))
+      .select(lit(name).as("col_name"), col("*"))
+  }
+
+  def apply(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    cols.map { case (n, _, v, isStr) => leg(s, orders, n, v, isStr) }
+      .reduce(_ unionAll _)
+      .withColumn("best",
+        when(col("rle_b") <= col("dict_b") &&
+          col("rle_b") <= coalesce(col("delta_b"), col("plain_b")) &&
+          col("rle_b") <= col("plain_b"), "rle")
+          .when(col("dict_b") <= coalesce(col("delta_b"), col("plain_b")) &&
+            col("dict_b") <= col("plain_b"), "dict")
+          .when(coalesce(col("delta_b"), col("plain_b") + 1) <= col("plain_b"),
+            "delta")
+          .otherwise("plain"))
+      .orderBy("col_name")
+  }
 }
