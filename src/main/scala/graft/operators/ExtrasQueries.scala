@@ -2463,8 +2463,104 @@ object ExtrasQueries {
     q("q341_encoding_advisor",
       "per-column RLE/dict/delta/plain byte models over 4096-key pages; argmin encoding")(
       EncodingAdvisor.oracleSql
-    ) { (s, dir) => EncodingAdvisor(s, dir) }
+    ) { (s, dir) => EncodingAdvisor(s, dir) },
+
+    // q342: Spark-native RECURSIVE CTE (Spark 4's UnionLoop operator) —
+    // the first registry entry where the SPARK side itself runs `WITH
+    // RECURSIVE`, not an unrolled loop: every earlier iterative query
+    // (q80/q204/q326/...) unrolls a FIXED round count so the oracle can
+    // mirror it; here BOTH engines run true run-until-empty recursion over
+    // a derived forest (parent(k) = k div 2 over the dense custkey space,
+    // root 1), walking ~150 sampled leaves to the root while summing exact
+    // account-balance cents along the path. Termination is data-driven
+    // (cur > 1), depth ≤ log2(|keys|) ≈ 14 — each UnionLoop iteration is
+    // one broadcast-joined step over a frame that never exceeds the leaf
+    // sample, so the 100 TB cost is depth × |anchors|, independent of
+    // table width. The only dialect split is the floor-div token (Spark
+    // `div`, DuckDB `//`) — one shared template, one substitution.
+    q("q342_recursive_cte",
+      "Spark-side WITH RECURSIVE (UnionLoop): leaf-to-root walk with exact path sums")(
+      RecursiveWalk.sql("//")
+    ) { (s, dir) =>
+      Tables(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(RecursiveWalk.sql("div"))
+    },
+
+    // q343: bipartite graph projection — the customer×part purchase graph
+    // projected onto part–part co-occurrence weights (w = # distinct
+    // common buyers), the NOTES backlog item. The scale discipline is the
+    // HUB CAP: baskets join pairwise only if the customer bought ≤ 40
+    // distinct parts (and ≥ 2, else no pairs), so per-basket work is
+    // ≤ cap² and a mega-customer can never detonate the self-join — the
+    // same reason q164 prefix-filters and q189 density-bounds. The output
+    // carries the capped-out customer count, the surviving edge count,
+    // and the TOTAL distinct pair count next to the top-20 pairs, so the
+    // hash check proves the cap semantics and projection completeness,
+    // not just the head. Shape: one distinct over (c, p) keyed by the
+    // join, a co-partitioned self-join on c, one (p1, p2) count — every
+    // shuffle keys on graph vertices, nothing all-pairs across baskets.
+    q("q343_bipartite_projection",
+      "part-part co-purchase projection with a 40-part hub cap; carried completeness counts")(
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |deg AS (SELECT c, count(*) AS d FROM e GROUP BY c),
+        |kept AS (SELECT e.c, e.p FROM e JOIN deg ON deg.c = e.c
+        |         WHERE deg.d BETWEEN 2 AND 40),
+        |pairs AS (
+        |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS w
+        |  FROM kept a JOIN kept b ON a.c = b.c AND a.p < b.p
+        |  GROUP BY a.p, b.p),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |               CAST(sum(w) AS BIGINT) AS sum_w FROM pairs),
+        |caps AS (SELECT CAST(count(CASE WHEN d > 40 THEN 1 END) AS BIGINT) AS n_capped,
+        |                CAST(count(CASE WHEN d BETWEEN 2 AND 40 THEN 1 END) AS BIGINT) AS n_kept
+        |         FROM deg)
+        |SELECT p1, p2, w, n_pairs, sum_w, n_capped, n_kept
+        |FROM pairs CROSS JOIN tot CROSS JOIN caps
+        |ORDER BY w DESC, p1, p2 LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .cache() // degree leg + two projection sides
+      val deg = e.groupBy("c").agg(count(lit(1)).as("d"))
+      val kept = e.join(deg.filter(col("d").between(2, 40)).select("c"), Seq("c"))
+      val pairs = kept.as("a")
+        .join(kept.as("b"), col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).cast("long").as("w"))
+        .cache() // top-20 leg + totals leg
+      val tot = pairs.agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("w")).cast("long").as("sum_w"))
+      val caps = deg.agg(
+        count(when(col("d") > 40, 1)).cast("long").as("n_capped"),
+        count(when(col("d").between(2, 40), 1)).cast("long").as("n_kept"))
+      pairs.crossJoin(broadcast(tot)).crossJoin(broadcast(caps))
+        .orderBy(col("w").desc, col("p1"), col("p2"))
+        .limit(20)
+    }
   )
+}
+
+/** q342's shared recursive-CTE text. The ONLY dialect divergence between
+  * the Spark and DuckDB runs is the integer floor-division token. */
+private[operators] object RecursiveWalk {
+  def sql(div: String): String =
+    s"""WITH RECURSIVE walk(leaf, cur, depth, cents) AS (
+       |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT),
+       |         CAST(round(c_acctbal * 100) AS BIGINT)
+       |  FROM customer WHERE c_custkey % 100 = 7
+       |  UNION ALL
+       |  SELECT w.leaf, c.c_custkey, w.depth + 1,
+       |         w.cents + CAST(round(c.c_acctbal * 100) AS BIGINT)
+       |  FROM walk w JOIN customer c ON c.c_custkey = w.cur $div 2
+       |  WHERE w.cur > 1)
+       |SELECT leaf, depth AS depth_to_root, cents AS path_cents
+       |FROM walk WHERE cur = 1
+       |ORDER BY leaf""".stripMargin
 }
 
 /** q341's shared column-model machinery: one SQL template + one Spark leg
