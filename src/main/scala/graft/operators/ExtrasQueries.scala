@@ -2486,60 +2486,79 @@ object ExtrasQueries {
       s.sql(RecursiveWalk.sql("div"))
     },
 
-    // q343: bipartite graph projection — the customer×part purchase graph
-    // projected onto part–part co-occurrence weights (w = # distinct
-    // common buyers), the NOTES backlog item. The scale discipline is the
-    // HUB CAP: baskets join pairwise only if the customer bought ≤ 40
-    // distinct parts (and ≥ 2, else no pairs), so per-basket work is
-    // ≤ cap² and a mega-customer can never detonate the self-join — the
-    // same reason q164 prefix-filters and q189 density-bounds. The output
-    // carries the capped-out customer count, the surviving edge count,
-    // and the TOTAL distinct pair count next to the top-20 pairs, so the
-    // hash check proves the cap semantics and projection completeness,
-    // not just the head. Shape: one distinct over (c, p) keyed by the
-    // join, a co-partitioned self-join on c, one (p1, p2) count — every
-    // shuffle keys on graph vertices, nothing all-pairs across baskets.
-    q("q343_bipartite_projection",
-      "part-part co-purchase projection with a 40-part hub cap; carried completeness counts")(
+    // q343: item–item collaborative-filtering similarity — the recommender
+    // primitive one level ABOVE q162's raw co-occurrence projection: the
+    // customer×part purchase graph (a two-table join, not a single edge
+    // list) is projected to part pairs and each pair is NORMALIZED into
+    // exact integer-milli Jaccard (w·1000 div (d1+d2−w)) and overlap
+    // (w·1000 div min(d1,d2)) coefficients over the parts' kept-basket
+    // degrees — raw counts rank popular items, normalized similarity
+    // ranks RELATED items, which is why item-CF normalizes. Scale
+    // disciplines: the 40-part HUB CAP bounds per-basket pairing at cap²
+    // (avg basket IS ~40 here, so the cap genuinely binds — spec-pinned),
+    // and the part-degree frame joined back onto pairs is |parts|-bounded
+    // (broadcast). Carried completeness counts (n_pairs, sum_w, n_capped,
+    // n_kept) make the hash prove the cap semantics and the projection
+    // identity Σw = Σ C(d,2), not just the top-20.
+    q("q343_item_cf_similarity",
+      "item-item CF: hub-capped co-purchase projection normalized to exact milli Jaccard/overlap")(
       """WITH e AS (
         |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
         |deg AS (SELECT c, count(*) AS d FROM e GROUP BY c),
         |kept AS (SELECT e.c, e.p FROM e JOIN deg ON deg.c = e.c
         |         WHERE deg.d BETWEEN 2 AND 40),
+        |pdeg AS (SELECT p, CAST(count(*) AS BIGINT) AS pd FROM kept GROUP BY p),
         |pairs AS (
         |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS w
         |  FROM kept a JOIN kept b ON a.c = b.c AND a.p < b.p
         |  GROUP BY a.p, b.p),
+        |scored AS (
+        |  SELECT p1, p2, w, d1.pd AS d1, d2.pd AS d2,
+        |         w * 1000 // (d1.pd + d2.pd - w) AS jaccard_milli,
+        |         w * 1000 // least(d1.pd, d2.pd) AS overlap_milli
+        |  FROM pairs JOIN pdeg d1 ON d1.p = pairs.p1
+        |             JOIN pdeg d2 ON d2.p = pairs.p2),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         |               CAST(sum(w) AS BIGINT) AS sum_w FROM pairs),
         |caps AS (SELECT CAST(count(CASE WHEN d > 40 THEN 1 END) AS BIGINT) AS n_capped,
         |                CAST(count(CASE WHEN d BETWEEN 2 AND 40 THEN 1 END) AS BIGINT) AS n_kept
         |         FROM deg)
-        |SELECT p1, p2, w, n_pairs, sum_w, n_capped, n_kept
-        |FROM pairs CROSS JOIN tot CROSS JOIN caps
-        |ORDER BY w DESC, p1, p2 LIMIT 20""".stripMargin
+        |SELECT p1, p2, w, d1, d2, jaccard_milli, overlap_milli,
+        |       n_pairs, sum_w, n_capped, n_kept
+        |FROM scored CROSS JOIN tot CROSS JOIN caps
+        |ORDER BY jaccard_milli DESC, w DESC, p1, p2 LIMIT 20""".stripMargin
     ) { (s, dir) =>
       val e = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
         .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
-        .cache() // degree leg + two projection sides
+        .cache() // basket-degree leg + two projection sides
       val deg = e.groupBy("c").agg(count(lit(1)).as("d"))
       val kept = e.join(deg.filter(col("d").between(2, 40)).select("c"), Seq("c"))
+        .cache() // part-degree leg + both self-join sides
+      val pdeg = kept.groupBy("p").agg(count(lit(1)).cast("long").as("pd"))
       val pairs = kept.as("a")
         .join(kept.as("b"), col("a.c") === col("b.c") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
         .agg(count(lit(1)).cast("long").as("w"))
-        .cache() // top-20 leg + totals leg
+        .cache() // scored leg + totals leg
+      val scored = pairs
+        .join(broadcast(pdeg.select(col("p").as("p1"), col("pd").as("d1"))), Seq("p1"))
+        .join(broadcast(pdeg.select(col("p").as("p2"), col("pd").as("d2"))), Seq("p2"))
+        .withColumn("jaccard_milli", expr("w * 1000 div (d1 + d2 - w)"))
+        .withColumn("overlap_milli", expr("w * 1000 div least(d1, d2)"))
       val tot = pairs.agg(count(lit(1)).cast("long").as("n_pairs"),
         sum(col("w")).cast("long").as("sum_w"))
       val caps = deg.agg(
         count(when(col("d") > 40, 1)).cast("long").as("n_capped"),
         count(when(col("d").between(2, 40), 1)).cast("long").as("n_kept"))
-      pairs.crossJoin(broadcast(tot)).crossJoin(broadcast(caps))
-        .orderBy(col("w").desc, col("p1"), col("p2"))
+      scored.crossJoin(broadcast(tot)).crossJoin(broadcast(caps))
+        .select(col("p1"), col("p2"), col("w"), col("d1"), col("d2"),
+          col("jaccard_milli"), col("overlap_milli"),
+          col("n_pairs"), col("sum_w"), col("n_capped"), col("n_kept"))
+        .orderBy(col("jaccard_milli").desc, col("w").desc, col("p1"), col("p2"))
         .limit(20)
     }
   )

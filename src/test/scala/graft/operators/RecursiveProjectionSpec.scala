@@ -41,11 +41,19 @@ class RecursiveProjectionSpec extends AnyFunSuite {
     assert(rows.head.getLong(2) == path.map(bal).sum, s"path cents of $leaf")
   }
 
-  test("q343 hub cap binds and completeness counts reconcile") {
-    val rows = SparkEntry.queries("q343_bipartite_projection")(spark, dir).collect()
+  test("q343 hub cap binds, counts reconcile, normalization is the argsort") {
+    val rows = SparkEntry.queries("q343_item_cf_similarity")(spark, dir).collect()
     assert(rows.length == 20)
-    val (nPairs, sumW) = (rows.head.getLong(3), rows.head.getLong(4))
-    val (nCapped, nKept) = (rows.head.getLong(5), rows.head.getLong(6))
+    val (nPairs, sumW) = (rows.head.getLong(7), rows.head.getLong(8))
+    val (nCapped, nKept) = (rows.head.getLong(9), rows.head.getLong(10))
+    for (r <- rows) {
+      val (w, d1, d2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // similarity identities: intersection bounded by both degrees; the
+      // published milli scores are exactly the integer formulas
+      assert(w >= 1 && w <= math.min(d1, d2))
+      assert(r.getLong(5) == w * 1000 / (d1 + d2 - w), "jaccard_milli")
+      assert(r.getLong(6) == w * 1000 / math.min(d1, d2), "overlap_milli")
+    }
     assert(nCapped > 0, "fixture must exercise the cap arm (avg basket ~40)")
     assert(nKept > 0 && nPairs > 0 && sumW >= nPairs)
     // independent recount: sum of per-basket C(d,2) over kept baskets
@@ -62,8 +70,8 @@ class RecursiveProjectionSpec extends AnyFunSuite {
     val expSumW = degs.filter(d => d >= 2 && d <= 40).map(d => d * (d - 1) / 2).sum
     assert(sumW == expSumW, s"sum_w $sumW vs per-basket recount $expSumW")
     assert(degs.count(_ > 40) == nCapped)
-    // top-20 is sorted by weight desc with the declared tiebreak
-    val ws = rows.map(_.getLong(2))
-    assert(ws.sameElements(ws.sorted.reverse))
+    // the head is ranked by NORMALIZED similarity, not raw popularity
+    val js = rows.map(_.getLong(5))
+    assert(js.sameElements(js.sorted.reverse))
   }
 }
