@@ -5329,6 +5329,163 @@ object AnalyticsQueries {
             " else cast((num * 1000) div (n_days * 7) as bigint) end as bigint)")
             .as("s_milli"))
         .orderBy("dow")
-    }
+    },
+
+    // q344: gradient-boosted regression stumps, 3 sequential rounds — the
+    // STAGE-WISE ensemble q325's single stump begins and q197's monolithic
+    // GD never shows: each round fits a least-squares stump to the CURRENT
+    // residuals, subtracts its piecewise prediction, and hands the shrunken
+    // residuals to the next round. The label plants an ADDITIVE two-term
+    // structure (q312/q319/q325 discipline): y = 20000 + 8000·[disc>5] +
+    // 5000·[dom>15] + hash noise, with a third null feature in the
+    // candidate set — so round 1 must recover disc@5, round 2 must recover
+    // dom@15 FROM RESIDUALS (it is invisible to round 1 only as an
+    // attenuated signal), and round 3 finds only noise; training SSE is
+    // monotone non-increasing by construction of least-squares fits.
+    // Everything is exact integer milli: split scoring compares
+    // S_L²·n_R + S_R²·n_L on the common-denominator DECIMAL(38) grid
+    // (q325's trick — no float ever orders candidates), leaf means are
+    // truncating div (identical in Spark div / DuckDB //), and each round's
+    // chosen stump flows to the next round as a BROADCAST 1-row frame
+    // (CASE on the feature name picks the split column) — no driver-side
+    // collect, no per-round re-read of anything but the cached base.
+    // 100 TB shape per round: one unpivot scan + one (f, v) groupBy onto a
+    // ≤67-value histogram; the cumulative window and argmax run on that
+    // histogram — the whole fit after the scan is metadata-scale, which is
+    // exactly how histogram-based GBDT (LightGBM-style) scales out.
+    q("q344_gradient_boosting",
+      "3-round boosted stumps recover the planted additive structure from residuals")(
+      GradientBoost.oracleSql
+    ) { (sp, dir) => GradientBoost(sp, dir) }
   )
+}
+
+/** q344's shared machinery: the per-round SQL template and the per-round
+  * Spark fold, kept textually parallel (the logregStepSql pattern) so the
+  * integer split-scoring formulas cannot drift between engines. */
+private[operators] object GradientBoost {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import graft.functions.PortableHash.{md5Long, md5LongSql}
+
+  private val noiseSql =
+    md5LongSql("'gb:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")
+
+  /** One boosting round's CTE chain: unpivot → (f,v) histogram with
+    * residual sums → per-feature cumulative split table → DECIMAL-grid
+    * argmax (LIMIT 1) → residual update → SSE. */
+  private def roundSql(m: Int): String = {
+    val r = s"r$m"; val n = m + 1
+    s"""t$m AS (SELECT 'disc' AS f, disc AS v, r FROM $r
+       |        UNION ALL SELECT 'dom', dom, r FROM $r
+       |        UNION ALL SELECT 'nullf', nullf, r FROM $r),
+       |c$m AS (SELECT f, v, CAST(count(*) AS BIGINT) AS c, CAST(sum(r) AS BIGINT) AS s
+       |        FROM t$m GROUP BY f, v),
+       |tot$m AS (SELECT f, CAST(sum(c) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS st
+       |          FROM c$m GROUP BY f),
+       |cu$m AS (SELECT f, v,
+       |                CAST(sum(c) OVER (PARTITION BY f ORDER BY v) AS BIGINT) AS nl,
+       |                CAST(sum(s) OVER (PARTITION BY f ORDER BY v) AS BIGINT) AS sl
+       |         FROM c$m),
+       |w$m AS (SELECT f, v, nl, n - nl AS nr,
+       |               CAST(sl // nl AS BIGINT) AS mul,
+       |               CAST((st - sl) // (n - nl) AS BIGINT) AS mur,
+       |               CAST((CAST(sl AS HUGEINT) * sl * (n - nl)
+       |                   + CAST(st - sl AS HUGEINT) * (st - sl) * nl) * 1000
+       |                   // (CAST(nl AS HUGEINT) * (n - nl)) AS BIGINT) AS gain_key
+       |        FROM cu$m JOIN tot$m USING (f) WHERE n - nl > 0
+       |        ORDER BY gain_key DESC, f, v LIMIT 1),
+       |r$n AS (SELECT disc, dom, nullf,
+       |               r - (CASE WHEN (CASE w$m.f WHEN 'disc' THEN disc
+       |                                WHEN 'dom' THEN dom ELSE nullf END) <= w$m.v
+       |                         THEN w$m.mul ELSE w$m.mur END) AS r
+       |        FROM $r CROSS JOIN w$m),
+       |s$m AS (SELECT CAST(sum(r * r) // count(*) AS BIGINT) AS sse_pr FROM r$n)""".stripMargin
+  }
+
+  val oracleSql: String = {
+    val rounds = (1 to 3).map(roundSql).mkString(",\n")
+    val rows = (1 to 3).map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS round, f AS feature, v AS threshold,
+         |       nl AS n_left, nr AS n_right, mul AS mu_left_milli,
+         |       mur AS mu_right_milli, gain_key,
+         |       (SELECT sse_pr FROM s$m) AS sse_pr
+         |FROM w$m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT CAST(floor(l_discount * 100) AS BIGINT) AS disc,
+       |         CAST(day(l_shipdate::TIMESTAMP) AS BIGINT) AS dom,
+       |         l_suppkey % 25 AS nullf,
+       |         20000 + CASE WHEN floor(l_discount * 100) > 5 THEN 8000 ELSE 0 END
+       |               + CASE WHEN day(l_shipdate::TIMESTAMP) > 15 THEN 5000 ELSE 0 END
+       |               + ($noiseSql % 2001 - 1000) AS y
+       |  FROM lineitem),
+       |m0 AS (SELECT CAST(sum(y) // count(*) AS BIGINT) AS f0 FROM b),
+       |r1 AS (SELECT disc, dom, nullf, y - f0 AS r FROM b CROSS JOIN m0),
+       |$rounds
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Fit one least-squares stump to the residual frame: returns the 1-row
+    * argmax (f, v, nl, nr, mul, mur, gain_key). */
+  private def fitStump(r: DataFrame): DataFrame = {
+    val t = r.select(lit("disc").as("f"), col("disc").as("v"), col("r"))
+      .unionByName(r.select(lit("dom").as("f"), col("dom").as("v"), col("r")))
+      .unionByName(r.select(lit("nullf").as("f"), col("nullf").as("v"), col("r")))
+    val c = t.groupBy("f", "v")
+      .agg(count(lit(1)).cast("long").as("c"), sum(col("r")).cast("long").as("s"))
+    val tot = c.groupBy("f")
+      .agg(sum(col("c")).cast("long").as("n"), sum(col("s")).cast("long").as("st"))
+    val wf = Window.partitionBy("f").orderBy("v")
+    val cu = c.select(col("f"), col("v"),
+      sum(col("c")).over(wf).cast("long").as("nl"),
+      sum(col("s")).over(wf).cast("long").as("sl"))
+    cu.join(tot, Seq("f")).filter(col("n") - col("nl") > 0)
+      .select(col("f"), col("v"), col("nl"), (col("n") - col("nl")).as("nr"),
+        expr("cast(sl div nl as bigint)").as("mul"),
+        expr("cast((st - sl) div (n - nl) as bigint)").as("mur"),
+        expr("cast((cast(sl as decimal(38,0)) * sl * (n - nl)" +
+          " + cast(st - sl as decimal(38,0)) * (st - sl) * nl) * 1000" +
+          " div (cast(nl as decimal(38,0)) * (n - nl)) as bigint)").as("gain_key"))
+      .orderBy(col("gain_key").desc, col("f"), col("v")).limit(1)
+  }
+
+  def apply(sp: SparkSession, dir: String): DataFrame = {
+    val noise = md5Long(concat(lit("gb:"), col("l_orderkey").cast("string"),
+      lit(":"), col("l_linenumber").cast("string"))) % 2001 - 1000
+    val b = Tables(sp, dir, "lineitem").select(
+      expr("cast(floor(l_discount * 100) as bigint)").as("disc"),
+      expr("cast(day(l_shipdate) as bigint)").as("dom"),
+      expr("l_suppkey % 25").as("nullf"),
+      (lit(20000L)
+        + when(expr("floor(l_discount * 100)") > 5, 8000L).otherwise(0L)
+        + when(expr("day(l_shipdate)") > 15, 5000L).otherwise(0L)
+        + noise).as("y"))
+      .cache() // every round's unpivot + SSE re-reads the base
+    val m0 = b.agg(expr("cast(sum(y) div count(*) as bigint)").as("f0"))
+    var r = b.crossJoin(broadcast(m0))
+      .select(col("disc"), col("dom"), col("nullf"), (col("y") - col("f0")).as("r"))
+      .localCheckpoint(true) // 3 unpivot legs + round-2 update re-read it
+    val rows = (1 to 3).map { m =>
+      // TRUNCATE LINEAGE each round (NOTES: cache is not enough — the
+      // chained crossJoin(argmax-subtree) plans compound per round and
+      // re-optimizing/codegen'ing them dominates wall clock: measured
+      // 120+ s at ANY fixture scale before checkpointing, seconds after).
+      // The 1-row argmax and the residual frame both become plan leaves.
+      val w = fitStump(r).localCheckpoint(true)
+      r = r.crossJoin(broadcast(w))
+        .select(col("disc"), col("dom"), col("nullf"),
+          (col("r") - when(
+            expr("case f when 'disc' then disc when 'dom' then dom else nullf end")
+              <= col("v"), col("mul")).otherwise(col("mur"))).as("r"))
+        .localCheckpoint(true)
+      val sse = r.agg(expr("cast(sum(r * r) div count(*) as bigint)").as("sse_pr"))
+      w.select(lit(m.toLong).as("round"), col("f").as("feature"),
+        col("v").as("threshold"), col("nl").as("n_left"), col("nr").as("n_right"),
+        col("mul").as("mu_left_milli"), col("mur").as("mu_right_milli"),
+        col("gain_key"))
+        .crossJoin(broadcast(sse))
+    }
+    rows.reduce(_ unionAll _).orderBy("round")
+  }
 }
