@@ -5084,7 +5084,14 @@ object AnalyticsQueries {
         .orderBy("round")
     },
 
-    // q337: Kaplan–Meier survival curve with right-censoring — per market
+    // q337: survival-estimator SUITE — Kaplan–Meier product-limit AND its
+    // Nelson–Aalen cumulative-hazard companion off one risk table. The
+    // survival family splits across designs: q256 estimates KM for
+    // time-to-first-error under STAGGERED-CONSENT censoring (events table,
+    // per-user consent horizons, 12h bins) and q258 compares groups by
+    // log-rank; THIS entry covers the churn design — censoring induced by
+    // the corpus boundary itself — and adds the hazard-scale estimator
+    // (Σ d/n, exact micro) that none of them publish. Per market
     // segment, "customer lifetime" = first→last order date, bucketed to
     // years and capped at 8 buckets; a customer whose last order is >365
     // days before the corpus's max date is an EVENT (churn), otherwise
@@ -5099,8 +5106,8 @@ object AnalyticsQueries {
     // the risk-set suffix sum and the KM fold run on the |seg|×8
     // histogram — metadata, never row-scale. The 8-bucket cap is the
     // state bound: arbitrary horizons re-bucket, they don't grow state.
-    q("q337_kaplan_meier",
-      "per-segment Kaplan-Meier churn curve, exact milli recurrence, censoring-aware")(
+    q("q337_survival_estimators",
+      "per-segment KM + Nelson-Aalen churn estimators, exact milli/micro, censoring-aware")(
       """WITH RECURSIVE
         |life AS (SELECT o_custkey AS ck, min(o_orderdate::DATE) AS fd,
         |                max(o_orderdate::DATE) AS ld
@@ -5134,7 +5141,9 @@ object AnalyticsQueries {
         |  FROM km JOIN risk r ON r.seg = km.seg AND r.b = km.b + 1
         |  WHERE km.b < 7)
         |SELECT r.seg, r.b, r.n AS n_risk, r.d AS n_event, r.cens AS n_censored,
-        |       k.s AS s_milli
+        |       k.s AS s_milli,
+        |       CAST(sum(CASE WHEN r.n > 0 THEN r.d * 1000000 // r.n ELSE 0 END)
+        |            OVER (PARTITION BY r.seg ORDER BY r.b) AS BIGINT) AS na_micro
         |FROM risk r JOIN km k ON k.seg = r.seg AND k.b = r.b
         |ORDER BY r.seg, r.b""".stripMargin
     ) { (sp, dir) =>
@@ -5182,6 +5191,13 @@ object AnalyticsQueries {
         .select(col("seg"), col("r.b").as("b"), col("r.n").as("n_risk"),
           col("r.d").as("n_event"), col("r.cens").as("n_censored"),
           col("r.s").as("s_milli"))
+        // Nelson–Aalen cumulative hazard (the KM companion q256 lacks):
+        // Σ d_j·10⁶ // n_j over buckets so far — a partitioned window over
+        // the same |seg|×8 histogram, still metadata-scale
+        .withColumn("na_micro",
+          sum(when(col("n_risk") > 0,
+            expr("n_event * 1000000 div n_risk")).otherwise(0L))
+            .over(Window.partitionBy("seg").orderBy("b")).cast("long"))
         .orderBy("seg", "b")
     },
 

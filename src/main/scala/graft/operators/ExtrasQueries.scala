@@ -2465,27 +2465,6 @@ object ExtrasQueries {
       EncodingAdvisor.oracleSql
     ) { (s, dir) => EncodingAdvisor(s, dir) },
 
-    // q342: Spark-native RECURSIVE CTE (Spark 4's UnionLoop operator) —
-    // the first registry entry where the SPARK side itself runs `WITH
-    // RECURSIVE`, not an unrolled loop: every earlier iterative query
-    // (q80/q204/q326/...) unrolls a FIXED round count so the oracle can
-    // mirror it; here BOTH engines run true run-until-empty recursion over
-    // a derived forest (parent(k) = k div 2 over the dense custkey space,
-    // root 1), walking ~150 sampled leaves to the root while summing exact
-    // account-balance cents along the path. Termination is data-driven
-    // (cur > 1), depth ≤ log2(|keys|) ≈ 14 — each UnionLoop iteration is
-    // one broadcast-joined step over a frame that never exceeds the leaf
-    // sample, so the 100 TB cost is depth × |anchors|, independent of
-    // table width. The only dialect split is the floor-div token (Spark
-    // `div`, DuckDB `//`) — one shared template, one substitution.
-    q("q342_recursive_cte",
-      "Spark-side WITH RECURSIVE (UnionLoop): leaf-to-root walk with exact path sums")(
-      RecursiveWalk.sql("//")
-    ) { (s, dir) =>
-      Tables(s, dir, "customer").createOrReplaceTempView("customer")
-      s.sql(RecursiveWalk.sql("div"))
-    },
-
     // q343: item–item collaborative-filtering similarity — the recommender
     // primitive one level ABOVE q162's raw co-occurrence projection: the
     // customer×part purchase graph (a two-table join, not a single edge
@@ -2562,24 +2541,6 @@ object ExtrasQueries {
         .limit(20)
     }
   )
-}
-
-/** q342's shared recursive-CTE text. The ONLY dialect divergence between
-  * the Spark and DuckDB runs is the integer floor-division token. */
-private[operators] object RecursiveWalk {
-  def sql(div: String): String =
-    s"""WITH RECURSIVE walk(leaf, cur, depth, cents) AS (
-       |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT),
-       |         CAST(round(c_acctbal * 100) AS BIGINT)
-       |  FROM customer WHERE c_custkey % 100 = 7
-       |  UNION ALL
-       |  SELECT w.leaf, c.c_custkey, w.depth + 1,
-       |         w.cents + CAST(round(c.c_acctbal * 100) AS BIGINT)
-       |  FROM walk w JOIN customer c ON c.c_custkey = w.cur $div 2
-       |  WHERE w.cur > 1)
-       |SELECT leaf, depth AS depth_to_root, cents AS path_cents
-       |FROM walk WHERE cur = 1
-       |ORDER BY leaf""".stripMargin
 }
 
 /** q341's shared column-model machinery: one SQL template + one Spark leg

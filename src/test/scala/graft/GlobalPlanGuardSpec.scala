@@ -120,7 +120,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q327_kneser_ney" -> "1-row trigram-type-count frame × the eval trigram stream (q72's vocab-scalar shape)",
     "q325_decision_stump" -> "1-row global-argmin frame × the ≤93-row per-feature best-split table",
     "q336_geo_cell_join" -> "1-row completeness-count scalar × the radius-pair stream (carried n_pairs proof column)",
-    "q337_kaplan_meier" -> "1-row corpus-max-date scalar × the per-customer lifetime frame (censoring cutoff)",
+    "q337_survival_estimators" -> "1-row corpus-max-date scalar × the per-customer lifetime frame (censoring cutoff)",
     "q338_autocorrelation" -> "1-row series mean/variance scalar × the ≤|days| daily series; lag pairs are an equi-join",
     "q339_seasonal_decomposition" -> "1-row residual-sigma scalar × the ≤|days| daily series (extreme flagging)",
     "q343_item_cf_similarity" -> "1-row pair-total and 1-row cap-count scalars × the projected pair frame",

@@ -71,7 +71,7 @@ class GeoSurvivalSpec extends AnyFunSuite {
 
   test("q337 KM curve: monotone survival, telescoping risk sets, real censoring") {
     Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
-      val rows = SparkEntry.queries("q337_kaplan_meier")(spark, dir).collect()
+      val rows = SparkEntry.queries("q337_survival_estimators")(spark, dir).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5)))
       val segs = rows.map(_._1).distinct

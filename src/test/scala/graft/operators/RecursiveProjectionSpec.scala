@@ -4,42 +4,14 @@ import graft.{SparkEntry, SparkTestSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Behavioral pins for wave 46 (q342 Spark-side recursive CTE, q343
-  * bipartite projection). The oracle proves Spark ≡ DuckDB; these pins
-  * hold what the hash can't: q342's recursion is Spark's REAL UnionLoop
-  * machinery (not an unrolled union) walking data-driven depths, and
-  * q343's hub cap actually binds — no emitted pair rests on a capped
-  * basket, and the completeness counts reconcile with an independent
-  * recount. */
+/** Behavioral pins for wave 46 (q343 item-CF similarity). The oracle
+  * proves Spark ≡ DuckDB; these pins hold what the hash can't: the hub
+  * cap actually binds, the completeness counts reconcile with an
+  * independent per-basket recount, and the published milli similarity
+  * scores are exactly their integer formulas. */
 class RecursiveProjectionSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.01"
-
-  test("q342 runs a genuine UnionLoop recursion with data-driven depths") {
-    val df = SparkEntry.queries("q342_recursive_cte")(spark, dir)
-    // the optimized plan must contain the recursive-CTE loop operator —
-    // proof this is Spark 4 recursion, not an unrolled fixed-round union
-    val plan = df.queryExecution.optimizedPlan.toString
-    assert(plan.contains("UnionLoop"), s"expected UnionLoop in:\n$plan")
-    val rows = df.collect()
-    assert(rows.length == 15) // 1500 custkeys, every 100th sampled
-    val depths = rows.map(_.getLong(1))
-    // depth_to_root = floor(log2(leaf)): varies across leaves and every
-    // walk terminated at the root (rows exist at all — WHERE cur = 1)
-    assert(depths.distinct.length > 1 && depths.forall(d => d >= 2 && d <= 11))
-    for (r <- rows) {
-      val leaf = r.getLong(0)
-      val expDepth = 63 - java.lang.Long.numberOfLeadingZeros(leaf)
-      assert(r.getLong(1) == expDepth, s"leaf $leaf depth")
-    }
-    // exact path-cents recount for one leaf, driver-side
-    val bal = graft.Tables(spark, dir, "customer")
-      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("cents"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val leaf = rows.head.getLong(0)
-    val path = Iterator.iterate(leaf)(_ / 2).takeWhile(_ >= 1).toSeq
-    assert(rows.head.getLong(2) == path.map(bal).sum, s"path cents of $leaf")
-  }
 
   test("q343 hub cap binds, counts reconcile, normalization is the argsort") {
     val rows = SparkEntry.queries("q343_item_cf_similarity")(spark, dir).collect()
