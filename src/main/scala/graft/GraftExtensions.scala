@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (see MvAggRewrite; sessions built without extensions get it via
     // spark.experimental.extraOptimizations in q281's body)
     e.injectOptimizerRule(_ => graft.plans.MvAggRewrite)
+    // conf-gated approximate acceleration: count(DISTINCT c) → KMV
+    // bottom-64 estimate (see ApproxCountRewrite; default off)
+    e.injectOptimizerRule(_ => graft.plans.ApproxCountRewrite)
     // native per-key top-k: logical node → partial/final heap SparkPlans
     // (see TopKPerKey; sessions built without extensions get the strategy
     // injected on first TopKPerKey.topK call)

@@ -48,3 +48,35 @@ class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
+
+/** [[KmvAggregator]] with COUNT(DISTINCT)-compatible null semantics: the
+  * input is the (nullable) 60-bit hash and null inputs are SKIPPED, never
+  * folded — exactly how Count(distinct c) ignores null c. Used by the
+  * approx-count-distinct optimizer rewrite
+  * ([[graft.plans.ApproxCountRewrite]]), where the hash expression
+  * evaluates to null whenever the counted column is null. */
+class KmvNullSkipAggregator(k: Int)
+  extends Aggregator[Option[Long], Seq[Long], Seq[Long]] {
+  require(k >= 2, s"k must be >= 2 (the estimator needs h_k), got $k")
+
+  private def trim(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)
+
+  override def zero: Seq[Long] = Seq.empty
+
+  override def reduce(b: Seq[Long], in: Option[Long]): Seq[Long] = in match {
+    case None => b
+    case Some(h) =>
+      if (b.length == k && h >= b.last) b
+      else if (b.contains(h)) b
+      else trim(b :+ h)
+  }
+
+  override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = trim(x ++ y)
+
+  override def finish(b: Seq[Long]): Seq[Long] = b
+
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

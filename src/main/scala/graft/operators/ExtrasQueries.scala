@@ -2539,6 +2539,64 @@ object ExtrasQueries {
           col("n_pairs"), col("sum_w"), col("n_capped"), col("n_kept"))
         .orderBy(col("jaccard_milli").desc, col("w").desc, col("p1"), col("p2"))
         .limit(20)
+    },
+
+    // q345: the approx-count-distinct ACCELERATION RULE in action — the
+    // same `count(DISTINCT o_custkey)` DataFrame is built twice; leg one
+    // runs exact, leg two runs under spark.graft.approxCountDistinct=true,
+    // where graft.plans.ApproxCountRewrite (an injected optimizer Rule)
+    // transparently replaces the distinct Count with the KMV bottom-64
+    // sketch + estimate. Because the sketch is md5-arithmetic, DuckDB
+    // reproduces the ACCELERATED answer bit-for-bit (bottom-64 hashes per
+    // group + the shared estimator text) — the rewrite is hash-verified,
+    // not trusted. The approx leg is localCheckpoint'ed inside the flag
+    // window so the pinned execution, not a lazily re-planned one, is what
+    // the oracle checks. 100 TB story: exact count-distinct shuffles every
+    // distinct (group, value) pair; the rewritten plan partial-aggregates
+    // to ≤64 longs per (partition, group) before the exchange — the
+    // optimizer applies the q187/q190 state bound to queries nobody
+    // rewrote by hand. Accuracy: exact below 64 distinct, rel σ ≈ 12.7 %
+    // above (rel_err_milli carried per group; ApproxRewriteSpec pins the
+    // 4σ bound and the plan shapes both ways).
+    q("q345_approx_rewrite",
+      "optimizer rewrite: count(DISTINCT) -> KMV bottom-64 estimate, oracle-reproduced")(
+      s"""WITH e AS (SELECT o_orderpriority AS p,
+         |                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cnt
+         |           FROM orders GROUP BY p),
+         |h AS (SELECT DISTINCT o_orderpriority AS p,
+         |             ${graft.functions.PortableHash.md5LongSql("CAST(o_custkey AS VARCHAR)")} AS h
+         |      FROM orders WHERE o_custkey IS NOT NULL),
+         |rk AS (SELECT p, h, row_number() OVER (PARTITION BY p ORDER BY h) AS rn
+         |       FROM h),
+         |a AS (SELECT p,
+         |             ${graft.functions.PortableHash.kmvEstimateSql(
+              "count(*)", "max(CASE WHEN rn = 64 THEN h END)", 64)} AS approx_cnt
+         |      FROM rk WHERE rn <= 64 GROUP BY p)
+         |SELECT e.p AS o_orderpriority, e.exact_cnt, a.approx_cnt,
+         |       abs(a.approx_cnt - e.exact_cnt) * 1000 // e.exact_cnt AS rel_err_milli
+         |FROM e JOIN a USING (p)
+         |ORDER BY o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      def counted = Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count_distinct(col("o_custkey")).as("cnt"))
+      val exact = counted.withColumnRenamed("cnt", "exact_cnt")
+      // sessions built without GraftExtensions get the rule here (q281's
+      // MvAggRewrite pattern); the append is idempotent
+      if (!s.experimental.extraOptimizations
+            .contains(graft.plans.ApproxCountRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.ApproxCountRewrite
+      val approx = {
+        s.conf.set(graft.plans.ApproxCountRewrite.FLAG, "true")
+        try counted.withColumnRenamed("cnt", "approx_cnt")
+          .localCheckpoint(true) // pin the REWRITTEN execution to the window
+        finally s.conf.set(graft.plans.ApproxCountRewrite.FLAG, "false")
+      }
+      exact.join(approx, Seq("o_orderpriority"))
+        .withColumn("rel_err_milli",
+          expr("abs(approx_cnt - exact_cnt) * 1000 div exact_cnt"))
+        .orderBy("o_orderpriority")
     }
   )
 }

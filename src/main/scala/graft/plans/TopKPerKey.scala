@@ -251,6 +251,15 @@ final class TopKBuffer(
   * phase streams rows through un-reduced and the final phase spills to
   * key-sorted disk runs (policy details on [[TopKBuffer]]).
   *
+  * Columnar input (a non-goal, deliberately): the operator consumes rows.
+  * Vectorized parquet batches still reach it efficiently because the
+  * ColumnarToRow transition Spark inserts is itself a codegen producer —
+  * the scan's column batches are decoded inside the SAME generated stage
+  * whose loop feeds [[TopKBuffer.add]], so there is no materialized row
+  * boundary to remove. A columnar `add` path would buy nothing (admission
+  * is one comparison per row against a heap root — inherently row-at-a-
+  * time) and would cost the codegen fusion below.
+  *
   * Whole-stage codegen: the exec participates as a BLOCKING codegen
   * consumer (SortExec's shape — `BlockingOperatorWithCodegen`): the child
   * stage's generated loop feeds [[TopKBuffer.add]] directly, so the

@@ -154,6 +154,27 @@ class TopKPerKeySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("SQLMetrics are exact on a fully-consumed run: numKeys = distinct " +
+       "keys, numOutputRows = result size, no spills at default cap") {
+    // NO global orderBy here: RangePartitioner's boundary-sampling pass
+    // would execute the child (and its metrics) a second time
+    val df = native(3)
+    val rows = df.collect() // full consumption — the exactness precondition
+    val distinctKeys = orders.select("o_custkey").distinct().count()
+    val finals = SparkTestSession
+      .flattenExecuted(df.queryExecution.executedPlan).collect {
+        case t: TopKPerKey.TopKPerKeyExec if !t.partial => t
+      }
+    assert(finals.size == 1)
+    val m = finals.head.metrics
+    assert(m("numKeys").value == distinctKeys,
+      s"numKeys ${m("numKeys").value} vs $distinctKeys")
+    assert(m("numOutputRows").value == rows.length,
+      s"numOutputRows ${m("numOutputRows").value} vs ${rows.length}")
+    assert(m("numSpilledRuns").value == 0 && m("passThroughRows").value == 0,
+      "default cap must neither spill nor pass through")
+  }
+
   test("repeat topK calls never stack duplicate planner strategies") {
     native(2).collect(); native(2).collect()
     assert(spark.experimental.extraStrategies
