@@ -2597,6 +2597,85 @@ object ExtrasQueries {
         .withColumn("rel_err_milli",
           expr("abs(approx_cnt - exact_cnt) * 1000 div exact_cnt"))
         .orderBy("o_orderpriority")
+    },
+
+    // q346: column-level LINEAGE extraction — the data-catalog capability
+    // (which source columns feed each output column?) derived from the
+    // ANALYZED plan itself, not from documentation. A fixed 3-table demo
+    // query (nation ⋈ customer ⋈ orders → per-nation revenue stats) is
+    // planned, then each output attribute's transitive expression
+    // references are walked down through Alias definitions across
+    // Project/Aggregate/Join nodes to the scan-level attributes, and each
+    // leaf is attributed to its source table by matching the base
+    // relations' output ids. The result is the (out_col, src_table,
+    // src_col) edge list — governance ground truth the oracle pins as a
+    // LITERAL table (the lineage of a fixed query is a known constant;
+    // the check is that plan introspection derives exactly it — e.g.
+    // revenue_cents must trace to BOTH o_totalprice and o_orderstatus,
+    // whose CASE gate a name-based lineage scraper would miss). Plan
+    // walking is inherently driver-side METADATA work (the plan is
+    // driver-resident by definition); no fixture row is ever read — at
+    // any scale this costs exactly one analysis pass.
+    q("q346_column_lineage",
+      "plan-derived column lineage of a 3-table join/agg; literal-table oracle")(
+      """SELECT * FROM (VALUES
+        |  ('n_customers', 'customer', 'c_custkey'),
+        |  ('nation_name', 'nation', 'n_name'),
+        |  ('revenue_cents', 'orders', 'o_orderstatus'),
+        |  ('revenue_cents', 'orders', 'o_totalprice'),
+        |  ('top_balance_cents', 'customer', 'c_acctbal'))
+        |AS t(out_col, src_table, src_col)
+        |ORDER BY out_col, src_table, src_col""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, ExprId}
+      import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+      val nation = Tables(s, dir, "nation")
+      val customer = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+      val demo = customer
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(orders, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name").as("nation_name"))
+        .agg(
+          count_distinct(col("c_custkey")).as("n_customers"),
+          sum(when(col("o_orderstatus") === "F",
+            round(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+            .as("revenue_cents"),
+          max(round(col("c_acctbal") * 100).cast("long"))
+            .as("top_balance_cents"))
+      val plan = demo.queryExecution.analyzed
+      // id → source table for every scan-level attribute
+      val srcOf: Map[ExprId, (String, String)] =
+        Seq("nation" -> nation, "customer" -> customer, "orders" -> orders)
+          .flatMap { case (t, df) =>
+            df.queryExecution.analyzed.output.map(a => a.exprId -> (t, a.name))
+          }.toMap
+      // id → defining expression (every Alias anywhere in the plan)
+      val defs: Map[ExprId, Seq[Attribute]] = {
+        val b = scala.collection.mutable.Map.empty[ExprId, Seq[Attribute]]
+        plan.foreach { (n: LogicalPlan) =>
+          n.expressions.foreach(_.foreach {
+            case al: Alias => b(al.exprId) = al.child.references.toSeq
+            case _ => ()
+          })
+        }
+        b.toMap
+      }
+      def leaves(id: ExprId, seen: Set[ExprId]): Seq[(String, String)] =
+        if (seen(id)) Nil
+        else srcOf.get(id).map(Seq(_)).getOrElse(
+          defs.getOrElse(id, Nil).flatMap(a => leaves(a.exprId, seen + id)))
+      // each output's OWN expression tree only — join/group keys appear in
+      // the lineage exactly where they define an output column
+      // (n_customers ← c_custkey, nation_name ← n_name)
+      val edges = plan.output.flatMap { out =>
+        leaves(out.exprId, Set.empty).distinct.map {
+          case (t, c) => (out.name, t, c)
+        }
+      }.distinct
+      import s.implicits._
+      edges.toDF("out_col", "src_table", "src_col")
+        .orderBy("out_col", "src_table", "src_col")
     }
   )
 }
