@@ -2676,8 +2676,87 @@ object ExtrasQueries {
       import s.implicits._
       edges.toDF("out_col", "src_table", "src_col")
         .orderBy("out_col", "src_table", "src_col")
+    },
+
+    // q347: differentially-private counts via the DISCRETE (two-sided
+    // geometric) Laplace mechanism — the statistical-privacy companion to
+    // the syntactic family (q248 k-anonymity, q261 l-diversity, q272
+    // t-closeness): released count = true count + geometric noise with
+    // P(k) ∝ exp(−ε·|k|), ε = 0.5, sensitivity 1 (one customer moves one
+    // group count by one). The mechanism is exactly Google's
+    // discrete-Laplace production shape, made REPRODUCIBLE: the noise CDF
+    // is precomputed in Scala as integer thresholds on the 2³⁰ grid
+    // (the LSH-plane-constants pattern) and embedded VERBATIM in both
+    // engines' SQL, with the per-release uniform draw seeded by the md5
+    // of the release key — so the oracle reproduces the noisy release
+    // bit-for-bit while the mechanism retains its DP shape under a
+    // secret seed. Tails clamp at ±30 (mass beyond: < 2·e^{-15} ≈ 6e-7 —
+    // documented bias). true_cnt is carried for the AUDIT contract of
+    // this demo (the spec measures noise moments); a production release
+    // drops it. One groupBy shuffle; the noise is a per-GROUP map-side
+    // expression — DP cost is O(groups), free at any row scale.
+    q("q347_dp_counts",
+      "discrete-Laplace (two-sided geometric) DP counts, eps=0.5, hash-seeded, bit-reproducible")(
+      s"""WITH g AS (
+         |  SELECT c_mktsegment AS seg, n_name AS nat,
+         |         CAST(count(*) AS BIGINT) AS true_cnt
+         |  FROM customer JOIN nation ON n_nationkey = c_nationkey
+         |  GROUP BY seg, nat),
+         |u AS (SELECT seg, nat, true_cnt,
+         |             ${graft.functions.PortableHash.md5LongSql("'dp:' || seg || ':' || nat")} % 1073741824 AS uu
+         |      FROM g)
+         |SELECT seg, nat, true_cnt,
+         |       ${DpGeometric.noiseSql("uu")} AS noise,
+         |       true_cnt + ${DpGeometric.noiseSql("uu")} AS noisy_cnt,
+         |       CAST(500 AS BIGINT) AS eps_milli
+         |FROM u
+         |ORDER BY seg, nat""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val g = Tables(s, dir, "customer")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("n_name").as("nat"))
+        .agg(count(lit(1)).cast("long").as("true_cnt"))
+        .withColumn("uu",
+          md5Long(concat(lit("dp:"), col("seg"), lit(":"), col("nat")))
+            % 1073741824L)
+      g.withColumn("noise", expr(DpGeometric.noiseSql("uu")))
+        .withColumn("noisy_cnt", col("true_cnt") + col("noise"))
+        .withColumn("eps_milli", lit(500L))
+        .drop("uu")
+        .orderBy("seg", "nat")
     }
   )
+}
+
+/** q347's discrete-Laplace noise table: integer CDF thresholds of the
+  * two-sided geometric distribution P(k) ∝ exp(−ε·|k|) on the 2³⁰ grid,
+  * precomputed here (once, in plain Scala) and emitted as ONE literal
+  * CASE expression evaluated identically by Spark and DuckDB — the same
+  * shared-constants discipline as the LSH plane table. ε = 0.5, support
+  * clamped to [−30, 30]. */
+private[operators] object DpGeometric {
+  private val eps = 0.5
+  private val B = 30
+
+  /** (k, exclusive upper threshold on the 2^30 grid) for k = −B .. B−1;
+    * u ≥ last threshold ⇒ k = B. */
+  val thresholds: Seq[(Int, Long)] = {
+    val ks = (-B to B).map(_.toDouble)
+    val w = ks.map(k => math.exp(-eps * math.abs(k)))
+    val total = w.sum
+    val cum = w.scanLeft(0.0)(_ + _).tail
+    (-B until B).zip(cum.dropRight(1)).map { case (k, c) =>
+      (k, math.floor(c / total * 1073741824.0).toLong)
+    }
+  }
+
+  /** CASE chain mapping a uniform draw `u` ∈ [0, 2³⁰) to the noise value. */
+  def noiseSql(u: String): String =
+    thresholds.map { case (k, t) =>
+      s"WHEN $u < $t THEN CAST($k AS BIGINT)"
+    }.mkString("CASE ", " ", s" ELSE CAST($B AS BIGINT) END")
 }
 
 /** q341's shared column-model machinery: one SQL template + one Spark leg
