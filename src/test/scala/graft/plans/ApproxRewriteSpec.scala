@@ -84,6 +84,32 @@ class ApproxRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("two count-distincts and a plain aggregate in ONE Aggregate all land") {
+    val (plan, rows) = withFlag(true) {
+      val df = orders.groupBy("o_orderpriority").agg(
+        count_distinct(col("o_custkey")).as("ck"),
+        count_distinct(col("o_orderstatus")).as("st"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      (df.queryExecution.optimizedPlan.toString, df.collect())
+    }
+    assert(!plan.contains("count(distinct"), plan)
+    val exactCk = orders.select("o_orderpriority", "o_custkey").distinct()
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactCents = orders.groupBy("o_orderpriority")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val g = r.getString(0)
+      // high-cardinality column: estimated within bound
+      assert(math.abs(r.getLong(1) - exactCk(g)).toDouble / exactCk(g) < 0.51)
+      // 3-value column: the exact-below-k branch
+      assert(r.getLong(2) == 3L, s"$g statuses ${r.getLong(2)}")
+      // the untouched plain aggregate is still exact
+      assert(r.getLong(3) == exactCents(g), s"$g cents")
+    }
+  }
+
   test("null counted values are skipped, matching COUNT(DISTINCT) semantics") {
     import spark.implicits._
     val df = Seq(("a", Some(1L)), ("a", None), ("a", Some(2L)), ("b", None))
