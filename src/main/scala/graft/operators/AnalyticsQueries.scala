@@ -5372,7 +5372,89 @@ object AnalyticsQueries {
     q("q344_gradient_boosting",
       "3-round boosted stumps recover the planted additive structure from residuals")(
       GradientBoost.oracleSql
-    ) { (sp, dir) => GradientBoost(sp, dir) }
+    ) { (sp, dir) => GradientBoost(sp, dir) },
+
+    // q348: Mahalanobis outliers — the CORRELATION-AWARE member of the
+    // outlier family (q97 z-score, q145/q205 MAD, q89 winsorize are all
+    // marginal; q189 DBSCAN is density-based). On lineitem's naturally
+    // coupled (quantity, extended-price-in-dollars) pair, a row is scored
+    // by its squared Mahalanobis distance — distance from the point cloud
+    // MEASURED ALONG THE COVARIANCE: a mid-priced line on a huge quantity
+    // sits far from the regression line while BOTH its marginal z-scores
+    // stay unremarkable, and only this score sees it (spec-pinned: top
+    // outliers exist whose marginal |z| < 3). Exactness: residuals are
+    // taken against truncating integer means; the 2×2 covariance moments
+    // A=ΣX², B=ΣXY, C=ΣY² are DECIMAL(38)/HUGEINT sums; d² ∝
+    // n·(C·X² − 2B·XY + A·Y²)/(AC − B²) is carried as d2_nano by one
+    // integer division, and the χ²₂(0.95)=5.99 cut is the cross-product
+    // 100·n·num > 599·den — no float ever orders or thresholds a row
+    // (the 0.99 cut of 9.21 never fires on this fixture — max d² ≈ 6.0 —
+    // so the 0.95 cut is what keeps the outlier arm genuinely exercised).
+    // Shape: one pass for moments (1-row broadcast), one map-side scoring
+    // pass, TakeOrdered top-20 + a carried outlier count. At 100 TB both
+    // passes are full scans with O(1) state — the cheapest possible
+    // two-pass robust detector.
+    q("q348_mahalanobis",
+      "exact-integer 2-D Mahalanobis outliers (chi2 0.95 cut) over (qty, price)")(
+      """WITH b AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |         CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) // count(*) AS BIGINT) AS xm,
+        |             CAST(sum(y) // count(*) AS BIGINT) AS ym
+        |      FROM b),
+        |c AS (SELECT n, xm, ym,
+        |             CAST(sum((x - xm) * (x - xm)) AS HUGEINT) AS a2,
+        |             CAST(sum((x - xm) * (y - ym)) AS HUGEINT) AS b2,
+        |             CAST(sum(CAST(y - ym AS HUGEINT) * (y - ym)) AS HUGEINT) AS c2
+        |      FROM b CROSS JOIN m
+        |      GROUP BY n, xm, ym),
+        |sc AS (SELECT ok, ln, x, y,
+        |              CAST(c2 * ((x-xm)*(x-xm)) - 2 * b2 * ((x-xm)*CAST(y-ym AS HUGEINT))
+        |                   + a2 * (CAST(y-ym AS HUGEINT)*(y-ym)) AS HUGEINT) AS num,
+        |              CAST(a2 * c2 - b2 * b2 AS HUGEINT) AS den, n
+        |       FROM b CROSS JOIN c),
+        |fl AS (SELECT ok, ln, x, y,
+        |              CAST(n * num * 1000000000 // den AS BIGINT) AS d2_nano,
+        |              CASE WHEN 100 * n * num > 599 * den THEN 1 ELSE 0 END AS is_outlier
+        |       FROM sc),
+        |tot AS (SELECT CAST(sum(is_outlier) AS BIGINT) AS n_outliers,
+        |               CAST(count(*) AS BIGINT) AS n_rows FROM fl)
+        |SELECT ok, ln, x, y, d2_nano, n_outliers, n_rows
+        |FROM fl CROSS JOIN tot
+        |ORDER BY d2_nano DESC, ok, ln LIMIT 20""".stripMargin
+    ) { (sp, dir) =>
+      val b = Tables(sp, dir, "lineitem").select(
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_quantity").cast("long").as("x"),
+        expr("cast(floor(l_extendedprice) as bigint)").as("y"))
+        .cache() // moments pass + scoring pass
+      val m = b.agg(count(lit(1)).cast("long").as("n"),
+        expr("cast(sum(x) div count(*) as bigint)").as("xm"),
+        expr("cast(sum(y) div count(*) as bigint)").as("ym"))
+      val c = b.crossJoin(broadcast(m)).groupBy("n", "xm", "ym").agg(
+        expr("sum(cast((x - xm) * (x - xm) as decimal(38,0)))").as("a2"),
+        expr("sum(cast((x - xm) * (y - ym) as decimal(38,0)))").as("b2"),
+        expr("sum(cast(y - ym as decimal(38,0)) * (y - ym))").as("c2"))
+      val fl = b.crossJoin(broadcast(c))
+        .withColumn("num", expr(
+          "c2 * ((x-xm)*(x-xm)) - 2 * b2 * ((x-xm) * cast(y-ym as decimal(38,0)))" +
+            " + a2 * (cast(y-ym as decimal(38,0)) * (y-ym))"))
+        .withColumn("den", expr("a2 * c2 - b2 * b2"))
+        .withColumn("d2_nano", expr("cast(n * num * 1000000000 div den as bigint)"))
+        .withColumn("is_outlier",
+          when(expr("100 * n * num") > expr("599 * den"), 1L).otherwise(0L))
+        .cache() // top-20 leg + count leg
+      val tot = fl.agg(sum(col("is_outlier")).cast("long").as("n_outliers"),
+        count(lit(1)).cast("long").as("n_rows"))
+      fl.crossJoin(broadcast(tot))
+        .select(col("ok"), col("ln"), col("x"), col("y"), col("d2_nano"),
+          col("n_outliers"), col("n_rows"))
+        .orderBy(col("d2_nano").desc, col("ok"), col("ln"))
+        .limit(20)
+    }
   )
 }
 
