@@ -2726,19 +2726,74 @@ object ExtrasQueries {
         .withColumn("eps_milli", lit(500L))
         .drop("uu")
         .orderBy("seg", "nat")
+    },
+
+    // q349: differentially-private SUM with contribution bounding — the
+    // practically-hard half q347's counts don't exercise: a sum's
+    // sensitivity is whatever ONE user can contribute, so each customer's
+    // order count is CLAMPED at C = 3 before aggregation (sensitivity
+    // becomes exactly C), and the geometric noise runs at per-unit
+    // parameter ε/C = 0.2 (release ε = 0.6) with support widened to ±75.
+    // The clamp is the bias-for-privacy trade every DP sum makes; the
+    // output carries n_clamped (how many customers hit the cap — the
+    // utility diagnostic; on TPC-H nearly all do, since customers average
+    // ~10 orders) so the trade is measured, not hidden. Same
+    // reproducibility contract as q347: Scala-precomputed integer CDF
+    // shared verbatim, release-key-seeded draw, bit-identical in DuckDB.
+    // Shape: one (custkey) groupBy for the clamp, one (nation) groupBy
+    // for the sum, noise as a map-side CASE per released row.
+    q("q349_dp_sum",
+      "DP sum with per-user clamp C=3: sensitivity-scaled geometric noise, eps=0.6")(
+      s"""WITH pc AS (
+         |  SELECT c.c_nationkey AS nk,
+         |         LEAST(CAST(count(*) AS BIGINT), 3) AS cc,
+         |         CASE WHEN count(*) > 3 THEN 1 ELSE 0 END AS clamped
+         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         |  GROUP BY nk, o.o_custkey),
+         |g AS (SELECT n.n_name AS nat, CAST(sum(cc) AS BIGINT) AS true_sum,
+         |             CAST(sum(clamped) AS BIGINT) AS n_clamped
+         |      FROM pc JOIN nation n ON n.n_nationkey = pc.nk
+         |      GROUP BY nat),
+         |u AS (SELECT nat, true_sum, n_clamped,
+         |             ${graft.functions.PortableHash.md5LongSql("'dpsum:' || nat")} % 1073741824 AS uu
+         |      FROM g)
+         |SELECT nat, true_sum, n_clamped,
+         |       ${DpSumTable.noiseSql("uu")} AS noise,
+         |       true_sum + ${DpSumTable.noiseSql("uu")} AS noisy_sum,
+         |       CAST(600 AS BIGINT) AS eps_milli, CAST(3 AS BIGINT) AS sensitivity
+         |FROM u
+         |ORDER BY nat""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val pc = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey").as("nk"), col("o_custkey"))
+        .agg(least(count(lit(1)).cast("long"), lit(3L)).as("cc"),
+          when(count(lit(1)) > 3, 1L).otherwise(0L).as("clamped"))
+      val g = pc.join(broadcast(Tables(s, dir, "nation")),
+          col("n_nationkey") === col("nk"))
+        .groupBy(col("n_name").as("nat"))
+        .agg(sum(col("cc")).cast("long").as("true_sum"),
+          sum(col("clamped")).cast("long").as("n_clamped"))
+        .withColumn("uu",
+          md5Long(concat(lit("dpsum:"), col("nat"))) % 1073741824L)
+      g.withColumn("noise", expr(DpSumTable.noiseSql("uu")))
+        .withColumn("noisy_sum", col("true_sum") + col("noise"))
+        .withColumn("eps_milli", lit(600L))
+        .withColumn("sensitivity", lit(3L))
+        .drop("uu")
+        .orderBy("nat")
     }
   )
 }
 
-/** q347's discrete-Laplace noise table: integer CDF thresholds of the
-  * two-sided geometric distribution P(k) ∝ exp(−ε·|k|) on the 2³⁰ grid,
-  * precomputed here (once, in plain Scala) and emitted as ONE literal
-  * CASE expression evaluated identically by Spark and DuckDB — the same
-  * shared-constants discipline as the LSH plane table. ε = 0.5, support
-  * clamped to [−30, 30]. */
-private[operators] object DpGeometric {
-  private val eps = 0.5
-  private val B = 30
+/** Discrete-Laplace noise table (q347/q349): integer CDF thresholds of
+  * the two-sided geometric distribution P(k) ∝ exp(−ε·|k|) on the 2³⁰
+  * grid, precomputed once in plain Scala and emitted as ONE literal CASE
+  * expression evaluated identically by Spark and DuckDB — the same
+  * shared-constants discipline as the LSH plane table. Support clamps to
+  * [−B, B]; pick B so the truncated tail mass exp(−εB) is negligible. */
+private[operators] class DpTable(val eps: Double, val B: Int) {
 
   /** (k, exclusive upper threshold on the 2^30 grid) for k = −B .. B−1;
     * u ≥ last threshold ⇒ k = B. */
@@ -2758,6 +2813,14 @@ private[operators] object DpGeometric {
       s"WHEN $u < $t THEN CAST($k AS BIGINT)"
     }.mkString("CASE ", " ", s" ELSE CAST($B AS BIGINT) END")
 }
+
+/** q347's count table: ε = 0.5, sensitivity 1. */
+private[operators] object DpGeometric extends DpTable(0.5, 30)
+
+/** q349's sum table: release ε = 0.6 at sensitivity C = 3 ⇒ the per-unit
+  * geometric parameter is ε/C = 0.2; B = 75 keeps the truncated tail
+  * below exp(−15) ≈ 3e−7. */
+private[operators] object DpSumTable extends DpTable(0.2, 75)
 
 /** q341's shared column-model machinery: one SQL template + one Spark leg
   * per analyzed column, kept textually parallel so the integer byte

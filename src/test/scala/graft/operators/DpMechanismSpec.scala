@@ -28,6 +28,25 @@ class DpMechanismSpec extends AnyFunSuite {
     }
   }
 
+  test("q349 DP sum: the contribution clamp binds and noise scales with C") {
+    val rows = SparkEntry.queries("q349_dp_sum")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 25)
+    for (r <- rows) {
+      val (t, nc, n, noisy) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(noisy == t + n, "release identity")
+      assert(n >= -75 && n <= 75, s"clamp violated: $n")
+      // the clamp genuinely binds (TPC-H customers average ~10 orders)
+      assert(nc > 0, "no clamped customers — sensitivity claim untested")
+      assert(r.getLong(5) == 600L && r.getLong(6) == 3L)
+    }
+    // sensitivity-scaled noise is WIDER than q347's: per-unit eps 0.2 has
+    // E|k| ≈ 1/eps ≈ 4.98 vs 1.92 at eps 0.5 — check the empirical mean
+    val meanAbs = rows.map(r => math.abs(r.getLong(3))).sum.toDouble / 25
+    assert(meanAbs > 1.5 && meanAbs < 12.0, s"mean |noise| $meanAbs")
+  }
+
   test("q347 release identity, clamp bounds, and empirical noise moments") {
     val rows = SparkEntry.queries("q347_dp_counts")(spark, "/root/testdata/sf0.01")
       .collect()
