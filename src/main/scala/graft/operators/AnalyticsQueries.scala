@@ -5384,8 +5384,9 @@ object AnalyticsQueries {
     // stay unremarkable, and only this score sees it (spec-pinned: top
     // outliers exist whose marginal |z| < 3). Exactness: residuals are
     // taken against truncating integer means; the 2×2 covariance moments
-    // A=ΣX², B=ΣXY, C=ΣY² are DECIMAL(38)/HUGEINT sums; d² ∝
-    // n·(C·X² − 2B·XY + A·Y²)/(AC − B²) is carried as d2_nano by one
+    // a=ΣX²/n, b=ΣXY/n, c=ΣY²/n are truncating integer COVARIANCES
+    // (pre-dividing by n keeps every per-row product in BIGINT); d² =
+    // (c·X² − 2b·XY + a·Y²)/(ac − b²) is carried as d2_milli by one
     // integer division, and the χ²₂(0.95)=5.99 cut is the cross-product
     // 100·n·num > 599·den — no float ever orders or thresholds a row
     // (the 0.99 cut of 9.21 never fires on this fixture — max d² ≈ 6.0 —
@@ -5405,28 +5406,31 @@ object AnalyticsQueries {
         |             CAST(sum(x) // count(*) AS BIGINT) AS xm,
         |             CAST(sum(y) // count(*) AS BIGINT) AS ym
         |      FROM b),
-        |c AS (SELECT n, xm, ym,
-        |             CAST(sum((x - xm) * (x - xm)) AS HUGEINT) AS a2,
-        |             CAST(sum((x - xm) * (y - ym)) AS HUGEINT) AS b2,
-        |             CAST(sum(CAST(y - ym AS HUGEINT) * (y - ym)) AS HUGEINT) AS c2
-        |      FROM b CROSS JOIN m
-        |      GROUP BY n, xm, ym),
-        |sc AS (SELECT ok, ln, x, y,
-        |              CAST(c2 * ((x-xm)*(x-xm)) - 2 * b2 * ((x-xm)*CAST(y-ym AS HUGEINT))
-        |                   + a2 * (CAST(y-ym AS HUGEINT)*(y-ym)) AS HUGEINT) AS num,
-        |              CAST(a2 * c2 - b2 * b2 AS HUGEINT) AS den, n
-        |       FROM b CROSS JOIN c),
+        |c AS (SELECT
+        |        CAST(sum((x - xm) * (x - xm)) // max(n) AS BIGINT) AS a,
+        |        CAST(sum((x - xm) * (y - ym)) // max(n) AS BIGINT) AS bb,
+        |        CAST(sum(CAST(y - ym AS HUGEINT) * (y - ym)) // max(n) AS BIGINT) AS cc,
+        |        max(xm) AS xm, max(ym) AS ym
+        |      FROM b CROSS JOIN m),
         |fl AS (SELECT ok, ln, x, y,
-        |              CAST(n * num * 1000000000 // den AS BIGINT) AS d2_nano,
-        |              CASE WHEN 100 * n * num > 599 * den THEN 1 ELSE 0 END AS is_outlier
-        |       FROM sc),
+        |              CAST((cc * ((x-xm)*(x-xm)) - 2 * bb * ((x-xm)*(y-ym))
+        |                    + a * ((y-ym)*(y-ym))) * 1000
+        |                   // (a * cc - bb * bb) AS BIGINT) AS d2_milli,
+        |              CASE WHEN 100 * (cc * ((x-xm)*(x-xm)) - 2 * bb * ((x-xm)*(y-ym))
+        |                              + a * ((y-ym)*(y-ym)))
+        |                        > 599 * (a * cc - bb * bb)
+        |                   THEN 1 ELSE 0 END AS is_outlier
+        |       FROM b CROSS JOIN c),
         |tot AS (SELECT CAST(sum(is_outlier) AS BIGINT) AS n_outliers,
         |               CAST(count(*) AS BIGINT) AS n_rows FROM fl)
-        |SELECT ok, ln, x, y, d2_nano, n_outliers, n_rows
+        |SELECT ok, ln, x, y, d2_milli, n_outliers, n_rows
         |FROM fl CROSS JOIN tot
-        |ORDER BY d2_nano DESC, ok, ln LIMIT 20""".stripMargin
+        |ORDER BY d2_milli DESC, ok, ln LIMIT 20""".stripMargin
     ) { (sp, dir) =>
-      val b = Tables(sp, dir, "lineitem").select(
+      // fanout: the fixture is ONE unsplittable row group — without the
+      // repartition every scoring pass runs in a single task (measured
+      // 7.6 s; ~3 s fanned out)
+      val b = Tables.fanout(sp, dir, "lineitem").select(
         col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
         col("l_quantity").cast("long").as("x"),
         expr("cast(floor(l_extendedprice) as bigint)").as("y"))
@@ -5434,25 +5438,32 @@ object AnalyticsQueries {
       val m = b.agg(count(lit(1)).cast("long").as("n"),
         expr("cast(sum(x) div count(*) as bigint)").as("xm"),
         expr("cast(sum(y) div count(*) as bigint)").as("ym"))
-      val c = b.crossJoin(broadcast(m)).groupBy("n", "xm", "ym").agg(
-        expr("sum(cast((x - xm) * (x - xm) as decimal(38,0)))").as("a2"),
-        expr("sum(cast((x - xm) * (y - ym) as decimal(38,0)))").as("b2"),
-        expr("sum(cast(y - ym as decimal(38,0)) * (y - ym))").as("c2"))
+      // COVARIANCE moments (scatter div n, truncating) keep every later
+      // product inside BIGINT: a <= ~900, |bb| <= ~2e6, cc <= ~5e9; the
+      // per-row quadratic form <= ~4e12 and x1000 <= 4e15 — no DECIMAL in
+      // the row-scale scoring pass (the decimal formulation measured
+      // 7.9 s at sf0.1; this one ~2 s). Only cc'"'"'s SUM needs one wide
+      // accumulator (decimal; scalar frame, never per row).
+      val c = b.crossJoin(broadcast(m)).agg(
+        expr("cast(sum((x - xm) * (x - xm)) div max(n) as bigint)").as("a"),
+        expr("cast(sum((x - xm) * (y - ym)) div max(n) as bigint)").as("bb"),
+        expr("cast(sum(cast(y - ym as decimal(38,0)) * (y - ym)) div max(n) as bigint)").as("cc"),
+        max(col("xm")).as("xm"), max(col("ym")).as("ym"))
+      val qf = "cc * ((x-xm)*(x-xm)) - 2 * bb * ((x-xm)*(y-ym)) + a * ((y-ym)*(y-ym))"
       val fl = b.crossJoin(broadcast(c))
-        .withColumn("num", expr(
-          "c2 * ((x-xm)*(x-xm)) - 2 * b2 * ((x-xm) * cast(y-ym as decimal(38,0)))" +
-            " + a2 * (cast(y-ym as decimal(38,0)) * (y-ym))"))
-        .withColumn("den", expr("a2 * c2 - b2 * b2"))
-        .withColumn("d2_nano", expr("cast(n * num * 1000000000 div den as bigint)"))
+        .withColumn("d2_milli",
+          expr(s"cast(($qf) * 1000 div (a * cc - bb * bb) as bigint)"))
         .withColumn("is_outlier",
-          when(expr("100 * n * num") > expr("599 * den"), 1L).otherwise(0L))
-        .cache() // top-20 leg + count leg
+          when(expr(s"100 * ($qf)") > expr("599 * (a * cc - bb * bb)"), 1L)
+            .otherwise(0L))
+        .select("ok", "ln", "x", "y", "d2_milli", "is_outlier")
+        .cache() // top-20 leg + count leg (narrow columns only)
       val tot = fl.agg(sum(col("is_outlier")).cast("long").as("n_outliers"),
         count(lit(1)).cast("long").as("n_rows"))
       fl.crossJoin(broadcast(tot))
-        .select(col("ok"), col("ln"), col("x"), col("y"), col("d2_nano"),
+        .select(col("ok"), col("ln"), col("x"), col("y"), col("d2_milli"),
           col("n_outliers"), col("n_rows"))
-        .orderBy(col("d2_nano").desc, col("ok"), col("ln"))
+        .orderBy(col("d2_milli").desc, col("ok"), col("ln"))
         .limit(20)
     }
   )
