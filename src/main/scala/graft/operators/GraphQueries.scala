@@ -797,6 +797,161 @@ object GraphQueries {
         .join(ep.select(col("layer").cast("long").as("layer"), col("critical_node")),
           Seq("layer"))
         .orderBy("layer")
-    }
+    },
+
+    // q350: Luby's maximal independent set — the classic symmetry-breaking
+    // primitive the graph family still lacked (CC partitions, k-core
+    // filters, label-prop clusters; MIS SELECTS a mutually non-adjacent
+    // cover — the scheduling/parallel-matching building block). Graph:
+    // custkeys 1..N with two hash-edges per node (avg degree ~4).
+    // Luby round: an active node enters the set iff its hash PRIORITY
+    // beats every active neighbor's ((p, id) lexicographic — deterministic
+    // symmetry breaking, no randomness to disagree on); winners and their
+    // neighborhoods deactivate. 8 unrolled rounds reach the empty active
+    // set at both fixture scales, and the oracle unrolls the same rounds.
+    // The output carries per-round selection/active counts AND the two
+    // correctness invariants as columns — independence violations (edges
+    // inside the set) and maximality violations (nodes outside the set
+    // with no set neighbor), both constant 0 — so the hash check proves
+    // MIS-ness, not just engine agreement. Scale shape: each round is two
+    // equi-joins on the edge list + anti-joins, all keyed by vertex; work
+    // per round shrinks with the active set (Luby kills a constant
+    // fraction of EDGES per round in expectation — O(log m) rounds);
+    // per-round lineage is localCheckpoint-truncated (NOTES law).
+    q("q350_luby_mis",
+      "Luby's maximal independent set: 8 hash-priority rounds, invariants carried")(
+      LubyMis.oracleSql
+    ) { (s, dir) => LubyMis(s, dir) }
   )
+}
+
+/** q350's shared machinery: one SQL template per Luby round and the
+  * matching Spark fold (the GradientBoost pattern), so the round
+  * semantics — strict (p, id) dominance, winner+neighborhood removal —
+  * cannot drift between engines. */
+private[operators] object LubyMis {
+  import graft.functions.PortableHash.{md5Long, md5LongSql}
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  val rounds = 8
+
+  private def roundSql(i: Int): String = {
+    val a = s"a$i"; val n = i + 1
+    s"""s$i AS MATERIALIZED (
+       |  SELECT a.v, a.p FROM $a a
+       |  LEFT JOIN (
+       |    SELECT DISTINCT e.v FROM e2 e
+       |    JOIN $a au ON au.v = e.u
+       |    JOIN $a av ON av.v = e.v
+       |    WHERE au.p > av.p OR (au.p = av.p AND e.u > e.v)) b ON b.v = a.v
+       |  WHERE b.v IS NULL),
+       |rm$i AS MATERIALIZED (SELECT DISTINCT e.v FROM e2 e JOIN s$i s ON s.v = e.u),
+       |a$n AS MATERIALIZED (
+       |  SELECT a.v, a.p FROM $a a
+       |  LEFT JOIN s$i s ON s.v = a.v
+       |  LEFT JOIN rm$i r ON r.v = a.v
+       |  WHERE s.v IS NULL AND r.v IS NULL)""".stripMargin
+  }
+
+  val oracleSql: String = {
+    val body = (0 until rounds).map(roundSql).mkString(",\n")
+    val statRows = (0 until rounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM s$i) AS n_selected,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM a${i + 1}) AS n_active_after
+         |FROM (VALUES (1)) t(one)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val selUnion = (0 until rounds).map(i => s"SELECT v FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+       |nodes AS (SELECT c_custkey AS v FROM customer),
+       |eraw AS (
+       |  SELECT v AS u,
+       |         1 + ${md5LongSql("'mis:e:' || CAST(v AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % (SELECT n FROM nn) AS v2
+       |  FROM nodes, (SELECT unnest([1, 2]) AS j)),
+       |eu AS MATERIALIZED (SELECT DISTINCT LEAST(u, v2) AS u, GREATEST(u, v2) AS v
+       |       FROM eraw WHERE u <> v2),
+       |e2 AS MATERIALIZED (SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu),
+       |a0 AS MATERIALIZED (SELECT v, ${md5LongSql("'mis:p:' || CAST(v AS VARCHAR)")} AS p
+       |       FROM nodes),
+       |$body,
+       |mis AS MATERIALIZED ($selUnion),
+       |chk AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM mis) AS mis_size,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM eu
+       |     WHERE eu.u IN (SELECT v FROM mis)
+       |       AND eu.v IN (SELECT v FROM mis)) AS indep_violations,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nodes nd
+       |     WHERE nd.v NOT IN (SELECT v FROM mis)
+       |       AND NOT EXISTS (SELECT 1 FROM e2 e JOIN mis m ON m.v = e.u
+       |                       WHERE e.v = nd.v)) AS max_violations),
+       |st AS ($statRows)
+       |SELECT st.round, st.n_selected, st.n_active_after,
+       |       chk.mis_size, chk.indep_violations, chk.max_violations
+       |FROM st CROSS JOIN chk
+       |ORDER BY st.round""".stripMargin
+  }
+
+  def apply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nodes = Tables(s, dir, "customer").select(col("c_custkey").as("v"))
+    val nn = nodes.agg(count(lit(1)).cast("long").as("n"))
+    val eraw = nodes.crossJoin(broadcast(nn))
+      .select(col("v").as("u"), col("n"),
+        explode(array(lit(1), lit(2))).as("j"))
+      .select(col("u"),
+        (lit(1) + md5Long(concat(lit("mis:e:"), col("u").cast("string"),
+          lit(":"), col("j").cast("string"))) % col("n")).as("v2"))
+    val eu = eraw.filter(col("u") =!= col("v2"))
+      .select(least(col("u"), col("v2")).as("u"),
+        greatest(col("u"), col("v2")).as("v"))
+      .distinct()
+      .localCheckpoint(true) // invariant checks + symmetrized copy
+    val e2 = eu.unionByName(eu.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true) // re-joined every round
+    var active = nodes.select(col("v"),
+      md5Long(concat(lit("mis:p:"), col("v").cast("string"))).as("p"))
+      .localCheckpoint(true)
+    var sel = Vector.empty[DataFrame]
+    var stats = Vector.empty[DataFrame]
+    for (i <- 0 until rounds) {
+      val au = active.select(col("v").as("u"), col("p").as("pu"))
+      val blockers = e2.join(au, Seq("u"))
+        .join(active.select(col("v"), col("p").as("pv")), Seq("v"))
+        .filter(col("pu") > col("pv") ||
+          (col("pu") === col("pv") && col("u") > col("v")))
+        .select("v").distinct()
+      val sI = active.join(blockers, Seq("v"), "left_anti")
+        .localCheckpoint(true) // removal leg + stats leg + mis union
+      val removed = e2.join(sI.select(col("v").as("u")), Seq("u"))
+        .select("v").distinct()
+      active = active
+        .join(sI.select("v"), Seq("v"), "left_anti")
+        .join(removed, Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      sel = sel :+ sI.select("v")
+      stats = stats :+ sI.agg(count(lit(1)).cast("long").as("n_selected"))
+        .withColumn("round", lit(i.toLong))
+        .crossJoin(broadcast(
+          active.agg(count(lit(1)).cast("long").as("n_active_after"))))
+    }
+    val mis = sel.reduce(_ unionByName _).localCheckpoint(true)
+    val indep = eu
+      .join(mis.select(col("v").as("u")), Seq("u"), "left_semi")
+      .join(mis, Seq("v"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("indep_violations"))
+    val covered = e2.join(mis.select(col("v").as("u")), Seq("u"), "left_semi")
+      .select("v").distinct()
+    val maxv = nodes.join(mis, Seq("v"), "left_anti")
+      .join(covered, Seq("v"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("max_violations"))
+    val chk = mis.agg(count(lit(1)).cast("long").as("mis_size"))
+      .crossJoin(broadcast(indep)).crossJoin(broadcast(maxv))
+    stats.reduce(_ unionByName _)
+      .crossJoin(broadcast(chk))
+      .select(col("round"), col("n_selected"), col("n_active_after"),
+        col("mis_size"), col("indep_violations"), col("max_violations"))
+      .orderBy("round")
+  }
 }
