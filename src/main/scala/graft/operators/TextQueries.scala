@@ -1708,6 +1708,120 @@ object TextQueries {
         .select(col("ph").as("phrase"), col("n_docs"), col("n_hits"),
           col("rn").cast("long").as("rank"), col("doc_id"), col("hits"))
         .orderBy("phrase", "rank")
+    },
+
+    // q351: exact LCS alignment — the edit-family member the similarity
+    // suite lacked: shingle/minhash/SimHash (q34*) score SET overlap,
+    // Jaro-Winkler (q332) scores short strings; LCS measures the longest
+    // ORDER-PRESERVING common token subsequence, the quantity behind
+    // diff-based dedup forensics (Myers diff / "how much of A survives in
+    // B, in order"). The O(n·m) DP runs INSIDE the engines: Spark folds
+    // the DP rows with aggregate() using the prefix-max row form
+    // (L(i,j) = max(L(i−1,j), max_{k≤j}(L(i−1,k−1) + eq_k)) — legal
+    // because DP rows are non-decreasing), and DuckDB runs the identical
+    // row recurrence as a recursive CTE over i — no driver compute, no
+    // UDF. Three arms over 8 sampled ≥48-token docs (fixed LIMIT 8 keeps
+    // cost flat across scales): 'self' (a vs a — ratio must be 1000),
+    // 'mut' (every hash-chosen ~third token replaced by an out-of-vocab
+    // marker — LCS is then PROVABLY 48 − n_mutated, carried as a
+    // constant-0 law column: mutated positions can match nothing, and
+    // every match consumes an unmutated position), and 'cross' (vs the
+    // anchor doc — unrelated text, low ratio). At 100 TB the shape is
+    // map-side per CANDIDATE PAIR (each row's DP is 48³ integer lambda
+    // ops) — LCS is the post-blocking verifier, never the blocker; pair
+    // generation stays with q34c/q164's bucketed joins.
+    q("q351_lcs_alignment",
+      "exact token-LCS via in-engine DP: self/mutated/cross arms, provable mutation law")(
+      s"""WITH RECURSIVE eligible AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 48),
+         |samp AS MATERIALIZED (
+         |  SELECT doc_id, list_slice(toks, 1, 48) AS t48 FROM eligible
+         |  WHERE ${md5LongSql("'lcs:' || CAST(doc_id AS VARCHAR)")} % 40 = 0
+         |  ORDER BY doc_id LIMIT 8),
+         |anchor AS (SELECT doc_id AS aid, t48 AS at48 FROM samp
+         |           ORDER BY doc_id LIMIT 1),
+         |pairs AS MATERIALIZED (
+         |  SELECT 'self' AS arm, doc_id, t48 AS ta, t48 AS tb,
+         |         CAST(0 AS BIGINT) AS n_mutated
+         |  FROM samp
+         |  UNION ALL
+         |  SELECT 'mut', doc_id, t48,
+         |         list_transform(generate_series(1, 48), k ->
+         |           CASE WHEN ${md5LongSql("'lcsmut:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % 3 = 0
+         |                THEN 'zzmutq9' || k ELSE t48[k] END),
+         |         CAST(len(list_filter(generate_series(1, 48), k ->
+         |           ${md5LongSql("'lcsmut:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % 3 = 0)) AS BIGINT)
+         |  FROM samp
+         |  UNION ALL
+         |  SELECT 'cross', s.doc_id, s.t48, a.at48, CAST(0 AS BIGINT)
+         |  FROM samp s CROSS JOIN anchor a WHERE s.doc_id <> a.aid),
+         |dp AS (
+         |  SELECT arm, doc_id, ta, tb, n_mutated, 0 AS i,
+         |         list_transform(generate_series(1, 49), x -> CAST(0 AS BIGINT)) AS row
+         |  FROM pairs
+         |  UNION ALL
+         |  SELECT arm, doc_id, ta, tb, n_mutated, i + 1,
+         |         list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(generate_series(1, 48), t ->
+         |             greatest(row[t + 1],
+         |               list_max(list_slice(
+         |                 list_transform(generate_series(1, 48), k ->
+         |                   row[k] + CASE WHEN ta[i + 1] = tb[k] THEN 1 ELSE 0 END),
+         |                 1, t)))))
+         |  FROM dp WHERE i < 48)
+         |SELECT arm, doc_id, CAST(row[49] AS BIGINT) AS lcs_len,
+         |       CAST(row[49] * 1000 // 48 AS BIGINT) AS ratio_milli, n_mutated,
+         |       CAST(CASE WHEN arm = 'mut' THEN row[49] + n_mutated - 48
+         |                 ELSE 0 END AS BIGINT) AS mut_law
+         |FROM dp WHERE i = 48
+         |ORDER BY arm, doc_id""".stripMargin
+    ) { (s, dir) =>
+      val eligible = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 48)
+      val samp = eligible
+        .filter(md5Long(concat(lit("lcs:"), col("doc_id").cast("string"))) % 40 === 0)
+        .select(col("doc_id"), slice(col("toks"), 1, 48).as("t48"))
+        .orderBy("doc_id").limit(8)
+        .localCheckpoint(true) // three arms + the anchor leg
+      val anchor = samp.orderBy("doc_id").limit(1)
+        .select(col("doc_id").as("aid"), col("t48").as("at48"))
+      val mutHash = "conv(substring(md5(cast(concat('lcsmut:', cast(doc_id as string), " +
+        "':', cast(k as string)) as binary)), 1, 15), 16, 10) % 3 = 0"
+      val pSelf = samp.select(lit("self").as("arm"), col("doc_id"),
+        col("t48").as("ta"), col("t48").as("tb"), lit(0L).as("n_mutated"))
+      val pMut = samp.select(lit("mut").as("arm"), col("doc_id"),
+        col("t48").as("ta"),
+        expr(s"transform(sequence(1, 48), k -> " +
+          s"if($mutHash, concat('zzmutq9', cast(k as string)), element_at(t48, k)))").as("tb"),
+        expr(s"cast(size(filter(sequence(1, 48), k -> $mutHash)) as bigint)")
+          .as("n_mutated"))
+      val pCross = samp.crossJoin(broadcast(anchor))
+        .filter(col("doc_id") =!= col("aid"))
+        .select(lit("cross").as("arm"), col("doc_id"),
+          col("t48").as("ta"), col("at48").as("tb"), lit(0L).as("n_mutated"))
+      val pairs = pSelf.unionByName(pMut).unionByName(pCross)
+      // the DP fold: prev row (49 bigints) → next row via the prefix-max
+      // candidate form; element_at is 1-based like DuckDB list indexing
+      val lcsExpr =
+        """aggregate(
+          |  ta,
+          |  array_repeat(cast(0 as bigint), 49),
+          |  (prev, x) -> concat(array(cast(0 as bigint)),
+          |    transform(sequence(1, 48), t ->
+          |      greatest(element_at(prev, t + 1),
+          |        array_max(slice(
+          |          transform(sequence(1, 48), k ->
+          |            element_at(prev, k) + if(x = element_at(tb, k), 1L, 0L)),
+          |          1, t))))),
+          |  fin -> element_at(fin, 49))""".stripMargin
+      pairs.withColumn("lcs_len", expr(lcsExpr))
+        .select(col("arm"), col("doc_id"), col("lcs_len"),
+          expr("lcs_len * 1000 div 48").as("ratio_milli"), col("n_mutated"),
+          when(col("arm") === "mut", col("lcs_len") + col("n_mutated") - 48)
+            .otherwise(0L).cast("long").as("mut_law"))
+        .orderBy("arm", "doc_id")
     }
   )
 }

@@ -126,7 +126,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q343_item_cf_similarity" -> "1-row pair-total and 1-row cap-count scalars × the projected pair frame",
     "q344_gradient_boosting" -> "1-row global-mean / per-round argmax-stump / SSE scalars × the residual frame (3 rounds)",
     "q348_mahalanobis" -> "1-row mean / 1-row covariance-moment / 1-row outlier-count scalars × the scoring scan",
-    "q350_luby_mis" -> "1-row node-count scalar × node frame (edge hashing) + per-round 1-row stat scalars + 1-row invariant frame")
+    "q350_luby_mis" -> "1-row node-count scalar × node frame (edge hashing) + per-round 1-row stat scalars + 1-row invariant frame",
+    "q351_lcs_alignment" -> "1-row anchor-doc frame × the 8-row sampled-doc frame (cross arm)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.
