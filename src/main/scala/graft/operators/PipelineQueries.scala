@@ -1945,59 +1945,89 @@ object PipelineQueries {
          |  UNION ALL SELECT '5_token_budget', count(*), sum(n_tok) FROM s5)
          |ORDER BY stage""".stripMargin
     ) { (s, dir) =>
+      // Survival-flag formulation (round-7 reshape): rather than
+      // materializing five shrinking frames and rescanning each for its
+      // report row (six aggregate branches over four caches), tag every
+      // document with per-stage survival flags f1..f5 in ONE lineage and
+      // derive all six report rows from a SINGLE grouped aggregation.
+      // Stage predicates are pure per-row once three keyed columns are
+      // joined in: the dedup keeper (min doc_id per normalized-text hash
+      // among quality survivors — a hash-partitioned window), the
+      // contamination membership (shingle-hash semi-join vs the broadcast
+      // holdout set, computed from ONE cached shingle frame), and the
+      // per-source budget cumsum (source-partitioned window masked to f4
+      // rows). 100 TB shape unchanged: two hash-keyed windows + one
+      // broadcast join, but the corpus is scanned once, not six times,
+      // and the 8-shingle explode+md5 runs once, not twice.
       val base = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
           tokens(col("text")).as("w"), (md5Long(col("text")) % 100).as("b"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .cache() // report row + langid stage + holdout split all read it
-      // stage 1: q36b's marker rule, keep predicted-en
+        .cache() // flag lineage + shingle frame both read it
+      // shingle-hash frame: computed ONCE over all docs (holdout split and
+      // contamination probe are both row-subsets of it)
+      val sh = base.filter(size(col("w")) >= 8)
+        .select(col("doc_id"), col("b"),
+          explode(transform(array_distinct(shingles(col("w"), 8)), g => md5Long(g))).as("h"))
+        .cache()
+      val hold = sh.filter(col("b") >= 90).select("h").distinct()
+      val contamIds = sh.join(broadcast(hold), "h")
+        .select("doc_id").distinct()
+        .withColumn("contam", lit(true))
+      // f1: q36b's marker rule (predicted-en). f2: q36c's quality ≥ 0.5.
       val withScores = TextQueries.markers.foldLeft(base) { case (df, (l, ws)) =>
         df.withColumn(s"n_$l",
           size(filter(col("w"), x => x.isin(ws.map(_.asInstanceOf[Any]): _*))))
       }
-      val s1 = withScores.filter(col("n_en") >= col("n_fr") && col("n_en") >= col("n_es")
-          && col("n_en") >= col("n_de") && col("n_en") >= col("n_zh"))
-        .select(base.columns.map(col): _*)
-      // stage 2: q36c's score ≥ 0.5 (same IEEE expression shape)
       val nPunct = length(col("text")) -
         length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
-      val s2 = s1.withColumn("n_punct", nPunct)
-        .filter(least(col("n_tok") / 100.0, lit(1.0))
-          * (lit(1.0) - col("n_punct") * lit(1.0) / col("n_chars")) >= 0.5)
-        .select(base.columns.map(col): _*)
-        .cache() // dedup group pass + survivor join
-      // stage 3: q33's normalize→md5, keep the min doc_id of each group
+      val flagged = withScores
+        .withColumn("f1", col("n_en") >= col("n_fr") && col("n_en") >= col("n_es")
+          && col("n_en") >= col("n_de") && col("n_en") >= col("n_zh"))
+        .withColumn("f2", col("f1") &&
+          least(col("n_tok") / 100.0, lit(1.0))
+            * (lit(1.0) - nPunct * lit(1.0) / col("n_chars")) >= 0.5)
+      // f3: q33's keeper rule — min doc_id among f2 survivors sharing the
+      // normalized-text hash (window partitioned by the hash: keyed, never
+      // global; null keeper only when the group has no f2 row, masked by f2)
       val norm = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-      val keepers = s2.groupBy(norm.as("h")).agg(min(col("doc_id")).as("keeper"))
-      val s3 = s2.withColumn("h", norm)
-        .join(keepers, Seq("h"))
-        .filter(col("doc_id") === col("keeper"))
-        .select(base.columns.map(col): _*)
-        .cache() // shingle pass + anti-join
-      // stage 4: drop docs sharing an 8-shingle hash with the ≥90 holdout
-      def shingleHashes(df: DataFrame) = df.filter(size(col("w")) >= 8)
-        .select(col("doc_id"),
-          explode(transform(array_distinct(shingles(col("w"), 8)), g => md5Long(g))).as("h"))
-      val hold = shingleHashes(base.filter(col("b") >= 90)).select("h").distinct()
-      val contam = shingleHashes(s3).join(broadcast(hold), "h")
-        .select("doc_id").distinct()
-      val s4 = s3.join(contam, Seq("doc_id"), "left_anti").cache()
-      // stage 5: q60's hash-ordered running budget, keyed by source
+      val hWin = Window.partitionBy(col("nh"))
+      val withKeeper = flagged.withColumn("nh", norm)
+        .withColumn("keeper", min(when(col("f2"), col("doc_id"))).over(hWin))
+        .withColumn("f3", col("f2") && col("doc_id") === col("keeper"))
+      // f4: contamination is doc-intrinsic vs the fixed holdout shingle set,
+      // so the flag restricted to f3 rows equals the original s3-only probe
+      val withContam = withKeeper.join(contamIds, Seq("doc_id"), "left")
+        .withColumn("f4", col("f3") && !coalesce(col("contam"), lit(false)))
+      // f5: q60's hash-ordered running budget keyed by source — non-f4 rows
+      // contribute 0 to the cumsum so f4 rows see exactly the s4-only total
       val wWin = Window.partitionBy(col("source"))
         .orderBy(md5Long(col("text")), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val s5 = s4.withColumn("cum", sum(col("n_tok")).over(wWin))
-        .filter(col("cum") <= 512)
-      def report(stage: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-          .select(lit(stage).as("stage"), col("n_docs"),
-            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-      report("0_all", base)
-        .unionAll(report("1_langid", s1))
-        .unionAll(report("2_quality", s2))
-        .unionAll(report("3_exact_dedup", s3))
-        .unionAll(report("4_decontaminated", s4))
-        .unionAll(report("5_token_budget", s5))
+      val flags = withContam
+        .withColumn("cum", sum(when(col("f4"), col("n_tok")).otherwise(lit(0L))).over(wWin))
+        .withColumn("f5", col("f4") && col("cum") <= 512)
+      // ONE grouped aggregation → all six report rows (reshaped via a
+      // 6-element array explode of the 1-row aggregate — no rescans)
+      def d(f: org.apache.spark.sql.Column) =
+        coalesce(sum(when(f, lit(1L)).otherwise(lit(0L))), lit(0L))
+      def t(f: org.apache.spark.sql.Column) =
+        coalesce(sum(when(f, col("n_tok")).otherwise(lit(0L))), lit(0L))
+      val rep = flags.agg(
+        count(lit(1)).as("d0"), coalesce(sum(col("n_tok")), lit(0L)).as("t0"),
+        d(col("f1")).as("d1"), t(col("f1")).as("t1"),
+        d(col("f2")).as("d2"), t(col("f2")).as("t2"),
+        d(col("f3")).as("d3"), t(col("f3")).as("t3"),
+        d(col("f4")).as("d4"), t(col("f4")).as("t4"),
+        d(col("f5")).as("d5"), t(col("f5")).as("t5"))
+      def row(stage: String, i: Int) = struct(lit(stage).as("stage"),
+        col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"))
+      rep.select(explode(array(
+          row("0_all", 0), row("1_langid", 1), row("2_quality", 2),
+          row("3_exact_dedup", 3), row("4_decontaminated", 4),
+          row("5_token_budget", 5))).as("r"))
+        .select(col("r.stage").as("stage"), col("r.n_docs").as("n_docs"),
+          col("r.n_tokens").as("n_tokens"))
         .orderBy("stage")
     },
 
