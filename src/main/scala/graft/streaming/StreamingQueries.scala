@@ -1563,18 +1563,74 @@ object StreamingQueries {
     // unique. The stream replays every doc plus a LATE re-arrival of
     // every third doc; at sf0.01 the horizon covers the whole corpus
     // (exact behavior — zero re-admissions), at sf0.1 rotation kicks in
-    // and only horizon-aged re-arrivals sneak back — which
-    // StreamBloomDedupSpec pins against an independently computed
-    // insert-rank bound. Arrival order inside a shard-batch is made
-    // deterministic by folding in arrival-key order (the group iterator
-    // is sorted — bounded by shard size here; a 100 TB deployment sizes
-    // shard count ∝ throughput and uses ListState to avoid the sort
-    // buffer). No oracle: approximate-by-design (rows-only + spec laws).
-    graft.Registry.rowsOnly("q279_stream_bloom_dedup",
-      "bounded-state streaming dedup: two rotating Bloom generations per shard") { (s, dir) =>
+    // and only horizon-aged re-arrivals sneak back. Arrival order inside
+    // a shard-batch is made deterministic by folding in arrival-key
+    // order (the group iterator is sorted — bounded by shard size here;
+    // a 100 TB deployment sizes shard count ∝ throughput and uses
+    // ListState to avoid the sort buffer). ORACLE (round 7): the fold is
+    // fully deterministic — single-file replay ⇒ one micro-batch ⇒ the
+    // per-shard processing order is exactly arrival-key order — and the
+    // bit positions are md5-portable, so DuckDB replays the identical
+    // state machine with a recursive CTE: one iteration per per-shard
+    // arrival rank, the two generations carried as bit-POSITION sets
+    // (list_has_all ⇔ the word-array probe — same admissions, different
+    // representation). Only the q40-style throughput row and the three
+    // approx-by-nature sketches remain rows-only after this.
+    q("q279_stream_bloom_dedup",
+      "bounded-state streaming dedup: two rotating Bloom generations per shard")({
+      val Shards = 8; val Cap = 256; val MBits = 4096
+      import graft.functions.PortableHash.md5LongSql
+      val psSql = (0 until 4).map(j =>
+        s"${md5LongSql(s"'q279:$j:' || h")} % $MBits").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+         |base AS (SELECT doc_id, ${md5LongSql("text")} AS h FROM documents),
+         |arr AS MATERIALIZED (
+         |  SELECT ak, is_re, shard, $psSql AS ps,
+         |         row_number() OVER (PARTITION BY shard ORDER BY ak) AS rk
+         |  FROM (SELECT doc_id AS ak, h, CAST(0 AS BIGINT) AS is_re,
+         |               h % $Shards AS shard FROM base
+         |        UNION ALL
+         |        SELECT doc_id + 100000, h, CAST(1 AS BIGINT), h % $Shards
+         |        FROM base WHERE doc_id % 3 = 0)),
+         |sim AS (
+         |  SELECT shard, CAST(0 AS BIGINT) AS rk, []::BIGINT[] AS g0,
+         |         []::BIGINT[] AS g1, CAST(0 AS BIGINT) AS c0,
+         |         NULL::BIGINT AS ak, NULL::BIGINT AS is_re, false AS admitted
+         |  FROM (SELECT DISTINCT shard FROM arr)
+         |  UNION ALL
+         |  SELECT shard, rk,
+         |         CASE WHEN NOT admitted THEN g0
+         |              WHEN c0 + 1 >= $Cap THEN []::BIGINT[]
+         |              ELSE list_distinct(g0 || ps) END,
+         |         CASE WHEN admitted AND c0 + 1 >= $Cap
+         |              THEN list_distinct(g0 || ps) ELSE g1 END,
+         |         CASE WHEN NOT admitted THEN c0
+         |              WHEN c0 + 1 >= $Cap THEN CAST(0 AS BIGINT)
+         |              ELSE c0 + 1 END,
+         |         ak, is_re, admitted
+         |  FROM (SELECT a.shard, a.rk, s.g0, s.g1, s.c0, a.ak, a.is_re, a.ps,
+         |               NOT (list_has_all(s.g0, a.ps) OR
+         |                    list_has_all(s.g1, a.ps)) AS admitted
+         |        FROM sim s JOIN arr a ON a.shard = s.shard AND a.rk = s.rk + 1))
+         |SELECT shard, ak, is_re FROM sim WHERE admitted
+         |ORDER BY shard, ak""".stripMargin
+    }) { (s, dir) =>
       import s.implicits._
       val Shards = 8; val Cap = 256; val MBits = 4096; val K = 4
-      import graft.functions.{BloomAggregator, PortableHash}
+      import graft.functions.PortableHash
+      // md5-portable bit positions (round 7, replacing splitmix64): both
+      // engines derive position j of hash h as md5Long("q279:j:" || h) mod
+      // mBits — the same 60-bit/15-hex discipline every other hash site uses
+      def posOf(h: Long): Array[Int] =
+        Array.tabulate(K)(j => (PortableHash.md5LongScala(s"q279:$j:$h") % MBits).toInt)
+      def has(g: Array[Long], ps: Array[Int]): Boolean = {
+        var j = 0
+        while (j < ps.length) {
+          if ((g(ps(j) >>> 6) & (1L << (ps(j) & 63))) == 0L) return false
+          j += 1
+        }
+        true
+      }
       val base = docsStream(s, dir)
         .select(col("doc_id"), PortableHash.md5Long(col("text")).as("h"))
       val arrivals = base.select(col("doc_id").as("ak"), col("h"), lit(0L).as("is_re"))
@@ -1594,13 +1650,13 @@ object StreamingQueries {
             val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
             // deterministic fold: arrival-key order within the micro-batch
             rows.toSeq.sortBy(_._1).foreach { case (ak, h, isRe, sh) =>
-              val seen = BloomAggregator.mightContain(g0.toSeq, h, K) ||
-                BloomAggregator.mightContain(g1.toSeq, h, K)
+              val ps = posOf(h)
+              val seen = has(g0, ps) || has(g1, ps)
               if (!seen) {
                 out += ((sh, ak, h, isRe))
                 var j = 0
                 while (j < K) {
-                  val p = BloomAggregator.bitPos(h, j, MBits)
+                  val p = ps(j)
                   g0(p >>> 6) |= 1L << (p & 63); j += 1
                 }
                 c0 += 1
