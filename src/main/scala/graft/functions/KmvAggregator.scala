@@ -24,7 +24,11 @@ import org.apache.spark.sql.expressions.Aggregator
   *    A∪B, ρ = |L ∩ A ∩ B| estimates Jaccard as ρ/k — the one set
   *    operation HLL cannot do without inclusion–exclusion blowup (q190b).
   *
-  * Buffer: ascending-sorted distinct Seq[Long], ≤ k elements.
+  * Buffer: ascending-sorted distinct Seq[Long], ≤ k elements — an invariant
+  * every update path preserves (zero is empty, reduce inserts in place,
+  * merge re-sorts), so the per-row reduce is one binary search plus at most
+  * one primitive-array copy instead of the old contains + distinct.sorted
+  * rebuild (the pre-shuffle hot path the rewrite's cheapness depends on).
   */
 class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   require(k >= 2, s"k must be >= 2 (the estimator needs h_k), got $k")
@@ -33,11 +37,7 @@ class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
 
   override def zero: Seq[Long] = Seq.empty
 
-  override def reduce(b: Seq[Long], h: Long): Seq[Long] =
-    // fast path: full sketch and h can't displace anything
-    if (b.length == k && h >= b.last) b
-    else if (b.contains(h)) b
-    else trim(b :+ h)
+  override def reduce(b: Seq[Long], h: Long): Seq[Long] = KmvOps.insert(b, h, k)
 
   override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = trim(x ++ y)
 
@@ -65,10 +65,7 @@ class KmvNullSkipAggregator(k: Int)
 
   override def reduce(b: Seq[Long], in: Option[Long]): Seq[Long] = in match {
     case None => b
-    case Some(h) =>
-      if (b.length == k && h >= b.last) b
-      else if (b.contains(h)) b
-      else trim(b :+ h)
+    case Some(h) => KmvOps.insert(b, h, k)
   }
 
   override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = trim(x ++ y)
@@ -79,4 +76,25 @@ class KmvNullSkipAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+/** Shared per-row update for the KMV buffers. The buffer is ascending-
+  * sorted and distinct, so membership and insertion point are ONE
+  * `Arrays.binarySearch` over a primitive array (O(log k)), and the insert
+  * is at most one `arraycopy` — no boxing, no HashSet, no re-sort. */
+private[functions] object KmvOps {
+  def insert(b: Seq[Long], h: Long, k: Int): Seq[Long] = {
+    val arr = b.toArray
+    val n = arr.length
+    if (n == k && h >= arr(n - 1)) return b // full and h can't displace
+    val i = java.util.Arrays.binarySearch(arr, h)
+    if (i >= 0) return b // already present
+    val ins = -i - 1
+    val outLen = if (n == k) k else n + 1
+    val out = new Array[Long](outLen)
+    System.arraycopy(arr, 0, out, 0, ins)
+    out(ins) = h
+    System.arraycopy(arr, ins, out, ins + 1, outLen - ins - 1)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
 }

@@ -53,7 +53,7 @@ object PortableHash {
     * guarantees the bit-for-bit cross-engine agreement q190/q190b/q193
     * exist to prove. */
   def kmvEstimateSql(n: String, hk: String, k: Int): String =
-    s"CAST(CASE WHEN $n < $k THEN $n ELSE floor(${k - 1} * " +
+    s"CAST(CASE WHEN $n < $k THEN $n WHEN $hk <= 0 THEN $n ELSE floor(${k - 1} * " +
       s"CAST(1152921504606846976 AS DOUBLE) / CAST($hk AS DOUBLE)) END AS BIGINT)"
 
   /** Tokenize on single spaces (documents.text is single-space separated). */

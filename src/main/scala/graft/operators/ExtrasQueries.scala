@@ -2164,11 +2164,12 @@ object ExtrasQueries {
          |      FROM m)
          |SELECT media_id, CAST(h AS BIGINT) AS height,
          |       CAST(len(mags) AS BIGINT) AS n_interior,
-         |       CAST(list_sum(mags) AS BIGINT) AS total_mag,
-         |       CAST(list_max(mags) AS BIGINT) AS max_mag,
+         |       CAST(COALESCE(list_sum(mags), 0) AS BIGINT) AS total_mag,
+         |       CAST(COALESCE(list_max(mags), 0) AS BIGINT) AS max_mag,
          |       CAST(len(list_filter(mags, v -> v > 300)) AS BIGINT) AS edge_count,
-         |       CAST(len(list_filter(mags, v -> v > 300)) * 1000 // len(mags) AS BIGINT)
-         |         AS edge_permille
+         |       CAST(CASE WHEN len(mags) > 0
+         |            THEN len(list_filter(mags, v -> v > 300)) * 1000 // len(mags)
+         |            ELSE 0 END AS BIGINT) AS edge_permille
          |FROM e ORDER BY media_id""".stripMargin
     }) { (s, dir) => graft.multimodal.Multimodal.sobelQuery(s, dir) },
 

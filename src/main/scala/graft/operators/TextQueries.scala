@@ -1787,8 +1787,11 @@ object TextQueries {
         .localCheckpoint(true) // three arms + the anchor leg
       val anchor = samp.orderBy("doc_id").limit(1)
         .select(col("doc_id").as("aid"), col("t48").as("at48"))
-      val mutHash = "conv(substring(md5(cast(concat('lcsmut:', cast(doc_id as string), " +
-        "':', cast(k as string)) as binary)), 1, 15), 16, 10) % 3 = 0"
+      // cast(... as bigint) BEFORE the % 3: conv() returns STRING, and the
+      // mod must be 64-bit integer math (not string-coercion-dependent) to
+      // stay bit-exact with the oracle's BIGINT arithmetic (ADVICE r6)
+      val mutHash = "cast(conv(substring(md5(cast(concat('lcsmut:', cast(doc_id as string), " +
+        "':', cast(k as string)) as binary)), 1, 15), 16, 10) as bigint) % 3 = 0"
       val pSelf = samp.select(lit("self").as("arm"), col("doc_id"),
         col("t48").as("ta"), col("t48").as("tb"), lit(0L).as("n_mutated"))
       val pMut = samp.select(lit("mut").as("arm"), col("doc_id"),

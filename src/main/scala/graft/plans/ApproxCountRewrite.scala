@@ -91,7 +91,17 @@ object ApproxCountRewrite extends Rule[LogicalPlan] {
           Cast(Literal(1152921504606846976L), DoubleType)),
         Cast(hk, DoubleType))),
       LongType)
-    CaseWhen(Seq((LessThan(n, Literal(K.toLong)), n)), Some(est))
+    // hk <= 0 guard (md5 prefix of all zeros, p ≈ 2⁻⁶⁰): fall back to the
+    // sketch size rather than divide to Infinity — same branch as
+    // kmvEstimateSql so both engines stay bit-identical. The trailing
+    // Coalesce(_, 0) restores Count's non-nullable contract: the original
+    // attribute this alias replaces (same exprId) was nullable=false, and
+    // downstream operators resolved against it may elide null checks.
+    Coalesce(Seq(
+      CaseWhen(Seq(
+        (LessThan(n, Literal(K.toLong)), n),
+        (LessThanOrEqual(hk, Literal(0L)), n)), Some(est)),
+      Literal(0L)))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
