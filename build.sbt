@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes straight to this process's stdout WITHOUT sbt's
+// "[info] " line prefix: the bench driver tail-parses the JSON line graft.Bench
+// prints, and a prefixed "[info] {...}" is not valid JSON (every prior round's
+// BENCH artifact shows "parsed": null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

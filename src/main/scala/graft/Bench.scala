@@ -32,39 +32,70 @@ object Bench {
     } catch { case _: Throwable => () }
     // optional comma-separated name filter for isolating a query's timing
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop caches a query may have pinned so later queries aren't
+      // charged its memory pressure
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      try graft.operators.DistributedRank.unpersistAll() catch { case _: Throwable => () }
+      dt
+    }
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop caches a query may have pinned so later queries aren't
-        // charged its memory pressure
-        try spark.catalog.clearCache() catch { case _: Throwable => () }
-        try graft.operators.DistributedRank.unpersistAll() catch { case _: Throwable => () }
-        name -> dt
-      }
+    val firstPass = queries.map { case (name, fn) => name -> timeOne(name, fn) }
+    // Repeat-median for the slow tail (round-7): a single contended run of
+    // a 6-second query can read 2-3x its quiet-box time and flap the 2x
+    // perf gate. Queries above the threshold get two more runs and report
+    // the MEDIAN of three; the spread across repeats is the run's measured
+    // variance figure. Bounded: at most REPEAT_MAX queries repeat, so the
+    // extra wall cost is ~2x the slow tail, never 2x the whole registry.
+    val repeatThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_THRESH", "6.0").toDouble
+    val repeatMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_MAX", "12").toInt
+    val fnOf = queries.toMap
+    val repeated: Map[String, Seq[Double]] =
+      firstPass.filter(_._2 >= repeatThresh).sortBy(-_._2).take(repeatMax)
+        .map { case (name, t1) =>
+          val extra = Seq.fill(2)(timeOne(name, fnOf(name)))
+          name -> (t1 +: extra).sorted
+        }.toMap
+    val results = firstPass.map { case (name, t1) =>
+      name -> repeated.get(name).map(rs => rs(rs.length / 2)).getOrElse(t1)
+    }
+    // median relative spread (max-min)/median across the repeated queries —
+    // the documented variance of this run's environment
+    val spreads = repeated.values.map(rs => (rs.last - rs.head) / rs(rs.length / 2)).toSeq.sorted
+    val variance = if (spreads.isEmpty) 0.0 else spreads(spreads.length / 2)
     // The driver keeps only the last ~2000 chars of output ("tail") and
     // parses the JSON line from it; sbt appends its own "[success] ..."
     // line (~80 chars) after ours. A full 159-query map is ~4.5 KB and
     // truncates mid-line ("parsed": null in rounds 1+2). So: print a line
     // with the total plus the slowest queries, trimmed to fit the tail
     // budget; the COMPLETE per-query map still lands in the file artifact.
+    // (run/outputStrategy := StdoutOutput in build.sbt keeps sbt's "[info]"
+    // prefix off this line — the prefix is why "parsed" stayed null r1-r6.)
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def line(rs: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(rs)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""repeated":${repeated.size},"rep_spread":${r3(variance)},""" +
+        s""""queries":${qjson(rs)},"sf":"$sfDir"}"""
     // slowest-first, keep as many as fit in ~1800 chars
     val bySlow = results.sortBy(-_._2)
     var keep = bySlow.length
     while (keep > 1 && line(bySlow.take(keep).sortBy(_._1)).length > 1800) keep -= 1
     val printed = line(bySlow.take(keep).sortBy(_._1))
-    // the file artifact carries every query, free of any sbt log framing
+    // the file artifact carries every query, free of any sbt log framing,
+    // plus the raw repeat triples for the tail queries
+    def runsJson: String = repeated.toSeq.sortBy(_._1)
+      .map { case (k, rs) => "\"" + k + "\":[" + rs.map(r3).mkString(",") + "]" }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
-      line(results) + "\n")
+      line(results).dropRight(1) + s""","runs":$runsJson}""" + "\n")
     catch { case _: Throwable => () }
     println(printed)
     spark.stop()
