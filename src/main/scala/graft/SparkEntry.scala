@@ -21,6 +21,8 @@ object SparkEntry {
       operators.VectorQueries.all ++
       operators.GraphQueries.all ++
       operators.AnalyticsQueries.all ++
+      operators.StatsQueries.all ++
+      operators.ExperimentQueries.all ++
       operators.ExtrasQueries.all ++
       streaming.StreamingQueries.all
 
