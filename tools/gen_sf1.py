@@ -14,9 +14,15 @@ TOPOLOGY over novel content:
  - timestamps are left unshifted: the event/order time RANGE stays the
    same with 10x density, which is how a real deployment's day looks at
    10x traffic (windows get denser, not longer);
- - documents/embeddings repeat content verbatim under new ids — dedup and
-   ANN queries see 10x corpus with 10x duplicate pressure, a realistic
-   (and adversarial) scale-up for exactly those operators.
+ - document text is made COPY-DISTINCT (every token of copy i>0 gets a
+   one-char copy suffix, n_chars recomputed) and embedding vectors are
+   dimension-ROTATED per copy (norms and per-dim distributions preserved,
+   cross-copy cosine decorrelated). The first cut repeated content
+   verbatim, which made every shingle's document frequency 10x and blew
+   pair-generation up ~100x (q164: 5.5s -> 265s) — a duplicate-pressure
+   artifact, not how a real 10x corpus grows. Within-copy duplicate
+   structure is still exactly sf0.1's, so dedup operators keep realistic
+   (linear-in-copies) duplicate pressure.
 
 Usage: python3 tools/gen_sf1.py [out_dir]   (default testdata_sf1/)
 """
@@ -52,9 +58,26 @@ def main():
         else:
             cols = con.sql(f"SELECT * FROM {src} LIMIT 0").columns
             shifted = dict(shifts)
-            exprs = ", ".join(
-                f"{c} + i.i * {shifted[c]} AS {c}" if c in shifted else c
-                for c in cols)
+
+            def expr(c):
+                if c in shifted:
+                    return f"{c} + i.i * {shifted[c]} AS {c}"
+                if t == "documents" and c == "text":
+                    # copy-distinct vocab: suffix every token with chr(97+i)
+                    return ("CASE WHEN i.i = 0 THEN text ELSE array_to_string("
+                            "list_transform(str_split(text, ' '), "
+                            "x -> x || chr(CAST(97 + i.i AS INT))), ' ') END AS text")
+                if t == "documents" and c == "n_chars":
+                    return ("CAST(length(CASE WHEN i.i = 0 THEN text ELSE "
+                            "array_to_string(list_transform(str_split(text, ' '), "
+                            "x -> x || chr(CAST(97 + i.i AS INT))), ' ') END) AS BIGINT) AS n_chars")
+                if t == "embeddings" and c == "embedding":
+                    # per-copy dimension rotation: same norm, decorrelated
+                    return ("CASE WHEN i.i = 0 THEN embedding ELSE "
+                            "embedding[i.i + 1:] || embedding[:i.i] END AS embedding")
+                return c
+
+            exprs = ", ".join(expr(c) for c in cols)
             sel = (f"SELECT {exprs} FROM {src} "
                    f"CROSS JOIN (SELECT unnest(range({COPIES})) AS i) i")
         con.execute(f"COPY ({sel}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
