@@ -497,14 +497,20 @@ object StreamingQueries {
     // The q208 curation funnel ON THE STREAM — arriving docs run the same
     // gates incrementally: stateless langid (q36b marker rule) and quality
     // (q36c score ≥ 0.5) filters, row-local decontamination against the
-    // BROADCAST holdout 8-shingle set (a 1-row collected array here — the
-    // production shape is a broadcast Bloom filter, q59; membership is a
-    // row-local arrays_overlap either way, no stream-side shuffle), then
-    // keyed keep-first exact dedup (q62's one-long-per-hash state). Stream
-    // stage order is decon→dedup (a stream cannot re-admit a doc a later
-    // stage would have preferred), and the oracle mirrors THAT order; the
-    // corpus has no exact dups so the q208 report numbers still agree.
-    // Output: the per-source survivor report maintained incrementally.
+    // BROADCAST holdout 8-shingle set, then keyed keep-first exact dedup
+    // (q62's one-long-per-hash state). The holdout is a BUCKETED membership
+    // map (h % 64Ki → sorted bucket array): each probe touches only its
+    // bucket, so per-doc cost is shingles × (holdout/buckets), LINEAR in
+    // corpus size with a tunable constant — the round-7 sf1 bench caught
+    // the previous flat collected array curving quadratic (arrays_overlap
+    // rescans the whole holdout per row: 3.8 s → 221 s at 10× data; now
+    // ~linear). Bucket count is the q59-style sized-to-corpus knob; the
+    // production alternative is that Bloom front (fp-free here because the
+    // map IS exact membership). Stream stage order is decon→dedup (a
+    // stream cannot re-admit a doc a later stage would have preferred),
+    // and the oracle mirrors THAT order; the corpus has no exact dups so
+    // the q208 report numbers still agree. Output: the per-source
+    // survivor report maintained incrementally.
     q("q214_stream_curation",
       "streaming curation funnel: stateless gates + broadcast decon + keep-first dedup state")(
       s"""WITH base AS (SELECT doc_id, text, source, n_chars,
@@ -544,14 +550,29 @@ object StreamingQueries {
       import s.implicits._
       import graft.functions.PortableHash.{md5Long, shingles}
       val markers = graft.operators.TextQueries.markers
-      // static holdout shingle set, collapsed to ONE broadcastable array row
-      val holdArr = graft.Tables(s, dir, "documents")
+      // static holdout shingle set as ONE broadcastable DENSE bucket-array
+      // row: position b (1-based) holds the sorted hashes with h % Buckets
+      // = b-1, every bucket present (empty arrays fill the gaps), so a
+      // probe is one O(1) GetArrayItem + an ~|hold|/Buckets containment
+      // scan. Deliberately an ARRAY, not a MapType: Spark's map element_at
+      // linear-scans the key array — O(Buckets) per probe, the exact
+      // wrong-shape this replaces. The dense collect is ordered by the
+      // single-partition sortWithinPartitions (one 16Ki-row task, static
+      // side, once).
+      val Buckets = 16384L
+      val bucketed = graft.Tables(s, dir, "documents")
         .select(split(col("text"), " ").as("w"), (md5Long(col("text")) % 100).as("b"))
         .filter(col("b") >= 90 && size(col("w")) >= 8)
         .select(explode(transform(array_distinct(shingles(col("w"), 8)),
           g => md5Long(g))).as("h"))
         .distinct()
-        .agg(sort_array(collect_list(col("h"))).as("hold"))
+        .groupBy(pmod(col("h"), lit(Buckets)).as("bk"))
+        .agg(sort_array(collect_list(col("h"))).as("hs"))
+      val holdArr = s.range(Buckets).select(col("id").as("bk"))
+        .join(bucketed, Seq("bk"), "left")
+        .select(col("bk"), coalesce(col("hs"), array().cast("array<bigint>")).as("hs"))
+        .coalesce(1).sortWithinPartitions("bk")
+        .agg(collect_list(col("hs")).as("hold"))
       val base = docsStream(s, dir)
         .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
           split(col("text"), " ").as("w"),
@@ -567,11 +588,12 @@ object StreamingQueries {
       val s2 = s1.withColumn("n_punct", nPunct)
         .filter(least(col("n_tok") / 100.0, lit(1.0))
           * (lit(1.0) - col("n_punct") * lit(1.0) / col("n_chars")) >= 0.5)
-      val s3 = s2.crossJoin(holdArr) // stream × 1-row broadcast membership set
+      val s3 = s2.crossJoin(holdArr) // stream × 1-row broadcast membership map
         .withColumn("sh", when(size(col("w")) >= 8,
           transform(array_distinct(shingles(col("w"), 8)), g => md5Long(g)))
           .otherwise(array().cast("array<bigint>")))
-        .filter(!arrays_overlap(col("sh"), col("hold")))
+        .filter(!exists(col("sh"), x => array_contains(
+          element_at(col("hold"), (pmod(x, lit(Buckets)) + 1).cast("int")), x)))
       val kept = s3
         .select(col("doc_id"), col("source"), col("n_tok"),
           md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("h"))
