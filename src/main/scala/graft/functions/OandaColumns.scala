@@ -19,13 +19,17 @@ object OandaColumns {
 
   /** One side of P8: parse exactly like rust `parse::<f64>().unwrap_or(0.0)`
     * (`/root/reference/src/main.rs:70-72`) — padded strings and garbage
-    * coerce to 0.0 (not null), `inf`/`nan` spellings parse like rust. */
+    * coerce to 0.0 (not null), `inf`/`nan` spellings parse like rust.
+    * The inf/nan probes are plain substring containment ("inf"/"nan" carry
+    * no regex metacharacters), kept as `contains` so the common decimal
+    * path pays ONE regex match, not three — this expression runs twice per
+    * tick in the ingest hot path (round-7 throughput profile). */
   def parseF64Or0(c: Column): Column =
     when(!c.rlike(rustF64), lit(0.0))
-      .when(lower(c).rlike("inf"), // ±inf/infinity
+      .when(contains(lower(c), lit("inf")), // ±inf/infinity
         when(c.startsWith("-"), lit(Double.NegativeInfinity))
           .otherwise(lit(Double.PositiveInfinity)))
-      .when(lower(c).rlike("nan"), lit(Double.NaN))
+      .when(contains(lower(c), lit("nan")), lit(Double.NaN))
       .otherwise(coalesce(c.try_cast("double"), lit(0.0)))
 
   /** P8 — bid/ask spread with the reference's 0.0-coercion: each side that

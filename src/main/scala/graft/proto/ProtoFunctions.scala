@@ -4,16 +4,20 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{BinaryType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst expressions encoding the reference wire contract
   * (`StreamMessageProto`, oanda_stream.proto:27-32) straight from Spark's
-  * internal row format — no UDF serialization hop. Sink-side encode runs
-  * once per row at the pipeline edge, so eval-mode (CodegenFallback) costs
-  * nothing measurable next to the network write it feeds (P13/P14).
+  * internal row format — no UDF serialization hop. Both expressions carry
+  * real `doGenCode` (a static-helper call over codegen'd child values):
+  * round 7's throughput re-measure showed the earlier CodegenFallback
+  * form evicting the ENTIRE sink projection from whole-stage codegen
+  * (CollapseCodegenStages rejects any plan node containing a fallback
+  * expression), which made the encode stage the pipeline's bottleneck.
   */
 object ProtoFunctions {
 
@@ -36,6 +40,27 @@ object ProtoFunctions {
 
   private[proto] def str(row: InternalRow, i: Int): String =
     if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
+
+  /** Java-callable encode bodies shared by eval and generated code (the
+    * object's static forwarders make `ProtoFunctions.tickEnvelope(...)`
+    * valid in janino-generated Java). `nanos` boxed: null ⇒ derive from
+    * the µs remainder (TimestampPieces' contract). */
+  def tickEnvelope(tick: InternalRow, micros: Long, nanos: java.lang.Integer): Array[Byte] = {
+    val seconds = Math.floorDiv(micros, 1000000L)
+    val ns = if (nanos != null) nanos.intValue()
+      else (Math.floorMod(micros, 1000000L) * 1000L).toInt
+    ProtoWire.envelope(1, ProtoWire.priceTick(
+      levels(tick.getArray(0)), levels(tick.getArray(1)),
+      str(tick, 2), str(tick, 3), str(tick, 4), str(tick, 5),
+      seconds, ns))
+  }
+
+  def heartbeatEnvelope(hb: InternalRow, micros: Long, nanos: java.lang.Integer): Array[Byte] = {
+    val seconds = Math.floorDiv(micros, 1000000L)
+    val ns = if (nanos != null) nanos.intValue()
+      else (Math.floorMod(micros, 1000000L) * 1000L).toInt
+    ProtoWire.envelope(2, ProtoWire.heartbeat(seconds, ns, str(hb, 1)))
+  }
 }
 
 /** Proto timestamp pieces from a µs TimestampType value + the 9-digit nanos
@@ -52,25 +77,45 @@ trait TimestampPieces {
   }
 }
 
+/** Shared doGenCode for the two envelope encoders: evaluate the three
+  * children in the enclosing generated stage, then call the static encode
+  * body — null iff the struct or the timestamp is null (a null nanos
+  * sidecar falls back to the µs remainder, so it is passed BOXED). */
+private[proto] trait EnvelopeCodegen { self: TernaryExpression =>
+  protected def helperName: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = children.head.genCode(ctx)
+    val s = children(1).genCode(ctx)
+    val n = children(2).genCode(ctx)
+    ev.copy(code = code"""
+      ${t.code}
+      ${s.code}
+      ${n.code}
+      boolean ${ev.isNull} = true;
+      byte[] ${ev.value} = null;
+      if (!${t.isNull} && !${s.isNull}) {
+        ${ev.value} = graft.proto.ProtoFunctions.$helperName(
+          ${t.value}, ${s.value},
+          ${n.isNull} ? null : (java.lang.Integer) ${n.value});
+        ${ev.isNull} = false;
+      }""")
+  }
+}
+
 case class EncodePriceTickEnvelope(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback with TimestampPieces {
+    extends TernaryExpression with EnvelopeCodegen {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "encode_price_tick_proto"
+  override protected def helperName: String = "tickEnvelope"
 
   override def eval(input: InternalRow): Any = {
     val tickRaw = first.eval(input)
     val tsRaw = second.eval(input)
     if (tickRaw == null || tsRaw == null) return null
-    val tick = tickRaw.asInstanceOf[InternalRow]
-    val (seconds, nanos) = pieces(tsRaw, third.eval(input))
-    val body = ProtoWire.priceTick(
-      ProtoFunctions.levels(tick.getArray(0)),
-      ProtoFunctions.levels(tick.getArray(1)),
-      ProtoFunctions.str(tick, 2), ProtoFunctions.str(tick, 3),
-      ProtoFunctions.str(tick, 4), ProtoFunctions.str(tick, 5),
-      seconds, nanos)
-    ProtoWire.envelope(1, body)
+    ProtoFunctions.tickEnvelope(tickRaw.asInstanceOf[InternalRow],
+      tsRaw.asInstanceOf[Long], third.eval(input).asInstanceOf[java.lang.Integer])
   }
 
   override protected def nullSafeEval(t: Any, ts: Any, n: Any): Any =
@@ -80,19 +125,18 @@ case class EncodePriceTickEnvelope(first: Expression, second: Expression, third:
 }
 
 case class EncodeHeartbeatEnvelope(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback with TimestampPieces {
+    extends TernaryExpression with EnvelopeCodegen {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "encode_heartbeat_proto"
+  override protected def helperName: String = "heartbeatEnvelope"
 
   override def eval(input: InternalRow): Any = {
     val hbRaw = first.eval(input)
     val tsRaw = second.eval(input)
     if (hbRaw == null || tsRaw == null) return null
-    val hb = hbRaw.asInstanceOf[InternalRow]
-    val (seconds, nanos) = pieces(tsRaw, third.eval(input))
-    ProtoWire.envelope(2,
-      ProtoWire.heartbeat(seconds, nanos, ProtoFunctions.str(hb, 1)))
+    ProtoFunctions.heartbeatEnvelope(hbRaw.asInstanceOf[InternalRow],
+      tsRaw.asInstanceOf[Long], third.eval(input).asInstanceOf[java.lang.Integer])
   }
 
   override protected def nullSafeEval(t: Any, ts: Any, n: Any): Any =
