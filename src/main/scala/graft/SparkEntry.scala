@@ -23,6 +23,7 @@ object SparkEntry {
       operators.AnalyticsQueries.all ++
       operators.StatsQueries.all ++
       operators.ExperimentQueries.all ++
+      operators.CurationQueries.all ++
       operators.ExtrasQueries.all ++
       streaming.StreamingQueries.all
 

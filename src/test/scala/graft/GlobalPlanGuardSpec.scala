@@ -59,6 +59,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q40_pipeline_throughput" -> "deliberate ×3 bench fan-out of the wire-line fixture",
     "q99_assoc_rules" -> "1-row basket-count frame × itemset supports",
     "q154_chi2_independence" -> "1-row n/dof frames × the ≤10-cell contingency table",
+    "q355_mix_temperature" -> "|sources|-row (20) largest-remainder rank triangular self-join + 1-row budget/total scalars",
     "q155_decay_trending" -> "1-row max-hour frame × the event scan (age anchor)",
     "q184_dsir_selection" -> "1-row corpus-totals frame (nt, nr) × the 256-row feature-weight table",
     "q188_heavy_hitters" -> "1-row total-token-count scalar × the ≤63-row verified-candidate counts",
