@@ -123,6 +123,33 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("q62 state kind: flatMapGroupsWithState keep-first dedup resumes across restart") {
+    withRocks {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+      def build(ds: Dataset[(Long, String)]): DataFrame =
+        ds.groupByKey(_._2)
+          .flatMapGroupsWithState[Long, (Long, String)](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            (h: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+              val mn = rows.map(_._1).min
+              if (state.getOption.isEmpty) { state.update(mn); Iterator((mn, h)) }
+              else Iterator.empty
+          }
+          .toDF("id", "h")
+      val phases = Seq(
+        Seq((3L, "a"), (1L, "a"), (5L, "b")),
+        // "a" must NOT re-emit here — a state-less restart would emit (2, a)
+        Seq((2L, "a"), (9L, "c"), (7L, "b")))
+      val straight = run(phases, restart = false)(build)
+      val restarted = run(phases, restart = true)(build)
+      assert(straight.sorted == Seq("[1,a]", "[5,b]", "[9,c]"),
+        s"uninterrupted run wrong: $straight")
+      assert(restarted.sorted == straight.sorted,
+        s"post-restart emissions diverge:\n straight=$straight\n restarted=$restarted")
+    }
+  }
+
   test("q193 state kind: windowed KMV sketch buffer round-trips the checkpoint") {
     withRocks {
       import spark.implicits._
