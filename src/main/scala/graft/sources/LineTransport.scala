@@ -46,24 +46,46 @@ trait LineTransport extends AutoCloseable {
   override def close(): Unit = ()
 }
 
-/** Replay transport: a finite newline-delimited capture file. The head is
-  * counted once (a capture does not grow); partition readers open the file
-  * on the executor, so no line data moves through the driver. */
+/** Line-stream opener shared by the transport head-count (driver) and the
+  * partition readers (executors): real capture files ship gzipped, so a
+  * `.gz` path decodes through GZIPInputStream transparently. */
+object LineIo {
+  def lineStream(path: String): java.util.stream.Stream[String] =
+    if (path.endsWith(".gz")) {
+      val in = new java.util.zip.GZIPInputStream(
+        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)), 1 << 16)
+      val br = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      br.lines().onClose(() => br.close())
+    } else
+      java.nio.file.Files.lines(java.nio.file.Paths.get(path), StandardCharsets.UTF_8)
+}
+
+/** Replay transport: a finite newline-delimited capture file (plain or
+  * gzip). The head is counted once (a capture does not grow); partition
+  * readers open the file on the executor, so no line data moves through
+  * the driver. */
 final class FileLineTransport(path: String) extends LineTransport {
   private lazy val totalLines: Long = {
-    val s = java.nio.file.Files.lines(java.nio.file.Paths.get(path), StandardCharsets.UTF_8)
+    val s = LineIo.lineStream(path)
     try s.count() finally s.close()
   }
 
   override def head(): Long = totalLines
 
-  override def planPartitions(start: Long, end: Long): Array[InputPartition] = {
-    // chunk the admitted range so partitions parallelize across threads
-    val chunk = math.max(1L, (end - start) / 4)
-    (start until end by chunk)
-      .map(lo => LineRangePartition(path, lo, math.min(end, lo + chunk)))
-      .toArray[InputPartition]
-  }
+  override def planPartitions(start: Long, end: Long): Array[InputPartition] =
+    if (path.endsWith(".gz"))
+      // gzip is unsplittable: a range reader must decode from byte 0, so N
+      // chunked partitions would decode the stream N times. One partition
+      // per admitted range; a deployment needing parallel replay of big
+      // captures recompresses to a splittable codec or splits the files.
+      Array(LineRangePartition(path, start, end))
+    else {
+      // chunk the admitted range so partitions parallelize across threads
+      val chunk = math.max(1L, (end - start) / 4)
+      (start until end by chunk)
+        .map(lo => LineRangePartition(path, lo, math.min(end, lo + chunk)))
+        .toArray[InputPartition]
+    }
 
   override def readerFactory: PartitionReaderFactory = LineReaderFactory
 }

@@ -107,7 +107,7 @@ object LineReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LineRangePartition]
     new PartitionReader[InternalRow] {
-      private val stream = Files.lines(Paths.get(p.path), StandardCharsets.UTF_8)
+      private val stream = LineIo.lineStream(p.path) // plain or .gz capture
       private val it = stream.skip(p.start)
         .limit(math.max(0L, p.end - p.start)).iterator()
       private var current: String = _

@@ -113,4 +113,26 @@ class OandaReplaySourceSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("batch read is only supported for transport=file")),
       s"got: ${messages(e)}")
   }
+
+  test("gzip capture replays identically to the plain file (streaming + batch)") {
+    val plain = captureFile(ticks)
+    val gz = Files.createTempFile("oanda-capture", ".jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    try out.write(ticks.mkString("\n").getBytes("UTF-8")) finally out.close()
+    def drain(path: String): Seq[String] = {
+      val name = s"gzrep_${System.nanoTime()}"
+      val q = spark.readStream.format("oanda-replay")
+        .option("path", path).option("linesPerTrigger", "4").load()
+        .writeStream
+        .option("checkpointLocation", Files.createTempDirectory("gz-ckpt").toString)
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(name).collect().map(_.getString(0)).toSeq.sorted
+    }
+    assert(drain(gz.toString) == drain(plain), "gzip stream diverges from plain")
+    val batchGz = spark.read.format("oanda-replay").option("path", gz.toString)
+      .load().collect().map(_.getString(0)).toSeq.sorted
+    assert(batchGz == drain(plain), "gzip batch read diverges")
+  }
 }
