@@ -55,8 +55,14 @@ object ThroughputBench {
         instrument = col("event_type"), time = isoMicros(col("ts"))).as("value"))
     val capDir = java.nio.file.Files.createTempDirectory("graft-tput").toString
     lines.repartition(1).write.mode("overwrite").text(s"$capDir/cap")
+    // match part-* rather than a .txt suffix: a configured compression codec
+    // renames the output part-*.txt.gz/.snappy and the suffix probe NPEs
     val capFile = new java.io.File(s"$capDir/cap").listFiles()
-      .find(_.getName.endsWith(".txt")).get.getAbsolutePath
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      .sortBy(_.getName).headOption
+      .getOrElse(sys.error(s"no part-* file under $capDir/cap; contents: " +
+        new java.io.File(s"$capDir/cap").listFiles().map(_.getName).mkString(", ")))
+      .getAbsolutePath
     val nLines = spark.read.text(capFile).count()
 
     // warm codegen/reader paths once

@@ -43,8 +43,10 @@ object ProtoFunctions {
 
   /** Java-callable encode bodies shared by eval and generated code (the
     * object's static forwarders make `ProtoFunctions.tickEnvelope(...)`
-    * valid in janino-generated Java). `nanos` boxed: null ⇒ derive from
-    * the µs remainder (TimestampPieces' contract). */
+    * valid in janino-generated Java). `nanos` boxed, null ⇒ derive from the
+    * µs remainder — the timestamp-pieces contract (SURVEY.md §7.3#1):
+    * seconds = floorDiv(µs, 1e6); nanos = the 9-digit sidecar when present
+    * (full wire fidelity) else floorMod(µs, 1e6) × 1000. */
   def tickEnvelope(tick: InternalRow, micros: Long, nanos: java.lang.Integer): Array[Byte] = {
     val seconds = Math.floorDiv(micros, 1000000L)
     val ns = if (nanos != null) nanos.intValue()
@@ -60,20 +62,6 @@ object ProtoFunctions {
     val ns = if (nanos != null) nanos.intValue()
       else (Math.floorMod(micros, 1000000L) * 1000L).toInt
     ProtoWire.envelope(2, ProtoWire.heartbeat(seconds, ns, str(hb, 1)))
-  }
-}
-
-/** Proto timestamp pieces from a µs TimestampType value + the 9-digit nanos
-  * sidecar (SURVEY.md §7.3#1): seconds = floor(µs / 1e6); nanos = sidecar
-  * when present (full wire fidelity) else the µs remainder × 1000. */
-trait TimestampPieces {
-  def pieces(microsRaw: Any, nanosRaw: Any): (Long, Int) = {
-    val micros = microsRaw.asInstanceOf[Long]
-    val seconds = Math.floorDiv(micros, 1000000L)
-    val nanos =
-      if (nanosRaw != null) nanosRaw.asInstanceOf[Int]
-      else (Math.floorMod(micros, 1000000L) * 1000L).toInt
-    (seconds, nanos)
   }
 }
 
@@ -97,7 +85,7 @@ private[proto] trait EnvelopeCodegen { self: TernaryExpression =>
       if (!${t.isNull} && !${s.isNull}) {
         ${ev.value} = graft.proto.ProtoFunctions.$helperName(
           ${t.value}, ${s.value},
-          ${n.isNull} ? null : (java.lang.Integer) ${n.value});
+          ${n.isNull} ? null : java.lang.Integer.valueOf(${n.value}));
         ${ev.isNull} = false;
       }""")
   }

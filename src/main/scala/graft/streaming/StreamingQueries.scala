@@ -556,9 +556,11 @@ object StreamingQueries {
       // probe is one O(1) GetArrayItem + an ~|hold|/Buckets containment
       // scan. Deliberately an ARRAY, not a MapType: Spark's map element_at
       // linear-scans the key array — O(Buckets) per probe, the exact
-      // wrong-shape this replaces. The dense collect is ordered by the
-      // single-partition sortWithinPartitions (one 16Ki-row task, static
-      // side, once).
+      // wrong-shape this replaces. Bucket order is made EXPLICIT by
+      // sort_array over (bk, hs) structs — collect_list is documented
+      // order-non-deterministic, so correctness must not rest on physical
+      // iteration order (a silent-misplacement hazard: probe misses are
+      // silent false negatives).
       val Buckets = 16384L
       val bucketed = graft.Tables(s, dir, "documents")
         .select(split(col("text"), " ").as("w"), (md5Long(col("text")) % 100).as("b"))
@@ -571,8 +573,8 @@ object StreamingQueries {
       val holdArr = s.range(Buckets).select(col("id").as("bk"))
         .join(bucketed, Seq("bk"), "left")
         .select(col("bk"), coalesce(col("hs"), array().cast("array<bigint>")).as("hs"))
-        .coalesce(1).sortWithinPartitions("bk")
-        .agg(collect_list(col("hs")).as("hold"))
+        .agg(sort_array(collect_list(struct(col("bk"), col("hs")))).as("bkhs"))
+        .select(transform(col("bkhs"), x => x.getField("hs")).as("hold"))
       val base = docsStream(s, dir)
         .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
           split(col("text"), " ").as("w"),

@@ -213,6 +213,28 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(hex(proto) == hex(expected))
   }
 
+  test("envelope encode projection plans INSIDE WholeStageCodegen (no fallback eviction)") {
+    // Guards the doGenCode path: if janino rejected the generated encode call
+    // (e.g. an illegal boxing cast), CollapseCodegenStages would silently
+    // evict the whole sink projection from codegen and no value-level test
+    // would fail — only this plan-shape assertion would.
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // go through a file scan — a local Seq is constant-folded to a
+    // LocalTableScan at plan time and never exercises codegen at all
+    val tmp = java.nio.file.Files.createTempDirectory("graft-codegen-probe")
+    java.nio.file.Files.write(tmp.resolve("cap.jsonl"), java.util.Arrays.asList(
+      """{"asks":[{"price":"1.1","liquidity":10}],"bids":[],"closeoutAsk":"1.1","closeoutBid":"1.0","instrument":"EUR_USD","status":"tradeable","time":"2024-01-15T09:30:00.000000000Z"}""",
+      """{"type":"HEARTBEAT","time":"2024-01-15T09:30:05Z"}"""))
+    val lines = spark.read.text(tmp.resolve("cap.jsonl").toString)
+    val df = OandaPipeline.pipeline(lines).select("proto")
+    df.collect()
+    val codegenSpans = SparkTestSession.flattenExecuted(df.queryExecution.executedPlan)
+      .collect { case w: WholeStageCodegenExec => w.child.toString }
+    assert(codegenSpans.exists(s =>
+      s.contains("encode_price_tick_proto") && s.contains("encode_heartbeat_proto")),
+      s"envelope encoders not inside any WholeStageCodegen span:\n${df.queryExecution.executedPlan}")
+  }
+
   test("heartbeat envelope encodes oneof field 2 with type string") {
     val line = """{"type":"HEARTBEAT","time":"2024-01-15T09:30:05Z"}"""
     val proto = OandaPipeline.pipeline(Seq(line).toDF("value"))
