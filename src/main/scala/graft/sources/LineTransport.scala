@@ -58,19 +58,33 @@ object LineIo {
       br.lines().onClose(() => br.close())
     } else
       java.nio.file.Files.lines(java.nio.file.Paths.get(path), StandardCharsets.UTF_8)
+
+  /** Raw reader over a (possibly gzipped) capture — the tail-capable opener
+    * for the continuous reader: after `readLine()` returns null at EOF, a
+    * later call picks up lines appended to a PLAIN file since (gzip streams
+    * cannot grow; a continuous query over a .gz capture drains it and then
+    * idles). */
+  def lineReader(path: String): BufferedReader = {
+    val raw = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val in = if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16) else raw
+    new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+  }
 }
 
 /** Replay transport: a finite newline-delimited capture file (plain or
-  * gzip). The head is counted once (a capture does not grow); partition
-  * readers open the file on the executor, so no line data moves through
-  * the driver. */
-final class FileLineTransport(path: String) extends LineTransport {
-  private lazy val totalLines: Long = {
+  * gzip). The head is counted once (a capture does not grow) unless
+  * `tail=true`, which re-counts per call so a live-appended capture keeps
+  * feeding micro-batches (the latency-bench twin of the continuous tail).
+  * Partition readers open the file on the executor, so no line data moves
+  * through the driver. */
+final class FileLineTransport(path: String, tail: Boolean = false) extends LineTransport {
+  private def countLines(): Long = {
     val s = LineIo.lineStream(path)
     try s.count() finally s.close()
   }
+  private lazy val totalLines: Long = countLines()
 
-  override def head(): Long = totalLines
+  override def head(): Long = if (tail) countLines() else totalLines
 
   override def planPartitions(start: Long, end: Long): Array[InputPartition] =
     if (path.endsWith(".gz"))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ContinuousPartitionReader, ContinuousPartitionReaderFactory, ContinuousStream, MicroBatchStream, Offset, PartitionOffset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -49,23 +49,27 @@ class OandaReplayProvider extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table =
     new OandaReplayTable(properties.get("path"),
       Option(properties.get("linesPerTrigger")).map(_.toInt).getOrElse(100),
-      Option(properties.get("transport")).getOrElse("file"))
+      Option(properties.get("transport")).getOrElse("file"),
+      Option(properties.get("pollMs")).map(_.toLong).getOrElse(10L),
+      Option(properties.get("tail")).exists(_.toBoolean))
 }
 
 object OandaReplaySource {
   val schema: StructType = StructType(Seq(StructField("value", StringType)))
 }
 
-class OandaReplayTable(path: String, linesPerTrigger: Int, transport: String = "file")
+class OandaReplayTable(path: String, linesPerTrigger: Int, transport: String = "file",
+    pollMs: Long = 10L, tail: Boolean = false)
     extends Table with SupportsRead {
   require(transport == "http" || path != null, "oanda-replay requires option 'path'")
   override def name(): String = s"oanda-replay(${if (transport == "http") "http" else path})"
   override def schema(): StructType = OandaReplaySource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.CONTINUOUS_READ,
+      TableCapability.BATCH_READ).asJava
 
   private def newTransport(): LineTransport = transport match {
-    case "file" => new FileLineTransport(path)
+    case "file" => new FileLineTransport(path, tail)
     case "http" =>
       // live wire: config from env exactly like the reference's main
       // (config.rs:14-36); errors carry the reference's usage text
@@ -82,6 +86,8 @@ class OandaReplayTable(path: String, linesPerTrigger: Int, transport: String = "
       override def readSchema(): StructType = OandaReplaySource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new OandaReplayMicroBatchStream(newTransport(), linesPerTrigger)
+      override def toContinuousStream(checkpointLocation: String): ContinuousStream =
+        new OandaReplayContinuousStream(path, transport, pollMs, linesPerTrigger)
       override def toBatch: Batch = new Batch {
         override def planInputPartitions(): Array[InputPartition] = {
           // a live HTTP stream has no finite extent to batch-scan; fail with
@@ -176,4 +182,134 @@ class OandaReplayMicroBatchStream(transport: LineTransport, linesPerTrigger: Int
   override def commit(end: Offset): Unit =
     transport.commit(end.asInstanceOf[LineOffset].line)
   override def stop(): Unit = transport.close()
+}
+
+// ---------------------------------------------------------------------------
+// Continuous-processing arm (Trigger.Continuous): the per-record execution
+// mode the reference itself embodies — one JSON line in, one proto out, no
+// batch boundary anywhere (`/root/reference/src/main.rs:67-121` is a
+// per-message loop). The P3→P13 forward pipeline is stateless and map-only,
+// exactly the plan shape ContinuousExecution supports, so the whole
+// parse→derive→encode→publish chain runs as ONE long-lived epoch-marked
+// task per partition with ~millisecond record latency (measured vs
+// micro-batch in graft.LatencyBench; see SCALE.md).
+// ---------------------------------------------------------------------------
+
+/** Per-partition continuous offset: absolute count of lines emitted so far
+  * by this partition's reader (single-cursor source ⇒ one partition). */
+case class LinePartitionOffset(line: Long) extends PartitionOffset
+
+/** One continuous partition = the stream cursor. `startLine` restores the
+  * epoch-coordinator's committed position on restart (file transport; a
+  * live HTTP stream has no resume cursor — documented live-only, like the
+  * reference). */
+case class ContinuousLinePartition(path: String, transport: String,
+    startLine: Long, pollMs: Long, maxBuffered: Int) extends InputPartition
+
+/** A line stream is one ordered cursor (the reference's single HTTP
+  * connection), so the continuous scan is a single partition whose
+  * long-running reader tails the transport: blocking `next()` with a
+  * `pollMs` back-off at EOF. Epoch advancement is the framework's job —
+  * `getOffset` reports the absolute line index and `mergeOffsets` takes the
+  * max (trivial over one partition). At-least-once per epoch, exactly the
+  * continuous-mode contract. */
+class OandaReplayContinuousStream(path: String, transport: String,
+    pollMs: Long, maxBuffered: Int) extends ContinuousStream {
+
+  override def initialOffset(): Offset = LineOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    LineOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
+
+  override def mergeOffsets(offsets: Array[PartitionOffset]): Offset =
+    LineOffset(offsets.map(_.asInstanceOf[LinePartitionOffset].line).max)
+
+  override def planInputPartitions(start: Offset): Array[InputPartition] =
+    Array(ContinuousLinePartition(path, transport,
+      start.asInstanceOf[LineOffset].line, pollMs, maxBuffered))
+
+  override def createContinuousReaderFactory(): ContinuousPartitionReaderFactory =
+    ContinuousLineReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object ContinuousLineReaderFactory extends ContinuousPartitionReaderFactory {
+  override def createReader(partition: InputPartition): ContinuousPartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ContinuousLinePartition]
+    p.transport match {
+      case "file" => new ContinuousFileLineReader(p.path, p.startLine, p.pollMs)
+      case "http" => new ContinuousHttpLineReader(p.pollMs, p.maxBuffered)
+      case other => throw new IllegalArgumentException(
+        s"unknown transport '$other' (expected file|http)")
+    }
+  }
+}
+
+/** Tails a capture file from `startLine`: reads lines as they exist, and at
+  * EOF sleeps `pollMs` and retries — appended lines flow through with
+  * ~pollMs latency, forever (a continuous stream is unbounded; the query
+  * stops when the user stops it, and Spark interrupts the blocked task).
+  * Tail caveat: a producer must append whole lines (write line+\n in one
+  * call) — readLine on a torn write would frame a partial line, the
+  * standard tail contract. */
+private final class ContinuousFileLineReader(path: String, startLine: Long, pollMs: Long)
+    extends ContinuousPartitionReader[InternalRow] {
+  private val br = LineIo.lineReader(path)
+  private var lineNo = 0L
+  // skip to the restored offset (cheap line-skip; a capture replay restart)
+  while (lineNo < startLine && br.readLine() != null) lineNo += 1
+  private var current: String = _
+
+  override def next(): Boolean = {
+    var line = br.readLine()
+    while (line == null) { // EOF: tail for appends (plain files grow; gz idles)
+      Thread.sleep(pollMs) // InterruptedException propagates on query stop
+      line = br.readLine()
+    }
+    current = line
+    lineNo += 1
+    true
+  }
+
+  override def get(): InternalRow = InternalRow(UTF8String.fromString(current))
+  override def getOffset: PartitionOffset = LinePartitionOffset(lineNo)
+  override def close(): Unit = br.close()
+}
+
+/** Live-wire continuous reader: the HTTP transport runs INSIDE the
+  * long-lived task (the executor holds the connection — the reference's
+  * whole process collapsed into one Spark task), pulling one line at a time
+  * off the bounded buffer and committing immediately to release
+  * backpressure. Live-only semantics: no resume cursor across restarts
+  * (`startLine` is nominal), matching the OANDA stream contract the
+  * reference has (`oanda_client.rs:10-39`). */
+private final class ContinuousHttpLineReader(pollMs: Long, maxBuffered: Int)
+    extends ContinuousPartitionReader[InternalRow] {
+  private val cfg = graft.Config.fromEnv().fold(
+    err => throw new IllegalArgumentException(s"$err\n\n${graft.Config.usage}"),
+    identity)
+  private val transport = new HttpLineTransport(cfg, HttpConnector.Jdk, maxBuffered)
+  private var cursor = 0L
+  private var emitted = 0L
+  private var current: String = _
+
+  override def next(): Boolean = {
+    while (transport.head() <= cursor) {
+      transport.failure.foreach(e => throw e) // dead wire fails the query, not hangs it
+      Thread.sleep(pollMs)
+    }
+    val part = transport.planPartitions(cursor, cursor + 1)
+      .head.asInstanceOf[BufferedLinesPartition]
+    cursor += 1
+    transport.commit(cursor) // per-record drain — the continuous contract
+    current = part.lines.head
+    emitted += 1
+    true
+  }
+
+  override def get(): InternalRow = InternalRow(UTF8String.fromString(current))
+  override def getOffset: PartitionOffset = LinePartitionOffset(emitted)
+  override def close(): Unit = transport.close()
 }
