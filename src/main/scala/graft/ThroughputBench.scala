@@ -89,6 +89,12 @@ object ThroughputBench {
       val runs = Seq.fill(3)(timed(f())._1).sorted
       name -> runs(1)
     }
+    // fast-parser observability (same JVM in local mode): a near-zero hit
+    // share means the synthesized corpus is falling back to Jackson and the
+    // parse figure isn't measuring the fast path at all
+    val hits = graft.functions.FastWireParser.fastHits.sum()
+    val falls = graft.functions.FastWireParser.fallbacks.sum()
+    System.err.println(s"[tput] fast-parse hits=$hits fallbacks=$falls")
 
     // ---- the streaming leg: real MicroBatchStream + checkpoints ----
     val ckpt = java.nio.file.Files.createTempDirectory("graft-tput-ckpt").toString

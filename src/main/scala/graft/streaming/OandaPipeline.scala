@@ -35,8 +35,12 @@ object OandaPipeline {
   def parse(lines: DataFrame): DataFrame = {
     val parsed = lines
       .filter(length(trim(col("value"))) > 0) // P3: oanda_client.rs:50-53
-      .withColumn("j", from_json(col("value"), OandaSchemas.wireSchema,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      // round-8: parse_oanda_wire = the codegen'd two-shape parser with a
+      // Jackson (from_json PERMISSIVE) delegate for anything surprising —
+      // value-identical to from_json(wireSchema) by construction
+      // (FastWireParseSpec), but the projection stays inside whole-stage
+      // codegen and the happy path skips generic-token parsing entirely
+      .withColumn("j", graft.functions.ParseOandaWire.parseWire(col("value")))
       // discriminator probes (≙ raw_json.get pre-deserialize) — evaluated on
       // the single from_json pass; a present-but-mistyped discriminator nulls
       // under partial results, landing in the same Unknown branch the
