@@ -1256,6 +1256,110 @@ object VectorQueries {
         .orderBy("cluster")
     },
 
+    // q189's 100 TB arm (round-8 verdict task): exact grid DBSCAN's candidate
+    // volume is density-quadratic BY DEFINITION — fixed ε over a fixed-area
+    // fixture means 10× points ⇒ ~100× pairs (measured 30.4× cost at the sf1
+    // 10× step), and any exact execution must enumerate them. This variant
+    // bounds density at the source: each ε-cell contributes at most K=32
+    // NEIGHBOR candidates, selected in portable hash order (md5('cap:'||id),
+    // deterministic and engine-agnostic, the q151b pigeonhole discipline) —
+    // candidate volume is ≤ 9·K·n, LINEAR in n at any density. Every point
+    // is still classified (the probe side is uncapped); approximation
+    // semantics: neighbor counts are lower bounds over the per-cell sample,
+    // so very dense cells may under-detect cores/merge-paths — the standard
+    // sampled-DBSCAN trade, stated here and replayed IDENTICALLY by the
+    // oracle (same hash order ⇒ same sample ⇒ bit-equal output).
+    q("q189b_grid_dbscan_capped",
+      "grid DBSCAN with a deterministic per-cell candidate cap (K=32, portable hash order) — density-bounded linear candidate volume")(
+      s"""WITH RECURSIVE pts AS (
+         |  SELECT c_custkey AS id,
+         |         c_nationkey * 5000 + ${md5LongSql("'px:' || c_custkey")} % 1200 AS x,
+         |         ${md5LongSql("'py:' || c_custkey")} % 1200 AS y
+         |  FROM customer),
+         |ball AS (SELECT id AS j, x AS xb, y AS yb, x // 300 AS cx, y // 300 AS cy FROM pts),
+         |b AS (SELECT j, xb, yb, cx, cy FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY cx, cy
+         |          ORDER BY ${md5LongSql("'cap:' || j")}, j) AS rnk FROM ball)
+         |      WHERE rnk <= 32),
+         |p AS (SELECT id AS i, x AS xa, y AS ya,
+         |             x // 300 + dxs.dx AS cx, y // 300 + dys.dy AS cy
+         |      FROM pts, (SELECT unnest([-1, 0, 1]) AS dx) dxs,
+         |                (SELECT unnest([-1, 0, 1]) AS dy) dys),
+         |cand AS (
+         |  SELECT i, j FROM p JOIN b USING (cx, cy)
+         |  WHERE (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 90000),
+         |cores AS (SELECT i AS id FROM cand GROUP BY i HAVING count(*) >= 5),
+         |cc0 AS (SELECT i, j FROM cand
+         |        WHERE i <> j AND i IN (SELECT id FROM cores)
+         |          AND j IN (SELECT id FROM cores)),
+         |-- the cap makes cand ASYMMETRIC (probe side uncapped, build side
+         |-- capped); core reachability is undirected, so symmetrize before
+         |-- propagating — otherwise every uncapped core self-labels
+         |ce AS (SELECT i, j FROM cc0 UNION SELECT j AS i, i AS j FROM cc0),
+         |reach AS (SELECT id, id AS r FROM cores
+         |          UNION
+         |          SELECT e.j AS id, r.r FROM reach r JOIN ce e ON e.i = r.id),
+         |clab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+         |border AS (SELECT c.i AS id, min(l.lbl) AS lbl
+         |           FROM cand c JOIN clab l ON c.j = l.id
+         |           WHERE c.i NOT IN (SELECT id FROM cores)
+         |           GROUP BY c.i)
+         |SELECT lbl AS cluster, CAST(count(*) AS BIGINT) AS n_pts,
+         |       CAST(sum(is_core) AS BIGINT) AS n_core
+         |FROM (SELECT lbl, 1 AS is_core FROM clab
+         |      UNION ALL SELECT lbl, 0 AS is_core FROM border)
+         |GROUP BY lbl ORDER BY cluster""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val eps = 300L; val eps2 = 90000L; val minPts = 5L; val cap = 32L
+      val pts = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          (col("c_nationkey") * 5000 +
+            md5Long(concat(lit("px:"), col("c_custkey").cast("string"))) % 1200).as("x"),
+          (md5Long(concat(lit("py:"), col("c_custkey").cast("string"))) % 1200).as("y"))
+        .cache()
+      // per-cell NEIGHBOR sample: ≤ cap build rows per ε-cell, hash-ordered
+      val build = pts.select(col("id").as("j"), col("x").as("xb"), col("y").as("yb"),
+          expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
+        .withColumn("rnk", row_number().over(Window.partitionBy("cx", "cy")
+          .orderBy(md5Long(concat(lit("cap:"), col("j").cast("string"))), col("j"))))
+        .filter(col("rnk") <= cap).drop("rnk")
+      val probeExp = pts
+        .select(col("id").as("i"), col("x").as("xa"), col("y").as("ya"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("dx"))
+        .select(col("i"), col("xa"), col("ya"), col("dx"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("dy"))
+        .select(col("i"), col("xa"), col("ya"),
+          (expr(s"xa div $eps") + col("dx")).as("cx"),
+          (expr(s"ya div $eps") + col("dy")).as("cy"))
+      val cand = probeExp.join(build, Seq("cx", "cy"))
+        .filter((col("xa") - col("xb")) * (col("xa") - col("xb"))
+          + (col("ya") - col("yb")) * (col("ya") - col("yb")) <= eps2)
+        .select(col("i"), col("j"))
+        .cache()
+      val cores = cand.groupBy("i").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minPts).select(col("i").as("id")).cache()
+      val coreEdges = cand
+        .join(cores.select(col("id").as("i")), Seq("i"), "left_semi")
+        .join(cores.select(col("id").as("j")), Seq("j"), "left_semi")
+        .filter(col("i") =!= col("j"))
+        .select(col("i").as("d1"), col("j").as("d2"))
+      val lab = StarContraction.components(coreEdges)
+      val coreLab = cores.join(lab, cores("id") === lab("doc_id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("lbl"))
+        .cache()
+      val border = cand
+        .join(cores.select(col("id").as("i")), Seq("i"), "left_anti")
+        .join(coreLab.select(col("id").as("j"), col("lbl")), Seq("j"))
+        .groupBy("i").agg(min(col("lbl")).as("lbl"))
+      coreLab.select(col("lbl"), lit(1L).as("is_core"))
+        .unionByName(border.select(col("lbl"), lit(0L).as("is_core")))
+        .groupBy("lbl")
+        .agg(count(lit(1)).as("n_pts"), sum(col("is_core")).as("n_core"))
+        .select(col("lbl").as("cluster"), col("n_pts"), col("n_core"))
+        .orderBy("cluster")
+    },
+
     // Distributed PCA, top component by power iteration — the
     // linear-algebra member of the scale library. Two regimes, cleanly
     // split: the DATA-SIZED part (the 64×64 gram matrix) is ONE
