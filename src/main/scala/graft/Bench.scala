@@ -63,8 +63,11 @@ object Bench {
     // the MEDIAN of three; the spread across repeats is the run's measured
     // variance figure. Bounded: at most REPEAT_MAX queries repeat, so the
     // extra wall cost is ~2x the slow tail, never 2x the whole registry.
-    val repeatThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_THRESH", "6.0").toDouble
-    val repeatMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_MAX", "12").toInt
+    // round-8: threshold lowered 6s -> 3s and the cap raised so the WHOLE
+    // >3s tail gets 3-run medians (~20 queries; +2-3 min wall on the full
+    // registry) — cheap insurance now the perf gate rides on single digits
+    val repeatThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_THRESH", "3.0").toDouble
+    val repeatMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_MAX", "40").toInt
     val fnOf = queries.toMap
     val repeated: Map[String, Seq[Double]] =
       firstPass.filter(_._2 >= repeatThresh).sortBy(-_._2).take(repeatMax)

@@ -39,6 +39,27 @@ object OandaColumns {
   def spread(closeoutAsk: Column, closeoutBid: Column): Column =
     parseF64Or0(closeoutAsk) - parseF64Or0(closeoutBid)
 
+  /** Decimal twin of [[parseF64Or0]] — the 100 TB price-fidelity upgrade
+    * (SURVEY.md §1.3: FX prices are decimal strings on the wire; f64
+    * accumulates representation error under aggregation at scale, while
+    * `DecimalType(18,6)` is exact and still codegen'd). Coercion discipline
+    * is the same unwrap_or(0)-shape: anything outside the rust-f64 grammar
+    * coerces to 0, never null. Values INSIDE the f64 grammar that decimal
+    * cannot represent (±inf/nan spellings, magnitude/precision beyond
+    * (18,6)) also coerce to 0 — the documented representation trade of the
+    * decimal arm (a pricing wire never carries them; the f64 arm remains
+    * the reference-exact default). */
+  def parseDecimalOr0(c: Column): Column = {
+    val zero = lit(0).cast("decimal(18,6)")
+    when(!c.rlike(rustF64), zero)
+      .otherwise(coalesce(c.try_cast("decimal(18,6)"), zero))
+  }
+
+  /** P8, decimal arm — config-gated alongside the f64 [[spread]] (knob:
+    * `spark.graft.spread.decimal`, read by OandaPipeline.derive). */
+  def spreadDecimal(closeoutAsk: Column, closeoutBid: Column): Column =
+    parseDecimalOr0(closeoutAsk) - parseDecimalOr0(closeoutBid)
+
   /** Union grammar of the reference's two accepted shapes
     * (`/root/reference/src/main.rs:140-151`): RFC3339
     * (`chrono::DateTime::parse_from_rfc3339` — `T` separator, optional

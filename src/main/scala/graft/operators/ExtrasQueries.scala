@@ -501,6 +501,53 @@ object ExtrasQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Round-8 price-fidelity knob (SURVEY §1.3 closed): the SAME ingest
+    // pipeline with spark.graft.spread.decimal=true derives a
+    // DecimalType(18,6)-exact spread_dec alongside the f64 spread, and this
+    // query aggregates it EXACTLY — sums of decimal spreads, no float
+    // representation error at any scale. Prices are synthesized as integer-
+    // derived 6-dp decimal strings (printf on BIGINTs, identical in both
+    // engines), so every value is exactly representable and the oracle
+    // compares decimals bit-for-bit. The f64 arm is untouched by the knob
+    // (OandaColumnsSpec pins unwrap_or(0.0) semantics either way).
+    q("q356_decimal_spread",
+      "decimal(18,6)-exact spread through the real pipeline (spark.graft.spread.decimal knob)")(
+      """WITH lines AS (
+        |  SELECT event_type,
+        |         printf('%d.%06d', event_id % 2000, (event_id * 7919) % 1000000) AS ask,
+        |         printf('%d.%06d', event_id % 1500, (event_id * 104729) % 1000000) AS bid
+        |  FROM events)
+        |SELECT event_type AS instrument, CAST(count(*) AS BIGINT) AS n_ticks,
+        |       CAST(CAST(sum(try_cast(ask AS DECIMAL(18,6)) - try_cast(bid AS DECIMAL(18,6)))
+        |            AS DECIMAL(28,6)) AS VARCHAR) AS sum_spread,
+        |       CAST(CAST(max(try_cast(ask AS DECIMAL(18,6)) - try_cast(bid AS DECIMAL(18,6)))
+        |            AS DECIMAL(19,6)) AS VARCHAR) AS max_spread
+        |FROM lines GROUP BY event_type ORDER BY instrument""".stripMargin
+    ) { (s, dir) =>
+      import graft.streaming.WireLines._
+      val ev = Tables(s, dir, "events")
+      val lines = ev.select(
+        tickLine(emptyLevels, emptyLevels,
+          format_string("%d.%06d", expr("event_id % 2000"), expr("(event_id * 7919) % 1000000")),
+          format_string("%d.%06d", expr("event_id % 1500"), expr("(event_id * 104729) % 1000000")),
+          col("event_type"), isoMicros(col("ts"))).as("value"))
+        .repartition(s.sparkContext.defaultParallelism)
+      // knob read at plan-construction time; restore so other registry
+      // queries keep the reference-faithful f64-only frame
+      s.conf.set("spark.graft.spread.decimal", "true")
+      val wire =
+        try graft.streaming.OandaPipeline.derive(graft.streaming.OandaPipeline.parse(lines))
+        finally s.conf.unset("spark.graft.spread.decimal")
+      wire.filter(col("message_type") === "price_tick")
+        .groupBy(col("tick.instrument").as("instrument"))
+        .agg(count(lit(1)).as("n_ticks"),
+          // VARCHAR at the boundary only (the oracle comparator is
+          // parquet-native); the fixed 6-dp rendering IS the exactness proof
+          sum(col("spread_dec")).cast("decimal(28,6)").cast("string").as("sum_spread"),
+          max(col("spread_dec")).cast("decimal(19,6)").cast("string").as("max_spread"))
+        .orderBy("instrument")
+    },
+
     // B37: protobuf wire round-trip over fixture data — events are projected
     // into tick-shaped wire lines, run through the FULL ingest pipeline
     // (parse → derive → proto encode), decoded back from the wire bytes, and

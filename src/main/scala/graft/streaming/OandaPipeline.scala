@@ -97,10 +97,20 @@ object OandaPipeline {
     * (two-format parse + nanos sidecar), display projection. */
   def derive(parsed: DataFrame, displayZone: String = "UTC"): DataFrame = {
     val t = coalesce(col("tick.time"), col("heartbeat.time"))
-    parsed
+    // price-fidelity knob (SURVEY §1.3): spark.graft.spread.decimal=true adds
+    // a DecimalType(18,6)-exact spread_dec ALONGSIDE the reference-faithful
+    // f64 spread — the f64 arm is untouched either way (property-pinned)
+    val decimalKnob = parsed.sparkSession.conf
+      .getOption("spark.graft.spread.decimal").exists(_.toBoolean)
+    val withSpread = parsed
       .withColumn("spread",
         when(col("message_type") === "price_tick",
           OandaColumns.spread(col("tick.closeout_ask"), col("tick.closeout_bid"))))
+    (if (decimalKnob)
+      withSpread.withColumn("spread_dec",
+        when(col("message_type") === "price_tick",
+          OandaColumns.spreadDecimal(col("tick.closeout_ask"), col("tick.closeout_bid"))))
+    else withSpread)
       .withColumn("event_ts", OandaColumns.parseEventTime(t))
       .withColumn("time_nanos", when(t.isNotNull, OandaColumns.timeNanos(t)))
       .withColumn("display_time", OandaColumns.displayTime(col("event_ts"), displayZone))

@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: maxFailures=2 so task-retry semantics are testable
+      // (TaskFailureRecoverySpec injects a once-failing task; plain local[N]
+      // fails the whole job on the first task failure)
+      .master("local[4, 2]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -41,6 +41,37 @@ class OandaColumnsSpec extends AnyFunSuite {
     }
   }
 
+  test("P8 decimal arm: same coercion grammar, exact BigDecimal(18,6) values; f64 arm unaffected by the knob") {
+    // model: in-grammar decimal forms → BigDecimal rounded half-up to 6 dp;
+    // out-of-grammar, and in-grammar-but-unrepresentable (inf/nan/overflow)
+    // → 0 (the documented decimal-arm trade)
+    def model(s: String): BigDecimal = {
+      val inGrammar = s.matches("^[+-]?((?i)inf(inity)?|(?i)nan|(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?)$")
+      if (!inGrammar || s.toLowerCase.contains("inf") || s.toLowerCase.contains("nan")) BigDecimal(0)
+      else {
+        val bd = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        if (bd.precision - bd.scale > 12) BigDecimal(0) else bd // > (18,6) range
+      }
+    }
+    val cases = Seq("1.08425", "-3.5", "0.0000005", "0.0000004", "1e3", "1.5E-8",
+      "9999999999999.99", "99999999999999", "garbage", "  1.5  ", "inf", "-infinity",
+      "nan", ".5", "3.", "007", "-0.0", "1.2345678")
+    val pairs = for (a <- cases; b <- cases) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        OandaColumns.spreadDecimal(col("a"), col("b")).as("sd"),
+        OandaColumns.spread(col("a"), col("b")).as("sf"))
+      .collect()
+    got.foreach { r =>
+      val want = model(r.getString(0)) - model(r.getString(1))
+      assert(BigDecimal(r.getDecimal(2)).compare(want) == 0,
+        s"ask=${r.getString(0)} bid=${r.getString(1)} got=${r.getDecimal(2)} want=$want")
+      // the f64 column computed in the SAME frame still matches the rust model
+      val wantF = rustParseOr0(r.getString(0)) - rustParseOr0(r.getString(1))
+      assert(r.getDouble(3) == wantF || (r.getDouble(3).isNaN && wantF.isNaN))
+    }
+  }
+
   test("P9 parse is total over both reference formats (rfc3339 offset + literal-Z fractional)") {
     val rnd = new scala.util.Random(7)
     val cases = for {
