@@ -459,6 +459,96 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** 2× PCM decimation through the REAL WAV codec (q361) — the audio
+    * resize verb, completing the per-modality transform pairs (image:
+    * q163 box-resize / q303 flip+crop; audio: this): synthesize the q69
+    * RIFF/PCM16 payload, decode through the real container parse, then
+    * box-decimate 2× — each output sample is the TOWARD-ZERO integer mean
+    * of its 2-sample block (Scala `/` ≡ DuckDB `//`, the q197-verified
+    * truncating-division parity; an odd tail sample passes through
+    * unaveraged) — and RE-ENCODE the half-rate result at 4 kHz and decode
+    * it AGAIN (q163's doubled-round-trip discipline: the emitted stats
+    * prove the codec handles the NEW sample count, including odd lengths
+    * and the empty clip). Row-local map stage at any corpus scale. */
+  def audioDecimateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val samples = text.map(ch => ((ch.toInt - 96) * 256).toShort).toArray
+          val s = WavCodec.decode(WavCodec.encode(8000, samples)).samples
+          val outN = (s.length + 1) / 2
+          val out = Array.tabulate(outN) { f =>
+            val a = s(2 * f).toInt
+            if (2 * f + 1 < s.length) ((a + s(2 * f + 1).toInt) / 2).toShort
+            else a.toShort
+          }
+          val rt = WavCodec.decode(WavCodec.encode(4000, out)) // 2nd real round-trip
+          var peak = 0L; var sum = 0L
+          rt.samples.foreach { x =>
+            val a = math.abs(x.toLong); if (a > peak) peak = a
+            sum += x
+          }
+          (id, s.length.toLong, rt.samples.length.toLong, rt.sampleRate,
+            44L + 2L * rt.samples.length, peak, sum)
+        }
+      }
+      .toDF("media_id", "n_samples", "out_samples", "out_rate", "out_bytes",
+        "peak_out", "sum_out")
+      .orderBy("media_id")
+  }
+
+  /** Scene-cut detection through the REAL AVI codec (q362) — the
+    * genuinely-temporal video verb on top of q315's per-pair motion sum:
+    * decode the synthesized RIFF AVI through the real container parse,
+    * compute each adjacent-frame absolute pixel difference d_f (exact
+    * BIGINT), and declare a CUT at frame f iff d_f is STRICTLY above the
+    * clip's own mean pair difference — self-normalizing integer
+    * cross-multiplication (d_f·n_pairs > Σd), no tuned threshold to drift
+    * with the corpus. Emits the cut count, the first cut frame (1-based;
+    * 0 = none), and the max/total differences that pin the arithmetic.
+    * Row-local: a clip's frames live in its own payload. */
+  def sceneCutQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val n = text.length
+          val nf = math.min(4, math.max(1, (n + 63) / 64))
+          val src = Array.tabulate(nf, 4, 16) { (f, y, x) =>
+            val i = f * 64 + y * 16 + x
+            if (i < n) text.charAt(i).toInt & 0xff else 0
+          }
+          val dec = AviCodec.decode(AviCodec.encode(AviCodec.Video(16, 4, 5, src)))
+          val diffs = Array.tabulate(dec.frames.length - 1) { f =>
+            var d = 0L
+            for (y <- 0 until 4; x <- 0 until 16)
+              d += math.abs(dec.frames(f + 1)(y)(x) - dec.frames(f)(y)(x))
+            d
+          }
+          val np = diffs.length.toLong
+          val sd = diffs.sum
+          var nCuts = 0L; var firstCut = 0L; var maxD = 0L
+          var f = 0
+          while (f < diffs.length) {
+            if (diffs(f) > maxD) maxD = diffs(f)
+            if (diffs(f) * np > sd) { // strictly above the clip mean
+              nCuts += 1
+              if (firstCut == 0) firstCut = f + 2 // cut AT frame f+2 (1-based)
+            }
+            f += 1
+          }
+          (id, dec.frames.length.toLong, nCuts, firstCut, maxD, sd)
+        }
+      }
+      .toDF("media_id", "n_frames", "n_cuts", "first_cut", "max_diff", "sum_diff")
+      .orderBy("media_id")
+  }
+
   /** Voice-activity segmentation through the REAL WAV codec (q310): the
     * audio-pipeline primitive that turns a clip into SEGMENTS — frame the
     * PCM into 80-sample frames, flag a frame active iff its exact integer

@@ -1843,6 +1843,83 @@ object AnalyticsQueries {
         .orderBy("l")
     },
 
+    // Wasserstein-1 drift — completes the drift trio (q229 PSI is
+    // bin-symmetric, q259 KS takes the single worst CDF gap; W1 is the
+    // ORDINAL metric: the area between the two CDFs, i.e. how far mass
+    // actually moved across bins, which PSI and KS both under-report for
+    // a small shift spread over many bins). Same 10-bin value histogram
+    // and event_id-parity halves as q229, but the statistic stays EXACT
+    // integer to the last step: with unit bin spacing,
+    // W1 = Σ_b |CDF_ref(b) − CDF_cur(b)| — cross-multiplied to
+    // Σ_b |cumr_b·n_cur − cumc_b·n_ref| (BIGINT; ≤ 9·n² ≈ 2e12 at sf1,
+    // far inside Long), divided once at the end. The cumulative runs in a
+    // per-series window (10-row partitions — bin-spine-bounded, never
+    // data-sized). Shape: one grouped count + the q229 bin spine.
+    q("q357_wasserstein_drift",
+      "Wasserstein-1 (earth-mover) drift per event_type between event_id-parity halves")(
+      """WITH e AS (SELECT event_type, event_id % 2 AS side,
+        |                  least(CAST(floor(value / 50) AS BIGINT), 9) AS bin
+        |           FROM events),
+        |c AS (SELECT event_type, side, bin, count(*) AS k
+        |      FROM e GROUP BY event_type, side, bin),
+        |t AS (SELECT event_type, unnest(generate_series(0, 9)) AS bin
+        |      FROM (SELECT DISTINCT event_type FROM e)),
+        |f AS (SELECT t.event_type, t.bin,
+        |             coalesce(rr.k, 0) AS kr, coalesce(u.k, 0) AS kc
+        |      FROM t LEFT JOIN (SELECT event_type, bin, k FROM c WHERE side = 0) rr
+        |             ON rr.event_type = t.event_type AND rr.bin = t.bin
+        |           LEFT JOIN (SELECT event_type, bin, k FROM c WHERE side = 1) u
+        |             ON u.event_type = t.event_type AND u.bin = t.bin),
+        |cm AS (SELECT event_type, bin,
+        |              CAST(sum(kr) OVER w AS BIGINT) AS cumr,
+        |              CAST(sum(kc) OVER w AS BIGINT) AS cumc
+        |       FROM f WINDOW w AS (PARTITION BY event_type ORDER BY bin
+        |                           ROWS UNBOUNDED PRECEDING)),
+        |tot AS (SELECT event_type, CAST(max(cumr) AS BIGINT) AS nr,
+        |               CAST(max(cumc) AS BIGINT) AS nc
+        |        FROM cm GROUP BY event_type),
+        |g AS (SELECT cm.event_type, tot.nr, tot.nc,
+        |             CAST(sum(abs(cm.cumr * tot.nc - cm.cumc * tot.nr)) AS BIGINT) AS num
+        |      FROM cm JOIN tot USING (event_type)
+        |      GROUP BY cm.event_type, tot.nr, tot.nc)
+        |SELECT event_type, nr AS n_ref, nc AS n_cur, num AS w1_num,
+        |       round(CAST(num AS DOUBLE) / (nr * nc), 6) AS w1
+        |FROM g ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "events").select(col("event_type"),
+        (col("event_id") % 2).as("side"),
+        least(floor(col("value") / 50).cast("long"), lit(9L)).as("bin"))
+      val c = e.groupBy("event_type", "side", "bin").agg(count(lit(1)).as("k"))
+      val t = e.select("event_type").distinct()
+        .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("bin"))
+      def sideCounts(sd: Int, as: String) = c.filter(col("side") === sd)
+        .select(col("event_type"), col("bin"), col("k").as(as))
+      val f = t.join(sideCounts(0, "rk"), Seq("event_type", "bin"), "left")
+        .join(sideCounts(1, "ck"), Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("rk"), lit(0L)).as("kr"), coalesce(col("ck"), lit(0L)).as("kc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      f.select(col("event_type"), col("bin"),
+          sum(col("kr")).over(w).as("cumr"), sum(col("kc")).over(w).as("cumc"))
+        .groupBy("event_type")
+        .agg(max(col("cumr")).as("nr"), max(col("cumc")).as("nc"),
+          // |cumr·nc − cumc·nr| needs the TOTALS, which are the last bin's
+          // cumulatives: fold the 10 (bin, cumr, cumc) rows into one sorted
+          // array and do the cross-multiplication row-locally against the
+          // max-cum totals — one grouped pass, no second join
+          sort_array(collect_list(struct(col("bin"), col("cumr"), col("cumc")))).as("cs"))
+        .select(col("event_type"), col("nr").as("n_ref"), col("nc").as("n_cur"),
+          aggregate(col("cs"), lit(0L),
+            (a, m) => a + abs(m.getField("cumr") * col("nc") - m.getField("cumc") * col("nr")))
+            .as("w1_num"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"), col("w1_num"),
+          round(col("w1_num").cast("double") / (col("n_ref") * col("n_cur")), 6).as("w1"))
+        .orderBy("event_type")
+    },
+
     // Trailing-window anomaly detection, integer-exact: score each hour's
     // event count against its OWN trailing 24 h (mean ± 3σ) — but the
     // 3σ rule needs no sqrt and no floats: y is anomalous iff

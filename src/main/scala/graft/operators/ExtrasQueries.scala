@@ -1023,6 +1023,75 @@ object ExtrasQueries {
          |FROM fr ORDER BY media_id""".stripMargin
     ) { (s, dir) => graft.multimodal.Multimodal.vadSegmentsQuery(s, dir) },
 
+    // 2× PCM decimation through the REAL WAV codec — the audio RESIZE verb
+    // (image has q163 box-resize + q303 flip/crop; audio had none): each
+    // output sample is the toward-zero mean of its 2-sample block (odd tail
+    // passes through), re-encoded at the halved 4 kHz rate and decoded
+    // AGAIN so the stats prove the codec on the NEW geometry (q163's
+    // doubled-round-trip discipline, incl. odd/empty clips). The oracle
+    // re-derives every output sample from the synthesis arithmetic —
+    // toward-zero `//` ≡ the Scala integer division (q197's verified
+    // parity, negatives included: samples go down to −16384).
+    q("q361_audio_decimate",
+      "2× PCM box-decimation via real WAV round-trips (toward-zero integer means)")(
+      """WITH m AS (SELECT doc_id AS media_id, length(text) AS n,
+        |        list_transform(regexp_split_to_array(text, ''),
+        |                       c -> CAST((unicode(c) - 96) * 256 AS BIGINT)) AS smp
+        |        FROM documents),
+        |o AS (SELECT media_id, n, (n + 1) // 2 AS outn,
+        |             list_transform(generate_series(1, (n + 1) // 2),
+        |               f -> CASE WHEN 2 * f <= n THEN (smp[2 * f - 1] + smp[2 * f]) // 2
+        |                         ELSE smp[2 * f - 1] END) AS outs
+        |      FROM m)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(outn AS BIGINT) AS out_samples,
+        |       CAST(4000 AS INT) AS out_rate,
+        |       CAST(44 + 2 * outn AS BIGINT) AS out_bytes,
+        |       CAST(coalesce(list_max(list_transform(outs, x -> abs(x))), 0) AS BIGINT) AS peak_out,
+        |       CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), outs),
+        |                                 (a, b) -> a + b), 0) AS BIGINT) AS sum_out
+        |FROM o ORDER BY media_id""".stripMargin
+    ) { (s, dir) => graft.multimodal.Multimodal.audioDecimateQuery(s, dir) },
+
+    // Scene-cut detection through the REAL AVI codec — the temporal
+    // SEGMENTATION verb on video (q315 measures total motion; this decides
+    // WHERE shots change): a cut at frame f iff the adjacent-frame absolute
+    // pixel difference is strictly above the clip's own mean pair
+    // difference — integer cross-multiplication (d_f·n_pairs > Σd), so the
+    // rule is self-normalizing and exact with no tuned threshold. The
+    // oracle replays the synthesis arithmetic over the text codes; the
+    // Spark side must round-trip the actual RIFF container (frame order +
+    // bottom-up row flips) to agree.
+    q("q362_scene_cuts",
+      "adjacent-frame scene cuts via real AVI decode (above-mean integer diff rule)")(
+      """WITH m AS (SELECT doc_id AS media_id, length(text) AS n,
+        |        list_transform(regexp_split_to_array(text, ''),
+        |                       c -> CAST(unicode(c) AS BIGINT)) AS codes
+        |        FROM documents),
+        |p AS (SELECT media_id, n, codes,
+        |             least(4, greatest(1, (n + 63) // 64)) AS nf FROM m),
+        |d AS (SELECT media_id, nf,
+        |             list_transform(generate_series(2, nf),
+        |               f -> list_reduce(list_transform(generate_series(1, 64),
+        |                 i -> abs((CASE WHEN (f - 1) * 64 + i <= n
+        |                           THEN codes[(f - 1) * 64 + i] ELSE 0 END)
+        |                        - (CASE WHEN (f - 2) * 64 + i <= n
+        |                           THEN codes[(f - 2) * 64 + i] ELSE 0 END))),
+        |               (a, b) -> a + b)) AS diffs
+        |      FROM p),
+        |t AS (SELECT media_id, nf, diffs, CAST(len(diffs) AS BIGINT) AS np,
+        |             CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), diffs),
+        |                                       (a, b) -> a + b), 0) AS BIGINT) AS sd
+        |      FROM d)
+        |SELECT media_id, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(len(list_filter(diffs, x -> x * np > sd)) AS BIGINT) AS n_cuts,
+        |       CAST(coalesce(list_filter(generate_series(2, nf),
+        |                                 f -> diffs[f - 1] * np > sd)[1], 0) AS BIGINT) AS first_cut,
+        |       CAST(coalesce(list_max(diffs), 0) AS BIGINT) AS max_diff,
+        |       sd AS sum_diff
+        |FROM t ORDER BY media_id""".stripMargin
+    ) { (s, dir) => graft.multimodal.Multimodal.sceneCutQuery(s, dir) },
+
     // Order-book depth — the FX-domain query a consumer of the reference
     // would actually run: 3-level ask ladders synthesized onto the wire,
     // parsed back through the REAL ingest pipeline (to_json → OandaPipeline

@@ -20,6 +20,81 @@ import org.apache.spark.sql.expressions.Window
   */
 object PipelineQueries {
 
+  /** Shared q165/q364 oracle CTE chain: dirty-copy synthesis, two blocking
+    * passes, candidate union, integer agreement scoring — ends defining
+    * `scored` with BOTH sides' fields carried so q364's survivorship can
+    * merge per field. One definition keeps the resolution and the merge in
+    * lockstep (the kmvEstimateSql lesson). */
+  private val erScoredCteSql: String =
+    """WITH dirty AS (
+      |  SELECT c_custkey + 1000000 AS rid,
+      |         CASE WHEN c_custkey % 7 = 0
+      |              THEN substr(c_name, 1, 3) || substr(c_name, 5) ELSE c_name END AS name,
+      |         CASE WHEN c_custkey % 31 = 0 THEN (c_nationkey + 1) % 25
+      |              ELSE c_nationkey END AS nation,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) + (c_custkey % 5 - 2) AS cents,
+      |         c_mktsegment AS seg
+      |  FROM customer),
+      |clean AS (SELECT c_custkey AS cid, c_name AS name, c_nationkey AS nation,
+      |                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_mktsegment AS seg
+      |          FROM customer),
+      |ba AS (SELECT c.cid, d.rid FROM clean c JOIN dirty d
+      |       ON c.nation = d.nation AND c.cents // 5000 = d.cents // 5000),
+      |bb AS (SELECT c.cid, d.rid FROM clean c JOIN dirty d
+      |       ON substr(c.name, greatest(1, length(c.name) - 5))
+      |        = substr(d.name, greatest(1, length(d.name) - 5))),
+      |cand AS (SELECT DISTINCT cid, rid FROM (SELECT * FROM ba UNION ALL SELECT * FROM bb)),
+      |scored AS (
+      |  SELECT c.cid, d.rid, c.name AS cn, d.name AS dn,
+      |         c.nation AS cnat, d.nation AS dnat,
+      |         c.cents AS cc, d.cents AS dc, c.seg AS cseg, d.seg AS dseg,
+      |         (CASE WHEN c.name = d.name THEN 3 ELSE 0 END
+      |          + CASE WHEN abs(c.cents - d.cents) <= 2 THEN 2 ELSE 0 END
+      |          + CASE WHEN c.nation = d.nation THEN 1 ELSE 0 END
+      |          + CASE WHEN c.seg = d.seg THEN 1 ELSE 0 END) AS score
+      |  FROM cand JOIN clean c USING (cid) JOIN dirty d USING (rid))""".stripMargin
+
+  /** Spark twin of [[erScoredCteSql]]: the scored candidate frame with both
+    * sides' fields, shared by q165 (decisions) and q364 (survivorship). */
+  private def erScored(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val clean = cust.select(col("c_custkey").as("cid"), col("c_name").as("name"),
+      col("c_nationkey").cast("long").as("nation"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"),
+      col("c_mktsegment").as("seg")).cache() // two blocking passes + scoring
+    val dirty = cust.select((col("c_custkey") + 1000000L).as("rid"),
+      when(col("c_custkey") % 7 === 0,
+        concat(expr("substr(c_name, 1, 3)"), expr("substr(c_name, 5)")))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 31 === 0, (col("c_nationkey") + 1) % 25)
+        .otherwise(col("c_nationkey")).cast("long").as("nation"),
+      (expr("CAST(round(c_acctbal * 100) AS BIGINT)") + col("c_custkey") % 5 - 2).as("cents"),
+      col("c_mktsegment").as("seg")).cache()
+    val ba = clean.select(col("cid"), col("nation"), expr("cents div 5000").as("bin"))
+      .join(dirty.select(col("rid"), col("nation"), expr("cents div 5000").as("bin")),
+        Seq("nation", "bin"))
+      .select("cid", "rid")
+    // suffix start is clamped to 1: Spark counts a NEGATIVE start from
+    // the string END while DuckDB clamps to the front, so names shorter
+    // than 6 chars would silently produce different candidate sets —
+    // greatest(1, …) keeps the position positive, where the engines agree
+    val bb = clean.select(col("cid"),
+        expr("substr(name, greatest(1, length(name) - 5))").as("sfx"))
+      .join(dirty.select(col("rid"),
+        expr("substr(name, greatest(1, length(name) - 5))").as("sfx")), "sfx")
+      .select("cid", "rid")
+    ba.unionAll(bb).distinct()
+      .join(clean.select(col("cid"), col("name").as("cn"), col("nation").as("cnat"),
+        col("cents").as("cc"), col("seg").as("cseg")), "cid")
+      .join(dirty.select(col("rid"), col("name").as("dn"), col("nation").as("dnat"),
+        col("cents").as("dc"), col("seg").as("dseg")), "rid")
+      .withColumn("score",
+        when(col("cn") === col("dn"), 3).otherwise(0)
+          + when(abs(col("cc") - col("dc")) <= 2, 2).otherwise(0)
+          + when(col("cnat") === col("dnat"), 1).otherwise(0)
+          + when(col("cseg") === col("dseg"), 1).otherwise(0))
+  }
+
   /** Entity-mask regex: the corpus' "named entities". Word-boundary anchored
     * so substrings of other tokens survive. Same RE2/Java-compatible syntax
     * in both engines. */
@@ -1385,77 +1460,58 @@ object PipelineQueries {
     // equi-joins + a distinct, scoring row-local.
     q("q165_entity_resolution",
       "blocked candidate pairs + integer agreement scores over a derived dirty copy")(
-      """WITH dirty AS (
-        |  SELECT c_custkey + 1000000 AS rid,
-        |         CASE WHEN c_custkey % 7 = 0
-        |              THEN substr(c_name, 1, 3) || substr(c_name, 5) ELSE c_name END AS name,
-        |         CASE WHEN c_custkey % 31 = 0 THEN (c_nationkey + 1) % 25
-        |              ELSE c_nationkey END AS nation,
-        |         CAST(round(c_acctbal * 100) AS BIGINT) + (c_custkey % 5 - 2) AS cents,
-        |         c_mktsegment AS seg
-        |  FROM customer),
-        |clean AS (SELECT c_custkey AS cid, c_name AS name, c_nationkey AS nation,
-        |                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_mktsegment AS seg
-        |          FROM customer),
-        |ba AS (SELECT c.cid, d.rid FROM clean c JOIN dirty d
-        |       ON c.nation = d.nation AND c.cents // 5000 = d.cents // 5000),
-        |bb AS (SELECT c.cid, d.rid FROM clean c JOIN dirty d
-        |       ON substr(c.name, greatest(1, length(c.name) - 5))
-        |        = substr(d.name, greatest(1, length(d.name) - 5))),
-        |cand AS (SELECT DISTINCT cid, rid FROM (SELECT * FROM ba UNION ALL SELECT * FROM bb)),
-        |scored AS (
-        |  SELECT c.cid, d.rid,
-        |         (CASE WHEN c.name = d.name THEN 3 ELSE 0 END
-        |          + CASE WHEN abs(c.cents - d.cents) <= 2 THEN 2 ELSE 0 END
-        |          + CASE WHEN c.nation = d.nation THEN 1 ELSE 0 END
-        |          + CASE WHEN c.seg = d.seg THEN 1 ELSE 0 END) AS score
-        |  FROM cand JOIN clean c USING (cid) JOIN dirty d USING (rid))
-        |SELECT cid, rid, CAST(score AS BIGINT) AS score,
-        |       CASE WHEN score >= 6 THEN 'match' ELSE 'possible' END AS decision,
-        |       rid - 1000000 = cid AS is_true
-        |FROM scored WHERE score >= 3 ORDER BY cid, rid""".stripMargin
+      s"""$erScoredCteSql
+         |SELECT cid, rid, CAST(score AS BIGINT) AS score,
+         |       CASE WHEN score >= 6 THEN 'match' ELSE 'possible' END AS decision,
+         |       rid - 1000000 = cid AS is_true
+         |FROM scored WHERE score >= 3 ORDER BY cid, rid""".stripMargin
     ) { (s, dir) =>
-      val cust = Tables(s, dir, "customer")
-      val clean = cust.select(col("c_custkey").as("cid"), col("c_name").as("name"),
-        col("c_nationkey").cast("long").as("nation"),
-        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"),
-        col("c_mktsegment").as("seg")).cache() // two blocking passes + scoring
-      val dirty = cust.select((col("c_custkey") + 1000000L).as("rid"),
-        when(col("c_custkey") % 7 === 0,
-          concat(expr("substr(c_name, 1, 3)"), expr("substr(c_name, 5)")))
-          .otherwise(col("c_name")).as("name"),
-        when(col("c_custkey") % 31 === 0, (col("c_nationkey") + 1) % 25)
-          .otherwise(col("c_nationkey")).cast("long").as("nation"),
-        (expr("CAST(round(c_acctbal * 100) AS BIGINT)") + col("c_custkey") % 5 - 2).as("cents"),
-        col("c_mktsegment").as("seg")).cache()
-      val ba = clean.select(col("cid"), col("nation"), expr("cents div 5000").as("bin"))
-        .join(dirty.select(col("rid"), col("nation"), expr("cents div 5000").as("bin")),
-          Seq("nation", "bin"))
-        .select("cid", "rid")
-      // suffix start is clamped to 1: Spark counts a NEGATIVE start from
-      // the string END while DuckDB clamps to the front, so names shorter
-      // than 6 chars would silently produce different candidate sets —
-      // greatest(1, …) keeps the position positive, where the engines agree
-      val bb = clean.select(col("cid"),
-          expr("substr(name, greatest(1, length(name) - 5))").as("sfx"))
-        .join(dirty.select(col("rid"),
-          expr("substr(name, greatest(1, length(name) - 5))").as("sfx")), "sfx")
-        .select("cid", "rid")
-      val cand = ba.unionAll(bb).distinct()
-      cand
-        .join(clean.select(col("cid"), col("name").as("cn"), col("nation").as("cnat"),
-          col("cents").as("cc"), col("seg").as("cs")), "cid")
-        .join(dirty.select(col("rid"), col("name").as("dn"), col("nation").as("dnat"),
-          col("cents").as("dc"), col("seg").as("ds")), "rid")
-        .withColumn("score",
-          when(col("cn") === col("dn"), 3).otherwise(0)
-            + when(abs(col("cc") - col("dc")) <= 2, 2).otherwise(0)
-            + when(col("cnat") === col("dnat"), 1).otherwise(0)
-            + when(col("cs") === col("ds"), 1).otherwise(0))
+      erScored(s, dir)
         .filter(col("score") >= 3)
         .select(col("cid"), col("rid"), col("score").cast("long").as("score"),
           when(col("score") >= 6, "match").otherwise("possible").as("decision"),
           (col("rid") - 1000000L === col("cid")).as("is_true"))
+        .orderBy("cid", "rid")
+    },
+
+    // Golden-record survivorship — the MERGE step after q165's resolution
+    // (MDM's missing half: q34h picks a whole canonical DOC; record merge
+    // picks the best value PER FIELD): for every agreeing pair (score ≥ 4,
+    // so the typo'd true pairs participate and the name rule genuinely
+    // fires), survive the LONGEST name (typos here delete chars — longest
+    // recovers the clean form), the MAX balance (deterministic freshness
+    // proxy), and source-precedence nation/segment (the clean system is
+    // authoritative for reference fields). Every choice carries a
+    // provenance column, and |Δcents| is the per-pair quality measure a
+    // stewardship queue sorts by. Row-local on top of the shared blocked
+    // candidates — no new shuffle beyond q165's.
+    q("q364_golden_record",
+      "per-field survivorship merge over resolved pairs: golden values + provenance")(
+      s"""$erScoredCteSql
+         |SELECT cid, rid,
+         |       CASE WHEN length(cn) >= length(dn) THEN cn ELSE dn END AS g_name,
+         |       CASE WHEN length(cn) > length(dn) THEN 'clean'
+         |            WHEN length(cn) < length(dn) THEN 'dirty' ELSE 'tie' END AS name_src,
+         |       greatest(cc, dc) AS g_cents,
+         |       CASE WHEN cc > dc THEN 'clean' WHEN dc > cc THEN 'dirty'
+         |            ELSE 'tie' END AS cents_src,
+         |       CAST(cnat AS BIGINT) AS g_nation, cseg AS g_segment,
+         |       abs(cc - dc) AS cents_drift
+         |FROM scored WHERE score >= 4 ORDER BY cid, rid""".stripMargin
+    ) { (s, dir) =>
+      erScored(s, dir).filter(col("score") >= 4)
+        .select(col("cid"), col("rid"),
+          when(length(col("cn")) >= length(col("dn")), col("cn"))
+            .otherwise(col("dn")).as("g_name"),
+          when(length(col("cn")) > length(col("dn")), "clean")
+            .when(length(col("cn")) < length(col("dn")), "dirty")
+            .otherwise("tie").as("name_src"),
+          greatest(col("cc"), col("dc")).as("g_cents"),
+          when(col("cc") > col("dc"), "clean")
+            .when(col("dc") > col("cc"), "dirty")
+            .otherwise("tie").as("cents_src"),
+          col("cnat").as("g_nation"), col("cseg").as("g_segment"),
+          abs(col("cc") - col("dc")).as("cents_drift"))
         .orderBy("cid", "rid")
     },
 
@@ -2793,6 +2849,88 @@ object PipelineQueries {
       }
       out.flatten.toDF("tau_deci", "epoch", "loss_deci", "w0", "w1")
         .orderBy("tau_deci", "epoch")
+    },
+
+    // SFT conversation prep — the rendering step between raw interaction
+    // logs and a chat-format training set: sessionize each user's events
+    // (12 h gap, q225's spacing analysis — a 1 h gap leaves this fixture
+    // 91% singleton sessions), alternate user/assistant roles by turn
+    // parity, render the canonical "role: type value" transcript with
+    // newline joins, and gate on BOTH structure (≥2 turns — a conversation
+    // needs an exchange) and budget (≤128 chars ≈ p90, so the gate
+    // genuinely bites). The transcript content is pinned by an md5
+    // fingerprint, not just counts — the render IS the operator. Shape:
+    // everything keys on user_id (the session-label window rides the
+    // user_id exchange; the turn window and the render groupBy share the
+    // (user_id, isl) refinement — 2 data exchanges + the output sort,
+    // PLANMAP-pinned); the render is a per-session sort_array fold,
+    // bounded by session length, never corpus-sized.
+    q("q363_chat_sft_render",
+      "sessionized chat-format SFT rendering: role turns, transcript fingerprint, 2-gate keep")(
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, event_type, value, epoch_us(ts::TIMESTAMP) AS t,
+         |         CASE WHEN lag(epoch_us(ts::TIMESTAMP)) OVER w IS NULL
+         |                OR epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w
+         |                   > 43200000000
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |lab AS (
+         |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+         |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl
+         |  FROM o),
+         |turn AS (
+         |  SELECT user_id, isl, t, event_id, event_type, value,
+         |         row_number() OVER (PARTITION BY user_id, isl
+         |                            ORDER BY t, event_id) AS idx
+         |  FROM lab),
+         |line AS (
+         |  SELECT user_id, isl, t, event_id,
+         |         (CASE WHEN idx % 2 = 1 THEN 'user' ELSE 'assistant' END)
+         |           || ': ' || event_type || ' '
+         |           || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS ln
+         |  FROM turn),
+         |sess AS (
+         |  SELECT user_id, isl, CAST(min(t) AS BIGINT) AS sess_start,
+         |         CAST(count(*) AS BIGINT) AS n_turns,
+         |         string_agg(ln, chr(10) ORDER BY t, event_id) AS rendered
+         |  FROM line GROUP BY user_id, isl)
+         |SELECT user_id, sess_start, n_turns,
+         |       CAST(length(rendered) AS BIGINT) AS n_chars,
+         |       ${md5LongSql("rendered")} AS fp,
+         |       CAST(CASE WHEN n_turns >= 2 AND length(rendered) <= 128
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM sess ORDER BY user_id, sess_start""".stripMargin
+    ) { (s, dir) =>
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val t = unix_micros(col("ts"))
+      val brk = when(lag(t, 1).over(wOrd).isNull ||
+        t - lag(t, 1).over(wOrd) > 43200L * 1000000L, 1L).otherwise(0L)
+      val lab = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          t.as("t"), brk.as("brk"))
+        .withColumn("isl", sum(col("brk")).over(
+          Window.partitionBy("user_id").orderBy("t", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val line = lab
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("user_id", "isl").orderBy("t", "event_id")))
+        .select(col("user_id"), col("isl"), col("t"), col("event_id"),
+          concat(
+            when(col("idx") % 2 === 1, lit("user")).otherwise(lit("assistant")),
+            lit(": "), col("event_type"), lit(" "),
+            floor(col("value") * 100).cast("long").cast("string")).as("ln"))
+      line.groupBy("user_id", "isl")
+        .agg(min(col("t")).as("sess_start"), count(lit(1)).as("n_turns"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("t"), col("event_id"), col("ln")))),
+            m => m.getField("ln")), "\n").as("rendered"))
+        .select(col("user_id"), col("sess_start"), col("n_turns"),
+          length(col("rendered")).cast("long").as("n_chars"),
+          md5Long(col("rendered")).as("fp"),
+          when(col("n_turns") >= 2 && length(col("rendered")) <= 128, 1L)
+            .otherwise(0L).as("kept"))
+        .orderBy("user_id", "sess_start")
     }
   )
 }

@@ -152,6 +152,70 @@ object TextQueries {
        |SELECT tok, exact_n, cm_est FROM est
        |ORDER BY cm_est DESC, tok LIMIT 20""".stripMargin
 
+  /** Shared q327/q365 oracle CTE chain: the Kneser–Ney trigram estimator
+    * (fixed 200-doc train slice, discount d=¾, integer micro-units) ending
+    * in `p` with per-eval-trigram (doc_id, p_mle, p_kn). One definition
+    * keeps the LM and every downstream score consumer in lockstep (the
+    * kmvEstimateSql lesson). */
+  private val knCteSql: String =
+    s"""WITH tok AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+       |tri AS (SELECT doc_id, unnest(${shinglesSql("toks", 3)}) AS tg
+       |        FROM tok WHERE len(toks) >= 3),
+       |tw AS (SELECT doc_id, tg,
+       |              split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS ctx,
+       |              split_part(tg, ' ', 3) AS w3 FROM tri),
+       |c3 AS (SELECT tg, CAST(count(*) AS BIGINT) AS c3 FROM tw WHERE doc_id < 200 GROUP BY tg),
+       |cx AS (SELECT ctx, CAST(count(*) AS BIGINT) AS cc,
+       |              CAST(count(DISTINCT w3) AS BIGINT) AS n1f
+       |       FROM tw WHERE doc_id < 200 GROUP BY ctx),
+       |cont AS (SELECT w3, CAST(count(DISTINCT ctx) AS BIGINT) AS n1b
+       |         FROM tw WHERE doc_id < 200 GROUP BY w3),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c3),
+       |ev AS (SELECT doc_id, tg, ctx, w3 FROM tw WHERE doc_id >= 200),
+       |p AS (SELECT ev.doc_id,
+       |             CASE WHEN COALESCE(c3.c3, 0) > 0
+       |                  THEN (c3.c3 * 1000000) // cx.cc ELSE 0 END AS p_mle,
+       |             CASE WHEN COALESCE(cx.cc, 0) > 0
+       |                  THEN (greatest(4 * COALESCE(c3.c3, 0) - 3, 0) * 1000000) // (4 * cx.cc)
+       |                     + (3 * cx.n1f * (COALESCE(cont.n1b, 0) * 1000000 // tt.t)) // (4 * cx.cc)
+       |                  ELSE COALESCE(cont.n1b, 0) * 1000000 // tt.t END AS p_kn
+       |      FROM ev LEFT JOIN c3 USING (tg) LEFT JOIN cx USING (ctx)
+       |      LEFT JOIN cont USING (w3) CROSS JOIN tt)""".stripMargin
+
+  /** Spark twin of [[knCteSql]]: per-eval-trigram (doc_id, p_mle, p_kn). */
+  private def knScored(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tw = Tables.fanout(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("tg"))
+      .select(col("doc_id"), col("tg"),
+        concat(split_part(col("tg"), lit(" "), lit(1)), lit(" "),
+          split_part(col("tg"), lit(" "), lit(2))).as("ctx"),
+        split_part(col("tg"), lit(" "), lit(3)).as("w3"))
+      .cache() // train counts (3 tables) + the eval scan
+    val train = tw.filter(col("doc_id") < 200)
+    val c3 = train.groupBy("tg").agg(count(lit(1)).as("c3"))
+      .cache() // type count + eval join
+    val cx = train.groupBy("ctx")
+      .agg(count(lit(1)).as("cc"), countDistinct("w3").cast("long").as("n1f"))
+    val cont = train.groupBy("w3")
+      .agg(countDistinct("ctx").cast("long").as("n1b"))
+    val tt = c3.agg(count(lit(1)).as("t"))
+    tw.filter(col("doc_id") >= 200)
+      .join(broadcast(c3), Seq("tg"), "left")
+      .join(broadcast(cx), Seq("ctx"), "left")
+      .join(broadcast(cont), Seq("w3"), "left")
+      .crossJoin(broadcast(tt))
+      .select(col("doc_id"),
+        expr("case when coalesce(c3, 0) > 0 then (c3 * 1000000) div cc else 0 end")
+          .as("p_mle"),
+        expr("case when coalesce(cc, 0) > 0" +
+          " then (greatest(4 * coalesce(c3, 0) - 3, 0) * 1000000) div (4 * cc)" +
+          " + (3 * n1f * (coalesce(n1b, 0) * 1000000 div t)) div (4 * cc)" +
+          " else coalesce(n1b, 0) * 1000000 div t end").as("p_kn"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // B36: token frequency analytics — top-20 tokens per language.
@@ -1566,28 +1630,7 @@ object TextQueries {
     // one 1-row type-count scalar — q72's exact layout, smarter math.
     q("q327_kneser_ney",
       "KN-smoothed trigram LM: 1000 permille held-out coverage vs ~330 for raw MLE")(
-      s"""WITH tok AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
-         |tri AS (SELECT doc_id, unnest(${shinglesSql("toks", 3)}) AS tg
-         |        FROM tok WHERE len(toks) >= 3),
-         |tw AS (SELECT doc_id, tg,
-         |              split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS ctx,
-         |              split_part(tg, ' ', 3) AS w3 FROM tri),
-         |c3 AS (SELECT tg, CAST(count(*) AS BIGINT) AS c3 FROM tw WHERE doc_id < 200 GROUP BY tg),
-         |cx AS (SELECT ctx, CAST(count(*) AS BIGINT) AS cc,
-         |              CAST(count(DISTINCT w3) AS BIGINT) AS n1f
-         |       FROM tw WHERE doc_id < 200 GROUP BY ctx),
-         |cont AS (SELECT w3, CAST(count(DISTINCT ctx) AS BIGINT) AS n1b
-         |         FROM tw WHERE doc_id < 200 GROUP BY w3),
-         |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c3),
-         |ev AS (SELECT tg, ctx, w3 FROM tw WHERE doc_id >= 200),
-         |p AS (SELECT CASE WHEN COALESCE(c3.c3, 0) > 0
-         |                  THEN (c3.c3 * 1000000) // cx.cc ELSE 0 END AS p_mle,
-         |             CASE WHEN COALESCE(cx.cc, 0) > 0
-         |                  THEN (greatest(4 * COALESCE(c3.c3, 0) - 3, 0) * 1000000) // (4 * cx.cc)
-         |                     + (3 * cx.n1f * (COALESCE(cont.n1b, 0) * 1000000 // tt.t)) // (4 * cx.cc)
-         |                  ELSE COALESCE(cont.n1b, 0) * 1000000 // tt.t END AS p_kn
-         |      FROM ev LEFT JOIN c3 USING (tg) LEFT JOIN cx USING (ctx)
-         |      LEFT JOIN cont USING (w3) CROSS JOIN tt)
+      s"""$knCteSql
          |SELECT CAST(count(*) AS BIGINT) AS n_eval,
          |       CAST(sum(CASE WHEN p_mle > 0 THEN 1 ELSE 0 END) AS BIGINT) AS mle_covered,
          |       CAST(sum(CASE WHEN p_kn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kn_covered,
@@ -1599,35 +1642,7 @@ object TextQueries {
          |       CAST(sum(p_kn) // count(*) AS BIGINT) AS kn_avg_micro
          |FROM p""".stripMargin
     ) { (s, dir) =>
-      val tw = Tables.fanout(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("tg"))
-        .select(col("doc_id"), col("tg"),
-          concat(split_part(col("tg"), lit(" "), lit(1)), lit(" "),
-            split_part(col("tg"), lit(" "), lit(2))).as("ctx"),
-          split_part(col("tg"), lit(" "), lit(3)).as("w3"))
-        .cache() // train counts (3 tables) + the eval scan
-      val train = tw.filter(col("doc_id") < 200)
-      val c3 = train.groupBy("tg").agg(count(lit(1)).as("c3"))
-        .cache() // type count + eval join
-      val cx = train.groupBy("ctx")
-        .agg(count(lit(1)).as("cc"), countDistinct("w3").cast("long").as("n1f"))
-      val cont = train.groupBy("w3")
-        .agg(countDistinct("ctx").cast("long").as("n1b"))
-      val tt = c3.agg(count(lit(1)).as("t"))
-      tw.filter(col("doc_id") >= 200)
-        .join(broadcast(c3), Seq("tg"), "left")
-        .join(broadcast(cx), Seq("ctx"), "left")
-        .join(broadcast(cont), Seq("w3"), "left")
-        .crossJoin(broadcast(tt))
-        .select(
-          expr("case when coalesce(c3, 0) > 0 then (c3 * 1000000) div cc else 0 end")
-            .as("p_mle"),
-          expr("case when coalesce(cc, 0) > 0" +
-            " then (greatest(4 * coalesce(c3, 0) - 3, 0) * 1000000) div (4 * cc)" +
-            " + (3 * n1f * (coalesce(n1b, 0) * 1000000 div t)) div (4 * cc)" +
-            " else coalesce(n1b, 0) * 1000000 div t end").as("p_kn"))
+      knScored(s, dir)
         .agg(count(lit(1)).as("n_eval"),
           sum(when(col("p_mle") > 0, 1L).otherwise(0L)).as("mle_covered"),
           sum(when(col("p_kn") > 0, 1L).otherwise(0L)).as("kn_covered"),
@@ -1637,6 +1652,55 @@ object TextQueries {
           expr("kn_covered * 1000 div n_eval").as("kn_cov_permille"),
           expr("sm div n_eval").as("mle_avg_micro"),
           expr("sk div n_eval").as("kn_avg_micro"))
+    },
+
+    // CCNet-style LM-score tertiles (Wenzek et al. 2020, public
+    // arXiv:1911.00359 §4.3 — "head/middle/tail" perplexity buckets are
+    // THE standard corpus-quality split): score every held-out doc by its
+    // mean per-trigram Kneser–Ney probability (micro-units — exact
+    // integers, the monotone stand-in for perplexity that stays
+    // hash-verifiable), rank docs exactly, and cut the ranking into
+    // thirds. Per-bucket output pins MEMBERSHIP (doc-id sums), not just
+    // counts. The ranking runs on DistributedRank's two-pass global rank —
+    // never an unpartitioned window — and the tertile cuts come from one
+    // 1-row doc-count broadcast; the LM legs are q327's broadcast count
+    // tables, shared definition and all.
+    q("q365_lm_score_tertiles",
+      "CCNet head/middle/tail buckets by exact per-doc mean KN trigram score")(
+      s"""$knCteSql,
+         |pd AS (SELECT doc_id, CAST(sum(p_kn) // count(*) AS BIGINT) AS s
+         |       FROM p GROUP BY doc_id),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pd),
+         |rk AS (SELECT doc_id, s,
+         |              row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM pd),
+         |b AS (SELECT CASE WHEN rn <= nn.n // 3 THEN 'head'
+         |                  WHEN rn <= (2 * nn.n) // 3 THEN 'middle'
+         |                  ELSE 'tail' END AS bucket, doc_id, s
+         |      FROM rk CROSS JOIN nn)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(s) // count(*) AS BIGINT) AS avg_kn_micro
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      val pd = knScored(s, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tg"), sum(col("p_kn")).as("sk"))
+        .select(col("doc_id"), expr("sk div n_tg").as("s"))
+      val nn = pd.agg(count(lit(1)).as("n"))
+      graft.operators.DistributedRank
+        .withRowNumber(pd, Seq(col("s").desc, col("doc_id")), "rn")
+        .crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("s"),
+          when(col("rn") <= expr("n div 3"), "head")
+            .when(col("rn") <= expr("(2 * n) div 3"), "middle")
+            .otherwise("tail").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("s")).as("sum_s"))
+        // integer div, not Column./ (double division + cast can land one
+        // off the exact quotient at representability boundaries)
+        .select(col("bucket"), col("n_docs"), col("id_sum"),
+          expr("sum_s div n_docs").as("avg_kn_micro"))
+        .orderBy("bucket")
     },
 
     // Positional PHRASE search — the proximity operator q88's inverted

@@ -1862,6 +1862,115 @@ object VectorQueries {
         .select(col("d").cast("long").as("dims"), col("hits10"),
           expr("cast((1000 * hits10) div 100 as bigint)").as("recall_milli"))
         .orderBy(col("dims").desc)
+    },
+
+    // Greedy k-center coreset (Gonzalez '85) — the selection member of the
+    // data-pruning family (q113 SemDeDup removes redundancy; this PICKS the
+    // maximally-spread subset, the 2-approximation every coreset/active-
+    // learning pipeline starts from). 8 centers from the seed vec_id 0:
+    // each round the next center is the point FARTHEST from the chosen set
+    // (max-min exact squared L2), and the picked point's distance IS the
+    // covering radius after the previous pick — the output is the (center,
+    // radius) curve, engine-agreed. Distributed shape per round: one scan
+    // updating the running min-distance column against the 1-row new-center
+    // broadcast + one TakeOrdered(1) argmax — never a pairwise matrix; the
+    // driver holds only the ≤k picked rows (q199's bounded-head rule;
+    // products live inside the materialized rounds, like q76c). The fold
+    // is the q35i fixed-order discipline, so radii match the oracle's
+    // recursive-CTE replay bit-for-bit.
+    q("q358_kcenter_coreset",
+      "greedy k-center (Gonzalez) 8-point coreset: max-min L2 centers + covering radii")(
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        |sel AS (
+        |  SELECT 1 AS step, CAST(0 AS BIGINT) AS cid, CAST(0 AS DOUBLE) AS md,
+        |         [CAST(0 AS BIGINT)] AS picked
+        |  UNION ALL
+        |  SELECT sel.step + 1, nxt.cid, nxt.md, list_append(sel.picked, nxt.cid)
+        |  FROM sel, LATERAL (
+        |    SELECT cid, md FROM (
+        |      SELECT x.vec_id AS cid,
+        |             min(list_reduce(list_transform(generate_series(1, 64),
+        |                   i -> (x.e[i] - p.e[i]) * (x.e[i] - p.e[i])),
+        |                 (a, b) -> a + b)) AS md
+        |      FROM v x JOIN v p ON list_contains(sel.picked, p.vec_id)
+        |      WHERE NOT list_contains(sel.picked, x.vec_id)
+        |      GROUP BY x.vec_id)
+        |    ORDER BY md DESC, cid LIMIT 1) nxt
+        |  WHERE sel.step < 8)
+        |SELECT CAST(step AS BIGINT) AS rnk, cid, round(md, 4) AS radius
+        |FROM sel ORDER BY rnk""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val v = Tables.fanout(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      def d2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+      val seed = v.filter(col("vec_id") === 0).select(col("e").as("ce"))
+      // running min-distance column; eager localCheckpoint per round keeps
+      // the lineage flat (the StarContraction iterative-loop rule)
+      var pts = v.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(seed))
+        .select(col("vec_id"), col("e"), d2(col("e"), col("ce")).as("md"))
+        .localCheckpoint()
+      val picked = scala.collection.mutable.ArrayBuffer((1L, 0L, 0.0))
+      for (k <- 2 to 8) {
+        val r = pts.orderBy(col("md").desc, col("vec_id")).limit(1).collect()(0)
+        val cid = r.getLong(0)
+        val ce = r.getSeq[Double](1)
+        picked += ((k.toLong, cid, r.getDouble(2)))
+        val cf = broadcast(Seq(Tuple1(ce)).toDF("ce"))
+        pts = pts.filter(col("vec_id") =!= cid)
+          .crossJoin(cf)
+          .select(col("vec_id"), col("e"),
+            least(col("md"), d2(col("e"), col("ce"))).as("md"))
+          .localCheckpoint()
+      }
+      picked.toSeq.toDF("rnk", "cid", "radius")
+        .select(col("rnk"), col("cid"), round(col("radius"), 4).as("radius"))
+        .orderBy("rnk")
+    },
+
+    // Prototypicality pruning (the SSL-prototypes / D4 decision): after the
+    // q35f Lloyd assignment, the MOST prototypical tenth of each cluster —
+    // highest cosine to its own centroid — is dropped; near-centroid points
+    // are the ones semantic dedup shows carry the least marginal training
+    // signal, and the cluster scope keeps the rule distribution-aware
+    // (a global cosine cut would empty small clusters first). Per-cluster
+    // ranking runs on DistributedRank's grouped two-pass rank — never a
+    // data-sized window partition (K=8 means cluster partitions ARE
+    // corpus-scale); the n div 10 cut comes from an 8-row size frame
+    // broadcast. Output pins the exact pruned SET per cluster (id-sum
+    // checksums), not just counts.
+    q("q359_prototype_prune",
+      "per-cluster prototypicality prune: drop the top tenth by cosine-to-centroid")(
+      s"""$kmeansCte,
+         |sz AS (SELECT cent, CAST(count(*) AS BIGINT) AS n
+         |       FROM a$KmeansIters GROUP BY cent),
+         |r AS (SELECT a.vec_id, a.cent,
+         |             row_number() OVER (PARTITION BY a.cent
+         |                                ORDER BY a.cs DESC, a.vec_id) AS rn
+         |      FROM a$KmeansIters a)
+         |SELECT r.cent, sz.n,
+         |       CAST(coalesce(sum(CASE WHEN r.rn <= sz.n // 10 THEN 1 END), 0) AS BIGINT) AS n_pruned,
+         |       CAST(coalesce(sum(CASE WHEN r.rn <= sz.n // 10 THEN r.vec_id END), 0) AS BIGINT) AS pruned_id_sum,
+         |       CAST(coalesce(sum(CASE WHEN r.rn > sz.n // 10 THEN r.vec_id END), 0) AS BIGINT) AS kept_id_sum
+         |FROM r JOIN sz USING (cent)
+         |GROUP BY r.cent, sz.n ORDER BY r.cent""".stripMargin
+    ) { (s, dir) =>
+      val assign = kmeansFinalAssign(Tables.fanout(s, dir, "embeddings"))
+        .select("vec_id", "cent", "cs")
+        .cache() // feeds the size frame AND the ranked frame
+      val sz = assign.groupBy("cent").agg(count(lit(1)).as("n"))
+      val ranked = graft.operators.DistributedRank.withRowNumber(
+        assign, Seq(col("cs").desc, col("vec_id")), "rn", group = Seq("cent"))
+      ranked.join(broadcast(sz), Seq("cent"))
+        .withColumn("pruned", col("rn") <= expr("n div 10"))
+        .groupBy("cent", "n")
+        .agg(coalesce(sum(when(col("pruned"), lit(1L))), lit(0L)).as("n_pruned"),
+          coalesce(sum(when(col("pruned"), col("vec_id"))), lit(0L)).as("pruned_id_sum"),
+          coalesce(sum(when(!col("pruned"), col("vec_id"))), lit(0L)).as("kept_id_sum"))
+        .orderBy("cent")
     }
   )
 

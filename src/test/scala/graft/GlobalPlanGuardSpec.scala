@@ -128,7 +128,9 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q344_gradient_boosting" -> "1-row global-mean / per-round argmax-stump / SSE scalars × the residual frame (3 rounds)",
     "q348_mahalanobis" -> "1-row mean / 1-row covariance-moment / 1-row outlier-count scalars × the scoring scan",
     "q350_luby_mis" -> "1-row node-count scalar × node frame (edge hashing) + per-round 1-row stat scalars + 1-row invariant frame",
-    "q351_lcs_alignment" -> "1-row anchor-doc frame × the 8-row sampled-doc frame (cross arm)")
+    "q351_lcs_alignment" -> "1-row anchor-doc frame × the 8-row sampled-doc frame (cross arm)",
+    "q359_prototype_prune" -> "K=8 Lloyd-centroid grid × vectors (q35f's assignment shape) + 8-row cluster-size frame; per-cluster rank is DistributedRank's ≤parts-row triangular",
+    "q365_lm_score_tertiles" -> "q327's 1-row trigram-type-count frame × the eval stream + 1-row doc-count frame × per-doc scores (tertile cuts); global rank is DistributedRank's ≤parts-row triangular")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.
