@@ -2931,6 +2931,72 @@ object PipelineQueries {
           when(col("n_turns") >= 2 && length(col("rendered")) <= 128, 1L)
             .otherwise(0L).as("kept"))
         .orderBy("user_id", "sess_start")
+    },
+
+    // T5-style span corruption accounting (Raffel et al. 2020, public
+    // arXiv:1910.10683 §3.1.4) — the pretraining data-prep step that turns
+    // clean text into (corrupted-input, target) pairs by masking contiguous
+    // token spans. The classic sampler draws span starts sequentially
+    // (each draw depends on what's already masked), which is a per-doc
+    // sequential scan — fine on one machine, a shuffle-resistant chain at
+    // 100 TB. This uses the BLOCK variant: tokens partition into fixed
+    // 20-token blocks and each block masks ONE hash-chosen span (start
+    // h%18, length 1+(h/18)%3, clipped to the block) — non-overlap is
+    // structural, every (doc, block) row is independent, and the whole op
+    // is one explode + one groupBy (partial-aggregated at 100 TB). Expected
+    // corruption ≈ 2/20 = 10% (vs T5's 15%), mean span 2 — the report
+    // proves the realized ratios. The hash IS the randomness (md5Long on
+    // doc_id:block — reproducible across engines and re-runs, the q67
+    // discipline); all outputs integer-exact.
+    q("q370_span_corruption",
+      "T5-style block span corruption: per-lang mask/span/token accounting")(
+      s"""WITH d AS (SELECT doc_id, lang,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |           FROM documents WHERE length(text) > 0),
+         |b AS (SELECT doc_id, lang, n,
+         |             unnest(generate_series(0, (n + 19) // 20 - 1)) AS blk
+         |      FROM d),
+         |m AS (SELECT lang, doc_id, blk,
+         |             least(20, n - 20 * blk) AS bl,
+         |             ${md5LongSql("doc_id || ':' || blk")} % 18 AS s,
+         |             1 + (${md5LongSql("doc_id || ':' || blk")} // 18) % 3 AS sl
+         |      FROM b),
+         |k AS (SELECT lang, doc_id, bl,
+         |             CASE WHEN bl > s THEN least(s + sl, bl) - s ELSE 0 END AS msk
+         |      FROM m)
+         |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_blocks,
+         |       CAST(sum(CASE WHEN msk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         |       CAST(sum(bl) AS BIGINT) AS n_tokens,
+         |       CAST(sum(msk) AS BIGINT) AS n_masked,
+         |       CAST(sum(msk) * 1000 // sum(bl) AS BIGINT) AS mask_milli
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+      val b = d.select(col("doc_id"), col("lang"), col("n"),
+        explode(sequence(lit(0L), expr("(n + 19) div 20 - 1"))).as("blk"))
+      // Column./ is DOUBLE division and a 60-bit hash overflows a double's
+      // mantissa — materialize h, then integer `div` (the q365 lesson).
+      val mm = b
+        .withColumn("h", md5Long(concat(col("doc_id").cast("string"), lit(":"),
+          col("blk").cast("string"))))
+        .select(col("lang"), col("doc_id"),
+          least(lit(20L), col("n") - lit(20L) * col("blk")).as("bl"),
+          (col("h") % 18).as("s"), expr("1 + (h div 18) % 3").as("sl"))
+      mm.select(col("lang"), col("doc_id"), col("bl"),
+          when(col("bl") > col("s"),
+            least(col("s") + col("sl"), col("bl")) - col("s"))
+            .otherwise(lit(0L)).as("msk"))
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_blocks"),
+          sum(when(col("msk") > 0, 1L).otherwise(0L)).as("n_spans"),
+          sum(col("bl")).as("n_tokens"),
+          sum(col("msk")).as("n_masked"))
+        .withColumn("mask_milli", expr("n_masked * 1000 div n_tokens"))
+        .orderBy("lang")
     }
   )
 }

@@ -1889,6 +1889,127 @@ object TextQueries {
           when(col("arm") === "mut", col("lcs_len") + col("n_mutated") - 48)
             .otherwise(0L).cast("long").as("mut_law"))
         .orderBy("arm", "doc_id")
+    },
+
+    // Corpus BLEU-4 (Papineni et al. 2002, public ACL anthology P02-1040) —
+    // the n-gram-precision eval every generation pipeline runs on its SFT /
+    // distillation outputs. Hypothesis/reference pairs come from doc_id
+    // parity (hyp = even, ref = odd sibling — no window, no per-lang rank:
+    // the pairing is row-local arithmetic, the q370 discipline), so the
+    // metric exercises the full machinery on organically-similar pairs
+    // (same corpus, mostly disjoint text → small but nonzero higher-order
+    // matches). Semantics are the textbook corpus BLEU: per-pair CLIPPED
+    // n-gram matches (min of hyp/ref occurrence counts — a left join of
+    // count frames, not a gram set intersection), corpus-pooled
+    // p_n = Σclip/Σtotal, brevity penalty exp(min(0, 1−r/c)), geometric
+    // mean over n=1..4, hard zero when any p_n = 0. Everything up to the
+    // final ln/exp is BIGINT-exact; the float tail is a fixed-order
+    // 4-term sum of logs of identical rationals — bit-stable across
+    // engines. Scale shape: one tokenize pass, 4 gram-count legs
+    // (partial-aggregated; 8-byte-ish keys after the groupBy), one
+    // pair-keyed left join — no global ordering anywhere.
+    q("q366_bleu",
+      "corpus BLEU-4 of even-doc hypotheses vs odd-doc references, per lang")(
+      s"""WITH tok AS (SELECT doc_id // 2 AS pid, doc_id % 2 AS role, lang,
+         |                    string_split(text, ' ') AS t
+         |             FROM documents),
+         |lens AS (SELECT pid, role, lang, CAST(len(t) AS BIGINT) AS ln FROM tok),
+         |pairs AS (SELECT h.pid, h.lang, h.ln AS c_len, r.ln AS r_len
+         |          FROM lens h JOIN lens r ON h.pid = r.pid AND r.role = 1
+         |          WHERE h.role = 0),
+         |g AS (${(1 to 4).map(n =>
+               s"SELECT pid, role, $n AS n, unnest(${shinglesSql("t", n)}) AS gr FROM tok")
+               .mkString("\n      UNION ALL ")}),
+         |cnt AS (SELECT pid, role, n, gr, CAST(count(*) AS BIGINT) AS c
+         |        FROM g GROUP BY pid, role, n, gr),
+         |clip AS (SELECT p.lang, h.n, least(h.c, coalesce(r.c, 0)) AS cl
+         |         FROM (SELECT * FROM cnt WHERE role = 0) h
+         |         LEFT JOIN (SELECT * FROM cnt WHERE role = 1) r
+         |           ON r.pid = h.pid AND r.n = h.n AND r.gr = h.gr
+         |         JOIN pairs p ON p.pid = h.pid),
+         |m AS (SELECT lang, n, CAST(sum(cl) AS BIGINT) AS m FROM clip GROUP BY lang, n),
+         |t AS (SELECT lang, ns.n AS n,
+         |             CAST(sum(greatest(c_len - ns.n + 1, 0)) AS BIGINT) AS t
+         |      FROM pairs CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS n) ns
+         |      GROUP BY lang, ns.n),
+         |wide AS (SELECT t.lang, t.n, coalesce(m.m, 0) AS m, t.t
+         |         FROM t LEFT JOIN m ON m.lang = t.lang AND m.n = t.n),
+         |piv AS (SELECT lang,
+         |               CAST(max(CASE WHEN n = 1 THEN m END) AS BIGINT) AS m1,
+         |               CAST(max(CASE WHEN n = 1 THEN t END) AS BIGINT) AS t1,
+         |               CAST(max(CASE WHEN n = 2 THEN m END) AS BIGINT) AS m2,
+         |               CAST(max(CASE WHEN n = 2 THEN t END) AS BIGINT) AS t2,
+         |               CAST(max(CASE WHEN n = 3 THEN m END) AS BIGINT) AS m3,
+         |               CAST(max(CASE WHEN n = 3 THEN t END) AS BIGINT) AS t3,
+         |               CAST(max(CASE WHEN n = 4 THEN m END) AS BIGINT) AS m4,
+         |               CAST(max(CASE WHEN n = 4 THEN t END) AS BIGINT) AS t4
+         |        FROM wide GROUP BY lang),
+         |base AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+         |                CAST(sum(c_len) AS BIGINT) AS c_len,
+         |                CAST(sum(r_len) AS BIGINT) AS r_len
+         |         FROM pairs GROUP BY lang)
+         |SELECT base.lang, n_pairs, c_len, r_len, m1, t1, m2, t2, m3, t3, m4, t4,
+         |       round(CASE WHEN m1 > 0 AND m2 > 0 AND m3 > 0 AND m4 > 0
+         |             THEN exp(least(0.0, 1.0 - CAST(r_len AS DOUBLE) / c_len)) *
+         |                  exp((ln(m1 / CAST(t1 AS DOUBLE)) + ln(m2 / CAST(t2 AS DOUBLE)) +
+         |                       ln(m3 / CAST(t3 AS DOUBLE)) + ln(m4 / CAST(t4 AS DOUBLE))) / 4)
+         |             ELSE 0.0 END, 4) AS bleu
+         |FROM piv JOIN base USING (lang) ORDER BY lang""".stripMargin
+    ) { (s, dir) =>
+      val tok = Tables.fanout(s, dir, "documents")
+        .select(expr("doc_id div 2").as("pid"), (col("doc_id") % 2).as("role"),
+          col("lang"), tokens(col("text")).as("t"))
+        .cache() // one tokenize pass feeds lens + all 4 gram legs
+      val lens = tok.select(col("pid"), col("role"), col("lang"),
+        size(col("t")).cast("long").as("ln"))
+      val pairs = lens.filter(col("role") === 0).alias("h")
+        .join(lens.filter(col("role") === 1).alias("r"), Seq("pid"))
+        .select(col("pid"), col("h.lang").as("lang"),
+          col("h.ln").as("c_len"), col("r.ln").as("r_len"))
+        .cache()
+      val g = (1 to 4).map { n =>
+        tok.select(col("pid"), col("role"), lit(n).as("n"),
+          explode(shingles(col("t"), n)).as("gr"))
+      }.reduce(_ unionByName _)
+      val cnt = g.groupBy("pid", "role", "n", "gr").agg(count(lit(1)).as("c"))
+      val clip = cnt.filter(col("role") === 0).alias("h")
+        .join(cnt.filter(col("role") === 1).alias("r"),
+          col("r.pid") === col("h.pid") && col("r.n") === col("h.n") &&
+            col("r.gr") === col("h.gr"), "left")
+        .select(col("h.pid").as("pid"), col("h.n").as("n"),
+          least(col("h.c"), coalesce(col("r.c"), lit(0L))).as("cl"))
+        .join(pairs.select("pid", "lang"), Seq("pid"))
+      val mAgg = clip.groupBy("lang", "n").agg(sum(col("cl")).as("m"))
+      val tAgg = pairs
+        .select(col("lang"), col("c_len"), explode(sequence(lit(1), lit(4))).as("n"))
+        .groupBy("lang", "n")
+        .agg(sum(greatest(col("c_len") - col("n") + 1, lit(0L))).as("t"))
+      val wide = tAgg.alias("t")
+        .join(mAgg.alias("m"),
+          col("m.lang") === col("t.lang") && col("m.n") === col("t.n"), "left")
+        .select(col("t.lang").as("lang"), col("t.n").as("n"),
+          coalesce(col("m.m"), lit(0L)).as("m"), col("t.t").as("t"))
+      val piv = wide.groupBy("lang").agg(
+        max(when(col("n") === 1, col("m"))).cast("long").as("m1"),
+        max(when(col("n") === 1, col("t"))).cast("long").as("t1"),
+        max(when(col("n") === 2, col("m"))).cast("long").as("m2"),
+        max(when(col("n") === 2, col("t"))).cast("long").as("t2"),
+        max(when(col("n") === 3, col("m"))).cast("long").as("m3"),
+        max(when(col("n") === 3, col("t"))).cast("long").as("t3"),
+        max(when(col("n") === 4, col("m"))).cast("long").as("m4"),
+        max(when(col("n") === 4, col("t"))).cast("long").as("t4"))
+      val base = pairs.groupBy("lang").agg(count(lit(1)).as("n_pairs"),
+        sum(col("c_len")).as("c_len"), sum(col("r_len")).as("r_len"))
+      piv.join(base, Seq("lang"))
+        .select(col("lang"), col("n_pairs"), col("c_len"), col("r_len"),
+          col("m1"), col("t1"), col("m2"), col("t2"), col("m3"), col("t3"),
+          col("m4"), col("t4"),
+          expr("""round(CASE WHEN m1 > 0 AND m2 > 0 AND m3 > 0 AND m4 > 0
+                 THEN exp(least(0.0, 1.0 - CAST(r_len AS DOUBLE) / c_len)) *
+                      exp((ln(m1 / CAST(t1 AS DOUBLE)) + ln(m2 / CAST(t2 AS DOUBLE)) +
+                           ln(m3 / CAST(t3 AS DOUBLE)) + ln(m4 / CAST(t4 AS DOUBLE))) / 4)
+                 ELSE 0.0 END, 4)""").as("bleu"))
+        .orderBy("lang")
     }
   )
 }
