@@ -1963,5 +1963,124 @@ object AnalyticsQueries {
         .selectExpr("event_type", "cast(ts as bigint) div 3600 AS hb")
         .groupBy("event_type", "hb").agg(count(lit(1)).as("y")))
     },
+
+    // Entropic optimal transport (Sinkhorn–Knopp; Cuturi 2013, public
+    // arXiv:1306.0895) — the regularized transport-PLAN counterpart of
+    // q357's closed-form W1: W1 gives the scalar distance on the line, OT
+    // gives WHERE the mass moved (the coupling), which is what a mixture
+    // rebalancer actually consumes. Same 10-bin value histograms per
+    // event_type, event_id-parity halves; cost C_ij = |i−j|, kernel
+    // K = exp(−C) (ε = 1), 8 Sinkhorn iterations. The Spark side runs the
+    // WHOLE iteration as one fold: per event_type a single row carries the
+    // two probability arrays and an `aggregate(sequence(1,8), (u,v)-state,
+    // …)` HOF alternates v ← b⊘(Kᵀu), u ← a⊘(Kv) in fixed evaluation order
+    // — zero per-iteration shuffles or checkpoints (the q344 trap never
+    // arises because iteration lives inside one expression, not the plan).
+    // The oracle replays the identical math as unrolled MATERIALIZED CTE
+    // rounds — an independent tall formulation of the same fixpoint. The
+    // u-marginal is exact by construction (u is updated last), so the
+    // convergence witness is the b-side residual Σ|v∘(Kᵀu) − b|. Scale:
+    // one grouped count + a per-type constant-size (10-element) state —
+    // the iteration is metadata after the histogram pass.
+    q("q367_sinkhorn_drift",
+      "entropic OT (Sinkhorn, 8 iters) between event_id-parity value histograms")(
+      {
+        val rounds = (1 to 8).map { t =>
+          val up = if (t == 1) "u0" else s"u${t - 1}"
+          s"""v$t AS MATERIALIZED (
+             |  SELECT h.event_type, h.i AS j,
+             |         h.pb / sum(exp(-abs(u.i - h.i)) * u.u) AS v
+             |  FROM h JOIN $up u ON u.event_type = h.event_type
+             |  GROUP BY h.event_type, h.i, h.pb),
+             |u$t AS MATERIALIZED (
+             |  SELECT h.event_type, h.i,
+             |         h.pa / sum(exp(-abs(h.i - v.j)) * v.v) AS u
+             |  FROM h JOIN v$t v ON v.event_type = h.event_type
+             |  GROUP BY h.event_type, h.i, h.pa)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT event_type, event_id % 2 AS side,
+           |                  least(CAST(floor(value / 50) AS BIGINT), 9) AS bin
+           |           FROM events),
+           |c AS (SELECT event_type, side, bin, count(*) AS k
+           |      FROM e GROUP BY event_type, side, bin),
+           |t AS (SELECT event_type, unnest(generate_series(0, 9)) AS bin
+           |      FROM (SELECT DISTINCT event_type FROM e)),
+           |f AS (SELECT t.event_type, t.bin AS i,
+           |             coalesce(rr.k, 0) AS kr, coalesce(u.k, 0) AS kc
+           |      FROM t LEFT JOIN (SELECT event_type, bin, k FROM c WHERE side = 0) rr
+           |             ON rr.event_type = t.event_type AND rr.bin = t.bin
+           |           LEFT JOIN (SELECT event_type, bin, k FROM c WHERE side = 1) u
+           |             ON u.event_type = t.event_type AND u.bin = t.bin),
+           |tot AS (SELECT event_type, CAST(sum(kr) AS BIGINT) AS nr,
+           |               CAST(sum(kc) AS BIGINT) AS nc
+           |        FROM f GROUP BY event_type HAVING sum(kr) > 0 AND sum(kc) > 0),
+           |h AS MATERIALIZED (SELECT f.event_type, f.i,
+           |            f.kr / CAST(tot.nr AS DOUBLE) AS pa,
+           |            f.kc / CAST(tot.nc AS DOUBLE) AS pb
+           |     FROM f JOIN tot USING (event_type)),
+           |u0 AS (SELECT event_type, i, 1.0 AS u FROM h),
+           |$rounds,
+           |cost AS (SELECT u.event_type,
+           |                sum(u.u * exp(-abs(u.i - v.j)) * v.v * abs(u.i - v.j)) AS ot
+           |         FROM u8 u JOIN v8 v ON v.event_type = u.event_type
+           |         GROUP BY u.event_type),
+           |mar AS (SELECT v.event_type, v.j,
+           |               v.v * sum(exp(-abs(u.i - v.j)) * u.u) AS m
+           |        FROM v8 v JOIN u8 u ON u.event_type = v.event_type
+           |        GROUP BY v.event_type, v.j, v.v),
+           |res AS (SELECT mar.event_type, sum(abs(mar.m - h.pb)) AS rb
+           |        FROM mar JOIN h ON h.event_type = mar.event_type AND h.i = mar.j
+           |        GROUP BY mar.event_type)
+           |SELECT tot.event_type, tot.nr AS n_ref, tot.nc AS n_cur,
+           |       round(cost.ot, 4) AS ot_cost, round(res.rb, 4) AS b_resid
+           |FROM tot JOIN cost USING (event_type) JOIN res USING (event_type)
+           |ORDER BY event_type""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "events").select(col("event_type"),
+        (col("event_id") % 2).as("side"),
+        least(floor(col("value") / 50).cast("long"), lit(9L)).as("bin"))
+      val cnts = e.groupBy("event_type", "side", "bin").agg(count(lit(1)).as("k"))
+      val maps = cnts.groupBy("event_type", "side")
+        .agg(map_from_entries(collect_list(struct(col("bin"), col("k")))).as("m"),
+          sum(col("k")).as("n"))
+      val h = maps.filter(col("side") === 0).alias("a")
+        .join(maps.filter(col("side") === 1).alias("b"), Seq("event_type"))
+        .select(col("event_type"), col("a.n").as("n_ref"), col("b.n").as("n_cur"),
+          expr("transform(sequence(0, 9), bb -> " +
+            "coalesce(element_at(a.m, cast(bb as bigint)), 0L) / cast(a.n as double))").as("pa"),
+          expr("transform(sequence(0, 9), bb -> " +
+            "coalesce(element_at(b.m, cast(bb as bigint)), 0L) / cast(b.n as double))").as("pb"))
+      // the whole Sinkhorn loop as one fixed-order fold; st.u / st.v are
+      // bound variables, so each step evaluates the previous state once
+      val fold =
+        """aggregate(sequence(1, 8),
+          |  named_struct('u', transform(sequence(0, 9), x -> 1.0d),
+          |               'v', transform(sequence(0, 9), x -> 1.0d)),
+          |  (st, t) -> named_struct(
+          |    'u', transform(sequence(0, 9), i -> element_at(pa, i + 1) /
+          |           aggregate(sequence(0, 9), 0.0d, (acc, j) -> acc +
+          |             exp(-cast(abs(i - j) as double)) * (element_at(pb, j + 1) /
+          |               aggregate(sequence(0, 9), 0.0d, (a2, i2) -> a2 +
+          |                 exp(-cast(abs(i2 - j) as double)) * element_at(st.u, i2 + 1))))),
+          |    'v', transform(sequence(0, 9), j -> element_at(pb, j + 1) /
+          |           aggregate(sequence(0, 9), 0.0d, (a2, i2) -> a2 +
+          |             exp(-cast(abs(i2 - j) as double)) * element_at(st.u, i2 + 1)))))""".stripMargin
+      val st = h.withColumn("uv", expr(fold))
+      st.select(col("event_type"), col("n_ref"), col("n_cur"),
+          round(expr(
+            """aggregate(sequence(0, 9), 0.0d, (acc, i) -> acc +
+              |  element_at(uv.u, i + 1) * aggregate(sequence(0, 9), 0.0d,
+              |    (a2, j) -> a2 + exp(-cast(abs(i - j) as double)) *
+              |      element_at(uv.v, j + 1) * cast(abs(i - j) as double)))""".stripMargin), 4)
+            .as("ot_cost"),
+          round(expr(
+            """aggregate(sequence(0, 9), 0.0d, (acc, j) -> acc +
+              |  abs(element_at(uv.v, j + 1) * aggregate(sequence(0, 9), 0.0d,
+              |    (a2, i) -> a2 + exp(-cast(abs(i - j) as double)) *
+              |      element_at(uv.u, i + 1)) - element_at(pb, j + 1)))""".stripMargin), 4)
+            .as("b_resid"))
+        .orderBy("event_type")
+    },
   )
 }

@@ -2997,6 +2997,131 @@ object PipelineQueries {
           sum(col("msk")).as("n_masked"))
         .withColumn("mask_milli", expr("n_masked * 1000 div n_tokens"))
         .orderBy("lang")
+    },
+
+    // Fellegi–Sunter EM weight estimation (Fellegi & Sunter 1969 JASA;
+    // EM fitting per Winkler 1988, both public) — the UNSUPERVISED side of
+    // record linkage that q165's rule-scored resolution skips: estimate
+    // per-field match/unmatch agreement rates (m, u) and the match
+    // prevalence p from the agreement-pattern HISTOGRAM alone, no labels.
+    // Pairs come from classic blocking (same nation × same acctbal/100
+    // bucket, custkey< dedup); binary agreement fields γ = (segment,
+    // |Δbal|<20, name-hash parity — the third is a DELIBERATE noise
+    // control: its agreement is a coin flip, so a correct fit drives its
+    // match weight toward 0, a built-in EM sanity check). The pivotal
+    // scale fact: EM never
+    // touches pairs — it runs on the ≤8-row (γ₁γ₂γ₃, n) histogram, so the
+    // data-sized work is one blocked join + one grouped count
+    // (partial-aggregated), and the 8 EM iterations live INSIDE one
+    // fixed-order fold expression over a single collected-pattern row (the
+    // q367 discipline — no per-round frames, checkpoints, or scalar
+    // products). The oracle replays the identical updates as unrolled
+    // MATERIALIZED CTE rounds. Output: per pattern, the posterior match
+    // probability w and the Fellegi–Sunter match weight
+    // log₂(P(γ|M)/P(γ|U)).
+    q("q371_fs_em_weights",
+      "Fellegi-Sunter EM (8 iters) on blocked customer pairs: pattern posteriors + weights")(
+      {
+        def pmSql(p: String) =
+          s"(CASE WHEN h.g1 = 1 THEN $p.m1 ELSE 1 - $p.m1 END * " +
+            s"CASE WHEN h.g2 = 1 THEN $p.m2 ELSE 1 - $p.m2 END * " +
+            s"CASE WHEN h.g3 = 1 THEN $p.m3 ELSE 1 - $p.m3 END)"
+        def puSql(p: String) =
+          s"(CASE WHEN h.g1 = 1 THEN $p.u1 ELSE 1 - $p.u1 END * " +
+            s"CASE WHEN h.g2 = 1 THEN $p.u2 ELSE 1 - $p.u2 END * " +
+            s"CASE WHEN h.g3 = 1 THEN $p.u3 ELSE 1 - $p.u3 END)"
+        val rounds = (1 to 8).map { t =>
+          s"""w$t AS MATERIALIZED (
+             |  SELECT h.g1, h.g2, h.g3, h.n,
+             |         p.p * ${pmSql("p")} /
+             |           (p.p * ${pmSql("p")} + (1 - p.p) * ${puSql("p")}) AS w
+             |  FROM hist h CROSS JOIN p${t - 1} p),
+             |p$t AS MATERIALIZED (
+             |  SELECT sum(n * w) / sum(n) AS p,
+             |         sum(n * w * g1) / sum(n * w) AS m1,
+             |         sum(n * w * g2) / sum(n * w) AS m2,
+             |         sum(n * w * g3) / sum(n * w) AS m3,
+             |         sum(n * (1 - w) * g1) / sum(n * (1 - w)) AS u1,
+             |         sum(n * (1 - w) * g2) / sum(n * (1 - w)) AS u2,
+             |         sum(n * (1 - w) * g3) / sum(n * (1 - w)) AS u3
+             |  FROM w$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pr AS (SELECT c_custkey AS k, c_nationkey AS nk,
+           |                   CAST(floor(c_acctbal / 100) AS BIGINT) AS bb,
+           |                   c_mktsegment AS seg, c_acctbal AS bal,
+           |                   ${md5LongSql("c_name")} % 2 AS cb
+           |            FROM customer),
+           |pat AS (SELECT CAST(CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS BIGINT) AS g1,
+           |               CAST(CASE WHEN abs(a.bal - b.bal) < 20 THEN 1 ELSE 0 END AS BIGINT) AS g2,
+           |               CAST(CASE WHEN a.cb = b.cb THEN 1 ELSE 0 END AS BIGINT) AS g3
+           |        FROM pr a JOIN pr b
+           |          ON a.nk = b.nk AND a.bb = b.bb AND a.k < b.k),
+           |hist AS MATERIALIZED (SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+           |                      FROM pat GROUP BY g1, g2, g3),
+           |p0 AS (SELECT 0.1 AS p, 0.8 AS m1, 0.8 AS m2, 0.8 AS m3,
+           |              0.2 AS u1, 0.2 AS u2, 0.2 AS u3),
+           |$rounds
+           |SELECT h.g1, h.g2, h.g3, h.n,
+           |       round(p.p * ${pmSql("p")} /
+           |             (p.p * ${pmSql("p")} + (1 - p.p) * ${puSql("p")}), 4) AS w,
+           |       round((ln(${pmSql("p")}) - ln(${puSql("p")})) / ln(2), 4) AS match_weight
+           |FROM hist h CROSS JOIN p8 p ORDER BY g1, g2, g3""".stripMargin
+      }
+    ) { (s, dir) =>
+      val pr = Tables(s, dir, "customer").select(
+        col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+        expr("cast(floor(c_acctbal / 100) as bigint)").as("bb"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"),
+        (md5Long(col("c_name")) % 2).as("cb"))
+      val pat = pr.alias("a").join(pr.alias("b"),
+          col("a.nk") === col("b.nk") && col("a.bb") === col("b.bb") &&
+            col("a.k") < col("b.k"))
+        .select(when(col("a.seg") === col("b.seg"), 1L).otherwise(0L).as("g1"),
+          when(abs(col("a.bal") - col("b.bal")) < 20, 1L).otherwise(0L).as("g2"),
+          when(col("a.cb") === col("b.cb"), 1L).otherwise(0L).as("g3"))
+      val hist = pat.groupBy("g1", "g2", "g3").agg(count(lit(1)).as("n"))
+        .agg(sort_array(collect_list(struct(col("g1"), col("g2"), col("g3"),
+          col("n")))).as("pat"))
+      // per-pattern mixture densities under the running state `st`
+      val PM = "(if(x.g1 = 1, st.m1, 1.0d - st.m1) * if(x.g2 = 1, st.m2, 1.0d - st.m2)" +
+        " * if(x.g3 = 1, st.m3, 1.0d - st.m3))"
+      val PU = "(if(x.g1 = 1, st.u1, 1.0d - st.u1) * if(x.g2 = 1, st.u2, 1.0d - st.u2)" +
+        " * if(x.g3 = 1, st.u3, 1.0d - st.u3))"
+      val W = s"(st.p * $PM / (st.p * $PM + (1.0d - st.p) * $PU))"
+      val sums = s"""aggregate(pat,
+        named_struct('sw', 0.0d, 'sg1', 0.0d, 'sg2', 0.0d, 'sg3', 0.0d,
+                     'su1', 0.0d, 'su2', 0.0d, 'su3', 0.0d, 'sn', 0.0d),
+        (acc, x) -> named_struct(
+          'sw',  acc.sw  + x.n * $W,
+          'sg1', acc.sg1 + x.n * $W * x.g1,
+          'sg2', acc.sg2 + x.n * $W * x.g2,
+          'sg3', acc.sg3 + x.n * $W * x.g3,
+          'su1', acc.su1 + x.n * (1.0d - $W) * x.g1,
+          'su2', acc.su2 + x.n * (1.0d - $W) * x.g2,
+          'su3', acc.su3 + x.n * (1.0d - $W) * x.g3,
+          'sn',  acc.sn  + x.n))"""
+      val fold = s"""aggregate(sequence(1, 8),
+        named_struct('p', 0.1d, 'm1', 0.8d, 'm2', 0.8d, 'm3', 0.8d,
+                     'u1', 0.2d, 'u2', 0.2d, 'u3', 0.2d),
+        (st, t) -> named_struct(
+          'p',  ($sums).sw / ($sums).sn,
+          'm1', ($sums).sg1 / ($sums).sw,
+          'm2', ($sums).sg2 / ($sums).sw,
+          'm3', ($sums).sg3 / ($sums).sw,
+          'u1', ($sums).su1 / (($sums).sn - ($sums).sw),
+          'u2', ($sums).su2 / (($sums).sn - ($sums).sw),
+          'u3', ($sums).su3 / (($sums).sn - ($sums).sw)))"""
+      val fitted = hist.withColumn("st", expr(fold))
+      val PMf = "(if(x.g1 = 1, st.m1, 1.0d - st.m1) * if(x.g2 = 1, st.m2, 1.0d - st.m2)" +
+        " * if(x.g3 = 1, st.m3, 1.0d - st.m3))"
+      val PUf = "(if(x.g1 = 1, st.u1, 1.0d - st.u1) * if(x.g2 = 1, st.u2, 1.0d - st.u2)" +
+        " * if(x.g3 = 1, st.u3, 1.0d - st.u3))"
+      fitted.select(explode(col("pat")).as("x"), col("st"))
+        .select(col("x.g1").as("g1"), col("x.g2").as("g2"), col("x.g3").as("g3"),
+          col("x.n").as("n"),
+          round(expr(s"st.p * $PMf / (st.p * $PMf + (1.0d - st.p) * $PUf)"), 4).as("w"),
+          round(expr(s"(ln($PMf) - ln($PUf)) / ln(2)"), 4).as("match_weight"))
+        .orderBy("g1", "g2", "g3")
     }
   )
 }

@@ -1794,5 +1794,79 @@ object StatsQueries {
           abs(col("th0") - col("th1")).cast("long").as("half_gap_micro"),
           col("gn").as("n_groups"))
     },
+
+    // Banded matrix profile (Yeh et al. 2016, "Matrix Profile I", public
+    // ICDM — the motif/discord primitive behind most modern time-series
+    // mining). Series = the global hourly event-count vector; subsequence
+    // length m=8, band |i−j| ∈ [8, 168] (trivial-match exclusion up to one
+    // week — the banded variant is the honest 100 TB shape: the full
+    // profile is quadratic in series length, the band is linear). Distance
+    // is the UNNORMALIZED integer Euclidean d² = Σ(xᵢ₊ₖ−xⱼ₊ₖ)² — exact
+    // BIGINT end-to-end where z-normalization would drag every comparison
+    // through float means/stds (variant documented; on a count series the
+    // unnormalized profile is the standard Poisson-burst view). Windows are
+    // built WITHOUT any global sort or gap-fill: each hour fans to the ≤8
+    // window-starts it participates in (explode), one groupBy assembles
+    // 8-arrays (HAVING n=8 drops ragged tails at gaps), and the band join
+    // is an explode-δ equi-join — the whole op is bounded by wall-clock
+    // hours (87,600 in a decade), never by event volume; the only
+    // data-sized pass is the first grouped count, which partial-aggregates.
+    // Output: top-10 motif pairs (lowest profile) + top-3 discords
+    // (highest nearest-neighbor distance), total-ordered by (dist, hour).
+    q("q369_matrix_profile",
+      "banded integer matrix profile over hourly counts: top motifs + discords")(
+      """WITH c AS (SELECT (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) AS hb,
+        |                  CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY hb),
+        |e AS (SELECT c.hb - k.k AS i, k.k AS k, c.x
+        |      FROM c CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) k),
+        |w AS (SELECT i, list(x ORDER BY k) AS a
+        |      FROM e GROUP BY i HAVING count(*) = 8),
+        |p AS (SELECT w1.i AS i, w1.i + d.d AS j, w1.a AS a
+        |      FROM w w1 CROSS JOIN (SELECT unnest(generate_series(8, 168)) AS d) d),
+        |dd AS (SELECT p.i, p.j,
+        |              CAST(list_sum(list_transform(generate_series(1, 8),
+        |                t -> (p.a[t] - w2.a[t]) * (p.a[t] - w2.a[t]))) AS BIGINT) AS dist
+        |       FROM p JOIN w w2 ON w2.i = p.j),
+        |prof AS (SELECT i, j, dist,
+        |                row_number() OVER (PARTITION BY i ORDER BY dist, j) AS rn
+        |         FROM dd)
+        |SELECT arm, i AS i_hour, j AS nn_hour, dist FROM (
+        |  SELECT 'motif' AS arm, i, j, dist FROM prof WHERE rn = 1
+        |  ORDER BY dist, i LIMIT 10) m
+        |UNION ALL
+        |SELECT arm, i AS i_hour, j AS nn_hour, dist FROM (
+        |  SELECT 'discord' AS arm, i, j, dist FROM prof WHERE rn = 1
+        |  ORDER BY dist DESC, i LIMIT 3) x
+        |ORDER BY arm, dist, i_hour""".stripMargin
+    ) { (s, dir) =>
+      val c = Tables(s, dir, "events")
+        .selectExpr("cast(ts as bigint) div 3600 AS hb")
+        .groupBy("hb").agg(count(lit(1)).as("x"))
+      val e = c.select(explode(sequence(lit(0L), lit(7L))).as("k"), col("hb"), col("x"))
+        .select((col("hb") - col("k")).as("i"), col("k"), col("x"))
+      val w = e.groupBy("i")
+        .agg(transform(sort_array(collect_list(struct(col("k"), col("x")))),
+          m => m.getField("x")).as("a"), count(lit(1)).as("n"))
+        .filter(col("n") === 8).drop("n")
+      val p = w.select(col("i"), col("a"),
+          explode(sequence(lit(8L), lit(168L))).as("d"))
+        .select(col("i"), (col("i") + col("d")).as("j"), col("a"))
+      val dd = p.alias("p")
+        .join(w.alias("w2"), col("w2.i") === col("p.j"))
+        .select(col("p.i").as("i"), col("p.j").as("j"),
+          expr("aggregate(zip_with(p.a, w2.a, (x, y) -> (x - y) * (x - y)), " +
+            "0L, (acc, v) -> acc + v)").as("dist"))
+      val prof = dd.groupBy("i").agg(min(struct(col("dist"), col("j"))).as("m"))
+        .select(col("i"), col("m.j").as("j"), col("m.dist").as("dist"))
+        .cache() // two top-k consumers
+      val motifs = prof.orderBy(col("dist"), col("i")).limit(10)
+        .select(lit("motif").as("arm"), col("i"), col("j"), col("dist"))
+      val discords = prof.orderBy(col("dist").desc, col("i")).limit(3)
+        .select(lit("discord").as("arm"), col("i"), col("j"), col("dist"))
+      motifs.unionByName(discords)
+        .select(col("arm"), col("i").as("i_hour"), col("j").as("nn_hour"), col("dist"))
+        .orderBy("arm", "dist", "i_hour")
+    },
   )
 }

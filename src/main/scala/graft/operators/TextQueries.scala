@@ -2010,6 +2010,94 @@ object TextQueries {
                            ln(m3 / CAST(t3 AS DOUBLE)) + ln(m4 / CAST(t4 AS DOUBLE))) / 4)
                  ELSE 0.0 END, 4)""").as("bleu"))
         .orderBy("lang")
+    },
+
+    // Multinomial Naive Bayes language classifier — the trained counterpart
+    // of q36d's marker heuristic and the fastText-style quality/lang gate
+    // every curation stack runs (CCNet uses exactly this family). Features
+    // are hashed unigrams (md5Long % 64 — the engine-portable hash, q184's
+    // discipline), classes are langs, train/test split by doc_id parity.
+    // Laplace-smoothed log-likelihoods ln((c+1)/(tot+64)) over the FULL
+    // 5×64 (lang, bucket) spine (unseen buckets must score, so the spine is
+    // an explode over the 5-row class-totals frame — no product joins
+    // anywhere); the prior enters as ln(ndocs_lang) — the shared −ln(N)
+    // normalizer is constant across classes, so it cancels in the argmax
+    // and no 1-row scalar frame is needed. Scoring is one broadcast
+    // equi-join of test (doc, bucket, n) rows against the 320-row model on
+    // bucket (each row fans to the 5 classes), one grouped sum, argmax on
+    // the ROUNDED score with lang-asc tiebreak (the q67 rounded-rank
+    // discipline — the float tail is a ≤64-term sum of identical doubles).
+    // Output is the integer confusion matrix. Scale: two grouped counts +
+    // one broadcast join; the model is O(classes × buckets) — metadata.
+    q("q368_nb_langid",
+      "Naive Bayes lang classifier: parity-split train/score, confusion matrix")(
+      s"""WITH tok AS (SELECT doc_id, lang, doc_id % 2 AS role,
+         |                    unnest(string_split(text, ' ')) AS w
+         |             FROM documents WHERE length(text) > 0),
+         |feat AS (SELECT doc_id, lang, role, ${md5LongSql("w")} % 64 AS b,
+         |                CAST(count(*) AS BIGINT) AS n
+         |         FROM tok GROUP BY doc_id, lang, role, b),
+         |cb AS (SELECT lang, b, CAST(sum(n) AS BIGINT) AS cb
+         |       FROM feat WHERE role = 0 GROUP BY lang, b),
+         |ct AS (SELECT lang, CAST(sum(cb) AS BIGINT) AS tot FROM cb GROUP BY lang),
+         |nd AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+         |       FROM feat WHERE role = 0 GROUP BY lang),
+         |spine AS (SELECT lang, tot, unnest(generate_series(0, 63)) AS b FROM ct),
+         |model AS (SELECT s.lang, s.b,
+         |                 ln((coalesce(cb.cb, 0) + 1) / CAST(s.tot + 64 AS DOUBLE)) AS lp
+         |          FROM spine s LEFT JOIN cb ON cb.lang = s.lang AND cb.b = s.b),
+         |sc AS (SELECT f.doc_id, f.lang AS lang_true, m.lang AS lang_pred,
+         |              sum(f.n * m.lp) AS fs
+         |       FROM (SELECT * FROM feat WHERE role = 1) f
+         |       JOIN model m ON m.b = f.b
+         |       GROUP BY f.doc_id, f.lang, m.lang),
+         |scored AS (SELECT doc_id, lang_true, sc.lang_pred,
+         |                  round(fs + ln(nd.ndocs), 4) AS score
+         |           FROM sc JOIN nd ON nd.lang = sc.lang_pred),
+         |pick AS (SELECT doc_id, lang_true, lang_pred,
+         |                row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY score DESC, lang_pred) AS rn
+         |         FROM scored)
+         |SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pick WHERE rn = 1
+         |GROUP BY lang_true, lang_pred ORDER BY lang_true, lang_pred""".stripMargin
+    ) { (s, dir) =>
+      val tok = Tables.fanout(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("lang"), (col("doc_id") % 2).as("role"),
+          explode(tokens(col("text"))).as("w"))
+      val feat = tok
+        .select(col("doc_id"), col("lang"), col("role"),
+          (md5Long(col("w")) % 64).as("b"))
+        .groupBy("doc_id", "lang", "role", "b").agg(count(lit(1)).as("n"))
+        .cache() // feeds train counts AND test scoring
+      val cb = feat.filter(col("role") === 0)
+        .groupBy("lang", "b").agg(sum(col("n")).as("cb"))
+      val ct = cb.groupBy("lang").agg(sum(col("cb")).as("tot"))
+      val nd = feat.filter(col("role") === 0)
+        .groupBy("lang").agg(countDistinct(col("doc_id")).as("ndocs"))
+      val spine = ct.select(col("lang"), col("tot"),
+        explode(sequence(lit(0L), lit(63L))).as("b"))
+      val model = spine.alias("s")
+        .join(cb.alias("c"),
+          col("c.lang") === col("s.lang") && col("c.b") === col("s.b"), "left")
+        .select(col("s.lang").as("lang"), col("s.b").as("b"),
+          log((coalesce(col("c.cb"), lit(0L)) + 1) /
+            (col("s.tot") + 64).cast("double")).as("lp"))
+      val sc = feat.filter(col("role") === 1).alias("f")
+        .join(broadcast(model).alias("m"), col("m.b") === col("f.b"))
+        .groupBy(col("f.doc_id").as("doc_id"), col("f.lang").as("lang_true"),
+          col("m.lang").as("lang_pred"))
+        .agg(sum(col("f.n") * col("m.lp")).as("fs"))
+      val scored = sc
+        .join(broadcast(nd.withColumnRenamed("lang", "lang_pred")), Seq("lang_pred"))
+        .select(col("doc_id"), col("lang_true"), col("lang_pred"),
+          round(col("fs") + log(col("ndocs")), 4).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("lang_pred"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_true", "lang_pred")
     }
   )
 }
