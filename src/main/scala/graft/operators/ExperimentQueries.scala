@@ -1833,6 +1833,115 @@ object ExperimentQueries {
           col("n_outliers"), col("n_rows"))
         .orderBy(col("d2_milli").desc, col("ok"), col("ln"))
         .limit(20)
+    },
+
+    // Bradley–Terry preference-strength fitting (Bradley & Terry 1952
+    // Biometrika; MM updates per Zermelo 1929 / Hunter 2004 — all public)
+    // — the model behind pairwise-preference leaderboards (chatbot-arena
+    // style) and reward-model eval. Comparisons: within each (user, hour)
+    // cell, every cross-type event pair is a duel won by the higher value
+    // (exact ties skipped) — bounded per cell, linear overall. The MM
+    // fixpoint p_i ← W_i / Σ_j n_ij/(p_i+p_j), renormalized to Σp = 1,
+    // runs 8 rounds INSIDE one fold over a single collected row (the
+    // q367/q371 discipline): duels as a both-directions (a, b, n) array,
+    // win totals as a map, state as a sorted array<struct<t, p>> — the
+    // per-item denominator is a filtered inner fold over the ≤K² duel
+    // array, so iteration is metadata after the grouped counts. The
+    // oracle replays the identical updates as unrolled MATERIALIZED CTE
+    // rounds over the K-row table. Item count K = |event_type| (5):
+    // state is O(K²), never data-sized.
+    q("q372_bradley_terry",
+      "Bradley-Terry MM fit (8 rounds) over value-duels between event types")(
+      {
+        val rounds = (1 to 8).map { t =>
+          s"""r$t AS MATERIALIZED (
+             |  SELECT nd.a AS i, max(w.w) / sum(nd.n / (p.p + q.p)) AS praw
+             |  FROM nd JOIN p${t - 1} p ON p.i = nd.a
+             |          JOIN p${t - 1} q ON q.i = nd.b
+             |          JOIN wins w ON w.i = nd.a
+             |  GROUP BY nd.a),
+             |p$t AS MATERIALIZED (
+             |  SELECT i, praw / (SELECT sum(praw) FROM r$t) AS p FROM r$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT user_id,
+           |                  (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) AS hb,
+           |                  event_type, value
+           |           FROM events),
+           |duel AS (SELECT CASE WHEN a.value > b.value THEN a.event_type
+           |                     ELSE b.event_type END AS win,
+           |                CASE WHEN a.value > b.value THEN b.event_type
+           |                     ELSE a.event_type END AS lose
+           |         FROM e a JOIN e b
+           |           ON a.user_id = b.user_id AND a.hb = b.hb
+           |          AND a.event_type < b.event_type
+           |         WHERE a.value <> b.value),
+           |wmat AS (SELECT win, lose, CAST(count(*) AS BIGINT) AS n
+           |         FROM duel GROUP BY win, lose),
+           |nd AS MATERIALIZED (
+           |  SELECT a, b, CAST(sum(n) AS BIGINT) AS n FROM (
+           |    SELECT win AS a, lose AS b, n FROM wmat
+           |    UNION ALL SELECT lose AS a, win AS b, n FROM wmat)
+           |  GROUP BY a, b),
+           |wins AS MATERIALIZED (
+           |  SELECT a AS i, CAST(coalesce(sum(w.n), 0) AS BIGINT) AS w
+           |  FROM (SELECT DISTINCT a FROM nd) t
+           |  LEFT JOIN wmat w ON w.win = t.a GROUP BY t.a),
+           |p0 AS (SELECT i, 1.0 / (SELECT count(*) FROM wins) AS p FROM wins),
+           |$rounds,
+           |comps AS (SELECT a AS i, CAST(sum(n) AS BIGINT) AS n_comps
+           |          FROM nd GROUP BY a)
+           |SELECT wins.i AS event_type, wins.w AS n_wins, comps.n_comps,
+           |       round(p8.p, 4) AS bt_p
+           |FROM wins JOIN comps ON comps.i = wins.i JOIN p8 ON p8.i = wins.i
+           |ORDER BY event_type""".stripMargin
+      }
+    ) { (s, dir) =>
+      val e = Tables(s, dir, "events").selectExpr("user_id",
+        "cast(ts as bigint) div 3600 AS hb", "event_type", "value")
+      val duel = e.alias("a").join(e.alias("b"),
+          col("a.user_id") === col("b.user_id") && col("a.hb") === col("b.hb") &&
+            col("a.event_type") < col("b.event_type"))
+        .filter(col("a.value") =!= col("b.value"))
+        .select(
+          when(col("a.value") > col("b.value"), col("a.event_type"))
+            .otherwise(col("b.event_type")).as("win"),
+          when(col("a.value") > col("b.value"), col("b.event_type"))
+            .otherwise(col("a.event_type")).as("lose"))
+      val wmat = duel.groupBy("win", "lose").agg(count(lit(1)).as("n")).cache()
+      val nd = wmat.select(col("win").as("a"), col("lose").as("b"), col("n"))
+        .unionByName(wmat.select(col("lose").as("a"), col("win").as("b"), col("n")))
+        .groupBy("a", "b").agg(sum(col("n")).as("n"))
+        .cache() // duels leg + wins/comps legs
+      val wins = nd.select(col("a")).distinct().alias("t")
+        .join(wmat.groupBy("win").agg(sum(col("n")).as("w")).alias("w"),
+          col("w.win") === col("t.a"), "left")
+        .select(col("t.a").as("i"), coalesce(col("w.w"), lit(0L)).as("w"))
+      val comps = nd.groupBy(col("a").as("i")).agg(sum(col("n")).as("n_comps"))
+      // one row: sorted duel array + win map + sorted item list
+      val one = nd.agg(
+        sort_array(collect_list(struct(col("a"), col("b"), col("n")))).as("duels"))
+        .crossJoin(broadcast(wins.agg(
+          map_from_entries(collect_list(struct(col("i"), col("w")))).as("wm"),
+          sort_array(collect_list(col("i"))).as("items"))))
+      val fold = """aggregate(sequence(1, 8),
+        transform(items, t -> named_struct('t', t, 'p', 1.0d / size(items))),
+        (st, it) -> transform(st, s ->
+          named_struct('t', s.t, 'p',
+            (cast(element_at(wm, s.t) as double) /
+             aggregate(filter(duels, d -> d.a = s.t), 0.0d, (acc, d) -> acc +
+               d.n / (s.p + element_at(filter(st, o -> o.t = d.b), 1).p))) /
+            aggregate(st, 0.0d, (acc2, s2) -> acc2 +
+              cast(element_at(wm, s2.t) as double) /
+              aggregate(filter(duels, d2 -> d2.a = s2.t), 0.0d, (a3, d2) -> a3 +
+                d2.n / (s2.p + element_at(filter(st, o2 -> o2.t = d2.b), 1).p))))))"""
+      val fitted = one.withColumn("ps", expr(fold))
+        .select(explode(col("ps")).as("x"))
+        .select(col("x.t").as("i"), round(col("x.p"), 4).as("bt_p"))
+      wins.alias("w").join(comps.alias("c"), col("c.i") === col("w.i"))
+        .join(fitted.alias("f"), col("f.i") === col("w.i"))
+        .select(col("w.i").as("event_type"), col("w.w").as("n_wins"),
+          col("c.n_comps"), col("f.bt_p"))
+        .orderBy("event_type")
     }
   )
 }

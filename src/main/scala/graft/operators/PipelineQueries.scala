@@ -3122,6 +3122,144 @@ object PipelineQueries {
           round(expr(s"st.p * $PMf / (st.p * $PMf + (1.0d - st.p) * $PUf)"), 4).as("w"),
           round(expr(s"(ln($PMf) - ln($PUf)) / ln(2)"), 4).as("match_weight"))
         .orderBy("g1", "g2", "g3")
+    },
+
+    // Dataset cartography (Swayamdipta et al. 2020, public arXiv:
+    // 2009.10795) — map each example by training-dynamics (confidence,
+    // variability) and bucket the corpus into easy-to-learn / hard-to-learn
+    // / ambiguous regions; the ambiguous band is where that paper finds the
+    // data worth keeping. The "epochs" here are the 8 models of a NESTED
+    // LEARNING CURVE: q368's Naive Bayes trained on hash-slices 1/8, 2/8,
+    // …, 8/8 of the train half — real shrinking-estimator dynamics, not
+    // jittered scores, and all 8 models come from ONE pass (cumulative
+    // slice counts over the (lang, bucket, slice) cube — 5×64×8 rows,
+    // metadata). Confidence = mean over epochs of the model's probability
+    // on the TRUE lang, computed stably as 1/Σ_l exp(s_l − s_true) (the
+    // log-sum-exp shift; the softmax is shift-invariant, so priors enter
+    // as ln(nd+1) with the −ln(N) normalizer dropped, q368's discipline).
+    // Variability = population std over the 8 epochs. Scale shape: one
+    // tokenize+hash pass, cumulative sums over a constant cube, one
+    // broadcast model join (≤2,560 rows) against test features.
+    q("q373_data_cartography",
+      "cartography zones per lang: confidence/variability over an 8-model NB learning curve")(
+      s"""WITH tok AS (SELECT doc_id, lang, doc_id % 2 AS role,
+         |                    ${md5LongSql("'ep:' || doc_id")} % 8 AS sl,
+         |                    unnest(string_split(text, ' ')) AS w
+         |             FROM documents WHERE length(text) > 0),
+         |feat AS (SELECT doc_id, lang, role, sl, ${md5LongSql("w")} % 64 AS b,
+         |                CAST(count(*) AS BIGINT) AS n
+         |         FROM tok GROUP BY doc_id, lang, role, sl, b),
+         |tc AS (SELECT lang, b, sl, CAST(sum(n) AS BIGINT) AS c
+         |       FROM feat WHERE role = 0 GROUP BY lang, b, sl),
+         |langs AS (SELECT DISTINCT lang FROM tc),
+         |cube0 AS (SELECT l.lang, gb.b, gs.sl
+         |          FROM langs l
+         |          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gb
+         |          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sl) gs),
+         |cum AS (SELECT c0.lang, c0.b, c0.sl + 1 AS e,
+         |               CAST(sum(coalesce(tc.c, 0)) OVER
+         |                 (PARTITION BY c0.lang, c0.b ORDER BY c0.sl
+         |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+         |        FROM cube0 c0 LEFT JOIN tc
+         |          ON tc.lang = c0.lang AND tc.b = c0.b AND tc.sl = c0.sl),
+         |tote AS (SELECT lang, e, CAST(sum(cb) AS BIGINT) AS tot
+         |         FROM cum GROUP BY lang, e),
+         |ndc AS (SELECT d.lang, gs.sl + 1 AS e,
+         |               CAST(sum(CASE WHEN d.sl <= gs.sl THEN 1 ELSE 0 END) AS BIGINT) AS nd
+         |        FROM (SELECT DISTINCT doc_id, lang, sl FROM feat WHERE role = 0) d
+         |        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sl) gs
+         |        GROUP BY d.lang, gs.sl),
+         |model AS (SELECT cum.lang, cum.b, cum.e,
+         |                 ln((cum.cb + 1) / CAST(tote.tot + 64 AS DOUBLE)) AS lp
+         |          FROM cum JOIN tote ON tote.lang = cum.lang AND tote.e = cum.e),
+         |sc AS (SELECT f.doc_id, f.lang AS lang_true, m.e, m.lang AS lm,
+         |              sum(f.n * m.lp) + ln(max(nd.nd) + 1) AS s
+         |       FROM (SELECT * FROM feat WHERE role = 1) f
+         |       JOIN model m ON m.b = f.b
+         |       JOIN ndc nd ON nd.lang = m.lang AND nd.e = m.e
+         |       GROUP BY f.doc_id, f.lang, m.e, m.lang),
+         |st AS (SELECT doc_id, e, s AS s_true FROM sc WHERE lm = lang_true),
+         |pe AS (SELECT sc.doc_id, max(sc.lang_true) AS lang_true, sc.e,
+         |              1.0 / sum(exp(sc.s - st.s_true)) AS p
+         |       FROM sc JOIN st ON st.doc_id = sc.doc_id AND st.e = sc.e
+         |       GROUP BY sc.doc_id, sc.e),
+         |cart AS (SELECT doc_id, max(lang_true) AS lang, avg(p) AS conf,
+         |                sqrt(greatest(avg(p * p) - avg(p) * avg(p), 0)) AS vr
+         |         FROM pe GROUP BY doc_id),
+         |z AS (SELECT lang,
+         |             CASE WHEN conf >= 0.667 AND vr <= 0.2 THEN 'easy'
+         |                  WHEN conf < 0.333 THEN 'hard'
+         |                  WHEN vr > 0.2 THEN 'ambiguous'
+         |                  ELSE 'mid' END AS zone, conf, vr
+         |      FROM cart)
+         |SELECT lang, zone, CAST(count(*) AS BIGINT) AS n_docs,
+         |       round(avg(conf), 4) AS mean_conf, round(avg(vr), 4) AS mean_var
+         |FROM z GROUP BY lang, zone ORDER BY lang, zone""".stripMargin
+    ) { (s, dir) =>
+      val tok = Tables.fanout(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("lang"), (col("doc_id") % 2).as("role"),
+          (md5Long(concat(lit("ep:"), col("doc_id").cast("string"))) % 8).as("sl"),
+          explode(tokens(col("text"))).as("w"))
+      val feat = tok
+        .select(col("doc_id"), col("lang"), col("role"), col("sl"),
+          (md5Long(col("w")) % 64).as("b"))
+        .groupBy("doc_id", "lang", "role", "sl", "b").agg(count(lit(1)).as("n"))
+        .cache() // train counts + doc slices + test scoring
+      val tc = feat.filter(col("role") === 0)
+        .groupBy("lang", "b", "sl").agg(sum(col("n")).as("c"))
+      val cube0 = tc.select("lang").distinct()
+        .select(col("lang"), explode(sequence(lit(0L), lit(63L))).as("b"))
+        .select(col("lang"), col("b"), explode(sequence(lit(0L), lit(7L))).as("sl"))
+      val wcum = Window.partitionBy("lang", "b").orderBy("sl")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cube0.alias("c0")
+        .join(tc.alias("t"), col("t.lang") === col("c0.lang") &&
+          col("t.b") === col("c0.b") && col("t.sl") === col("c0.sl"), "left")
+        .select(col("c0.lang").as("lang"), col("c0.b").as("b"), col("c0.sl").as("sl"),
+          coalesce(col("t.c"), lit(0L)).as("c"))
+        .select(col("lang"), col("b"), (col("sl") + 1).as("e"),
+          sum(col("c")).over(wcum).as("cb"))
+      val tote = cum.groupBy("lang", "e").agg(sum(col("cb")).as("tot"))
+      val ndc = feat.filter(col("role") === 0)
+        .select("doc_id", "lang", "sl").distinct()
+        .select(col("lang"), col("sl"), explode(sequence(lit(0L), lit(7L))).as("gs"))
+        .groupBy(col("lang"), (col("gs") + 1).as("e"))
+        .agg(sum(when(col("sl") <= col("gs"), 1L).otherwise(0L)).as("nd"))
+      val model = cum.alias("c")
+        .join(tote.alias("tt"), col("tt.lang") === col("c.lang") &&
+          col("tt.e") === col("c.e"))
+        .select(col("c.lang").as("lang"), col("c.b").as("b"), col("c.e").as("e"),
+          log((col("c.cb") + 1) / (col("tt.tot") + 64).cast("double")).as("lp"))
+      val sc = feat.filter(col("role") === 1).alias("f")
+        .join(broadcast(model).alias("m"), col("m.b") === col("f.b"))
+        .join(broadcast(ndc).alias("nd"),
+          col("nd.lang") === col("m.lang") && col("nd.e") === col("m.e"))
+        .groupBy(col("f.doc_id").as("doc_id"), col("f.lang").as("lang_true"),
+          col("m.e").as("e"), col("m.lang").as("lm"))
+        .agg((sum(col("f.n") * col("m.lp")) + log(max(col("nd.nd")) + 1)).as("s"))
+        .cache() // full score frame + the s_true slice
+      val st = sc.filter(col("lm") === col("lang_true"))
+        .select(col("doc_id"), col("e"), col("s").as("s_true"))
+      val pe = sc.alias("sc")
+        .join(st.alias("st"), col("st.doc_id") === col("sc.doc_id") &&
+          col("st.e") === col("sc.e"))
+        .groupBy(col("sc.doc_id").as("doc_id"), col("sc.e").as("e"))
+        .agg(max(col("sc.lang_true")).as("lang_true"),
+          (lit(1.0) / sum(exp(col("sc.s") - col("st.s_true")))).as("p"))
+      val cart = pe.groupBy("doc_id")
+        .agg(max(col("lang_true")).as("lang"), avg(col("p")).as("conf"),
+          sqrt(greatest(avg(col("p") * col("p")) - avg(col("p")) * avg(col("p")),
+            lit(0.0))).as("vr"))
+      cart.select(col("lang"),
+          when(col("conf") >= 0.667 && col("vr") <= 0.2, "easy")
+            .when(col("conf") < 0.333, "hard")
+            .when(col("vr") > 0.2, "ambiguous")
+            .otherwise("mid").as("zone"), col("conf"), col("vr"))
+        .groupBy("lang", "zone")
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("conf")), 4).as("mean_conf"),
+          round(avg(col("vr")), 4).as("mean_var"))
+        .orderBy("lang", "zone")
     }
   )
 }

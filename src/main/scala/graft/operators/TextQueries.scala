@@ -2098,6 +2098,61 @@ object TextQueries {
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang_true", "lang_pred")
+    },
+
+    // Zipf tail-exponent via the Hill estimator (Hill 1975, Annals of
+    // Statistics — the standard MLE for a power-law tail index):
+    // α̂ = k / Σ_{i≤k} ln(f_i / f_{k+1}) over each language's top-k token
+    // frequencies (k = 16; the fixture wordlist is 31 tokens/lang, so the tail cut sits mid-distribution — the estimator form, not the asymptotics, is what is exercised). Complements q274's Heaps curve (vocabulary
+    // GROWTH) with the frequency-decay law — together they are the two
+    // classic sanity invariants a token distribution must satisfy before a
+    // corpus is trusted for LM training. The per-lang top-(k+1) cut is
+    // q36_top_tokens' ranked shape (vocabulary-sized partitions, not
+    // corpus-sized); tie tokens at the boundary carry equal f, so the
+    // estimate is tie-robust even though the cut itself tie-breaks on the
+    // token. Integer frequencies end-to-end; the float tail is a fixed
+    // 16-term log sum, round-4.
+    q("q374_hill_zipf",
+      "Hill tail-exponent of the per-lang token frequency distribution (k=16)")(
+      """WITH fr AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+        |            FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |                  FROM documents)
+        |            GROUP BY lang, w),
+        |rk AS (SELECT lang, f,
+        |              row_number() OVER (PARTITION BY lang ORDER BY f DESC, w) AS rn
+        |       FROM fr),
+        |kf AS (SELECT lang, f AS fk1 FROM rk WHERE rn = 17),
+        |hill AS (SELECT rk.lang, max(kf.fk1) AS fk1,
+        |                sum(ln(rk.f / CAST(kf.fk1 AS DOUBLE))) AS sl
+        |         FROM rk JOIN kf ON kf.lang = rk.lang
+        |         WHERE rk.rn <= 16 GROUP BY rk.lang),
+        |vb AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
+        |              CAST(max(f) AS BIGINT) AS f_top
+        |       FROM fr GROUP BY lang)
+        |SELECT vb.lang, vb.n_vocab, vb.f_top, CAST(hill.fk1 AS BIGINT) AS f_k1,
+        |       round(16.0 / hill.sl, 4) AS hill_alpha
+        |FROM vb JOIN hill ON hill.lang = vb.lang ORDER BY vb.lang""".stripMargin
+    ) { (s, dir) =>
+      val fr = Tables.fanout(s, dir, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("f"))
+        .cache() // ranked-cut leg + vocab-stats leg
+      val rw = Window.partitionBy(col("lang")).orderBy(col("f").desc, col("w"))
+      val rk = fr.withColumn("rn", row_number().over(rw))
+        .select("lang", "f", "rn").cache()
+      val kf = rk.filter(col("rn") === 17).select(col("lang"), col("f").as("fk1"))
+      val hill = rk.filter(col("rn") <= 16)
+        .join(broadcast(kf), Seq("lang"))
+        .groupBy("lang")
+        .agg(max(col("fk1")).as("fk1"),
+          sum(log(col("f") / col("fk1").cast("double"))).as("sl"))
+      val vb = fr.groupBy("lang")
+        .agg(count(lit(1)).as("n_vocab"), max(col("f")).as("f_top"))
+      vb.join(hill, Seq("lang"))
+        .select(col("lang"), col("n_vocab"), col("f_top"),
+          col("fk1").cast("long").as("f_k1"),
+          round(lit(16.0) / col("sl"), 4).as("hill_alpha"))
+        .orderBy("lang")
     }
   )
 }
