@@ -3006,9 +3006,13 @@ object PipelineQueries {
     // prevalence p from the agreement-pattern HISTOGRAM alone, no labels.
     // Pairs come from classic blocking (same nation × same acctbal/100
     // bucket, custkey< dedup); binary agreement fields γ = (segment,
-    // |Δbal|<20, name-hash parity — the third is a DELIBERATE noise
-    // control: its agreement is a coin flip, so a correct fit drives its
-    // match weight toward 0, a built-in EM sanity check). The pivotal
+    // |Δbal|<20, name-hash parity — the third is a per-RECORD coin flip,
+    // yet its pair-level agreement is NOT iid: pairs share block members,
+    // so a block that happens to skew parity-1 inflates agreements
+    // quadratically, and the EM fit honestly soaks that clustering up as
+    // weight (measured: ~57% agreement at sf0.01, not 50% — the classic
+    // U-statistic variance trap in linkage evaluation; DepthWave9Spec
+    // asserts the partial-order monotonicity law instead). The pivotal
     // scale fact: EM never
     // touches pairs — it runs on the ≤8-row (γ₁γ₂γ₃, n) histogram, so the
     // data-sized work is one blocked join + one grouped count

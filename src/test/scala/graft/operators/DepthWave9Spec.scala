@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Discrimination properties for the round-8 continuation wave
+  * (q366–q374) that the value-hash oracle can't express: metric laws
+  * (BLEU's composition, Sinkhorn ≥ W1, Hill positivity), conservation
+  * invariants (confusion-matrix and cartography mass, block census), and
+  * the EM noise-control contract. Runs on the sf0.01 fixtures. */
+class DepthWave9Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, dir).collect()
+
+  test("q366 BLEU: bounds, clip law, and the reported score recomposes from its parts") {
+    val rows = run("q366_bleu")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, t) = ((0 until 4).map(i => r.getLong(4 + 2 * i)),
+        (0 until 4).map(i => r.getLong(5 + 2 * i)))
+      m.zip(t).foreach { case (mi, ti) => assert(mi >= 0 && mi <= ti) }
+      val (cLen, rLen, bleu) = (r.getLong(2), r.getLong(3), r.getDouble(12))
+      assert(bleu >= 0.0 && bleu <= 1.0)
+      if (m.exists(_ == 0L)) assert(bleu == 0.0)
+      else {
+        val bp = math.exp(math.min(0.0, 1.0 - rLen.toDouble / cLen))
+        val gm = math.exp(m.zip(t).map { case (mi, ti) =>
+          math.log(mi.toDouble / ti) }.sum / 4)
+        assert(math.abs(bleu - bp * gm) < 5e-4, s"bleu decomposition: $bleu vs ${bp * gm}")
+      }
+    }
+  }
+
+  test("q367 Sinkhorn: cost dominates exact W1, marginals near-converged") {
+    val ot = run("q367_sinkhorn_drift").map(r => r.getString(0) -> r).toMap
+    val w1 = run("q357_wasserstein_drift").map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(ot.keySet == w1.keySet)
+    ot.foreach { case (et, r) =>
+      val (cost, resid) = (r.getDouble(3), r.getDouble(4))
+      assert(cost >= 0.0 && resid >= 0.0)
+      // the entropic plan is a FEASIBLE-up-to-resid coupling for the linear
+      // cost, whose exact optimum on the line IS W1 — suboptimality means
+      // cost ≥ W1 minus the b-marginal slack (each unit of unmatched mass
+      // can hide at most the max bin distance, 9)
+      assert(cost + 9 * resid + 1e-3 >= w1(et), s"$et: $cost vs w1=${w1(et)} resid=$resid")
+      assert(resid < 0.05, s"$et Sinkhorn failed to converge: resid=$resid")
+    }
+  }
+
+  test("q368 NB confusion matrix: mass conservation against an independent census") {
+    val rows = run("q368_nb_langid")
+    val predMass = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    import org.apache.spark.sql.functions._
+    val census = graft.Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0 && col("doc_id") % 2 === 1)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(predMass.toMap == census, "every scored test doc lands in exactly one cell")
+    rows.foreach(r => assert(r.getLong(2) > 0))
+  }
+
+  test("q369 matrix profile: arm census, non-negativity, motif ≤ discord") {
+    val rows = run("q369_matrix_profile")
+    val motifs = rows.filter(_.getString(0) == "motif")
+    val discords = rows.filter(_.getString(0) == "discord")
+    assert(motifs.length == 10 && discords.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0)
+      // the nearest neighbor sits inside the band on BOTH sides
+      val gap = math.abs(r.getLong(2) - r.getLong(1))
+      assert(gap >= 8 && gap <= 168)
+    }
+    assert(motifs.map(_.getLong(3)).max <= discords.map(_.getLong(3)).min,
+      "a motif (low profile) can never exceed a discord (high profile)")
+  }
+
+  test("q370 span corruption: block census and mask-ratio band") {
+    val rows = run("q370_span_corruption")
+    import org.apache.spark.sql.functions._
+    val blocks = graft.Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(expr("(size(split(text, ' ')) + 19) div 20 AS nb"))
+      .agg(sum("nb")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum == blocks, "every 20-token block is visited once")
+    rows.foreach { r =>
+      val (nBlocks, nSpans, nTok, nMask, milli) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nSpans <= nBlocks && nMask <= nTok)
+      assert(nMask >= nSpans, "each span masks at least one token")
+      assert(milli >= 50 && milli <= 150, s"mask ratio drifted: $milli milli")
+    }
+  }
+
+  test("q371 FS EM: posteriors in range and monotone in the agreement partial order") {
+    val rows = run("q371_fs_em_weights")
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // With the m=0.8/u=0.2 init the fit keeps every mᵢ > uᵢ, so MORE
+    // agreement can only RAISE the match weight: the weight must be
+    // monotone along every edge of the pattern lattice. (A "noise field
+    // ≈ 0 weight" assertion would be WRONG here: pair-level agreements
+    // cluster through shared block members, so even a per-record coin
+    // flip carries real pair-level information — see the query comment.)
+    val byPat = rows.map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+      r.getDouble(5))).toMap
+    for (g1 <- 0L to 1L; g2 <- 0L to 1L; g3 <- 0L to 1L) {
+      if (g1 == 0) assert(byPat((0L, g2, g3)) < byPat((1L, g2, g3)))
+      if (g2 == 0) assert(byPat((g1, 0L, g3)) < byPat((g1, 1L, g3)))
+      if (g3 == 0) assert(byPat((g1, g2, 0L)) < byPat((g1, g2, 1L)))
+    }
+    // full agreement is the strongest evidence, full disagreement the weakest
+    assert(byPat((1L, 1L, 1L)) == rows.map(_.getDouble(5)).max)
+    assert(byPat((0L, 0L, 0L)) == rows.map(_.getDouble(5)).min)
+    assert(byPat((1L, 1L, 1L)) > byPat((0L, 0L, 0L)) + 2.0)
+  }
+
+  test("q372 Bradley-Terry: strengths form a distribution, wins bounded by comparisons") {
+    val rows = run("q372_bradley_terry")
+    assert(rows.length >= 2)
+    val pSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(pSum - 1.0) < 1e-3, s"strengths must renormalize: $pSum")
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0)
+      assert(r.getLong(1) <= r.getLong(2), "wins cannot exceed comparisons")
+    }
+  }
+
+  test("q373 cartography: zone mass conservation and zone-definition bounds") {
+    val rows = run("q373_data_cartography")
+    import org.apache.spark.sql.functions._
+    val testDocs = graft.Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0 && col("doc_id") % 2 === 1).count()
+    assert(rows.map(_.getLong(2)).sum == testDocs, "zones partition the test half")
+    rows.foreach { r =>
+      val (zone, conf) = (r.getString(1), r.getDouble(3))
+      assert(conf >= 0.0 && conf <= 1.0)
+      if (zone == "easy") assert(conf >= 0.667)
+      if (zone == "hard") assert(conf < 0.333)
+    }
+  }
+
+  test("q374 Hill: positive tail exponent, frequency cut ordered") {
+    val rows = run("q374_hill_zipf")
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 17, "vocab must cover the k+1 cut")
+      assert(r.getLong(2) >= r.getLong(3), "top frequency dominates the cut frequency")
+      assert(r.getDouble(4) > 0.0, "Hill estimate is positive by construction")
+    }
+  }
+}
