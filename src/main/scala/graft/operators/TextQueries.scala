@@ -2361,6 +2361,122 @@ object TextQueries {
                   * (cast(x.so as double) / x.n - cast(sso as double) / nn))""") / col("nn")
             + (col("sso").cast("double") / col("nn")) *
               (lit(1.0) - col("sso").cast("double") / col("nn")), 4).as("brier_murphy"))
+    },
+
+    // Confident-joint label-noise estimation (Northcutt et al. 2021 JAIR,
+    // "Confident Learning", public arXiv:1911.00068 — the cleanlab
+    // algorithm every labeled-data pipeline runs to find mislabeled
+    // examples). From the SHARED nbscored scores: per-doc class
+    // probabilities p_j (softmax of the round-4 scores), per-class
+    // self-confidence thresholds t_j = mean p_j over docs LABELED j, and
+    // the confident joint C[i][j] = #{label=i, argmax over {k: p_k ≥ t_k}
+    // = j} (docs confident for no class drop out — the paper's rule).
+    // Both p and t round to 6 before the ≥ comparison and the argmax, so
+    // both engines threshold identical doubles (the q67 discipline).
+    // Off-diagonal mass IS the estimated label-error census. Scale: one
+    // grouped softmax, one 5-row broadcast threshold join, one grouped
+    // count — everything after scoring is label-space metadata.
+    q("q377_confident_joint",
+      "cleanlab confident joint over NB class probabilities: label-noise census")(
+      s"""WITH $nbScoredCteSql,
+         |mx AS (SELECT doc_id, max(score) AS s_max FROM nbscored GROUP BY doc_id),
+         |den AS (SELECT n.doc_id, sum(exp(n.score - mx.s_max)) AS z
+         |        FROM nbscored n JOIN mx ON mx.doc_id = n.doc_id GROUP BY n.doc_id),
+         |pp AS (SELECT n.doc_id, n.lang_true, n.lang_pred AS lng,
+         |              round(exp(n.score - mx.s_max) / den.z, 6) AS p
+         |       FROM nbscored n JOIN mx ON mx.doc_id = n.doc_id
+         |                       JOIN den ON den.doc_id = n.doc_id),
+         |th AS (SELECT lng, round(avg(p), 6) AS t
+         |       FROM pp WHERE lang_true = lng GROUP BY lng),
+         |cf AS (SELECT pp.doc_id, pp.lang_true, pp.lng, pp.p,
+         |              row_number() OVER (PARTITION BY pp.doc_id
+         |                                 ORDER BY pp.p DESC, pp.lng) AS rn
+         |       FROM pp JOIN th ON th.lng = pp.lng WHERE pp.p >= th.t)
+         |SELECT lang_true AS lang_label, lng AS lang_conf,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(CASE WHEN lang_true = lng THEN 0 ELSE 1 END AS BIGINT) AS flagged
+         |FROM cf WHERE rn = 1
+         |GROUP BY lang_true, lng ORDER BY lang_label, lang_conf""".stripMargin
+    ) { (s, dir) =>
+      val scored = nbScored(s, dir).cache() // max + denominator + probs
+      val mx = scored.groupBy("doc_id").agg(max(col("score")).as("s_max"))
+      val den = scored.alias("n")
+        .join(mx.alias("m"), col("m.doc_id") === col("n.doc_id"))
+        .groupBy(col("n.doc_id").as("doc_id"))
+        .agg(sum(exp(col("n.score") - col("m.s_max"))).as("z"))
+      val pp = scored.alias("n")
+        .join(mx.alias("m"), col("m.doc_id") === col("n.doc_id"))
+        .join(den.alias("d"), col("d.doc_id") === col("n.doc_id"))
+        .select(col("n.doc_id").as("doc_id"), col("n.lang_true").as("lang_true"),
+          col("n.lang_pred").as("lng"),
+          round(exp(col("n.score") - col("m.s_max")) / col("z"), 6).as("p"))
+        .cache() // thresholds + the confident filter
+      val th = pp.filter(col("lang_true") === col("lng"))
+        .groupBy("lng").agg(round(avg(col("p")), 6).as("t"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p").desc, col("lng"))
+      pp.join(broadcast(th), Seq("lng")).filter(col("p") >= col("t"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("lang_true").as("lang_label"), col("lng").as("lang_conf"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("flagged",
+          when(col("lang_label") === col("lang_conf"), 0L).otherwise(1L))
+        .orderBy("lang_label", "lang_conf")
+    },
+
+    // Group-fairness audit (demographic parity and accuracy parity — the
+    // standard disaggregated-evaluation pass, e.g. Barocas/Hardt/
+    // Narayanan's fairmlbook, public) of the NB classifier across SOURCE
+    // groups: per source, accuracy and majority-class prediction rate in
+    // exact integer milli, from which the parity gaps read directly
+    // (DepthWave9Spec recomputes max−min). Groups come from the join back
+    // to documents (the scored frame deliberately does not carry source —
+    // the audit is a CONSUMER of the classifier, not part of it). Scale:
+    // one window pick + one broadcast-scale equi-join + one grouped count.
+    q("q378_fairness_audit",
+      "per-source fairness audit of the NB classifier: accuracy + majority-rate milli")(
+      s"""WITH $nbScoredCteSql,
+         |pick AS (SELECT doc_id, lang_true, lang_pred,
+         |                row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY score DESC, lang_pred) AS rn
+         |         FROM nbscored),
+         |pr AS (SELECT p.doc_id, p.lang_true, p.lang_pred, d.source
+         |       FROM pick p JOIN documents d ON d.doc_id = p.doc_id
+         |       WHERE p.rn = 1),
+         |mj AS (SELECT lang_pred AS m FROM pr GROUP BY lang_pred
+         |       ORDER BY count(*) DESC, lang_pred LIMIT 1)
+         |SELECT pr.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |       CAST(sum(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END) * 1000
+         |            // count(*) AS BIGINT) AS acc_milli,
+         |       CAST(sum(CASE WHEN lang_pred = mj.m THEN 1 ELSE 0 END) AS BIGINT) AS n_majority,
+         |       CAST(sum(CASE WHEN lang_pred = mj.m THEN 1 ELSE 0 END) * 1000
+         |            // count(*) AS BIGINT) AS majority_milli
+         |FROM pr CROSS JOIN mj
+         |GROUP BY pr.source ORDER BY pr.source""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("lang_pred"))
+      val pick = nbScored(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id", "lang_true", "lang_pred")
+      val pr = pick.join(
+        Tables(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+        .cache() // majority vote + the per-source census
+      val mj = pr.groupBy("lang_pred").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("lang_pred")).limit(1)
+        .select(col("lang_pred").as("m"))
+      pr.crossJoin(broadcast(mj)) // 1-row majority-class frame (allowlisted)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang_pred") === col("lang_true"), 1L).otherwise(0L))
+            .as("n_correct"),
+          sum(when(col("lang_pred") === col("m"), 1L).otherwise(0L))
+            .as("n_majority"))
+        .select(col("source"), col("n_docs"), col("n_correct"),
+          expr("n_correct * 1000 div n_docs").as("acc_milli"),
+          col("n_majority"),
+          expr("n_majority * 1000 div n_docs").as("majority_milli"))
+        .orderBy("source")
     }
   )
 }

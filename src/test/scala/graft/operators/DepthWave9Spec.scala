@@ -172,6 +172,39 @@ class DepthWave9Spec extends AnyFunSuite {
     assert(math.abs(bbin - braw) < 0.05)
   }
 
+  test("q377 confident joint: cell law, mass bounded by the test half") {
+    val rows = run("q377_confident_joint")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0)
+      val expectFlag = if (r.getString(0) == r.getString(1)) 0L else 1L
+      assert(r.getLong(3) == expectFlag)
+    }
+    import org.apache.spark.sql.functions._
+    val testDocs = graft.Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0 && col("doc_id") % 2 === 1).count()
+    // docs confident for NO class drop out of the joint — mass can only shrink
+    assert(rows.map(_.getLong(2)).sum <= testDocs)
+    assert(rows.map(_.getLong(2)).sum > 0)
+  }
+
+  test("q378 fairness audit: conservation, milli recomposition, gaps well-defined") {
+    val rows = run("q378_fairness_audit")
+    assert(rows.length >= 2, "needs at least two groups to audit")
+    import org.apache.spark.sql.functions._
+    val testDocs = graft.Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0 && col("doc_id") % 2 === 1).count()
+    assert(rows.map(_.getLong(1)).sum == testDocs, "groups partition the test half")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 1000 / r.getLong(1))
+      assert(r.getLong(5) == r.getLong(4) * 1000 / r.getLong(1))
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(4) <= r.getLong(1))
+    }
+    val accGap = rows.map(_.getLong(3)).max - rows.map(_.getLong(3)).min
+    val dpGap = rows.map(_.getLong(5)).max - rows.map(_.getLong(5)).min
+    assert(accGap >= 0 && accGap <= 1000 && dpGap >= 0 && dpGap <= 1000)
+  }
+
   test("q374 Hill: positive tail exponent, frequency cut ordered") {
     val rows = run("q374_hill_zipf")
     assert(rows.length == 5)
