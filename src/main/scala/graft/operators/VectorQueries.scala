@@ -1971,6 +1971,116 @@ object VectorQueries {
           coalesce(sum(when(col("pruned"), col("vec_id"))), lit(0L)).as("pruned_id_sum"),
           coalesce(sum(when(!col("pruned"), col("vec_id"))), lit(0L)).as("kept_id_sum"))
         .orderBy("cent")
+    },
+
+    // MMR re-ranking (Carbonell & Goldstein 1998, SIGIR — maximal marginal
+    // relevance, THE diversity re-ranker in front of every RAG context
+    // builder): from each query's top-20 cosine pool, greedily pick 8 docs
+    // maximizing λ·sim(q,d) − (1−λ)·max_{p∈picked} sim(d,p), λ = 0.7.
+    // The pool cut is the scale boundary: after it everything is a
+    // per-query 20-row array — pool + the 20×19 pairwise-sim map collect
+    // into ONE row per query and the whole greedy loop runs as a fold
+    // (the q367/q372 discipline; argmax keys round to 6 in BOTH the fold
+    // and the oracle's per-round ORDER BY, including round 1, so the two
+    // greedy chains bit-agree). The oracle replays the pick chain as 8
+    // unrolled MATERIALIZED rounds with NOT EXISTS de-picking. The
+    // pairwise map keys as min·10⁶+max — fine while vec_ids < 10⁶ per
+    // pool (they are: pool members are vec_ids, bounded by the corpus,
+    // and the KEY only needs uniqueness within one query's 20-row pool).
+    q("q379_mmr_rerank",
+      "MMR diversity re-rank: greedy 8-of-20 per query (lambda=0.7), fold-run greedy")(
+      {
+        val rounds = (2 to 8).map { t =>
+          s"""sc$t AS MATERIALIZED (
+             |  SELECT c.qid, c.cid, c.qs,
+             |         round(0.7 * c.qs - 0.3 * max(pr.sim), 6) AS sc
+             |  FROM pool c
+             |  JOIN picks${t - 1} pk ON pk.qid = c.qid
+             |  JOIN pr ON pr.qid = c.qid AND pr.a = c.cid AND pr.b = pk.cid
+             |  WHERE NOT EXISTS (SELECT 1 FROM picks${t - 1} p2
+             |                    WHERE p2.qid = c.qid AND p2.cid = c.cid)
+             |  GROUP BY c.qid, c.cid, c.qs),
+             |p$t AS MATERIALIZED (
+             |  SELECT qid, cid, $t AS rnk FROM (
+             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+             |                       ORDER BY sc DESC, cid) AS r FROM sc$t)
+             |  WHERE r = 1),
+             |picks$t AS MATERIALIZED (
+             |  SELECT * FROM picks${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           |           FROM embeddings),
+           |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+           |cs AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |              round(list_dot_product(q.e, c.e) / (nq.nrm * nc.nrm), 6) AS qs
+           |       FROM v q JOIN n nq ON nq.vec_id = q.vec_id,
+           |            v c JOIN n nc ON nc.vec_id = c.vec_id
+           |       WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+           |pool AS MATERIALIZED (
+           |  SELECT qid, cid, qs FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qs DESC, cid) AS rn
+           |    FROM cs) WHERE rn <= 20),
+           |pr AS MATERIALIZED (
+           |  SELECT a.qid, a.cid AS a, b.cid AS b,
+           |         round(list_dot_product(va.e, vb.e) / (na.nrm * nb.nrm), 6) AS sim
+           |  FROM pool a JOIN pool b ON b.qid = a.qid AND b.cid <> a.cid
+           |       JOIN v va ON va.vec_id = a.cid JOIN v vb ON vb.vec_id = b.cid
+           |       JOIN n na ON na.vec_id = a.cid JOIN n nb ON nb.vec_id = b.cid),
+           |picks1 AS MATERIALIZED (
+           |  SELECT qid, cid, 1 AS rnk FROM (
+           |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |                       ORDER BY round(0.7 * qs, 6) DESC, cid) AS r FROM pool)
+           |  WHERE r = 1),
+           |$rounds
+           |SELECT pk.qid, CAST(pk.rnk AS BIGINT) AS rnk, pk.cid, pool.qs
+           |FROM picks8 pk JOIN pool ON pool.qid = pk.qid AND pool.cid = pk.cid
+           |ORDER BY pk.qid, rnk""".stripMargin
+      }
+    ) { (s, dir) =>
+      import graft.expressions.VectorFunctions.cosine
+      val emb = Tables.fanout(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val wPool = Window.partitionBy(col("qid")).orderBy(col("qs").desc, col("cid"))
+      val pool = cands.join(broadcast(qs), col("cid") =!= col("qid"))
+        .withColumn("qs", round(cosine(col("qe"), col("ce")), 6))
+        .withColumn("rn", row_number().over(wPool)).filter(col("rn") <= 20)
+        .select(col("qid"), col("cid"), col("qs"), col("ce"))
+        .cache() // pool feeds the pair sims AND the collected greedy row
+      val pr = pool.alias("a")
+        .join(pool.alias("b"),
+          col("b.qid") === col("a.qid") && col("b.cid") =!= col("a.cid"))
+        .select(col("a.qid").as("qid"),
+          (least(col("a.cid"), col("b.cid")) * 1000000L +
+            greatest(col("a.cid"), col("b.cid"))).as("k"),
+          round(cosine(col("a.ce"), col("b.ce")), 6).as("sim"))
+        .distinct() // symmetric pairs collapse onto one key
+      val one = pool.groupBy("qid")
+        .agg(sort_array(collect_list(struct(col("cid"), col("qs")))).as("ps"))
+        .join(pr.groupBy("qid")
+          .agg(map_from_entries(collect_list(struct(col("k"), col("sim")))).as("sm")),
+          Seq("qid"))
+      // the greedy chain: score = round(0.7·qs − 0.3·maxsim(picked), 6),
+      // argmax with cid tiebreak; first pick's penalty term is zero
+      val pen = """if(size(picked) = 0, 0.0d,
+        aggregate(picked, cast(-1.0d as double), (m, p) -> greatest(m,
+          element_at(sm, least(x.cid, p) * 1000000L + greatest(x.cid, p)))))"""
+      val sCand = s"round(0.7d * x.qs - 0.3d * ($pen), 6)"
+      val fold = s"""aggregate(sequence(1, 8), cast(array() as array<bigint>),
+        (picked, t) -> picked || array(
+          aggregate(filter(ps, x -> NOT array_contains(picked, x.cid)),
+            cast(null as struct<sc: double, id: bigint>),
+            (b, x) -> CASE WHEN b IS NULL OR $sCand > b.sc
+                            OR ($sCand = b.sc AND x.cid < b.id)
+                           THEN named_struct('sc', $sCand, 'id', x.cid)
+                           ELSE b END).id))"""
+      one.withColumn("picks", expr(fold))
+        .select(col("qid"), col("ps"),
+          posexplode(col("picks")).as(Seq("pos", "cid")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"), col("cid"),
+          expr("element_at(filter(ps, x -> x.cid = cid), 1).qs").as("qs"))
+        .orderBy("qid", "rnk")
     }
   )
 

@@ -205,6 +205,26 @@ class DepthWave9Spec extends AnyFunSuite {
     assert(accGap >= 0 && accGap <= 1000 && dpGap >= 0 && dpGap <= 1000)
   }
 
+  test("q379 MMR: pick census, relevance-first law, and visible diversity reorder") {
+    val rows = run("q379_mmr_rerank")
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 3)
+    byQ.foreach { case (_, picks) =>
+      assert(picks.length == 8)
+      assert(picks.map(_.getLong(2)).distinct.length == 8, "greedy must never re-pick")
+      assert(picks.map(_.getLong(1)).sorted.toSeq == (1L to 8L))
+      // the first pick maximizes pure relevance (its penalty term is zero)
+      val first = picks.minBy(_.getLong(1)).getDouble(3)
+      assert(picks.forall(_.getDouble(3) <= first + 1e-9))
+    }
+    // if MMR never deviated from the relevance order the λ-penalty would be
+    // dead code — at least one query must show a non-monotone qs sequence
+    assert(byQ.values.exists { picks =>
+      val seq = picks.sortBy(_.getLong(1)).map(_.getDouble(3))
+      seq.sliding(2).exists { case Array(a, b) => b > a + 1e-9 }
+    }, "diversity penalty never reordered any pick chain")
+  }
+
   test("q374 Hill: positive tail exponent, frequency cut ordered") {
     val rows = run("q374_hill_zipf")
     assert(rows.length == 5)
