@@ -2081,6 +2081,79 @@ object VectorQueries {
         .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"), col("cid"),
           expr("element_at(filter(ps, x -> x.cid = cid), 1).qs").as("qs"))
         .orderBy("qid", "rnk")
+    },
+
+    // Cluster-validity scorecard over q35f's SHARED Lloyd clustering:
+    // simplified silhouette (Hruschka et al. 2004 — centroid distances in
+    // place of mean pairwise, the LINEAR variant of Rousseeuw 1987's
+    // silhouette; the exact form is O(n²) and dies at corpus scale) and
+    // the Davies–Bouldin index (Davies & Bouldin 1979, IEEE TPAMI) —
+    // the two standard "is this clustering any good" numbers a semantic
+    // dedup/IVF pipeline checks before trusting its partitions. Cosine
+    // geometry throughout: d = 1 − cos, so a = 1−cos(x, own centroid),
+    // b = 1−max cos(x, other centroids), s = (b−a)/max(a,b); cluster
+    // scatter S_k = mean d to own centroid; DB_k = max_j (S_k+S_j)/d(c_k,
+    // c_j). Everything after the (already q35f-shared) n×K scoring pass
+    // is per-cluster metadata: one grouped mean + a K² centroid grid.
+    q("q380_cluster_validity",
+      "simplified silhouette + Davies-Bouldin per Lloyd cluster (shared q35f model)")(
+      s"""$kmeansCte,
+         |own AS (SELECT vec_id, cent, cs FROM a$KmeansIters),
+         |alt AS (SELECT s.vec_id, max(s.cs) AS bcs
+         |        FROM s$KmeansIters s JOIN own o
+         |          ON o.vec_id = s.vec_id AND s.cent <> o.cent
+         |        GROUP BY s.vec_id),
+         |sil AS (SELECT o.cent,
+         |               (o.cs - alt.bcs) / greatest(1 - o.cs, 1 - alt.bcs) AS sp,
+         |               1 - o.cs AS d
+         |        FROM own o JOIN alt ON alt.vec_id = o.vec_id),
+         |grp AS (SELECT cent, CAST(count(*) AS BIGINT) AS n,
+         |               avg(sp) AS msil, avg(d) AS scat
+         |        FROM sil GROUP BY cent),
+         |cc AS (SELECT a.cent AS i, b.cent AS j,
+         |              1 - list_dot_product(a.ce, b.ce) /
+         |                  (sqrt(list_dot_product(a.ce, a.ce)) *
+         |                   sqrt(list_dot_product(b.ce, b.ce))) AS cd
+         |       FROM c$KmeansIters a JOIN c$KmeansIters b ON a.cent <> b.cent),
+         |db AS (SELECT cc.i AS cent, max((gi.scat + gj.scat) / cc.cd) AS dbk
+         |       FROM cc JOIN grp gi ON gi.cent = cc.i
+         |               JOIN grp gj ON gj.cent = cc.j
+         |       GROUP BY cc.i)
+         |SELECT grp.cent, grp.n, round(grp.msil, 4) AS mean_silhouette,
+         |       round(grp.scat, 4) AS scatter, round(db.dbk, 4) AS davies_bouldin
+         |FROM grp JOIN db ON db.cent = grp.cent ORDER BY grp.cent""".stripMargin
+    ) { (s, dir) =>
+      val v = withNorm(Tables.fanout(s, dir, "embeddings"))
+      val (scores, assign) = kmeansScoresAndAssign(v)
+      val own = assign.select(col("vec_id"), col("cent"), col("cs"))
+      val alt = scores.alias("s")
+        .join(own.alias("o"),
+          col("o.vec_id") === col("s.vec_id") && col("s.cent") =!= col("o.cent"))
+        .groupBy(col("s.vec_id").as("vec_id")).agg(max(col("s.cs")).as("bcs"))
+      val sil = own.join(alt, Seq("vec_id"))
+        .select(col("cent"),
+          ((col("cs") - col("bcs")) /
+            greatest(lit(1.0) - col("cs"), lit(1.0) - col("bcs"))).as("sp"),
+          (lit(1.0) - col("cs")).as("d"))
+      val grp = sil.groupBy("cent")
+        .agg(count(lit(1)).as("n"), avg(col("sp")).as("msil"), avg(col("d")).as("scat"))
+        .cache() // silhouette leg + both sides of the DB grid
+      val cents = scores.select(col("cent"), col("ce")).distinct()
+      val cc = cents.alias("a")
+        .join(cents.alias("b"), col("a.cent") =!= col("b.cent"))
+        .select(col("a.cent").as("i"), col("b.cent").as("j"),
+          (lit(1.0) - dot(col("a.ce"), col("b.ce")) /
+            (sqrt(dot(col("a.ce"), col("a.ce"))) *
+              sqrt(dot(col("b.ce"), col("b.ce"))))).as("cd"))
+      val db = cc
+        .join(grp.select(col("cent").as("i"), col("scat").as("si")), Seq("i"))
+        .join(grp.select(col("cent").as("j"), col("scat").as("sj")), Seq("j"))
+        .groupBy(col("i").as("cent"))
+        .agg(max((col("si") + col("sj")) / col("cd")).as("dbk"))
+      grp.join(db, Seq("cent"))
+        .select(col("cent"), col("n"), round(col("msil"), 4).as("mean_silhouette"),
+          round(col("scat"), 4).as("scatter"), round(col("dbk"), 4).as("davies_bouldin"))
+        .orderBy("cent")
     }
   )
 

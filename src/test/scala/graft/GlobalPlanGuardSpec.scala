@@ -133,7 +133,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q365_lm_score_tertiles" -> "q327's 1-row trigram-type-count frame × the eval stream + 1-row doc-count frame × per-doc scores (tertile cuts); global rank is DistributedRank's ≤parts-row triangular",
     "q372_bradley_terry" -> "1-row collected duel-array frame × 1-row win-map frame (K=|event_type| metadata, K² duel array)",
     "q378_fairness_audit" -> "1-row majority-class frame × the per-doc prediction frame (group census)",
-    "q379_mmr_rerank" -> "3-query broadcast × corpus pool cut (q35's brute-force allowance); greedy runs in a fold over 20-row collected pools")
+    "q379_mmr_rerank" -> "3-query broadcast × corpus pool cut (q35's brute-force allowance); greedy runs in a fold over 20-row collected pools",
+    "q380_cluster_validity" -> "K=8 Lloyd-centroid grid × vectors (q35f's assignment shape) + K² centroid-pair grid (validity metadata)")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

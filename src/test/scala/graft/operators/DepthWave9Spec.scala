@@ -225,6 +225,19 @@ class DepthWave9Spec extends AnyFunSuite {
     }, "diversity penalty never reordered any pick chain")
   }
 
+  test("q380 cluster validity: silhouette bounds, positive indices, mass conservation") {
+    val rows = run("q380_cluster_validity")
+    assert(rows.length == 8)
+    val corpus = graft.Tables(spark, dir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == corpus, "clusters partition the corpus")
+    rows.foreach { r =>
+      val (msil, scat, db) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(msil >= -1.0 && msil <= 1.0, "silhouette is bounded by construction")
+      assert(scat >= 0.0, "cosine distance scatter is non-negative")
+      assert(db > 0.0, "Davies-Bouldin ratios of positive scatters are positive")
+    }
+  }
+
   test("q374 Hill: positive tail exponent, frequency cut ordered") {
     val rows = run("q374_hill_zipf")
     assert(rows.length == 5)
