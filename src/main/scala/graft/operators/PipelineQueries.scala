@@ -3235,13 +3235,33 @@ object PipelineQueries {
           col("tt.e") === col("c.e"))
         .select(col("c.lang").as("lang"), col("c.b").as("b"), col("c.e").as("e"),
           log((col("c.cb") + 1) / (col("tt.tot") + 64).cast("double")).as("lp"))
-      val sc = feat.filter(col("role") === 1).alias("f")
-        .join(broadcast(model).alias("m"), col("m.b") === col("f.b"))
-        .join(broadcast(ndc).alias("nd"),
-          col("nd.lang") === col("m.lang") && col("nd.e") === col("m.e"))
+      // Scoring joins the PIVOTED model — (lang, b) → 8-epoch lp array —
+      // so the fan-out is ×|langs| (5), not ×|langs×epochs| (40): the
+      // partial aggregate then ships (doc, lm) rows carrying 8 parallel
+      // sums instead of 8× the rows (measured 5.7 → ~3 s at sf0.1; same
+      // term multisets per (doc, lm, e), so round-4 outputs are unmoved).
+      val modelW = model.groupBy("lang", "b")
+        .agg(sort_array(collect_list(struct(col("e"), col("lp")))).as("x"))
+        .select(col("lang"), col("b"), expr("transform(x, v -> v.lp)").as("lps"))
+      val ndW = ndc.groupBy("lang")
+        .agg(sort_array(collect_list(struct(col("e"), col("nd")))).as("x"))
+        .select(col("lang").as("lm"), expr("transform(x, v -> v.nd)").as("nds"))
+      val sumExprs = (1 to 8).map(e =>
+        sum(col("f.n") * element_at(col("m.lps"), e)).as(s"f$e"))
+      val scW = feat.filter(col("role") === 1).alias("f")
+        .join(broadcast(modelW).alias("m"), col("m.b") === col("f.b"))
         .groupBy(col("f.doc_id").as("doc_id"), col("f.lang").as("lang_true"),
-          col("m.e").as("e"), col("m.lang").as("lm"))
-        .agg((sum(col("f.n") * col("m.lp")) + log(max(col("nd.nd")) + 1)).as("s"))
+          col("m.lang").as("lm"))
+        .agg(sumExprs.head, sumExprs.tail: _*)
+      val sc = scW.join(broadcast(ndW), Seq("lm"))
+        .withColumn("fs", array((1 to 8).map(e => col(s"f$e")): _*))
+        .select(col("doc_id"), col("lang_true"), col("lm"), col("fs"), col("nds"))
+        .select(col("doc_id"), col("lang_true"), col("lm"), col("fs"), col("nds"),
+          explode(sequence(lit(1), lit(8))).as("e"))
+        .select(col("doc_id"), col("lang_true"), col("e").cast("long").as("e"),
+          col("lm"),
+          (element_at(col("fs"), col("e")) +
+            log(element_at(col("nds"), col("e")) + 1)).as("s"))
         .cache() // full score frame + the s_true slice
       val st = sc.filter(col("lm") === col("lang_true"))
         .select(col("doc_id"), col("e"), col("s").as("s_true"))
