@@ -2154,6 +2154,105 @@ object VectorQueries {
         .select(col("cent"), col("n"), round(col("msil"), 4).as("mean_silhouette"),
           round(col("scat"), 4).as("scatter"), round(col("dbk"), 4).as("davies_bouldin"))
         .orderBy("cent")
+    },
+
+    // Rank-biased overlap (Webber, Moffat & Zobel 2010, ACM TOIS) between
+    // the EXACT cosine top-5 and the IVF 2-probe top-5 per query — the
+    // rank-WEIGHTED fidelity complement to q227's set-recall scorecard
+    // (recall@k treats rank 1 and rank 5 alike; RBO's geometric weights
+    // don't, which is what an ANN regression gate actually wants).
+    // Truncated RBO@5 with p=0.9 computes as a per-member LOOKUP, no
+    // per-depth pass: each common member contributes
+    // w(m) = Σ_{d=m..5} (1−p)·p^{d−1}/d at m = max of its two ranks —
+    // the weights are inlined as IDENTICAL literals in both engines
+    // (Scala Double.toString round-trips, so both parse the same bits).
+    // rbo_norm divides by the truncated maximum 1−p⁵. Scale: both
+    // rankings already exist in the engine (q35 brute-force allowance +
+    // q35f's shared Lloyd model); the RBO itself is a 5-row-per-query
+    // join + grouped sum — metadata.
+    q("q381_rbo_ann_fidelity",
+      "rank-biased overlap @5 (p=0.9) of IVF 2-probe vs exact cosine ranking")(
+      {
+        val p = 0.9
+        val wts = (1 to 5).map(m => (m to 5).map(d => (1 - p) * math.pow(p, d - 1) / d).sum)
+        val caseSql = s"CASE greatest(ex.re, iv.ra) " +
+          (1 to 5).map(m => s"WHEN $m THEN ${wts(m - 1)}::DOUBLE").mkString(" ") + " END"
+        s"""$kmeansCte,
+           |ex AS (SELECT qid, cid, rn AS re FROM (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |         row_number() OVER (PARTITION BY q.vec_id
+           |           ORDER BY list_dot_product(q.e, c.e) / (nq.nrm * nc.nrm) DESC,
+           |                    c.vec_id) AS rn
+           |  FROM v q JOIN n nq ON nq.vec_id = q.vec_id,
+           |       v c JOIN n nc ON nc.vec_id = c.vec_id
+           |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+           | WHERE rn <= 5),
+           |pb AS (SELECT vec_id AS qid, cent FROM
+           |        (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |                     ORDER BY cs DESC, cent) AS rn
+           |         FROM s$KmeansIters)
+           |      WHERE rn <= 2 AND vec_id < 10),
+           |cand AS (SELECT DISTINCT pb.qid, m.vec_id AS cid
+           |         FROM pb JOIN a$KmeansIters m ON m.cent = pb.cent
+           |                                     AND m.vec_id <> pb.qid),
+           |ivs AS (SELECT cand.qid, cand.cid,
+           |              list_dot_product(q.e, c.e) / (nq.nrm * nc.nrm) AS cs
+           |       FROM cand JOIN v q ON q.vec_id = cand.qid
+           |            JOIN v c ON c.vec_id = cand.cid
+           |            JOIN n nq ON nq.vec_id = cand.qid
+           |            JOIN n nc ON nc.vec_id = cand.cid),
+           |iv AS (SELECT qid, cid, rn AS ra FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid
+           |              ORDER BY cs DESC, cid) AS rn FROM ivs)
+           | WHERE rn <= 5),
+           |ag AS (SELECT ex.qid, $caseSql AS w
+           |       FROM ex JOIN iv ON iv.qid = ex.qid AND iv.cid = ex.cid),
+           |qs AS (SELECT DISTINCT vec_id AS qid FROM v WHERE vec_id < 10)
+           |SELECT qs.qid, CAST(count(ag.w) AS BIGINT) AS n_common,
+           |       round(coalesce(sum(ag.w), 0), 4) AS rbo,
+           |       round(coalesce(sum(ag.w), 0) / ${1 - math.pow(p, 5)}, 4) AS rbo_norm
+           |FROM qs LEFT JOIN ag ON ag.qid = qs.qid
+           |GROUP BY qs.qid ORDER BY qs.qid""".stripMargin
+      }
+    ) { (s, dir) =>
+      val p = 0.9
+      val wts = (1 to 5).map(m => (m to 5).map(d => (1 - p) * math.pow(p, d - 1) / d).sum)
+      val v = withNorm(Tables.fanout(s, dir, "embeddings"))
+      val (scores, assign) = kmeansScoresAndAssign(v)
+      val queries = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      // exact leg: q35's brute-force ranking, cut at 5
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("qcs").desc, col("cid"))
+      val ex = v.select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+        .join(broadcast(queries), col("cid") =!= col("qid"))
+        .withColumn("qcs", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("re", row_number().over(wTop)).filter(col("re") <= 5)
+        .select("qid", "cid", "re")
+      // ANN leg: q35g's 2-probe ranking, cut at 5
+      val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent"))
+      val probes = scores.withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cent"))
+      val members = assign.select(col("vec_id").as("cid"), col("cent"),
+        col("e").as("me"), col("nrm").as("mn"))
+      val iv = probes.join(members, Seq("cent"))
+        .filter(col("cid") =!= col("qid"))
+        .select("qid", "cid", "me", "mn").dropDuplicates(Seq("qid", "cid"))
+        .join(broadcast(queries), Seq("qid"))
+        .withColumn("qcs", dot(col("qe"), col("me")) / (col("qn") * col("mn")))
+        .withColumn("ra", row_number().over(wTop)).filter(col("ra") <= 5)
+        .select("qid", "cid", "ra")
+      val wCase = (1 to 5).map(m => s"WHEN $m THEN ${wts(m - 1)}").mkString(" ")
+      val ag = ex.join(iv, Seq("qid", "cid"))
+        .select(col("qid"), expr(s"CASE greatest(re, ra) $wCase END").as("w"))
+      queries.select("qid")
+        .join(ag, Seq("qid"), "left")
+        .groupBy("qid")
+        .agg(count(col("w")).as("n_common"),
+          round(coalesce(sum(col("w")), lit(0.0)), 4).as("rbo"),
+          round(coalesce(sum(col("w")), lit(0.0)) / lit(1 - math.pow(p, 5)), 4)
+            .as("rbo_norm"))
+        .orderBy("qid")
     }
   )
 

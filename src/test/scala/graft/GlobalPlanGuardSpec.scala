@@ -134,7 +134,8 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q372_bradley_terry" -> "1-row collected duel-array frame × 1-row win-map frame (K=|event_type| metadata, K² duel array)",
     "q378_fairness_audit" -> "1-row majority-class frame × the per-doc prediction frame (group census)",
     "q379_mmr_rerank" -> "3-query broadcast × corpus pool cut (q35's brute-force allowance); greedy runs in a fold over 20-row collected pools",
-    "q380_cluster_validity" -> "K=8 Lloyd-centroid grid × vectors (q35f's assignment shape) + K² centroid-pair grid (validity metadata)")
+    "q380_cluster_validity" -> "K=8 Lloyd-centroid grid × vectors (q35f's assignment shape) + K² centroid-pair grid (validity metadata)",
+    "q381_rbo_ann_fidelity" -> "10-query broadcast × corpus exact leg (q35's allowance) + K=8 Lloyd grid (q35f's shape); RBO itself is a 5-rows-per-query join")
 
   /** Unpartitioned (empty partitionSpec) WindowExec funnels its ENTIRE
     * input through one task — Spark's own "No Partition Defined" warning.

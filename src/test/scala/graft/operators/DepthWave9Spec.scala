@@ -238,6 +238,24 @@ class DepthWave9Spec extends AnyFunSuite {
     }
   }
 
+  test("q381 RBO: bounds, zero-iff-disjoint, and weight-mass ceiling") {
+    val rows = run("q381_rbo_ann_fidelity")
+    assert(rows.length == 10)
+    val maxMass = 1 - math.pow(0.9, 5)
+    rows.foreach { r =>
+      val (nc, rbo, norm) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(nc >= 0 && nc <= 5)
+      assert(rbo >= 0.0 && rbo <= maxMass + 1e-9, "RBO cannot exceed the truncated mass")
+      assert(norm >= 0.0 && norm <= 1.0 + 1e-9)
+      assert((rbo == 0.0) == (nc == 0), "zero overlap iff no common members")
+      // 5 common members at identical ranks means full mass — and full
+      // agreement is the ONLY way to reach it
+      if (norm > 1.0 - 1e-4) assert(nc == 5)
+    }
+    // the IVF probe must find SOMETHING for the metric to mean anything
+    assert(rows.exists(_.getLong(1) > 0), "ANN ranking never overlapped exact")
+  }
+
   test("q374 Hill: positive tail exponent, frequency cut ordered") {
     val rows = run("q374_hill_zipf")
     assert(rows.length == 5)
