@@ -550,36 +550,57 @@ object DedupQueries {
     // Fuzzy join by deletion neighborhood — edit-distance-1 candidate pairs
     // WITHOUT an all-pairs product: each string expands to its |s|+1
     // single-deletion variants (plus itself), candidates are an EQUI-join on
-    // the variant, and exact levenshtein filters survivors. Bucket size per
-    // variant is bounded by the alphabet (strings sharing a deletion differ
-    // at one position), so the join stays near-linear at any scale — the
-    // standard scalable fuzzy-dedup shape for names/URLs (FastSS family).
+    // the variant, and exact levenshtein filters survivors (FastSS family).
+    // The variant join runs over DISTINCT names, never raw rows — duplicate
+    // name multiplicity m would otherwise inflate every variant bucket m×
+    // and the join m² (measured: the raw-row formulation's oracle needed a
+    // 900 s retry at sf1, where the fixture carries m=10 verbatim copies;
+    // the distinct-name form is duplicate-invariant — the same Σ block²
+    // lesson as q364b). Matched NAME pairs then map back to custkey pairs
+    // through two equi-joins, exactly reproducing the per-row output.
     q("q92_fuzzy_join", "edit-distance-1 name pairs via deletion-variant equi-join")(
-      """WITH var AS (
-        |  SELECT c_custkey, c_name, unnest(
-        |    list_append(list_transform(generate_series(1, length(c_name)),
-        |      i -> substr(c_name, 1, i-1) || substr(c_name, i+1)), c_name)) AS v
-        |  FROM customer),
-        |cand AS (
-        |  SELECT DISTINCT a.c_custkey AS k1, a.c_name AS n1, b.c_custkey AS k2, b.c_name AS n2
-        |  FROM var a JOIN var b ON a.v = b.v AND a.c_custkey < b.c_custkey)
-        |SELECT k1, k2, n1, n2 FROM cand WHERE levenshtein(n1, n2) = 1
+      """WITH names AS (SELECT DISTINCT c_name AS n FROM customer),
+        |var AS (
+        |  SELECT n, unnest(
+        |    list_append(list_transform(generate_series(1, length(n)),
+        |      i -> substr(n, 1, i-1) || substr(n, i+1)), n)) AS v
+        |  FROM names),
+        |np AS (
+        |  SELECT na, nb FROM (
+        |    SELECT DISTINCT a.n AS na, b.n AS nb
+        |    FROM var a JOIN var b ON a.v = b.v AND a.n < b.n)
+        |  WHERE levenshtein(na, nb) = 1),
+        |pairs AS (
+        |  SELECT least(x.c_custkey, y.c_custkey) AS k1,
+        |         greatest(x.c_custkey, y.c_custkey) AS k2,
+        |         CASE WHEN x.c_custkey < y.c_custkey THEN x.c_name ELSE y.c_name END AS n1,
+        |         CASE WHEN x.c_custkey < y.c_custkey THEN y.c_name ELSE x.c_name END AS n2
+        |  FROM np JOIN customer x ON x.c_name = np.na
+        |          JOIN customer y ON y.c_name = np.nb)
+        |SELECT k1, k2, n1, n2 FROM pairs
         |ORDER BY k1, k2 LIMIT 100""".stripMargin
     ) { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
       val vr = Tables.fanout(s, dir, "customer")
-        .select(col("c_custkey"), col("c_name"),
+        .select(col("c_name").as("n")).distinct()
+        .select(col("n"),
           explode(array_append(
-            transform(sequence(lit(1), length(col("c_name"))),
-              i => concat(col("c_name").substr(lit(1), i - 1),
-                col("c_name").substr(i + 1, length(col("c_name"))))),
-            col("c_name"))).as("v"))
+            transform(sequence(lit(1), length(col("n"))),
+              i => concat(col("n").substr(lit(1), i - 1),
+                col("n").substr(i + 1, length(col("n"))))),
+            col("n"))).as("v"))
         .cache() // both sides of the self-join
-      val a = vr.select(col("c_custkey").as("k1"), col("c_name").as("n1"), col("v"))
-      val b = vr.select(col("c_custkey").as("k2"), col("c_name").as("n2"), col("v"))
-      a.join(b, Seq("v")).filter(col("k1") < col("k2"))
-        .select("k1", "n1", "k2", "n2").distinct()
-        .filter(levenshtein(col("n1"), col("n2")) === 1)
-        .select("k1", "k2", "n1", "n2")
+      val np = vr.select(col("n").as("na"), col("v"))
+        .join(vr.select(col("n").as("nb"), col("v")), Seq("v"))
+        .filter(col("na") < col("nb"))
+        .select("na", "nb").distinct()
+        .filter(levenshtein(col("na"), col("nb")) === 1)
+      np.join(cust.select(col("c_custkey").as("ka"), col("c_name").as("na")), "na")
+        .join(cust.select(col("c_custkey").as("kb"), col("c_name").as("nb")), "nb")
+        .select(least(col("ka"), col("kb")).as("k1"),
+          greatest(col("ka"), col("kb")).as("k2"),
+          when(col("ka") < col("kb"), col("na")).otherwise(col("nb")).as("n1"),
+          when(col("ka") < col("kb"), col("nb")).otherwise(col("na")).as("n2"))
         .orderBy("k1", "k2").limit(100)
     },
 
