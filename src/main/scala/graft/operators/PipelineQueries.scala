@@ -3315,11 +3315,11 @@ object PipelineQueries {
          |       GROUP BY f.doc_id, f.lang, m.e, m.lang),
          |st AS (SELECT doc_id, e, s AS s_true FROM sc WHERE lm = lang_true),
          |pe AS (SELECT sc.doc_id, max(sc.lang_true) AS lang_true, sc.e,
-         |              1.0 / sum(exp(sc.s - st.s_true)) AS p
+         |              round(1.0 / sum(exp(sc.s - st.s_true)), 6) AS p
          |       FROM sc JOIN st ON st.doc_id = sc.doc_id AND st.e = sc.e
          |       GROUP BY sc.doc_id, sc.e),
-         |cart AS (SELECT doc_id, max(lang_true) AS lang, avg(p) AS conf,
-         |                sqrt(greatest(avg(p * p) - avg(p) * avg(p), 0)) AS vr
+         |cart AS (SELECT doc_id, max(lang_true) AS lang, round(avg(p), 6) AS conf,
+         |                round(sqrt(greatest(avg(p * p) - avg(p) * avg(p), 0)), 6) AS vr
          |         FROM pe GROUP BY doc_id),
          |z AS (SELECT lang,
          |             CASE WHEN conf >= 0.667 AND vr <= 0.2 THEN 'easy'
@@ -3401,11 +3401,14 @@ object PipelineQueries {
           col("st.e") === col("sc.e"))
         .groupBy(col("sc.doc_id").as("doc_id"), col("sc.e").as("e"))
         .agg(max(col("sc.lang_true")).as("lang_true"),
-          (lit(1.0) / sum(exp(col("sc.s") - col("st.s_true")))).as("p"))
+          // round-before-compare (the q67/q377 discipline, r8 advice):
+          // p, then conf/vr, land on 6-place grids in BOTH engines before
+          // the knife-edge zone thresholds read them
+          round(lit(1.0) / sum(exp(col("sc.s") - col("st.s_true"))), 6).as("p"))
       val cart = pe.groupBy("doc_id")
-        .agg(max(col("lang_true")).as("lang"), avg(col("p")).as("conf"),
-          sqrt(greatest(avg(col("p") * col("p")) - avg(col("p")) * avg(col("p")),
-            lit(0.0))).as("vr"))
+        .agg(max(col("lang_true")).as("lang"), round(avg(col("p")), 6).as("conf"),
+          round(sqrt(greatest(avg(col("p") * col("p")) - avg(col("p")) * avg(col("p")),
+            lit(0.0))), 6).as("vr"))
       cart.select(col("lang"),
           when(col("conf") >= 0.667 && col("vr") <= 0.2, "easy")
             .when(col("conf") < 0.333, "hard")

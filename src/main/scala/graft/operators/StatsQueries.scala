@@ -1823,7 +1823,9 @@ object StatsQueries {
         |w AS (SELECT i, list(x ORDER BY k) AS a
         |      FROM e GROUP BY i HAVING count(*) = 8),
         |p AS (SELECT w1.i AS i, w1.i + d.d AS j, w1.a AS a
-        |      FROM w w1 CROSS JOIN (SELECT unnest(generate_series(8, 168)) AS d) d),
+        |      FROM w w1 CROSS JOIN (SELECT unnest(generate_series(8, 168)) AS d
+        |                            UNION ALL
+        |                            SELECT unnest(generate_series(-168, -8)) AS d) d),
         |dd AS (SELECT p.i, p.j,
         |              CAST(list_sum(list_transform(generate_series(1, 8),
         |                t -> (p.a[t] - w2.a[t]) * (p.a[t] - w2.a[t]))) AS BIGINT) AS dist
@@ -1849,8 +1851,12 @@ object StatsQueries {
         .agg(transform(sort_array(collect_list(struct(col("k"), col("x")))),
           m => m.getField("x")).as("a"), count(lit(1)).as("n"))
         .filter(col("n") === 8).drop("n")
+      // both band directions (r8 advice): each window's nearest neighbor
+      // sits on EITHER side — forward-only would inflate discords and
+      // silently drop windows near the series end
       val p = w.select(col("i"), col("a"),
-          explode(sequence(lit(8L), lit(168L))).as("d"))
+          explode(concat(sequence(lit(8L), lit(168L)),
+            sequence(lit(-168L), lit(-8L)))).as("d"))
         .select(col("i"), (col("i") + col("d")).as("j"), col("a"))
       val dd = p.alias("p")
         .join(w.alias("w2"), col("w2.i") === col("p.j"))

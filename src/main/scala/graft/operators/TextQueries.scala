@@ -2162,7 +2162,7 @@ object TextQueries {
         |              CAST(max(f) AS BIGINT) AS f_top
         |       FROM fr GROUP BY lang)
         |SELECT vb.lang, vb.n_vocab, vb.f_top, CAST(hill.fk1 AS BIGINT) AS f_k1,
-        |       round(16.0 / hill.sl, 4) AS hill_alpha
+        |       round(CASE WHEN hill.sl > 0 THEN 16.0 / hill.sl END, 4) AS hill_alpha
         |FROM vb JOIN hill ON hill.lang = vb.lang ORDER BY vb.lang""".stripMargin
     ) { (s, dir) =>
       val fr = Tables.fanout(s, dir, "documents")
@@ -2183,7 +2183,9 @@ object TextQueries {
       vb.join(hill, Seq("lang"))
         .select(col("lang"), col("n_vocab"), col("f_top"),
           col("fk1").cast("long").as("f_k1"),
-          round(lit(16.0) / col("sl"), 4).as("hill_alpha"))
+          // degenerate flat tail (top-16 all tie rank 17): sl = 0 exactly —
+          // emit NULL, not Inf, in BOTH engines (r8 advice)
+          round(when(col("sl") > 0, lit(16.0) / col("sl")), 4).as("hill_alpha"))
         .orderBy("lang")
     },
 

@@ -1984,9 +1984,11 @@ object VectorQueries {
     // and the oracle's per-round ORDER BY, including round 1, so the two
     // greedy chains bit-agree). The oracle replays the pick chain as 8
     // unrolled MATERIALIZED rounds with NOT EXISTS de-picking. The
-    // pairwise map keys as min·10⁶+max — fine while vec_ids < 10⁶ per
-    // pool (they are: pool members are vec_ids, bounded by the corpus,
-    // and the KEY only needs uniqueness within one query's 20-row pool).
+    // pairwise map keys as 'min:max' strings — collision-free at ANY
+    // vec_id magnitude (an arithmetic min·10⁶+max pack would collide
+    // within a pool once ids reach 10⁶, and Spark's duplicate-map-key
+    // policy is EXCEPTION — a silent 100 TB landmine the r8 advice
+    // flagged; the oracle keys on raw (a,b) columns and never packs).
     q("q379_mmr_rerank",
       "MMR diversity re-rank: greedy 8-of-20 per query (lambda=0.7), fold-run greedy")(
       {
@@ -2052,8 +2054,8 @@ object VectorQueries {
         .join(pool.alias("b"),
           col("b.qid") === col("a.qid") && col("b.cid") =!= col("a.cid"))
         .select(col("a.qid").as("qid"),
-          (least(col("a.cid"), col("b.cid")) * 1000000L +
-            greatest(col("a.cid"), col("b.cid"))).as("k"),
+          concat(least(col("a.cid"), col("b.cid")).cast("string"), lit(":"),
+            greatest(col("a.cid"), col("b.cid")).cast("string")).as("k"),
           round(cosine(col("a.ce"), col("b.ce")), 6).as("sim"))
         .distinct() // symmetric pairs collapse onto one key
       val one = pool.groupBy("qid")
@@ -2065,7 +2067,8 @@ object VectorQueries {
       // argmax with cid tiebreak; first pick's penalty term is zero
       val pen = """if(size(picked) = 0, 0.0d,
         aggregate(picked, cast(-1.0d as double), (m, p) -> greatest(m,
-          element_at(sm, least(x.cid, p) * 1000000L + greatest(x.cid, p)))))"""
+          element_at(sm, concat(cast(least(x.cid, p) as string), ':',
+                                cast(greatest(x.cid, p) as string))))))"""
       val sCand = s"round(0.7d * x.qs - 0.3d * ($pen), 6)"
       val fold = s"""aggregate(sequence(1, 8), cast(array() as array<bigint>),
         (picked, t) -> picked || array(
