@@ -224,15 +224,25 @@ class OandaReplayContinuousStream(path: String, transport: String,
   override def mergeOffsets(offsets: Array[PartitionOffset]): Offset =
     LineOffset(offsets.map(_.asInstanceOf[LinePartitionOffset].line).max)
 
-  override def planInputPartitions(start: Offset): Array[InputPartition] =
-    Array(ContinuousLinePartition(path, transport,
-      start.asInstanceOf[LineOffset].line, pollMs, maxBuffered))
+  override def planInputPartitions(start: Offset): Array[InputPartition] = {
+    val startLine = start.asInstanceOf[LineOffset].line
+    OandaReplayContinuousStream.lastPlannedStart = startLine
+    Array(ContinuousLinePartition(path, transport, startLine, pollMs, maxBuffered))
+  }
 
   override def createContinuousReaderFactory(): ContinuousPartitionReaderFactory =
     ContinuousLineReaderFactory
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+object OandaReplayContinuousStream {
+  /** Start line of the most recent epoch plan — observable so the recovery
+    * spec can assert a restart resumed from the COMMITTED epoch offset
+    * rather than from zero (the epoch-checkpoint twin of
+    * HttpLineTransport's `connects` counter). */
+  @volatile private[sources] var lastPlannedStart: Long = -1L
 }
 
 object ContinuousLineReaderFactory extends ContinuousPartitionReaderFactory {
@@ -285,12 +295,10 @@ private final class ContinuousFileLineReader(path: String, startLine: Long, poll
   * backpressure. Live-only semantics: no resume cursor across restarts
   * (`startLine` is nominal), matching the OANDA stream contract the
   * reference has (`oanda_client.rs:10-39`). */
-private final class ContinuousHttpLineReader(pollMs: Long, maxBuffered: Int)
+private[sources] final class ContinuousHttpLineReader(pollMs: Long, maxBuffered: Int,
+    mkTransport: Int => HttpLineTransport = ContinuousHttpLineReader.fromEnv)
     extends ContinuousPartitionReader[InternalRow] {
-  private val cfg = graft.Config.fromEnv().fold(
-    err => throw new IllegalArgumentException(s"$err\n\n${graft.Config.usage}"),
-    identity)
-  private val transport = new HttpLineTransport(cfg, HttpConnector.Jdk, maxBuffered)
+  private[sources] val transport = mkTransport(maxBuffered)
   private var cursor = 0L
   private var emitted = 0L
   private var current: String = _
@@ -312,4 +320,18 @@ private final class ContinuousHttpLineReader(pollMs: Long, maxBuffered: Int)
   override def get(): InternalRow = InternalRow(UTF8String.fromString(current))
   override def getOffset: PartitionOffset = LinePartitionOffset(emitted)
   override def close(): Unit = transport.close()
+}
+
+private[sources] object ContinuousHttpLineReader {
+  /** Production transport: config from env exactly like the reference's
+    * main (`config.rs:14-36`), JDK connector. The constructor's
+    * `mkTransport` seam exists so the reconnect spec can drive the reader
+    * against a fake flaky connector — same seam HttpLineTransportSpec uses
+    * for the micro-batch arm. */
+  def fromEnv(maxBuffered: Int): HttpLineTransport = {
+    val cfg = graft.Config.fromEnv().fold(
+      err => throw new IllegalArgumentException(s"$err\n\n${graft.Config.usage}"),
+      identity)
+    new HttpLineTransport(cfg, HttpConnector.Jdk, maxBuffered)
+  }
 }

@@ -41,19 +41,22 @@ class ContinuousReplaySpec extends AnyFunSuite {
 
   /** Runs the full forward pipeline continuously into an in-memory
     * collector; returns (query, collected rows queue). */
-  private def startContinuous(capture: Path, epoch: String = "1 second") = {
+  private def startContinuous(capture: Path, epoch: String = "1 second",
+      checkpoint: Option[String] = None, sinkKey: Option[String] = None) = {
+    val key = sinkKey.getOrElse(capture.toString)
     val sink = new ConcurrentLinkedQueue[(String, String, Array[Byte])]()
-    ContinuousCollector.queues.put(capture.toString, sink)
+    ContinuousCollector.queues.put(key, sink)
     val wire = OandaPipeline.pipeline(
       spark.readStream.format("oanda-replay")
         .option("path", capture.toString)
         .option("pollMs", "5")
         .load())
       .selectExpr("message_type", "tick.instrument AS instrument", "proto")
-    val q = wire.writeStream
+    var w = wire.writeStream
       .trigger(Trigger.Continuous(epoch))
-      .foreach(new ContinuousCollector(capture.toString))
-      .start()
+      .foreach(new ContinuousCollector(key))
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    val q = w.start()
     (q, sink)
   }
 
@@ -100,6 +103,110 @@ class ContinuousReplaySpec extends AnyFunSuite {
       assert(sink.asScala.count(_._1 == "price_tick") >= 2)
       assert(sink.asScala.exists(_._1 == "heartbeat"))
     } finally q.stop()
+  }
+
+  private def tickFor(instrument: String): String =
+    tickLine.replace("EUR_USD", instrument)
+
+  test("kill-and-restart resumes from the committed epoch checkpoint (no loss)") {
+    // The reference's liveness gap closed at per-record latency: a
+    // continuous query dies mid-stream and a restart must pick up from the
+    // COMMITTED epoch offset — never from zero (duplicating the world) and
+    // never past it (losing records). File transport stands in for the
+    // wire; the epoch-checkpoint machinery under test is transport-blind.
+    val capture = newCapture(tickFor("L1"), tickFor("L2"), tickFor("L3"))
+    val ckpt = Files.createTempDirectory("graft-cont-ckpt").toString
+    val (q1, sink1) = startContinuous(capture, epoch = "100 milliseconds",
+      checkpoint = Some(ckpt), sinkKey = Some(ckpt + "#1"))
+    try {
+      eventually(timeout(Span(60, Seconds)), interval(Span(1, Seconds))) {
+        assert(sink1.size >= 3)
+        // wait for an epoch COMMIT covering all three lines, so the restart
+        // has a durable offset to resume from
+        val commits = new java.io.File(ckpt, "commits").list()
+        assert(commits != null && commits.exists(_.forall(_.isDigit)))
+        val offsets = new java.io.File(ckpt, "offsets").listFiles()
+        val maxLine = offsets.filter(_.getName.forall(_.isDigit))
+          .flatMap(f => """"line":(\d+)""".r.findAllMatchIn(
+            new String(Files.readAllBytes(f.toPath))).map(_.group(1).toLong))
+        assert(maxLine.nonEmpty && maxLine.max >= 3)
+      }
+    } finally q1.stop()
+
+    appendLine(capture, tickFor("L4"))
+    appendLine(capture, tickFor("L5"))
+    OandaReplayContinuousStream.lastPlannedStart = -1L
+    val (q2, sink2) = startContinuous(capture, epoch = "100 milliseconds",
+      checkpoint = Some(ckpt), sinkKey = Some(ckpt + "#2"))
+    try {
+      eventually(timeout(Span(60, Seconds)), interval(Span(1, Seconds))) {
+        assert(sink2.asScala.exists(_._2 == "L4"))
+        assert(sink2.asScala.exists(_._2 == "L5"))
+      }
+      val resumedFrom = OandaReplayContinuousStream.lastPlannedStart
+      assert(resumedFrom >= 1,
+        s"restart planned from $resumedFrom — expected a restored committed " +
+          "offset, not a from-zero replay")
+      // the reader emits EXACTLY the lines past the restored offset:
+      // nothing below it re-flows (at-least-once holds across the restart
+      // boundary — only the uncommitted tail may duplicate), nothing is lost
+      val expected = ((resumedFrom + 1) to 5L).map(i => s"L$i").toSet
+      val seen2 = sink2.asScala.map(_._2).toSet
+      assert(seen2 == expected,
+        s"restart emitted $seen2, expected exactly $expected (resume offset $resumedFrom)")
+      val all = sink1.asScala.map(_._2).toSet ++ seen2
+      assert((1 to 5).map(i => s"L$i").toSet.subsetOf(all), s"records lost: $all")
+    } finally q2.stop()
+  }
+
+  test("continuous HTTP reader survives a mid-stream disconnect (reconnect arm)") {
+    // The micro-batch transport's reconnect spec, mirrored onto the
+    // per-record arm: the wire drops after two lines, the in-task transport
+    // reconnects (oanda_client.rs:89-92 is the gap — its producer task just
+    // dies), and the reader keeps emitting with no query-visible failure.
+    val cfg = graft.Config("token", "acct", "fxpractice", "EUR_USD", "tcp://*:9500")
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val connector = new HttpConnector {
+      override def get(url: String, headers: Map[String, String]): HttpConnector.Response =
+        served.getAndIncrement() match {
+          case 0 => // two lines, then a hard disconnect (IOException)
+            HttpConnector.Response(200, new java.io.InputStream {
+              private val bytes = "l1\nl2\n".getBytes("UTF-8"); private var i = 0
+              override def read(): Int =
+                if (i < bytes.length) { i += 1; bytes(i - 1) & 0xff }
+                else throw new java.io.IOException("connection reset")
+            })
+          case _ => // reconnected: two more lines, then block like a live wire
+            HttpConnector.Response(200, new java.io.InputStream {
+              private val bytes = "l3\nl4\n".getBytes("UTF-8"); private var i = 0
+              private val latch = new java.util.concurrent.CountDownLatch(1)
+              override def read(): Int =
+                if (i < bytes.length) { i += 1; bytes(i - 1) & 0xff }
+                else { latch.await(); -1 } // released by close()
+              // serve what is available per call — the JDK default loops
+              // single-byte reads until the buffer FILLS, which would park
+              // the decoder before it ever returns the served lines
+              override def read(b: Array[Byte], off: Int, len: Int): Int = {
+                if (i >= bytes.length) { latch.await(); return -1 }
+                val n = math.min(len, bytes.length - i)
+                System.arraycopy(bytes, i, b, off, n); i += n; n
+              }
+              override def close(): Unit = latch.countDown()
+            })
+        }
+    }
+    val reader = new ContinuousHttpLineReader(pollMs = 2, maxBuffered = 10,
+      mkTransport = mb => new HttpLineTransport(cfg, connector, mb))
+    try {
+      val got = (1 to 4).map { _ =>
+        assert(reader.next())
+        reader.get().getUTF8String(0).toString
+      }
+      assert(got == Seq("l1", "l2", "l3", "l4"),
+        s"lines must flow ACROSS the disconnect in order, got $got")
+      assert(reader.transport.connects >= 2, "the transport must have reconnected")
+      assert(reader.getOffset.asInstanceOf[LinePartitionOffset].line == 4L)
+    } finally reader.close()
   }
 }
 
