@@ -1162,6 +1162,62 @@ object VectorQueries {
         .orderBy("vec_id", "rnk")
     },
 
+    // q137's bounded oracle mirror (round-8 verdict task 4): the exact
+    // oracle replay is an all-pairs bit_count probe — fine at sf0.1,
+    // over any DuckDB budget at sf1 (the ENGINE side is probe-bucket
+    // equi-joined and completes; the skip was oracle-side). This variant
+    // restricts the QUERY side to a deterministic 4% hash sample
+    // (md5('kq:'||vec_id) % 25 = 0 — rerun/engine-stable, the q209
+    // sampling discipline), leaving the candidate side full, so the
+    // identical probe-ball semantics stay hash-verifiable at every scale
+    // including sf1. The full arm keeps running at sf1 with its row count
+    // recorded; THIS row is the oracle evidence.
+    q("q137b_knn_join_sampled",
+      "q137's probe-ball kNN on a deterministic 4% query sample — sf1-budget oracle mirror")(
+      s"""$bucketCte,
+         |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |pair AS MATERIALIZED (
+         |  -- integer bucket-distance filter FIRST (16M cheap bit_counts at
+         |  -- sf1), so the 64-dim dot products only run on the ~1% of pairs
+         |  -- inside the probe ball — the ordering that keeps this replay
+         |  -- in-budget where q137's form computes the float for every pair
+         |  SELECT ba.vec_id AS vec_id, bb.vec_id AS nn_id
+         |  FROM bk ba JOIN bk bb
+         |    ON bit_count(xor(ba.bucket, bb.bucket)) <= 2
+         |   AND ba.vec_id <> bb.vec_id
+         |  WHERE ${md5LongSql("'kq:' || ba.vec_id")} % 25 = 0),
+         |cand AS (
+         |  SELECT p.vec_id, p.nn_id,
+         |         round(list_dot_product(va.e, vb.e) / (na.nrm * nb.nrm), 4) AS cos
+         |  FROM pair p JOIN v va ON va.vec_id = p.vec_id
+         |       JOIN v vb ON vb.vec_id = p.nn_id
+         |       JOIN n na ON na.vec_id = p.vec_id
+         |       JOIN n nb ON nb.vec_id = p.nn_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                    ORDER BY cos DESC, nn_id) AS rnk FROM cand)
+         |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nn_id, cos
+         |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val masks = probeMasks(2)
+      val v = withBucket(withNorm(Tables.fanout(s, dir, "embeddings")))
+      val a = v.filter(
+          md5Long(concat(lit("kq:"), col("vec_id").cast("string"))) % 25 === 0)
+        .select(col("vec_id"), col("e").as("ea"),
+          col("nrm").as("nrma"), col("bucket"))
+        .withColumn("pb", explode(array(
+          masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+      val b = v.select(col("vec_id").as("nn_id"), col("e").as("eb"),
+        col("nrm").as("nrmb"), col("bucket").as("cb"))
+      a.join(b, col("pb") === col("cb") && col("vec_id") =!= col("nn_id"))
+        .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("nrma") * col("nrmb")), 4))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("vec_id"), col("rnk"), col("nn_id"), col("cos"))
+        .orderBy("vec_id", "rnk")
+    },
+
     // Grid-accelerated DBSCAN — density clustering without the all-pairs
     // distance matrix: with cell size = ε (=300), every ε-neighbor of a point
     // lies in its 3×3 cell neighborhood, so candidate pairs come from a
@@ -1337,6 +1393,97 @@ object VectorQueries {
           + (col("ya") - col("yb")) * (col("ya") - col("yb")) <= eps2)
         .select(col("i"), col("j"))
         .cache()
+      val cores = cand.groupBy("i").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minPts).select(col("i").as("id")).cache()
+      val coreEdges = cand
+        .join(cores.select(col("id").as("i")), Seq("i"), "left_semi")
+        .join(cores.select(col("id").as("j")), Seq("j"), "left_semi")
+        .filter(col("i") =!= col("j"))
+        .select(col("i").as("d1"), col("j").as("d2"))
+      val lab = StarContraction.components(coreEdges)
+      val coreLab = cores.join(lab, cores("id") === lab("doc_id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("lbl"))
+        .cache()
+      val border = cand
+        .join(cores.select(col("id").as("i")), Seq("i"), "left_anti")
+        .join(coreLab.select(col("id").as("j"), col("lbl")), Seq("j"))
+        .groupBy("i").agg(min(col("lbl")).as("lbl"))
+      coreLab.select(col("lbl"), lit(1L).as("is_core"))
+        .unionByName(border.select(col("lbl"), lit(0L).as("is_core")))
+        .groupBy("lbl")
+        .agg(count(lit(1)).as("n_pts"), sum(col("is_core")).as("n_core"))
+        .select(col("lbl").as("cluster"), col("n_pts"), col("n_core"))
+        .orderBy("cluster")
+    },
+
+    // q189's bounded oracle mirror (round-8 verdict task 4, the q137b
+    // twin): the exact arm's DuckDB replay dies at sf1 in the RECURSIVE
+    // core-reachability closure (every core row-reaches its whole
+    // component — quadratic in component size), while the engine's
+    // StarContraction completes in seconds. This mirror runs the exact
+    // algorithm — uncapped neighbors, exact reachability — on a FIXED
+    // deterministic sub-instance: nations 0-2, every 4th key, which keeps
+    // the component sizes (and so the closure) inside any DuckDB budget at
+    // sf1 while exercising the identical pipeline. The full exact arm
+    // keeps running at sf1 with its row count recorded; this row is the
+    // at-scale oracle evidence for the exact semantics.
+    q("q189c_grid_dbscan_region",
+      "q189's exact DBSCAN on a fixed sub-region (nations 0-2, every 4th key) — sf1-budget oracle mirror")(
+      s"""WITH RECURSIVE pts AS (
+         |  SELECT c_custkey AS id,
+         |         c_nationkey * 5000 + ${md5LongSql("'px:' || c_custkey")} % 1200 AS x,
+         |         ${md5LongSql("'py:' || c_custkey")} % 1200 AS y
+         |  FROM customer WHERE c_nationkey < 3 AND c_custkey % 4 = 0),
+         |b AS (SELECT id AS j, x AS xb, y AS yb, x // 300 AS cx, y // 300 AS cy FROM pts),
+         |p AS (SELECT id AS i, x AS xa, y AS ya,
+         |             x // 300 + dxs.dx AS cx, y // 300 + dys.dy AS cy
+         |      FROM pts, (SELECT unnest([-1, 0, 1]) AS dx) dxs,
+         |                (SELECT unnest([-1, 0, 1]) AS dy) dys),
+         |cand AS (
+         |  SELECT i, j FROM p JOIN b USING (cx, cy)
+         |  WHERE (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 90000),
+         |cores AS (SELECT i AS id FROM cand GROUP BY i HAVING count(*) >= 5),
+         |ce AS (SELECT i, j FROM cand
+         |       WHERE i <> j AND i IN (SELECT id FROM cores)
+         |         AND j IN (SELECT id FROM cores)),
+         |reach AS (SELECT id, id AS r FROM cores
+         |          UNION
+         |          SELECT e.j AS id, r.r FROM reach r JOIN ce e ON e.i = r.id),
+         |clab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+         |border AS (SELECT c.i AS id, min(l.lbl) AS lbl
+         |           FROM cand c JOIN clab l ON c.j = l.id
+         |           WHERE c.i NOT IN (SELECT id FROM cores)
+         |           GROUP BY c.i)
+         |SELECT lbl AS cluster, CAST(count(*) AS BIGINT) AS n_pts,
+         |       CAST(sum(is_core) AS BIGINT) AS n_core
+         |FROM (SELECT lbl, 1 AS is_core FROM clab
+         |      UNION ALL SELECT lbl, 0 AS is_core FROM border)
+         |GROUP BY lbl ORDER BY cluster""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.PortableHash.md5Long
+      val eps = 300L; val eps2 = 90000L; val minPts = 5L
+      val pts = Tables(s, dir, "customer")
+        .filter(col("c_nationkey") < 3 && col("c_custkey") % 4 === 0)
+        .select(col("c_custkey").as("id"),
+          (col("c_nationkey") * 5000 +
+            md5Long(concat(lit("px:"), col("c_custkey").cast("string"))) % 1200).as("x"),
+          (md5Long(concat(lit("py:"), col("c_custkey").cast("string"))) % 1200).as("y"))
+        .cache() // probe + build legs
+      val build = pts.select(col("id").as("j"), col("x").as("xb"), col("y").as("yb"),
+        expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
+      val probeFull = pts
+        .select(col("id").as("i"), col("x").as("xa"), col("y").as("ya"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("dx"))
+        .select(col("i"), col("xa"), col("ya"), col("dx"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("dy"))
+        .select(col("i"), col("xa"), col("ya"),
+          (expr(s"xa div $eps") + col("dx")).as("cx"),
+          (expr(s"ya div $eps") + col("dy")).as("cy"))
+      val cand = probeFull.join(build, Seq("cx", "cy"))
+        .filter((col("xa") - col("xb")) * (col("xa") - col("xb"))
+          + (col("ya") - col("yb")) * (col("ya") - col("yb")) <= eps2)
+        .select(col("i"), col("j"))
+        .cache() // neighbor counts + core edges + border assignment
       val cores = cand.groupBy("i").agg(count(lit(1)).as("n"))
         .filter(col("n") >= minPts).select(col("i").as("id")).cache()
       val coreEdges = cand
