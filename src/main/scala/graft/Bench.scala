@@ -60,28 +60,49 @@ object Bench {
     // Repeat-median for the slow tail (round-7): a single contended run of
     // a 6-second query can read 2-3x its quiet-box time and flap the 2x
     // perf gate. Queries above the threshold get two more runs and report
-    // the MEDIAN of three; the spread across repeats is the run's measured
-    // variance figure. Bounded: at most REPEAT_MAX queries repeat, so the
-    // extra wall cost is ~2x the slow tail, never 2x the whole registry.
-    // round-8: threshold lowered 6s -> 3s and the cap raised so the WHOLE
-    // >3s tail gets 3-run medians (~20 queries; +2-3 min wall on the full
-    // registry) — cheap insurance now the perf gate rides on single digits
-    val repeatThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_THRESH", "3.0").toDouble
-    val repeatMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_MAX", "40").toInt
+    // the MEDIAN of three. round-8: threshold 3s, cap 40. round-9
+    // (verdict task 2 — variance-robust capture): threshold 2s; any query
+    // whose 3-run spread still exceeds 0.4 gets TWO MORE runs
+    // (median-of-5 — one 1.5/1.8/21.7-style box spike can no longer move
+    // the median OR the spread), and the published rep_spread is computed
+    // over each query's tightest 3 consecutive sorted runs (outlier
+    // rejection); raw_spread keeps the unrejected figure so a noisy box
+    // is still visible. The method is declared in the JSON line.
+    val repeatThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_THRESH", "2.0").toDouble
+    val repeatMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_MAX", "60").toInt
+    val rerollSpread = sys.env.getOrElse("SPARK_GRAFT_BENCH_REROLL_SPREAD", "0.4").toDouble
+    val rerollMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REROLL_MAX", "15").toInt
     val fnOf = queries.toMap
-    val repeated: Map[String, Seq[Double]] =
+    def spreadOf(rs: Seq[Double]): Double = (rs.last - rs.head) / rs(rs.length / 2)
+    val repeated3: Map[String, Seq[Double]] =
       firstPass.filter(_._2 >= repeatThresh).sortBy(-_._2).take(repeatMax)
         .map { case (name, t1) =>
           val extra = Seq.fill(2)(timeOne(name, fnOf(name)))
           name -> (t1 +: extra).sorted
         }.toMap
+    val repeated: Map[String, Seq[Double]] = repeated3 ++
+      repeated3.filter { case (_, rs) => spreadOf(rs) > rerollSpread }
+        .toSeq.sortBy { case (_, rs) => -spreadOf(rs) }.take(rerollMax)
+        .map { case (name, rs) =>
+          name -> (rs ++ Seq.fill(2)(timeOne(name, fnOf(name)))).sorted
+        }
     val results = firstPass.map { case (name, t1) =>
       name -> repeated.get(name).map(rs => rs(rs.length / 2)).getOrElse(t1)
     }
-    // median relative spread (max-min)/median across the repeated queries —
-    // the documented variance of this run's environment
-    val spreads = repeated.values.map(rs => (rs.last - rs.head) / rs(rs.length / 2)).toSeq.sorted
-    val variance = if (spreads.isEmpty) 0.0 else spreads(spreads.length / 2)
+    // tightest 3 consecutive sorted runs — drops a lone box-noise outlier
+    // from a 5-run sample; identity on a 3-run sample
+    def mid3(rs: Seq[Double]): Seq[Double] =
+      if (rs.length <= 3) rs
+      else (0 to rs.length - 3).map(i => rs.slice(i, i + 3)).minBy(w => w.last - w.head)
+    def medianSpread(f: Seq[Double] => Seq[Double]): Double = {
+      val ss = repeated.values.map(rs => spreadOf(f(rs))).toSeq.sorted
+      if (ss.isEmpty) 0.0 else ss(ss.length / 2)
+    }
+    // rep_spread: median per-query spread AFTER outlier rejection — the
+    // number the 2x perf budget should be read against; raw_spread: before
+    // rejection — the box-noise indicator
+    val variance = medianSpread(mid3)
+    val rawVariance = medianSpread(identity)
     // The driver keeps only the last ~2000 chars of output ("tail") and
     // parses the JSON line from it; sbt appends its own "[success] ..."
     // line (~80 chars) after ours. A full 159-query map is ~4.5 KB and
@@ -97,6 +118,9 @@ object Bench {
     def line(rs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""repeated":${repeated.size},"rep_spread":${r3(variance)},""" +
+        s""""raw_spread":${r3(rawVariance)},""" +
+        s""""method":"per-query median; >=${repeatThresh}s tail 3 runs, """ +
+        s"""5 runs when 3-run spread>${rerollSpread}; spread over tightest 3",""" +
         s""""queries":${qjson(rs)},"sf":"$sfDir"}"""
     // slowest-first, keep as many as fit in ~1800 chars
     val bySlow = results.sortBy(-_._2)

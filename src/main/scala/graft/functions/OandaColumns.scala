@@ -55,8 +55,9 @@ object OandaColumns {
       .otherwise(coalesce(c.try_cast("decimal(18,6)"), zero))
   }
 
-  /** P8, decimal arm — config-gated alongside the f64 [[spread]] (knob:
-    * `spark.graft.spread.decimal`, read by OandaPipeline.derive). */
+  /** P8, decimal arm — the DEFAULT sibling of the f64 [[spread]] since
+    * round 9 (opt out with `spark.graft.spread.decimal=false`, read by
+    * OandaPipeline.derive). */
   def spreadDecimal(closeoutAsk: Column, closeoutBid: Column): Column =
     parseDecimalOr0(closeoutAsk) - parseDecimalOr0(closeoutBid)
 

@@ -532,12 +532,10 @@ object ExtrasQueries {
           format_string("%d.%06d", expr("event_id % 1500"), expr("(event_id * 104729) % 1000000")),
           col("event_type"), isoMicros(col("ts"))).as("value"))
         .repartition(s.sparkContext.defaultParallelism)
-      // knob read at plan-construction time; restore so other registry
-      // queries keep the reference-faithful f64-only frame
-      s.conf.set("spark.graft.spread.decimal", "true")
+      // round-9: decimal-first is the pipeline DEFAULT — no knob set here;
+      // this query hash-passing at both scales is the default-path evidence
       val wire =
-        try graft.streaming.OandaPipeline.derive(graft.streaming.OandaPipeline.parse(lines))
-        finally s.conf.unset("spark.graft.spread.decimal")
+        graft.streaming.OandaPipeline.derive(graft.streaming.OandaPipeline.parse(lines))
       wire.filter(col("message_type") === "price_tick")
         .groupBy(col("tick.instrument").as("instrument"))
         .agg(count(lit(1)).as("n_ticks"),

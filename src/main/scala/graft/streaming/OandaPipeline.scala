@@ -97,11 +97,14 @@ object OandaPipeline {
     * (two-format parse + nanos sidecar), display projection. */
   def derive(parsed: DataFrame, displayZone: String = "UTC"): DataFrame = {
     val t = coalesce(col("tick.time"), col("heartbeat.time"))
-    // price-fidelity knob (SURVEY §1.3): spark.graft.spread.decimal=true adds
-    // a DecimalType(18,6)-exact spread_dec ALONGSIDE the reference-faithful
-    // f64 spread — the f64 arm is untouched either way (property-pinned)
+    // price fidelity DEFAULT-ON (round-9, SURVEY §1.3 closed): the
+    // DecimalType(18,6)-exact spread_dec ships ALONGSIDE the
+    // reference-faithful f64 spread unless opted out with
+    // spark.graft.spread.decimal=false — decimal is the 100 TB posture
+    // (exact under aggregation), f64 stays for reference parity and is
+    // untouched either way (property-pinned)
     val decimalKnob = parsed.sparkSession.conf
-      .getOption("spark.graft.spread.decimal").exists(_.toBoolean)
+      .getOption("spark.graft.spread.decimal").forall(_.toBoolean)
     val withSpread = parsed
       .withColumn("spread",
         when(col("message_type") === "price_tick",

@@ -2,8 +2,10 @@ package graft.plans
 
 import graft.{SparkEntry, SparkTestSession}
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+import org.apache.spark.sql.execution.{SparkPlan, SparkPlanInfo}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
 import org.apache.spark.sql.execution.window.WindowExecBase
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -63,6 +65,74 @@ class PlanMapSpec extends AnyFunSuite {
       s"| $windows | $globalWindows | $topk |"
   }
 
+  // ----- streaming fingerprints (round-9: VERDICT r8 task 6) -------------
+  // A streaming query has no static batch plan, but every micro-batch's
+  // EXECUTED plan is broadcast on the listener bus
+  // (SparkListenerSQLExecutionStart.sparkPlanInfo). Running the replay with
+  // a listener attached and fingerprinting the LAST streaming execution
+  // pins the executed plan shape — stateful-operator census, shuffle count,
+  // streaming join kinds — the same way the batch table pins exchanges.
+
+  private val execPlans = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlanInfo]()
+  private val planListener = new SparkListener {
+    override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+      case e: SparkListenerSQLExecutionStart => execPlans.add(e.sparkPlanInfo)
+      case _ => ()
+    }
+  }
+
+  private def flattenInfo(p: SparkPlanInfo): Seq[String] =
+    p.nodeName +: p.children.flatMap(flattenInfo)
+
+  /** Stateful/streaming physical operators worth a census column. */
+  private val stateKinds = Seq(
+    "StateStoreSave", "StateStoreRestore", "SessionWindowStateStoreSave",
+    "SessionWindowStateStoreRestore", "StreamingDeduplicate",
+    "StreamingSymmetricHashJoin", "FlatMapGroupsWithState",
+    "TransformWithState", "StreamingGlobalLimit")
+
+  private def isStreamingExec(names: Seq[String]): Boolean =
+    names.exists(n =>
+      stateKinds.exists(n.startsWith) || n == "MicroBatchScan" ||
+        n.startsWith("WriteToDataSourceV2") ||
+        n.startsWith("WriteToMicroBatchDataSource"))
+
+  /** Wait for the async listener bus to drain (size stable for 300 ms). */
+  private def drained(): Unit = {
+    var last = -1
+    var stable = 0
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (stable < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val n = execPlans.size
+      if (n == last) stable += 1 else { stable = 0; last = n }
+    }
+  }
+
+  private def streamingFingerprint(name: String): String = {
+    import scala.jdk.CollectionConverters._
+    execPlans.clear()
+    SparkEntry.queries(name)(spark, dir).collect() // runs the replay(s)
+    drained()
+    val streamExecs = execPlans.asScala.toSeq.map(flattenInfo).filter(isStreamingExec)
+    if (streamExecs.isEmpty)
+      s"| $name | 0 | - | - | - |"
+    else {
+      val last = streamExecs.last
+      val shuffles = last.count(_.startsWith("Exchange")) +
+        last.count(_.startsWith("ShuffleExchange"))
+      val states = stateKinds.map(k => k -> last.count(_.startsWith(k)))
+        .filter(_._2 > 0).map { case (k, c) => s"$c $k" }.mkString(" ")
+      val joins = Seq("BHJ" -> "BroadcastHashJoin", "SMJ" -> "SortMergeJoin",
+        "SHJ" -> "ShuffledHashJoin", "SSHJ" -> "StreamingSymmetricHashJoin")
+        .map { case (tag, n) => tag -> last.count(_.startsWith(n)) }
+        .filter(_._2 > 0).map { case (tag, c) => s"$c $tag" }.mkString(" ")
+      s"| $name | ${streamExecs.size} | $shuffles " +
+        s"| ${if (states.isEmpty) "-" else states} " +
+        s"| ${if (joins.isEmpty) "-" else joins} |"
+    }
+  }
+
   test("every batch query's plan matches its committed PLANMAP.md fingerprint") {
     val (streaming, batch) = SparkEntry.registry.partition(_.name.contains("stream"))
     val rows = batch.sortBy(_.name).map { q =>
@@ -73,6 +143,17 @@ class PlanMapSpec extends AnyFunSuite {
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       row
     }
+    spark.sparkContext.addSparkListener(planListener)
+    val streamingRows =
+      try streaming.sortBy(_.name).map { q =>
+        val row =
+          try streamingFingerprint(q.name)
+          catch { case e: Throwable =>
+            s"| ${q.name} | run-failed: ${e.getClass.getSimpleName} | | | |" }
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        row
+      }
+      finally spark.sparkContext.removeSparkListener(planListener)
     // assembled by concatenation — stripMargin would eat the table rows'
     // leading pipe characters
     val doc =
@@ -93,10 +174,20 @@ class PlanMapSpec extends AnyFunSuite {
         "|---|---|---|---|---|---|---|\n" +
         rows.mkString("\n") + "\n\n" +
         s"## Streaming queries (${streaming.size})\n\n" +
-        "Replay-executed inside their builders — no static batch plan to\n" +
-        "fingerprint. Per-operator STATE bounds are measured live in\n" +
-        "StateMetricsSpec; join/watermark semantics in their own specs.\n\n" +
-        streaming.map(_.name).sorted.map("- " + _).mkString("\n") + "\n"
+        "Fingerprint of each replay's LAST streaming micro-batch EXECUTED\n" +
+        "plan, captured from SparkListenerSQLExecutionStart while the\n" +
+        "builder runs at sf0.001 (round-9: the executed-plan pin the batch\n" +
+        "table gives batch queries, extended to streaming). Columns:\n" +
+        "sexecs = streaming executions observed during the replay (data +\n" +
+        "no-data batches, all inner streams); shuffles = Exchange nodes in\n" +
+        "the last plan; state ops = stateful-operator census (StateStore\n" +
+        "save/restore pairs, dedup, session stores, flatMapGroupsWithState,\n" +
+        "transformWithState, streaming joins); joins = join nodes incl.\n" +
+        "SSHJ = StreamingSymmetricHashJoin. State BOUNDS are measured in\n" +
+        "StateMetricsSpec; this table pins the plan SHAPE.\n\n" +
+        "| query | sexecs | shuffles | state ops | joins |\n" +
+        "|---|---|---|---|---|\n" +
+        streamingRows.mkString("\n") + "\n"
     if (sys.env.contains("SPARK_GRAFT_REGEN_PLANMAP")) {
       Files.writeString(mapPath, doc)
       succeed
