@@ -95,6 +95,102 @@ object PipelineQueries {
           + when(col("cseg") === col("dseg"), 1).otherwise(0))
   }
 
+  /** Shared q364b/q382 capped-blocking CTE chain (the corpus-invariant ER
+    * candidates): dirty-copy synthesis, TWO hash-rank-capped blocking
+    * passes (K=3 per block side, salts rotate per pass), candidate union,
+    * integer agreement scoring — ends defining `scored` with both sides'
+    * fields. The q189b discipline applied to blocking: candidates ≤ 2·K·n. */
+  private val erCappedScoredCteSql: String =
+    s"""dirty AS (
+       |  SELECT c_custkey + 1000000 AS rid,
+       |         CASE WHEN c_custkey % 7 = 0
+       |              THEN substr(c_name, 1, 3) || substr(c_name, 5) ELSE c_name END AS name,
+       |         CASE WHEN c_custkey % 31 = 0 THEN (c_nationkey + 1) % 25
+       |              ELSE c_nationkey END AS nation,
+       |         CAST(round(c_acctbal * 100) AS BIGINT) + (c_custkey % 5 - 2) AS cents,
+       |         c_mktsegment AS seg
+       |  FROM customer),
+       |clean AS (SELECT c_custkey AS cid, c_name AS name, c_nationkey AS nation,
+       |                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_mktsegment AS seg
+       |          FROM customer),
+       |ra AS (SELECT cid, nation, cents // 5000 AS bin,
+       |              ROW_NUMBER() OVER (PARTITION BY nation, cents // 5000
+       |                ORDER BY ${md5LongSql("'ca:' || cid")}, cid) AS rk FROM clean),
+       |dda AS (SELECT rid, nation, cents // 5000 AS bin,
+       |               ROW_NUMBER() OVER (PARTITION BY nation, cents // 5000
+       |                 ORDER BY ${md5LongSql("'da:' || rid")}, rid) AS rk FROM dirty),
+       |ba AS (SELECT r.cid, d.rid FROM ra r JOIN dda d
+       |       ON r.nation = d.nation AND r.bin = d.bin
+       |       WHERE r.rk <= 3 AND d.rk <= 3),
+       |rb AS (SELECT cid, sfx,
+       |              ROW_NUMBER() OVER (PARTITION BY sfx
+       |                ORDER BY ${md5LongSql("'cb:' || cid")}, cid) AS rk
+       |       FROM (SELECT cid, substr(name, greatest(1, length(name) - 5)) AS sfx
+       |             FROM clean)),
+       |ddb AS (SELECT rid, sfx,
+       |               ROW_NUMBER() OVER (PARTITION BY sfx
+       |                 ORDER BY ${md5LongSql("'db:' || rid")}, rid) AS rk
+       |        FROM (SELECT rid, substr(name, greatest(1, length(name) - 5)) AS sfx
+       |              FROM dirty)),
+       |bb AS (SELECT r.cid, d.rid FROM rb r JOIN ddb d ON r.sfx = d.sfx
+       |       WHERE r.rk <= 3 AND d.rk <= 3),
+       |cand AS (SELECT DISTINCT cid, rid FROM (SELECT * FROM ba UNION ALL SELECT * FROM bb)),
+       |scored AS (
+       |  SELECT c.cid, d.rid, c.name AS cn, d.name AS dn,
+       |         c.nation AS cnat, c.cents AS cc, d.cents AS dc, c.seg AS cseg,
+       |         d.nation AS dnat, d.seg AS dseg,
+       |         (CASE WHEN c.name = d.name THEN 3 ELSE 0 END
+       |          + CASE WHEN abs(c.cents - d.cents) <= 2 THEN 2 ELSE 0 END
+       |          + CASE WHEN c.nation = d.nation THEN 1 ELSE 0 END
+       |          + CASE WHEN c.seg = d.seg THEN 1 ELSE 0 END) AS score
+       |  FROM cand JOIN clean c USING (cid) JOIN dirty d USING (rid))""".stripMargin
+
+  /** Spark twin of [[erCappedScoredCteSql]]: the hash-rank-capped scored
+    * candidate frame (both sides' fields carried), shared by q364b's
+    * per-pair survivorship and q382's per-cluster golden entity. */
+  private def erCappedScored(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val K = 3
+    val cust = Tables(s, dir, "customer")
+    val clean = cust.select(col("c_custkey").as("cid"), col("c_name").as("name"),
+      col("c_nationkey").cast("long").as("nation"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"),
+      col("c_mktsegment").as("seg")).cache() // both blocking passes + scoring
+    val dirty = cust.select((col("c_custkey") + 1000000L).as("rid"),
+      when(col("c_custkey") % 7 === 0,
+        concat(expr("substr(c_name, 1, 3)"), expr("substr(c_name, 5)")))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 31 === 0, (col("c_nationkey") + 1) % 25)
+        .otherwise(col("c_nationkey")).cast("long").as("nation"),
+      (expr("CAST(round(c_acctbal * 100) AS BIGINT)") + col("c_custkey") % 5 - 2).as("cents"),
+      col("c_mktsegment").as("seg")).cache()
+    def cappedA(df: DataFrame, id: String, salt: String): DataFrame =
+      df.select(col(id), col("nation"), expr("cents div 5000").as("bin"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("nation", "bin")
+            .orderBy(md5Long(concat(lit(salt), col(id).cast("string"))), col(id))))
+        .filter(col("rk") <= K).drop("rk")
+    def cappedB(df: DataFrame, id: String, salt: String): DataFrame =
+      df.select(col(id), expr("substr(name, greatest(1, length(name) - 5))").as("sfx"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("sfx")
+            .orderBy(md5Long(concat(lit(salt), col(id).cast("string"))), col(id))))
+        .filter(col("rk") <= K).drop("rk")
+    val ba = cappedA(clean, "cid", "ca:").join(cappedA(dirty, "rid", "da:"),
+      Seq("nation", "bin")).select("cid", "rid")
+    val bb = cappedB(clean, "cid", "cb:").join(cappedB(dirty, "rid", "db:"), "sfx")
+      .select("cid", "rid")
+    ba.unionAll(bb).distinct()
+      .join(clean.select(col("cid"), col("name").as("cn"), col("nation").as("cnat"),
+        col("cents").as("cc"), col("seg").as("cseg")), "cid")
+      .join(dirty.select(col("rid"), col("name").as("dn"),
+        col("nation").as("dnat"), col("cents").as("dc"), col("seg").as("dseg")), "rid")
+      .withColumn("score",
+        when(col("cn") === col("dn"), 3).otherwise(0)
+          + when(abs(col("cc") - col("dc")) <= 2, 2).otherwise(0)
+          + when(col("cnat") === col("dnat"), 1).otherwise(0)
+          + when(col("cseg") === col("dseg"), 1).otherwise(0))
+  }
+
   /** Entity-mask regex: the corpus' "named entities". Word-boundary anchored
     * so substrings of other tokens survive. Same RE2/Java-compatible syntax
     * in both engines. */
@@ -1537,48 +1633,7 @@ object PipelineQueries {
     // replicated suffix block emits ≤ K² = 9 pairs instead of m².
     q("q364b_golden_record_capped",
       "q364 survivorship under hash-rank-capped blocking: ≤3 rows/block side, linear candidates")(
-      s"""WITH dirty AS (
-         |  SELECT c_custkey + 1000000 AS rid,
-         |         CASE WHEN c_custkey % 7 = 0
-         |              THEN substr(c_name, 1, 3) || substr(c_name, 5) ELSE c_name END AS name,
-         |         CASE WHEN c_custkey % 31 = 0 THEN (c_nationkey + 1) % 25
-         |              ELSE c_nationkey END AS nation,
-         |         CAST(round(c_acctbal * 100) AS BIGINT) + (c_custkey % 5 - 2) AS cents,
-         |         c_mktsegment AS seg
-         |  FROM customer),
-         |clean AS (SELECT c_custkey AS cid, c_name AS name, c_nationkey AS nation,
-         |                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_mktsegment AS seg
-         |          FROM customer),
-         |ra AS (SELECT cid, nation, cents // 5000 AS bin,
-         |              ROW_NUMBER() OVER (PARTITION BY nation, cents // 5000
-         |                ORDER BY ${md5LongSql("'ca:' || cid")}, cid) AS rk FROM clean),
-         |dda AS (SELECT rid, nation, cents // 5000 AS bin,
-         |               ROW_NUMBER() OVER (PARTITION BY nation, cents // 5000
-         |                 ORDER BY ${md5LongSql("'da:' || rid")}, rid) AS rk FROM dirty),
-         |ba AS (SELECT r.cid, d.rid FROM ra r JOIN dda d
-         |       ON r.nation = d.nation AND r.bin = d.bin
-         |       WHERE r.rk <= 3 AND d.rk <= 3),
-         |rb AS (SELECT cid, sfx,
-         |              ROW_NUMBER() OVER (PARTITION BY sfx
-         |                ORDER BY ${md5LongSql("'cb:' || cid")}, cid) AS rk
-         |       FROM (SELECT cid, substr(name, greatest(1, length(name) - 5)) AS sfx
-         |             FROM clean)),
-         |ddb AS (SELECT rid, sfx,
-         |               ROW_NUMBER() OVER (PARTITION BY sfx
-         |                 ORDER BY ${md5LongSql("'db:' || rid")}, rid) AS rk
-         |        FROM (SELECT rid, substr(name, greatest(1, length(name) - 5)) AS sfx
-         |              FROM dirty)),
-         |bb AS (SELECT r.cid, d.rid FROM rb r JOIN ddb d ON r.sfx = d.sfx
-         |       WHERE r.rk <= 3 AND d.rk <= 3),
-         |cand AS (SELECT DISTINCT cid, rid FROM (SELECT * FROM ba UNION ALL SELECT * FROM bb)),
-         |scored AS (
-         |  SELECT c.cid, d.rid, c.name AS cn, d.name AS dn,
-         |         c.nation AS cnat, c.cents AS cc, d.cents AS dc, c.seg AS cseg,
-         |         (CASE WHEN c.name = d.name THEN 3 ELSE 0 END
-         |          + CASE WHEN abs(c.cents - d.cents) <= 2 THEN 2 ELSE 0 END
-         |          + CASE WHEN c.nation = d.nation THEN 1 ELSE 0 END
-         |          + CASE WHEN c.seg = d.seg THEN 1 ELSE 0 END) AS score
-         |  FROM cand JOIN clean c USING (cid) JOIN dirty d USING (rid))
+      s"""WITH $erCappedScoredCteSql
          |SELECT cid, rid,
          |       CASE WHEN length(cn) >= length(dn) THEN cn ELSE dn END AS g_name,
          |       CASE WHEN length(cn) > length(dn) THEN 'clean'
@@ -1590,46 +1645,7 @@ object PipelineQueries {
          |       abs(cc - dc) AS cents_drift
          |FROM scored WHERE score >= 4 ORDER BY cid, rid""".stripMargin
     ) { (s, dir) =>
-      val K = 3
-      val cust = Tables(s, dir, "customer")
-      val clean = cust.select(col("c_custkey").as("cid"), col("c_name").as("name"),
-        col("c_nationkey").cast("long").as("nation"),
-        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"),
-        col("c_mktsegment").as("seg")).cache() // both blocking passes + scoring
-      val dirty = cust.select((col("c_custkey") + 1000000L).as("rid"),
-        when(col("c_custkey") % 7 === 0,
-          concat(expr("substr(c_name, 1, 3)"), expr("substr(c_name, 5)")))
-          .otherwise(col("c_name")).as("name"),
-        when(col("c_custkey") % 31 === 0, (col("c_nationkey") + 1) % 25)
-          .otherwise(col("c_nationkey")).cast("long").as("nation"),
-        (expr("CAST(round(c_acctbal * 100) AS BIGINT)") + col("c_custkey") % 5 - 2).as("cents"),
-        col("c_mktsegment").as("seg")).cache()
-      def cappedA(df: DataFrame, id: String, salt: String): DataFrame =
-        df.select(col(id), col("nation"), expr("cents div 5000").as("bin"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("nation", "bin")
-              .orderBy(md5Long(concat(lit(salt), col(id).cast("string"))), col(id))))
-          .filter(col("rk") <= K).drop("rk")
-      def cappedB(df: DataFrame, id: String, salt: String): DataFrame =
-        df.select(col(id), expr("substr(name, greatest(1, length(name) - 5))").as("sfx"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("sfx")
-              .orderBy(md5Long(concat(lit(salt), col(id).cast("string"))), col(id))))
-          .filter(col("rk") <= K).drop("rk")
-      val ba = cappedA(clean, "cid", "ca:").join(cappedA(dirty, "rid", "da:"),
-        Seq("nation", "bin")).select("cid", "rid")
-      val bb = cappedB(clean, "cid", "cb:").join(cappedB(dirty, "rid", "db:"), "sfx")
-        .select("cid", "rid")
-      ba.unionAll(bb).distinct()
-        .join(clean.select(col("cid"), col("name").as("cn"), col("nation").as("cnat"),
-          col("cents").as("cc"), col("seg").as("cseg")), "cid")
-        .join(dirty.select(col("rid"), col("name").as("dn"),
-          col("nation").as("dnat"), col("cents").as("dc"), col("seg").as("dseg")), "rid")
-        .withColumn("score",
-          when(col("cn") === col("dn"), 3).otherwise(0)
-            + when(abs(col("cc") - col("dc")) <= 2, 2).otherwise(0)
-            + when(col("cnat") === col("dnat"), 1).otherwise(0)
-            + when(col("cseg") === col("dseg"), 1).otherwise(0))
+      erCappedScored(s, dir)
         .filter(col("score") >= 4)
         .select(col("cid"), col("rid"),
           when(length(col("cn")) >= length(col("dn")), col("cn"))
@@ -1644,6 +1660,73 @@ object PipelineQueries {
           col("cnat").as("g_nation"), col("cseg").as("g_segment"),
           abs(col("cc") - col("dc")).as("cents_drift"))
         .orderBy("cid", "rid")
+    },
+
+    // Golden ENTITY per cluster — the ER family's final stage and the true
+    // 100 TB output shape (q165 resolves pairs, q364/q364b merge per PAIR;
+    // a master-data system publishes ONE row per real-world entity):
+    // capped candidate pairs (score ≥ 4) become edges, StarContraction's
+    // O(log²n) connected components group records into entities, and the
+    // survivorship rules aggregate PER CLUSTER — longest name (4-digit
+    // length-prefixed max, the portable argmax encoding), max balance,
+    // clean-system precedence for nation/segment (every cluster has a
+    // clean member: pairs are clean×dirty bipartite). Output cardinality
+    // is O(entities), NOT O(pairs) — at sf1's 10-copy duplicate pressure
+    // this emits one row per suffix-group cluster where q364b emits ≤9
+    // pairs, which is exactly why the cluster-merge path is where
+    // oversized blocks get handed at scale. Entity id = min member id
+    // (always a clean cid: rids are offset by 10⁶). The oracle replays
+    // the components as a recursive min-label closure (cluster sizes are
+    // CAP-BOUNDED by construction, so the quadratic closure stays
+    // fixture-cheap — the q189c lesson built in).
+    q("q382_golden_entity",
+      "one golden record per resolved entity cluster: CC over capped pairs + per-cluster survivorship")(
+      s"""WITH RECURSIVE $erCappedScoredCteSql,
+         |m AS (SELECT cid, rid FROM scored WHERE score >= 4),
+         |nodes AS (
+         |  SELECT DISTINCT c.cid AS id, c.name, c.nation, c.cents, c.seg, 'clean' AS src
+         |  FROM clean c WHERE c.cid IN (SELECT cid FROM m)
+         |  UNION ALL
+         |  SELECT DISTINCT d.rid AS id, d.name, d.nation, d.cents, d.seg, 'dirty' AS src
+         |  FROM dirty d WHERE d.rid IN (SELECT rid FROM m)),
+         |e AS (SELECT cid AS a, rid AS b FROM m UNION SELECT rid AS a, cid AS b FROM m),
+         |reach AS (SELECT id, id AS r FROM nodes
+         |          UNION
+         |          SELECT e.b AS id, reach.r FROM reach JOIN e ON e.a = reach.id),
+         |lbl AS (SELECT id, min(r) AS entity FROM reach GROUP BY id)
+         |SELECT l.entity,
+         |       CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(CASE WHEN n.src = 'clean' THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |       substr(max(lpad(CAST(length(n.name) AS VARCHAR), 4, '0') || n.name), 5) AS g_name,
+         |       max(n.cents) AS g_cents,
+         |       CAST(min(CASE WHEN n.src = 'clean' THEN n.nation END) AS BIGINT) AS g_nation,
+         |       min(CASE WHEN n.src = 'clean' THEN n.seg END) AS g_segment
+         |FROM nodes n JOIN lbl l ON l.id = n.id
+         |GROUP BY l.entity ORDER BY l.entity""".stripMargin
+    ) { (s, dir) =>
+      val sc0 = erCappedScored(s, dir).filter(col("score") >= 4)
+        .select("cid", "rid", "cn", "cnat", "cc", "cseg", "dn", "dnat", "dc", "dseg")
+        .cache() // edges + both node legs
+      val edges = sc0.select(col("cid").as("d1"), col("rid").as("d2"))
+      val lab = graft.operators.StarContraction.components(edges)
+      val nodes = sc0.select(col("cid").as("id"), col("cn").as("name"),
+          col("cnat").as("nation"), col("cc").as("cents"), col("cseg").as("seg"),
+          lit("clean").as("src")).distinct()
+        .unionByName(sc0.select(col("rid").as("id"), col("dn").as("name"),
+          col("dnat").as("nation"), col("dc").as("cents"), col("dseg").as("seg"),
+          lit("dirty").as("src")).distinct())
+      nodes.join(lab, nodes("id") === lab("doc_id"), "left")
+        .groupBy(coalesce(col("component"), col("id")).as("entity"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("src") === "clean", 1L).otherwise(0L)).as("n_clean"),
+          expr("substr(max(concat(lpad(cast(length(name) as string), 4, '0'), name)), 5)")
+            .as("g_name"),
+          max(col("cents")).as("g_cents"),
+          min(when(col("src") === "clean", col("nation"))).as("g_nation"),
+          min(when(col("src") === "clean", col("seg"))).as("g_segment"))
+        .select(col("entity"), col("n_members"), col("n_clean"), col("g_name"),
+          col("g_cents"), col("g_nation"), col("g_segment"))
+        .orderBy("entity")
     },
 
     // DSIR-style data selection (Xie et al. 2023, "Data Selection for
