@@ -1568,9 +1568,11 @@ object AnalyticsQueries {
     // into the per-item recommendation table a retail surface serves).
     // Basket pairs come from a self-join on the order key — bounded by
     // (basket size)² per order, never corpus² — supports are one grouped
-    // count, and the per-anchor rank is a partitioned window over the
-    // co-occurrence table. The 1-row basket-count frame broadcasts
-    // (allowlisted scalar product, q99's own shape).
+    // count, and the per-anchor top-3 runs through the native
+    // TopKPerKeyExec (bounded per-key heaps, partial→exchange→final), so
+    // only ≤ 3 rows per anchor per task ever cross the shuffle. The 1-row
+    // basket-count frame broadcasts (allowlisted scalar product, q99's
+    // own shape).
     q("q244_also_bought",
       "per-part top-3 co-purchased recommendations by exact integer lift")(
       """WITH bl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -1598,16 +1600,26 @@ object AnalyticsQueries {
         .join(bl.select(col("o"), col("p").as("pb")), Seq("o"))
         .filter(col("pa") =!= col("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
-      co.crossJoin(broadcast(n))
+      val lf = co.crossJoin(broadcast(n))
         .join(broadcast(sup.select(col("p").as("pa"), col("sp").as("sa"))), Seq("pa"))
         .join(broadcast(sup.select(col("p").as("pb"), col("sp").as("sb"))), Seq("pb"))
         .select(col("pa"), col("pb"), col("c"),
           expr("CAST(c * nb * 1000000 div (sa * sb) AS BIGINT)").as("lift_micro"))
-        .withColumn("rn", row_number().over(Window.partitionBy("pa")
-          .orderBy(col("lift_micro").desc, col("c").desc, col("pb"))))
-        .filter(col("rn") <= 3)
-        .select(col("pa"), col("pb"), col("c").as("n_co"), col("lift_micro"),
-          col("rn").cast("long").as("rn"))
+      // per-anchor top-3 via the native TopKPerKeyExec (bounded heaps +
+      // map-side pre-reduction: ≤ 3 rows/key/task cross the exchange) —
+      // the window formulation full-sorts and full-shuffles the entire
+      // co-occurrence frame. Ranks come from a per-key sorted array over
+      // the ≤ 3 survivors (no WindowExec at all); the negated sort keys
+      // are safe — both lift_micro and c are non-negative by construction
+      graft.plans.TopKPerKey.topK(lf, Seq(col("pa")),
+          Seq(col("lift_micro").desc, col("c").desc, col("pb")), 3)
+        .groupBy("pa")
+        .agg(sort_array(collect_list(struct(
+          (-col("lift_micro")).as("k1"), (-col("c")).as("k2"), col("pb"),
+          col("c").as("n_co"), col("lift_micro").as("lm")))).as("arr"))
+        .select(col("pa"), posexplode(col("arr")))
+        .select(col("pa"), col("col.pb").as("pb"), col("col.n_co").as("n_co"),
+          col("col.lm").as("lift_micro"), (col("pos") + 1).cast("long").as("rn"))
         .orderBy("pa", "rn").limit(150)
     },
 

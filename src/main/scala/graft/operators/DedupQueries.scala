@@ -108,8 +108,53 @@ object DedupQueries {
     * diameter; the GraphFrames approach — at extreme diameters the upgrade
     * is alternating large-star/small-star, same join shape). Returns
     * (doc_id, component). */
+  /** The EXACT Jaccard ≥ ½ pair set (d1 < d2, no similarity column) from a
+    * DISTINCT (doc_id, `key`) element frame — the shared "truth leg" of the
+    * scorecard/contamination/contrastive family, built on q164's AllPairs
+    * rarest-half prefix discipline instead of the raw shared-element
+    * self-join. The raw join is exact but UNBOUNDED in a hot element's
+    * document frequency (one corpus-hot boilerplate shingle makes it
+    * quadratic in df); the prefix filter computes the SAME pair set —
+    * J ≥ ½ forces |A∩B| ≥ (|A|+|B|)/3, so a qualifying pair must collide
+    * inside each side's rarest ⌊n/2⌋+1 elements (Chaudhuri/Ganti/Kaushik
+    * SSJoin; Bayardo AllPairs) — while per-key fan-out is bounded by the
+    * PREFIX document frequency (measured ≤ 11 at sf1 AND sf10 for q164).
+    * Candidates are then verified by array_intersect over the per-doc
+    * element arrays (already built for the prefix) under the integer
+    * threshold 3·c ≥ n_a + n_b (no float boundary).
+    * Exactness is oracle-proven: every consumer's DuckDB oracle states the
+    * FULL shared-element join, so a missed pair would hash-mismatch. */
+  private[operators] def halfJaccardPairs(sh: DataFrame, key: String): DataFrame = {
+    // ONE wide aggregation carries everything: the rarity-ordered element
+    // array is both the prefix source (first ⌊n/2⌋+1) and the verification
+    // payload (q34c's trick — exact common counts become array_intersect
+    // over the few candidates instead of fresh (doc, key) self-joins)
+    val dfreq = sh.groupBy(key).agg(count(lit(1)).as("df"))
+    val docsArr = sh.join(dfreq, Seq(key))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col(key)))).as("arr"))
+      .select(col("doc_id"),
+        expr(s"transform(arr, e -> e.$key)").as("elems"))
+      .cache() // prefix explode + both candidate-verification joins
+    val pref = docsArr
+      .select(col("doc_id"),
+        explode(expr("slice(elems, 1, size(elems) div 2 + 1)")).as(key))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    cand
+      .join(docsArr.select(col("doc_id").as("d1"), col("elems").as("e1")), "d1")
+      .join(docsArr.select(col("doc_id").as("d2"), col("elems").as("e2")), "d2")
+      .filter(size(array_intersect(col("e1"), col("e2"))) * 3 >=
+        size(col("e1")) + size(col("e2")))
+      .select("d1", "d2")
+  }
+
   /** The exact-Jaccard ≥ 0.5 edge set (d1 < d2) — shared by q34g/q34h and
-    * by StarContractionSpec's equivalence test. */
+    * by StarContractionSpec's equivalence test. Prefix-bounded via
+    * [[halfJaccardPairs]] (3·c ≥ n_a + n_b is the integer form of
+    * c/(n_a+n_b−c) ≥ ½ — identical pair set). */
   private[operators] def jaccardEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val toks = Tables.fanout(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
@@ -117,20 +162,15 @@ object DedupQueries {
     val sh = toks.select(col("doc_id"),
       explode(transform(array_distinct(shingles(col("t"), 3)),
         g => md5Long(g))).as("h"))
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("c"))
-    pairs
-      .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-      .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
-      .filter(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")) >= 0.5)
-      .select("d1", "d2")
+      .cache() // df pass + prefix build + both verification legs
+    halfJaccardPairs(sh, "h")
   }
 
   private def ccComponents(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val edges = jaccardEdges(s, dir)
+    // eager checkpoint (q307's shape): the edge plan below the loop is
+    // AQE-optimized once and truncated — bidir.cache() alone would compile
+    // the whole prefix-join subtree WITHOUT AQE (NOTES.md round-5 lesson)
+    val edges = jaccardEdges(s, dir).localCheckpoint(true)
     val bidir = edges
       .union(edges.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
     var labels = bidir.select(col("d1").as("u")).distinct()
@@ -680,11 +720,12 @@ object DedupQueries {
     // LSH dedup quality scorecard — q227's ANN-recall discipline applied
     // to the MinHash family: precision AND recall of the q34c band-join
     // candidates against the EXACT Jaccard ≥ 0.5 pair set, as one
-    // oracle-checked query. The truth leg is the shared-shingle equi-
-    // self-join (q34a's scalable shape, never all-pairs) with the
-    // threshold kept in integers (J ≥ ½ ⇔ 3·common ≥ n_a + n_b — no
-    // float boundary flips); the candidate leg is q34c's 4×4 banding
-    // verbatim. These two numbers ARE the (bands × rows) tuning loop a
+    // oracle-checked query. The truth leg is the AllPairs rarest-half
+    // prefix join ([[halfJaccardPairs]], q164's discipline — bounded by
+    // PREFIX document frequency, so one corpus-hot boilerplate shingle
+    // can't go quadratic) with the threshold kept in integers (J ≥ ½ ⇔
+    // 3·common ≥ n_a + n_b — no float boundary flips); the candidate leg
+    // is q34c's 4×4 banding verbatim. These two numbers ARE the (bands × rows) tuning loop a
     // 100 TB dedup runs: recall tells you what the bands miss, precision
     // what the verifier must re-check — computed by the engine itself,
     // hash-verified against the oracle.
@@ -717,7 +758,7 @@ object DedupQueries {
       val toks = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("t"))
       val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
-        .cache() // signature agg + truth self-join + per-doc counts
+        .cache() // signature agg + prefix truth leg (df pass, prefix, verify joins)
       val docs = sh.withColumn("h1v", h1(col("s")))
         .groupBy("doc_id").agg(agg(col("h1v")).as("sig"))
       val bands = docs.select(col("doc_id"), explode(array((0 until 4).map(b =>
@@ -730,15 +771,9 @@ object DedupQueries {
           col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val truth = sh.select(col("doc_id").as("d1"), col("s"))
-        .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("s"))
-        .filter(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
-        .filter(col("c") * 3 >= col("na") + col("nb"))
-        .select(col("d1"), col("d2"))
+      // exact truth leg, prefix-bounded (halfJaccardPairs): same pair set
+      // as the oracle's full shared-shingle join, hot-shingle-safe
+      val truth = halfJaccardPairs(sh, "s")
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       val nCand = cand.agg(count(lit(1)).as("n_cand"))
       val nHit = cand.join(truth, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
@@ -749,8 +784,8 @@ object DedupQueries {
     },
 
     // Cross-source contamination matrix — WHERE the duplicates flow from:
-    // the exact Jaccard ≥ ½ near-dup pairs (q245's truth leg: shared-
-    // shingle equi-join, integer threshold 3c ≥ na+nb, never all-pairs)
+    // the exact Jaccard ≥ ½ near-dup pairs (q245's truth leg: the
+    // prefix-bounded [[halfJaccardPairs]], integer threshold 3c ≥ na+nb)
     // labeled with each side's source and rolled up to an UNORDERED
     // source-pair census — n_pairs, distinct docs involved, and the
     // involved-docs share of the two sources' doc pool in permille. The
@@ -789,16 +824,8 @@ object DedupQueries {
       val docsT = Tables.fanout(s, dir, "documents")
       val sh = docsT.select(col("doc_id"), tokens(col("text")).as("t"))
         .select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
-        .cache() // truth self-join + per-doc shingle counts
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val truth = sh.select(col("doc_id").as("d1"), col("s"))
-        .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("s"))
-        .filter(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
-        .filter(col("c") * 3 >= col("na") + col("nb"))
-        .select(col("d1"), col("d2"))
+        .cache() // prefix truth leg (df pass, prefix build, verify joins)
+      val truth = halfJaccardPairs(sh, "s")
       val lbl = docsT.select(col("doc_id"), col("source"))
       val lab = truth
         .join(broadcast(lbl.select(col("doc_id").as("d1"), col("source").as("s1"))), Seq("d1"))
@@ -863,16 +890,8 @@ object DedupQueries {
       val docsT = Tables.fanout(s, dir, "documents")
       val sh = docsT.select(col("doc_id"), tokens(col("text")).as("t"))
         .select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
-        .cache() // truth self-join + per-doc shingle counts
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val truth = sh.select(col("doc_id").as("d1"), col("s"))
-        .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("s"))
-        .filter(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
-        .filter(col("c") * 3 >= col("na") + col("nb"))
-        .select(col("d1"), col("d2"))
+        .cache() // prefix truth leg (df pass, prefix build, verify joins)
+      val truth = halfJaccardPairs(sh, "s")
         .cache() // anchors + both directions of the dup exclusion
       val anch = truth.groupBy(col("d1").as("a")).agg(min(col("d2")).as("pos"))
       val dup = truth.select(col("d1").as("a"), col("d2").as("b"))
