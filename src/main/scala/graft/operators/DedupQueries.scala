@@ -206,10 +206,16 @@ object DedupQueries {
         |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+      // argmin-by-struct instead of a rank window: ONE partial-aggregated
+      // hash agg (1 row/group/task crosses the exchange) vs full-shuffling
+      // every doc into a per-group sort — doc_id leads the struct, so min
+      // picks the keeper row and carries its payload
       Tables(s, dir, "documents")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+        .groupBy("lang", "source")
+        .agg(min(struct(col("doc_id"), col("n_chars"))).as("sel"))
+        .select(col("sel.doc_id").as("doc_id"), col("lang"), col("source"),
+          col("sel.n_chars").as("n_chars"))
+        .orderBy("doc_id")
     },
 
     // B33: exact near-dup dedup via normalization + content hash. Keeper is
@@ -489,15 +495,15 @@ object DedupQueries {
     ) { (s, dir) =>
       val comp = ccComponents(s, dir)
       val chars = Tables(s, dir, "documents").select("doc_id", "n_chars")
-      val wSel = Window.partitionBy(col("component"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      val wCnt = Window.partitionBy(col("component"))
+      // one partial-aggregated hash agg carries BOTH the per-cluster count
+      // and the keeper (argmin over (-n_chars, doc_id) = longest, tie →
+      // lowest id) — replaces two window passes over the clustered frame
       comp.join(chars, "doc_id")
-        .withColumn("rn", row_number().over(wSel))
-        .withColumn("n_docs", count(lit(1)).over(wCnt))
-        .filter(col("rn") === 1)
-        .select(col("component"), col("doc_id").as("keeper"),
-          col("n_chars").as("keeper_chars"),
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_docs"),
+          min(struct((-col("n_chars")).as("nc"), col("doc_id").as("k"))).as("sel"))
+        .select(col("component"), col("sel.k").as("keeper"),
+          (-col("sel.nc")).as("keeper_chars"),
           (col("n_docs") - 1).cast("long").as("n_dropped"))
         .orderBy("component")
     },
@@ -534,10 +540,13 @@ object DedupQueries {
          |  FROM documents)
          |WHERE rn <= 3 ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      val w = Window.partitionBy(col("lang"), col("source"))
-        .orderBy(md5Long(col("text")), col("doc_id"))
-      Tables(s, dir, "documents")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      // native TopKPerKeyExec: ≤ 3 rows/domain/task cross the exchange vs
+      // a rank window full-shuffling every doc into a per-domain sort
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5Long(col("text")).as("hk"))
+      graft.plans.TopKPerKey.topK(d, Seq(col("lang"), col("source")),
+          Seq(col("hk"), col("doc_id")), 3)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     },
@@ -905,12 +914,17 @@ object DedupQueries {
         .filter(col("neg") =!= col("a"))
         .join(dup.select(col("a"), col("b").as("neg")), Seq("a", "neg"), "left_anti")
         .select(col("a"), col("pos"), col("neg"), abs(col("nc") - col("ac")).as("dist"))
-      val w = Window.partitionBy("a").orderBy("dist", "neg")
-      candp.select(col("a"), col("pos"), col("neg"), row_number().over(w).as("r"))
-        .filter(col("r") <= 2)
+      // nearest-2 negatives via the native TopKPerKeyExec — the same-source
+      // candidate fan-in is unbounded (the full source pool per anchor), so
+      // the old rank window full-shuffled it; TopK bounds the exchange at
+      // 2 rows/anchor/task, and the 2 survivors rank inside a sorted array
+      graft.plans.TopKPerKey.topK(candp, Seq(col("a")),
+          Seq(col("dist"), col("neg")), 2)
         .groupBy(col("a").as("anchor_id"), col("pos").as("pos_id"))
-        .agg(max(when(col("r") === 1, col("neg"))).as("neg1_id"),
-          max(when(col("r") === 2, col("neg"))).as("neg2_id"))
+        .agg(sort_array(collect_list(struct(col("dist"), col("neg")))).as("arr"))
+        .select(col("anchor_id"), col("pos_id"),
+          col("arr")(0).getField("neg").as("neg1_id"),
+          expr("CASE WHEN size(arr) > 1 THEN arr[1].neg END").as("neg2_id"))
         .orderBy("anchor_id")
     },
 

@@ -2366,16 +2366,21 @@ object ExtrasQueries {
       val scored = probes.crossJoin(dict)
         .select(col("src"), col("probe"), col("name").as("cand"),
           jaroWinkler(col("probe"), col("name")).as("jw"))
-      val rk = scored.select(col("*"),
-        row_number().over(
-          Window.partitionBy("src").orderBy(col("jw").desc, col("cand"))).as("rn"))
-        .cache() // best + runner legs
-      rk.filter(col("rn") === 1)
-        .join(rk.filter(col("rn") === 2)
-          .select(col("src"), col("jw").as("jw2")), Seq("src"))
-        .select(col("src"), col("probe"), col("cand").as("best"),
-          round(col("jw"), 4).as("jw_best"), round(col("jw2"), 4).as("jw_runner"),
-          when(col("cand") === col("src"), 1L).otherwise(0L).as("self_match"))
+      // best + runner via the native TopKPerKeyExec: the scored frame is
+      // |dict|² rows from the allowlisted product, and the old rank window
+      // full-shuffled ALL of it (then twice more through the cached legs);
+      // TopK bounds the exchange at 2 rows/src/task and the pair ranks
+      // inside a sorted array — jw ∈ [0,1], so -jw is a safe sort key
+      graft.plans.TopKPerKey.topK(scored, Seq(col("src")),
+          Seq(col("jw").desc, col("cand")), 2)
+        .groupBy("src", "probe")
+        .agg(sort_array(collect_list(struct((-col("jw")).as("nj"), col("cand")))).as("arr"))
+        .select(col("src"), col("probe"),
+          col("arr")(0).getField("cand").as("best"),
+          round(-col("arr")(0).getField("nj"), 4).as("jw_best"),
+          round(-col("arr")(1).getField("nj"), 4).as("jw_runner"),
+          when(col("arr")(0).getField("cand") === col("src"), 1L).otherwise(0L)
+            .as("self_match"))
         .orderBy("src")
     },
 

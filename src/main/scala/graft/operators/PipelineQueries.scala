@@ -839,10 +839,18 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           ((md5Long(col("text")) + 1) / lit(1152921504606846976.0)).as("u"))
       val p = b.withColumn("pr", round(pow(col("u"), lit(1.0) / col("n_chars")), 4))
-      val w = Window.partitionBy(col("lang")).orderBy(col("pr").desc, col("doc_id"))
-      p.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("pr"),
-          col("rn").cast("long").as("rn"))
+      // native TopKPerKeyExec (≤ 5 rows/lang/task cross the exchange vs a
+      // rank window full-shuffling the corpus); ranks via a per-lang sorted
+      // array over the 5 survivors — pr ∈ (0,1], so -pr is a safe sort key
+      graft.plans.TopKPerKey.topK(p, Seq(col("lang")),
+          Seq(col("pr").desc, col("doc_id")), 5)
+        .groupBy("lang")
+        .agg(sort_array(collect_list(struct((-col("pr")).as("k1"), col("doc_id"),
+          col("n_chars"), col("pr")))).as("arr"))
+        .select(col("lang"), posexplode(col("arr")))
+        .select(col("col.doc_id").as("doc_id"), col("lang"),
+          col("col.n_chars").as("n_chars"), col("col.pr").as("pr"),
+          (col("pos") + 1).cast("long").as("rn"))
         .orderBy("lang", "doc_id")
     },
 

@@ -1491,12 +1491,18 @@ object RelationalQueries {
         col("event_id"), col("value"),
         when(col("event_type") === "signup", "I")
           .when(col("event_type") === "error", "D").otherwise("U").as("op"))
-      val ranked = log.withColumn("rn", row_number().over(
-        Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
-        .filter(col("rn") === 1)
-      val audit = log.groupBy("user_id").agg(count(lit(1)).as("n_ops"),
+      // last row per user via argmax-by-struct folded into the SAME hash
+      // agg that computes the audit counts: one partial-aggregated shuffle
+      // (1 row/user/task) replaces a rank window full-sorting the log AND
+      // a second aggregate + join. (ts, event_id) is unique per user, so
+      // the struct max picks exactly the window's rn=1 row
+      val ranked = log.groupBy("user_id").agg(
+        max(struct(col("ts"), col("event_id"), col("op"), col("value"))).as("last"),
+        count(lit(1)).as("n_ops"),
         sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"))
-      ranked.join(audit, Seq("user_id"))
+        .select(col("user_id"), col("last.op").as("op"), col("last.value").as("value"),
+          col("n_ops"), col("n_deletes"))
+      ranked
         .filter(col("op") =!= "D")
         .select(col("user_id"), col("op").as("last_op"), r4(col("value")).as("val"),
           col("n_ops"), col("n_deletes"))

@@ -328,9 +328,18 @@ object TextQueries {
       val tok = Tables.fanout(s, dir, "documents")
         .select(col("lang"), explode(tokens(col("text"))).as("w"))
       val counted = tok.groupBy("lang", "w").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("w"))
-      counted.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
-        .select(col("lang"), col("w"), col("n"), col("rn").cast("long").as("rn"))
+      // native TopKPerKeyExec over the vocab×lang count frame (≤ 20 rows/
+      // lang/task cross the exchange; the rank window full-shuffled the
+      // whole vocabulary); ranks come from a per-lang sorted array over
+      // the 20 survivors — n is a positive count, so -n is a safe sort key
+      graft.plans.TopKPerKey.topK(counted, Seq(col("lang")),
+          Seq(col("n").desc, col("w")), 20)
+        .groupBy("lang")
+        .agg(sort_array(collect_list(struct((-col("n")).as("k1"), col("w"),
+          col("n")))).as("arr"))
+        .select(col("lang"), posexplode(col("arr")))
+        .select(col("lang"), col("col.w").as("w"), col("col.n").as("n"),
+          (col("pos") + 1).cast("long").as("rn"))
         .orderBy("lang", "rn")
     },
 
@@ -441,12 +450,21 @@ object TextQueries {
       val df = tok.select("w", "doc_id").distinct()
         .groupBy("w").agg(count(lit(1)).as("df"))
       val nd = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w"))
-      tf.join(df, "w").crossJoin(broadcast(nd))
+      val scored = tf.join(df, "w").crossJoin(broadcast(nd))
         .withColumn("tfidf", round(col("tf") * log(col("n") * lit(1.0) / col("df")), 4))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .select(col("doc_id"), col("w"), col("tf"), col("df"), col("tfidf"),
-          col("rn").cast("long").as("rn"))
+      // native TopKPerKeyExec over the (doc, term) frame — corpus-scale, so
+      // the rank window's full shuffle was the plan's dominant exchange;
+      // ranks come from a per-doc sorted array over the ≤ 3 survivors
+      // (tfidf ≥ 0 because df ≤ N, so -tfidf is a safe sort key)
+      graft.plans.TopKPerKey.topK(scored, Seq(col("doc_id")),
+          Seq(col("tfidf").desc, col("w")), 3)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct((-col("tfidf")).as("k1"), col("w"),
+          col("tf"), col("df"), col("tfidf")))).as("arr"))
+        .select(col("doc_id"), posexplode(col("arr")))
+        .select(col("doc_id"), col("col.w").as("w"), col("col.tf").as("tf"),
+          col("col.df").as("df"), col("col.tfidf").as("tfidf"),
+          (col("pos") + 1).cast("long").as("rn"))
         .orderBy("doc_id", "rn")
     },
 

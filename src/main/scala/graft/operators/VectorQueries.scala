@@ -1375,11 +1375,12 @@ object VectorQueries {
           (md5Long(concat(lit("py:"), col("c_custkey").cast("string"))) % 1200).as("y"))
         .cache()
       // per-cell NEIGHBOR sample: ≤ cap build rows per ε-cell, hash-ordered
-      val build = pts.select(col("id").as("j"), col("x").as("xb"), col("y").as("yb"),
-          expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
-        .withColumn("rnk", row_number().over(Window.partitionBy("cx", "cy")
-          .orderBy(md5Long(concat(lit("cap:"), col("j").cast("string"))), col("j"))))
-        .filter(col("rnk") <= cap).drop("rnk")
+      val build = graft.plans.TopKPerKey.topK(
+        pts.select(col("id").as("j"), col("x").as("xb"), col("y").as("yb"),
+          expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"),
+          md5Long(concat(lit("cap:"), col("id").cast("string"))).as("capk")),
+        Seq(col("cx"), col("cy")), Seq(col("capk"), col("j")), cap.toInt)
+        .drop("capk")
       val probeExp = pts
         .select(col("id").as("i"), col("x").as("xa"), col("y").as("ya"),
           explode(array(lit(-1L), lit(0L), lit(1L))).as("dx"))
