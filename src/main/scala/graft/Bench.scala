@@ -86,7 +86,13 @@ object Bench {
         .map { case (name, rs) =>
           name -> (rs ++ Seq.fill(2)(timeOne(name, fnOf(name)))).sorted
         }
-    val results = firstPass.map { case (name, t1) =>
+    // reroll-cap visibility (round-10, advice r9): how many spread>thresh
+    // queries were left un-rerolled by the top-N cap — 0 on a quiet box,
+    // so a capped capture is distinguishable from a fully-rejected one
+    val rerollCapped =
+      repeated3.count { case (_, rs) => spreadOf(rs) > rerollSpread } -
+        repeated.count { case (_, rs) => rs.length > 3 }
+    val medians = firstPass.map { case (name, t1) =>
       name -> repeated.get(name).map(rs => rs(rs.length / 2)).getOrElse(t1)
     }
     // tightest 3 consecutive sorted runs — drops a lone box-noise outlier
@@ -94,6 +100,42 @@ object Bench {
     def mid3(rs: Seq[Double]): Seq[Double] =
       if (rs.length <= 3) rs
       else (0 to rs.length - 3).map(i => rs.slice(i, i + 3)).minBy(w => w.last - w.head)
+    // ---- per-query drift gate (round-10, verdict r9 task 4) ----
+    // Compare each median against the COMMITTED full-run medians (the
+    // BENCH_LOCAL.json in the work tree at process start — rewritten only
+    // at the end of this run). Any query above ratio×base AND floor gets
+    // an automatic 3-run re-capture; its published value becomes the
+    // median of the tightest 3 of ALL its runs, and the drift table lands
+    // in the JSON either "confirmed" (still above the gate) or "cleared"
+    // (re-capture says the first read was box noise).
+    val driftRatio = sys.env.getOrElse("SPARK_GRAFT_DRIFT_RATIO", "1.5").toDouble
+    val driftFloor = sys.env.getOrElse("SPARK_GRAFT_DRIFT_FLOOR_SEC", "0.75").toDouble
+    val baseline: Map[String, Double] = (try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_LOCAL.json")))
+      val qi = txt.indexOf("\"queries\":{")
+      if (qi < 0) Map.empty[String, Double]
+      else "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
+        .findAllMatchIn(txt.substring(qi + 11, txt.indexOf('}', qi)))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty[String, Double] })
+    val drift: Map[String, (Double, Double, Double, String)] =
+      medians.flatMap { case (name, m) =>
+        baseline.get(name) match {
+          case Some(b) if b > 0 && m > b * driftRatio && (m - b) > driftFloor =>
+            val all = ((m +: repeated.getOrElse(name, Seq(m))).distinct ++
+              Seq.fill(3)(timeOne(name, fnOf(name)))).sorted
+            val fin = mid3(all)(1)
+            val status =
+              if (fin <= b * driftRatio || (fin - b) <= driftFloor) "cleared"
+              else "confirmed"
+            Some(name -> (b, m, fin, status))
+          case _ => None
+        }
+      }.toMap
+    val results = medians.map { case (name, m) =>
+      name -> drift.get(name).map(_._3).getOrElse(m)
+    }
     def medianSpread(f: Seq[Double] => Seq[Double]): Double = {
       val ss = repeated.values.map(rs => spreadOf(f(rs))).toSeq.sorted
       if (ss.isEmpty) 0.0 else ss(ss.length / 2)
@@ -115,12 +157,16 @@ object Bench {
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val nDriftConfirmed = drift.count(_._2._4 == "confirmed")
+    val nDriftCleared = drift.size - nDriftConfirmed
     def line(rs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""repeated":${repeated.size},"rep_spread":${r3(variance)},""" +
-        s""""raw_spread":${r3(rawVariance)},""" +
+        s""""raw_spread":${r3(rawVariance)},"reroll_capped":$rerollCapped,""" +
+        s""""drift_confirmed":$nDriftConfirmed,"drift_cleared":$nDriftCleared,""" +
         s""""method":"per-query median; >=${repeatThresh}s tail 3 runs, """ +
-        s"""5 runs when 3-run spread>${rerollSpread}; spread over tightest 3",""" +
+        s"""5 runs when 3-run spread>${rerollSpread} (top $rerollMax by spread); """ +
+        s"""spread over tightest 3; >${driftRatio}x committed median re-captured",""" +
         s""""queries":${qjson(rs)},"sf":"$sfDir"}"""
     // slowest-first, keep as many as fit in ~1800 chars
     val bySlow = results.sortBy(-_._2)
@@ -132,9 +178,14 @@ object Bench {
     def runsJson: String = repeated.toSeq.sortBy(_._1)
       .map { case (k, rs) => "\"" + k + "\":[" + rs.map(r3).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    def driftJson: String = drift.toSeq.sortBy(_._1)
+      .map { case (k, (b, first, fin, status)) =>
+        "\"" + k + "\":{\"base\":" + r3(b) + ",\"first\":" + r3(first) +
+          ",\"final\":" + r3(fin) + ",\"status\":\"" + status + "\"}" }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
-      line(results).dropRight(1) + s""","runs":$runsJson}""" + "\n")
+      line(results).dropRight(1) + s""","runs":$runsJson,"drift":$driftJson}""" + "\n")
     catch { case _: Throwable => () }
     println(printed)
     spark.stop()
