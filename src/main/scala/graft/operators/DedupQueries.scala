@@ -300,10 +300,18 @@ object DedupQueries {
     ) { (s, dir) =>
       val toks = Tables.fanout(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("t"))
-      val sh = toks.select(col("doc_id"),
+      val shBase = toks.select(col("doc_id"),
         explode(transform(array_distinct(shingles(col("t"), 3)),
           g => md5Long(g))).as("h"))
-        .cache() // df pass + prefix build + both verification legs
+      // Working-set lever (SCALE.md round-9 sf10 forensics): the 5-consumer
+      // cached shingle frame is the right default on a CLUSTER (per-executor
+      // working set stays constant as executors scale with data), but on a
+      // single box at sf10 the ~26M-row cache blows the memory hierarchy —
+      // setting SPARK_GRAFT_SHINGLE_RECOMPUTE=1 drops the cache and re-runs
+      // the map-only shingle pass per consumer (trades CPU for working set)
+      val sh =
+        if (sys.env.get("SPARK_GRAFT_SHINGLE_RECOMPUTE").contains("1")) shBase
+        else shBase.cache() // df pass + prefix build + both verification legs
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
       val pref = sh.join(dfreq, "h")

@@ -189,8 +189,15 @@ object GraphQueries {
     q("q111_triangle_count", "per-node triangle counts via oriented adjacency intersection")(
       triangleSql
     ) { (s, dir) =>
+      // Node-space modulus, overridable for SCALE measurements ONLY (the
+      // oracle states 9973): the sf10 decade runs with a corpus-scaled
+      // modulus (99991) so the graph GROWS with the data instead of
+      // densifying inside a fixed 9973-node space — SCALE.md round-9/10
+      // measured the fixed modulus turning a linear operator into a 38×
+      // wedge blow-up. Default is the committed, hash-verified projection.
+      val mod = sys.env.getOrElse("SPARK_GRAFT_GRAPH_MOD", "9973").toLong
       val e0 = Tables(s, dir, "lineitem")
-        .select((col("l_partkey") % 9973).as("a"), (col("l_suppkey") % 9973).as("b"))
+        .select((col("l_partkey") % mod).as("a"), (col("l_suppkey") % mod).as("b"))
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
         .distinct() // this exchange also parallelizes the single-file scan

@@ -35,6 +35,16 @@ SHIFTS = {
 def main():
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    # The copy-distinct rewrite appends a suffix char per space-split token,
+    # which assumes STRICTLY single-spaced text (a run of two spaces would
+    # yield an empty token -> a bare suffix char, corrupting the shingle-
+    # frequency guarantee). Assert the sf1 corpus upholds it (advice r9).
+    n_multi = con.sql(
+        f"SELECT count(*) FROM read_parquet('{SRC}/documents.parquet') "
+        "WHERE text LIKE '%  %'").fetchone()[0]
+    assert n_multi == 0, (
+        f"{n_multi} sf1 documents contain consecutive spaces - the "
+        "token-suffix rewrite would corrupt them; fix the source corpus")
     for t, shifts in SHIFTS.items():
         src = f"read_parquet('{SRC}/{t}.parquet')"
         cols = con.sql(f"SELECT * FROM {src} LIMIT 0").columns
