@@ -226,7 +226,7 @@ class OandaReplayContinuousStream(path: String, transport: String,
 
   override def planInputPartitions(start: Offset): Array[InputPartition] = {
     val startLine = start.asInstanceOf[LineOffset].line
-    OandaReplayContinuousStream.lastPlannedStart = startLine
+    OandaReplayContinuousStream.plannedStarts.add((path, startLine))
     Array(ContinuousLinePartition(path, transport, startLine, pollMs, maxBuffered))
   }
 
@@ -238,11 +238,15 @@ class OandaReplayContinuousStream(path: String, transport: String,
 }
 
 object OandaReplayContinuousStream {
-  /** Start line of the most recent epoch plan — observable so the recovery
-    * spec can assert a restart resumed from the COMMITTED epoch offset
-    * rather than from zero (the epoch-checkpoint twin of
-    * HttpLineTransport's `connects` counter). */
-  @volatile private[sources] var lastPlannedStart: Long = -1L
+  /** Every epoch plan's (capture path, start line), in plan order — the
+    * epoch-checkpoint twin of HttpLineTransport's `connects` counter,
+    * observable so the recovery spec can assert a restart resumed from the
+    * COMMITTED epoch offset rather than from zero. A queue keyed by source
+    * path, NOT a last-write global: task retries/reconfigurations replan
+    * mid-run, and concurrent continuous streams in one JVM must not
+    * clobber each other's record (advice r9). */
+  private[sources] val plannedStarts =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
 }
 
 object ContinuousLineReaderFactory extends ContinuousPartitionReaderFactory {
