@@ -800,6 +800,95 @@ object DedupQueries {
           expr("CAST(n_hit * 1000 div greatest(n_cand, 1) AS BIGINT)").as("precision_milli"))
     },
 
+    // LSH tuning curve — the (bands × rows) S-curve a 100 TB dedup is
+    // actually tuned with, computed by the engine itself: for EVERY
+    // 16-permutation banding (2×8, 4×4, 8×2, 16×1), candidate recall AND
+    // precision against the SAME exact J ≥ ½ truth (the prefix-bounded
+    // [[halfJaccardPairs]]). One signature aggregation and ONE band
+    // self-join cover all four bandings — the config id rides the join
+    // key, so adding a banding adds rows to a bounded-bucket equi-join,
+    // never a new pass over the corpus. Reading the curve: more, shorter
+    // bands → recall rises toward 1 and precision falls — q245 gives one
+    // operating point, this query gives the dial. All counts exact,
+    // hash-verified.
+    q("q383_lsh_tuning_curve",
+      "recall/precision of every 16-perm LSH banding (2x8,4x4,8x2,16x1) vs exact J>=0.5 truth")(
+      s"""$sigCte,
+         |cfg AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 1)) AS c(b, r)),
+         |bands AS (SELECT c.b AS cfg, s.doc_id, s.j // c.r AS band,
+         |                 string_agg(s.mh, ',' ORDER BY s.j) AS bsig
+         |          FROM sig s CROSS JOIN cfg c GROUP BY c.b, s.doc_id, s.j // c.r),
+         |cand AS (SELECT DISTINCT a.cfg, a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bands a JOIN bands b ON a.cfg = b.cfg AND a.band = b.band
+         |           AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |           FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |truth AS (SELECT d1, d2 FROM common
+         |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+         |          WHERE 3 * c >= ca.n + cb.n),
+         |tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |cn AS (SELECT cfg, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY cfg),
+         |hn AS (SELECT cfg, CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM cand JOIN truth USING (d1, d2) GROUP BY cfg)
+         |SELECT CAST(c.b AS BIGINT) AS n_bands, CAST(c.r AS BIGINT) AS rows_per_band,
+         |       tn.n_truth, coalesce(cn.n_cand, 0) AS n_cand,
+         |       coalesce(hn.n_hit, 0) AS n_hit,
+         |       CAST(coalesce(hn.n_hit, 0) * 1000 // greatest(tn.n_truth, 1) AS BIGINT)
+         |         AS recall_milli,
+         |       CAST(coalesce(hn.n_hit, 0) * 1000 // greatest(coalesce(cn.n_cand, 0), 1)
+         |            AS BIGINT) AS precision_milli
+         |FROM cfg c CROSS JOIN tn
+         |LEFT JOIN cn ON cn.cfg = c.b LEFT JOIN hn ON hn.cfg = c.b
+         |ORDER BY n_bands""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val agg = udaf(new MinHashAggregator)
+      val toks = Tables.fanout(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val sh = toks.select(col("doc_id"), explode(shingles(col("t"), 3)).as("s")).distinct()
+        .cache() // signature agg + prefix truth leg
+      val docs = sh.withColumn("h1v", h1(col("s")))
+        .groupBy("doc_id").agg(agg(col("h1v")).as("sig"))
+      val cfgs = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+      val bandCols = cfgs.flatMap { case (b, r) =>
+        (0 until b).map(band => struct(lit(b.toLong).as("cfg"),
+          lit(band.toLong).as("band"),
+          concat_ws(",", (0 until r).map(k =>
+            element_at(col("sig"), band * r + k + 1).cast("string")): _*).as("bsig")))
+      }
+      val bands = docs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.cfg").as("cfg"), col("bb.band").as("band"),
+          col("bb.bsig").as("bsig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"), col("a.cfg") === col("b.cfg")
+          && col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.cfg").as("cfg"), col("a.doc_id").as("d1"),
+          col("b.doc_id").as("d2"))
+        .distinct()
+        .cache() // per-config candidate counts + truth-hit counts
+      val truth = halfJaccardPairs(sh, "s")
+      val tn = truth.agg(count(lit(1)).as("n_truth"))
+      val cn = cand.groupBy("cfg").agg(count(lit(1)).as("n_cand"))
+      val hn = cand.join(truth, Seq("d1", "d2"))
+        .groupBy("cfg").agg(count(lit(1)).as("n_hit"))
+      val spine = cfgs.map { case (b, r) => (b.toLong, r.toLong) }
+        .toDF("cfg", "rows_per_band")
+      spine.join(broadcast(cn), Seq("cfg"), "left")
+        .join(broadcast(hn), Seq("cfg"), "left")
+        .crossJoin(broadcast(tn))
+        .select(col("cfg").as("n_bands"), col("rows_per_band"), col("n_truth"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .select(col("n_bands"), col("rows_per_band"), col("n_truth"), col("n_cand"),
+          col("n_hit"),
+          expr("CAST(n_hit * 1000 div greatest(n_truth, 1) AS BIGINT)").as("recall_milli"),
+          expr("CAST(n_hit * 1000 div greatest(n_cand, 1) AS BIGINT)").as("precision_milli"))
+        .orderBy("n_bands")
+    },
+
     // Cross-source contamination matrix — WHERE the duplicates flow from:
     // the exact Jaccard ≥ ½ near-dup pairs (q245's truth leg: the
     // prefix-bounded [[halfJaccardPairs]], integer threshold 3c ≥ na+nb)

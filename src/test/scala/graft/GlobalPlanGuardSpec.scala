@@ -72,6 +72,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q239_join_size_sketch" -> "2-row sketch inner products × the 1-row exact-count audit frame",
     "q244_also_bought" -> "1-row basket-count frame × the co-occurrence table (q99's shape)",
     "q245_lsh_scorecard" -> "1-row × 1-row × 1-row scorecard-count frames",
+    "q383_lsh_tuning_curve" -> "1-row truth-count frame × the 4-row banding spine (q245's scorecard shape)",
     "q246_rfm_segments" -> "1-row max-ts anchor × events; 1-row user-count scalar × the per-dim histograms",
     "q247_holt_backtest" -> "1-row hour-bounds frame × series keys (q98's spine shape)",
     "q248_k_anonymity" -> "1-row population-totals frame × the ≤|sizes|×4 threshold grid",
