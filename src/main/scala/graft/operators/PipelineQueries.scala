@@ -1455,6 +1455,56 @@ object PipelineQueries {
         .orderBy("source", "rnk")
     },
 
+    // q117's production scale arm (SCALE.md round-10 window audit named
+    // this lever; here it is, oracle-proven identical): the per-key k is
+    // data-dependent (the quota), which a fixed-k TopK can't express —
+    // but a TWO-PASS cap can: pass 1 reduces the quota frame to ONE
+    // scalar k = max(n_take) (a |sources|-row metadata aggregate, q216's
+    // bounded-collect discipline); pass 2 runs the native TopKPerKeyExec
+    // at that cap, so ≤ k rows/source/task cross the exchange instead of
+    // the rank window full-shuffling the corpus, then ranks the ≤ k
+    // survivors in a sorted array and applies each source's exact quota.
+    // Same rows, same ranks as q117 — the oracle is q117's SQL verbatim.
+    q("q117b_temperature_mix_capped",
+      "q117's quota sample via a capped TopKPerKey two-pass (identical output)")(
+      """WITH srcw AS (SELECT source, CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 10000) AS BIGINT) AS w
+        |              FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM srcw),
+        |quota AS (SELECT source, CAST(floor(100.0 * w / tw) AS BIGINT) AS n_take
+        |          FROM srcw CROSS JOIN tot),
+        |rnk AS (SELECT doc_id, source,
+        |               row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        |        FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS rnk
+        |FROM rnk r JOIN quota q ON q.source = r.source
+        |WHERE r.rn <= q.n_take
+        |ORDER BY r.source, r.rn""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val srcw = docs.groupBy("source")
+        .agg(floor(sqrt(sum(col("n_chars")).cast("double")) * 10000)
+          .cast("long").as("w"))
+      val tot = srcw.agg(sum(col("w")).as("tw"))
+      val quota = srcw.crossJoin(broadcast(tot))
+        .select(col("source"),
+          floor(lit(100.0) * col("w") / col("tw")).cast("long").as("n_take"))
+      // pass 1: ONE scalar off the |sources|-row quota frame
+      val k = math.max(1L,
+        quota.agg(max(col("n_take"))).collect()(0).getLong(0)).toInt
+      val hashed = docs.select(col("doc_id"), col("source"), md5(col("text")).as("hk"))
+      graft.plans.TopKPerKey.topK(hashed, Seq(col("source")),
+          Seq(col("hk"), col("doc_id")), k)
+        .groupBy("source")
+        .agg(sort_array(collect_list(struct(col("hk"), col("doc_id")))).as("arr"))
+        .select(col("source"), posexplode(col("arr")))
+        .select(col("col.doc_id").as("doc_id"), col("source"),
+          (col("pos") + 1).cast("long").as("rnk"))
+        .join(broadcast(quota), Seq("source"))
+        .filter(col("rnk") <= col("n_take"))
+        .select(col("doc_id"), col("source"), col("rnk"))
+        .orderBy("source", "rnk")
+    },
+
     // Exact stratified K-fold assignment — q50's hash split gives
     // PROPORTIONAL folds; cross-validation wants EXACT ones (per-stratum
     // fold sizes differing by at most 1). Rank each stratum by a content

@@ -44,6 +44,7 @@ class GlobalPlanGuardSpec extends AnyFunSuite {
     "q172_exact_auc" -> "≤parts-row rank-offset triangular join (DistributedRank)",
     "q174_exact_average_precision" -> "≤parts-row rank/prefix-sum triangular joins (DistributedRank)",
     "q117_temperature_mix" -> "1-row total-char-mass frame × per-source quota table",
+    "q117b_temperature_mix_capped" -> "1-row total-char-mass frame × per-source quota table (q117's shape, capped TopK arm)",
     "q35_cosine_topk" -> "brute-force baseline BY DESIGN: 10 query vectors broadcast × corpus",
     "q35d_ivf_assign" -> "K=8 seed-centroid grid broadcast × vectors (coarse quantizer)",
     "q35e_ivf_search" -> "K=8 centroid grid × query vectors (probe scoring)",
