@@ -71,35 +71,48 @@ object Bench {
     val repeatThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_THRESH", "2.0").toDouble
     val repeatMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_MAX", "60").toInt
     val rerollSpread = sys.env.getOrElse("SPARK_GRAFT_BENCH_REROLL_SPREAD", "0.4").toDouble
-    val rerollMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_REROLL_MAX", "15").toInt
     val fnOf = queries.toMap
     def spreadOf(rs: Seq[Double]): Double = (rs.last - rs.head) / rs(rs.length / 2)
+    // tightest 3 consecutive sorted runs — drops a lone box-noise outlier
+    // from a 5-run sample; identity on a 3-run sample
+    def mid3(rs: Seq[Double]): Seq[Double] =
+      if (rs.length <= 3) rs
+      else (0 to rs.length - 3).map(i => rs.slice(i, i + 3)).minBy(w => w.last - w.head)
     val repeated3: Map[String, Seq[Double]] =
       firstPass.filter(_._2 >= repeatThresh).sortBy(-_._2).take(repeatMax)
         .map { case (name, t1) =>
           val extra = Seq.fill(2)(timeOne(name, fnOf(name)))
           name -> (t1 +: extra).sorted
         }.toMap
-    val repeated: Map[String, Seq[Double]] = repeated3 ++
-      repeated3.filter { case (_, rs) => spreadOf(rs) > rerollSpread }
-        .toSeq.sortBy { case (_, rs) => -spreadOf(rs) }.take(rerollMax)
-        .map { case (name, rs) =>
-          name -> (rs ++ Seq.fill(2)(timeOne(name, fnOf(name)))).sorted
-        }
-    // reroll-cap visibility (round-10, advice r9): how many spread>thresh
-    // queries were left un-rerolled by the top-N cap — 0 on a quiet box,
-    // so a capped capture is distinguishable from a fully-rejected one
-    val rerollCapped =
-      repeated3.count { case (_, rs) => spreadOf(rs) > rerollSpread } -
-        repeated.count { case (_, rs) => rs.length > 3 }
+    // Adaptive reroll (round-11, verdict r10 task 5): the round-10 fixed
+    // top-15 cap left 31 spread>0.4 queries un-rerolled — over half the
+    // repeated tail. Instead: keep giving the currently-noisiest query two
+    // more runs until every tail query's TIGHTEST-3 window is inside the
+    // spread threshold (the published statistic, so the loop measures what
+    // it publishes), a query hits the per-query run cap (irreducibly noisy
+    // box — it got the full treatment, not capped), or the wall-clock
+    // budget runs out. rerollCapped counts only budget-stopped queries.
+    val rerollBudget = sys.env.getOrElse("SPARK_GRAFT_REROLL_BUDGET_SEC", "300").toDouble
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "9").toInt
+    val repeatedM = scala.collection.mutable.Map(repeated3.toSeq: _*)
+    val rerollT0 = System.nanoTime()
+    var rerollCapped = 0
+    var rerolling = true
+    while (rerolling) {
+      val cands = repeatedM.filter { case (_, rs) =>
+        spreadOf(mid3(rs)) > rerollSpread && rs.length < maxRuns }
+      if (cands.isEmpty) rerolling = false
+      else if ((System.nanoTime() - rerollT0) / 1e9 >= rerollBudget) {
+        rerollCapped = cands.size; rerolling = false
+      } else {
+        val (name, rs) = cands.maxBy { case (_, r) => spreadOf(mid3(r)) }
+        repeatedM(name) = (rs ++ Seq.fill(2)(timeOne(name, fnOf(name)))).sorted
+      }
+    }
+    val repeated: Map[String, Seq[Double]] = repeatedM.toMap
     val medians = firstPass.map { case (name, t1) =>
       name -> repeated.get(name).map(rs => rs(rs.length / 2)).getOrElse(t1)
     }
-    // tightest 3 consecutive sorted runs — drops a lone box-noise outlier
-    // from a 5-run sample; identity on a 3-run sample
-    def mid3(rs: Seq[Double]): Seq[Double] =
-      if (rs.length <= 3) rs
-      else (0 to rs.length - 3).map(i => rs.slice(i, i + 3)).minBy(w => w.last - w.head)
     // ---- per-query drift gate (round-10, verdict r9 task 4) ----
     // Compare each median against the COMMITTED full-run medians (the
     // BENCH_LOCAL.json in the work tree at process start — rewritten only
@@ -109,25 +122,53 @@ object Bench {
     // in the JSON either "confirmed" (still above the gate) or "cleared"
     // (re-capture says the first read was box noise).
     val driftRatio = sys.env.getOrElse("SPARK_GRAFT_DRIFT_RATIO", "1.5").toDouble
+    // Streaming lane (round-11, verdict r10 task 6): streaming replays are
+    // checkpoint-machinery-bound, not plan-bound — they swing 1.2-2×
+    // round-over-round and polluted the batch drift signal. Their gate
+    // ratio is looser; their totals report in a separate JSON lane.
+    val driftRatioStream =
+      sys.env.getOrElse("SPARK_GRAFT_DRIFT_RATIO_STREAM", "2.5").toDouble
     val driftFloor = sys.env.getOrElse("SPARK_GRAFT_DRIFT_FLOOR_SEC", "0.75").toDouble
+    def isStream(n: String): Boolean = n.contains("stream")
+    // Baseline medians come from the GIT-COMMITTED BENCH_LOCAL.json (advice
+    // r10: the on-disk file is rewritten by every run, so back-to-back runs
+    // would self-referentially ratchet the baseline and launder a bimodal
+    // regression as "cleared"); disk is the fallback when git is
+    // unavailable. An explicit SPARK_GRAFT_BENCH_BASELINE path is honored
+    // verbatim (that knob exists to DISABLE the gate for scale runs).
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_LOCAL.json")
+    val (baselineTxt, baselineSrc): (String, String) =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_BASELINE"))
+        (try java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath))
+         catch { case _: Throwable => "" }, "env:" + baselinePath)
+      else {
+        val fromGit =
+          try {
+            val p = new ProcessBuilder("git", "show", s"HEAD:$baselinePath").start()
+            val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+            if (p.waitFor() == 0 && out.contains("\"queries\":{")) Some(out) else None
+          } catch { case _: Throwable => None }
+        fromGit.map((_, "git:HEAD")).getOrElse(
+          (try java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath))
+           catch { case _: Throwable => "" }, "disk"))
+      }
     val baseline: Map[String, Double] = (try {
-      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_LOCAL.json")))
-      val qi = txt.indexOf("\"queries\":{")
+      val qi = baselineTxt.indexOf("\"queries\":{")
       if (qi < 0) Map.empty[String, Double]
       else "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
-        .findAllMatchIn(txt.substring(qi + 11, txt.indexOf('}', qi)))
+        .findAllMatchIn(baselineTxt.substring(qi + 11, baselineTxt.indexOf('}', qi)))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty[String, Double] })
     val drift: Map[String, (Double, Double, Double, String)] =
       medians.flatMap { case (name, m) =>
+        val ratio = if (isStream(name)) driftRatioStream else driftRatio
         baseline.get(name) match {
-          case Some(b) if b > 0 && m > b * driftRatio && (m - b) > driftFloor =>
+          case Some(b) if b > 0 && m > b * ratio && (m - b) > driftFloor =>
             val all = ((m +: repeated.getOrElse(name, Seq(m))).distinct ++
               Seq.fill(3)(timeOne(name, fnOf(name)))).sorted
             val fin = mid3(all)(1)
             val status =
-              if (fin <= b * driftRatio || (fin - b) <= driftFloor) "cleared"
+              if (fin <= b * ratio || (fin - b) <= driftFloor) "cleared"
               else "confirmed"
             Some(name -> (b, m, fin, status))
           case _ => None
@@ -157,16 +198,32 @@ object Bench {
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val (streamRs, batchRs) = results.partition { case (n, _) => isStream(n) }
+    val batchTotal = batchRs.map(_._2).sum
+    val streamTotal = streamRs.map(_._2).sum
     val nDriftConfirmed = drift.count(_._2._4 == "confirmed")
     val nDriftCleared = drift.size - nDriftConfirmed
+    // measurement knobs echoed into the artifact (advice r10: a capture
+    // taken with a non-default SPARK_GRAFT_* knob — graph modulus, shingle
+    // recompute, baseline override — must be self-describing)
+    val knobsJson = sys.env.toSeq
+      .filter { case (k, _) => k.startsWith("SPARK_GRAFT_") }
+      .sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "'") + "\"" }
+      .mkString("{", ",", "}")
     def line(rs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""batch_total":${r3(batchTotal)},"n_batch":${batchRs.size},""" +
+        s""""stream_total":${r3(streamTotal)},"n_stream":${streamRs.size},""" +
         s""""repeated":${repeated.size},"rep_spread":${r3(variance)},""" +
         s""""raw_spread":${r3(rawVariance)},"reroll_capped":$rerollCapped,""" +
         s""""drift_confirmed":$nDriftConfirmed,"drift_cleared":$nDriftCleared,""" +
+        s""""baseline_src":"$baselineSrc","env":$knobsJson,""" +
         s""""method":"per-query median; >=${repeatThresh}s tail 3 runs, """ +
-        s"""5 runs when 3-run spread>${rerollSpread} (top $rerollMax by spread); """ +
-        s"""spread over tightest 3; >${driftRatio}x committed median re-captured",""" +
+        s"""+2 runs to noisiest while tightest-3 spread>${rerollSpread} """ +
+        s"""(<=$maxRuns runs/query, ${rerollBudget.toInt}s budget); """ +
+        s"""spread over tightest 3; >${driftRatio}x (stream ${driftRatioStream}x) """ +
+        s"""committed-at-HEAD median re-captured",""" +
         s""""queries":${qjson(rs)},"sf":"$sfDir"}"""
     // slowest-first, keep as many as fit in ~1800 chars
     val bySlow = results.sortBy(-_._2)

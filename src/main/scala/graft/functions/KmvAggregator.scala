@@ -10,8 +10,8 @@ import org.apache.spark.sql.expressions.Aggregator
   * minimum h_k gives |D| ≈ (k−1)·2⁶⁰/h_k; fewer than k distinct values ⇒
   * the sketch IS the distinct set (exact count).
   *
-  * Two properties make this the oracle-checkable sibling of the HLL rollup
-  * (q187):
+  * Two properties make this the oracle-checkable sibling of native HLL
+  * sketches (whose union law ApproxAndRecallSpec pins):
   *
   *  - ORDER-FREE AND EXACT-DETERMINISTIC: the k smallest distinct values
   *    of a set do not depend on arrival or merge order, so (unlike
@@ -67,6 +67,37 @@ class KmvNullSkipAggregator(k: Int)
     case None => b
     case Some(h) => KmvOps.insert(b, h, k)
   }
+
+  override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = trim(x ++ y)
+
+  override def finish(b: Seq[Long]): Seq[Long] = b
+
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+/** KMV sketch MERGE aggregator — the rollup half of the multiset algebra
+  * (Beyer 2007 §3): input rows are already-built bottom-`k` sketches (one
+  * per finer-grained cell, e.g. per hour) and the output is the bottom-`k`
+  * of their union — which, because "the k smallest distinct values of a
+  * set" is closed under union (any hash in the union's true bottom-k is in
+  * its own cell's bottom-k), EQUALS the sketch built directly from the raw
+  * rows. That exact closure law is what lets the q187 rollup keep a full
+  * byte-level oracle: DuckDB computes the direct per-type sketch, the
+  * engine computes hourly-then-merged, and the hash compare IS the proof
+  * of mergeability. O(k) state per group on both sides of the shuffle. */
+class KmvMergeAggregator(k: Int)
+  extends Aggregator[Seq[Long], Seq[Long], Seq[Long]] {
+  require(k >= 2, s"k must be >= 2 (the estimator needs h_k), got $k")
+
+  private def trim(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)
+
+  override def zero: Seq[Long] = Seq.empty
+
+  override def reduce(b: Seq[Long], sk: Seq[Long]): Seq[Long] =
+    if (sk == null || sk.isEmpty) b else trim(b ++ sk)
 
   override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = trim(x ++ y)
 

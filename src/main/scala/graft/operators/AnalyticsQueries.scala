@@ -771,28 +771,55 @@ object AnalyticsQueries {
 
     // Mergeable distinct-count sketches — the piece q185's incremental
     // maintenance can NOT do with plain aggregates: COUNT DISTINCT does not
-    // merge, but HLL sketches do (register-wise max — order- and
-    // partition-independent, so the rollup is fully deterministic within
-    // the engine). Per-(type, hour) sketches roll up to per-type estimates
-    // by union WITHOUT touching raw rows again — at 100 TB you persist the
-    // hourly sketch table (a few KB per cell) and answer any
-    // coarser-grained distinct-user question from sketch unions alone.
-    // rows-only: DataSketches HLL and DuckDB's approx_count_distinct are
-    // different estimators; mergeability (union == direct, exactly) and
-    // the error bound vs exact are pinned in ApproxAndRecallSpec.
-    rowsOnly("q187_hll_rollup",
-      "per-hour HLL user sketches unioned to event_type distinct estimates") { (s, dir) =>
+    // merge, but bottom-k (KMV) sketches do, EXACTLY: the k smallest
+    // distinct hashes of a union are drawn from the cells' own bottom-k
+    // lists, so per-(type, hour) sketches roll up to per-type estimates by
+    // union+trim WITHOUT touching raw rows again — at 100 TB you persist
+    // the hourly sketch table (k longs per cell) and answer any coarser-
+    // grained distinct-user question from sketch merges alone. Round-11
+    // conversion from the HLL rows-only row: because the closure law makes
+    // hourly-then-merged == direct-from-raw, DuckDB reproduces the merged
+    // sketch with a direct ORDER BY h LIMIT k — the full hash compare IS
+    // the mergeability proof, cell for cell (k=128 to keep the row distinct
+    // from q190's direct k=64 sketch). The native HLL union law
+    // (hll_union_agg == direct, exactly) stays pinned in
+    // ApproxAndRecallSpec alongside this row's KMV merge law.
+    q("q187_kmv_rollup",
+      "per-hour KMV bottom-128 user sketches merged to event_type distinct estimates (closure law hash-verified)")(
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |                  ${md5LongSql("'u:' || user_id")} AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |             count(*) OVER (PARTITION BY event_type) AS nd
+         |      FROM h),
+         |g AS (SELECT event_type, max(nd) AS nd,
+         |             max(CASE WHEN rn = 128 THEN h END) AS h128
+         |      FROM r GROUP BY event_type),
+         |hrs AS (SELECT event_type,
+         |               count(DISTINCT date_trunc('hour', ts::TIMESTAMP)) AS n_hourly_sketches
+         |        FROM events GROUP BY event_type)
+         |SELECT g.event_type, CAST(hrs.n_hourly_sketches AS BIGINT) AS n_hourly_sketches,
+         |       ${kmvEstimateSql("nd", "h128", 128)} AS est_users
+         |FROM g JOIN hrs ON g.event_type = hrs.event_type
+         |ORDER BY g.event_type""".stripMargin
+    ) { (s, dir) =>
+      val kmv = udaf(new graft.functions.KmvAggregator(128))
+      val kmvMerge = udaf(new graft.functions.KmvMergeAggregator(128))
       val hourly = Tables(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+          md5Long(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+        .groupBy("event_type", "hr")
+        .agg(kmv(col("h")).as("sk")) // the persisted hourly sketch table
       hourly.groupBy("event_type")
         .agg(count(lit(1)).as("n_hourly_sketches"),
-          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_users"))
+          kmvMerge(col("sk")).as("m"))
+        .select(col("event_type"), col("n_hourly_sketches"),
+          expr(kmvEstimateSql("size(m)", "element_at(m, 128)", 128)).as("est_users"))
         .orderBy("event_type")
     },
 
     // KMV (k-minimum-values) distinct sketch — the ORACLE-CHECKABLE sibling
-    // of q187's HLL: the k smallest distinct portable hashes are pure set
+    // of q187's hourly rollup: the k smallest distinct portable hashes are pure set
     // arithmetic (order- and merge-free), so DuckDB reproduces the sketch
     // — and therefore the estimate — bit-for-bit with ORDER BY h LIMIT k,
     // and the full hash compare applies where HLL had to settle for

@@ -707,19 +707,67 @@ object ExtrasQueries {
         .orderBy("l_returnflag")
     },
 
-    // Approximate percentiles — the sketch q41 degrades to at 100 TB: a
-    // bounded-memory Greenwald-Khanna summary with partial+final merge
-    // (one pass, no global sort), rank error ≤ n/accuracy. Rows-only like
-    // the HLL entry (the sketch's merge order is partitioning-dependent,
-    // so cross-engine value equality is not a contract); the accuracy
-    // bound IS the contract, asserted against q41's exact quantiles in
-    // ApproxAndRecallSpec.
-    rowsOnly("q41b_approx_percentiles",
-      "approx p25/p50/p75 of quantity per returnflag (GK sketch, acc 1e4)") { (s, dir) =>
-      Tables(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("qs"))
+    // Approximate percentiles — the sketch q41 degrades to at 100 TB,
+    // round-11 converted from the GK rows-only row to a DETERMINISTIC
+    // portable sketch with a full hash oracle: a fixed-width (w=4)
+    // histogram whose per-(flag, bin) counts are the persisted synopsis
+    // (algebraic merge — counts add; O(|bins|) state regardless of row
+    // volume), read out with within-bin linear interpolation so the
+    // estimate is continuous (value error ≤ w by construction, asserted
+    // against q41's exact quantiles in ApproxAndRecallSpec). Every
+    // readout number is fixed-shape IEEE arithmetic over exact integers
+    // (bin*4 int, counts int, one double division per term, /4.0 exact in
+    // binary), so the estimates hash-match the oracle bit-for-bit —
+    // unlike GK, whose merge order is partitioning-dependent. Spark's
+    // native approx_percentile (GK) stays covered by the same spec's
+    // rank-error test. The cumulative window runs over the ≤ ⌈50/w⌉ bins
+    // of each flag — synopsis scale, q194's bins-not-rows discipline.
+    q("q41b_approx_percentiles",
+      "approx p25/p50/p75 of quantity per returnflag (mergeable width-4 histogram, interpolated, hash-verified)")(
+      """WITH hb AS (SELECT l_returnflag, CAST(floor(l_quantity / 4.0) AS BIGINT) AS bin,
+        |                   count(*) AS c
+        |            FROM lineitem GROUP BY l_returnflag, bin),
+        |cum AS (SELECT l_returnflag, bin, c,
+        |               sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+        |                            ROWS UNBOUNDED PRECEDING) AS cc,
+        |               sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |        FROM hb),
+        |pick AS (SELECT l_returnflag,
+        |                min(CASE WHEN cc * 100 >= n * 25 THEN bin END) AS b25,
+        |                min(CASE WHEN cc * 100 >= n * 50 THEN bin END) AS b50,
+        |                min(CASE WHEN cc * 100 >= n * 75 THEN bin END) AS b75
+        |         FROM cum GROUP BY l_returnflag)
+        |SELECT p.l_returnflag,
+        |       round(CAST((s25.bin * 4) AS DOUBLE) + 4.0 * ((CAST(s25.n * 25 AS DOUBLE) / 100.0 - CAST((s25.cc - s25.c) AS DOUBLE)) / CAST(s25.c AS DOUBLE)), 4) + 0 AS q25,
+        |       round(CAST((s50.bin * 4) AS DOUBLE) + 4.0 * ((CAST(s50.n * 50 AS DOUBLE) / 100.0 - CAST((s50.cc - s50.c) AS DOUBLE)) / CAST(s50.c AS DOUBLE)), 4) + 0 AS q50,
+        |       round(CAST((s75.bin * 4) AS DOUBLE) + 4.0 * ((CAST(s75.n * 75 AS DOUBLE) / 100.0 - CAST((s75.cc - s75.c) AS DOUBLE)) / CAST(s75.c AS DOUBLE)), 4) + 0 AS q75
+        |FROM pick p
+        |JOIN cum s25 ON s25.l_returnflag = p.l_returnflag AND s25.bin = p.b25
+        |JOIN cum s50 ON s50.l_returnflag = p.l_returnflag AND s50.bin = p.b50
+        |JOIN cum s75 ON s75.l_returnflag = p.l_returnflag AND s75.bin = p.b75
+        |ORDER BY p.l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      val hb = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          floor(col("l_quantity") / 4.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c")) // the persisted synopsis
+      val wCum = Window.partitionBy("l_returnflag").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hb
+        .withColumn("cc", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("l_returnflag")))
+      def pickP(p: Int) =
+        min(when(col("cc") * 100 >= col("n") * p,
+          struct(col("bin"), col("c"), col("cc")))).as(s"s$p")
+      def interp(p: Int) =
+        round(col(s"s$p.bin").multiply(4).cast("double") +
+          lit(4.0) * (((col("n") * p).cast("double") / 100.0 -
+            (col(s"s$p.cc") - col(s"s$p.c")).cast("double")) /
+            col(s"s$p.c").cast("double")), 4) + lit(0)
+      cum.groupBy("l_returnflag")
+        .agg(max(col("n")).as("n"), pickP(25), pickP(50), pickP(75))
         .select(col("l_returnflag"),
-          col("qs")(0).as("q25"), col("qs")(1).as("q50"), col("qs")(2).as("q75"))
+          interp(25).as("q25"), interp(50).as("q50"), interp(75).as("q75"))
         .orderBy("l_returnflag")
     },
 

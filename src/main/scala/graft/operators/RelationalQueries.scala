@@ -289,12 +289,41 @@ object RelationalQueries {
         .distinct().orderBy("l_returnflag", "l_linestatus")
     },
 
-    // B11: approximate count-distinct (HLL++). Engine-specific sketch → no
-    // byte-level oracle; correctness bound asserted in the unit suite.
-    rowsOnly("q11b_approx_distinct", "B11 approx_count_distinct (HLL++) per returnflag") { (s, dir) =>
-      Tables(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
-        .orderBy("l_returnflag")
+    // B11: approximate count-distinct via the engine's PORTABLE KMV
+    // bottom-256 sketch (same estimator family the optimizer rewrite q345
+    // applies transparently) — bounded O(k) state per (partition, group)
+    // on both sides of the shuffle, rel. σ ≈ 1/√254 ≈ 6.3 %. Unlike the
+    // HLL++ row this replaces (rows-only for 10 rounds), the k smallest
+    // distinct md5 hashes are pure set arithmetic, so DuckDB reproduces
+    // the sketch — and the estimate — bit-for-bit and the row carries a
+    // full hash oracle. Spark's native approx_count_distinct (HLL++)
+    // stays covered by ApproxAndRecallSpec's error-bound test.
+    {
+      import graft.functions.PortableHash.{md5Long, md5LongSql, kmvEstimateSql}
+      q("q11b_approx_distinct",
+        "B11 approx distinct orders per returnflag (portable KMV bottom-256, hash-verified)")(
+        s"""WITH h AS (SELECT DISTINCT l_returnflag,
+           |                  ${md5LongSql("'o:' || l_orderkey")} AS h FROM lineitem),
+           |r AS (SELECT l_returnflag, h,
+           |             row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+           |             count(*) OVER (PARTITION BY l_returnflag) AS nd
+           |      FROM h),
+           |g AS (SELECT l_returnflag, max(nd) AS nd,
+           |             max(CASE WHEN rn = 256 THEN h END) AS h256
+           |      FROM r GROUP BY l_returnflag)
+           |SELECT l_returnflag, ${kmvEstimateSql("nd", "h256", 256)} AS approx_orders
+           |FROM g ORDER BY l_returnflag""".stripMargin
+      ) { (s, dir) =>
+        val kmv = udaf(new graft.functions.KmvAggregator(256))
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            md5Long(concat(lit("o:"), col("l_orderkey").cast("string"))).as("h"))
+          .groupBy("l_returnflag").agg(kmv(col("h")).as("mins"))
+          .select(col("l_returnflag"),
+            expr(kmvEstimateSql("size(mins)", "element_at(mins, 256)", 256))
+              .as("approx_orders"))
+          .orderBy("l_returnflag")
+      }
     },
 
     // B12: rollup w/ GROUPING() markers (orders ⋈ customer ⋈ nation).
@@ -1556,7 +1585,7 @@ object RelationalQueries {
     // base rescan; the oracle recomputes the rollup from scratch over
     // the whole table, proving merge(view, Δ) ≡ full recompute. Exactly-
     // mergeable metrics only by design — a distinct-count column would
-    // break the algebra, which is what the q187 HLL-sketch rollup is for.
+    // break the algebra, which is what the q187 KMV-sketch rollup is for.
     q("q249_incremental_mv",
       "incremental materialized-view refresh: merge(delta agg, stored view) ≡ full recompute")(
       """SELECT strftime(o_orderdate, '%Y-%m') AS mon,

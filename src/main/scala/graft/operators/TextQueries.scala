@@ -1785,9 +1785,18 @@ object TextQueries {
          |       CAST(sum(s) // count(*) AS BIGINT) AS avg_kn_micro
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
     ) { (s, dir) =>
+      // Eager checkpoint (round-11, the ccComponents lesson applied to a
+      // rank input): pd is ONE ROW PER DOC but its lineage is the full
+      // eval-trigram broadcast-join subtree — without the checkpoint that
+      // subtree executes up to three times (RangePartitioner boundary
+      // sampling, the partition+persist pass, and the separate nn count).
+      // Materializing the tiny per-doc frame once collapses all three to
+      // checkpoint reads; q327 (one aggregate pass over the same subtree)
+      // is the cost floor this brings q365 back to.
       val pd = knScored(s, dir).groupBy("doc_id")
         .agg(count(lit(1)).as("n_tg"), sum(col("p_kn")).as("sk"))
         .select(col("doc_id"), expr("sk div n_tg").as("s"))
+        .localCheckpoint(true)
       val nn = pd.agg(count(lit(1)).as("n"))
       graft.operators.DistributedRank
         .withRowNumber(pd, Seq(col("s").desc, col("doc_id")), "rn")

@@ -226,7 +226,7 @@ class OandaReplayContinuousStream(path: String, transport: String,
 
   override def planInputPartitions(start: Offset): Array[InputPartition] = {
     val startLine = start.asInstanceOf[LineOffset].line
-    OandaReplayContinuousStream.plannedStarts.add((path, startLine))
+    OandaReplayContinuousStream.recordPlannedStart(path, startLine)
     Array(ContinuousLinePartition(path, transport, startLine, pollMs, maxBuffered))
   }
 
@@ -244,9 +244,19 @@ object OandaReplayContinuousStream {
     * COMMITTED epoch offset rather than from zero. A queue keyed by source
     * path, NOT a last-write global: task retries/reconfigurations replan
     * mid-run, and concurrent continuous streams in one JVM must not
-    * clobber each other's record (advice r9). */
+    * clobber each other's record (advice r9). Bounded to the most recent
+    * [[PlannedStartsCap]] plans (advice r10): a long-lived driver replans
+    * on every reconfiguration/restart, and an unbounded diagnostic queue
+    * in production source code is a slow leak — the recovery specs only
+    * ever assert over the plans of one short run. */
+  private[sources] val PlannedStartsCap = 1024
   private[sources] val plannedStarts =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+
+  private[sources] def recordPlannedStart(path: String, startLine: Long): Unit = {
+    plannedStarts.add((path, startLine))
+    while (plannedStarts.size > PlannedStartsCap) plannedStarts.poll()
+  }
 }
 
 object ContinuousLineReaderFactory extends ContinuousPartitionReaderFactory {

@@ -102,7 +102,7 @@ class PlanMapSpec extends AnyFunSuite {
     * a truncated exec count would otherwise byte-fail the PLANMAP diff as
     * nondeterministic "fingerprint drift" when the real cause is a loaded
     * box (advice r9). One retry doubles the deadline before giving up. */
-  private def drained(deadlineSec: Long = 15L, retried: Boolean = false): Unit = {
+  private def drained(deadlineSec: Long = 15L, priorSec: Long = 0L): Unit = {
     var last = -1
     var stable = 0
     val deadline = System.nanoTime() + deadlineSec * 1000 * 1000 * 1000
@@ -112,8 +112,10 @@ class PlanMapSpec extends AnyFunSuite {
       if (n == last) stable += 1 else { stable = 0; last = n }
     }
     if (stable < 3) {
-      if (!retried) drained(deadlineSec * 2, retried = true)
-      else fail(s"listener bus still draining after ${deadlineSec * 3} s total — " +
+      if (priorSec == 0) drained(deadlineSec * 2, priorSec = deadlineSec)
+      // advice r10: report the REAL elapsed total (first deadline + the
+      // doubled retry), not deadlineSec*3 of the retry's deadline
+      else fail(s"listener bus still draining after ${priorSec + deadlineSec} s total — " +
         "environment too loaded for a trustworthy streaming fingerprint; " +
         "re-run on a quieter box (this is NOT plan drift)")
     }

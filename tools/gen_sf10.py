@@ -36,14 +36,18 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
     # The copy-distinct rewrite appends a suffix char per space-split token,
-    # which assumes STRICTLY single-spaced text (a run of two spaces would
-    # yield an empty token -> a bare suffix char, corrupting the shingle-
-    # frequency guarantee). Assert the sf1 corpus upholds it (advice r9).
-    n_multi = con.sql(
+    # which assumes STRICTLY single-spaced text: a run of two spaces, a
+    # leading/trailing space, or any tab/newline whitespace would yield an
+    # empty split token -> a bare suffix char, corrupting the shingle-
+    # frequency guarantee. Assert the sf1 corpus is exactly its own
+    # single-space-normalized form (advice r9 + r10).
+    n_bad = con.sql(
         f"SELECT count(*) FROM read_parquet('{SRC}/documents.parquet') "
-        "WHERE text LIKE '%  %'").fetchone()[0]
-    assert n_multi == 0, (
-        f"{n_multi} sf1 documents contain consecutive spaces - the "
+        "WHERE text != trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))"
+    ).fetchone()[0]
+    assert n_bad == 0, (
+        f"{n_bad} sf1 documents are not single-space-normalized (runs of "
+        "whitespace, leading/trailing space, or tab/newline) - the "
         "token-suffix rewrite would corrupt them; fix the source corpus")
     for t, shifts in SHIFTS.items():
         src = f"read_parquet('{SRC}/{t}.parquet')"
