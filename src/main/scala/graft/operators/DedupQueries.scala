@@ -81,6 +81,33 @@ object DedupQueries {
        |        FROM hs CROSS JOIN (VALUES ${minhashPermsSql}) AS perm(j, a, b)
        |        GROUP BY doc_id, j)""".stripMargin
 
+  /** DuckDB twin of [[halfJaccardPairs]] (round-11, verdict r10 task 3):
+    * the prefix-bounded exact J ≥ ½ pair set over an in-scope
+    * `sh(doc_id, key)` DISTINCT element CTE, ending in `truth(d1, d2)`.
+    * The raw shared-element self-join oracle is exact but quadratic in a
+    * hot element's document frequency — at sf1 it blew the 45-minute
+    * replay budget (q189b's closure lost its sf1 row to the same class).
+    * The prefix ordering here (df, key) need NOT match Spark's: the
+    * prefix-filtering theorem only needs ONE consistent total order per
+    * engine, and the verification step makes each engine's final pair set
+    * exactly the J ≥ ½ set — so the hash compare still proves exactness,
+    * while the replay stays inside budget at every scale. The raw-join
+    * formulation remains stated by the smaller consumers (q245/q251/q254
+    * at sf0.01/sf0.1), which keeps an algorithm-independent oracle proof
+    * of the prefix trick on the books. */
+  private def halfJaccardPairsSql(key: String, src: String = "sh"): String =
+    s"""dfq AS (SELECT $key, count(*) AS df FROM $src GROUP BY $key),
+       |darr AS (SELECT $src.doc_id, list($src.$key ORDER BY dfq.df, $src.$key) AS elems
+       |         FROM $src JOIN dfq USING ($key) GROUP BY $src.doc_id),
+       |pref AS (SELECT doc_id, unnest(elems[1:(len(elems) // 2 + 1)]) AS $key FROM darr),
+       |candp AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM pref a JOIN pref b ON b.$key = a.$key AND a.doc_id < b.doc_id),
+       |truth AS (SELECT d1, d2 FROM candp
+       |          JOIN darr ea ON ea.doc_id = candp.d1
+       |          JOIN darr eb ON eb.doc_id = candp.d2
+       |          WHERE 3 * len(list_intersect(ea.elems, eb.elems))
+       |                >= len(ea.elems) + len(eb.elems))""".stripMargin
+
   /** Shared oracle CTE: connected components over the exact-Jaccard ≥ 0.5
     * edge set (transitive closure via a recursive CTE), ending in
     * `comp(doc_id, component)`. Shingles are 60-bit hashed before the
@@ -821,13 +848,8 @@ object DedupQueries {
          |cand AS (SELECT DISTINCT a.cfg, a.doc_id AS d1, b.doc_id AS d2
          |         FROM bands a JOIN bands b ON a.cfg = b.cfg AND a.band = b.band
          |           AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-         |           FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
-         |           GROUP BY 1, 2),
-         |truth AS (SELECT d1, d2 FROM common
-         |          JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
-         |          WHERE 3 * c >= ca.n + cb.n),
+         |shh AS (SELECT doc_id, ${md5LongSql("s")} AS h FROM sh),
+         |${halfJaccardPairsSql("h", "shh")},
          |tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
          |cn AS (SELECT cfg, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY cfg),
          |hn AS (SELECT cfg, CAST(count(*) AS BIGINT) AS n_hit
@@ -869,7 +891,13 @@ object DedupQueries {
           col("b.doc_id").as("d2"))
         .distinct()
         .cache() // per-config candidate counts + truth-hit counts
-      val truth = halfJaccardPairs(sh, "s")
+      // round-11: truth Jaccard runs over 60-bit-hashed shingle keys on
+      // BOTH sides (q34a's contract, already the jaccardEdges discipline)
+      // — 8-byte keys instead of ~30-byte strings through the df pass,
+      // the rarity-sorted array build, and the intersect verification;
+      // the sf1 oracle truth leg alone read 394 s on strings
+      val truth = halfJaccardPairs(
+        sh.select(col("doc_id"), md5Long(col("s")).as("h")), "h")
       val tn = truth.agg(count(lit(1)).as("n_truth"))
       val cn = cand.groupBy("cfg").agg(count(lit(1)).as("n_cand"))
       val hn = cand.join(truth, Seq("d1", "d2"))

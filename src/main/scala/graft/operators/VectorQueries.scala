@@ -43,6 +43,44 @@ object VectorQueries {
   def planeWeight(i: Int, d: Int): Double =
     ((md5LongScala(s"p$i:$d") % 2001) - 1000) / 1000.0
 
+  /** Unrolled hook+jump (Shiloach–Vishkin-style) min-label closure for the
+    * DBSCAN oracles (round-11, verdict r10 tasks 3/7): emits `rounds`
+    * hook+jump stages over in-scope CTEs `cores(id)` and symmetric edges
+    * `ce(i, j)`, ending in `clab(id, lbl)` = min core id per connected
+    * component — the SAME labels the old `WITH RECURSIVE reach` closure
+    * produced, WITHOUT its quadratic row set (reach materializes every
+    * (vertex, root) pair — Σ component² rows, which blew the sf1 45-min
+    * replay budget; q189b lost its sf1 oracle row to exactly this).
+    * Each round: hook = per-vertex min over own + neighbors' labels (one
+    * O(|E|) join-aggregate), jump = label-of-label composition (one
+    * O(|V|) self-join) — label reach at least doubles per round, so
+    * `rounds` ≥ log₂(max component diameter) guarantees exact
+    * convergence; an unconverged replay CANNOT pass silently (labels
+    * would differ from the engine's StarContraction output and the hash
+    * compare fails loudly). Cost: rounds·O(|E|) — linear in candidates at
+    * every scale, the engine-side star-contraction discipline ported to
+    * the oracle. */
+  private def svClosureSql(rounds: Int): String = {
+    // cem: the edge set is referenced by EVERY round, and DuckDB 1.0
+    // inlines plain CTEs per reference — without this materialization each
+    // round silently recomputes the whole upstream candidate join (the
+    // repo's unrolled-CTE gotcha; measured 38 s per round at sf1 for
+    // q189's grid join alone, which is what actually blew the 900 s
+    // budget, not the label propagation itself)
+    val init =
+      "cem AS MATERIALIZED (SELECT i, j FROM ce),\n" +
+        "l0 AS MATERIALIZED (SELECT id, id AS lbl FROM cores)"
+    val rs = (1 to rounds).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT v.id, least(v.lbl, coalesce(min(lu.lbl), v.lbl)) AS lbl
+         |  FROM l${k - 1} v LEFT JOIN cem e ON e.j = v.id
+         |                  LEFT JOIN l${k - 1} lu ON lu.id = e.i
+         |  GROUP BY v.id, v.lbl),
+         |l$k AS MATERIALIZED (SELECT a.id, b.lbl FROM m$k a JOIN m$k b ON b.id = a.lbl)""".stripMargin
+    }
+    (init +: rs).mkString(",\n") + s",\nclab AS (SELECT id, lbl FROM l$rounds)"
+  }
+
   private def planeLit(i: Int): Column =
     array((0 until Dim).map(d => lit(planeWeight(i, d))): _*)
 
@@ -1131,15 +1169,26 @@ object VectorQueries {
     q("q137_knn_join", "approximate kNN self-join: top-3 neighbors per vector via LSH probe ball")(
       s"""$bucketCte,
          |n AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |pair AS MATERIALIZED (
+         |  -- round-11 (verdict r10 task 7): the q137b staging WITHOUT the
+         |  -- query sample — materialize the integer bucket-distance filter
+         |  -- over the 2-column bk frame FIRST, so the 64-dim dot products
+         |  -- only run on the ~14% of pairs inside the probe ball. Same
+         |  -- result set as the old single-stage form (WHERE before
+         |  -- projection), but DuckDB no longer drags the wide vector
+         |  -- columns through the quadratic join — the restructure that
+         |  -- brings the sf1 replay inside the 900s retry budget.
+         |  SELECT ba.vec_id AS vec_id, bb.vec_id AS nn_id
+         |  FROM bk ba JOIN bk bb
+         |    ON bit_count(xor(ba.bucket, bb.bucket)) <= 2
+         |   AND ba.vec_id <> bb.vec_id),
          |cand AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
-         |         round(list_dot_product(a.e, b.e) / (na.nrm * nb.nrm), 4) AS cos
-         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
-         |       JOIN n na ON na.vec_id = a.vec_id
-         |       JOIN n nb ON nb.vec_id = b.vec_id
-         |       JOIN bk ba ON ba.vec_id = a.vec_id
-         |       JOIN bk bb ON bb.vec_id = b.vec_id
-         |  WHERE bit_count(xor(ba.bucket, bb.bucket)) <= 2),
+         |  SELECT p.vec_id, p.nn_id,
+         |         round(list_dot_product(va.e, vb.e) / (na.nrm * nb.nrm), 4) AS cos
+         |  FROM pair p JOIN v va ON va.vec_id = p.vec_id
+         |       JOIN v vb ON vb.vec_id = p.nn_id
+         |       JOIN n na ON na.vec_id = p.vec_id
+         |       JOIN n nb ON nb.vec_id = p.nn_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
          |                                    ORDER BY cos DESC, nn_id) AS rnk FROM cand)
          |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nn_id, cos
@@ -1250,10 +1299,7 @@ object VectorQueries {
          |ce AS (SELECT i, j FROM cand
          |       WHERE i <> j AND i IN (SELECT id FROM cores)
          |         AND j IN (SELECT id FROM cores)),
-         |reach AS (SELECT id, id AS r FROM cores
-         |          UNION
-         |          SELECT e.j AS id, r.r FROM reach r JOIN ce e ON e.i = r.id),
-         |clab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+         |${svClosureSql(8)},
          |border AS (SELECT c.i AS id, min(l.lbl) AS lbl
          |           FROM cand c JOIN clab l ON c.j = l.id
          |           WHERE c.i NOT IN (SELECT id FROM cores)
@@ -1352,10 +1398,7 @@ object VectorQueries {
          |-- capped); core reachability is undirected, so symmetrize before
          |-- propagating — otherwise every uncapped core self-labels
          |ce AS (SELECT i, j FROM cc0 UNION SELECT j AS i, i AS j FROM cc0),
-         |reach AS (SELECT id, id AS r FROM cores
-         |          UNION
-         |          SELECT e.j AS id, r.r FROM reach r JOIN ce e ON e.i = r.id),
-         |clab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+         |${svClosureSql(20)},
          |border AS (SELECT c.i AS id, min(l.lbl) AS lbl
          |           FROM cand c JOIN clab l ON c.j = l.id
          |           WHERE c.i NOT IN (SELECT id FROM cores)
@@ -1447,10 +1490,7 @@ object VectorQueries {
          |ce AS (SELECT i, j FROM cand
          |       WHERE i <> j AND i IN (SELECT id FROM cores)
          |         AND j IN (SELECT id FROM cores)),
-         |reach AS (SELECT id, id AS r FROM cores
-         |          UNION
-         |          SELECT e.j AS id, r.r FROM reach r JOIN ce e ON e.i = r.id),
-         |clab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+         |${svClosureSql(20)},
          |border AS (SELECT c.i AS id, min(l.lbl) AS lbl
          |           FROM cand c JOIN clab l ON c.j = l.id
          |           WHERE c.i NOT IN (SELECT id FROM cores)
