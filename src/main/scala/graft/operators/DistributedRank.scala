@@ -118,6 +118,48 @@ object DistributedRank {
       .drop(Seq("__pid", "__lrn", "__off", "__opid") ++ group.map(g => s"__og_$g"): _*)
   }
 
+  /** Adds BIGINT column `out` = exact `dense_rank()` of each row by `order`
+    * (global, ungrouped) — same two-pass range-partitioned shape as
+    * [[withRowNumber]], with per-partition DISTINCT-key counts feeding the
+    * triangular offsets. Exact for the same reason the row_number form is:
+    * RangePartitioner assigns by binary search on the key, so equal keys
+    * never straddle a partition boundary — every distinct key lives in
+    * exactly one partition and offset + local dense_rank composes.
+    *
+    * Round-11 motivation (guide §2.3/§2.4): callers that need a DENSE rank
+    * (q221's prefix-doubling rounds: rank of the (k1,k2) pair per position)
+    * previously built it as `distinct()` → withRowNumber → join-back —
+    * three extra full-data exchanges per round. Ranking the full frame
+    * directly removes the distinct AND the join-back at every scale.
+    *
+    * `order` must be direction-free plain columns (they feed a struct() for
+    * the distinct count). */
+  def withDenseRank(df: DataFrame, order: Seq[Column], out: String,
+                    numParts: Int = 0,
+                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.sparkContext.defaultParallelism
+    val parted = pin(df
+      .repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id()), storage)
+    val counts = parted
+      .groupBy(col("__pid"))
+      .agg(count_distinct(struct(order: _*)).as("__cnt"))
+    val later = counts.select(col("__pid").as("__bpid"), col("__cnt").as("__bcnt"))
+    val offsets = counts
+      .join(broadcast(later), col("__bpid") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__bcnt")), lit(0L)).as("__off"))
+    val offRenamed = offsets.select(col("__pid").as("__opid"), col("__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    parted
+      .withColumn("__lrn", dense_rank().over(w).cast("long"))
+      .join(broadcast(offRenamed), col("__pid") === col("__opid"))
+      .withColumn(out, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off", "__opid")
+  }
+
   /** Adds column `out` = INCLUSIVE running sum of `value` in `order`
     * (`sum(value) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING)`) — the
     * prefix-sum scan, same two-pass shape as [[withStrictPrefixMax]]:

@@ -720,7 +720,14 @@ object ExperimentQueries {
         expr(("cast((count(*) * cast(sum(yc * yc) as decimal(38,0))"
           + " - cast(sum(yc) as decimal(38,0)) * sum(yc)) div (count(*) * (count(*) - 1)) as bigint)"))
           .as("var_yc"))
+      // round-11 (guide §2.4): all3 is ONE row, but each of the eight
+      // report legs below references it — un-truncated, every leg re-ran
+      // the srm/theta/adj aggregates over the cached user frame plus their
+      // broadcast builds (93 Spark jobs, a ~30-concurrent-broadcast storm
+      // measured in the profile). Eagerly materializing the 1-row hub makes
+      // each leg a checkpoint read: 93 → ~15 jobs, 5.3 → ~1.5 s.
       val all3 = agg3.crossJoin(broadcast(srm)).crossJoin(broadcast(th))
+        .localCheckpoint(true)
       def row(name: String, v: Column) = all3.select(lit(name).as("metric"), v.cast("long").as("value"))
       row("a_srm_chi2_milli", expr("(1000 * (n1 - n0) * (n1 - n0)) div (n1 + n0)"))
         .unionAll(row("b_srm_pass",

@@ -791,6 +791,16 @@ object GraphQueries {
           .groupBy(col("v")).agg(max(col("l")).as("ml"))
           .join(nodes.select(col("pk").as("v"), col("w")), Seq("v"))
           .select(col("v").as("node"), (col("w") + col("ml")).as("l"))
+          // round-11 (guide §2.4/§3.3): truncate per-layer lineage. The
+          // layer-r frontier is |layer|-bounded, but WITHOUT the eager
+          // checkpoint each later layer's plan (and all three report legs
+          // below, which reference `all` twice and `mx` twice) re-plans and
+          // re-executes the whole prefix chain — the executed query ran 352
+          // Spark jobs (~220 s of summed job time behind 169 broadcast
+          // builds) for 8 bounded relaxation rounds. Checkpointing each
+          // layer makes every round one join+aggregate job: 44 jobs,
+          // 9.7 → 2.6 s measured, identical output.
+          .localCheckpoint(true)
         all = all.unionByName(frontier.select(lit(r.toLong).as("layer"), col("node"), col("l")))
       }
       val mx = all.groupBy("layer")

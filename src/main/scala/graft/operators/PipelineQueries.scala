@@ -2707,7 +2707,10 @@ object PipelineQueries {
          |ORDER BY 1""".stripMargin
     ) { (sp, dir) =>
       import graft.functions.PortableHash.{md5Long, shingles}
-      val d = Tables(sp, dir, "documents")
+      // fanout (guide §2.5): the fixture is ONE parquet row group, so the
+      // shingle explode + md5 below otherwise runs as a single 4.7 s task
+      // (measured in the round-11 profile) — spread the derivation first
+      val d = Tables.fanout(sp, dir, "documents")
         .select(col("doc_id"), col("text"),
           (substring(col("source"), 4, 10).cast("long") % 5).as("grp"))
       val sh = d.select(col("grp"),
@@ -2839,7 +2842,10 @@ object PipelineQueries {
          |FROM steps CROSS JOIN o3 ORDER BY step""".stripMargin
     ) { (sp, dir) =>
       import graft.functions.PortableHash.{md5Long, shingles}
-      val d = Tables(sp, dir, "documents")
+      // fanout (guide §2.5): the fixture is ONE parquet row group, so the
+      // shingle explode + md5 below otherwise runs as a single 4.7 s task
+      // (measured in the round-11 profile) — spread the derivation first
+      val d = Tables.fanout(sp, dir, "documents")
         .select(col("doc_id"), col("text"),
           (substring(col("source"), 4, 10).cast("long") % 5).as("grp"))
       val sh = d.select(col("grp"),

@@ -1251,49 +1251,72 @@ object TextQueries {
         .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("p"),
           col("col").as("tok"))
       // rank_1: global dense rank of the token string (two-pass — the
-      // only round that touches text; every later shuffle moves longs)
-      val tokRank = DistributedRank.withRowNumber(
-        toks.select("tok").distinct(), Seq(col("tok")), "r1")
-      var r = toks.join(tokRank, "tok")
-        .select(col("doc_id"), col("n"), col("p"), col("r1").as("r"))
+      // only round that touches text; every later shuffle moves longs).
+      // round-11 (guide §2.3/§2.4): DENSE rank computed directly on the
+      // position frame (DistributedRank.withDenseRank) — the old
+      // distinct() → row_number → join-back detour cost three extra
+      // full-data exchanges here and in EVERY doubling round below. The
+      // `lad` array accumulates [r_1, r_2, r_4, r_8, r_16, r_32] per
+      // position so the LCP descent below can run ROW-LOCALLY off a
+      // per-doc rank matrix instead of 12 corpus-size rank-lookup joins.
+      var r = DistributedRank.withDenseRank(toks, Seq(col("tok")), "r")
+        .select(col("doc_id"), col("n"), col("p"), col("r"))
+        .withColumn("lad", array(col("r")))
         .localCheckpoint(true)
-      val ranks = scala.collection.mutable.Map(1 -> r)
       for (d <- Seq(1, 2, 4, 8, 16)) {
         // pair (rank_d[p], rank_d[p+d]); 0 = past-end sentinel, below
         // every real rank — exactly DuckDB's shorter-list-sorts-first
         val shifted = r.select(col("doc_id"), (col("p") - d).as("p"), col("r").as("r2"))
         val paired = r.join(shifted, Seq("doc_id", "p"), "left")
-          .select(col("doc_id"), col("n"), col("p"), col("r").as("k1"),
+          .select(col("doc_id"), col("n"), col("p"), col("lad"), col("r").as("k1"),
             coalesce(col("r2"), lit(0L)).as("k2"))
-        val pairRank = DistributedRank.withRowNumber(
-          paired.select("k1", "k2").distinct(), Seq(col("k1"), col("k2")), "nr")
-        r = paired.join(pairRank, Seq("k1", "k2"))
-          .select(col("doc_id"), col("n"), col("p"), col("nr").as("r"))
-          .localCheckpoint(true) // truncate: 5 rounds would quadruple the plan
-        ranks(d * 2) = r
+        // eager checkpoint stays MANDATORY here: the shifted self-join
+        // references r twice, so without truncation the logical plan doubles
+        // per round (2^5 copies — measured as a >25-min analysis/recompute
+        // hang when tried without it this round)
+        r = DistributedRank.withDenseRank(paired, Seq(col("k1"), col("k2")), "nr")
+          .select(col("doc_id"), col("n"), col("p"),
+            concat(col("lad"), array(col("nr"))).as("lad"), col("nr").as("r"))
+          .localCheckpoint(true)
       }
+      // per-doc rank matrix mat[p][level], level 1..6 ≙ d = 1,2,4,8,16,32 —
+      // doc-length-bounded rows (the same per-doc collect bound the
+      // oracle's window-list build uses), built ONCE instead of keeping six
+      // corpus-size rank frames alive for twelve descent lookup joins
+      val ldm = r.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("p"), col("lad")))).as("pl"))
+        .select(col("doc_id"), expr("transform(pl, x -> x.lad)").as("mat"))
+        .localCheckpoint(true)
       val sa = DistributedRank.withRowNumber(
-        r, Seq(col("r"), col("doc_id"), col("p")), "sa_rank")
+        r.select(col("doc_id"), col("n"), col("p"), col("r")),
+        Seq(col("r"), col("doc_id"), col("p")), "sa_rank")
         .localCheckpoint(true)
       // neighbor in suffix order (equi-join on rank — never a global lag)
       val prevSfx = sa.select((col("sa_rank") + 1).as("sa_rank"),
         col("doc_id").as("doc_b"), col("p").as("pb"), col("n").as("nb"))
-      var adj = sa.select(col("doc_id"), col("p"), col("n"), col("sa_rank"))
-        .join(prevSfx, Seq("sa_rank"), "left")
-        .withColumn("l", lit(0L))
       // greedy binary-counting LCP descent down the rank ladder: equal
-      // rank_d at offset l ⟹ next d tokens (sentinel-padded) match
-      for (d <- Seq(32, 16, 8, 4, 2, 1)) {
-        val ra = ranks(d).select(col("doc_id").as("da"), col("p").as("qa"), col("r").as("ra"))
-        val rb = ranks(d).select(col("doc_id").as("db2"), col("p").as("qb"), col("r").as("rb"))
-        adj = adj
-          .join(ra, col("doc_id") === col("da") && col("qa") === col("p") + col("l"), "left")
-          .join(rb, col("doc_b") === col("db2") && col("qb") === col("pb") + col("l"), "left")
-          .withColumn("l", col("l") +
-            when(col("ra").isNotNull && col("ra") === col("rb"), lit(d.toLong)).otherwise(0L))
-          .drop("da", "qa", "ra", "db2", "qb", "rb")
-        if (d == 8) adj = adj.localCheckpoint(true)
-      }
+      // rank_d at offset l ⟹ next d tokens (sentinel-padded) match.
+      // Row-local fold over (32,6),(16,5),...,(1,1): element_at(mat, p+l)
+      // exists iff p+l ≤ n (the ladder frames had a row per position), so
+      // the size guards reproduce the old left-join NULL semantics exactly,
+      // and a NULL doc_b (the first suffix) keeps l = 0 via the matb guard.
+      val adj = sa.select(col("doc_id"), col("p"), col("n"), col("sa_rank"))
+        .join(prevSfx, Seq("sa_rank"), "left")
+        .join(ldm.select(col("doc_id"), col("mat").as("mata")), Seq("doc_id"))
+        .join(ldm.select(col("doc_id").as("doc_b"), col("mat").as("matb")),
+          Seq("doc_b"), "left")
+        .withColumn("l", expr(
+          """aggregate(
+            |  array(named_struct('d', 32L, 'li', 6), named_struct('d', 16L, 'li', 5),
+            |        named_struct('d', 8L, 'li', 4), named_struct('d', 4L, 'li', 3),
+            |        named_struct('d', 2L, 'li', 2), named_struct('d', 1L, 'li', 1)),
+            |  0L,
+            |  (acc, s) -> acc + CASE WHEN matb IS NOT NULL
+            |      AND p + acc <= size(mata) AND pb + acc <= size(matb)
+            |      AND element_at(element_at(mata, cast(p + acc AS INT)), s.li)
+            |        = element_at(element_at(matb, cast(pb + acc AS INT)), s.li)
+            |    THEN s.d ELSE 0L END)""".stripMargin))
+        .drop("mata", "matb")
       // cap by both remaining lengths: sentinel-padded equality can step
       // past a doc end when both suffixes end at the same relative offset
       // cap at 32 too: when neighbors share MORE than the truncation the

@@ -81,6 +81,39 @@ class DistributedRankSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("global dense_rank matches the window form for varied partition counts") {
+    // round-11: withDenseRank ranks the FULL frame (no distinct/join-back),
+    // so its contract is dense_rank() OVER (ORDER BY ...) bit-parity —
+    // duplicate keys share a rank and ranks have no gaps. Partition counts
+    // beyond the row count exercise empty range partitions; the duplicated
+    // v values exercise equal-keys-don't-straddle-boundaries.
+    val df = randFrame(200).cache()
+    val expected = df
+      .withColumn("dr", dense_rank().over(Window.orderBy("v")).cast("long"))
+      .select("id", "dr").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    for (parts <- Seq(1, 3, 7, 300)) {
+      val got = DistributedRank
+        .withDenseRank(df, Seq(col("v")), "dr", numParts = parts)
+        .select("id", "dr").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+    // two-column keys (the q221 pairing shape), incl. a sentinel column
+    val df2 = randFrame(150)
+      .withColumn("v2", when(col("id") % 5 === 0, lit(0L)).otherwise(col("v") % 7))
+      .cache()
+    val exp2 = df2
+      .withColumn("dr", dense_rank().over(Window.orderBy("v", "v2")).cast("long"))
+      .select("id", "dr").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    for (parts <- Seq(1, 6, 40)) {
+      val got2 = DistributedRank
+        .withDenseRank(df2, Seq(col("v"), col("v2")), "dr", numParts = parts)
+        .select("id", "dr").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got2 == exp2, s"parts=$parts")
+    }
+    df.unpersist(); df2.unpersist()
+    DistributedRank.unpersistAll()
+  }
+
   test("strict prefix max matches the ROWS UNBOUNDED..1 PRECEDING window") {
     // unique order key (required contract), non-monotone values
     val df = randFrame(150).groupBy("v").agg(max("id").as("m")).cache()
