@@ -40,27 +40,34 @@ object StarContraction {
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     var converged = false
     while (!converged) {
-      // large-star: group by u over BOTH directions; link strictly-larger
-      // neighbors to the group minimum (including u itself)
+      // Round-11 rewrite (guide §2.3 "aggregate before you shuffle", §2.5
+      // skew): both star phases previously built per-vertex neighbor SETS
+      // (collect_set + explode) — an object hash aggregate whose hot-vertex
+      // arrays are exactly the skew a contraction round creates (the root
+      // of a big star collects its whole component). The min-label join
+      // form below computes the same links with a PARTIAL-AGGREGATED min
+      // and one equi-join per phase — no arrays, map-side combine, no
+      // single-key blowup at any scale.
+      // large-star: link every strictly-larger neighbor v of u to
+      // m(u) = min(N(u) ∪ {u}) (min over BOTH directions, u folded in)
       val nbrs = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
-      val ls = nbrs
-        .groupBy("u").agg(collect_set(col("v")).as("vs"))
-        .select(col("u"), array_min(array_union(col("vs"), array(col("u")))).as("m"),
-          col("vs"))
-        .select(explode(col("vs")).as("w"), col("u"), col("m"))
-        .filter(col("w") > col("u"))
-        .select(col("w").as("u"), col("m").as("v"))
+      val mL = nbrs.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = nbrs.filter(col("v") > col("u"))
+        .join(mL, "u")
+        .select(col("v").as("u"), col("m").as("v"))
         .union(e) // keep existing (larger, smaller) links so stars stay attached
         .filter(col("u") =!= col("v")).distinct()
-      // small-star: group by u; link all ≤-neighbors and u to the minimum
-      val ss = ls.select(col("u"), col("v"))
+      // small-star: over ≤-neighbors, link every neighbor AND u itself to
+      // the group minimum (the original emitted vs ∪ {u} → m, w ≠ m)
+      val nb2 = ls.select(col("u"), col("v"))
         .union(ls.select(col("v").as("u"), col("u").as("v")))
         .filter(col("v") <= col("u"))
-        .groupBy("u").agg(collect_set(col("v")).as("vs"))
-        .select(col("u"), array_min(col("vs")).as("m"), col("vs"))
-        .select(explode(array_union(col("vs"), array(col("u")))).as("w"),
-          col("m"))
+      val mS = nb2.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = nb2.join(mS, "u")
+        .select(col("v").as("w"), col("m"))
+        .union(mS.select(col("u").as("w"), col("m")))
         .filter(col("w") =!= col("m"))
         .select(col("w").as("u"), col("m").as("v"))
         .distinct().localCheckpoint(true)
